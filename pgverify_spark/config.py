@@ -1,0 +1,107 @@
+"""Verification config — mirrors the reference option surface.
+
+Reference: ``config.go:36-68`` (include/exclude schema/table/column, test
+modes, bookend limit, sparse mod, aliases, timestamp precision,
+hash-primary-keys) and validation ``config.go:101-114``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+TEST_MODE_FULL = "full"
+TEST_MODE_BOOKEND = "bookend"
+TEST_MODE_SPARSE = "sparse"
+TEST_MODE_ROWCOUNT = "rowcount"
+#: Spark-rebuild extension: deterministic scale path (hash-of-bucket-hashes);
+#: not in the reference's closed mode enum (config.go:9-33).
+TEST_MODE_BUCKETED = "bucketed"
+
+ALL_TEST_MODES = (
+    TEST_MODE_FULL,
+    TEST_MODE_BOOKEND,
+    TEST_MODE_SPARSE,
+    TEST_MODE_ROWCOUNT,
+    TEST_MODE_BUCKETED,
+)
+
+#: Reference default modes: all four (config.go:88).
+DEFAULT_TEST_MODES = (
+    TEST_MODE_FULL,
+    TEST_MODE_BOOKEND,
+    TEST_MODE_SPARSE,
+    TEST_MODE_ROWCOUNT,
+)
+
+#: PG precision word → Spark/DuckDB date_trunc unit (column.go:26-28,
+#: config.go:32: default "milliseconds").
+TIMESTAMP_PRECISIONS = {
+    "microseconds": "microsecond",
+    "milliseconds": "millisecond",
+    "seconds": "second",
+    "minutes": "minute",
+    "hours": "hour",
+    "days": "day",
+}
+
+#: Error sentinel written into a result cell when a test fails
+#: (results.go:12).
+ERROR_OUTPUT = "(err)"
+#: Output for an empty table (verify.go:247-248).
+NO_ROWS_OUTPUT = "no rows"
+
+
+@dataclass
+class VerifyConfig:
+    """Engine configuration; defaults match the reference's defaults."""
+
+    test_modes: tuple[str, ...] = DEFAULT_TEST_MODES
+    include_tables: tuple[str, ...] = ()
+    exclude_tables: tuple[str, ...] = ()
+    include_schemas: tuple[str, ...] = ()
+    exclude_schemas: tuple[str, ...] = ()
+    include_columns: tuple[str, ...] = ()
+    exclude_columns: tuple[str, ...] = ()
+    bookend_limit: int = 1000  # config.go:21
+    sparse_mod: int = 10  # config.go:27
+    timestamp_precision: str = "milliseconds"  # config.go:32,90
+    hash_primary_keys: bool = False  # config.go:53-57
+    #: Extension: bucket count for the scale-path bucketed fingerprint.
+    fingerprint_buckets: int = 1024
+
+    def validate(self) -> None:
+        """Mode-name and precision validation (config.go:101-114)."""
+        for mode in self.test_modes:
+            if mode not in ALL_TEST_MODES:
+                raise ValueError(f"invalid test mode: {mode!r}; valid: {ALL_TEST_MODES}")
+        if self.timestamp_precision not in TIMESTAMP_PRECISIONS:
+            raise ValueError(
+                f"invalid timestamp precision: {self.timestamp_precision!r}; "
+                f"valid: {tuple(TIMESTAMP_PRECISIONS)}"
+            )
+        if self.bookend_limit <= 0:
+            raise ValueError("bookend_limit must be positive")
+        if self.sparse_mod <= 0:
+            raise ValueError("sparse_mod must be positive")
+
+    def valid_column(self, name: str) -> bool:
+        """Include-list wins, else exclude-list (verify.go:138-144)."""
+        if self.include_columns:
+            return name in self.include_columns
+        return name not in self.exclude_columns
+
+    def valid_table(self, schema: str, table: str) -> bool:
+        """Table/schema filters (query.go:21-100 semantics: inclusions
+        override exclusions when present)."""
+        if self.include_schemas:
+            if schema not in self.include_schemas:
+                return False
+        elif schema in self.exclude_schemas:
+            return False
+        if self.include_tables:
+            return table in self.include_tables
+        return table not in self.exclude_tables
+
+    @property
+    def trunc_unit(self) -> str:
+        return TIMESTAMP_PRECISIONS[self.timestamp_precision]

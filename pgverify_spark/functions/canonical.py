@@ -1,0 +1,151 @@
+"""Canonical text forms — the semantic heart of verification.
+
+The reference casts every column to TEXT *identically across engines*
+before hashing (reference ``column.go:24-36``); that cross-engine text
+canonicalization is what makes fingerprints comparable.  This module is
+the Spark-native equivalent: for every logical column type it emits a SQL
+expression producing the **same canonical string in Spark SQL and in
+DuckDB SQL** (DuckDB is the correctness oracle).  Parity holds by
+construction because both dialects' expressions are generated from one
+code path and diverge only where function *names* differ
+(``unix_micros`` vs ``epoch_us``, ``transform`` vs ``list_transform``).
+
+Deliberate deviations from PostgreSQL's text rendering (documented per
+SURVEY.md §7.3 — PG byte-parity is only needed when comparing against a
+PG-pushdown fingerprint, which is a separate JDBC mode):
+
+- doubles/floats: fixed ``printf('%.6f')`` instead of PG
+  shortest-round-trip (Spark's ``cast(string)`` renders ``1.0E20`` where
+  DuckDB renders ``1e+20`` — a fixed-point format is the only form both
+  engines produce byte-identically; ``+ 0.0`` normalizes ``-0.0``).
+- timestamps: epoch **microseconds** truncated to the configured
+  precision — same integer the reference computes via
+  ``(extract(epoch from date_trunc(p, col))::DECIMAL * 1000000)::BIGINT``
+  (``column.go:26-28``), rendered without PG's zone suffix.
+- json: canonical hashing of the raw text, not PG's
+  ``length(::JSONB::TEXT)`` proxy (``column.go:29-32`` — the proxy exists
+  only because PG and CRDB order jsonb keys differently; a single engine
+  hashing raw bytes is strictly stronger).
+"""
+
+from __future__ import annotations
+
+DIALECT_SPARK = "spark"
+DIALECT_DUCKDB = "duckdb"
+
+#: microseconds per date_trunc unit (for bigint-nanos timestamp columns).
+_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _str_cast(expr: str, dialect: str) -> str:
+    return f"CAST({expr} AS STRING)" if dialect == DIALECT_SPARK else f"CAST({expr} AS VARCHAR)"
+
+
+def canon_sql(col: str, ltype: str, dialect: str, trunc_unit: str = "millisecond") -> str:
+    """Canonical-text SQL expression for one column.
+
+    ``ltype`` is the engine's logical type tag: one of ``boolean,
+    tinyint, smallint, int, bigint, float, double, decimal, string, date,
+    timestamp, timestamp_ntz, timestamp_ns, binary, array<T>``.
+    ``timestamp_ns`` is a bigint of epoch-nanoseconds on the Spark side
+    (parquet TIMESTAMP(NANOS) read with nanosAsLong) but a real
+    TIMESTAMP_NS on the DuckDB side.
+    """
+    if ltype in ("double", "float"):
+        # fixed-point; float widens to double exactly in both engines
+        inner = f"CAST({col} AS DOUBLE)" if ltype == "float" else col
+        return f"printf('%.6f', {inner} + 0.0)"
+    if ltype in ("timestamp", "timestamp_ntz"):
+        if dialect == DIALECT_SPARK:
+            return f"CAST(unix_micros(date_trunc('{trunc_unit.upper()}', {col})) AS STRING)"
+        return f"CAST(epoch_us(date_trunc('{trunc_unit}', {col})) AS VARCHAR)"
+    if ltype == "timestamp_ns":
+        if dialect == DIALECT_SPARK:
+            us = _UNIT_US[trunc_unit]
+            # bigint nanos -> truncate -> epoch micros
+            return f"CAST((({col} div {us * 1000}) * {us}) AS STRING)"
+        return f"CAST(epoch_us(date_trunc('{trunc_unit}', {col})) AS VARCHAR)"
+    if ltype == "binary":
+        return f"lower(hex({col}))"
+    if ltype.startswith("array<"):
+        elem = ltype[6:-1]
+        x = canon_sql("x", elem, dialect, trunc_unit)
+        if dialect == DIALECT_SPARK:
+            return f"concat('[', array_join(transform({col}, x -> {x}), ','), ']')"
+        return f"('[' || array_to_string(list_transform({col}, x -> {x}), ',') || ']')"
+    if ltype == "string":
+        return col
+    # boolean/ints/decimal/date render identically via plain string cast
+    # in both engines ('true'/'false', no exponent, ISO dates).
+    return _str_cast(col, dialect)
+
+
+def row_hash_sql(
+    cols: list[tuple[str, str]],
+    dialect: str,
+    trunc_unit: str = "millisecond",
+) -> str:
+    """Per-row scalar hash: ``md5(concat_ws('', canon(c1), canon(c2), ...))``.
+
+    Columns are hashed in sorted-by-name order so the hash is independent
+    of physical column order (the reference sorts its cast-expression
+    list for the same reason, ``query.go:136-137``).  ``concat_ws`` skips
+    NULLs in both dialects, matching PG ``CONCAT`` NULL semantics
+    (``query.go:141`` — Spark's plain ``concat`` would null the whole row
+    and must not be used).
+    """
+    canons = [canon_sql(c, t, dialect, trunc_unit) for c, t in sorted(cols)]
+    return "md5(concat_ws('', " + ", ".join(canons) + "))"
+
+
+def pk_key_sql(
+    pk_cols: list[tuple[str, str]],
+    dialect: str,
+    trunc_unit: str = "millisecond",
+    hash_primary_keys: bool = False,
+) -> str:
+    """Row ordering key from the primary key columns.
+
+    The reference orders by ``CONCAT(pk casts)`` (``query.go:136-145``);
+    we join with ``'|'`` so multi-column keys cannot alias each other
+    (``(1, 51)`` vs ``(15, 1)``).  With ``hash_primary_keys`` the key is
+    md5-hashed — the reference's workaround for collation-dependent text
+    ordering (``config.go:53-57``); here it just exercises the same
+    ordering variant.
+    """
+    canons = [canon_sql(c, t, dialect, trunc_unit) for c, t in pk_cols]
+    key = "concat_ws('|', " + ", ".join(canons) + ")"
+    return f"md5({key})" if hash_primary_keys else key
+
+
+def hex_prefix_int_sql(hex_expr: str, ndigits: int = 12) -> str:
+    """Unsigned integer from the first ``ndigits`` hex chars of an md5 hex
+    string — dialect-shared (``instr``/``substr`` arithmetic only).
+
+    The reference reinterprets the first 16 hex chars as a *signed*
+    bigint via ``('x'||substr(md5(k),1,16))::bit(64)::bigint``
+    (``query.go:193``); that signed reinterpret has no portable SQL
+    spelling, so this engine defines its sampler on the first 48 bits
+    (fits int64 unsigned, identical in Spark and DuckDB).  Deterministic
+    and uniform, selecting a different-but-equally-valid ≈1/mod sample
+    than the reference — acceptable because sample *consistency across
+    targets* is the contract, not reference-identical row sets
+    (SURVEY.md §7.3).
+    """
+    if not 1 <= ndigits <= 15:
+        raise ValueError("ndigits must be in 1..15 to fit a signed int64")
+    terms = []
+    for i in range(1, ndigits + 1):
+        power = 16 ** (ndigits - i)
+        # CAST to BIGINT: int-literal powers would make digit * power an
+        # int32 multiply, which overflows under Spark ANSI mode.
+        digit = f"CAST(instr('0123456789abcdef', substr({hex_expr}, {i}, 1)) - 1 AS BIGINT)"
+        terms.append(f"{digit} * {power}" if power > 1 else digit)
+    return "(" + " + ".join(terms) + ")"

@@ -1,0 +1,222 @@
+"""Fingerprint operators — the engine's core verification primitives.
+
+Each reference test mode (``config.go:9-33``) becomes one operator
+``DataFrame -> 1-row DataFrame [fp: string]``:
+
+- ``full``      — md5 of per-row md5s concatenated in PK order
+                  (``buildFullHashQuery``, ``query.go:122-158``)
+- ``bookend``   — fingerprint of first-N + last-N rows by PK
+                  (``buildBookendHashQuery``, ``query.go:232-278``)
+- ``sparse``    — deterministic md5-mod ≈1/mod sample, then full
+                  (``buildSparseHashQuery``, ``query.go:163-229``)
+- ``rowcount``  — ``count(*)`` (``buildRowCountQuery``, ``query.go:281-283``)
+- ``bucketed``  — extension: hash-of-ordered-bucket-hashes, the 100 TB
+                  scale path (see *Scale* below)
+
+Ordering ties: the driver's testdata has duplicate PKs, so every ordered
+aggregation orders by ``(key, row_hash)`` — deterministic even for
+non-unique keys (plain ``ORDER BY key`` would make the fingerprint
+nondeterministic under ties).
+
+Scale
+-----
+``full`` reproduces the reference's semantics exactly and shares its cost
+profile: one total order over the table.  In Spark it executes as a
+single final reduce (``array_sort(collect_list(...))``) whose memory is
+O(48 bytes x rows) — fine to ~100M rows, and isomorphic to the
+server-side ``ORDER BY + string_agg`` the reference pushes into PG
+(README.md:69 calls full mode "memory intensive").  **At 100 TB use
+``bucketed``**: rows hash-partition into B fixed buckets on the PK key,
+each bucket computes an ordered partial fingerprint (one shuffle, ~n/B
+rows per reduce), and the final fingerprint is the md5 over bucket
+fingerprints in bucket order (B tiny scalars).  Bucket assignment depends
+only on row content — never on partitioning/cluster layout — so the
+result is deterministic and comparable across targets; it is *not*
+byte-equal to ``full`` (documented deviation, SURVEY.md §7.3).
+
+Every operator has a DuckDB-dialect oracle twin generated from the same
+canonicalization code path (``fingerprint_oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pgverify_spark.config import VerifyConfig
+from pgverify_spark.functions.canonical import (
+    DIALECT_DUCKDB,
+    DIALECT_SPARK,
+    hex_prefix_int_sql,
+    pk_key_sql,
+    row_hash_sql,
+)
+from pgverify_spark.sources.schemas import TableSchema
+
+#: Ordered fingerprint over (k, h) pairs as a single aggregate expression.
+#: array_sort on struct(k, h) orders by k then h (tie-break on row hash).
+_ORDERED_AGG = "md5(array_join(transform(array_sort(collect_list(struct(k, h))), x -> x.h), ''))"
+_NO_ROWS_AGG = f"CASE WHEN count(1) = 0 THEN 'no rows' ELSE {_ORDERED_AGG} END AS fp"
+
+
+def _exprs(schema: TableSchema, config: VerifyConfig) -> tuple[str, str, str]:
+    """(key, row-hash, plain-sample-key) Spark SQL expressions."""
+    cols = schema.hashed_cols(config.valid_column)
+    h = row_hash_sql(cols, DIALECT_SPARK, config.trunc_unit)
+    k = pk_key_sql(
+        schema.pk_cols(), DIALECT_SPARK, config.trunc_unit, config.hash_primary_keys
+    )
+    k_plain = pk_key_sql(schema.pk_cols(), DIALECT_SPARK, config.trunc_unit, False)
+    return k, h, k_plain
+
+
+def _kh(df: DataFrame, schema: TableSchema, config: VerifyConfig) -> DataFrame:
+    k, h, _ = _exprs(schema, config)
+    return df.selectExpr(f"{k} AS k", f"{h} AS h")
+
+
+def rowcount(df: DataFrame, schema: TableSchema | None = None, config: VerifyConfig | None = None) -> DataFrame:
+    """``SELECT count(*)::TEXT`` (query.go:281-283)."""
+    return df.select(F.count(F.lit(1)).cast("string").alias("fp"))
+
+
+def full_fingerprint(df: DataFrame, schema: TableSchema, config: VerifyConfig | None = None) -> DataFrame:
+    """Exact ordered fingerprint (parity mode; see *Scale* above)."""
+    config = config or VerifyConfig()
+    return _kh(df, schema, config).selectExpr(_NO_ROWS_AGG)
+
+
+def bookend_fingerprint(
+    df: DataFrame, schema: TableSchema, config: VerifyConfig | None = None
+) -> DataFrame:
+    """Fingerprint of the first-N and last-N rows in key order.
+
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject (distributed
+    top-K: each task keeps N rows, driver merges) — no global sort, no
+    full shuffle, exactly the plan wanted at scale.  Both subsets are
+    fingerprinted in ascending order, then combined as
+    ``md5(concat(start, end))`` (query.go:259-276; the reference
+    aggregates the tail subset in descending scan order — ascending here,
+    a deterministic-either-way choice applied on both compare sides).
+    """
+    config = config or VerifyConfig()
+    n = config.bookend_limit
+    kh = _kh(df, schema, config)
+    start = (
+        kh.orderBy(F.col("k").asc(), F.col("h").asc())
+        .limit(n)
+        .selectExpr(f"{_ORDERED_AGG} AS fp_start")
+    )
+    end = (
+        kh.orderBy(F.col("k").desc(), F.col("h").desc())
+        .limit(n)
+        .selectExpr(f"{_ORDERED_AGG} AS fp_end")
+    )
+    return start.crossJoin(end).selectExpr(
+        "md5(concat(coalesce(fp_start, ''), coalesce(fp_end, ''))) AS fp"
+    )
+
+
+def sparse_fingerprint(
+    df: DataFrame, schema: TableSchema, config: VerifyConfig | None = None
+) -> DataFrame:
+    """Deterministic ≈1/mod sample fingerprint.
+
+    Selection: first 48 bits of ``md5(plain_key)`` modulo ``sparse_mod``
+    == 0 (the reference's signed-64-bit variant has no portable spelling;
+    see ``hex_prefix_int_sql``).  The filter is evaluated before any
+    shuffle, so at scale only ~n/mod rows reach the ordered aggregate.
+    The reference filters per-PK-column with IN-subqueries
+    (query.go:190-203) — semantically a semi-join on the same sampled key
+    set; a direct filter avoids the self-join entirely.
+    """
+    config = config or VerifyConfig()
+    k, h, k_plain = _exprs(schema, config)
+    sampled = df.selectExpr(f"{k} AS k", f"{h} AS h", f"md5({k_plain}) AS hk").filter(
+        f"({hex_prefix_int_sql('hk')} % {config.sparse_mod}) = 0"
+    )
+    return sampled.selectExpr(_NO_ROWS_AGG)
+
+
+def bucketed_fingerprint(
+    df: DataFrame, schema: TableSchema, config: VerifyConfig | None = None
+) -> DataFrame:
+    """Scale-path fingerprint: md5 over B ordered bucket fingerprints.
+
+    Two shuffles: hash-partition by bucket (map-side nothing to combine,
+    but each reduce holds only ~n/B rows), then a B-row final reduce.
+    Choose ``fingerprint_buckets`` so a bucket's (k, h) pairs fit a
+    reducer (~48 B/row: B=65536 handles ~10^11 rows at 3 GB/bucket).
+    """
+    config = config or VerifyConfig()
+    k, h, k_plain = _exprs(schema, config)
+    b = config.fingerprint_buckets
+    kh = df.selectExpr(
+        f"{k} AS k",
+        f"{h} AS h",
+        f"({hex_prefix_int_sql(f'md5({k_plain})')} % {b}) AS bucket",
+    )
+    per_bucket = kh.groupBy("bucket").agg(F.expr(_ORDERED_AGG).alias("bh"))
+    return per_bucket.selectExpr(
+        "CASE WHEN count(1) = 0 THEN 'no rows' ELSE "
+        "md5(array_join(transform(array_sort(collect_list(struct(bucket, bh))), x -> x.bh), '')) "
+        "END AS fp"
+    )
+
+
+FINGERPRINT_OPS = {
+    "full": full_fingerprint,
+    "bookend": bookend_fingerprint,
+    "sparse": sparse_fingerprint,
+    "rowcount": rowcount,
+    "bucketed": bucketed_fingerprint,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins — same canonicalization code path, DuckDB dialect.
+# ---------------------------------------------------------------------------
+
+def fingerprint_oracle_sql(
+    mode: str, table: str, schema: TableSchema, config: VerifyConfig | None = None
+) -> str:
+    """DuckDB SQL computing the identical fingerprint for ``mode``."""
+    config = config or VerifyConfig()
+    cols = schema.hashed_cols(config.valid_column)
+    h = row_hash_sql(cols, DIALECT_DUCKDB, config.trunc_unit)
+    k = pk_key_sql(
+        schema.pk_cols(), DIALECT_DUCKDB, config.trunc_unit, config.hash_primary_keys
+    )
+    k_plain = pk_key_sql(schema.pk_cols(), DIALECT_DUCKDB, config.trunc_unit, False)
+    base = f"SELECT {k} AS k, {h} AS h FROM {table}"
+    agg = "md5(string_agg(h, '' ORDER BY k, h))"
+
+    if mode == "rowcount":
+        return f"SELECT CAST(count(*) AS VARCHAR) AS fp FROM {table}"
+    if mode == "full":
+        return f"SELECT COALESCE({agg}, 'no rows') AS fp FROM ({base}) t"
+    if mode == "bookend":
+        n = config.bookend_limit
+        return (
+            f"WITH base AS ({base}), "
+            f"s AS (SELECT {agg} AS fp FROM (SELECT * FROM base ORDER BY k ASC, h ASC LIMIT {n}) t), "
+            f"e AS (SELECT {agg} AS fp FROM (SELECT * FROM base ORDER BY k DESC, h DESC LIMIT {n}) t) "
+            "SELECT md5(concat(COALESCE(s.fp, ''), COALESCE(e.fp, ''))) AS fp FROM s, e"
+        )
+    if mode == "sparse":
+        sel = hex_prefix_int_sql("hk")
+        return (
+            f"SELECT COALESCE({agg}, 'no rows') AS fp FROM "
+            f"(SELECT k, h FROM (SELECT {k} AS k, {h} AS h, md5({k_plain}) AS hk FROM {table}) t "
+            f"WHERE ({sel} % {config.sparse_mod}) = 0) t2"
+        )
+    if mode == "bucketed":
+        b = config.fingerprint_buckets
+        bucket = f"({hex_prefix_int_sql(f'md5({k_plain})')} % {b})"
+        return (
+            "SELECT COALESCE(md5(string_agg(bh, '' ORDER BY bucket)), 'no rows') AS fp FROM "
+            f"(SELECT bucket, {agg} AS bh FROM "
+            f"(SELECT {k} AS k, {h} AS h, {bucket} AS bucket FROM {table}) t "
+            "GROUP BY bucket) t2"
+        )
+    raise ValueError(f"unknown mode {mode!r}")

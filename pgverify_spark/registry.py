@@ -1,0 +1,103 @@
+"""Central query registry: every public operator as a (Spark, oracle) pair.
+
+Each entry produces a Spark DataFrame query and a DuckDB-dialect SQL twin
+generated from the same canonicalization/expression code, which is what
+the driver's correctness gate compares at sf0.01 (see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgverify_spark.config import VerifyConfig
+from pgverify_spark.operators.fingerprint import (
+    FINGERPRINT_OPS,
+    fingerprint_oracle_sql,
+)
+from pgverify_spark.sources.parquet import ParquetTarget
+from pgverify_spark.sources.schemas import TESTDATA_TABLES
+
+#: Config used by the registry's fingerprint queries (bookend limit and
+#: bucket count sized for the sf0.01 correctness gate; defaults elsewhere).
+_CFG = VerifyConfig(bookend_limit=100, sparse_mod=10, fingerprint_buckets=64)
+
+
+def _fp_spark(table: str, mode: str, cfg: VerifyConfig) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        target = ParquetTarget("t", sf_dir)
+        return FINGERPRINT_OPS[mode](
+            target.read(spark, table), target.table_schema(spark, table), cfg
+        )
+
+    return run
+
+
+def _fingerprint_entries() -> dict[str, tuple[Callable, str]]:
+    """name -> (spark callable, oracle sql)."""
+    cases = [
+        # every mode on lineitem (multi-column PK with duplicate keys)
+        *[(f"{m}_fingerprint_lineitem", "lineitem", m, _CFG) for m in FINGERPRINT_OPS],
+        # full fingerprints across the type surface
+        ("full_fingerprint_orders", "orders", "full", _CFG),
+        ("full_fingerprint_customer", "customer", "full", _CFG),
+        ("full_fingerprint_events", "events", "full", _CFG),  # timestamp_ns
+        ("full_fingerprint_documents", "documents", "full", _CFG),
+        ("full_fingerprint_embeddings", "embeddings", "full", _CFG),  # array<float>
+        ("full_fingerprint_part", "part", "full", _CFG),
+        ("bookend_fingerprint_orders", "orders", "bookend", _CFG),
+        ("sparse_fingerprint_orders", "orders", "sparse", _CFG),
+        ("bucketed_fingerprint_events", "events", "bucketed", _CFG),
+        ("rowcount_orders", "orders", "rowcount", _CFG),
+        # option variants (config.go:53-57, verify.go:138-144)
+        (
+            "full_fingerprint_orders_hashed_pk",
+            "orders",
+            "full",
+            VerifyConfig(hash_primary_keys=True),
+        ),
+        (
+            "full_fingerprint_orders_excl_cols",
+            "orders",
+            "full",
+            VerifyConfig(exclude_columns=("o_orderpriority", "o_totalprice")),
+        ),
+    ]
+    out = {}
+    for name, table, mode, cfg in cases:
+        out[name] = (
+            _fp_spark(table, mode, cfg),
+            fingerprint_oracle_sql(mode, table, TESTDATA_TABLES[table], cfg),
+        )
+    return out
+
+
+def _entries() -> dict[str, tuple[Callable, str | None]]:
+    return {**_fingerprint_entries()}
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _entries().items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _entries().items() if sql is not None}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verification report over every testdata table: (tbl, mode, fp)."""
+    target = ParquetTarget("testdata", sf_dir)
+    parts = []
+    for table in target.list_tables():
+        df = target.read(spark, table)
+        schema = target.table_schema(spark, table)
+        for mode in ("full", "rowcount"):
+            parts.append(
+                FINGERPRINT_OPS[mode](df, schema, _CFG).select(
+                    F.lit(table).alias("tbl"), F.lit(mode).alias("mode"), "fp"
+                )
+            )
+    return reduce(DataFrame.unionByName, parts)

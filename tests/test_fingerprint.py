@@ -1,0 +1,97 @@
+"""Fingerprint operators vs the DuckDB oracle, on the driver's testdata.
+
+Mirrors the reference's test strategy (SURVEY.md §5): cross-engine
+agreement replaces PG-vs-CRDB agreement; mutation tests replicate
+``TestIntegrationVerifyDataFail`` (integration_test.go:294-398);
+shuffled-input invariance replicates integration_test.go:260.
+"""
+
+import pytest
+
+from pgverify_spark.config import VerifyConfig
+from pgverify_spark.operators.fingerprint import (
+    FINGERPRINT_OPS,
+    bookend_fingerprint,
+    fingerprint_oracle_sql,
+    full_fingerprint,
+    rowcount,
+    sparse_fingerprint,
+)
+from pgverify_spark.sources.parquet import ParquetTarget
+from pgverify_spark.sources.schemas import TESTDATA_TABLES
+
+MODES = ["full", "bookend", "sparse", "rowcount", "bucketed"]
+TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings", "region"]
+
+CFG = VerifyConfig(bookend_limit=100, sparse_mod=10, fingerprint_buckets=64)
+
+
+def _spark_fp(spark, sf_dir, table, mode, cfg=CFG):
+    target = ParquetTarget("t", sf_dir)
+    df = target.read(spark, table)
+    schema = target.table_schema(spark, table)
+    return FINGERPRINT_OPS[mode](df, schema, cfg).collect()[0].fp
+
+
+def _duck_fp(duck, table, mode, cfg=CFG):
+    sql = fingerprint_oracle_sql(mode, table, TESTDATA_TABLES[table], cfg)
+    return duck.execute(sql).fetchone()[0]
+
+
+@pytest.mark.parametrize("table", TABLES)
+@pytest.mark.parametrize("mode", MODES)
+def test_fingerprint_matches_oracle(spark, duck, sf_dir, table, mode):
+    assert _spark_fp(spark, sf_dir, table, mode) == _duck_fp(duck, table, mode)
+
+
+def test_shuffled_input_invariance(spark, sf_dir):
+    """Fingerprint must not depend on input row order (integration_test.go:260)."""
+    target = ParquetTarget("t", sf_dir)
+    df = target.read(spark, "orders")
+    schema = target.table_schema(spark, "orders")
+    base = full_fingerprint(df, schema, CFG).collect()[0].fp
+    shuffled = df.orderBy("o_totalprice").repartition(13)
+    assert full_fingerprint(shuffled, schema, CFG).collect()[0].fp == base
+
+
+def test_mutation_detected_by_every_mode(spark, sf_dir):
+    """A one-row change must flip full/sparse(mod1)/bookend(limit>=n)/rowcount
+    (integration_test.go:294-398: sparse-mod 1 and bookend-limit >= n so the
+    sample covers the mutation)."""
+    target = ParquetTarget("t", sf_dir)
+    df = target.read(spark, "region")  # 5 rows
+    schema = target.table_schema(spark, "region")
+    cfg = VerifyConfig(bookend_limit=10, sparse_mod=1, fingerprint_buckets=8)
+    mutated = df.filter("r_regionkey <> 2")
+    for mode in MODES:
+        op = FINGERPRINT_OPS[mode]
+        a = op(df, schema, cfg).collect()[0].fp
+        b = op(mutated, schema, cfg).collect()[0].fp
+        assert a != b, f"mode {mode} missed the mutation"
+
+
+def test_empty_table_sentinel(spark, sf_dir):
+    """Empty input -> 'no rows' (verify.go:247-248)."""
+    target = ParquetTarget("t", sf_dir)
+    df = target.read(spark, "region").filter("r_regionkey < 0")
+    schema = target.table_schema(spark, "region")
+    assert full_fingerprint(df, schema, CFG).collect()[0].fp == "no rows"
+    assert sparse_fingerprint(df, schema, CFG).collect()[0].fp == "no rows"
+    assert rowcount(df).collect()[0].fp == "0"
+
+
+def test_hash_primary_keys_variant(spark, duck, sf_dir):
+    """--hash-primary-keys ordering variant (config.go:53-57)."""
+    cfg = VerifyConfig(hash_primary_keys=True)
+    assert _spark_fp(spark, sf_dir, "orders", "full", cfg) == _duck_fp(
+        duck, "orders", "full", cfg
+    )
+
+
+def test_exclude_columns(spark, duck, sf_dir):
+    """Column exclusion changes the fingerprint and stays oracle-consistent
+    (verify.go:138-144, integration_test.go:283)."""
+    cfg = VerifyConfig(exclude_columns=("o_orderpriority",))
+    a = _spark_fp(spark, sf_dir, "orders", "full", cfg)
+    assert a == _duck_fp(duck, "orders", "full", cfg)
+    assert a != _spark_fp(spark, sf_dir, "orders", "full", CFG)
