@@ -1,0 +1,52 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Times each headline query end-to-end (plan + execute + collect) on a
+warm SparkSession; the session-bootstrap cost is excluded via a trivial
+warm-up job so numbers reflect query execution, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from pgverify_spark import registry
+    from pgverify_spark.session import get_spark
+
+    spark = get_spark("pgverify-spark-bench")
+    spark.range(1_000_000).select("id").summary().collect()  # warm up executors
+
+    queries = registry.spark_queries()
+    headline = [name for name in registry.HEADLINE_QUERIES if name in queries]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "pgverify_spark headline suite wall time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -70,9 +70,23 @@ def _exprs(schema: TableSchema, config: VerifyConfig) -> tuple[str, str, str]:
     return k, h, k_plain
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan has fewer splits than the
+    cluster has cores.  The row-hash projection is CPU-bound (md5 + canon
+    casts), so a small input (few files / few row groups) would otherwise
+    pin the whole fingerprint to a handful of cores.  At 100 TB the scan
+    has orders of magnitude more splits than cores and this is a no-op —
+    no shuffle is ever added to a large input.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _kh(df: DataFrame, schema: TableSchema, config: VerifyConfig) -> DataFrame:
     k, h, _ = _exprs(schema, config)
-    return df.selectExpr(f"{k} AS k", f"{h} AS h")
+    return _parallelize(df).selectExpr(f"{k} AS k", f"{h} AS h")
 
 
 def rowcount(df: DataFrame, schema: TableSchema | None = None, config: VerifyConfig | None = None) -> DataFrame:
@@ -81,9 +95,34 @@ def rowcount(df: DataFrame, schema: TableSchema | None = None, config: VerifyCon
 
 
 def full_fingerprint(df: DataFrame, schema: TableSchema, config: VerifyConfig | None = None) -> DataFrame:
-    """Exact ordered fingerprint (parity mode; see *Scale* above)."""
+    """Exact ordered fingerprint (parity mode; see *Scale* above).
+
+    Plan: parallel Tungsten range-sort on (k, h), then per-partition
+    ordered concat of row hashes (partitions of a sorted DataFrame are
+    range-disjoint and internally ordered, so concatenating partition
+    strings in partition-id order reconstructs the full ordered stream),
+    then one md5 over the concatenation — byte-identical to
+    ``md5(string_agg(h, '' ORDER BY k, h))`` but the sort is distributed
+    and spill-able instead of a single ``array_sort(collect_list(...))``
+    reduce (~2x faster at sf0.1, far better skew/memory behavior).
+    The final reduce still materializes the 32 B x rows concat — the
+    inherent cost of an exact sequential md5 (the reference's server-side
+    ``ORDER BY + string_agg`` pays the same, README.md:69); beyond ~10^8
+    rows use ``bucketed``.
+    """
     config = config or VerifyConfig()
-    return _kh(df, schema, config).selectExpr(_NO_ROWS_AGG)
+    kh = _kh(df, schema, config)
+    partials = (
+        kh.sort("k", "h")
+        .select(F.spark_partition_id().alias("p"), "h")
+        .groupBy("p")
+        .agg(F.concat_ws("", F.collect_list("h")).alias("s"))
+    )
+    return partials.selectExpr(
+        "CASE WHEN count(1) = 0 THEN 'no rows' ELSE "
+        "md5(array_join(transform(array_sort(collect_list(struct(p, s))), x -> x.s), '')) "
+        "END AS fp"
+    )
 
 
 def bookend_fingerprint(
@@ -132,7 +171,7 @@ def sparse_fingerprint(
     """
     config = config or VerifyConfig()
     k, h, k_plain = _exprs(schema, config)
-    sampled = df.selectExpr(f"{k} AS k", f"{h} AS h", f"md5({k_plain}) AS hk").filter(
+    sampled = _parallelize(df).selectExpr(f"{k} AS k", f"{h} AS h", f"md5({k_plain}) AS hk").filter(
         f"({hex_prefix_int_sql('hk')} % {config.sparse_mod}) = 0"
     )
     return sampled.selectExpr(_NO_ROWS_AGG)
@@ -151,12 +190,20 @@ def bucketed_fingerprint(
     config = config or VerifyConfig()
     k, h, k_plain = _exprs(schema, config)
     b = config.fingerprint_buckets
-    kh = df.selectExpr(
+    kh = _parallelize(df).selectExpr(
         f"{k} AS k",
         f"{h} AS h",
         f"({hex_prefix_int_sql(f'md5({k_plain})')} % {b}) AS bucket",
     )
-    per_bucket = kh.groupBy("bucket").agg(F.expr(_ORDERED_AGG).alias("bh"))
+    # One shuffle on bucket + Tungsten sort within partitions; each
+    # bucket's rows are then contiguous and ordered, so the grouped
+    # collect_list concat sees them in (k, h) order.
+    per_bucket = (
+        kh.repartition("bucket")
+        .sortWithinPartitions("bucket", "k", "h")
+        .groupBy("bucket")
+        .agg(F.md5(F.concat_ws("", F.collect_list("h"))).alias("bh"))
+    )
     return per_bucket.selectExpr(
         "CASE WHEN count(1) = 0 THEN 'no rows' ELSE "
         "md5(array_join(transform(array_sort(collect_list(struct(bucket, bh))), x -> x.bh), '')) "

@@ -14,10 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgverify_spark.config import VerifyConfig
+from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
 from pgverify_spark.operators.fingerprint import (
     FINGERPRINT_OPS,
     fingerprint_oracle_sql,
 )
+from pgverify_spark.plans.verify import report_table, verify
 from pgverify_spark.sources.parquet import ParquetTarget
 from pgverify_spark.sources.schemas import TESTDATA_TABLES
 
@@ -75,8 +77,63 @@ def _fingerprint_entries() -> dict[str, tuple[Callable, str]]:
     return out
 
 
+def _diff_entries() -> dict[str, tuple[Callable, str]]:
+    """Row-level diff (extension: which rows differ, not just which tables)."""
+    schema = TESTDATA_TABLES["orders"]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        left = ParquetTarget("t", sf_dir).read(spark, "orders")
+        right = left.filter("o_orderkey % 97 <> 0")
+        return row_diff(left, right, schema)
+
+    sql = row_diff_oracle_sql(
+        "orders", "(SELECT * FROM orders WHERE o_orderkey % 97 <> 0)", schema
+    )
+    return {"row_diff_orders": (run, sql)}
+
+
+#: Tables/modes for the multi-target report query (small dims keep the
+#: oracle scalar subqueries cheap).
+_REPORT_TABLES = ("nation", "region", "supplier")
+_REPORT_MODES = ("full", "rowcount")
+
+
+def _report_entry() -> dict[str, tuple[Callable, str]]:
+    """End-to-end verify: two targets, pivoted report (results.go:101-166)."""
+    cfg = VerifyConfig(test_modes=_REPORT_MODES, include_tables=_REPORT_TABLES)
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        targets = [ParquetTarget("a", sf_dir), ParquetTarget("b", sf_dir)]
+        return report_table(verify(spark, targets, cfg).results)
+
+    selects = []
+    for tname in ("a", "b"):
+        for table in _REPORT_TABLES:
+            mode_cols = ", ".join(
+                f"(SELECT fp FROM ({fingerprint_oracle_sql(m, table, TESTDATA_TABLES[table], cfg)}) s) AS {m}"
+                for m in _REPORT_MODES
+            )
+            selects.append(
+                f"SELECT 'public' AS schema, '{table}' AS tbl, '{tname}' AS target, {mode_cols}"
+            )
+    return {"verify_report_two_targets": (run, " UNION ALL ".join(selects))}
+
+
 def _entries() -> dict[str, tuple[Callable, str | None]]:
-    return {**_fingerprint_entries()}
+    return {**_fingerprint_entries(), **_diff_entries(), **_report_entry()}
+
+
+#: Queries timed by bench.py (the perf-representative subset).
+HEADLINE_QUERIES = (
+    "full_fingerprint_lineitem",
+    "bucketed_fingerprint_lineitem",
+    "bookend_fingerprint_lineitem",
+    "sparse_fingerprint_lineitem",
+    "rowcount_fingerprint_lineitem",
+    "full_fingerprint_orders",
+    "row_diff_orders",
+    "verify_report_two_targets",
+)
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

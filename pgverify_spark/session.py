@@ -31,6 +31,13 @@ TUNING_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local-mode friendly; on a real cluster leave to AQE + defaults.
     "spark.sql.shuffle.partitions": "32",
+    # Local/small-SF only: the testdata parquet files are ~10 MB, so the
+    # default 128 MB split gives 1-3 input partitions and the row-hash
+    # scan runs on 1-3 cores.  On a real cluster reading 100 TB, leave
+    # this at the 128 MB default (set SPARK_GRAFT_MAX_PARTITION_BYTES).
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "2097152"
+    ),
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }

@@ -1,0 +1,81 @@
+"""Orchestrator + row-diff tests (reference semantics: results.go:46-166,
+verify.go:23-136; mutation scenario: integration_test.go:294-398)."""
+
+import pytest
+
+from pgverify_spark.config import VerifyConfig
+from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
+from pgverify_spark.plans.verify import check_for_errors, report_table, verify
+from pgverify_spark.sources.parquet import ParquetTarget
+from pgverify_spark.sources.schemas import TESTDATA_TABLES
+
+CFG = VerifyConfig(
+    test_modes=("full", "rowcount"),
+    include_tables=("region", "nation", "supplier"),
+    bookend_limit=10,
+    sparse_mod=2,
+)
+
+
+def test_verify_agreeing_targets(spark, sf_dir):
+    targets = [ParquetTarget("a", sf_dir), ParquetTarget("b", sf_dir)]
+    res = verify(spark, targets, CFG)
+    assert res.ok, res.errors
+    rows = res.results.collect()
+    # 2 targets x 3 tables x 2 modes
+    assert len(rows) == 12
+    rep = report_table(res.results).collect()
+    assert len(rep) == 6  # (schema, tbl, target) rows
+    assert {"full", "rowcount"} <= set(report_table(res.results).columns)
+
+
+def test_verify_detects_mismatch(spark, sf_dir, tmp_path):
+    # copy of region with one row mutated away = the reference's failtest
+    src = ParquetTarget("a", sf_dir)
+    df = src.read(spark, "region").filter("r_regionkey <> 2")
+    mutated_dir = str(tmp_path / "mutated")
+    df.coalesce(1).write.parquet(f"{mutated_dir}/region.parquet")
+    cfg = VerifyConfig(test_modes=("full", "rowcount"), include_tables=("region",))
+    res = verify(spark, [src, ParquetTarget("b", mutated_dir)], cfg)
+    assert not res.ok
+    assert any("outputs differ" in e for e in res.errors)
+
+
+def test_verify_missing_target_table(spark, sf_dir, tmp_path):
+    src = ParquetTarget("a", sf_dir)
+    only_dir = str(tmp_path / "only_region")
+    src.read(spark, "region").write.parquet(f"{only_dir}/region.parquet")
+    cfg = VerifyConfig(test_modes=("rowcount",), include_tables=("region", "nation"))
+    res = verify(spark, [src, ParquetTarget("b", only_dir)], cfg)
+    assert any("missing targets" in e and "nation" in e for e in res.errors)
+
+
+def test_verify_no_pk_errors(spark, sf_dir, tmp_path):
+    src = ParquetTarget("a", sf_dir)
+    nopk_dir = str(tmp_path / "nopk")
+    src.read(spark, "region").write.parquet(f"{nopk_dir}/mystery.parquet")
+    cfg = VerifyConfig(test_modes=("full",), include_tables=("mystery",))
+    res = verify(spark, [ParquetTarget("a", nopk_dir)], cfg)
+    assert any("test failed" in e for e in res.errors)
+
+
+def test_row_diff_matches_oracle(spark, duck, sf_dir):
+    target = ParquetTarget("t", sf_dir)
+    schema = TESTDATA_TABLES["orders"]
+    left = target.read(spark, "orders")
+    right = left.filter("o_orderkey % 97 <> 0")
+    got = sorted(map(tuple, row_diff(left, right, schema).collect()))
+    sql = row_diff_oracle_sql(
+        "orders", "(SELECT * FROM orders WHERE o_orderkey % 97 <> 0)", schema
+    )
+    want = sorted(map(tuple, duck.execute(sql).fetchall()))
+    assert got == want
+    assert got, "diff should be non-empty"
+    assert all(t[4] == "only_left" for t in got)
+
+
+def test_row_diff_identical_is_empty(spark, sf_dir):
+    target = ParquetTarget("t", sf_dir)
+    schema = TESTDATA_TABLES["nation"]
+    df = target.read(spark, "nation")
+    assert row_diff(df, df, schema).count() == 0
