@@ -1,0 +1,278 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference extensions (the reference verifies table equality, not
+document uniqueness): exact dedup, MinHash+LSH near-dedup, SimHash
+near-dedup with exact n-gram Jaccard verification, and embedding-cosine
+near-dedup — the standard toolbox for cleaning a 100 TB text corpus.
+All built from the dual-dialect expressions in
+:mod:`pgverify_spark.functions.text_exprs` so every operator is
+DuckDB-oracle-checkable.
+
+Scale design
+------------
+- **exact**: one hash-groupBy; map-side partial aggregation collapses
+  duplicates before the shuffle.
+- **minhash_lsh**: shingle -> 32-perm MinHash -> 8 bands x 4 rows;
+  candidate generation is an equi-join on band keys (uniform md5 keys,
+  no skew), so cost is O(candidates), never O(n^2).  Jaccard >= ~0.5
+  pairs collide on some band with high probability.
+- **simhash**: 48-bit signature split into 4 x 12-bit chunks; pairs with
+  Hamming distance <= 3 must agree on >= 1 chunk (pigeonhole), so the
+  chunk equi-join finds all such pairs exactly.
+- **embedding**: exact O(n^2) pairwise cosine — the correctness
+  baseline; for 10^9+ vectors use the hyperplane-LSH bucketing in
+  :mod:`pgverify_spark.operators.similarity` to prune candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
+from pgverify_spark.functions.text_exprs import (
+    SIMHASH_BITS,
+    cosine_sql,
+    hamming48_sql,
+    jaccard_sql,
+    lsh_bands_sql,
+    minhash_sig_sql,
+    ngrams_sql,
+    norm_sql,
+    shingle_ints_sql,
+    simhash_sql,
+    token_hashes_sql,
+    tokens_sql,
+)
+
+NGRAM_N = 3
+SIMHASH_CHUNKS = 4
+SIMHASH_MAX_HAMMING = SIMHASH_CHUNKS - 1  # pigeonhole guarantee
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame) -> DataFrame:
+    """Groups of documents with byte-identical normalized text.
+
+    Output: (content_md5, n_docs, doc_ids) for groups of size >= 2;
+    doc_ids is a sorted comma-joined string (cross-dialect comparable).
+    """
+    return (
+        df.selectExpr("doc_id", f"md5({norm_sql('text', DIALECT_SPARK)}) AS content_md5")
+        .groupBy("content_md5")
+        .agg(
+            F.count("doc_id").alias("n_docs"),
+            F.expr(
+                "concat_ws(',', transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING)))"
+            ).alias("doc_ids"),
+        )
+        .filter("n_docs >= 2")
+    )
+
+
+def exact_dup_groups_oracle_sql(table: str) -> str:
+    return (
+        "SELECT content_md5, count(doc_id) AS n_docs, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids FROM "
+        f"(SELECT doc_id, md5({norm_sql('text', DIALECT_DUCKDB)}) AS content_md5 FROM {table}) t "
+        "GROUP BY content_md5 HAVING count(doc_id) >= 2"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+def _shingled(df: DataFrame) -> DataFrame:
+    """(doc_id, shingles) with non-empty distinct 48-bit shingle hashes."""
+    return (
+        df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens")
+        .selectExpr("doc_id", f"{ngrams_sql('tokens', NGRAM_N, DIALECT_SPARK)} AS grams")
+        .selectExpr("doc_id", f"{shingle_ints_sql('grams', DIALECT_SPARK)} AS shingles")
+        .filter("size(shingles) > 0")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding, verified
+    with exact Jaccard over the shingle sets.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    sig = _shingled(df).selectExpr(
+        "doc_id", "shingles", f"{minhash_sig_sql('shingles', DIALECT_SPARK)} AS sig"
+    )
+    exploded = sig.selectExpr(
+        "doc_id", "shingles", f"explode({lsh_bands_sql('sig', DIALECT_SPARK)}) AS band_key"
+    )
+    left = exploded.selectExpr("doc_id AS doc_a", "shingles AS sh_a", "band_key")
+    right = exploded.selectExpr("doc_id AS doc_b", "shingles AS sh_b", "band_key")
+    pairs = (
+        left.join(right, "band_key")
+        .filter("doc_a < doc_b")
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.selectExpr(
+            "doc_a", "doc_b", f"{jaccard_sql('sh_a', 'sh_b', DIALECT_SPARK)} AS jaccard"
+        )
+        .filter(f"jaccard >= {threshold}")
+    )
+
+
+def minhash_lsh_pairs_oracle_sql(table: str, threshold: float = 0.5) -> str:
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
+        f"gr AS (SELECT doc_id, {ngrams_sql('tokens', NGRAM_N, d)} AS grams FROM tok), "
+        f"sh AS (SELECT doc_id, {shingle_ints_sql('grams', d)} AS shingles FROM gr), "
+        f"shn AS (SELECT * FROM sh WHERE len(shingles) > 0), "
+        f"sg AS (SELECT doc_id, shingles, {minhash_sig_sql('shingles', d)} AS sig FROM shn), "
+        f"ex AS (SELECT doc_id, shingles, unnest({lsh_bands_sql('sig', d)}) AS band_key FROM sg), "
+        "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "FROM ex l JOIN ex r ON l.band_key = r.band_key AND l.doc_id < r.doc_id) "
+        f"SELECT doc_a, doc_b, {jaccard_sql('a.shingles', 'b.shingles', d)} AS jaccard "
+        "FROM cand JOIN shn a ON cand.doc_a = a.doc_id JOIN shn b ON cand.doc_b = b.doc_id "
+        f"WHERE {jaccard_sql('a.shingles', 'b.shingles', d)} >= {threshold}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index candidate generation)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard >= threshold pairs, candidates from an inverted index
+    join on shared shingles (a pair with Jaccard > 0 shares >= 1 shingle,
+    so recall is exact for any threshold > 0).
+
+    At 100 TB add prefix filtering (join only on each doc's rarest
+    shingles) to bound the candidate set; here every shared shingle is a
+    candidate, which is exact and still O(candidates).
+    """
+    sh = _shingled(df)
+    inv = sh.selectExpr("doc_id", "shingles", "explode(shingles) AS s")
+    pairs = (
+        inv.selectExpr("doc_id AS doc_a", "shingles AS sh_a", "s")
+        .join(inv.selectExpr("doc_id AS doc_b", "shingles AS sh_b", "s"), "s")
+        .filter("doc_a < doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.selectExpr(
+            "doc_a", "doc_b", f"{jaccard_sql('sh_a', 'sh_b', DIALECT_SPARK)} AS jaccard"
+        )
+        .filter(f"jaccard >= {threshold}")
+    )
+
+
+def ngram_jaccard_pairs_oracle_sql(table: str, threshold: float = 0.5) -> str:
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
+        f"gr AS (SELECT doc_id, {ngrams_sql('tokens', NGRAM_N, d)} AS grams FROM tok), "
+        f"shn AS (SELECT doc_id, {shingle_ints_sql('grams', d)} AS shingles FROM gr "
+        "WHERE len(grams) > 0), "
+        "inv AS (SELECT doc_id, unnest(shingles) AS s FROM shn), "
+        "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "FROM inv l JOIN inv r ON l.s = r.s AND l.doc_id < r.doc_id) "
+        f"SELECT doc_a, doc_b, {jaccard_sql('a.shingles', 'b.shingles', d)} AS jaccard "
+        "FROM cand JOIN shn a ON cand.doc_a = a.doc_id JOIN shn b ON cand.doc_b = b.doc_id "
+        f"WHERE {jaccard_sql('a.shingles', 'b.shingles', d)} >= {threshold}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming (default 3).
+
+    Exact: the 48-bit signature splits into 4 x 12-bit chunks; <= 3
+    differing bits leave >= 1 chunk identical, so the chunk equi-join
+    misses nothing (pigeonhole).  Output: (doc_a, doc_b, hamming).
+    """
+    chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
+    sigs = (
+        df.selectExpr(
+            "doc_id",
+            f"{token_hashes_sql(tokens_sql('text', DIALECT_SPARK), DIALECT_SPARK)} AS th",
+        )
+        .filter("size(th) > 0")
+        .selectExpr("doc_id", f"{simhash_sql('th', DIALECT_SPARK)} AS sim")
+    )
+    chunks = sigs.selectExpr(
+        "doc_id",
+        "sim",
+        f"explode(transform(sequence(0, {SIMHASH_CHUNKS - 1}), "
+        f"c -> concat_ws(':', CAST(c AS STRING), "
+        f"CAST(shiftright(sim, c * {chunk_w}) & {(1 << chunk_w) - 1} AS STRING)))) AS ck",
+    )
+    pairs = (
+        chunks.selectExpr("doc_id AS doc_a", "sim AS sim_a", "ck")
+        .join(chunks.selectExpr("doc_id AS doc_b", "sim AS sim_b", "ck"), "ck")
+        .filter("doc_a < doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.selectExpr(
+            "doc_a", "doc_b", f"{hamming48_sql('sim_a', 'sim_b', DIALECT_SPARK)} AS hamming"
+        )
+        .filter(f"hamming <= {max_hamming}")
+    )
+
+
+def simhash_near_pairs_oracle_sql(table: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    d = DIALECT_DUCKDB
+    chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunk = (
+        f"list_transform(range(0, {SIMHASH_CHUNKS}), "
+        f"c -> CAST(c AS VARCHAR) || ':' || CAST((sim >> (c * {chunk_w})) & {(1 << chunk_w) - 1} AS VARCHAR))"
+    )
+    return (
+        f"WITH th AS (SELECT doc_id, "
+        f"{token_hashes_sql(tokens_sql('text', d), d)} AS th FROM {table}), "
+        f"sg AS (SELECT doc_id, {simhash_sql('th', d)} AS sim FROM th WHERE len(th) > 0), "
+        f"ck AS (SELECT doc_id, sim, unnest({chunk}) AS ck FROM sg), "
+        "cand AS (SELECT DISTINCT l.doc_id AS doc_a, l.sim AS sim_a, r.doc_id AS doc_b, r.sim AS sim_b "
+        "FROM ck l JOIN ck r ON l.ck = r.ck AND l.doc_id < r.doc_id) "
+        f"SELECT doc_a, doc_b, {hamming48_sql('sim_a', 'sim_b', d)} AS hamming "
+        f"FROM cand WHERE {hamming48_sql('sim_a', 'sim_b', d)} <= {max_hamming}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dedup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Vector pairs with cosine similarity >= threshold (exact O(n^2)
+    baseline).  Output: (vec_a, vec_b, cosine).  For billion-vector
+    corpora, prune candidates with ``similarity.hyperplane_buckets``
+    before the pairwise join.
+    """
+    a = df.selectExpr("vec_id AS vec_a", "embedding AS emb_a")
+    b = df.selectExpr("vec_id AS vec_b", "embedding AS emb_b")
+    return (
+        a.crossJoin(b)
+        .filter("vec_a < vec_b")
+        .selectExpr(
+            "vec_a", "vec_b", f"{cosine_sql('emb_a', 'emb_b', DIALECT_SPARK)} AS cosine"
+        )
+        .filter(f"cosine >= {threshold}")
+    )
+
+
+def embedding_near_dups_oracle_sql(table: str, threshold: float = 0.99) -> str:
+    d = DIALECT_DUCKDB
+    cos = cosine_sql("a.embedding", "b.embedding", d)
+    return (
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine "
+        f"FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id "
+        f"WHERE {cos} >= {threshold}"
+    )

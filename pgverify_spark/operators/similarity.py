@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns.
+
+Beyond-reference extension: approximate-nearest-neighbor primitives over
+an ``array<float>`` embedding column (``embeddings`` table: vec_id,
+embedding, label).
+
+- ``cosine_topk`` — exact brute-force top-k for a query set: broadcast
+  the (small) query vectors against the corpus, rank per query.  The
+  correctness baseline, and the right plan whenever |queries| is small:
+  one scan of the corpus, no shuffle except the per-query top-k.
+- ``hyperplane_buckets`` / ``ann_lsh_topk`` — the scale path: sign-bit
+  signatures from deterministic random hyperplanes bucket the corpus;
+  a query only scores candidates in its own bucket.  Recall depends on
+  bucket width (bits); results remain deterministic and oracle-equal
+  because both engines compute the identical signature.
+
+Scale: brute force is O(|corpus| x |queries|) — fine for ad-hoc lookups,
+wrong for all-pairs; LSH bucketing makes candidate generation an
+equi-join on the signature (uniform buckets, no skew).  At 100 TB the
+corpus-side signature computation is a single embarrassing-parallel
+projection, and per-bucket candidate lists are bounded by corpus/2^bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
+from pgverify_spark.functions.text_exprs import _const, cosine_sql
+
+#: Deterministic pseudo-random hyperplanes (md5-derived, no RNG): values
+#: in [-0.5, 0.5) scaled by 1/1000 — the scale is irrelevant to the sign.
+HYPERPLANE_BITS = 8
+EMBEDDING_DIM = 64
+
+HYPERPLANES = [
+    [(_const(f"hp-{j}-{i}", 0, 1001) - 500) / 1000.0 for i in range(EMBEDDING_DIM)]
+    for j in range(HYPERPLANE_BITS)
+]
+
+
+def _dot_literal_sql(vec_col: str, plane: list[float], dialect: str) -> str:
+    """Dot product against a literal hyperplane, as an explicit sum (same
+    left-to-right double arithmetic in both engines)."""
+    at = (lambda i: f"element_at({vec_col}, {i})") if dialect == DIALECT_SPARK else (
+        lambda i: f"{vec_col}[{i}]"
+    )
+    terms = [f"CAST({at(i + 1)} AS DOUBLE) * ({w})" for i, w in enumerate(plane) if w != 0.0]
+    return "(" + " + ".join(terms) + ")"
+
+
+def bucket_sql(vec_col: str, dialect: str) -> str:
+    """LSH bucket id: sign bits of the hyperplane dot products."""
+    bits = [
+        f"(CASE WHEN {_dot_literal_sql(vec_col, plane, dialect)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(HYPERPLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def cosine_topk(df: DataFrame, query_ids: tuple[int, ...], k: int = 10) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (query_id, vec_id, cosine, rank), rank 1..k, self excluded;
+    ties broken by vec_id so results are deterministic.  The query side
+    is broadcast (tiny), so the corpus is scanned once with no shuffle
+    before the per-query top-k.
+    """
+    ids = ", ".join(map(str, query_ids))
+    q = df.filter(f"vec_id IN ({ids})").selectExpr(
+        "vec_id AS query_id", "embedding AS q_emb"
+    )
+    scored = (
+        df.crossJoin(F.broadcast(q))
+        .filter("vec_id <> query_id")
+        .selectExpr(
+            "query_id",
+            "vec_id",
+            f"{cosine_sql('q_emb', 'embedding', DIALECT_SPARK)} AS cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(f"rank <= {k}")
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_oracle_sql(table: str, query_ids: tuple[int, ...], k: int = 10) -> str:
+    ids = ", ".join(map(str, query_ids))
+    cos = cosine_sql("q.embedding", "c.embedding", DIALECT_DUCKDB)
+    return (
+        f"SELECT query_id, vec_id, cosine, rank FROM ("
+        f"SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {cos} AS cosine, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"{cos} DESC, c.vec_id ASC) AS rank "
+        f"FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id "
+        f"WHERE q.vec_id IN ({ids})) t WHERE rank <= {k}"
+    )
+
+
+def hyperplane_buckets(df: DataFrame) -> DataFrame:
+    """Corpus bucketing: (vec_id, bucket) from hyperplane sign bits."""
+    return df.selectExpr(
+        "vec_id", f"{bucket_sql('embedding', DIALECT_SPARK)} AS bucket"
+    )
+
+
+def hyperplane_buckets_oracle_sql(table: str) -> str:
+    return (
+        f"SELECT vec_id, {bucket_sql('embedding', DIALECT_DUCKDB)} AS bucket FROM {table}"
+    )
+
+
+def ann_lsh_topk(df: DataFrame, query_ids: tuple[int, ...], k: int = 10) -> DataFrame:
+    """Approximate top-k: only candidates sharing the query's LSH bucket
+    are scored.  Same output schema as ``cosine_topk``; recall < 1 by
+    design (bucket width trades recall for candidate count)."""
+    bucketed = df.selectExpr(
+        "vec_id", "embedding", f"{bucket_sql('embedding', DIALECT_SPARK)} AS bucket"
+    )
+    ids = ", ".join(map(str, query_ids))
+    q = bucketed.filter(f"vec_id IN ({ids})").selectExpr(
+        "vec_id AS query_id", "embedding AS q_emb", "bucket"
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), "bucket")
+        .filter("vec_id <> query_id")
+        .selectExpr(
+            "query_id",
+            "vec_id",
+            f"{cosine_sql('q_emb', 'embedding', DIALECT_SPARK)} AS cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(f"rank <= {k}")
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ann_lsh_topk_oracle_sql(table: str, query_ids: tuple[int, ...], k: int = 10) -> str:
+    ids = ", ".join(map(str, query_ids))
+    cos = cosine_sql("q.embedding", "c.embedding", DIALECT_DUCKDB)
+    bucket = bucket_sql("embedding", DIALECT_DUCKDB)
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM {table}) "
+        "SELECT query_id, vec_id, cosine, rank FROM ("
+        f"SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {cos} AS cosine, "
+        f"row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id ASC) AS rank "
+        "FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id "
+        f"WHERE q.vec_id IN ({ids})) t WHERE rank <= {k}"
+    )

@@ -1,0 +1,151 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+Beyond-reference extensions (the reference has no text processing —
+SURVEY.md §2.3): per-document statistics, quality scoring, n-gram
+heuristic language ID, and content fingerprints over a ``documents``
+table (``doc_id``, ``text``, ...).  Everything is built from the
+dual-dialect expressions in :mod:`pgverify_spark.functions.text_exprs`,
+so each operator has a DuckDB oracle twin.
+
+Scale: all operators are embarrassingly parallel single-pass
+projections/aggregations — no shuffle except where grouping is the
+semantics (language histograms).  The token pipeline stays entirely in
+JVM whole-stage codegen (HOFs over split arrays, no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
+from pgverify_spark.functions.text_exprs import (
+    LANG_STOPWORDS,
+    _rx,
+    _size,
+    norm_sql,
+    simhash_sql,
+    stopword_hits_sql,
+    token_hashes_sql,
+    tokens_sql,
+)
+
+
+def _stats_exprs(dialect: str, text: str = "text") -> tuple[list[str], list[str], str]:
+    """(prep exprs, metric exprs, quality expr) shared by both dialects."""
+    punct = _rx("[.,;:!?]", dialect)
+    digit = _rx("[0-9]", dialect)
+    flags = "" if dialect == DIALECT_SPARK else ", 'g'"
+    raw_len = f"length({text})"
+    n_tok = _size("tokens", dialect)
+    exprs = [
+        f"{norm_sql(text, dialect)} AS norm",
+        f"{tokens_sql(text, dialect)} AS tokens",
+    ]
+    metrics = [
+        "doc_id",
+        f"CAST({n_tok} AS BIGINT) AS n_tokens",
+        f"CAST(length(norm) AS BIGINT) AS n_chars_norm",
+        # tokens are single-space joined in norm, so total token chars =
+        # length(norm) - (n_tokens - 1)
+        f"round(CAST(length(norm) - {n_tok} + 1 AS DOUBLE) / greatest({n_tok}, 1), 6) AS avg_token_len",
+        f"round(CAST(length({text}) - length(regexp_replace({text}, {punct}, ''{flags})) AS DOUBLE)"
+        f" / greatest({raw_len}, 1), 6) AS punct_ratio",
+        f"round(CAST(length({text}) - length(regexp_replace({text}, {digit}, ''{flags})) AS DOUBLE)"
+        f" / greatest({raw_len}, 1), 6) AS digit_ratio",
+        f"round(CAST({stopword_hits_sql('tokens', 'en', dialect)} AS DOUBLE)"
+        f" / greatest({n_tok}, 1), 6) AS stopword_ratio",
+    ]
+    # quality: length saturation x (1 - punctuation excess), rational
+    # arithmetic only (no exp/log whose last-ulp could differ per libm)
+    quality = (
+        "round((CAST(n_tokens AS DOUBLE) / (n_tokens + 20.0)) * "
+        "(1.0 - least(punct_ratio * 2.0, 1.0)), 6) AS quality_score"
+    )
+    return exprs, metrics, quality
+
+
+def text_stats(df: DataFrame) -> DataFrame:
+    """Per-document stats: token/char counts, punctuation/digit/stopword
+    ratios, and a rational quality score."""
+    exprs, metrics, quality = _stats_exprs(DIALECT_SPARK)
+    return df.selectExpr("doc_id", "text", *exprs).selectExpr(*metrics).selectExpr(
+        "*", quality
+    )
+
+
+def text_stats_oracle_sql(table: str) -> str:
+    exprs, metrics, quality = _stats_exprs(DIALECT_DUCKDB)
+    return (
+        f"SELECT *, {quality} FROM (SELECT {', '.join(metrics)} FROM "
+        f"(SELECT doc_id, text, {', '.join(exprs)} FROM {table}) t1) t2"
+    )
+
+
+def _langid_exprs(dialect: str) -> tuple[list[str], str, str]:
+    hits = [
+        f"{stopword_hits_sql('tokens', lang, dialect)} AS hits_{lang}"
+        for lang in LANG_STOPWORDS
+    ]
+    # deterministic argmax: first language (in declaration order) whose
+    # hit count equals the maximum
+    best = f"greatest({', '.join('hits_' + l for l in LANG_STOPWORDS)})"
+    lang_case = "CASE " + " ".join(
+        f"WHEN hits_{l} = best THEN '{l}'" for l in LANG_STOPWORDS
+    ) + " END"
+    return hits, best, lang_case
+
+
+def language_id(df: DataFrame) -> DataFrame:
+    """N-gram-heuristic language ID: stopword-hit votes per language,
+    deterministic-tie-break argmax, confidence = hits/tokens."""
+    hits, best, lang_case = _langid_exprs(DIALECT_SPARK)
+    n_tok = _size("tokens", DIALECT_SPARK)
+    return (
+        df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens")
+        .selectExpr("doc_id", f"CAST({n_tok} AS BIGINT) AS n_tokens", *hits)
+        .selectExpr("*", f"{best} AS best")
+        .selectExpr(
+            "doc_id",
+            f"CASE WHEN best = 0 THEN 'und' ELSE {lang_case} END AS lang",
+            "round(CAST(best AS DOUBLE) / greatest(n_tokens, 1), 6) AS confidence",
+        )
+    )
+
+
+def language_id_oracle_sql(table: str) -> str:
+    hits, best, lang_case = _langid_exprs(DIALECT_DUCKDB)
+    n_tok = _size("tokens", DIALECT_DUCKDB)
+    return (
+        "SELECT doc_id, "
+        f"CASE WHEN best = 0 THEN 'und' ELSE {lang_case} END AS lang, "
+        "round(CAST(best AS DOUBLE) / greatest(n_tokens, 1), 6) AS confidence FROM "
+        f"(SELECT *, {best} AS best FROM "
+        f"(SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tokens, {', '.join(hits)} FROM "
+        f"(SELECT doc_id, {tokens_sql('text', DIALECT_DUCKDB)} AS tokens FROM {table}) t1) t2) t3"
+    )
+
+
+def doc_fingerprints(df: DataFrame) -> DataFrame:
+    """Content fingerprints: md5 of normalized text + 48-bit SimHash."""
+    return (
+        df.selectExpr(
+            "doc_id",
+            f"{norm_sql('text', DIALECT_SPARK)} AS norm",
+            f"{token_hashes_sql(tokens_sql('text', DIALECT_SPARK), DIALECT_SPARK)} AS th",
+        )
+        .selectExpr(
+            "doc_id",
+            "md5(norm) AS content_md5",
+            f"{simhash_sql('th', DIALECT_SPARK)} AS simhash",
+        )
+    )
+
+
+def doc_fingerprints_oracle_sql(table: str) -> str:
+    return (
+        "SELECT doc_id, md5(norm) AS content_md5, "
+        f"{simhash_sql('th', DIALECT_DUCKDB)} AS simhash FROM "
+        f"(SELECT doc_id, {norm_sql('text', DIALECT_DUCKDB)} AS norm, "
+        f"{token_hashes_sql(tokens_sql('text', DIALECT_DUCKDB), DIALECT_DUCKDB)} AS th "
+        f"FROM {table}) t"
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgverify_spark.config import VerifyConfig
+from pgverify_spark.operators import dedup, multimodal, similarity, text
 from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
 from pgverify_spark.operators.fingerprint import (
     FINGERPRINT_OPS,
@@ -119,8 +120,95 @@ def _report_entry() -> dict[str, tuple[Callable, str]]:
     return {"verify_report_two_targets": (run, " UNION ALL ".join(selects))}
 
 
+def _table_query(table: str, op: Callable[[DataFrame], DataFrame]) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return op(ParquetTarget("t", sf_dir).read(spark, table))
+
+    return run
+
+
+def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
+    """LLM-data-pipeline operators: dedup, similarity, text analysis,
+    multimodal plumbing (thresholds chosen to be non-trivial at sf0.01)."""
+    qids = (0, 1, 2, 3, 4)
+    return {
+        # text analysis
+        "text_stats_documents": (
+            _table_query("documents", text.text_stats),
+            text.text_stats_oracle_sql("documents"),
+        ),
+        "language_id_documents": (
+            _table_query("documents", text.language_id),
+            text.language_id_oracle_sql("documents"),
+        ),
+        "doc_fingerprints_documents": (
+            _table_query("documents", text.doc_fingerprints),
+            text.doc_fingerprints_oracle_sql("documents"),
+        ),
+        # dedup
+        # testdata documents are unique, so inject deterministic duplicate
+        # copies (doc_id + 1000000) on both sides for a non-trivial check
+        "exact_dup_groups_documents": (
+            _table_query(
+                "documents",
+                lambda df: dedup.exact_dup_groups(
+                    df.unionByName(
+                        df.filter("doc_id % 10 = 0").selectExpr(
+                            "doc_id + 1000000 AS doc_id", "text", "lang", "source", "n_chars"
+                        )
+                    )
+                ),
+            ),
+            dedup.exact_dup_groups_oracle_sql(
+                "(SELECT * FROM documents UNION ALL "
+                "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+                "FROM documents WHERE doc_id % 10 = 0) u"
+            ),
+        ),
+        "minhash_lsh_pairs_documents": (
+            _table_query("documents", lambda df: dedup.minhash_lsh_pairs(df, 0.3)),
+            dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3),
+        ),
+        "ngram_jaccard_pairs_documents": (
+            _table_query("documents", lambda df: dedup.ngram_jaccard_pairs(df, 0.5)),
+            dedup.ngram_jaccard_pairs_oracle_sql("documents", 0.5),
+        ),
+        "simhash_near_pairs_documents": (
+            _table_query("documents", dedup.simhash_near_pairs),
+            dedup.simhash_near_pairs_oracle_sql("documents"),
+        ),
+        "embedding_near_dups": (
+            _table_query("embeddings", lambda df: dedup.embedding_near_dups(df, 0.4)),
+            dedup.embedding_near_dups_oracle_sql("embeddings", 0.4),
+        ),
+        # similarity search
+        "cosine_topk_embeddings": (
+            _table_query("embeddings", lambda df: similarity.cosine_topk(df, qids, 10)),
+            similarity.cosine_topk_oracle_sql("embeddings", qids, 10),
+        ),
+        "hyperplane_buckets_embeddings": (
+            _table_query("embeddings", similarity.hyperplane_buckets),
+            similarity.hyperplane_buckets_oracle_sql("embeddings"),
+        ),
+        "ann_lsh_topk_embeddings": (
+            _table_query("embeddings", lambda df: similarity.ann_lsh_topk(df, qids, 10)),
+            similarity.ann_lsh_topk_oracle_sql("embeddings", qids, 10),
+        ),
+        # multimodal plumbing (Arrow mapInPandas vs blob-SQL oracle)
+        "multimodal_features_documents": (
+            _table_query("documents", multimodal.extract_features),
+            multimodal.extract_features_oracle_sql("documents"),
+        ),
+    }
+
+
 def _entries() -> dict[str, tuple[Callable, str | None]]:
-    return {**_fingerprint_entries(), **_diff_entries(), **_report_entry()}
+    return {
+        **_fingerprint_entries(),
+        **_diff_entries(),
+        **_report_entry(),
+        **_pipeline_entries(),
+    }
 
 
 #: Queries timed by bench.py (the perf-representative subset).
@@ -133,6 +221,12 @@ HEADLINE_QUERIES = (
     "full_fingerprint_orders",
     "row_diff_orders",
     "verify_report_two_targets",
+    "minhash_lsh_pairs_documents",
+    "ngram_jaccard_pairs_documents",
+    "simhash_near_pairs_documents",
+    "cosine_topk_embeddings",
+    "text_stats_documents",
+    "multimodal_features_documents",
 )
 
 

@@ -1,0 +1,148 @@
+"""LLM-pipeline operators (text, dedup, similarity, multimodal) vs the
+DuckDB oracle, plus behavioral invariants an oracle can't express."""
+
+import pytest
+
+from pgverify_spark.operators import dedup, multimodal, similarity, text
+
+QIDS = (0, 1, 2, 3, 4)
+
+
+def _cmp(spark_df, duck, sql):
+    s = sorted(map(tuple, spark_df.collect()))
+    d = sorted(map(tuple, duck.execute(sql).fetchall()))
+    assert s == d, f"spark={s[:3]} duck={d[:3]}"
+    return s
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_text_stats(docs, duck):
+    rows = _cmp(text.text_stats(docs), duck, text.text_stats_oracle_sql("documents"))
+    assert rows and all(0 <= r[7] <= 1 for r in rows)  # quality_score bounded
+
+
+def test_language_id(docs, duck):
+    rows = _cmp(text.language_id(docs), duck, text.language_id_oracle_sql("documents"))
+    assert {r[1] for r in rows} <= {"en", "de", "fr", "es", "und"}
+
+
+def test_doc_fingerprints(docs, duck):
+    rows = _cmp(
+        text.doc_fingerprints(docs), duck, text.doc_fingerprints_oracle_sql("documents")
+    )
+    assert all(0 <= r[2] < (1 << 48) for r in rows)  # simhash fits 48 bits
+
+
+def test_exact_dup_groups(docs, duck):
+    _cmp(dedup.exact_dup_groups(docs), duck, dedup.exact_dup_groups_oracle_sql("documents"))
+
+
+def test_exact_dup_detects_injected_duplicates(docs):
+    dup = docs.limit(5).selectExpr(
+        "doc_id + 1000000 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    groups = dedup.exact_dup_groups(docs.unionByName(dup)).collect()
+    assert len(groups) >= 5
+    assert all(g.n_docs >= 2 for g in groups)
+
+
+def test_minhash_lsh_pairs(docs, duck):
+    rows = _cmp(
+        dedup.minhash_lsh_pairs(docs, 0.3),
+        duck,
+        dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3),
+    )
+    assert all(r[0] < r[1] and r[2] >= 0.3 for r in rows)
+
+
+def test_ngram_jaccard_pairs(docs, duck):
+    _cmp(
+        dedup.ngram_jaccard_pairs(docs, 0.5),
+        duck,
+        dedup.ngram_jaccard_pairs_oracle_sql("documents", 0.5),
+    )
+
+
+def test_minhash_recall_vs_exact(docs):
+    """LSH pairs are verified with exact Jaccard, so they are always a
+    subset of the exact pairs; at j >= 0.95 the 8x4 banding collision
+    probability is 1 - (1 - 0.95^4)^8 ~ 0.9999983, so recall there must
+    be total."""
+    exact_07 = {(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(docs, 0.7).collect()}
+    lsh_07 = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs, 0.7).collect()}
+    assert lsh_07 <= exact_07
+    exact_95 = {(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(docs, 0.95).collect()}
+    lsh_95 = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs, 0.95).collect()}
+    assert lsh_95 == exact_95
+
+
+def test_simhash_near_pairs(docs, duck):
+    rows = _cmp(
+        dedup.simhash_near_pairs(docs),
+        duck,
+        dedup.simhash_near_pairs_oracle_sql("documents"),
+    )
+    assert all(r[2] <= dedup.SIMHASH_MAX_HAMMING for r in rows)
+
+
+def test_embedding_near_dups(embs, duck):
+    _cmp(
+        dedup.embedding_near_dups(embs, 0.4),
+        duck,
+        dedup.embedding_near_dups_oracle_sql("embeddings", 0.4),
+    )
+
+
+def test_cosine_topk(embs, duck):
+    rows = _cmp(
+        similarity.cosine_topk(embs, QIDS, 10),
+        duck,
+        similarity.cosine_topk_oracle_sql("embeddings", QIDS, 10),
+    )
+    assert len(rows) == len(QIDS) * 10
+    for qid in QIDS:  # ranks are 1..10 and scores non-increasing
+        scored = sorted((r for r in rows if r[0] == qid), key=lambda r: r[3])
+        assert [r[3] for r in scored] == list(range(1, 11))
+        assert all(a[2] >= b[2] for a, b in zip(scored, scored[1:]))
+
+
+def test_ann_lsh_topk(embs, duck):
+    rows = _cmp(
+        similarity.ann_lsh_topk(embs, QIDS, 10),
+        duck,
+        similarity.ann_lsh_topk_oracle_sql("embeddings", QIDS, 10),
+    )
+    # ANN results are a subset of each query's bucket — sanity: rank ordering
+    assert all(r[3] >= 1 for r in rows)
+
+
+def test_hyperplane_buckets(embs, duck):
+    rows = _cmp(
+        similarity.hyperplane_buckets(embs),
+        duck,
+        similarity.hyperplane_buckets_oracle_sql("embeddings"),
+    )
+    assert all(0 <= r[1] < (1 << similarity.HYPERPLANE_BITS) for r in rows)
+
+
+def test_multimodal_features(docs, duck):
+    rows = _cmp(
+        multimodal.extract_features(docs),
+        duck,
+        multimodal.extract_features_oracle_sql("documents"),
+    )
+    assert all(r[1] > 0 and len(r[2]) == 32 for r in rows)
+
+
+def test_multimodal_decode_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"\x89PNG")
