@@ -1,0 +1,91 @@
+"""Command-line interface — mirrors the reference's flag surface.
+
+Reference: ``cmd/pgverify/cmd.go:22-44`` (targets as positional URIs,
+include/exclude schema/table/column, tests, bookend-limit, sparse-mod,
+aliases, timestamp-precision, hash-primary-keys).  Targets here are
+either directories of parquet files or ``jdbc:`` URLs; the report table
+always prints, pass or fail (``cmd.go:102-105``).
+
+Usage::
+
+    python -m pgverify_spark.cli /data/copyA /data/copyB \
+        --tests full,rowcount --bookend-limit 500 --aliases a,b
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pgverify_spark.config import VerifyConfig
+from pgverify_spark.plans.verify import report_table, verify
+from pgverify_spark.session import get_spark
+from pgverify_spark.sources.jdbc import JDBCTarget
+from pgverify_spark.sources.parquet import ParquetTarget
+
+
+def _csv(s: str) -> tuple[str, ...]:
+    return tuple(x for x in s.split(",") if x)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pgverify-spark",
+        description="Verify table consistency across data targets (Spark-native).",
+    )
+    p.add_argument("targets", nargs="+", help="parquet directories or jdbc: URLs")
+    p.add_argument("--aliases", type=_csv, default=(), help="display names, comma-separated")
+    p.add_argument("--tests", type=_csv, default=(), help="full,bookend,sparse,rowcount,bucketed,additive")
+    p.add_argument("--include-tables", type=_csv, default=())
+    p.add_argument("--exclude-tables", type=_csv, default=())
+    p.add_argument("--include-schemas", type=_csv, default=())
+    p.add_argument("--exclude-schemas", type=_csv, default=())
+    p.add_argument("--include-columns", type=_csv, default=())
+    p.add_argument("--exclude-columns", type=_csv, default=())
+    p.add_argument("--bookend-limit", type=int, default=1000)
+    p.add_argument("--sparse-mod", type=int, default=10)
+    p.add_argument("--timestamp-precision", default="milliseconds")
+    p.add_argument("--hash-primary-keys", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    kwargs = dict(
+        include_tables=args.include_tables,
+        exclude_tables=args.exclude_tables,
+        include_schemas=args.include_schemas,
+        exclude_schemas=args.exclude_schemas,
+        include_columns=args.include_columns,
+        exclude_columns=args.exclude_columns,
+        bookend_limit=args.bookend_limit,
+        sparse_mod=args.sparse_mod,
+        timestamp_precision=args.timestamp_precision,
+        hash_primary_keys=args.hash_primary_keys,
+    )
+    if args.tests:
+        kwargs["test_modes"] = args.tests
+    config = VerifyConfig(**kwargs)
+    config.validate()
+
+    aliases = list(args.aliases) + [
+        f"target{i}" for i in range(len(args.aliases), len(args.targets))
+    ]
+    spark = get_spark("pgverify-spark-cli")
+    targets = []
+    for alias, uri in zip(aliases, args.targets):
+        if uri.startswith("jdbc:"):
+            targets.append(JDBCTarget(alias, uri))
+        else:
+            targets.append(ParquetTarget(alias, uri))
+
+    result = verify(spark, targets, config)
+    # report always prints, pass or fail (cmd.go:102-105)
+    report_table(result.results).show(1000, truncate=False)
+    for err in result.errors:
+        print(f"ERROR: {err}", file=sys.stderr)
+    return 1 if result.errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

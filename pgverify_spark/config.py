@@ -13,9 +13,11 @@ TEST_MODE_FULL = "full"
 TEST_MODE_BOOKEND = "bookend"
 TEST_MODE_SPARSE = "sparse"
 TEST_MODE_ROWCOUNT = "rowcount"
-#: Spark-rebuild extension: deterministic scale path (hash-of-bucket-hashes);
+#: Spark-rebuild extensions: deterministic scale path (hash-of-bucket-hashes)
+#: and the order-insensitive additive fingerprint (no sort, streamable);
 #: not in the reference's closed mode enum (config.go:9-33).
 TEST_MODE_BUCKETED = "bucketed"
+TEST_MODE_ADDITIVE = "additive"
 
 ALL_TEST_MODES = (
     TEST_MODE_FULL,
@@ -23,6 +25,7 @@ ALL_TEST_MODES = (
     TEST_MODE_SPARSE,
     TEST_MODE_ROWCOUNT,
     TEST_MODE_BUCKETED,
+    TEST_MODE_ADDITIVE,
 )
 
 #: Reference default modes: all four (config.go:88).

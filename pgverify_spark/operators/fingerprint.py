@@ -211,12 +211,45 @@ def bucketed_fingerprint(
     )
 
 
+#: Modulus for the additive fingerprint: Mersenne prime 2^61 - 1.
+ADDITIVE_MOD = 2_305_843_009_213_693_951
+
+
+def additive_fingerprint(
+    df: DataFrame, schema: TableSchema, config: VerifyConfig | None = None
+) -> DataFrame:
+    """Order-insensitive commutative fingerprint: ``count:sum`` where sum
+    is the 48-bit row-hash integers summed exactly (decimal accumulator)
+    mod 2^61 - 1.
+
+    Extension beyond the reference (SURVEY.md §7.3 "no-PK tables"): needs
+    no primary key and **no sort/shuffle at all** — a pure two-phase
+    aggregate with map-side partials, the cheapest possible whole-table
+    fingerprint at 100 TB, and the only one a streaming pipeline can
+    maintain incrementally (addition commutes with out-of-order arrival).
+    Collision bound ~2^-48 per colliding row multiset via md5 prefixes.
+    """
+    config = config or VerifyConfig()
+    cols = schema.hashed_cols(config.valid_column)
+    h = row_hash_sql(cols, DIALECT_SPARK, config.trunc_unit)
+    h48 = hex_prefix_int_sql("hm")
+    return (
+        df.selectExpr(f"{h} AS hm")
+        .selectExpr(f"CAST({h48} AS DECIMAL(38,0)) AS hv")
+        .selectExpr(
+            "concat_ws(':', CAST(count(1) AS STRING), "
+            f"CAST(CAST(sum(hv) % {ADDITIVE_MOD} AS DECIMAL(38,0)) AS STRING)) AS fp"
+        )
+    )
+
+
 FINGERPRINT_OPS = {
     "full": full_fingerprint,
     "bookend": bookend_fingerprint,
     "sparse": sparse_fingerprint,
     "rowcount": rowcount,
     "bucketed": bucketed_fingerprint,
+    "additive": additive_fingerprint,
 }
 
 
@@ -240,6 +273,14 @@ def fingerprint_oracle_sql(
 
     if mode == "rowcount":
         return f"SELECT CAST(count(*) AS VARCHAR) AS fp FROM {table}"
+    if mode == "additive":
+        h48 = hex_prefix_int_sql("hm")
+        return (
+            "SELECT concat_ws(':', CAST(count(*) AS VARCHAR), "
+            f"CAST(CAST(sum(hv) % {ADDITIVE_MOD} AS DECIMAL(38,0)) AS VARCHAR)) AS fp FROM "
+            f"(SELECT CAST({h48} AS DECIMAL(38,0)) AS hv FROM "
+            f"(SELECT {h} AS hm FROM {table}) t1) t2"
+        )
     if mode == "full":
         return f"SELECT COALESCE({agg}, 'no rows') AS fp FROM ({base}) t"
     if mode == "bookend":

@@ -55,6 +55,7 @@ def _fingerprint_entries() -> dict[str, tuple[Callable, str]]:
         ("sparse_fingerprint_orders", "orders", "sparse", _CFG),
         ("bucketed_fingerprint_events", "events", "bucketed", _CFG),
         ("rowcount_orders", "orders", "rowcount", _CFG),
+        ("additive_fingerprint_orders", "orders", "additive", _CFG),
         # option variants (config.go:53-57, verify.go:138-144)
         (
             "full_fingerprint_orders_hashed_pk",

@@ -1,0 +1,98 @@
+"""Structured Streaming extensions: incremental verification.
+
+The reference is strictly batch (SURVEY.md §1.4); these operators extend
+verification to continuously-arriving data:
+
+- ``streaming_additive_fingerprint`` — maintains the order-insensitive
+  additive fingerprint (see ``operators.fingerprint.additive_fingerprint``)
+  incrementally: rows hash-bucket on their row-hash and the streaming
+  aggregation keeps (count, sum) per bucket, so state is bounded at
+  ``buckets`` rows regardless of stream length, and the finalized value
+  equals the batch additive fingerprint of everything ingested —
+  addition commutes with arbitrary arrival order, which is exactly why
+  the *ordered* fingerprints cannot be streamed (SURVEY.md §7.4).
+- ``streaming_windowed_counts`` — event-time windowed aggregation with a
+  watermark for late data: the standard monitoring companion (per-type
+  counts/sums per window) for a table under continuous ingest.
+
+Scale: streaming state lives in the state store keyed by bucket/window —
+a few thousand entries — and each micro-batch does one map-side partial
+aggregate; no sort, no wide shuffle beyond the keyed exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgverify_spark.config import VerifyConfig
+from pgverify_spark.functions.canonical import DIALECT_SPARK, hex_prefix_int_sql, row_hash_sql
+from pgverify_spark.operators.fingerprint import ADDITIVE_MOD
+from pgverify_spark.sources.schemas import TableSchema
+
+
+def streaming_additive_fingerprint(
+    sdf: DataFrame,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-bucket incremental fingerprint state (streaming DataFrame).
+
+    Output (complete/update mode): (bucket, cnt, hsum) — finalize with
+    :func:`finalize_additive_fingerprint` to get the scalar ``count:sum``
+    comparable to the batch ``additive`` mode.
+    """
+    config = config or VerifyConfig()
+    cols = schema.hashed_cols(config.valid_column)
+    h = row_hash_sql(cols, DIALECT_SPARK, config.trunc_unit)
+    h48 = hex_prefix_int_sql("hm")
+    return (
+        sdf.selectExpr(f"{h} AS hm")
+        .selectExpr(f"CAST({h48} AS DECIMAL(38,0)) AS hv")
+        .selectExpr("hv", f"CAST(hv % {buckets} AS INT) AS bucket")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("hv").alias("hsum"))
+    )
+
+
+def finalize_additive_fingerprint(bucket_state: DataFrame) -> str:
+    """Collapse per-bucket state to the scalar ``count:sum`` fingerprint
+    (identical to ``additive_fingerprint`` over the same rows)."""
+    row = bucket_state.selectExpr(
+        "concat_ws(':', CAST(sum(cnt) AS STRING), "
+        f"CAST(CAST(sum(hsum) % {ADDITIVE_MOD} AS DECIMAL(38,0)) AS STRING)) AS fp"
+    ).collect()[0]
+    return row.fp
+
+
+def streaming_windowed_counts(
+    sdf: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time windowed per-key counts and value sums with a watermark
+    bounding state for late data.  ``ts_col`` may be a bigint of epoch
+    nanoseconds (the nanosAsLong parquet read) or a real timestamp.
+    """
+    fields = dict(sdf.dtypes)
+    if fields.get(ts_col) == "bigint":
+        sdf = sdf.withColumn(ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long")))
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key_col,
+            "n_events",
+            "value_sum",
+        )
+    )

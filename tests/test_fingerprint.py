@@ -20,7 +20,7 @@ from pgverify_spark.operators.fingerprint import (
 from pgverify_spark.sources.parquet import ParquetTarget
 from pgverify_spark.sources.schemas import TESTDATA_TABLES
 
-MODES = ["full", "bookend", "sparse", "rowcount", "bucketed"]
+MODES = ["full", "bookend", "sparse", "rowcount", "bucketed", "additive"]
 TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings", "region"]
 
 CFG = VerifyConfig(bookend_limit=100, sparse_mod=10, fingerprint_buckets=64)
@@ -76,6 +76,8 @@ def test_empty_table_sentinel(spark, sf_dir):
     df = target.read(spark, "region").filter("r_regionkey < 0")
     schema = target.table_schema(spark, "region")
     assert full_fingerprint(df, schema, CFG).collect()[0].fp == "no rows"
+    from pgverify_spark.operators.fingerprint import additive_fingerprint
+    assert additive_fingerprint(df, schema, CFG).collect()[0].fp == "0"
     assert sparse_fingerprint(df, schema, CFG).collect()[0].fp == "no rows"
     assert rowcount(df).collect()[0].fp == "0"
 

@@ -1,0 +1,84 @@
+"""Structured Streaming: incremental fingerprint equals batch fingerprint
+after ingesting the same rows in chunks; windowed counts match batch."""
+
+import os
+
+import pytest
+
+from pgverify_spark.config import VerifyConfig
+from pgverify_spark.operators.fingerprint import additive_fingerprint
+from pgverify_spark.sources.parquet import ParquetTarget
+from pgverify_spark.streaming.incremental import (
+    finalize_additive_fingerprint,
+    streaming_additive_fingerprint,
+    streaming_windowed_counts,
+)
+
+CFG = VerifyConfig()
+
+
+@pytest.fixture(scope="module")
+def chunked_events(spark, sf_dir, tmp_path_factory):
+    """events table split into 4 chunk files to drive a file stream."""
+    src = ParquetTarget("t", sf_dir)
+    df = src.read(spark, "events")
+    out = str(tmp_path_factory.mktemp("stream_src"))
+    df.withColumn("chunk", (df.event_id % 4).cast("int")).repartition(
+        4, "chunk"
+    ).drop("chunk").write.mode("overwrite").parquet(out)
+    return out, df.schema, src.table_schema(spark, "events")
+
+
+def test_streaming_additive_fingerprint_matches_batch(spark, sf_dir, chunked_events, tmp_path):
+    src_dir, schema, tschema = chunked_events
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    state = streaming_additive_fingerprint(sdf, tschema, CFG, buckets=64)
+    q = (
+        state.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("fp_state")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = finalize_additive_fingerprint(spark.table("fp_state"))
+    batch = additive_fingerprint(
+        ParquetTarget("t", sf_dir).read(spark, "events"), tschema, CFG
+    ).collect()[0].fp
+    assert streamed == batch
+    # bounded state: at most `buckets` rows
+    assert spark.table("fp_state").count() <= 64
+
+
+def test_streaming_windowed_counts_matches_batch(spark, chunked_events, tmp_path):
+    src_dir, schema, _ = chunked_events
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    q = (
+        streaming_windowed_counts(sdf, window="6 hours", watermark="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("win_counts").collect()))
+    batch_df = spark.read.parquet(src_dir)
+    want = sorted(
+        map(tuple, streaming_windowed_counts(batch_df, window="6 hours").collect())
+    )
+    assert got == want and got
