@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
+from pgverify_spark.operators.util import barrier as _barrier
 from pgverify_spark.functions.text_exprs import (
     SIMHASH_BITS,
     cosine_sql,
@@ -87,12 +88,20 @@ def exact_dup_groups_oracle_sql(table: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _shingled(df: DataFrame) -> DataFrame:
-    """(doc_id, shingles) with non-empty distinct 48-bit shingle hashes."""
+    """(doc_id, shingles) with non-empty distinct 48-bit shingle hashes.
+
+    The emptiness filter runs on *token count before* the n-gram/hash
+    layers: ``shingles`` is empty iff there are fewer than NGRAM_N
+    tokens, and a late ``size(shingles) > 0`` filter would be
+    predicate-pushed below every projection (straight through the
+    repartition barrier), re-inlining the whole shingle pipeline into
+    the filter condition (measured 4x slowdown).
+    """
     return (
-        df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens")
+        _barrier(df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens"))
+        .filter(f"size(tokens) >= {NGRAM_N}")
         .selectExpr("doc_id", f"{ngrams_sql('tokens', NGRAM_N, DIALECT_SPARK)} AS grams")
         .selectExpr("doc_id", f"{shingle_ints_sql('grams', DIALECT_SPARK)} AS shingles")
-        .filter("size(shingles) > 0")
     )
 
 
@@ -102,22 +111,42 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
-    sig = _shingled(df).selectExpr(
-        "doc_id", "shingles", f"{minhash_sig_sql('shingles', DIALECT_SPARK)} AS sig"
+    # persist: the shingle table is referenced by the band explode and by
+    # both sides of the pair join-back — without it the whole tokenize/
+    # hash pipeline re-executes once per reference.  Materializing the
+    # signature table is the standard LSH-dedup trade (storage ~ one
+    # int64 array per doc) at any scale.
+    sh = _shingled(df).persist()
+    # barrier: the 32 per-permutation mins each reference the shingle
+    # array — without it CollapseProject re-inlines the whole shingle
+    # pipeline 32x (see _barrier)
+    sig = _barrier(sh).selectExpr(
+        "doc_id", f"{minhash_sig_sql('shingles', DIALECT_SPARK)} AS sig"
     )
-    exploded = sig.selectExpr(
-        "doc_id", "shingles", f"explode({lsh_bands_sql('sig', DIALECT_SPARK)}) AS band_key"
+    # barrier again: the 8 band keys each reference 4 signature slots;
+    # persisted because the candidate self-join reads it twice (else the
+    # 32-permutation signature computation runs twice)
+    exploded = (
+        _barrier(sig)
+        .selectExpr("doc_id", f"explode({lsh_bands_sql('sig', DIALECT_SPARK)}) AS band_key")
+        .persist()
     )
-    left = exploded.selectExpr("doc_id AS doc_a", "shingles AS sh_a", "band_key")
-    right = exploded.selectExpr("doc_id AS doc_b", "shingles AS sh_b", "band_key")
+    # Candidates travel as bare (id, id) pairs: the band self-join and the
+    # distinct shuffle only ids, and the (large) shingle arrays are joined
+    # back once per *distinct* pair.  Carrying the arrays through the
+    # candidate join would shuffle candidate-multiplicity x array-size
+    # bytes — the difference between seconds and minutes even at sf0.1.
     pairs = (
-        left.join(right, "band_key")
+        exploded.selectExpr("doc_id AS doc_a", "band_key")
+        .join(exploded.selectExpr("doc_id AS doc_b", "band_key"), "band_key")
         .filter("doc_a < doc_b")
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
     )
     return (
-        pairs.selectExpr(
+        pairs.join(sh.selectExpr("doc_id AS doc_a", "shingles AS sh_a"), "doc_a")
+        .join(sh.selectExpr("doc_id AS doc_b", "shingles AS sh_b"), "doc_b")
+        .selectExpr(
             "doc_a", "doc_b", f"{jaccard_sql('sh_a', 'sh_b', DIALECT_SPARK)} AS jaccard"
         )
         .filter(f"jaccard >= {threshold}")
@@ -128,9 +157,9 @@ def minhash_lsh_pairs_oracle_sql(table: str, threshold: float = 0.5) -> str:
     d = DIALECT_DUCKDB
     return (
         f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
-        f"gr AS (SELECT doc_id, {ngrams_sql('tokens', NGRAM_N, d)} AS grams FROM tok), "
-        f"sh AS (SELECT doc_id, {shingle_ints_sql('grams', d)} AS shingles FROM gr), "
-        f"shn AS (SELECT * FROM sh WHERE len(shingles) > 0), "
+        f"tokn AS (SELECT * FROM tok WHERE len(tokens) >= {NGRAM_N}), "
+        f"gr AS (SELECT doc_id, {ngrams_sql('tokens', NGRAM_N, d)} AS grams FROM tokn), "
+        f"shn AS (SELECT doc_id, {shingle_ints_sql('grams', d)} AS shingles FROM gr), "
         f"sg AS (SELECT doc_id, shingles, {minhash_sig_sql('shingles', d)} AS sig FROM shn), "
         f"ex AS (SELECT doc_id, shingles, unnest({lsh_bands_sql('sig', d)}) AS band_key FROM sg), "
         "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
@@ -154,16 +183,21 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
     shingles) to bound the candidate set; here every shared shingle is a
     candidate, which is exact and still O(candidates).
     """
-    sh = _shingled(df)
-    inv = sh.selectExpr("doc_id", "shingles", "explode(shingles) AS s")
+    sh = _shingled(df).persist()  # referenced 4x (inverted index + join-backs)
+    inv = sh.selectExpr("doc_id", "explode(shingles) AS s")
+    # bare-id candidate pairs for the same shuffle-size reason as
+    # minhash_lsh_pairs; arrays join back once per distinct pair
     pairs = (
-        inv.selectExpr("doc_id AS doc_a", "shingles AS sh_a", "s")
-        .join(inv.selectExpr("doc_id AS doc_b", "shingles AS sh_b", "s"), "s")
+        inv.selectExpr("doc_id AS doc_a", "s")
+        .join(inv.selectExpr("doc_id AS doc_b", "s"), "s")
         .filter("doc_a < doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
     )
     return (
-        pairs.selectExpr(
+        pairs.join(sh.selectExpr("doc_id AS doc_a", "shingles AS sh_a"), "doc_a")
+        .join(sh.selectExpr("doc_id AS doc_b", "shingles AS sh_b"), "doc_b")
+        .selectExpr(
             "doc_a", "doc_b", f"{jaccard_sql('sh_a', 'sh_b', DIALECT_SPARK)} AS jaccard"
         )
         .filter(f"jaccard >= {threshold}")
@@ -174,9 +208,9 @@ def ngram_jaccard_pairs_oracle_sql(table: str, threshold: float = 0.5) -> str:
     d = DIALECT_DUCKDB
     return (
         f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
-        f"gr AS (SELECT doc_id, {ngrams_sql('tokens', NGRAM_N, d)} AS grams FROM tok), "
-        f"shn AS (SELECT doc_id, {shingle_ints_sql('grams', d)} AS shingles FROM gr "
-        "WHERE len(grams) > 0), "
+        f"tokn AS (SELECT * FROM tok WHERE len(tokens) >= {NGRAM_N}), "
+        f"gr AS (SELECT doc_id, {ngrams_sql('tokens', NGRAM_N, d)} AS grams FROM tokn), "
+        f"shn AS (SELECT doc_id, {shingle_ints_sql('grams', d)} AS shingles FROM gr), "
         "inv AS (SELECT doc_id, unnest(shingles) AS s FROM shn), "
         "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
         "FROM inv l JOIN inv r ON l.s = r.s AND l.doc_id < r.doc_id) "
@@ -199,11 +233,14 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) ->
     """
     chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
     sigs = (
-        df.selectExpr(
-            "doc_id",
-            f"{token_hashes_sql(tokens_sql('text', DIALECT_SPARK), DIALECT_SPARK)} AS th",
+        _barrier(
+            df.selectExpr(
+                "doc_id",
+                f"{token_hashes_sql(tokens_sql('text', DIALECT_SPARK), DIALECT_SPARK)} AS th",
+            )
         )
         .filter("size(th) > 0")
+        # barrier above: simhash_sql references th in 48 per-bit folds
         .selectExpr("doc_id", f"{simhash_sql('th', DIALECT_SPARK)} AS sim")
     )
     chunks = sigs.selectExpr(

@@ -34,7 +34,7 @@ from pgverify_spark.functions.canonical import (
     pk_key_sql,
     row_hash_sql,
 )
-from pgverify_spark.operators.fingerprint import _parallelize
+from pgverify_spark.operators.util import parallelize as _parallelize
 from pgverify_spark.sources.schemas import TableSchema
 
 

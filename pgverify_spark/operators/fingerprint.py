@@ -51,6 +51,7 @@ from pgverify_spark.functions.canonical import (
     pk_key_sql,
     row_hash_sql,
 )
+from pgverify_spark.operators.util import parallelize as _parallelize
 from pgverify_spark.sources.schemas import TableSchema
 
 #: Ordered fingerprint over (k, h) pairs as a single aggregate expression.
@@ -70,20 +71,6 @@ def _exprs(schema: TableSchema, config: VerifyConfig) -> tuple[str, str, str]:
     return k, h, k_plain
 
 
-def _parallelize(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY when the scan has fewer splits than the
-    cluster has cores.  The row-hash projection is CPU-bound (md5 + canon
-    casts), so a small input (few files / few row groups) would otherwise
-    pin the whole fingerprint to a handful of cores.  At 100 TB the scan
-    has orders of magnitude more splits than cores and this is a no-op —
-    no shuffle is ever added to a large input.
-    """
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
-
-
 def _kh(df: DataFrame, schema: TableSchema, config: VerifyConfig) -> DataFrame:
     k, h, _ = _exprs(schema, config)
     return _parallelize(df).selectExpr(f"{k} AS k", f"{h} AS h")
@@ -94,24 +81,22 @@ def rowcount(df: DataFrame, schema: TableSchema | None = None, config: VerifyCon
     return df.select(F.count(F.lit(1)).cast("string").alias("fp"))
 
 
-def full_fingerprint(df: DataFrame, schema: TableSchema, config: VerifyConfig | None = None) -> DataFrame:
-    """Exact ordered fingerprint (parity mode; see *Scale* above).
+def _exact_ordered_fp(kh: DataFrame) -> DataFrame:
+    """md5 over row hashes in (k, h) order, as a distributed plan.
 
-    Plan: parallel Tungsten range-sort on (k, h), then per-partition
-    ordered concat of row hashes (partitions of a sorted DataFrame are
+    Parallel Tungsten range-sort on (k, h), then per-partition ordered
+    concat of row hashes (partitions of a sorted DataFrame are
     range-disjoint and internally ordered, so concatenating partition
     strings in partition-id order reconstructs the full ordered stream),
     then one md5 over the concatenation — byte-identical to
     ``md5(string_agg(h, '' ORDER BY k, h))`` but the sort is distributed
     and spill-able instead of a single ``array_sort(collect_list(...))``
-    reduce (~2x faster at sf0.1, far better skew/memory behavior).
-    The final reduce still materializes the 32 B x rows concat — the
+    reduce (~2x faster at sf0.1, far better skew/memory behavior).  The
+    final reduce still materializes the 32 B x rows concat — the
     inherent cost of an exact sequential md5 (the reference's server-side
     ``ORDER BY + string_agg`` pays the same, README.md:69); beyond ~10^8
     rows use ``bucketed``.
     """
-    config = config or VerifyConfig()
-    kh = _kh(df, schema, config)
     partials = (
         kh.sort("k", "h")
         .select(F.spark_partition_id().alias("p"), "h")
@@ -123,6 +108,12 @@ def full_fingerprint(df: DataFrame, schema: TableSchema, config: VerifyConfig | 
         "md5(array_join(transform(array_sort(collect_list(struct(p, s))), x -> x.s), '')) "
         "END AS fp"
     )
+
+
+def full_fingerprint(df: DataFrame, schema: TableSchema, config: VerifyConfig | None = None) -> DataFrame:
+    """Exact ordered fingerprint (parity mode; see ``_exact_ordered_fp``)."""
+    config = config or VerifyConfig()
+    return _exact_ordered_fp(_kh(df, schema, config))
 
 
 def bookend_fingerprint(
@@ -174,6 +165,10 @@ def sparse_fingerprint(
     sampled = _parallelize(df).selectExpr(f"{k} AS k", f"{h} AS h", f"md5({k_plain}) AS hk").filter(
         f"({hex_prefix_int_sql('hk')} % {config.sparse_mod}) = 0"
     )
+    # single-reduce ordered agg, NOT the sort-based _exact_ordered_fp: a
+    # range sort samples its child to pick bounds, which would run the
+    # full filter+hash scan twice; the sampled subset (~n/mod rows) fits
+    # the single reduce comfortably.
     return sampled.selectExpr(_NO_ROWS_AGG)
 
 

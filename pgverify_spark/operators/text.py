@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
+from pgverify_spark.operators.util import barrier as _barrier
 from pgverify_spark.functions.text_exprs import (
     LANG_STOPWORDS,
     _rx,
@@ -68,9 +69,8 @@ def text_stats(df: DataFrame) -> DataFrame:
     """Per-document stats: token/char counts, punctuation/digit/stopword
     ratios, and a rational quality score."""
     exprs, metrics, quality = _stats_exprs(DIALECT_SPARK)
-    return df.selectExpr("doc_id", "text", *exprs).selectExpr(*metrics).selectExpr(
-        "*", quality
-    )
+    prep = _barrier(df.selectExpr("doc_id", "text", *exprs))
+    return prep.selectExpr(*metrics).selectExpr("*", quality)
 
 
 def text_stats_oracle_sql(table: str) -> str:
@@ -101,7 +101,7 @@ def language_id(df: DataFrame) -> DataFrame:
     hits, best, lang_case = _langid_exprs(DIALECT_SPARK)
     n_tok = _size("tokens", DIALECT_SPARK)
     return (
-        df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens")
+        _barrier(df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens"))
         .selectExpr("doc_id", f"CAST({n_tok} AS BIGINT) AS n_tokens", *hits)
         .selectExpr("*", f"{best} AS best")
         .selectExpr(
@@ -128,10 +128,12 @@ def language_id_oracle_sql(table: str) -> str:
 def doc_fingerprints(df: DataFrame) -> DataFrame:
     """Content fingerprints: md5 of normalized text + 48-bit SimHash."""
     return (
-        df.selectExpr(
-            "doc_id",
-            f"{norm_sql('text', DIALECT_SPARK)} AS norm",
-            f"{token_hashes_sql(tokens_sql('text', DIALECT_SPARK), DIALECT_SPARK)} AS th",
+        _barrier(
+            df.selectExpr(
+                "doc_id",
+                f"{norm_sql('text', DIALECT_SPARK)} AS norm",
+                f"{token_hashes_sql(tokens_sql('text', DIALECT_SPARK), DIALECT_SPARK)} AS th",
+            )
         )
         .selectExpr(
             "doc_id",
