@@ -139,9 +139,15 @@ def pk_key_sql(
     return f"md5({key})" if hash_primary_keys else key
 
 
-def hex_prefix_int_sql(hex_expr: str, ndigits: int = 12) -> str:
+def hex_prefix_int_sql(hex_expr: str, dialect: str, ndigits: int = 12) -> str:
     """Unsigned integer from the first ``ndigits`` hex chars of an md5 hex
-    string — dialect-shared (``instr``/``substr`` arithmetic only).
+    string, referencing ``hex_expr`` exactly once.
+
+    Single-reference matters: ``hex_expr`` is often an inlined
+    ``md5(...)`` (Catalyst's CollapseProject substitutes projected
+    columns into every use), so a digit-by-digit spelling with 12
+    references recomputes the md5 12x per row — measured as the entire
+    cost gap between sparse and full fingerprints at sf0.1.
 
     The reference reinterprets the first 16 hex chars as a *signed*
     bigint via ``('x'||substr(md5(k),1,16))::bit(64)::bigint``
@@ -155,11 +161,6 @@ def hex_prefix_int_sql(hex_expr: str, ndigits: int = 12) -> str:
     """
     if not 1 <= ndigits <= 15:
         raise ValueError("ndigits must be in 1..15 to fit a signed int64")
-    terms = []
-    for i in range(1, ndigits + 1):
-        power = 16 ** (ndigits - i)
-        # CAST to BIGINT: int-literal powers would make digit * power an
-        # int32 multiply, which overflows under Spark ANSI mode.
-        digit = f"CAST(instr('0123456789abcdef', substr({hex_expr}, {i}, 1)) - 1 AS BIGINT)"
-        terms.append(f"{digit} * {power}" if power > 1 else digit)
-    return "(" + " + ".join(terms) + ")"
+    if dialect == DIALECT_SPARK:
+        return f"CAST(conv(substr({hex_expr}, 1, {ndigits}), 16, 10) AS BIGINT)"
+    return f"CAST('0x' || substr({hex_expr}, 1, {ndigits}) AS BIGINT)"

@@ -150,11 +150,10 @@ def ngrams_sql(tokens_col: str, n: int, dialect: str) -> str:
 def shingle_ints_sql(ngrams_col: str, dialect: str) -> str:
     """Distinct 48-bit integer hashes of the n-gram shingles.
 
-    Two-step transform so md5 runs once per shingle (the 12 substr
-    references in ``hex_prefix_int_sql`` then hit a plain string var).
+    Two-step transform so md5 runs once per shingle.
     """
     md5s = _transform(ngrams_col, "s -> md5(s)", dialect)
-    ints = _transform(md5s, f"m -> {hex_prefix_int_sql('m')}", dialect)
+    ints = _transform(md5s, f"m -> {hex_prefix_int_sql('m', dialect)}", dialect)
     return _distinct(ints, dialect)
 
 
@@ -211,7 +210,7 @@ def jaccard_sql(a_col: str, b_col: str, dialect: str) -> str:
 def token_hashes_sql(tokens_col: str, dialect: str) -> str:
     """48-bit integer hash per token (md5 runs once per token)."""
     md5s = _transform(tokens_col, "w -> md5(w)", dialect)
-    return _transform(md5s, f"m -> {hex_prefix_int_sql('m')}", dialect)
+    return _transform(md5s, f"m -> {hex_prefix_int_sql('m', dialect)}", dialect)
 
 
 def simhash_sql(th_col: str, dialect: str) -> str:

@@ -163,7 +163,7 @@ def sparse_fingerprint(
     config = config or VerifyConfig()
     k, h, k_plain = _exprs(schema, config)
     sampled = _parallelize(df).selectExpr(f"{k} AS k", f"{h} AS h", f"md5({k_plain}) AS hk").filter(
-        f"({hex_prefix_int_sql('hk')} % {config.sparse_mod}) = 0"
+        f"({hex_prefix_int_sql('hk', DIALECT_SPARK)} % {config.sparse_mod}) = 0"
     )
     # single-reduce ordered agg, NOT the sort-based _exact_ordered_fp: a
     # range sort samples its child to pick bounds, which would run the
@@ -188,7 +188,7 @@ def bucketed_fingerprint(
     kh = _parallelize(df).selectExpr(
         f"{k} AS k",
         f"{h} AS h",
-        f"({hex_prefix_int_sql(f'md5({k_plain})')} % {b}) AS bucket",
+        f"({hex_prefix_int_sql(f'md5({k_plain})', DIALECT_SPARK)} % {b}) AS bucket",
     )
     # One shuffle on bucket + Tungsten sort within partitions; each
     # bucket's rows are then contiguous and ordered, so the grouped
@@ -227,7 +227,7 @@ def additive_fingerprint(
     config = config or VerifyConfig()
     cols = schema.hashed_cols(config.valid_column)
     h = row_hash_sql(cols, DIALECT_SPARK, config.trunc_unit)
-    h48 = hex_prefix_int_sql("hm")
+    h48 = hex_prefix_int_sql("hm", DIALECT_SPARK)
     return (
         df.selectExpr(f"{h} AS hm")
         .selectExpr(f"CAST({h48} AS DECIMAL(38,0)) AS hv")
@@ -269,7 +269,7 @@ def fingerprint_oracle_sql(
     if mode == "rowcount":
         return f"SELECT CAST(count(*) AS VARCHAR) AS fp FROM {table}"
     if mode == "additive":
-        h48 = hex_prefix_int_sql("hm")
+        h48 = hex_prefix_int_sql("hm", DIALECT_DUCKDB)
         return (
             "SELECT concat_ws(':', CAST(count(*) AS VARCHAR), "
             f"CAST(CAST(sum(hv) % {ADDITIVE_MOD} AS DECIMAL(38,0)) AS VARCHAR)) AS fp FROM "
@@ -287,7 +287,7 @@ def fingerprint_oracle_sql(
             "SELECT md5(concat(COALESCE(s.fp, ''), COALESCE(e.fp, ''))) AS fp FROM s, e"
         )
     if mode == "sparse":
-        sel = hex_prefix_int_sql("hk")
+        sel = hex_prefix_int_sql("hk", DIALECT_DUCKDB)
         return (
             f"SELECT COALESCE({agg}, 'no rows') AS fp FROM "
             f"(SELECT k, h FROM (SELECT {k} AS k, {h} AS h, md5({k_plain}) AS hk FROM {table}) t "
@@ -295,7 +295,7 @@ def fingerprint_oracle_sql(
         )
     if mode == "bucketed":
         b = config.fingerprint_buckets
-        bucket = f"({hex_prefix_int_sql(f'md5({k_plain})')} % {b})"
+        bucket = f"({hex_prefix_int_sql(f'md5({k_plain})', DIALECT_DUCKDB)} % {b})"
         return (
             "SELECT COALESCE(md5(string_agg(bh, '' ORDER BY bucket)), 'no rows') AS fp FROM "
             f"(SELECT bucket, {agg} AS bh FROM "

@@ -78,7 +78,7 @@ def extract_features(df: DataFrame) -> DataFrame:
 def extract_features_oracle_sql(table: str) -> str:
     """DuckDB twin: the payload is UTF-8 text bytes, so md5(text) equals
     the Python md5 of the payload and blob length is octet_length."""
-    h48 = hex_prefix_int_sql("md5(text)")
+    h48 = hex_prefix_int_sql("md5(text)", DIALECT_DUCKDB)
     media = (
         f"CASE ({h48} % 3) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' "
         "ELSE 'audio/wav' END"

@@ -46,7 +46,7 @@ def streaming_additive_fingerprint(
     config = config or VerifyConfig()
     cols = schema.hashed_cols(config.valid_column)
     h = row_hash_sql(cols, DIALECT_SPARK, config.trunc_unit)
-    h48 = hex_prefix_int_sql("hm")
+    h48 = hex_prefix_int_sql("hm", DIALECT_SPARK)
     return (
         sdf.selectExpr(f"{h} AS hm")
         .selectExpr(f"CAST({h48} AS DECIMAL(38,0)) AS hv")
