@@ -150,9 +150,13 @@ def ngrams_sql(tokens_col: str, n: int, dialect: str) -> str:
 def shingle_ints_sql(ngrams_col: str, dialect: str) -> str:
     """Distinct 48-bit integer hashes of the n-gram shingles.
 
-    Two-step transform so md5 runs once per shingle.
+    Dedup runs *before* hashing — natural text repeats n-grams heavily,
+    so hashing distinct grams cuts the md5 count by the repetition factor
+    (~10x on the synthetic corpus).  The trailing distinct keeps the
+    distinct-elements contract exact even under md5-prefix collisions.
     """
-    md5s = _transform(ngrams_col, "s -> md5(s)", dialect)
+    grams = _distinct(ngrams_col, dialect)
+    md5s = _transform(grams, "s -> md5(s)", dialect)
     ints = _transform(md5s, f"m -> {hex_prefix_int_sql('m', dialect)}", dialect)
     return _distinct(ints, dialect)
 

@@ -175,22 +175,34 @@ def minhash_lsh_pairs_oracle_sql(table: str, threshold: float = 0.5) -> str:
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard >= threshold pairs, candidates from an inverted index
-    join on shared shingles (a pair with Jaccard > 0 shares >= 1 shingle,
-    so recall is exact for any threshold > 0).
+    """Exact Jaccard >= threshold pairs via a prefix-filtered inverted
+    index (the AllPairs/PPJoin candidate bound).
 
-    At 100 TB add prefix filtering (join only on each doc's rarest
-    shingles) to bound the candidate set; here every shared shingle is a
-    candidate, which is exact and still O(candidates).
+    Exactness: sort every shingle set ascending (one global total order)
+    and index only the first ``|x| - ceil(t*|x|) + 1`` elements.  If
+    ``J(a, b) >= t`` the overlap is ``o >= t*|a ∪ b| >= ceil(t*|x|)``
+    for each side, and the *smallest* common element provably lies in
+    both prefixes (if it sat past a's prefix, all common elements would
+    sit in a's last ``ceil(t*|a|) - 1`` slots — fewer than o).  So
+    prefix-indexing loses no qualifying pair while cutting the inverted
+    index (and its quadratic per-posting candidate blowup) by ~t.  A
+    size-ratio filter (``t*|a| <= |b| <= |a|/t``, necessary for J >= t)
+    prunes candidates before the distinct shuffle; exact Jaccard is then
+    verified on the surviving distinct pairs only.
     """
-    sh = _shingled(df).persist()  # referenced 4x (inverted index + join-backs)
-    inv = sh.selectExpr("doc_id", "explode(shingles) AS s")
+    sh = _shingled(df).persist()  # referenced 3x (inverted index + join-backs)
+    prefix_len = f"(size(shingles) - CAST(ceil({threshold} * size(shingles)) AS INT) + 1)"
+    inv = sh.selectExpr(
+        "doc_id",
+        "size(shingles) AS sz",
+        f"explode(slice(array_sort(shingles), 1, {prefix_len})) AS s",
+    )
     # bare-id candidate pairs for the same shuffle-size reason as
     # minhash_lsh_pairs; arrays join back once per distinct pair
     pairs = (
-        inv.selectExpr("doc_id AS doc_a", "s")
-        .join(inv.selectExpr("doc_id AS doc_b", "s"), "s")
-        .filter("doc_a < doc_b")
+        inv.selectExpr("doc_id AS doc_a", "sz AS sz_a", "s")
+        .join(inv.selectExpr("doc_id AS doc_b", "sz AS sz_b", "s"), "s")
+        .filter(f"doc_a < doc_b AND {threshold} * sz_a <= sz_b AND {threshold} * sz_b <= sz_a")
         .select("doc_a", "doc_b")
         .distinct()
     )

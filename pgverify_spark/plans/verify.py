@@ -87,7 +87,14 @@ def verify(
         parts.extend(_target_results(spark, target, config))
     if not parts:
         raise ValueError("no tables to verify")
-    results = reduce(DataFrame.unionByName, parts)
+    plan = reduce(DataFrame.unionByName, parts)
+    # One action executes every fingerprint (the union's independent
+    # branches run as concurrent stages).  The outcome is tiny by
+    # construction — one scalar per (target, table, mode) — so collect it
+    # and hand downstream consumers (error check, report pivot) a local
+    # DataFrame; otherwise each consumer's action would re-execute every
+    # fingerprint scan.
+    results = spark.createDataFrame(plan.collect(), plan.schema)
     errors = check_for_errors(results, expected_targets=[t.name for t in targets])
     return VerifyResult(results=results, errors=errors)
 
