@@ -71,6 +71,13 @@ class VerifyConfig:
     hash_primary_keys: bool = False  # config.go:53-57
     #: Extension: bucket count for the scale-path bucketed fingerprint.
     fingerprint_buckets: int = 1024
+    #: Inputs whose optimizer-estimated scan size is at or below this use
+    #: single-reduce fingerprint plans (2 stages) instead of the
+    #: distributed-sort plan (repartition + range-sort sampling + 2-phase
+    #: reduce) — the distributed machinery costs more than it buys on
+    #: small tables (a multi-target verify run is dominated by dimension
+    #: tables' fixed per-stage overhead otherwise).
+    small_input_bytes: int = 4 << 20
 
     def validate(self) -> None:
         """Mode-name and precision validation (config.go:101-114)."""

@@ -52,6 +52,7 @@ from pgverify_spark.functions.canonical import (
     row_hash_sql,
 )
 from pgverify_spark.operators.util import parallelize as _parallelize
+from pgverify_spark.operators.util import plan_size_bytes
 from pgverify_spark.sources.schemas import TableSchema
 
 #: Ordered fingerprint over (k, h) pairs as a single aggregate expression.
@@ -71,9 +72,16 @@ def _exprs(schema: TableSchema, config: VerifyConfig) -> tuple[str, str, str]:
     return k, h, k_plain
 
 
+def _small(df: DataFrame, config: VerifyConfig) -> bool:
+    """Small inputs skip the distributed-plan machinery (see
+    ``VerifyConfig.small_input_bytes``)."""
+    return plan_size_bytes(df) <= config.small_input_bytes
+
+
 def _kh(df: DataFrame, schema: TableSchema, config: VerifyConfig) -> DataFrame:
     k, h, _ = _exprs(schema, config)
-    return _parallelize(df).selectExpr(f"{k} AS k", f"{h} AS h")
+    base = df if _small(df, config) else _parallelize(df)
+    return base.selectExpr(f"{k} AS k", f"{h} AS h")
 
 
 def rowcount(df: DataFrame, schema: TableSchema | None = None, config: VerifyConfig | None = None) -> DataFrame:
@@ -111,9 +119,18 @@ def _exact_ordered_fp(kh: DataFrame) -> DataFrame:
 
 
 def full_fingerprint(df: DataFrame, schema: TableSchema, config: VerifyConfig | None = None) -> DataFrame:
-    """Exact ordered fingerprint (parity mode; see ``_exact_ordered_fp``)."""
+    """Exact ordered fingerprint (parity mode; see ``_exact_ordered_fp``).
+
+    Small inputs use the single-reduce ordered aggregate directly — two
+    stages instead of the sort plan's four (repartition, range-sample,
+    sort, reduce), which dominates multi-table verify runs where most
+    tables are small dimensions.  Same fingerprint either way.
+    """
     config = config or VerifyConfig()
-    return _exact_ordered_fp(_kh(df, schema, config))
+    kh = _kh(df, schema, config)
+    if _small(df, config):
+        return kh.selectExpr(_NO_ROWS_AGG)
+    return _exact_ordered_fp(kh)
 
 
 def bookend_fingerprint(
@@ -162,7 +179,8 @@ def sparse_fingerprint(
     """
     config = config or VerifyConfig()
     k, h, k_plain = _exprs(schema, config)
-    sampled = _parallelize(df).selectExpr(f"{k} AS k", f"{h} AS h", f"md5({k_plain}) AS hk").filter(
+    base = df if _small(df, config) else _parallelize(df)
+    sampled = base.selectExpr(f"{k} AS k", f"{h} AS h", f"md5({k_plain}) AS hk").filter(
         f"({hex_prefix_int_sql('hk', DIALECT_SPARK)} % {config.sparse_mod}) = 0"
     )
     # single-reduce ordered agg, NOT the sort-based _exact_ordered_fp: a
@@ -185,7 +203,8 @@ def bucketed_fingerprint(
     config = config or VerifyConfig()
     k, h, k_plain = _exprs(schema, config)
     b = config.fingerprint_buckets
-    kh = _parallelize(df).selectExpr(
+    base = df if _small(df, config) else _parallelize(df)
+    kh = base.selectExpr(
         f"{k} AS k",
         f"{h} AS h",
         f"({hex_prefix_int_sql(f'md5({k_plain})', DIALECT_SPARK)} % {b}) AS bucket",

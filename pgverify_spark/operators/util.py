@@ -18,6 +18,14 @@ def parallelize(df: DataFrame) -> DataFrame:
     return df
 
 
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the plan's output (file bytes for
+    parquet scans; ``spark.sql.defaultSizeInBytes`` — effectively infinite
+    — for sources without statistics, so unknown sizes take large-input
+    paths)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def barrier(df: DataFrame) -> DataFrame:
     """Optimization barrier between expression layers.
 

@@ -104,40 +104,50 @@ def check_for_errors(results: DataFrame, expected_targets: list[str]) -> list[st
 
     Errors when a (schema, tbl, mode) cell has >1 distinct output, a
     target is missing, or any output is the ``(err)`` sentinel.  The
-    grouped aggregate is tiny (targets x tables x modes rows), so the
-    verdicts are evaluated driver-side on the collected summary.
+    result set is one scalar per (target, table, mode) by construction,
+    so the check is plain driver-side Python — launching Spark jobs over
+    a dozen rows would cost more in scheduling than the work itself.
     """
-    n = len(expected_targets)
-    summary = (
-        results.groupBy("schema", "tbl", "mode")
-        .agg(
-            F.countDistinct("output").alias("n_outputs"),
-            F.count("target").alias("n_targets"),
-            F.sort_array(F.collect_set("target")).alias("targets"),
-            F.sort_array(F.collect_set("output")).alias("outputs"),
+    cells: dict[tuple[str, str, str], tuple[set, set]] = {}
+    for r in results.collect():
+        targets, outputs = cells.setdefault(
+            (r["schema"], r["tbl"], r["mode"]), (set(), set())
         )
-        .collect()
-    )
+        targets.add(r["target"])
+        outputs.add(r["output"])
     errors: list[str] = []
-    for row in sorted(summary, key=lambda r: (r.schema, r.tbl, r.mode)):
-        cell = f"{row.schema}.{row.tbl} mode={row.mode}"
-        if ERROR_OUTPUT in row.outputs:
-            bad = [t for t in row.targets]
-            errors.append(f"{cell}: test failed on at least one target ({bad})")
-        if row.n_outputs > 1:
-            errors.append(f"{cell}: outputs differ across targets: {row.outputs}")
-        if row.n_targets < n:
-            missing = sorted(set(expected_targets) - set(row.targets))
+    for (schema, tbl, mode), (targets, outputs) in sorted(cells.items()):
+        cell = f"{schema}.{tbl} mode={mode}"
+        if ERROR_OUTPUT in outputs:
+            errors.append(
+                f"{cell}: test failed on at least one target ({sorted(targets)})"
+            )
+        if len(outputs) > 1:
+            errors.append(f"{cell}: outputs differ across targets: {sorted(outputs)}")
+        if len(targets) < len(expected_targets):
+            missing = sorted(set(expected_targets) - targets)
             errors.append(f"{cell}: missing targets {missing}")
     return errors
 
 
 def report_table(results: DataFrame) -> DataFrame:
     """Pivoted report: one row per (schema, tbl, target), one column per
-    mode, sorted on all columns (``WriteAsTable``, results.go:101-166)."""
-    pivoted = (
-        results.groupBy("schema", "tbl", "target")
-        .pivot("mode")
-        .agg(F.first("output"))
+    mode, sorted on all columns (``WriteAsTable``, results.go:101-166).
+
+    Pivoted driver-side: ``groupBy().pivot()`` without explicit values
+    runs an extra distinct job just to discover the mode columns, and the
+    input is a tiny scalar-per-cell set by construction.
+    """
+    rows = results.collect()
+    modes = sorted({r["mode"] for r in rows})
+    cells: dict[tuple[str, str, str], dict[str, str]] = {}
+    for r in rows:
+        cells.setdefault((r["schema"], r["tbl"], r["target"]), {})[r["mode"]] = r["output"]
+    out = sorted(
+        ((*key, *[cell.get(m) for m in modes]) for key, cell in cells.items()),
+        key=lambda t: tuple((v is None, v) for v in t),
     )
-    return pivoted.orderBy(*pivoted.columns)
+    fields = ", ".join(
+        f"{name} string" for name in ("schema", "tbl", "target", *modes)
+    )
+    return results.sparkSession.createDataFrame(out, fields)
