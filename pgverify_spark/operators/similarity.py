@@ -143,6 +143,103 @@ def ann_lsh_topk(df: DataFrame, query_ids: tuple[int, ...], k: int = 10) -> Data
     )
 
 
+#: Deterministic IVF coarse centroids (md5-derived like HYPERPLANES).
+IVF_CENTROIDS_N = 16
+IVF_CENTROIDS = [
+    [(_const(f"ivf-{j}-{i}", 0, 1001) - 500) / 1000.0 for i in range(EMBEDDING_DIM)]
+    for j in range(IVF_CENTROIDS_N)
+]
+
+
+def _centroid_rank_sql(vec_col: str, dialect: str) -> str:
+    """Centroid indices ordered by descending dot product with ``vec_col``
+    (ties broken by index).  Sorting (negated-dot, idx) structs uses the
+    same field-order comparison in Spark's ``array_sort`` and DuckDB's
+    ``list_sort``."""
+    structs = []
+    for j, cen in enumerate(IVF_CENTROIDS):
+        d = f"CAST(-({_dot_literal_sql(vec_col, cen, dialect)}) AS DOUBLE)"
+        if dialect == DIALECT_SPARK:
+            structs.append(f"named_struct('negd', {d}, 'idx', {j})")
+        else:
+            structs.append(f"{{'negd': {d}, 'idx': {j}}}")
+    if dialect == DIALECT_SPARK:
+        return f"transform(array_sort(array({', '.join(structs)})), s -> s.idx)"
+    return f"list_transform(list_sort([{', '.join(structs)}]), s -> s.idx)"
+
+
+def ivf_assign(df: DataFrame) -> DataFrame:
+    """Inverted-file assignment: (vec_id, cluster) — each vector belongs
+    to its highest-dot-product centroid."""
+    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
+    return df.selectExpr("vec_id", f"element_at({ranked}, 1) AS cluster")
+
+
+def ivf_assign_oracle_sql(table: str) -> str:
+    ranked = _centroid_rank_sql("embedding", DIALECT_DUCKDB)
+    return f"SELECT vec_id, ({ranked})[1] AS cluster FROM {table}"
+
+
+def ivf_topk(
+    df: DataFrame, query_ids: tuple[int, ...], k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """IVF approximate top-k: the corpus is partitioned into
+    ``IVF_CENTROIDS_N`` coarse cells by nearest centroid; a query scores
+    only vectors in its ``nprobe`` closest cells.
+
+    Same output schema as ``cosine_topk``; recall rises with ``nprobe``
+    (nprobe = C is exact brute force).  Scale shape: cell assignment is
+    one embarrassingly-parallel projection; the probe is an equi-join on
+    the cell id with the tiny query side broadcast, so the corpus is
+    never shuffled — candidates per query ~ nprobe/C of the corpus.
+    """
+    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
+    corpus = df.selectExpr(
+        "vec_id", "embedding", f"element_at({ranked}, 1) AS cluster"
+    )
+    ids = ", ".join(map(str, query_ids))
+    q = df.filter(f"vec_id IN ({ids})").selectExpr(
+        "vec_id AS query_id",
+        "embedding AS q_emb",
+        f"explode(slice({ranked}, 1, {nprobe})) AS cluster",
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cluster")
+        .filter("vec_id <> query_id")
+        .selectExpr(
+            "query_id",
+            "vec_id",
+            f"{cosine_sql('q_emb', 'embedding', DIALECT_SPARK)} AS cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(f"rank <= {k}")
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ivf_topk_oracle_sql(
+    table: str, query_ids: tuple[int, ...], k: int = 10, nprobe: int = 2
+) -> str:
+    ids = ", ".join(map(str, query_ids))
+    ranked = _centroid_rank_sql("embedding", DIALECT_DUCKDB)
+    cos = cosine_sql("q.q_emb", "c.embedding", DIALECT_DUCKDB)
+    return (
+        f"WITH a AS (SELECT vec_id, embedding, {ranked} AS ranked FROM {table}), "
+        "c AS (SELECT vec_id, embedding, ranked[1] AS cluster FROM a), "
+        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, "
+        f"unnest(list_slice(ranked, 1, {nprobe})) AS cluster FROM a "
+        f"WHERE vec_id IN ({ids})) "
+        "SELECT query_id, vec_id, cosine, rank FROM ("
+        f"SELECT q.query_id, c.vec_id, {cos} AS cosine, "
+        f"row_number() OVER (PARTITION BY q.query_id ORDER BY {cos} DESC, c.vec_id ASC) AS rank "
+        "FROM c JOIN q ON c.cluster = q.cluster AND c.vec_id <> q.query_id) t "
+        f"WHERE rank <= {k}"
+    )
+
+
 def ann_lsh_topk_oracle_sql(table: str, query_ids: tuple[int, ...], k: int = 10) -> str:
     ids = ", ".join(map(str, query_ids))
     cos = cosine_sql("q.embedding", "c.embedding", DIALECT_DUCKDB)

@@ -195,6 +195,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("embeddings", lambda df: similarity.ann_lsh_topk(df, qids, 10)),
             similarity.ann_lsh_topk_oracle_sql("embeddings", qids, 10),
         ),
+        "ivf_assign_embeddings": (
+            _table_query("embeddings", similarity.ivf_assign),
+            similarity.ivf_assign_oracle_sql("embeddings"),
+        ),
+        "ivf_topk_embeddings": (
+            _table_query("embeddings", lambda df: similarity.ivf_topk(df, qids, 10, 2)),
+            similarity.ivf_topk_oracle_sql("embeddings", qids, 10, 2),
+        ),
         # multimodal plumbing (Arrow mapInPandas vs blob-SQL oracle)
         "multimodal_features_documents": (
             _table_query("documents", multimodal.extract_features),
@@ -203,12 +211,68 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
     }
 
 
+def _streaming_entry() -> dict[str, tuple[Callable, None]]:
+    """Custom stateful streaming operator (applyInPandasWithState) driven
+    to completion over a deterministic 4-chunk file stream of ``events``.
+    Not SQL-expressible — registered without an oracle twin (the driver
+    records the weaker rows-only check); equality with the batch
+    ``additive`` fingerprint is asserted in tests/test_streaming.py.
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.incremental import (
+            streaming_stateful_bucket_fingerprint,
+        )
+
+        src = ParquetTarget("t", sf_dir)
+        df = src.read(spark, "events")
+        tschema = src.table_schema(spark, "events")
+        tmp = tempfile.mkdtemp(prefix="pgvs_stream_")
+        (
+            df.withColumn("chunk", (F.col("event_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        emitted = streaming_stateful_bucket_fingerprint(sdf, tschema, _CFG, buckets=16)
+        q = (
+            emitted.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("registry_bucket_state")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # latest state per bucket (deterministic given the chunking)
+        latest: dict[int, tuple] = {}
+        for r in spark.table("registry_bucket_state").collect():
+            if r["bucket"] not in latest or r["updates"] > latest[r["bucket"]][3]:
+                latest[r["bucket"]] = (r["bucket"], r["cnt"], r["hsum"], r["updates"])
+        return spark.createDataFrame(
+            sorted(latest.values()), "bucket int, cnt bigint, hsum bigint, updates int"
+        )
+
+    return {"streaming_stateful_bucket_fingerprint_events": (run, None)}
+
+
 def _entries() -> dict[str, tuple[Callable, str | None]]:
     return {
         **_fingerprint_entries(),
         **_diff_entries(),
         **_report_entry(),
         **_pipeline_entries(),
+        **_streaming_entry(),
     }
 
 

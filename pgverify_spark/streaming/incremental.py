@@ -66,6 +66,86 @@ def finalize_additive_fingerprint(bucket_state: DataFrame) -> str:
     return row.fp
 
 
+#: Output / state schemas for the stateful bucket fingerprint operator.
+_BUCKET_OUT_SCHEMA = "bucket int, cnt bigint, hsum bigint, updates int"
+_BUCKET_STATE_SCHEMA = "cnt bigint, hsum bigint, updates int"
+
+
+def streaming_stateful_bucket_fingerprint(
+    sdf: DataFrame,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+    buckets: int = 64,
+) -> DataFrame:
+    """Per-bucket incremental fingerprint via ``applyInPandasWithState``
+    — a custom stateful operator, not a built-in aggregation, because it
+    emits a bucket's row ONLY in micro-batches where that bucket changed
+    (change-data-capture of the fingerprint itself; a ``groupBy().agg``
+    in update mode cannot carry the per-bucket update counter).
+
+    State per bucket: ``(cnt, hsum, updates)`` where ``hsum`` is the
+    48-bit row-hash sum mod 2^61-1 — modular addition is associative, so
+    folding each micro-batch's partial sum into state reproduces the
+    batch ``additive`` fingerprint exactly, in any arrival order.  State
+    is bounded at ``buckets`` rows forever (no watermark needed).
+
+    Output rows carry ``updates`` (how many micro-batches touched the
+    bucket) so downstream consumers can keep the latest state per bucket
+    from an append/update sink.
+    """
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    config = config or VerifyConfig()
+    cols = schema.hashed_cols(config.valid_column)
+    h = row_hash_sql(cols, DIALECT_SPARK, config.trunc_unit)
+    h48 = hex_prefix_int_sql("hm", DIALECT_SPARK)
+    rows = (
+        sdf.selectExpr(f"{h} AS hm")
+        .selectExpr(f"CAST({h48} AS BIGINT) AS hv")
+        .selectExpr("hv", f"CAST(hv % {buckets} AS INT) AS bucket")
+    )
+
+    def update_fn(key: tuple, pdfs, state: GroupState):
+        cnt, hsum, updates = state.get if state.exists else (0, 0, 0)
+        delta_n, delta_sum = 0, 0
+        for pdf in pdfs:
+            delta_n += len(pdf)
+            # Python-int sum: per-batch totals exceed int64 long before
+            # the modular fold does (48-bit values), so don't let numpy
+            # wrap silently.
+            delta_sum += int(sum(map(int, pdf["hv"])))
+        cnt += delta_n
+        hsum = (hsum + delta_sum) % ADDITIVE_MOD
+        updates += 1
+        state.update((cnt, hsum, updates))
+        yield pd.DataFrame(
+            {"bucket": [key[0]], "cnt": [cnt], "hsum": [hsum], "updates": [updates]}
+        )
+
+    return rows.groupBy("bucket").applyInPandasWithState(
+        update_fn,
+        outputStructType=_BUCKET_OUT_SCHEMA,
+        stateStructType=_BUCKET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_stateful_bucket_fingerprint(emitted: DataFrame) -> str:
+    """Collapse emitted (bucket, cnt, hsum, updates) rows — keeping each
+    bucket's latest update — to the scalar ``count:sum`` fingerprint,
+    identical to batch ``additive_fingerprint`` over the same rows."""
+    latest: dict[int, tuple[int, int, int]] = {}
+    for r in emitted.collect():
+        cur = latest.get(r["bucket"])
+        if cur is None or r["updates"] > cur[2]:
+            latest[r["bucket"]] = (r["cnt"], r["hsum"], r["updates"])
+    total_cnt = sum(v[0] for v in latest.values())
+    total_sum = sum(v[1] for v in latest.values()) % ADDITIVE_MOD
+    return f"{total_cnt}:{total_sum}"
+
+
 def streaming_windowed_counts(
     sdf: DataFrame,
     window: str = "1 hour",

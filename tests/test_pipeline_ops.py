@@ -125,6 +125,36 @@ def test_ann_lsh_topk(embs, duck):
     assert all(r[3] >= 1 for r in rows)
 
 
+def test_ivf_assign(embs, duck):
+    rows = _cmp(
+        similarity.ivf_assign(embs),
+        duck,
+        similarity.ivf_assign_oracle_sql("embeddings"),
+    )
+    assert all(0 <= r[1] <= similarity.IVF_CENTROIDS_N for r in rows)
+
+
+def test_ivf_topk(embs, duck):
+    rows = _cmp(
+        similarity.ivf_topk(embs, QIDS, 10, 2),
+        duck,
+        similarity.ivf_topk_oracle_sql("embeddings", QIDS, 10, 2),
+    )
+    assert all(r[3] >= 1 for r in rows)
+
+
+def test_ivf_full_probe_is_exact(embs):
+    """Probing every cell must reproduce exact brute-force top-k."""
+    exact = sorted(map(tuple, similarity.cosine_topk(embs, QIDS, 5).collect()))
+    full = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(embs, QIDS, 5, similarity.IVF_CENTROIDS_N).collect(),
+        )
+    )
+    assert exact == full
+
+
 def test_hyperplane_buckets(embs, duck):
     rows = _cmp(
         similarity.hyperplane_buckets(embs),

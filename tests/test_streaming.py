@@ -10,7 +10,9 @@ from pgverify_spark.operators.fingerprint import additive_fingerprint
 from pgverify_spark.sources.parquet import ParquetTarget
 from pgverify_spark.streaming.incremental import (
     finalize_additive_fingerprint,
+    finalize_stateful_bucket_fingerprint,
     streaming_additive_fingerprint,
+    streaming_stateful_bucket_fingerprint,
     streaming_windowed_counts,
 )
 
@@ -55,6 +57,35 @@ def test_streaming_additive_fingerprint_matches_batch(spark, sf_dir, chunked_eve
     assert streamed == batch
     # bounded state: at most `buckets` rows
     assert spark.table("fp_state").count() <= 64
+
+
+def test_stateful_bucket_fingerprint_matches_batch(spark, sf_dir, chunked_events, tmp_path):
+    """applyInPandasWithState fold across micro-batches == batch additive."""
+    src_dir, schema, tschema = chunked_events
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    emitted = streaming_stateful_bucket_fingerprint(sdf, tschema, CFG, buckets=16)
+    q = (
+        emitted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("bucket_state")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = finalize_stateful_bucket_fingerprint(spark.table("bucket_state"))
+    batch = additive_fingerprint(
+        ParquetTarget("t", sf_dir).read(spark, "events"), tschema, CFG
+    ).collect()[0].fp
+    assert streamed == batch
+    # emit-on-change: multiple micro-batches touched at least one bucket
+    assert spark.table("bucket_state").selectExpr("max(updates)").collect()[0][0] >= 2
 
 
 def test_streaming_windowed_counts_matches_batch(spark, chunked_events, tmp_path):
