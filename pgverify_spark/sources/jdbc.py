@@ -115,9 +115,21 @@ class JDBCTarget:
             .options(**self.properties)
         )
         if table in self.partition_columns:
-            reader = reader.option(
-                "partitionColumn", self.partition_columns[table]
-            ).option("numPartitions", str(self.num_partitions))
+            col = self.partition_columns[table]
+            # Spark requires explicit bounds with partitionColumn; compute
+            # them in the database (one tiny pushdown aggregate).
+            lo, hi = self._pushdown(
+                spark,
+                f'SELECT min("{col}") AS lo, max("{col}") AS hi '
+                f'FROM "{self.schema}"."{table}"',
+            ).collect()[0]
+            if lo is not None and hi is not None and lo != hi:
+                reader = (
+                    reader.option("partitionColumn", col)
+                    .option("lowerBound", str(lo))
+                    .option("upperBound", str(hi))
+                    .option("numPartitions", str(self.num_partitions))
+                )
         return reader.load()
 
     def table_schema(self, spark: SparkSession, table: str) -> TableSchema:
