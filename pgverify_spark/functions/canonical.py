@@ -59,21 +59,31 @@ def canon_sql(col: str, ltype: str, dialect: str, trunc_unit: str = "millisecond
     TIMESTAMP_NS on the DuckDB side.
     """
     if ltype in ("double", "float"):
-        # Fixed-point via decimal cast: byte-identical across engines and
-        # ~2x faster than printf('%.6f') (String.format is the bottleneck
-        # of the row-hash scan).  No double sits exactly on a 6-decimal
-        # rounding tie (a tie needs a 5^-7 factor, impossible for dyadic
-        # rationals), so both engines' correctly-rounded conversions
-        # agree.  TRY_CAST nulls out-of-range values in both engines
-        # (concat_ws then skips them identically); NaN/Inf are guarded
-        # because DuckDB's TRY_CAST raises on NaN->decimal.  float widens
-        # to double exactly in both engines; + 0.0 normalizes -0.0.
+        # Fixed-point decimal, reached THROUGH the shortest-round-trip
+        # string: ``double -> string`` is the unique shortest repr of the
+        # same value in both engines, and ``string -> decimal`` is exact
+        # decimal arithmetic with identical tie rounding — whereas a
+        # direct ``double -> decimal`` cast diverges (DuckDB scales by
+        # 10^6 in floating point, garbling magnitudes >= 2^50; Java's
+        # printf rounds shortest digits, not the exact value — both
+        # found by the edge/fuzz parity tests).  TRY_CAST nulls values
+        # beyond DECIMAL(38,6) range (~1e32) in both engines (concat_ws
+        # then skips them identically); NaN/Inf are guarded because
+        # DuckDB's TRY_CAST raises on NaN->decimal.  float widens to
+        # double exactly in both engines; + 0.0 normalizes -0.0.
         c = f"CAST({col} AS DOUBLE)" if ltype == "float" else col
-        dec = _str_cast(f"TRY_CAST({c} + 0.0 AS DECIMAL(38,6))", dialect)
+        sstr = _str_cast(f"{c} + 0.0", dialect)
+        dec = _str_cast(f"TRY_CAST({sstr} AS DECIMAL(38,6))", dialect)
+        # abs < 1e-7 short-circuit: such values all round to 0.000000,
+        # and it keeps scientific notation with exponent <= -8 away from
+        # DuckDB's string->decimal parser, which mis-rounds long-mantissa
+        # strings there ('6.6552990120357385e-08' -> 0.000001); exponents
+        # >= -7 parse correctly (verified digit-exact by the fuzz tests).
         return (
             f"CASE WHEN isnan({c}) THEN 'NaN' "
             f"WHEN abs({c}) = CAST('Infinity' AS DOUBLE) THEN "
             f"(CASE WHEN {c} > 0 THEN 'Infinity' ELSE '-Infinity' END) "
+            f"WHEN abs({c}) < 1e-7 THEN '0.000000' "
             f"ELSE {dec} END"
         )
     if ltype in ("timestamp", "timestamp_ntz"):
@@ -93,7 +103,15 @@ def canon_sql(col: str, ltype: str, dialect: str, trunc_unit: str = "millisecond
         x = canon_sql("x", elem, dialect, trunc_unit)
         if dialect == DIALECT_SPARK:
             return f"concat('[', array_join(transform({col}, x -> {x}), ','), ']')"
-        return f"('[' || array_to_string(list_transform({col}, x -> {x}), ',') || ']')"
+        # coalesce: DuckDB's array_to_string is NULL on an empty list
+        # (string_agg semantics) where Spark's array_join returns '';
+        # the CASE keeps a NULL *array* canonicalizing to NULL (as in
+        # Spark, where concat propagates it) rather than '[]'.
+        return (
+            f"(CASE WHEN {col} IS NULL THEN NULL ELSE "
+            f"'[' || coalesce(array_to_string(list_transform({col}, x -> {x}), ','), '')"
+            " || ']' END)"
+        )
     if ltype == "string":
         return col
     # boolean/ints/decimal/date render identically via plain string cast
