@@ -47,11 +47,18 @@ class VerifyResult:
         return not self.errors
 
 
+#: (target, schema, table, mode) identity of one fingerprint sub-plan.
+Cell = tuple[str, str, str, str]
+
+
 def _target_results(
     spark: SparkSession, target: ParquetTarget, config: VerifyConfig
-) -> list[DataFrame]:
-    """Per-target fingerprint sub-plans (runTestsOnTarget, verify.go:90-106)."""
-    parts: list[DataFrame] = []
+) -> list[tuple[Cell, DataFrame]]:
+    """Per-target fingerprint sub-plans (runTestsOnTarget, verify.go:90-106),
+    each carrying its cell identity so a runtime failure can be pinned to
+    the cell (the reference seeds every cell with "(err)" up front for
+    the same reason, verify.go:108-136)."""
+    parts: list[tuple[Cell, DataFrame]] = []
     for table in target.list_tables(config):
         tag = lambda fp_df, mode, t=table: fp_df.select(
             F.lit(target.name).alias("target"),
@@ -60,19 +67,33 @@ def _target_results(
             F.lit(mode).alias("mode"),
             F.col("fp").alias("output"),
         )
+        def err_cells(t=table):
+            # no PK / unreadable table: the reference skips it with an
+            # error, leaving the seeded "(err)" output in place
+            # (verify.go:108-136, 194-198)
+            return [
+                (
+                    (target.name, target.schema, t, mode),
+                    tag(spark.createDataFrame([(ERROR_OUTPUT,)], "fp string"), mode),
+                )
+                for mode in config.test_modes
+            ]
+
         try:
             schema = target.table_schema(spark, table)
             df = target.read(spark, table)
-        except ValueError:
-            # no PK: reference skips the table with an error, leaving the
-            # seeded "(err)" output in place (verify.go:108-136, 194-198)
-            for mode in config.test_modes:
-                parts.append(
-                    tag(spark.createDataFrame([(ERROR_OUTPUT,)], "fp string"), mode)
+            table_parts = [
+                (
+                    (target.name, target.schema, table, mode),
+                    tag(FINGERPRINT_OPS[mode](df, schema, config), mode),
                 )
-            continue
-        for mode in config.test_modes:
-            parts.append(tag(FINGERPRINT_OPS[mode](df, schema, config), mode))
+                for mode in config.test_modes
+            ]
+        except Exception:
+            # schema inference / plan build already failed (missing PK,
+            # corrupt footer, unsupported type)
+            table_parts = err_cells()
+        parts.extend(table_parts)
     return parts
 
 
@@ -82,19 +103,35 @@ def verify(
     """Run every (target, table, mode) fingerprint and check consistency."""
     config = config or VerifyConfig()
     config.validate()
-    parts: list[DataFrame] = []
+    parts: list[tuple[Cell, DataFrame]] = []
     for target in targets:
         parts.extend(_target_results(spark, target, config))
     if not parts:
         raise ValueError("no tables to verify")
-    plan = reduce(DataFrame.unionByName, parts)
+    plan = reduce(DataFrame.unionByName, [df for _, df in parts])
     # One action executes every fingerprint (the union's independent
     # branches run as concurrent stages).  The outcome is tiny by
     # construction — one scalar per (target, table, mode) — so collect it
     # and hand downstream consumers (error check, report pivot) a local
     # DataFrame; otherwise each consumer's action would re-execute every
     # fingerprint scan.
-    results = spark.createDataFrame(plan.collect(), plan.schema)
+    try:
+        rows = plan.collect()
+    except Exception:
+        # A runtime failure (corrupt file, unreadable column) aborts the
+        # whole union action; re-run cells individually so the failure is
+        # pinned to its cell as the "(err)" sentinel while every healthy
+        # cell still reports — the reference's seeded-error semantics
+        # (results.go:12, verify.go:131).
+        rows = []
+        for cell, df in parts:
+            try:
+                rows.extend(df.collect())
+            except Exception:
+                rows.append((*cell, ERROR_OUTPUT))
+    results = spark.createDataFrame(
+        [tuple(r) for r in rows], "target string, schema string, tbl string, mode string, output string"
+    )
     errors = check_for_errors(results, expected_targets=[t.name for t in targets])
     return VerifyResult(results=results, errors=errors)
 

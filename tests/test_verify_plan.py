@@ -59,6 +59,24 @@ def test_verify_no_pk_errors(spark, sf_dir, tmp_path):
     assert any("test failed" in e for e in res.errors)
 
 
+def test_verify_corrupt_table_errs_without_aborting(spark, sf_dir, tmp_path):
+    """A runtime read failure on one table pins '(err)' to that table's
+    cells while healthy tables still report (the reference's seeded-error
+    semantics, results.go:12, verify.go:131)."""
+    src = ParquetTarget("a", sf_dir)
+    broken_dir = tmp_path / "broken"
+    src.read(spark, "region").coalesce(1).write.parquet(str(broken_dir / "region.parquet"))
+    # nation exists but its parquet footer is garbage -> fails at execution
+    (broken_dir / "nation.parquet").mkdir()
+    (broken_dir / "nation.parquet" / "part-0.parquet").write_bytes(b"not parquet at all")
+    cfg = VerifyConfig(test_modes=("rowcount",), include_tables=("region", "nation"))
+    res = verify(spark, [ParquetTarget("a", str(broken_dir))], cfg)
+    by_tbl = {r.tbl: r.output for r in res.results.collect()}
+    assert by_tbl["nation"] == "(err)"
+    assert by_tbl["region"].isdigit()
+    assert any("test failed" in e and "nation" in e for e in res.errors)
+
+
 def test_row_diff_matches_oracle(spark, duck, sf_dir):
     target = ParquetTarget("t", sf_dir)
     schema = TESTDATA_TABLES["orders"]
