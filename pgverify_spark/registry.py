@@ -69,6 +69,20 @@ def _fingerprint_entries() -> dict[str, tuple[Callable, str]]:
             "full",
             VerifyConfig(exclude_columns=("o_orderpriority", "o_totalprice")),
         ),
+        # --timestamp-precision variants (config.go:32,90): date_trunc on a
+        # real timestamp (orders) and on the bigint-nanos path (events)
+        (
+            "full_fingerprint_orders_secs_precision",
+            "orders",
+            "full",
+            VerifyConfig(timestamp_precision="seconds"),
+        ),
+        (
+            "full_fingerprint_events_hours_precision",
+            "events",
+            "full",
+            VerifyConfig(timestamp_precision="hours"),
+        ),
     ]
     out = {}
     for name, table, mode, cfg in cases:

@@ -90,6 +90,20 @@ def test_hash_primary_keys_variant(spark, duck, sf_dir):
     )
 
 
+def test_timestamp_precision_variants(spark, duck, sf_dir):
+    """--timestamp-precision truncation (config.go:32,90) on both the real
+    timestamp path (orders) and the bigint-nanos path (events)."""
+    for table, precision in (("orders", "seconds"), ("events", "hours")):
+        cfg = VerifyConfig(timestamp_precision=precision)
+        a = _spark_fp(spark, sf_dir, table, "full", cfg)
+        assert a == _duck_fp(duck, table, "full", cfg)
+    # coarser truncation must actually change the events fingerprint
+    # (sub-hour timestamp spread exists in the testdata)
+    assert _spark_fp(
+        spark, sf_dir, "events", "full", VerifyConfig(timestamp_precision="hours")
+    ) != _spark_fp(spark, sf_dir, "events", "full", CFG)
+
+
 def test_exclude_columns(spark, duck, sf_dir):
     """Column exclusion changes the fingerprint and stays oracle-consistent
     (verify.go:138-144, integration_test.go:283)."""
