@@ -103,9 +103,17 @@ def verify(
     """Run every (target, table, mode) fingerprint and check consistency."""
     config = config or VerifyConfig()
     config.validate()
+    # Per-target plan build fans out on driver threads — the reference's
+    # goroutine-per-target (verify.go:66-77).  Execution parallelism comes
+    # from Spark regardless; this overlaps the *metadata* work (JDBC
+    # catalog/PK introspection round-trips, parquet footer reads), which
+    # is serial, driver-side latency otherwise.
+    from concurrent.futures import ThreadPoolExecutor
+
     parts: list[tuple[Cell, DataFrame]] = []
-    for target in targets:
-        parts.extend(_target_results(spark, target, config))
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(targets)))) as pool:
+        for sub in pool.map(lambda t: _target_results(spark, t, config), targets):
+            parts.extend(sub)
     if not parts:
         raise ValueError("no tables to verify")
     plan = reduce(DataFrame.unionByName, [df for _, df in parts])
