@@ -321,3 +321,45 @@ def embedding_near_dups_oracle_sql(table: str, threshold: float = 0.99) -> str:
         f"FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id "
         f"WHERE {cos} >= {threshold}"
     )
+
+
+def embedding_near_dups_lsh(df: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Scale path for embedding near-dup detection: candidates share a
+    hyperplane LSH bucket (equi-join on the 8-bit sign signature), then
+    exact cosine verifies.  Same output schema as the exact baseline.
+
+    Recall < 1 by design: high-cosine pairs land in the same bucket with
+    probability ``(1 - theta/pi)^bits`` (>= ~0.95 at cosine 0.99 with 8
+    bits); precision is exact because every candidate is verified.  The
+    join shuffles on the bucket id — O(sum bucket^2) candidate pairs vs
+    the baseline's O(n^2), and no skew because hyperplane signs split
+    near-uniformly.
+    """
+    from pgverify_spark.operators.similarity import bucket_sql
+
+    b = df.selectExpr(
+        "vec_id", "embedding", f"{bucket_sql('embedding', DIALECT_SPARK)} AS bucket"
+    )
+    return (
+        b.selectExpr("bucket", "vec_id AS vec_a", "embedding AS emb_a")
+        .join(b.selectExpr("bucket", "vec_id AS vec_b", "embedding AS emb_b"), "bucket")
+        .filter("vec_a < vec_b")
+        .selectExpr(
+            "vec_a", "vec_b", f"{cosine_sql('emb_a', 'emb_b', DIALECT_SPARK)} AS cosine"
+        )
+        .filter(f"cosine >= {threshold}")
+    )
+
+
+def embedding_near_dups_lsh_oracle_sql(table: str, threshold: float = 0.99) -> str:
+    from pgverify_spark.operators.similarity import bucket_sql
+
+    d = DIALECT_DUCKDB
+    cos = cosine_sql("a.embedding", "b.embedding", d)
+    bucket = bucket_sql("embedding", d)
+    return (
+        f"WITH bk AS (SELECT vec_id, embedding, {bucket} AS bucket FROM {table}) "
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine "
+        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+        f"WHERE {cos} >= {threshold}"
+    )

@@ -196,6 +196,10 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("embeddings", lambda df: dedup.embedding_near_dups(df, 0.4)),
             dedup.embedding_near_dups_oracle_sql("embeddings", 0.4),
         ),
+        "embedding_near_dups_lsh": (
+            _table_query("embeddings", lambda df: dedup.embedding_near_dups_lsh(df, 0.4)),
+            dedup.embedding_near_dups_lsh_oracle_sql("embeddings", 0.4),
+        ),
         # similarity search
         "cosine_topk_embeddings": (
             _table_query("embeddings", lambda df: similarity.cosine_topk(df, qids, 10)),

@@ -102,6 +102,17 @@ def test_embedding_near_dups(embs, duck):
     )
 
 
+def test_embedding_near_dups_lsh(embs, duck):
+    rows = _cmp(
+        dedup.embedding_near_dups_lsh(embs, 0.4),
+        duck,
+        dedup.embedding_near_dups_lsh_oracle_sql("embeddings", 0.4),
+    )
+    # verified candidates: always a subset of the exact O(n^2) baseline
+    exact = {(r.vec_a, r.vec_b) for r in dedup.embedding_near_dups(embs, 0.4).collect()}
+    assert {(r[0], r[1]) for r in rows} <= exact
+
+
 def test_cosine_topk(embs, duck):
     rows = _cmp(
         similarity.cosine_topk(embs, QIDS, 10),
