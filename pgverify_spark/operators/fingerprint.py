@@ -179,15 +179,19 @@ def sparse_fingerprint(
     """
     config = config or VerifyConfig()
     k, h, k_plain = _exprs(schema, config)
-    base = df if _small(df, config) else _parallelize(df)
+    size = plan_size_bytes(df)
+    base = df if size <= config.small_input_bytes else _parallelize(df)
     sampled = base.selectExpr(f"{k} AS k", f"{h} AS h", f"md5({k_plain}) AS hk").filter(
         f"({hex_prefix_int_sql('hk', DIALECT_SPARK)} % {config.sparse_mod}) = 0"
     )
-    # single-reduce ordered agg, NOT the sort-based _exact_ordered_fp: a
-    # range sort samples its child to pick bounds, which would run the
-    # full filter+hash scan twice; the sampled subset (~n/mod rows) fits
-    # the single reduce comfortably.
-    return sampled.selectExpr(_NO_ROWS_AGG)
+    # Plan choice on the SAMPLED size (~input/mod): below the threshold
+    # the single-reduce ordered agg wins — the sort-based plan's range
+    # sampling would run the filter+hash scan twice for nothing.  Above
+    # it (sampled rows no longer fit one reducer) switch to the
+    # distributed sort, which computes the byte-identical fingerprint.
+    if size // max(1, config.sparse_mod) <= config.small_input_bytes:
+        return sampled.selectExpr(_NO_ROWS_AGG)
+    return _exact_ordered_fp(sampled.select("k", "h"))
 
 
 def bucketed_fingerprint(
