@@ -16,12 +16,16 @@ Scale design
   candidate generation is an equi-join on band keys (uniform md5 keys,
   no skew), so cost is O(candidates), never O(n^2).  Jaccard >= ~0.5
   pairs collide on some band with high probability.
+- **ngram_jaccard** (exact): counted self-join of the inverted index —
+  ``J = o/(|a|+|b|-o)`` from overlap counts with map-side combine, no
+  array shuffling; quadratic in hot-shingle frequency (mitigations in
+  its docstring).
 - **simhash**: 48-bit signature split into 4 x 12-bit chunks; pairs with
   Hamming distance <= 3 must agree on >= 1 chunk (pigeonhole), so the
   chunk equi-join finds all such pairs exactly.
-- **embedding**: exact O(n^2) pairwise cosine — the correctness
-  baseline; for 10^9+ vectors use the hyperplane-LSH bucketing in
-  :mod:`pgverify_spark.operators.similarity` to prune candidates.
+- **embedding**: exact O(n^2) pairwise cosine as the correctness
+  baseline; ``embedding_near_dups_lsh`` prunes candidates to shared
+  hyperplane buckets for 10^9+ vectors.
 """
 
 from __future__ import annotations

@@ -21,9 +21,12 @@ nondeterministic under ties).
 Scale
 -----
 ``full`` reproduces the reference's semantics exactly and shares its cost
-profile: one total order over the table.  In Spark it executes as a
-single final reduce (``array_sort(collect_list(...))``) whose memory is
-O(48 bytes x rows) — fine to ~100M rows, and isomorphic to the
+profile: one total order over the table.  The physical plan is chosen
+from Catalyst's size estimate: small inputs use a two-stage single-reduce
+ordered aggregate; large inputs a distributed, spill-able range sort with
+per-partition ordered partials (``_exact_ordered_fp``).  Either way the
+final md5 consumes the 32 B x rows concatenation in one reduce — the
+inherent cost of an exact sequential digest, isomorphic to the
 server-side ``ORDER BY + string_agg`` the reference pushes into PG
 (README.md:69 calls full mode "memory intensive").  **At 100 TB use
 ``bucketed``**: rows hash-partition into B fixed buckets on the PK key,
