@@ -81,6 +81,47 @@ def text_stats_oracle_sql(table: str) -> str:
     )
 
 
+#: GPT-2-ish pre-tokenizer: contractions, letter runs, digit runs,
+#: punctuation runs, whitespace runs.  ASCII classes only so Java regex
+#: (Spark) and RE2 (DuckDB) match identically.
+BPE_ISH_PATTERN = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+
+
+def _bpe_rx(dialect: str) -> str:
+    """Pattern as a SQL string literal (quote-escape the contraction
+    apostrophes; Spark literals additionally eat one backslash level)."""
+    p = BPE_ISH_PATTERN.replace("'", "''")
+    if dialect == DIALECT_SPARK:
+        p = p.replace("\\", "\\\\")
+    return f"'{p}'"
+
+
+def token_counts(df: DataFrame) -> DataFrame:
+    """Token counts per document: whitespace tokens and BPE-ish
+    pre-tokenizer matches (the standard proxy for LLM token budgeting;
+    a real BPE vocab merge only subdivides these matches further).
+
+    Pure projection — no shuffle, partitioning inherited from the scan.
+    """
+    n_ws = _size(tokens_sql("text", DIALECT_SPARK), DIALECT_SPARK)
+    n_bpe = f"size(regexp_extract_all(text, {_bpe_rx(DIALECT_SPARK)}, 0))"
+    return df.selectExpr(
+        "doc_id",
+        f"CAST({n_ws} AS BIGINT) AS n_ws_tokens",
+        f"CAST({n_bpe} AS BIGINT) AS n_bpe_tokens",
+    )
+
+
+def token_counts_oracle_sql(table: str) -> str:
+    d = DIALECT_DUCKDB
+    n_ws = _size(tokens_sql("text", d), d)
+    n_bpe = f"len(regexp_extract_all(text, {_bpe_rx(d)}))"
+    return (
+        f"SELECT doc_id, CAST({n_ws} AS BIGINT) AS n_ws_tokens, "
+        f"CAST({n_bpe} AS BIGINT) AS n_bpe_tokens FROM {table}"
+    )
+
+
 def _langid_exprs(dialect: str) -> tuple[list[str], str, str]:
     hits = [
         f"{stopword_hits_sql('tokens', lang, dialect)} AS hits_{lang}"

@@ -156,6 +156,10 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", text.language_id),
             text.language_id_oracle_sql("documents"),
         ),
+        "token_counts_documents": (
+            _table_query("documents", text.token_counts),
+            text.token_counts_oracle_sql("documents"),
+        ),
         "doc_fingerprints_documents": (
             _table_query("documents", text.doc_fingerprints),
             text.doc_fingerprints_oracle_sql("documents"),

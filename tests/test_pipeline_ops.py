@@ -35,6 +35,12 @@ def test_language_id(docs, duck):
     assert {r[1] for r in rows} <= {"en", "de", "fr", "es", "und"}
 
 
+def test_token_counts(docs, duck):
+    rows = _cmp(text.token_counts(docs), duck, text.token_counts_oracle_sql("documents"))
+    # the BPE-ish pre-tokenizer splits at least as finely as whitespace
+    assert all(r[2] >= r[1] for r in rows)
+
+
 def test_doc_fingerprints(docs, duck):
     rows = _cmp(
         text.doc_fingerprints(docs), duck, text.doc_fingerprints_oracle_sql("documents")
