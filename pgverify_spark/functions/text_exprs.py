@@ -265,6 +265,38 @@ def cosine_sql(a_col: str, b_col: str, dialect: str) -> str:
     return f"round({dot} / ({na} * {nb}), 6)"
 
 
+def rolling_fps_sql(norm_col: str, dialect: str, k: int = 8, mod: int = 16) -> str:
+    """Content-defined document fingerprints: sorted distinct 48-bit
+    hashes of character k-grams of the normalized text, kept when
+    ``hash % mod == 0`` (~1/mod of positions, chosen by content alone —
+    the same selection a Rabin-Karp rolling hash drives in winnowing/CDC
+    systems; hashing each k-gram directly is vectorized SQL instead of a
+    sequential fold, with identical output semantics).  Rendered as a
+    comma-joined string so both dialects compare byte-identically."""
+    n = f"length({norm_col})"
+    grams_body = _transform(
+        f"sequence(1, {n} - {k - 1})" if dialect == DIALECT_SPARK else f"range(1, {n} - {k - 2})",
+        f"i -> substr({norm_col}, i, {k})",
+        dialect,
+    )
+    if dialect == DIALECT_SPARK:
+        grams = f"CASE WHEN {n} < {k} THEN CAST(array() AS ARRAY<STRING>) ELSE {grams_body} END"
+    else:
+        # range(1, m) is empty for m <= 1, no guard needed
+        grams = grams_body
+    ints = _transform(
+        _transform(grams, "g -> md5(g)", dialect),
+        f"m -> {hex_prefix_int_sql('m', dialect)}",
+        dialect,
+    )
+    sel = _distinct(_filter(ints, f"x -> x % {mod} = 0", dialect), dialect)
+    sorted_sel = f"array_sort({sel})" if dialect == DIALECT_SPARK else f"list_sort({sel})"
+    joined = _transform(sorted_sel, f"x -> {_str_of('x', dialect)}", dialect)
+    if dialect == DIALECT_SPARK:
+        return f"array_join({joined}, ',')"
+    return f"coalesce(array_to_string({joined}, ','), '')"
+
+
 def stopword_hits_sql(tokens_col: str, lang: str, dialect: str) -> str:
     """Count of tokens that are stopwords of ``lang``."""
     words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])

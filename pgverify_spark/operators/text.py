@@ -122,6 +122,41 @@ def token_counts_oracle_sql(table: str) -> str:
     )
 
 
+def rolling_fingerprint(df: DataFrame, k: int = 8, mod: int = 16) -> DataFrame:
+    """Winnowing-style content-defined fingerprints per document: the
+    ~1/mod char-k-gram hashes selected by ``hash % mod == 0``.  Two
+    documents sharing a run of >= k+mod chars almost surely share a
+    selected fingerprint, so the exploded (fp -> doc) inverted index
+    finds partial-overlap/plagiarism pairs the way shingle dedup finds
+    near-identical ones.  Output: (doc_id, n_fps, fps)."""
+    from pgverify_spark.functions.text_exprs import rolling_fps_sql
+
+    norm = f"coalesce({norm_sql('text', DIALECT_SPARK)}, '')"
+    fps = rolling_fps_sql("norm", DIALECT_SPARK, k, mod)
+    return (
+        _barrier(df.selectExpr("doc_id", f"{norm} AS norm"))
+        .selectExpr("doc_id", f"{fps} AS fps")
+        .selectExpr(
+            "doc_id",
+            "CAST(CASE WHEN fps = '' THEN 0 ELSE size(split(fps, ',')) END AS BIGINT) AS n_fps",
+            "fps",
+        )
+    )
+
+
+def rolling_fingerprint_oracle_sql(table: str, k: int = 8, mod: int = 16) -> str:
+    from pgverify_spark.functions.text_exprs import rolling_fps_sql
+
+    d = DIALECT_DUCKDB
+    norm = f"coalesce({norm_sql('text', d)}, '')"
+    fps = rolling_fps_sql("norm", d, k, mod)
+    return (
+        "SELECT doc_id, CAST(CASE WHEN fps = '' THEN 0 ELSE len(string_split(fps, ',')) END AS BIGINT) AS n_fps, fps FROM "
+        f"(SELECT doc_id, {fps} AS fps FROM "
+        f"(SELECT doc_id, {norm} AS norm FROM {table}) t1) t2"
+    )
+
+
 def _langid_exprs(dialect: str) -> tuple[list[str], str, str]:
     hits = [
         f"{stopword_hits_sql('tokens', lang, dialect)} AS hits_{lang}"

@@ -160,6 +160,10 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", text.token_counts),
             text.token_counts_oracle_sql("documents"),
         ),
+        "rolling_fingerprint_documents": (
+            _table_query("documents", text.rolling_fingerprint),
+            text.rolling_fingerprint_oracle_sql("documents"),
+        ),
         "doc_fingerprints_documents": (
             _table_query("documents", text.doc_fingerprints),
             text.doc_fingerprints_oracle_sql("documents"),

@@ -41,6 +41,21 @@ def test_token_counts(docs, duck):
     assert all(r[2] >= r[1] for r in rows)
 
 
+def test_rolling_fingerprint(docs, duck):
+    rows = _cmp(
+        text.rolling_fingerprint(docs), duck, text.rolling_fingerprint_oracle_sql("documents")
+    )
+    assert any(r[1] > 0 for r in rows)  # selection is non-degenerate
+    # shared-run guarantee: a doc shares all fingerprints with itself +
+    # a suffix extension (content-defined selection is position-independent)
+    ext = docs.limit(3).selectExpr("doc_id + 1000000 AS doc_id", "concat(text, ' zzz tail') AS text", "lang", "source", "n_chars")
+    both = text.rolling_fingerprint(docs.limit(3).unionByName(ext)).collect()
+    by_id = {r.doc_id: set(r.fps.split(",")) - {""} for r in both}
+    for base_id in list(by_id):
+        if base_id < 1000000 and (base_id + 1000000) in by_id:
+            assert by_id[base_id] <= by_id[base_id + 1000000]
+
+
 def test_doc_fingerprints(docs, duck):
     rows = _cmp(
         text.doc_fingerprints(docs), duck, text.doc_fingerprints_oracle_sql("documents")
