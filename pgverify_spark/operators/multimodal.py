@@ -75,6 +75,86 @@ def extract_features(df: DataFrame) -> DataFrame:
     return attach_payload(df).mapInPandas(_features_batch, FEATURE_SCHEMA)
 
 
+#: Output schema of the resize stub.
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, checksum string"
+#: Characters per pseudo-video frame for the frame sampler.
+FRAME_CHARS = 128
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_checksum string"
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
+    """Resize plumbing: Arrow-batched 1->1 projection over payload bytes.
+
+    A real implementation decodes and resamples pixels (``decode_stub``);
+    here the "resized" artifact is a deterministic checksum of
+    (payload, target size), so the batch shape, schema contract and
+    partitioning behavior are real and oracle-checkable.
+    """
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"|{width}x{height}".encode()
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "checksum": [
+                        hashlib.md5(bytes(p) + tag).hexdigest() for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return attach_payload(df).mapInPandas(batch, RESIZE_SCHEMA)
+
+
+def resize_images_oracle_sql(table: str, width: int = 64, height: int = 48) -> str:
+    return (
+        f"SELECT doc_id, {width} AS width, {height} AS height, "
+        f"md5(text || '|{width}x{height}') AS checksum FROM {table}"
+    )
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: Arrow-batched 1->N fan-out — each payload
+    is treated as a frame sequence (``FRAME_CHARS`` characters per frame)
+    and every ``every_n``-th frame is emitted as its own row, the shape a
+    real video sampler produces.  Frame identity is the md5 of the frame
+    slice, so the fan-out is oracle-checkable end-to-end.
+    """
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sums: list[str] = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                t = bytes(p).decode("utf-8")
+                for i in range(0, len(t) // FRAME_CHARS, every_n):
+                    ids.append(did)
+                    idxs.append(i)
+                    sums.append(
+                        hashlib.md5(
+                            t[i * FRAME_CHARS : (i + 1) * FRAME_CHARS].encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
+            )
+
+    return attach_payload(df).mapInPandas(batch, FRAME_SAMPLE_SCHEMA)
+
+
+def frame_sample_oracle_sql(table: str, every_n: int = 2) -> str:
+    fc = FRAME_CHARS
+    return (
+        f"SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+        f"md5(substr(text, CAST(i * {fc} + 1 AS INT), {fc})) AS frame_checksum FROM "
+        f"(SELECT doc_id, text, unnest(range(0, length(text) // {fc})) AS i "
+        f"FROM {table}) t WHERE i % {every_n} = 0"
+    )
+
+
 def extract_features_oracle_sql(table: str) -> str:
     """DuckDB twin: the payload is UTF-8 text bytes, so md5(text) equals
     the Python md5 of the payload and blob length is octet_length."""

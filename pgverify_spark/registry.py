@@ -234,6 +234,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", multimodal.extract_features),
             multimodal.extract_features_oracle_sql("documents"),
         ),
+        "multimodal_resize_documents": (
+            _table_query("documents", lambda df: multimodal.resize_images(df, 64, 48)),
+            multimodal.resize_images_oracle_sql("documents", 64, 48),
+        ),
+        "multimodal_frame_sample_documents": (
+            _table_query("documents", lambda df: multimodal.frame_sample(df, 2)),
+            multimodal.frame_sample_oracle_sql("documents", 2),
+        ),
     }
 
 

@@ -205,6 +205,25 @@ def test_multimodal_features(docs, duck):
     assert all(r[1] > 0 and len(r[2]) == 32 for r in rows)
 
 
+def test_multimodal_resize(docs, duck):
+    rows = _cmp(
+        multimodal.resize_images(docs, 64, 48),
+        duck,
+        multimodal.resize_images_oracle_sql("documents", 64, 48),
+    )
+    assert all(r[1] == 64 and r[2] == 48 and len(r[3]) == 32 for r in rows)
+
+
+def test_multimodal_frame_sample(docs, duck):
+    rows = _cmp(
+        multimodal.frame_sample(docs, 2),
+        duck,
+        multimodal.frame_sample_oracle_sql("documents", 2),
+    )
+    assert rows, "frame fan-out should be non-empty"
+    assert all(r[1] % 2 == 0 for r in rows)  # only every 2nd frame
+
+
 def test_multimodal_decode_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"\x89PNG")
