@@ -90,6 +90,21 @@ def test_hash_primary_keys_variant(spark, duck, sf_dir):
     )
 
 
+@pytest.mark.parametrize("mode", ["full", "sparse", "bucketed"])
+def test_plan_paths_agree(spark, sf_dir, mode):
+    """The size-chosen physical plans (single-reduce vs distributed sort/
+    repartition) must produce byte-identical fingerprints."""
+    target = ParquetTarget("t", sf_dir)
+    df = target.read(spark, "orders")
+    schema = target.table_schema(spark, "orders")
+    small = FINGERPRINT_OPS[mode](df, schema, CFG).collect()[0].fp
+    force_large = VerifyConfig(
+        bookend_limit=100, sparse_mod=10, fingerprint_buckets=64, small_input_bytes=1
+    )
+    large = FINGERPRINT_OPS[mode](df, schema, force_large).collect()[0].fp
+    assert small == large
+
+
 def test_timestamp_precision_variants(spark, duck, sf_dir):
     """--timestamp-precision truncation (config.go:32,90) on both the real
     timestamp path (orders) and the bigint-nanos path (events)."""
