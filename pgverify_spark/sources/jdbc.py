@@ -136,3 +136,40 @@ class JDBCTarget:
         pk = self.primary_key(spark, table)
         cols = logical_types(self.read(spark, table), ns_hint_cols=())
         return TableSchema(table, tuple(cols), pk)
+
+    def pushdown_fingerprint(
+        self, spark: SparkSession, table: str, mode: str, config: VerifyConfig | None = None
+    ) -> str:
+        """Run the fingerprint INSIDE the database (the reference's own
+        architecture, query.go:122-283): generate the PG-dialect hash
+        statement and fetch its single scalar via JDBC query pushdown —
+        no table data crosses the wire.  Column name/type pairs come from
+        the same introspection query the reference uses.
+        """
+        from pgverify_spark.sources.pushdown import (
+            PUSHDOWN_BUILDERS,
+            build_rowcount_query,
+        )
+
+        config = config or VerifyConfig()
+        if mode == "rowcount":
+            sql = build_rowcount_query(self.schema, table)
+        else:
+            rows = self._pushdown(
+                spark, build_columns_query(self.schema, table)
+            ).collect()
+            columns = sorted({(r.column_name, r.data_type.lower()) for r in rows})
+            pk_cols = [
+                (c, t)
+                for c, t in columns
+                if any(
+                    r.column_name == c and r.constraint_type == "PRIMARY KEY"
+                    for r in rows
+                )
+            ]
+            if not pk_cols:
+                raise ValueError(f"no primary key found for {self.schema}.{table}")
+            hashed = [(c, t) for c, t in columns if config.valid_column(c)]
+            sql = PUSHDOWN_BUILDERS[mode](self.schema, table, hashed, pk_cols, config)
+        out = self._pushdown(spark, sql).collect()
+        return out[0][0] if out and out[0][0] is not None else "no rows"

@@ -85,3 +85,73 @@ def test_cli_detects_mismatch(spark, sf_dir, tmp_path):
     )
     assert proc.returncode == 1
     assert "outputs differ" in proc.stderr
+
+
+# ---------------------------------------------------------------------------
+# pushdown fingerprint SQL generation (golden-SQL, mirroring query_test.go)
+# ---------------------------------------------------------------------------
+
+COLS = [
+    ("id", "bigint"),
+    ("name", "text"),
+    ("created", "timestamp with time zone"),
+    ("meta", "jsonb"),
+    ("doc", "json"),
+]
+PK = [("id", "bigint")]
+
+
+def test_pushdown_full_hash_query():
+    from pgverify_spark.sources.pushdown import build_full_hash_query
+
+    sql = build_full_hash_query("public", "t1", COLS, PK)
+    assert sql.startswith("SELECT md5(string_agg(hash, '')) AS fp FROM ")
+    assert 'FROM "public"."t1"' in sql
+    # canonical casts (column.go:24-36)
+    assert "(extract(epoch from date_trunc('milliseconds', \"created\"))::DECIMAL * 1000000)::BIGINT::TEXT" in sql
+    assert 'length("meta"::TEXT)::TEXT' in sql
+    assert 'length("doc"::JSONB::TEXT)::TEXT' in sql
+    assert 'ORDER BY CONCAT("id"::TEXT) ASC' in sql
+    # cast expressions sorted lexicographically (query.go:136-137)
+    from pgverify_spark.sources.pushdown import pg_text_cast
+
+    expected = sorted(pg_text_cast(c, t) for c, t in COLS)
+    assert f"MD5(CONCAT({', '.join(expected)})) AS hash" in sql
+
+
+def test_pushdown_hashed_pk_and_excluded_columns():
+    from pgverify_spark.config import VerifyConfig
+    from pgverify_spark.sources.pushdown import build_full_hash_query
+
+    cfg = VerifyConfig(hash_primary_keys=True, exclude_columns=("meta",))
+    sql = build_full_hash_query("public", "t1", COLS, PK, cfg)
+    assert 'ORDER BY MD5(CONCAT("id"::TEXT)) ASC' in sql
+    assert '"meta"' not in sql.split("ORDER BY")[0]
+
+
+def test_pushdown_bookend_query():
+    from pgverify_spark.config import VerifyConfig
+    from pgverify_spark.sources.pushdown import build_bookend_hash_query
+
+    sql = build_bookend_hash_query("public", "t1", COLS, PK, VerifyConfig(bookend_limit=5))
+    assert "LIMIT 5" in sql
+    assert "ASC LIMIT 5" in sql and "DESC LIMIT 5" in sql
+    assert "md5(CONCAT(starthash::TEXT, endhash::TEXT))" in sql
+
+
+def test_pushdown_sparse_query_signed_reinterpret():
+    from pgverify_spark.config import VerifyConfig
+    from pgverify_spark.sources.pushdown import build_sparse_hash_query
+
+    sql = build_sparse_hash_query("public", "t1", COLS, PK, VerifyConfig(sparse_mod=7))
+    # the reference's signed 64-bit md5-prefix selector (query.go:193)
+    assert "('x' || substr(md5(CONCAT(\"id\"::TEXT)), 1, 16))::bit(64)::bigint % 7" in sql
+
+
+def test_pushdown_rowcount_query():
+    from pgverify_spark.sources.pushdown import build_rowcount_query
+
+    assert (
+        build_rowcount_query("public", "t1")
+        == 'SELECT count(*)::TEXT AS fp FROM "public"."t1"'
+    )
