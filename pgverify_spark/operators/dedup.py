@@ -115,25 +115,22 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
-    # persist: the shingle table is referenced by the band explode and by
-    # both sides of the pair join-back — without it the whole tokenize/
-    # hash pipeline re-executes once per reference.  Materializing the
-    # signature table is the standard LSH-dedup trade (storage ~ one
-    # int64 array per doc) at any scale.
-    sh = _shingled(df).persist()
+    # The shingle table is referenced by the band explode and both sides
+    # of the pair join-back, and the band table by both candidate-join
+    # sides — no persist() needed: each reuse sits just above a barrier
+    # repartition (an Exchange), and Spark's ReusedExchange computes each
+    # identical subplan once per query (verified faster than explicit
+    # persist, with no unbounded cache accumulation across queries).
+    sh = _shingled(df)
     # barrier: the 32 per-permutation mins each reference the shingle
     # array — without it CollapseProject re-inlines the whole shingle
     # pipeline 32x (see _barrier)
     sig = _barrier(sh).selectExpr(
         "doc_id", f"{minhash_sig_sql('shingles', DIALECT_SPARK)} AS sig"
     )
-    # barrier again: the 8 band keys each reference 4 signature slots;
-    # persisted because the candidate self-join reads it twice (else the
-    # 32-permutation signature computation runs twice)
-    exploded = (
-        _barrier(sig)
-        .selectExpr("doc_id", f"explode({lsh_bands_sql('sig', DIALECT_SPARK)}) AS band_key")
-        .persist()
+    # barrier again: the 8 band keys each reference 4 signature slots
+    exploded = _barrier(sig).selectExpr(
+        "doc_id", f"explode({lsh_bands_sql('sig', DIALECT_SPARK)}) AS band_key"
     )
     # Candidates travel as bare (id, id) pairs: the band self-join and the
     # distinct shuffle only ids, and the (large) shingle arrays are joined
