@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sparse-mod", type=int, default=10)
     p.add_argument("--timestamp-precision", default="milliseconds")
     p.add_argument("--hash-primary-keys", action="store_true")
+    p.add_argument(
+        "--pushdown",
+        action="store_true",
+        help="run fingerprint SQL inside jdbc: targets (reference-style; "
+        "one scalar over the wire) instead of reading rows into Spark",
+    )
     return p
 
 
@@ -75,7 +81,7 @@ def main(argv: list[str] | None = None) -> int:
     targets = []
     for alias, uri in zip(aliases, args.targets):
         if uri.startswith("jdbc:"):
-            targets.append(JDBCTarget(alias, uri))
+            targets.append(JDBCTarget(alias, uri, use_pushdown=args.pushdown))
         else:
             targets.append(ParquetTarget(alias, uri))
 

@@ -59,7 +59,7 @@ def _target_results(
     the cell (the reference seeds every cell with "(err)" up front for
     the same reason, verify.go:108-136)."""
     parts: list[tuple[Cell, DataFrame]] = []
-    for table in target.list_tables(config):
+    for table in target.list_tables(spark, config):
         tag = lambda fp_df, mode, t=table: fp_df.select(
             F.lit(target.name).alias("target"),
             F.lit(target.schema).alias("schema"),
@@ -67,6 +67,22 @@ def _target_results(
             F.lit(mode).alias("mode"),
             F.col("fp").alias("output"),
         )
+        if getattr(target, "use_pushdown", False):
+            # Reference-style execution: the fingerprint SQL runs inside
+            # the target database and one scalar comes back per cell
+            # (sources/pushdown.py); Spark never reads the table.  Modes
+            # the PG builders don't cover fall through to "(err)".
+            for mode in config.test_modes:
+                try:
+                    fp = target.pushdown_fingerprint(spark, table, mode, config)
+                except Exception:
+                    fp = ERROR_OUTPUT
+                cell = (target.name, target.schema, table, mode)
+                parts.append(
+                    (cell, tag(spark.createDataFrame([(fp,)], "fp string"), mode))
+                )
+            continue
+
         def err_cells(t=table):
             # no PK / unreadable table: the reference skips it with an
             # error, leaving the seeded "(err)" output in place

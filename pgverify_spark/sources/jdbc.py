@@ -82,6 +82,9 @@ class JDBCTarget:
     #: per-table parallel-read column (numeric/PK) and partition count
     partition_columns: dict[str, str] = field(default_factory=dict)
     num_partitions: int = 8
+    #: run fingerprints inside the database (reference-style; see
+    #: ``pushdown_fingerprint``) instead of reading rows into Spark
+    use_pushdown: bool = False
 
     def _pushdown(self, spark: SparkSession, query: str) -> DataFrame:
         return (

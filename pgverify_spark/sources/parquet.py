@@ -37,8 +37,15 @@ class ParquetTarget:
     schema: str = "public"
     pks: dict[str, tuple[str, ...]] = field(default_factory=dict)
 
-    def list_tables(self, config: VerifyConfig | None = None) -> list[str]:
-        """Catalog scan with include/exclude filters (query.go:21-100)."""
+    def list_tables(
+        self,
+        spark: SparkSession | None = None,
+        config: VerifyConfig | None = None,
+    ) -> list[str]:
+        """Catalog scan with include/exclude filters (query.go:21-100).
+        ``spark`` is unused for files; the parameter exists so every
+        target exposes the same ``list_tables(spark, config)`` surface
+        (JDBC needs the session to push the catalog query down)."""
         tables = sorted(
             f[: -len(".parquet")]
             for f in os.listdir(self.path)

@@ -77,6 +77,51 @@ def test_verify_corrupt_table_errs_without_aborting(spark, sf_dir, tmp_path):
     assert any("test failed" in e and "nation" in e for e in res.errors)
 
 
+class _StubPushdownTarget:
+    """Duck-typed pushdown target: returns canned scalars, raising for
+    unsupported modes — exercises the orchestrator's pushdown branch
+    without a live database."""
+
+    schema = "public"
+    use_pushdown = True
+
+    def __init__(self, name, fps):
+        self.name = name
+        self._fps = fps  # (table, mode) -> fp
+
+    def list_tables(self, spark, config=None):
+        return sorted({t for t, _ in self._fps})
+
+    def pushdown_fingerprint(self, spark, table, mode, config=None):
+        return self._fps[(table, mode)]
+
+
+def test_verify_pushdown_targets(spark):
+    """Pushdown targets flow through verify(): agreement passes, a
+    mismatched scalar and an unsupported mode surface as errors."""
+    cfg = VerifyConfig(test_modes=("full", "rowcount"))
+    fps = {("t1", "full"): "abc", ("t1", "rowcount"): "5"}
+    res = verify(
+        spark,
+        [_StubPushdownTarget("a", fps), _StubPushdownTarget("b", dict(fps))],
+        cfg,
+    )
+    assert res.ok, res.errors
+
+    bad = dict(fps)
+    bad[("t1", "full")] = "zzz"
+    res2 = verify(spark, [_StubPushdownTarget("a", fps), _StubPushdownTarget("b", bad)], cfg)
+    assert any("outputs differ" in e and "full" in e for e in res2.errors)
+
+    res3 = verify(
+        spark,
+        [_StubPushdownTarget("a", fps)],
+        VerifyConfig(test_modes=("full", "bucketed")),  # bucketed: no pushdown builder
+    )
+    assert any("test failed" in e for e in res3.errors)
+    assert {r.mode: r.output for r in res3.results.collect()}["bucketed"] == "(err)"
+
+
 def test_row_diff_matches_oracle(spark, duck, sf_dir):
     target = ParquetTarget("t", sf_dir)
     schema = TESTDATA_TABLES["orders"]
