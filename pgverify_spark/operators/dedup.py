@@ -100,12 +100,21 @@ def _shingled(df: DataFrame) -> DataFrame:
     predicate-pushed below every projection (straight through the
     repartition barrier), re-inlining the whole shingle pipeline into
     the filter condition (measured 4x slowdown).
+
+    persist() is load-bearing, not a cache nicety: ``explode(shingles)``
+    re-evaluates the generator's input chain per OUTPUT element (measured
+    13s vs 0.3s for the inverted index at sf0.1 — a repartition below the
+    explode does NOT help, Catalyst reorders the projection above it),
+    and the self-join/join-back consumers would each re-run the chain
+    besides.  The cached table is docs x ~52 int64s — the standard LSH
+    working-set trade at any scale; MEMORY_AND_DISK spills past memory.
     """
     return (
         _barrier(df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens"))
         .filter(f"size(tokens) >= {NGRAM_N}")
         .selectExpr("doc_id", f"{ngrams_sql('tokens', NGRAM_N, DIALECT_SPARK)} AS grams")
         .selectExpr("doc_id", f"{shingle_ints_sql('grams', DIALECT_SPARK)} AS shingles")
+        .persist()
     )
 
 
@@ -122,10 +131,9 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
     # identical subplan once per query (verified faster than explicit
     # persist, with no unbounded cache accumulation across queries).
     sh = _shingled(df)
-    # barrier: the 32 per-permutation mins each reference the shingle
-    # array — without it CollapseProject re-inlines the whole shingle
-    # pipeline 32x (see _barrier)
-    sig = _barrier(sh).selectExpr(
+    # sh ends in a barrier, so the 32 per-permutation mins reference a
+    # materialized shingles column, not the inlined pipeline
+    sig = sh.selectExpr(
         "doc_id", f"{minhash_sig_sql('shingles', DIALECT_SPARK)} AS sig"
     )
     # barrier again: the 8 band keys each reference 4 signature slots
