@@ -249,6 +249,11 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) ->
     misses nothing (pigeonhole).  Output: (doc_a, doc_b, hamming).
     """
     chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
+    # persist: the chunk explode re-evaluates its input chain per output
+    # element and the candidate self-join reads the signatures twice —
+    # same pathology as _shingled (see its docstring); cached table is
+    # one int64 per doc.  The barrier keeps the 48 per-bit folds of
+    # simhash_sql referencing a materialized th column.
     sigs = (
         _barrier(
             df.selectExpr(
@@ -257,8 +262,8 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) ->
             )
         )
         .filter("size(th) > 0")
-        # barrier above: simhash_sql references th in 48 per-bit folds
         .selectExpr("doc_id", f"{simhash_sql('th', DIALECT_SPARK)} AS sim")
+        .persist()
     )
     chunks = sigs.selectExpr(
         "doc_id",
