@@ -130,14 +130,15 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
     # repartition (an Exchange), and Spark's ReusedExchange computes each
     # identical subplan once per query (verified faster than explicit
     # persist, with no unbounded cache accumulation across queries).
-    sh = _shingled(df)
-    # sh ends in a barrier, so the 32 per-permutation mins reference a
-    # materialized shingles column, not the inlined pipeline
+    sh = _shingled(df)  # persisted (see _shingled)
+    # persist: the band explode re-evaluates its input chain (8 band-key
+    # md5s over the 32-min signature) per output element and the
+    # candidate self-join reads it twice — same pathology as _shingled;
+    # cached table is 32 int64s per doc
     sig = sh.selectExpr(
         "doc_id", f"{minhash_sig_sql('shingles', DIALECT_SPARK)} AS sig"
-    )
-    # barrier again: the 8 band keys each reference 4 signature slots
-    exploded = _barrier(sig).selectExpr(
+    ).persist()
+    exploded = sig.selectExpr(
         "doc_id", f"explode({lsh_bands_sql('sig', DIALECT_SPARK)}) AS band_key"
     )
     # Candidates travel as bare (id, id) pairs: the band self-join and the
