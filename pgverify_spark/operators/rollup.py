@@ -1,0 +1,62 @@
+"""Time-bucketed rollups over event streams (hypertable-style).
+
+Beyond-reference extension (the reference is strictly batch-relational,
+SURVEY.md §1.4): the batch form of the aggregate that
+``streaming/incremental.py`` maintains continuously — bucket events into
+fixed time windows and aggregate per (window, dimension).
+
+Scale shape: a single hash shuffle on (bucket, dimension) with map-side
+partial aggregation; no sort, no window function.  The distinct-user
+count adds Spark's expand+reshuffle for exact semantics — at 100 TB swap
+it for ``approx_count_distinct`` (HLL, partial-aggregatable, one shuffle)
+when ±2 % error is acceptable.  ``sum(value)`` runs over DECIMAL(18,2),
+not DOUBLE: decimal addition is exact and commutative, so the result is
+independent of partitioning/merge order — a float sum would differ
+between engines (and between runs) in the last ulps.
+
+The time bucket is computed in integer arithmetic on epoch counts —
+``ts DIV ns_per_bucket`` — which both engines evaluate identically
+(events.ts is TIMESTAMP(NANOS) parquet: Spark reads it as bigint nanos
+via ``nanosAsLong``, DuckDB as TIMESTAMP, whence ``epoch_us``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Nanoseconds / microseconds per hour.
+_NS_PER_HOUR = 3_600_000_000_000
+_US_PER_HOUR = 3_600_000_000
+
+
+def hourly_rollup(df: DataFrame) -> DataFrame:
+    """Per (hour, event_type): event count, distinct users, exact value
+    sum, min/max value."""
+    base = df.selectExpr(
+        f"CAST(ts DIV {_NS_PER_HOUR} AS BIGINT) AS hour_bucket",
+        "event_type",
+        "user_id",
+        "CAST(value AS DECIMAL(18,2)) AS dvalue",
+        "value",
+    )
+    return base.groupBy("hour_bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("dvalue").cast("decimal(38,2)").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def hourly_rollup_oracle_sql(table: str) -> str:
+    return (
+        f"SELECT CAST(epoch_us(ts) // {_US_PER_HOUR} AS BIGINT) AS hour_bucket, "
+        "event_type, "
+        "count(*) AS n_events, "
+        "count(DISTINCT user_id) AS n_users, "
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value, "
+        "min(value) AS min_value, "
+        "max(value) AS max_value "
+        f"FROM {table} GROUP BY 1, 2"
+    )

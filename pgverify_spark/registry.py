@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgverify_spark.config import VerifyConfig
-from pgverify_spark.operators import dedup, multimodal, similarity, text
+from pgverify_spark.operators import dedup, multimodal, rollup, similarity, text
 from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
 from pgverify_spark.operators.fingerprint import (
     FINGERPRINT_OPS,
@@ -228,6 +228,11 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "ivf_topk_embeddings": (
             _table_query("embeddings", lambda df: similarity.ivf_topk(df, qids, 10, 2)),
             similarity.ivf_topk_oracle_sql("embeddings", qids, 10, 2),
+        ),
+        # time-series rollup (batch twin of streaming/incremental.py)
+        "hourly_rollup_events": (
+            _table_query("events", rollup.hourly_rollup),
+            rollup.hourly_rollup_oracle_sql("events"),
         ),
         # multimodal plumbing (Arrow mapInPandas vs blob-SQL oracle)
         "multimodal_features_documents": (

@@ -227,3 +227,14 @@ def test_multimodal_frame_sample(docs, duck):
 def test_multimodal_decode_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"\x89PNG")
+
+
+def test_hourly_rollup(spark, sf_dir, duck):
+    from pgverify_spark.operators import rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = _cmp(rollup.hourly_rollup(events), duck, rollup.hourly_rollup_oracle_sql("events"))
+    assert rows
+    # exact-decimal sums and integer bucketing: totals reconcile with the raw table
+    assert sum(r[2] for r in rows) == events.count()
+    assert all(r[5] <= r[6] for r in rows)  # min_value <= max_value per group
