@@ -331,6 +331,7 @@ HEADLINE_QUERIES = (
     "cosine_topk_embeddings",
     "text_stats_documents",
     "multimodal_features_documents",
+    "hourly_rollup_events",
 )
 
 
