@@ -49,6 +49,36 @@ def hourly_rollup(df: DataFrame) -> DataFrame:
     )
 
 
+def daily_rollup(df: DataFrame) -> DataFrame:
+    """Per (day, event_type), computed by *re-aggregating the hourly
+    rollup* — the hypertable continuous-aggregate pattern: at scale the
+    hourly partials already exist (materialized or streamed), so the
+    daily level touches ~n_hours rows instead of rescanning raw events.
+    count/sum/min/max re-aggregate losslessly; distinct users do NOT
+    (|users(day)| != sum over hours), so the daily level omits n_users —
+    compute it from raw events (or an HLL sketch union) when needed."""
+    hourly = hourly_rollup(df)
+    return hourly.groupBy(
+        F.expr("hour_bucket div 24").alias("day_bucket"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").cast("decimal(38,2)").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def daily_rollup_oracle_sql(table: str) -> str:
+    return (
+        "SELECT CAST(hour_bucket // 24 AS BIGINT) AS day_bucket, event_type, "
+        "CAST(sum(n_events) AS BIGINT) AS n_events, "
+        "CAST(sum(sum_value) AS DECIMAL(38,2)) AS sum_value, "
+        "min(min_value) AS min_value, max(max_value) AS max_value "
+        f"FROM ({hourly_rollup_oracle_sql(table)}) h GROUP BY 1, 2"
+    )
+
+
 def hourly_rollup_oracle_sql(table: str) -> str:
     return (
         f"SELECT CAST(epoch_us(ts) // {_US_PER_HOUR} AS BIGINT) AS hour_bucket, "

@@ -234,6 +234,10 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", rollup.hourly_rollup),
             rollup.hourly_rollup_oracle_sql("events"),
         ),
+        "daily_rollup_events": (
+            _table_query("events", rollup.daily_rollup),
+            rollup.daily_rollup_oracle_sql("events"),
+        ),
         # multimodal plumbing (Arrow mapInPandas vs blob-SQL oracle)
         "multimodal_features_documents": (
             _table_query("documents", multimodal.extract_features),

@@ -238,3 +238,14 @@ def test_hourly_rollup(spark, sf_dir, duck):
     # exact-decimal sums and integer bucketing: totals reconcile with the raw table
     assert sum(r[2] for r in rows) == events.count()
     assert all(r[5] <= r[6] for r in rows)  # min_value <= max_value per group
+
+
+def test_daily_rollup_reaggregates_hourly(spark, sf_dir, duck):
+    from pgverify_spark.operators import rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = _cmp(rollup.daily_rollup(events), duck, rollup.daily_rollup_oracle_sql("events"))
+    hourly = rollup.hourly_rollup(events).collect()
+    # lossless re-aggregation: daily event totals equal the hourly totals
+    assert sum(r[2] for r in daily) == sum(r.n_events for r in hourly)
+    assert sum(r[3] for r in daily) == sum(r.sum_value for r in hourly)
