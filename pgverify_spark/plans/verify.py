@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from pgverify_spark.config import ERROR_OUTPUT, VerifyConfig
 from pgverify_spark.operators.fingerprint import FINGERPRINT_OPS
+from pgverify_spark.session import ensure_required_confs
 from pgverify_spark.sources.parquet import ParquetTarget
 
 RESULT_COLUMNS = ("target", "schema", "tbl", "mode", "output")
@@ -117,6 +118,7 @@ def verify(
     spark: SparkSession, targets: list[ParquetTarget], config: VerifyConfig | None = None
 ) -> VerifyResult:
     """Run every (target, table, mode) fingerprint and check consistency."""
+    ensure_required_confs(spark)
     config = config or VerifyConfig()
     config.validate()
     # Per-target plan build fans out on driver threads — the reference's

@@ -21,6 +21,7 @@ from pgverify_spark.operators.fingerprint import (
     fingerprint_oracle_sql,
 )
 from pgverify_spark.plans.verify import report_table, verify
+from pgverify_spark.session import ensure_required_confs
 from pgverify_spark.sources.parquet import ParquetTarget
 from pgverify_spark.sources.schemas import TESTDATA_TABLES
 
@@ -31,6 +32,8 @@ _CFG = VerifyConfig(bookend_limit=100, sparse_mod=10, fingerprint_buckets=64)
 
 def _fp_spark(table: str, mode: str, cfg: VerifyConfig) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the driver's correctness harness supplies its own session
+        ensure_required_confs(spark)
         target = ParquetTarget("t", sf_dir)
         return FINGERPRINT_OPS[mode](
             target.read(spark, table), target.table_schema(spark, table), cfg
@@ -137,6 +140,7 @@ def _report_entry() -> dict[str, tuple[Callable, str]]:
 
 def _table_query(table: str, op: Callable[[DataFrame], DataFrame]) -> Callable:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_required_confs(spark)
         return op(ParquetTarget("t", sf_dir).read(spark, table))
 
     return run

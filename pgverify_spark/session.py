@@ -31,26 +31,53 @@ TUNING_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local-mode friendly; on a real cluster leave to AQE + defaults.
     "spark.sql.shuffle.partitions": "32",
-    # Local/small-SF only: the testdata parquet files are ~10 MB, so the
-    # default 128 MB split gives 1-3 input partitions and the row-hash
-    # scan runs on 1-3 cores.  On a real cluster reading 100 TB, leave
-    # this at the 128 MB default (set SPARK_GRAFT_MAX_PARTITION_BYTES).
-    "spark.sql.files.maxPartitionBytes": os.environ.get(
-        "SPARK_GRAFT_MAX_PARTITION_BYTES", "2097152"
-    ),
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }
 
 
+def _local_tuning_confs(master: str) -> dict[str, str]:
+    """Extra tuning applied only in local mode (or via explicit env).
+
+    The testdata parquet files are ~10 MB, so Spark's default 128 MB split
+    gives 1-3 input partitions and a row-hash scan runs on 1-3 cores; a
+    2 MB split spreads it over all local threads.  That value would be
+    catastrophic on a real cluster (a 100 TB scan would plan ~50M tasks),
+    so it is applied ONLY when the master is local[*] — a cluster session
+    keeps Spark's 128 MB default unless SPARK_GRAFT_MAX_PARTITION_BYTES
+    explicitly overrides it.
+    """
+    env = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if env is not None:
+        return {"spark.sql.files.maxPartitionBytes": env}
+    if master.startswith("local"):
+        return {"spark.sql.files.maxPartitionBytes": "2097152"}
+    return {}
+
+
+def ensure_required_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's semantic confs to an externally built session.
+
+    All engine entry points accept a caller-supplied SparkSession; this is
+    the enforcement point they share.  Both confs are runtime-settable, so
+    this works on an already-created session (file-source and expression
+    confs are read per-query, not at session construction).  Idempotent
+    and cheap (py4j get/set per conf), called from ``ParquetTarget.read``,
+    ``verify()`` and the registry wrappers.
+    """
+    for k, v in REQUIRED_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+    return spark
+
+
 def get_spark(app_name: str = "pgverify_spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's required confs."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
-    for k, v in {**TUNING_CONFS, **REQUIRED_CONFS}.items():
+    resolved = master or f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(resolved)
+    confs = {**TUNING_CONFS, **_local_tuning_confs(resolved), **REQUIRED_CONFS}
+    for k, v in confs.items():
         builder = builder.config(k, v)
-    spark = builder.getOrCreate()
     # getOrCreate may return a pre-existing session; enforce semantic confs.
-    for k, v in REQUIRED_CONFS.items():
-        spark.conf.set(k, v)
-    return spark
+    return ensure_required_confs(builder.getOrCreate())

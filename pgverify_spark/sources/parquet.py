@@ -15,11 +15,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from pgverify_spark.config import VerifyConfig
+from pgverify_spark.session import ensure_required_confs
 from pgverify_spark.sources.schemas import TESTDATA_TABLES, TableSchema, logical_types
 
 
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one testdata table by name."""
+    ensure_required_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
@@ -56,6 +58,11 @@ class ParquetTarget:
         return tables
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
+        # The caller may supply its own session (the module contract); the
+        # engine's semantic confs (UTC tz, nanosAsLong) must hold for any
+        # read, so enforce them at this boundary rather than trusting the
+        # session factory was ours.
+        ensure_required_confs(spark)
         return spark.read.parquet(os.path.join(self.path, f"{table}.parquet"))
 
     def primary_key(self, table: str) -> tuple[str, ...] | None:
