@@ -184,7 +184,16 @@ def minhash_lsh_pairs_oracle_sql(table: str, threshold: float = 0.5) -> str:
 # n-gram Jaccard (exact, inverted-index candidate generation)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+#: Postings cap: shingles shared by more documents than this are dropped
+#: from candidate generation (stopword-like, no similarity signal).
+MAX_SHINGLE_FREQ = 10_000
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
+) -> DataFrame:
     """Exact Jaccard >= threshold pairs via a prefix-filtered inverted
     index (the AllPairs/PPJoin candidate bound).
 
@@ -198,13 +207,29 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
     before aggregation.  Measured 3.7x faster than prefix-filter +
     array-join-back at sf0.1.
 
-    Scale: cost is ``sum_s freq(s)^2`` — exact-by-construction but
-    quadratic in hot-shingle frequency.  At 100 TB cap postings per
-    shingle (drop shingles with freq > ~10^4: they carry no similarity
-    signal, like stopwords) or switch to ``minhash_lsh_pairs``.
+    Scale: the self-join costs ``sum_s freq(s)^2`` — quadratic in
+    hot-shingle frequency, so one stopword-like shingle melts a reducer.
+    ``max_shingle_freq`` bounds it: postings for shingles shared by more
+    than that many documents are pruned before the join (an anti-join
+    against the hot-shingle list; AQE broadcasts it — at most
+    ``postings/cap`` entries by construction).  Set sizes stay
+    *unfiltered*, so the reported ``jaccard`` is a lower bound of the
+    true value and a pair whose overlap is only stopword shingles is
+    dropped — the intended semantics (those shingles carry no signal).
+    ``max_shingle_freq=None`` disables the cap (exact on any corpus).
+    With the cap, per-shingle join cost is bounded at ``cap^2`` and the
+    total at ``postings * cap`` — linear in corpus size for fixed cap.
     """
     sh = _shingled(df)
     inv = sh.selectExpr("doc_id", "size(shingles) AS sz", "explode(shingles) AS s")
+    if max_shingle_freq is not None:
+        hot = (
+            inv.groupBy("s")
+            .agg(F.count("*").alias("freq"))
+            .filter(F.col("freq") > max_shingle_freq)
+            .select("s")
+        )
+        inv = inv.join(hot, "s", "left_anti")
     overlap = (
         inv.selectExpr("doc_id AS doc_a", "sz AS sz_a", "s")
         .join(inv.selectExpr("doc_id AS doc_b", "sz AS sz_b", "s"), "s")
@@ -222,19 +247,32 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs_oracle_sql(table: str, threshold: float = 0.5) -> str:
+def ngram_jaccard_pairs_oracle_sql(
+    table: str,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
+) -> str:
     d = DIALECT_DUCKDB
+    hot_filter = ""
+    if max_shingle_freq is not None:
+        hot_filter = (
+            f"hot AS (SELECT s FROM inv GROUP BY s HAVING count(*) > {max_shingle_freq}), "
+            "invk AS (SELECT inv.* FROM inv ANTI JOIN hot USING (s)), "
+        )
+    src = "invk" if max_shingle_freq is not None else "inv"
+    jac = "round(CAST(o AS DOUBLE) / (sz_a + sz_b - o), 6)"
     return (
         f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
         f"tokn AS (SELECT * FROM tok WHERE len(tokens) >= {NGRAM_N}), "
         f"gr AS (SELECT doc_id, {ngrams_sql('tokens', NGRAM_N, d)} AS grams FROM tokn), "
         f"shn AS (SELECT doc_id, {shingle_ints_sql('grams', d)} AS shingles FROM gr), "
-        "inv AS (SELECT doc_id, unnest(shingles) AS s FROM shn), "
-        "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
-        "FROM inv l JOIN inv r ON l.s = r.s AND l.doc_id < r.doc_id) "
-        f"SELECT doc_a, doc_b, {jaccard_sql('a.shingles', 'b.shingles', d)} AS jaccard "
-        "FROM cand JOIN shn a ON cand.doc_a = a.doc_id JOIN shn b ON cand.doc_b = b.doc_id "
-        f"WHERE {jaccard_sql('a.shingles', 'b.shingles', d)} >= {threshold}"
+        "inv AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM shn), "
+        f"{hot_filter}"
+        "ov AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sz AS sz_a, r.sz AS sz_b, count(*) AS o "
+        f"FROM {src} l JOIN {src} r ON l.s = r.s AND l.doc_id < r.doc_id "
+        f"WHERE {threshold} * l.sz <= r.sz AND {threshold} * r.sz <= l.sz "
+        "GROUP BY 1, 2, 3, 4) "
+        f"SELECT doc_a, doc_b, {jac} AS jaccard FROM ov WHERE {jac} >= {threshold}"
     )
 
 

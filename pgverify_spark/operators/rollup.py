@@ -30,9 +30,21 @@ _NS_PER_HOUR = 3_600_000_000_000
 _US_PER_HOUR = 3_600_000_000
 
 
-def hourly_rollup(df: DataFrame) -> DataFrame:
+def hourly_rollup(df: DataFrame, distinct_users: str | None = "exact") -> DataFrame:
     """Per (hour, event_type): event count, distinct users, exact value
-    sum, min/max value."""
+    sum, min/max value.
+
+    ``distinct_users`` selects the user-count semantics:
+
+    - ``"exact"`` (default): ``countDistinct`` — forces Spark's
+      expand+reshuffle rewrite (two shuffles), the right call when the
+      rollup feeds a correctness gate.
+    - ``"approx"``: ``approx_count_distinct`` (HLL++, ±~2 %) — a plain
+      partial-aggregatable function, single shuffle; the 100 TB default.
+    - ``None``: omit ``n_users`` entirely (used by :func:`daily_rollup`,
+      which cannot merge per-hour distincts anyway) — single shuffle,
+      no Expand node in the plan.
+    """
     base = df.selectExpr(
         f"CAST(ts DIV {_NS_PER_HOUR} AS BIGINT) AS hour_bucket",
         "event_type",
@@ -40,13 +52,19 @@ def hourly_rollup(df: DataFrame) -> DataFrame:
         "CAST(value AS DECIMAL(18,2)) AS dvalue",
         "value",
     )
-    return base.groupBy("hour_bucket", "event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if distinct_users == "exact":
+        aggs.append(F.countDistinct("user_id").alias("n_users"))
+    elif distinct_users == "approx":
+        aggs.append(F.approx_count_distinct("user_id").alias("n_users"))
+    elif distinct_users is not None:
+        raise ValueError(f"distinct_users must be 'exact', 'approx' or None, got {distinct_users!r}")
+    aggs += [
         F.sum("dvalue").cast("decimal(38,2)").alias("sum_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
-    )
+    ]
+    return base.groupBy("hour_bucket", "event_type").agg(*aggs)
 
 
 def daily_rollup(df: DataFrame) -> DataFrame:
@@ -56,8 +74,11 @@ def daily_rollup(df: DataFrame) -> DataFrame:
     daily level touches ~n_hours rows instead of rescanning raw events.
     count/sum/min/max re-aggregate losslessly; distinct users do NOT
     (|users(day)| != sum over hours), so the daily level omits n_users —
-    compute it from raw events (or an HLL sketch union) when needed."""
-    hourly = hourly_rollup(df)
+    and therefore asks the hourly level to skip the countDistinct
+    entirely (``distinct_users=None``), keeping the whole plan at two
+    plain hash aggregations with no Expand/reshuffle.  Compute daily
+    uniques from raw events (or an HLL sketch union) when needed."""
+    hourly = hourly_rollup(df, distinct_users=None)
     return hourly.groupBy(
         F.expr("hour_bucket div 24").alias("day_bucket"),
         "event_type",

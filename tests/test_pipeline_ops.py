@@ -93,6 +93,45 @@ def test_ngram_jaccard_pairs(docs, duck):
     )
 
 
+def test_ngram_jaccard_uncapped_matches_capped_on_cold_corpus(docs, duck):
+    # no shingle in sf-testdata documents approaches the default cap, so
+    # exact (None) and capped must agree — and so must their oracles
+    capped = sorted(map(tuple, dedup.ngram_jaccard_pairs(docs, 0.5).collect()))
+    exact = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs, 0.5, max_shingle_freq=None).collect())
+    )
+    assert capped == exact
+    _cmp(
+        dedup.ngram_jaccard_pairs(docs, 0.5, max_shingle_freq=None),
+        duck,
+        dedup.ngram_jaccard_pairs_oracle_sql("documents", 0.5, max_shingle_freq=None),
+    )
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A stopword-like phrase shared by every doc must not generate
+    candidate pairs once its shingles cross the frequency cap; genuine
+    near-dup pairs (overlap on cold shingles) must survive."""
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{hot} unique{i} filler{i} token{i} alpha{i} beta{i}") for i in range(8)]
+    # genuine near-dups: share a long cold tail present in only these two
+    tail = "curated deterministic verification corpus sentence with many shared tokens"
+    rows += [(100, f"start{100} {tail}"), (101, f"start{101} {tail}")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(df, 0.3, max_shingle_freq=None).collect()
+    capped = dedup.ngram_jaccard_pairs(df, 0.3, max_shingle_freq=5).collect()
+
+    hot_pairs = {(r.doc_a, r.doc_b) for r in uncapped if r.doc_a < 100}
+    assert hot_pairs  # uncapped: the hot phrase alone makes pairs
+    capped_pairs = {(r.doc_a, r.doc_b) for r in capped}
+    assert (100, 101) in capped_pairs  # cold-shingle overlap survives
+    assert not any(a < 100 for a, _ in capped_pairs)  # hot-only pairs pruned
+    # reported similarity is a lower bound of the true (uncapped) value
+    true_j = {(r.doc_a, r.doc_b): r.jaccard for r in uncapped}
+    assert all(r.jaccard <= true_j[(r.doc_a, r.doc_b)] for r in capped)
+
+
 def test_minhash_recall_vs_exact(docs):
     """LSH pairs are verified with exact Jaccard, so they are always a
     subset of the exact pairs; at j >= 0.95 the 8x4 banding collision
@@ -249,3 +288,49 @@ def test_daily_rollup_reaggregates_hourly(spark, sf_dir, duck):
     # lossless re-aggregation: daily event totals equal the hourly totals
     assert sum(r[2] for r in daily) == sum(r.n_events for r in hourly)
     assert sum(r[3] for r in daily) == sum(r.sum_value for r in hourly)
+
+
+def test_daily_rollup_plan_skips_distinct_rewrite(spark, sf_dir):
+    """The daily path discards n_users, so it must not pay for the
+    countDistinct rewrite the exact hourly level uses (Spark 4 plans a
+    single distinct as an extra aggregate level keyed on user_id plus an
+    extra shuffle — no Expand node, but one more Exchange)."""
+    from pgverify_spark.operators import rollup
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly_none = plan(rollup.hourly_rollup(events, distinct_users=None))
+    hourly_exact = plan(rollup.hourly_rollup(events))
+    daily = plan(rollup.daily_rollup(events))
+    # the distinct rewrite costs exactly one extra shuffle at the hourly level
+    assert plan_exchanges(hourly_exact) == plan_exchanges(hourly_none) + 1
+    # daily = hourly(no distinct) + one re-aggregation shuffle, nothing more
+    assert plan_exchanges(daily) == plan_exchanges(hourly_none) + 1
+    assert "n_users" not in daily
+    # no aggregate in the daily plan is keyed on user_id (the distinct
+    # rewrite's partial level would be)
+    assert "keys=[hour_bucket" in daily and "user_id" not in daily.split("FileScan")[0]
+
+
+def plan_exchanges(plan_str):
+    return plan_str.count("Exchange")
+
+
+def test_hourly_rollup_distinct_user_modes(spark, sf_dir):
+    from pgverify_spark.operators import rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {(r.hour_bucket, r.event_type): r.n_users
+             for r in rollup.hourly_rollup(events).collect()}
+    approx_df = rollup.hourly_rollup(events, distinct_users="approx")
+    # approx mode: plain partial-aggregatable HLL, no Expand node
+    assert "Expand" not in approx_df._jdf.queryExecution().executedPlan().toString()
+    for r in approx_df.collect():
+        true = exact[(r.hour_bucket, r.event_type)]
+        assert abs(r.n_users - true) <= max(2, 0.05 * true)
+    omitted = rollup.hourly_rollup(events, distinct_users=None)
+    assert "n_users" not in omitted.columns
+    with pytest.raises(ValueError):
+        rollup.hourly_rollup(events, distinct_users="bogus")
