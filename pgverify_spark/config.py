@@ -71,6 +71,13 @@ class VerifyConfig:
     hash_primary_keys: bool = False  # config.go:53-57
     #: Extension: bucket count for the scale-path bucketed fingerprint.
     fingerprint_buckets: int = 1024
+    #: Declared logical-type overrides, column name -> ltype.  The
+    #: file-source equivalent of information_schema type introspection:
+    #: parquet/JDBC erase distinctions like json-in-a-string, so a user
+    #: declares them here (e.g. ``{"props": "json"}`` canonicalizes the
+    #: column with the reference's length proxy, column.go:29-32, keeping
+    #: it comparable with a pushdown fingerprint).
+    column_types: dict[str, str] = field(default_factory=dict)
     #: Inputs whose optimizer-estimated scan size is at or below this use
     #: single-reduce fingerprint plans (2 stages) instead of the
     #: distributed-sort plan (repartition + range-sort sampling + 2-phase
@@ -93,6 +100,12 @@ class VerifyConfig:
             raise ValueError("bookend_limit must be positive")
         if self.sparse_mod <= 0:
             raise ValueError("sparse_mod must be positive")
+
+    def typed_cols(self, cols: list[tuple[str, str]]) -> list[tuple[str, str]]:
+        """Apply declared ``column_types`` overrides to (name, ltype) pairs."""
+        if not self.column_types:
+            return cols
+        return [(c, self.column_types.get(c, t)) for c, t in cols]
 
     def valid_column(self, name: str) -> bool:
         """Include-list wins, else exclude-list (verify.go:138-144)."""

@@ -22,10 +22,18 @@ PG-pushdown fingerprint, which is a separate JDBC mode):
   precision — same integer the reference computes via
   ``(extract(epoch from date_trunc(p, col))::DECIMAL * 1000000)::BIGINT``
   (``column.go:26-28``), rendered without PG's zone suffix.
-- json: canonical hashing of the raw text, not PG's
-  ``length(::JSONB::TEXT)`` proxy (``column.go:29-32`` — the proxy exists
-  only because PG and CRDB order jsonb keys differently; a single engine
-  hashing raw bytes is strictly stronger).
+- json/jsonb: the reference's *length proxy* (``column.go:29-32`` —
+  PG and CRDB order jsonb keys differently, so only the length of the
+  canonical text is portable).  Matching it keeps a Spark-read table
+  comparable with a pushdown fingerprint of the same json-bearing table
+  (``sources/pushdown.py``).  For ``jsonb`` the proxy is exact parity:
+  JDBC delivers the database's normalized rendering, so ``length(col)``
+  here equals the reference's ``length(col::TEXT)``.  For ``json`` (raw
+  stored text) parity holds when the stored text is already normalized;
+  a raw-whitespace difference shows up as a length difference — the
+  same portability caveat the reference accepts.  Declaring the column
+  ``string`` instead opts into the strictly stronger raw-byte hash for
+  same-engine comparisons.
 """
 
 from __future__ import annotations
@@ -53,7 +61,8 @@ def canon_sql(col: str, ltype: str, dialect: str, trunc_unit: str = "millisecond
 
     ``ltype`` is the engine's logical type tag: one of ``boolean,
     tinyint, smallint, int, bigint, float, double, decimal, string, date,
-    timestamp, timestamp_ntz, timestamp_ns, binary, array<T>``.
+    timestamp, timestamp_ntz, timestamp_ns, binary, json, jsonb,
+    array<T>``.
     ``timestamp_ns`` is a bigint of epoch-nanoseconds on the Spark side
     (parquet TIMESTAMP(NANOS) read with nanosAsLong) but a real
     TIMESTAMP_NS on the DuckDB side.
@@ -96,6 +105,9 @@ def canon_sql(col: str, ltype: str, dialect: str, trunc_unit: str = "millisecond
             # bigint nanos -> truncate -> epoch micros
             return f"CAST((({col} div {us * 1000}) * {us}) AS STRING)"
         return f"CAST(epoch_us(date_trunc('{trunc_unit}', {col})) AS VARCHAR)"
+    if ltype in ("json", "jsonb"):
+        # length proxy (column.go:29-32); see the module docstring.
+        return _str_cast(f"length({col})", dialect)
     if ltype == "binary":
         return f"lower(hex({col}))"
     if ltype.startswith("array<"):

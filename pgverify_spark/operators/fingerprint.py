@@ -66,12 +66,11 @@ _NO_ROWS_AGG = f"CASE WHEN count(1) = 0 THEN 'no rows' ELSE {_ORDERED_AGG} END A
 
 def _exprs(schema: TableSchema, config: VerifyConfig) -> tuple[str, str, str]:
     """(key, row-hash, plain-sample-key) Spark SQL expressions."""
-    cols = schema.hashed_cols(config.valid_column)
+    cols = config.typed_cols(schema.hashed_cols(config.valid_column))
+    pk = config.typed_cols(schema.pk_cols())
     h = row_hash_sql(cols, DIALECT_SPARK, config.trunc_unit)
-    k = pk_key_sql(
-        schema.pk_cols(), DIALECT_SPARK, config.trunc_unit, config.hash_primary_keys
-    )
-    k_plain = pk_key_sql(schema.pk_cols(), DIALECT_SPARK, config.trunc_unit, False)
+    k = pk_key_sql(pk, DIALECT_SPARK, config.trunc_unit, config.hash_primary_keys)
+    k_plain = pk_key_sql(pk, DIALECT_SPARK, config.trunc_unit, False)
     return k, h, k_plain
 
 
@@ -251,7 +250,7 @@ def additive_fingerprint(
     Collision bound ~2^-48 per colliding row multiset via md5 prefixes.
     """
     config = config or VerifyConfig()
-    cols = schema.hashed_cols(config.valid_column)
+    cols = config.typed_cols(schema.hashed_cols(config.valid_column))
     h = row_hash_sql(cols, DIALECT_SPARK, config.trunc_unit)
     h48 = hex_prefix_int_sql("hm", DIALECT_SPARK)
     return (
@@ -283,12 +282,11 @@ def fingerprint_oracle_sql(
 ) -> str:
     """DuckDB SQL computing the identical fingerprint for ``mode``."""
     config = config or VerifyConfig()
-    cols = schema.hashed_cols(config.valid_column)
+    cols = config.typed_cols(schema.hashed_cols(config.valid_column))
+    pk = config.typed_cols(schema.pk_cols())
     h = row_hash_sql(cols, DIALECT_DUCKDB, config.trunc_unit)
-    k = pk_key_sql(
-        schema.pk_cols(), DIALECT_DUCKDB, config.trunc_unit, config.hash_primary_keys
-    )
-    k_plain = pk_key_sql(schema.pk_cols(), DIALECT_DUCKDB, config.trunc_unit, False)
+    k = pk_key_sql(pk, DIALECT_DUCKDB, config.trunc_unit, config.hash_primary_keys)
+    k_plain = pk_key_sql(pk, DIALECT_DUCKDB, config.trunc_unit, False)
     base = f"SELECT {k} AS k, {h} AS h FROM {table}"
     agg = "md5(string_agg(h, '' ORDER BY k, h))"
 

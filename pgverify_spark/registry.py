@@ -86,6 +86,14 @@ def _fingerprint_entries() -> dict[str, tuple[Callable, str]]:
             "full",
             VerifyConfig(timestamp_precision="hours"),
         ),
+        # declared-json column: props canonicalizes via the reference's
+        # length proxy (column.go:29-32, integration_test.go:150-151)
+        (
+            "full_fingerprint_events_json_props",
+            "events",
+            "full",
+            VerifyConfig(column_types={"props": "json"}),
+        ),
     ]
     out = {}
     for name, table, mode, cfg in cases:
@@ -94,6 +102,70 @@ def _fingerprint_entries() -> dict[str, tuple[Callable, str]]:
             fingerprint_oracle_sql(mode, table, TESTDATA_TABLES[table], cfg),
         )
     return out
+
+
+def _type_matrix_entry() -> dict[str, tuple[Callable, str]]:
+    """Driver-visible coverage of the reference's type matrix
+    (integration_test.go:135-158): uuid, bit(1), varbit(3), bigint[] with
+    empty/NULL variants, text[] — derived deterministically from orders
+    so both engines build identical values, then full-fingerprinted
+    through the same canonicalization paths a real table of those types
+    would use (string canon for uuid/bit/varbit — PG renders them as
+    text — and element-recursive array canon for the arrays)."""
+    from pgverify_spark.operators.fingerprint import FINGERPRINT_OPS, fingerprint_oracle_sql
+    from pgverify_spark.sources.schemas import TableSchema
+
+    schema = TableSchema(
+        "type_matrix",
+        (
+            ("id", "bigint"),
+            ("u", "string"),          # uuid text form
+            ("bit1", "string"),       # bit(1) text form: '0'/'1'
+            ("vb", "string"),         # varbit(3) text form: '000'..'111'
+            ("arr_big", "array<bigint>"),
+            ("arr_text", "array<string>"),
+        ),
+        ("id",),
+    )
+
+    def derive_sql(dialect: str) -> str:
+        k = "o_orderkey"
+        if dialect == "spark":
+            scast, m = "STRING", f"md5(CAST({k} AS STRING))"
+            bit = lambda n: f"(shiftright({k}, {n}) & 1)"
+            empty_big, null_big = "CAST(array() AS ARRAY<BIGINT>)", "CAST(NULL AS ARRAY<BIGINT>)"
+            arr2 = f"array({k}, CAST(-1 AS BIGINT))"
+            split_ = "split(o_orderpriority, '-')"
+            empty_text = "CAST(array() AS ARRAY<STRING>)"
+        else:
+            scast, m = "VARCHAR", f"md5(CAST({k} AS VARCHAR))"
+            bit = lambda n: f"(({k} >> {n}) & 1)"
+            empty_big, null_big = "CAST([] AS BIGINT[])", "CAST(NULL AS BIGINT[])"
+            arr2 = f"[{k}, CAST(-1 AS BIGINT)]"
+            split_ = "string_split(o_orderpriority, '-')"
+            empty_text = "CAST([] AS VARCHAR[])"
+        return (
+            f"SELECT {k} AS id, "
+            f"concat_ws('-', substr({m}, 1, 8), substr({m}, 9, 4), substr({m}, 13, 4), "
+            f"substr({m}, 17, 4), substr({m}, 21, 12)) AS u, "
+            f"CAST({k} % 2 AS {scast}) AS bit1, "
+            f"concat(CAST({bit(2)} AS {scast}), CAST({bit(1)} AS {scast}), CAST({bit(0)} AS {scast})) AS vb, "
+            f"CASE WHEN {k} % 5 = 0 THEN {empty_big} WHEN {k} % 7 = 0 THEN {null_big} "
+            f"ELSE {arr2} END AS arr_big, "
+            f"CASE WHEN {k} % 11 = 0 THEN {empty_text} ELSE {split_} END AS arr_text "
+            "FROM orders"
+        )
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_required_confs(spark)
+        ParquetTarget("t", sf_dir).read(spark, "orders").createOrReplaceTempView("orders")
+        derived = spark.sql(derive_sql("spark"))
+        return FINGERPRINT_OPS["full"](derived, schema, _CFG)
+
+    sql = fingerprint_oracle_sql(
+        "full", f"({derive_sql('duckdb')}) tm", schema, _CFG
+    )
+    return {"full_fingerprint_type_matrix": (run, sql)}
 
 
 def _diff_entries() -> dict[str, tuple[Callable, str]]:
@@ -316,6 +388,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
 def _entries() -> dict[str, tuple[Callable, str | None]]:
     return {
         **_fingerprint_entries(),
+        **_type_matrix_entry(),
         **_diff_entries(),
         **_report_entry(),
         **_pipeline_entries(),

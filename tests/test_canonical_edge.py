@@ -134,3 +134,38 @@ def test_seeded_fuzz_rows_match_oracle(spark, duck, tmp_path):
         fingerprint_oracle_sql("full", "fuzz", EDGE_SCHEMA, CFG)
     ).fetchone()[0]
     assert got == want
+
+
+def test_json_column_length_proxy(spark, duck, tmp_path):
+    """Declared-json columns canonicalize via the reference's length
+    proxy (column.go:29-32): same-length different-content json compares
+    equal (the portable part), different length differs, and Spark
+    matches the DuckDB oracle byte-for-byte."""
+    schema = TableSchema("jt", (("id", "bigint"), ("j", "string")), ("id",))
+    cfg = VerifyConfig(column_types={"j": "json"})
+    rows = [
+        (1, "{}"),
+        (2, '{"foo": "bar"}'),
+        (3, '{"foo": "baz"}'),  # same length as row 2
+        (4, '{"foo": ["bar", "baz"]}'),
+        (5, None),
+    ]
+    path = str(tmp_path / "jt.parquet")
+    spark.createDataFrame(rows, "id bigint, j string").coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    got = full_fingerprint(df, schema, cfg).collect()[0].fp
+    duck.execute(f"CREATE OR REPLACE VIEW jt AS SELECT * FROM '{path}/*.parquet'")
+    want = duck.execute(fingerprint_oracle_sql("full", "jt", schema, cfg)).fetchone()[0]
+    assert got == want
+
+    from pgverify_spark.functions.canonical import DIALECT_SPARK, row_hash_sql
+
+    h = row_hash_sql(cfg.typed_cols([("j", "string")]), DIALECT_SPARK, cfg.trunc_unit)
+    by_id = {r.id: r.h for r in df.selectExpr("id", f"{h} AS h").collect()}
+    assert by_id[2] == by_id[3]  # length proxy: same-length json equal
+    assert by_id[2] != by_id[4]  # different length differs
+    # declared string instead: raw-byte hash distinguishes rows 2 and 3
+    h_raw = row_hash_sql([("j", "string")], DIALECT_SPARK, cfg.trunc_unit)
+    raw = {r.id: r.h for r in df.selectExpr("id", f"{h_raw} AS h").collect()}
+    assert raw[2] != raw[3]
