@@ -69,6 +69,10 @@ class VerifyConfig:
     sparse_mod: int = 10  # config.go:27
     timestamp_precision: str = "milliseconds"  # config.go:32,90
     hash_primary_keys: bool = False  # config.go:53-57
+    #: Display names for the targets in reporting output; applied when
+    #: the count equals the number of targets, ignored otherwise
+    #: (config.go:59-62, verify.go:46-48).
+    aliases: tuple[str, ...] = ()
     #: Extension: bucket count for the scale-path bucketed fingerprint.
     fingerprint_buckets: int = 1024
     #: Declared logical-type overrides, column name -> ltype.  The

@@ -102,8 +102,23 @@ def canon_sql(col: str, ltype: str, dialect: str, trunc_unit: str = "millisecond
     if ltype == "timestamp_ns":
         if dialect == DIALECT_SPARK:
             us = _UNIT_US[trunc_unit]
-            # bigint nanos -> truncate -> epoch micros
-            return f"CAST((({col} div {us * 1000}) * {us}) AS STRING)"
+            # bigint nanos -> epoch micros truncated to the unit, in two
+            # steps mirroring what the oracle side computes on a real
+            # TIMESTAMP_NS: (1) ns -> us truncated TOWARD ZERO (DuckDB's
+            # ns->us cast is C integer division; PG has no sub-us
+            # resolution at all, so this step only matters for sub-us
+            # pre-1970 values), then (2) us -> unit FLOORED toward
+            # -infinity (date_trunc semantics; plain ``div`` truncates
+            # toward zero and diverges on pre-1970 values that aren't
+            # exact unit multiples, e.g. 1969-12-31 23:59:59.9995).
+            # Integer arithmetic throughout: a double-based floor(ns/1e3)
+            # loses precision past 2^53 (nanos overflow doubles from
+            # ~1970-04-07).
+            u = f"({col} div 1000)"
+            return (
+                f"CAST(((({u} div {us}) - (CASE WHEN {u} < 0 AND "
+                f"{u} % {us} != 0 THEN 1 ELSE 0 END)) * {us}) AS STRING)"
+            )
         return f"CAST(epoch_us(date_trunc('{trunc_unit}', {col})) AS VARCHAR)"
     if ltype in ("json", "jsonb"):
         # length proxy (column.go:29-32); see the module docstring.
@@ -131,22 +146,35 @@ def canon_sql(col: str, ltype: str, dialect: str, trunc_unit: str = "millisecond
     return _str_cast(col, dialect)
 
 
+def row_concat_sql(
+    cols: list[tuple[str, str]],
+    dialect: str,
+    trunc_unit: str = "millisecond",
+) -> str:
+    """Canonical row string: ``concat_ws('', canon(c1), canon(c2), ...)``.
+
+    Columns are concatenated in sorted-by-name order so the result is
+    independent of physical column order (the reference sorts its
+    cast-expression list for the same reason, ``query.go:136-137``).
+    ``concat_ws`` skips NULLs in both dialects, matching PG ``CONCAT``
+    NULL semantics (``query.go:141`` — Spark's plain ``concat`` would
+    null the whole row and must not be used).
+
+    Orders identically in Spark and DuckDB (both compare strings by
+    binary UTF-8 bytes), so it doubles as a deterministic, md5-free
+    ordering tiebreak (see ``bookend_fingerprint``).
+    """
+    canons = [canon_sql(c, t, dialect, trunc_unit) for c, t in sorted(cols)]
+    return "concat_ws('', " + ", ".join(canons) + ")"
+
+
 def row_hash_sql(
     cols: list[tuple[str, str]],
     dialect: str,
     trunc_unit: str = "millisecond",
 ) -> str:
-    """Per-row scalar hash: ``md5(concat_ws('', canon(c1), canon(c2), ...))``.
-
-    Columns are hashed in sorted-by-name order so the hash is independent
-    of physical column order (the reference sorts its cast-expression
-    list for the same reason, ``query.go:136-137``).  ``concat_ws`` skips
-    NULLs in both dialects, matching PG ``CONCAT`` NULL semantics
-    (``query.go:141`` — Spark's plain ``concat`` would null the whole row
-    and must not be used).
-    """
-    canons = [canon_sql(c, t, dialect, trunc_unit) for c, t in sorted(cols)]
-    return "md5(concat_ws('', " + ", ".join(canons) + "))"
+    """Per-row scalar hash: ``md5(row_concat_sql(...))``."""
+    return f"md5({row_concat_sql(cols, dialect, trunc_unit)})"
 
 
 def pk_key_sql(

@@ -52,6 +52,7 @@ from pgverify_spark.functions.canonical import (
     DIALECT_SPARK,
     hex_prefix_int_sql,
     pk_key_sql,
+    row_concat_sql,
     row_hash_sql,
 )
 from pgverify_spark.operators.util import parallelize as _parallelize
@@ -147,19 +148,36 @@ def bookend_fingerprint(
     ``md5(concat(start, end))`` (query.go:259-276; the reference
     aggregates the tail subset in descending scan order — ascending here,
     a deterministic-either-way choice applied on both compare sides).
+
+    Single-hash-scan design: rows are ordered by ``(k, r)`` where ``r``
+    is the canonical row *string* — binary-UTF8 comparison orders it
+    identically in Spark and DuckDB, so it is a deterministic
+    duplicate-key tiebreak that costs no md5 — and the per-row md5 is
+    computed only for the <= 2N surviving rows inside the final
+    aggregate.  The earlier ``(k, h)`` ordering evaluated the full-row
+    md5 for *every* row in *both* top-K passes; the reference pays the
+    same double scan (query.go:232-278), so this is an improvement, not
+    a parity deviation (the fingerprint differs from the reference's by
+    tiebreak choice either way, which only matters under duplicate keys
+    the reference handles nondeterministically).
     """
     config = config or VerifyConfig()
     n = config.bookend_limit
-    kh = _kh(df, schema, config)
+    k, _, _ = _exprs(schema, config)
+    cols = config.typed_cols(schema.hashed_cols(config.valid_column))
+    r = row_concat_sql(cols, DIALECT_SPARK, config.trunc_unit)
+    base = df if _small(df, config) else _parallelize(df)
+    kr = base.selectExpr(f"{k} AS k", f"{r} AS r")
+    agg = "md5(array_join(transform(array_sort(collect_list(struct(k, r))), x -> md5(x.r)), ''))"
     start = (
-        kh.orderBy(F.col("k").asc(), F.col("h").asc())
+        kr.orderBy(F.col("k").asc(), F.col("r").asc())
         .limit(n)
-        .selectExpr(f"{_ORDERED_AGG} AS fp_start")
+        .selectExpr(f"{agg} AS fp_start")
     )
     end = (
-        kh.orderBy(F.col("k").desc(), F.col("h").desc())
+        kr.orderBy(F.col("k").desc(), F.col("r").desc())
         .limit(n)
-        .selectExpr(f"{_ORDERED_AGG} AS fp_end")
+        .selectExpr(f"{agg} AS fp_end")
     )
     return start.crossJoin(end).selectExpr(
         "md5(concat(coalesce(fp_start, ''), coalesce(fp_end, ''))) AS fp"
@@ -304,10 +322,12 @@ def fingerprint_oracle_sql(
         return f"SELECT COALESCE({agg}, 'no rows') AS fp FROM ({base}) t"
     if mode == "bookend":
         n = config.bookend_limit
+        r = row_concat_sql(cols, DIALECT_DUCKDB, config.trunc_unit)
+        ragg = "md5(string_agg(md5(r), '' ORDER BY k, r))"
         return (
-            f"WITH base AS ({base}), "
-            f"s AS (SELECT {agg} AS fp FROM (SELECT * FROM base ORDER BY k ASC, h ASC LIMIT {n}) t), "
-            f"e AS (SELECT {agg} AS fp FROM (SELECT * FROM base ORDER BY k DESC, h DESC LIMIT {n}) t) "
+            f"WITH base AS (SELECT {k} AS k, {r} AS r FROM {table}), "
+            f"s AS (SELECT {ragg} AS fp FROM (SELECT * FROM base ORDER BY k ASC, r ASC LIMIT {n}) t), "
+            f"e AS (SELECT {ragg} AS fp FROM (SELECT * FROM base ORDER BY k DESC, r DESC LIMIT {n}) t) "
             "SELECT md5(concat(COALESCE(s.fp, ''), COALESCE(e.fp, ''))) AS fp FROM s, e"
         )
     if mode == "sparse":

@@ -53,16 +53,21 @@ Cell = tuple[str, str, str, str]
 
 
 def _target_results(
-    spark: SparkSession, target: ParquetTarget, config: VerifyConfig
+    spark: SparkSession,
+    target: ParquetTarget,
+    config: VerifyConfig,
+    name: str | None = None,
 ) -> list[tuple[Cell, DataFrame]]:
     """Per-target fingerprint sub-plans (runTestsOnTarget, verify.go:90-106),
     each carrying its cell identity so a runtime failure can be pinned to
     the cell (the reference seeds every cell with "(err)" up front for
-    the same reason, verify.go:108-136)."""
+    the same reason, verify.go:108-136).  ``name`` is the reporting name
+    (the configured alias when present, verify.go:46-48)."""
+    name = target.name if name is None else name
     parts: list[tuple[Cell, DataFrame]] = []
     for table in target.list_tables(spark, config):
         tag = lambda fp_df, mode, t=table: fp_df.select(
-            F.lit(target.name).alias("target"),
+            F.lit(name).alias("target"),
             F.lit(target.schema).alias("schema"),
             F.lit(t).alias("tbl"),
             F.lit(mode).alias("mode"),
@@ -78,7 +83,7 @@ def _target_results(
                     fp = target.pushdown_fingerprint(spark, table, mode, config)
                 except Exception:
                     fp = ERROR_OUTPUT
-                cell = (target.name, target.schema, table, mode)
+                cell = (name, target.schema, table, mode)
                 parts.append(
                     (cell, tag(spark.createDataFrame([(fp,)], "fp string"), mode))
                 )
@@ -90,7 +95,7 @@ def _target_results(
             # (verify.go:108-136, 194-198)
             return [
                 (
-                    (target.name, target.schema, t, mode),
+                    (name, target.schema, t, mode),
                     tag(spark.createDataFrame([(ERROR_OUTPUT,)], "fp string"), mode),
                 )
                 for mode in config.test_modes
@@ -101,7 +106,7 @@ def _target_results(
             df = target.read(spark, table)
             table_parts = [
                 (
-                    (target.name, target.schema, table, mode),
+                    (name, target.schema, table, mode),
                     tag(FINGERPRINT_OPS[mode](df, schema, config), mode),
                 )
                 for mode in config.test_modes
@@ -128,9 +133,19 @@ def verify(
     # is serial, driver-side latency otherwise.
     from concurrent.futures import ThreadPoolExecutor
 
+    # Reporting names: the configured aliases when the count matches the
+    # target count, else the targets' own names (config.go:59-62,
+    # verify.go:46-48 — a mismatched alias list is ignored).
+    if config.aliases and len(config.aliases) == len(targets):
+        names = list(config.aliases)
+    else:
+        names = [t.name for t in targets]
     parts: list[tuple[Cell, DataFrame]] = []
     with ThreadPoolExecutor(max_workers=min(8, max(1, len(targets)))) as pool:
-        for sub in pool.map(lambda t: _target_results(spark, t, config), targets):
+        for sub in pool.map(
+            lambda tn: _target_results(spark, tn[0], config, tn[1]),
+            zip(targets, names),
+        ):
             parts.extend(sub)
     if not parts:
         raise ValueError("no tables to verify")
@@ -158,7 +173,7 @@ def verify(
     results = spark.createDataFrame(
         [tuple(r) for r in rows], "target string, schema string, tbl string, mode string, output string"
     )
-    errors = check_for_errors(results, expected_targets=[t.name for t in targets])
+    errors = check_for_errors(results, expected_targets=names)
     return VerifyResult(results=results, errors=errors)
 
 

@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from pgverify_spark.config import VerifyConfig
+from pgverify_spark.sources.quoting import quote_ident, quote_literal, quote_qualified
 from pgverify_spark.sources.schemas import TableSchema, logical_types
 
 
@@ -32,7 +33,7 @@ def build_tables_query(config: VerifyConfig) -> str:
     over exclusions; views excluded)."""
 
     def quoted(vals: tuple[str, ...]) -> str:
-        return ", ".join(f"'{v}'" for v in vals)
+        return ", ".join(quote_literal(v) for v in vals)
 
     preds = ["table_type != 'VIEW'"]
     if config.include_schemas:
@@ -62,7 +63,8 @@ def build_columns_query(schema_name: str, table_name: str) -> str:
         "LEFT OUTER JOIN information_schema.table_constraints tc "
         "ON kcu.constraint_name = tc.constraint_name "
         "AND kcu.table_schema = tc.table_schema AND kcu.table_name = tc.table_name "
-        f"WHERE c.table_schema = '{schema_name}' AND c.table_name = '{table_name}' "
+        f"WHERE c.table_schema = {quote_literal(schema_name)} "
+        f"AND c.table_name = {quote_literal(table_name)} "
         "AND c.is_generated != 'ALWAYS'"
     )
 
@@ -114,7 +116,7 @@ class JDBCTarget:
         reader = (
             spark.read.format("jdbc")
             .option("url", self.url)
-            .option("dbtable", f'"{self.schema}"."{table}"')
+            .option("dbtable", quote_qualified(self.schema, table))
             .options(**self.properties)
         )
         if table in self.partition_columns:
@@ -123,8 +125,8 @@ class JDBCTarget:
             # them in the database (one tiny pushdown aggregate).
             lo, hi = self._pushdown(
                 spark,
-                f'SELECT min("{col}") AS lo, max("{col}") AS hi '
-                f'FROM "{self.schema}"."{table}"',
+                f"SELECT min({quote_ident(col)}) AS lo, max({quote_ident(col)}) AS hi "
+                f"FROM {quote_qualified(self.schema, table)}",
             ).collect()[0]
             if lo is not None and hi is not None and lo != hi:
                 reader = (

@@ -25,6 +25,7 @@ PG's text output has no portable twin (SURVEY.md §7.3).
 from __future__ import annotations
 
 from pgverify_spark.config import VerifyConfig
+from pgverify_spark.sources.quoting import quote_ident, quote_qualified
 
 #: PG types needing a non-default canonical cast (column.go:24-36).
 _TIMESTAMPTZ = ("timestamp with time zone",)
@@ -42,7 +43,7 @@ def pg_text_cast(column: str, data_type: str, precision: str = "milliseconds") -
     - ``jsonb`` -> length of the text form
     - everything else -> ``::TEXT``
     """
-    q = f'"{column}"'
+    q = quote_ident(column)
     if data_type in _TIMESTAMPTZ:
         return (
             f"(extract(epoch from date_trunc('{precision}', {q}))::DECIMAL "
@@ -90,7 +91,7 @@ def _row_hash_subquery(
     key = _pk_order_expr(pk_columns, config)
     sql = (
         f"SELECT MD5(CONCAT({', '.join(casts)})) AS hash "
-        f'FROM "{schema}"."{table}"'
+        f'FROM {quote_qualified(schema, table)}'
     )
     if where:
         sql += f" WHERE {where}"
@@ -161,7 +162,7 @@ def build_sparse_hash_query(
 
 def build_rowcount_query(schema: str, table: str) -> str:
     """``SELECT count(*)::TEXT`` (``buildRowCountQuery``, query.go:281-283)."""
-    return f'SELECT count(*)::TEXT AS fp FROM "{schema}"."{table}"'
+    return f'SELECT count(*)::TEXT AS fp FROM {quote_qualified(schema, table)}'
 
 
 PUSHDOWN_BUILDERS = {

@@ -68,10 +68,15 @@ def edge_path(spark, tmp_path_factory):
     return out
 
 
-@pytest.mark.parametrize("mode", ["full", "additive"])
+@pytest.mark.parametrize("mode", ["full", "additive", "bookend"])
 def test_edge_values_match_oracle(spark, duck, edge_path, mode):
+    # bookend included: its (k, r) ordering leans on Spark and DuckDB
+    # comparing raw canonical strings identically (binary UTF-8), which
+    # the unicode/control-char rows exercise
+    from pgverify_spark.operators.fingerprint import FINGERPRINT_OPS
+
     df = spark.read.parquet(edge_path)
-    op = full_fingerprint if mode == "full" else additive_fingerprint
+    op = FINGERPRINT_OPS[mode]
     got = op(df, EDGE_SCHEMA, CFG).collect()[0].fp
     duck.execute(f"CREATE OR REPLACE VIEW edge AS SELECT * FROM '{edge_path}/*.parquet'")
     want = duck.execute(fingerprint_oracle_sql(mode, "edge", EDGE_SCHEMA, CFG)).fetchone()[0]
@@ -169,3 +174,45 @@ def test_json_column_length_proxy(spark, duck, tmp_path):
     h_raw = row_hash_sql([("j", "string")], DIALECT_SPARK, cfg.trunc_unit)
     raw = {r.id: r.h for r in df.selectExpr("id", f"{h_raw} AS h").collect()}
     assert raw[2] != raw[3]
+
+
+def test_timestamp_ns_pre_epoch_floor(spark, duck, tmp_path):
+    """Pre-1970 TIMESTAMP(NANOS) values: Spark's bigint-nanos truncation
+    must FLOOR (toward -infinity) like date_trunc does on the DuckDB/PG
+    side — `div` truncates toward zero and diverges on negative
+    non-unit-multiple values (e.g. 1969-12-31 23:59:59.9995)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nanos = [
+        -500_000,               # -0.5 ms -> floors to -1 ms
+        -1_000_000,             # exact multiple
+        -999_999,
+        -1,
+        0,
+        1_500_000,
+        -3_600_000_000_001,     # 1 ns before a negative hour boundary
+        -63_115_200_000_000_000,  # 1968-01-01, exact
+        1_700_000_000_123_456_789,
+    ]
+    path = str(tmp_path / "ns.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(len(nanos)), pa.int64()),
+                "ts": pa.array(nanos, pa.timestamp("ns")),
+            }
+        ),
+        path,
+        use_deprecated_int96_timestamps=False,
+        coerce_timestamps=None,
+    )
+    schema = TableSchema("nst", (("id", "bigint"), ("ts", "timestamp_ns")), ("id",))
+    df = spark.read.parquet(path)
+    assert dict(df.dtypes)["ts"] == "bigint"  # nanosAsLong in effect
+    duck.execute(f"CREATE OR REPLACE VIEW nst AS SELECT * FROM '{path}'")
+    for cfg in [VerifyConfig(), VerifyConfig(timestamp_precision="seconds"),
+                VerifyConfig(timestamp_precision="hours")]:
+        got = full_fingerprint(df, schema, cfg).collect()[0].fp
+        want = duck.execute(fingerprint_oracle_sql("full", "nst", schema, cfg)).fetchone()[0]
+        assert got == want, f"precision={cfg.timestamp_precision}"

@@ -155,3 +155,22 @@ def test_pushdown_rowcount_query():
         build_rowcount_query("public", "t1")
         == 'SELECT count(*)::TEXT AS fp FROM "public"."t1"'
     )
+
+
+def test_quoting_helpers_escape_embedded_quotes():
+    """Identifiers with double quotes and literals with single quotes
+    must be doubled, not break the generated SQL (ADVICE hardening; the
+    reference interpolates unescaped — parity plus safety)."""
+    from pgverify_spark.config import VerifyConfig
+    from pgverify_spark.sources.jdbc import build_columns_query, build_tables_query
+    from pgverify_spark.sources.pushdown import build_rowcount_query, pg_text_cast
+    from pgverify_spark.sources.quoting import quote_ident, quote_literal
+
+    assert quote_ident('we"ird') == '"we""ird"'
+    assert quote_literal("O'Brien") == "'O''Brien'"
+    assert "younit'; DROP TABLE x; --" not in build_tables_query(
+        VerifyConfig(include_tables=("younit'; DROP TABLE x; --",))
+    ).replace("''", "")
+    assert "'tbl''s'" in build_columns_query("pub'lic", "tbl's")
+    assert '"sch""ema"."ta""ble"' in build_rowcount_query('sch"ema', 'ta"ble')
+    assert pg_text_cast('col"umn', "text") == '"col""umn"::TEXT'

@@ -29,6 +29,25 @@ def test_verify_agreeing_targets(spark, sf_dir):
     assert {"full", "rowcount"} <= set(report_table(res.results).columns)
 
 
+def test_verify_aliases_applied_when_count_matches(spark, sf_dir):
+    """Aliases rename targets in reporting output when the count equals
+    the target count, and are ignored otherwise (config.go:59-62,
+    verify.go:46-48)."""
+    import dataclasses
+
+    targets = [ParquetTarget("a", sf_dir), ParquetTarget("b", sf_dir)]
+    cfg = dataclasses.replace(CFG, include_tables=("region",), aliases=("prod", "replica"))
+    res = verify(spark, targets, cfg)
+    assert res.ok, res.errors
+    assert {r["target"] for r in res.results.collect()} == {"prod", "replica"}
+
+    # mismatched alias count: silently ignored, reference behavior
+    cfg_bad = dataclasses.replace(cfg, aliases=("only-one",))
+    res = verify(spark, targets, cfg_bad)
+    assert res.ok, res.errors
+    assert {r["target"] for r in res.results.collect()} == {"a", "b"}
+
+
 def test_verify_detects_mismatch(spark, sf_dir, tmp_path):
     # copy of region with one row mutated away = the reference's failtest
     src = ParquetTarget("a", sf_dir)
