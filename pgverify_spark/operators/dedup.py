@@ -416,3 +416,81 @@ def embedding_near_dups_lsh_oracle_sql(table: str, threshold: float = 0.99) -> s
         "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
         f"WHERE {cos} >= {threshold}"
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Group near-duplicate *pairs* into clusters: each document gets the
+    minimum doc_id reachable through the pair graph as its cluster id —
+    the step after pair generation in every dedup pipeline (keep one
+    canonical doc per cluster, drop the rest).
+
+    Input: (doc_a, doc_b) pairs from any of the pair operators above.
+    Output: (doc_id, cluster_id) for every document appearing in a pair.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels (one
+    edges-to-labels equi-join + one min-groupBy per round, both hash
+    shuffles on ids only, with map-side combine).  Rounds needed = graph
+    diameter; near-dup components are clique-like (a duplicated doc
+    matches most of its copies directly), so this converges in 2-3
+    rounds in practice, checked by an exact changed-label count each
+    round.  For adversarial long-chain graphs at 100 TB, switch to
+    star-contraction (large-star/small-star, O(log n) rounds); the
+    round structure here is the same, only the contraction rule differs.
+
+    The per-round persist is load-bearing: labels feed both the join and
+    the convergence count, and iterative lineage would otherwise regrow
+    the whole chain each round.
+    """
+    sym = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    edges = sym.persist()
+    labels = (
+        edges.selectExpr("src AS doc_id")
+        .distinct()
+        .selectExpr("doc_id", "doc_id AS cluster_id")
+        .persist()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels.selectExpr("doc_id AS dst", "cluster_id AS nl"), "dst")
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_min"))
+            .selectExpr("src AS doc_id", "nbr_min")
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .selectExpr("doc_id", "least(cluster_id, coalesce(nbr_min, cluster_id)) AS cluster_id")
+            .persist()
+        )
+        changed = (
+            new_labels.selectExpr("doc_id", "cluster_id AS new_cl")
+            .join(labels, "doc_id")
+            .filter("new_cl != cluster_id")
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dup_clusters_oracle_sql(pairs_sql: str) -> str:
+    """Transitive min-reachability via a recursive CTE — an independent
+    formulation of the same components (fine at oracle scale; the
+    closure is quadratic in component size)."""
+    return (
+        f"WITH RECURSIVE pr AS ({pairs_sql}), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr "
+        "UNION SELECT doc_b, doc_a FROM pr), "
+        "reach(node, r) AS (SELECT src, src FROM edges "
+        "UNION SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node) "
+        "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node"
+    )

@@ -227,3 +227,42 @@ def doc_fingerprints_oracle_sql(table: str) -> str:
         f"{token_hashes_sql(tokens_sql('text', DIALECT_DUCKDB), DIALECT_DUCKDB)} AS th "
         f"FROM {table}) t"
     )
+
+
+def topk_ngrams(df: DataFrame, n: int = 3, k: int = 50) -> DataFrame:
+    """Corpus-level most-frequent word n-grams: (gram, n_occurrences).
+
+    Scale shape: explode -> hash groupBy with map-side combine (each
+    mapper emits one partial count per *distinct* gram, so the shuffle
+    carries vocabulary size, not corpus size) -> global top-k via
+    TakeOrderedAndProject (every task keeps k rows, the driver merges k
+    per task — no global sort).  Ties at the k boundary break on the
+    gram string, so the selected set is deterministic cross-engine.
+    """
+    from pgverify_spark.functions.text_exprs import ngrams_sql
+    from pyspark.sql import functions as F
+
+    grams = (
+        _barrier(df.selectExpr(f"{tokens_sql('text', DIALECT_SPARK)} AS tokens"))
+        .filter(f"size(tokens) >= {n}")
+        .selectExpr(f"explode({ngrams_sql('tokens', n, DIALECT_SPARK)}) AS gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+def topk_ngrams_oracle_sql(table: str, n: int = 3, k: int = 50) -> str:
+    from pgverify_spark.functions.text_exprs import ngrams_sql
+
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH tok AS (SELECT {tokens_sql('text', d)} AS tokens FROM {table}), "
+        f"tokn AS (SELECT * FROM tok WHERE len(tokens) >= {n}), "
+        f"g AS (SELECT unnest({ngrams_sql('tokens', n, d)}) AS gram FROM tokn) "
+        "SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram "
+        f"ORDER BY n_occurrences DESC, gram ASC LIMIT {k}"
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgverify_spark.config import VerifyConfig
-from pgverify_spark.operators import dedup, multimodal, rollup, similarity, text
+from pgverify_spark.operators import dedup, multimodal, rollup, sample, similarity, text
 from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
 from pgverify_spark.operators.fingerprint import (
     FINGERPRINT_OPS,
@@ -218,6 +218,39 @@ def _table_query(table: str, op: Callable[[DataFrame], DataFrame]) -> Callable:
     return run
 
 
+def _asof_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgverify_spark.operators.asof import asof_join
+
+    ensure_required_confs(spark)
+    ev = ParquetTarget("t", sf_dir).read(spark, "events")
+    probes = ev.filter("event_id % 7 = 0").selectExpr(
+        "event_id AS probe_id", "user_id", "ts AS t"
+    )
+    return asof_join(ev, probes).selectExpr(
+        "probe_id",
+        "user_id",
+        "CAST(t div 1000 AS BIGINT) AS t_us",
+        "CAST(event_ts div 1000 AS BIGINT) AS event_ts_us",
+        "event_type",
+        "value",
+    )
+
+
+def _asof_oracle_sql() -> str:
+    from pgverify_spark.operators.asof import asof_join_oracle_sql
+
+    probes = (
+        "SELECT event_id AS probe_id, user_id, ts AS t FROM events WHERE event_id % 7 = 0"
+    )
+    inner = asof_join_oracle_sql("events", probes, carry=("probe_id",))
+    return (
+        "SELECT probe_id, user_id, "
+        "CAST(epoch_us(CAST(t AS TIMESTAMP)) AS BIGINT) AS t_us, "
+        "CAST(epoch_us(CAST(event_ts AS TIMESTAMP)) AS BIGINT) AS event_ts_us, "
+        f"event_type, value FROM ({inner}) q"
+    )
+
+
 def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
     """LLM-data-pipeline operators: dedup, similarity, text analysis,
     multimodal plumbing (thresholds chosen to be non-trivial at sf0.01)."""
@@ -272,6 +305,20 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", lambda df: dedup.ngram_jaccard_pairs(df, 0.5)),
             dedup.ngram_jaccard_pairs_oracle_sql("documents", 0.5),
         ),
+        # near-dup pairs -> connected components (cluster id = min doc_id)
+        "dup_clusters_documents": (
+            _table_query(
+                "documents",
+                lambda df: dedup.dup_clusters(
+                    dedup.minhash_lsh_pairs(df, 0.3).select("doc_a", "doc_b")
+                ),
+            ),
+            dedup.dup_clusters_oracle_sql(
+                "SELECT doc_a, doc_b FROM ("
+                + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+                + ") mp"
+            ),
+        ),
         "simhash_near_pairs_documents": (
             _table_query("documents", dedup.simhash_near_pairs),
             dedup.simhash_near_pairs_oracle_sql("documents"),
@@ -305,6 +352,22 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("embeddings", lambda df: similarity.ivf_topk(df, qids, 10, 2)),
             similarity.ivf_topk_oracle_sql("embeddings", qids, 10, 2),
         ),
+        # deterministic curation sampling + corpus stats
+        "stratified_sample_documents": (
+            _table_query(
+                "documents",
+                lambda df: sample.stratified_sample(
+                    df, "doc_id", "lang", {"en": 0.5, "de": 1.0, "fr": 0.25}, 0.1
+                ),
+            ),
+            sample.stratified_sample_oracle_sql(
+                "documents", "doc_id", "lang", {"en": 0.5, "de": 1.0, "fr": 0.25}, 0.1
+            ),
+        ),
+        "topk_ngrams_documents": (
+            _table_query("documents", lambda df: text.topk_ngrams(df, 3, 50)),
+            text.topk_ngrams_oracle_sql("documents", 3, 50),
+        ),
         # time-series rollup (batch twin of streaming/incremental.py)
         "hourly_rollup_events": (
             _table_query("events", rollup.hourly_rollup),
@@ -313,6 +376,12 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "daily_rollup_events": (
             _table_query("events", rollup.daily_rollup),
             rollup.daily_rollup_oracle_sql("events"),
+        ),
+        # as-of join: probe = every 7th event's own timestamp; output in
+        # epoch-us (ts is bigint nanos in Spark, TIMESTAMP_NS in DuckDB)
+        "asof_join_events": (
+            _asof_spark,
+            _asof_oracle_sql(),
         ),
         # multimodal plumbing (Arrow mapInPandas vs blob-SQL oracle)
         "multimodal_features_documents": (
@@ -413,6 +482,7 @@ HEADLINE_QUERIES = (
     "text_stats_documents",
     "multimodal_features_documents",
     "hourly_rollup_events",
+    "asof_join_events",
 )
 
 

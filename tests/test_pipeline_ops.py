@@ -334,3 +334,124 @@ def test_hourly_rollup_distinct_user_modes(spark, sf_dir):
     assert "n_users" not in omitted.columns
     with pytest.raises(ValueError):
         rollup.hourly_rollup(events, distinct_users="bogus")
+
+
+def test_stratified_sample(docs, duck):
+    from pgverify_spark.operators import sample
+
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.25}
+    rows = _cmp(
+        sample.stratified_sample(docs, "doc_id", "lang", rates, 0.1),
+        duck,
+        sample.stratified_sample_oracle_sql("documents", "doc_id", "lang", rates, 0.1),
+    )
+    assert rows
+    # de keeps everything; observed rates are within binomial noise
+    total = {r[2]: 0 for r in rows}
+    for r in docs.collect():
+        total[r.lang] = total.get(r.lang, 0)
+    by_lang_all = {l: c for l, c in docs.groupBy("lang").count().collect()}
+    by_lang_kept = {}
+    for r in rows:
+        by_lang_kept[r[2]] = by_lang_kept.get(r[2], 0) + 1
+    assert by_lang_kept.get("de", 0) == by_lang_all.get("de", 0)
+    for lang, rate in rates.items():
+        n = by_lang_all.get(lang, 0)
+        if n >= 30:
+            got = by_lang_kept.get(lang, 0) / n
+            assert abs(got - rate) < 0.2, (lang, got, rate)
+    # deterministic: same selection on re-run
+    again = sorted(map(tuple, sample.stratified_sample(docs, "doc_id", "lang", rates, 0.1).collect()))
+    assert again == rows
+
+
+def test_topk_ngrams(docs, duck):
+    rows = _cmp(text.topk_ngrams(docs, 3, 50), duck, text.topk_ngrams_oracle_sql("documents", 3, 50))
+    assert len(rows) == 50
+    assert all(len(r[0].split(" ")) == 3 for r in rows)
+    # query order (pre-sort): counts non-increasing, gram-tiebroken
+    ordered = text.topk_ngrams(docs, 3, 50).collect()
+    pairs = [(-r.n_occurrences, r.gram) for r in ordered]
+    assert pairs == sorted(pairs)
+
+
+def test_asof_join_semantics(spark, duck):
+    """Before-first-event and no-event keys yield NULLs; equal-ts events
+    count as 'at or before'; latest wins — cross-checked against
+    DuckDB's independent native ASOF LEFT JOIN on the same data."""
+    from pgverify_spark.operators.asof import asof_join, asof_join_oracle_sql
+
+    ev = spark.createDataFrame(
+        [(1, 10, "a", 1.0), (1, 20, "b", None), (1, 30, "c", 3.0), (2, 100, "z", 9.0)],
+        "user_id int, ts bigint, event_type string, value double",
+    )
+    pr = spark.createDataFrame(
+        [(101, 1, 5), (102, 1, 10), (103, 1, 25), (104, 1, 35), (105, 3, 50)],
+        "probe_id int, user_id int, t bigint",
+    )
+    got = sorted(map(tuple, asof_join(ev, pr).collect()))
+    duck.execute(
+        "CREATE OR REPLACE VIEW asof_ev AS SELECT * FROM (VALUES "
+        "(1, 10, 'a', 1.0), (1, 20, 'b', NULL), (1, 30, 'c', 3.0), (2, 100, 'z', 9.0)"
+        ") t(user_id, ts, event_type, value)"
+    )
+    probes = (
+        "SELECT * FROM (VALUES (101, 1, 5), (102, 1, 10), (103, 1, 25), "
+        "(104, 1, 35), (105, 3, 50)) t(probe_id, user_id, t)"
+    )
+    want = sorted(
+        map(tuple, duck.execute(
+            asof_join_oracle_sql("asof_ev", probes, carry=("probe_id",))
+        ).fetchall())
+    )
+    assert got == want
+    by_probe = {r[2]: r for r in got}  # (user_id, t, probe_id, event_ts, type, value)
+    assert by_probe[101][3] is None          # before first event
+    assert by_probe[102][3] == 10            # equal ts counts
+    assert by_probe[103][3] == 20 and by_probe[103][5] is None  # NULL value survives
+    assert by_probe[104][3] == 30
+    assert by_probe[105][3] is None          # key with no events
+
+
+def test_asof_join_registry_events(spark, sf_dir, duck):
+    from pgverify_spark.registry import oracle_queries, spark_queries
+
+    rows = _cmp(
+        spark_queries()["asof_join_events"](spark, sf_dir),
+        duck,
+        oracle_queries()["asof_join_events"],
+    )
+    # probing an event's own timestamp must find that event
+    assert rows and all(r[3] == r[2] for r in rows)  # event_ts_us == t_us
+
+
+def test_dup_clusters(docs, duck):
+    pairs = dedup.minhash_lsh_pairs(docs, 0.3).select("doc_a", "doc_b")
+    rows = _cmp(
+        dedup.dup_clusters(pairs),
+        duck,
+        dedup.dup_clusters_oracle_sql(
+            "SELECT doc_a, doc_b FROM ("
+            + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+            + ") mp"
+        ),
+    )
+    # every paired doc is labeled, cluster id is the component minimum
+    by_doc = dict(rows)
+    for p in pairs.collect():
+        assert by_doc[p.doc_a] == by_doc[p.doc_b]
+        assert by_doc[p.doc_a] <= min(p.doc_a, p.doc_b)
+
+
+def test_dup_clusters_chain_transitivity(spark):
+    """A chain a-b, b-c, c-d must collapse into ONE cluster even though
+    a and d never share a pair (propagation beyond one hop), and two
+    disjoint components must stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "doc_a bigint, doc_b bigint",
+    )
+    labels = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    assert {labels[i] for i in (1, 2, 3, 4)} == {1}
+    assert {labels[i] for i in (10, 11, 12)} == {10}
+    assert {labels[i] for i in (20, 21)} == {20}
