@@ -104,6 +104,54 @@ def _fingerprint_entries() -> dict[str, tuple[Callable, str]]:
     return out
 
 
+def _file_roundtrip_entries() -> dict[str, tuple[Callable, str]]:
+    """Multi-format source coverage: export a parquet table to
+    csv/json/orc, read it back through ``FileTarget``, and fingerprint —
+    green iff the full read path AND the format round-trip are lossless
+    (the oracle fingerprints the parquet original).  csv/json use
+    explicit schemas (the verification contract; inference can
+    type-drift); orc is self-describing."""
+    from pgverify_spark.operators.fingerprint import FINGERPRINT_OPS, fingerprint_oracle_sql
+    from pgverify_spark.sources.files import FileTarget
+
+    def ddl(table: str) -> str:
+        spark_types = {"int": "int", "bigint": "bigint", "string": "string",
+                       "double": "double", "timestamp": "timestamp"}
+        return ", ".join(
+            f"{c} {spark_types[t]}" for c, t in TESTDATA_TABLES[table].cols
+        )
+
+    def roundtrip(table: str, fmt: str) -> Callable[[SparkSession, str], DataFrame]:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            import tempfile
+
+            ensure_required_confs(spark)
+            df = ParquetTarget("src", sf_dir).read(spark, table)
+            tmp = tempfile.mkdtemp(prefix=f"pgvs_{fmt}_")
+            writer = df.write.format(fmt).mode("overwrite")
+            if fmt == "csv":
+                writer = writer.option("header", "true")
+            writer.save(f"{tmp}/{table}.{fmt}")
+            # explicit schemas only for text formats; orc/parquet are
+            # self-describing (an LTZ/NTZ override would conflict)
+            schemas = {table: ddl(table)} if fmt in ("csv", "json") else {}
+            tgt = FileTarget("rt", tmp, format=fmt, schemas=schemas)
+            return FINGERPRINT_OPS["full"](
+                tgt.read(spark, table), tgt.table_schema(spark, table), _CFG
+            )
+
+        return run
+
+    cases = [("nation", "csv"), ("nation", "json"), ("orders", "orc")]
+    return {
+        f"full_fingerprint_{table}_{fmt}_roundtrip": (
+            roundtrip(table, fmt),
+            fingerprint_oracle_sql("full", table, TESTDATA_TABLES[table], _CFG),
+        )
+        for table, fmt in cases
+    }
+
+
 def _type_matrix_entry() -> dict[str, tuple[Callable, str]]:
     """Driver-visible coverage of the reference's type matrix
     (integration_test.go:135-158): uuid, bit(1), varbit(3), bigint[] with
@@ -451,12 +499,67 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
             sorted(latest.values()), "bucket int, cnt bigint, hsum bigint, updates int"
         )
 
-    return {"streaming_stateful_bucket_fingerprint_events": (run, None)}
+    def run_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.incremental import streaming_dedup
+
+        ensure_required_confs(spark)
+        docs = ParquetTarget("t", sf_dir).read(spark, "documents")
+        dup = docs.filter("doc_id % 3 = 0").selectExpr(
+            "doc_id + 1000000 AS doc_id", "text", "lang", "source", "n_chars"
+        )
+        both = docs.unionByName(dup)
+        tmp = tempfile.mkdtemp(prefix="pgvs_sdedup_")
+        (
+            both.withColumn("chunk", (F.col("doc_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(both.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_dedup(sdf)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("registry_sdedup")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # which duplicate survived is arrival-order-dependent; the kept
+        # hash set is deterministic — report that
+        return spark.table("registry_sdedup").select("content_md5").distinct()
+
+    # the surviving-hash SET is deterministic and SQL-expressible, so the
+    # streaming operator gets a full oracle pair (the streaming-ness is
+    # what the Spark side exercises; the oracle checks the final state)
+    from pgverify_spark.functions.text_exprs import norm_sql
+
+    dedup_oracle = (
+        "SELECT DISTINCT md5("
+        + norm_sql("text", "duckdb")
+        + ") AS content_md5 FROM (SELECT text FROM documents UNION ALL "
+        "SELECT text FROM documents WHERE doc_id % 3 = 0) u"
+    )
+    return {
+        "streaming_stateful_bucket_fingerprint_events": (run, None),
+        "streaming_dedup_documents": (run_dedup, dedup_oracle),
+    }
 
 
 def _entries() -> dict[str, tuple[Callable, str | None]]:
     return {
         **_fingerprint_entries(),
+        **_file_roundtrip_entries(),
         **_type_matrix_entry(),
         **_diff_entries(),
         **_report_entry(),

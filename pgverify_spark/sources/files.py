@@ -1,0 +1,83 @@
+"""Multi-format file source: csv / json / orc / parquet targets.
+
+Generalizes :class:`~pgverify_spark.sources.parquet.ParquetTarget` (the
+reference's "target is a database endpoint", ``verify.go:34-61``, mapped
+to "target is a directory of table files") across Spark's built-in file
+sources — verifying a CSV export against its parquet original, or a
+JSON dump against a database, is exactly the cross-engine comparison
+the tool exists for.
+
+Schema handling per format:
+
+- ``parquet`` / ``orc``: self-describing, lossless — read as-is.
+- ``csv`` / ``json``: text formats with no authoritative schema; pass
+  ``schemas={table: ddl}`` to read with explicit types (the verification
+  contract — inference can type-drift between exporters), else fall
+  back to header+inference for exploration.
+
+Scale: Spark's file sources all split by ``maxPartitionBytes`` and
+prune columns; csv/json cannot push filters or prune columns at the
+reader (row-oriented text), which is inherent to the format, not the
+plan — the fingerprint operators project immediately after the scan
+either way.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pgverify_spark.session import ensure_required_confs
+from pgverify_spark.sources.parquet import ParquetTarget
+
+#: Reader options applied per format on top of user options.
+_FORMAT_DEFAULTS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true", "inferSchema": "true"},
+    "json": {},
+    "orc": {},
+    "parquet": {},
+}
+
+
+@dataclass
+class FileTarget(ParquetTarget):
+    """A directory of ``<table>.<ext>`` files in one of Spark's built-in
+    file formats.  Inherits catalog listing, PK config and schema
+    introspection from ``ParquetTarget``; only the physical read
+    differs."""
+
+    format: str = "parquet"
+    #: explicit per-table Spark DDL schemas (recommended for csv/json)
+    schemas: dict[str, str] = field(default_factory=dict)
+    options: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.format not in _FORMAT_DEFAULTS:
+            raise ValueError(
+                f"unsupported format {self.format!r}; valid: {sorted(_FORMAT_DEFAULTS)}"
+            )
+
+    @property
+    def _ext(self) -> str:
+        return f".{self.format}"
+
+    def list_tables(self, spark=None, config=None) -> list[str]:
+        tables = sorted(
+            f[: -len(self._ext)]
+            for f in os.listdir(self.path)
+            if f.endswith(self._ext)
+        )
+        if config is not None:
+            tables = [t for t in tables if config.valid_table(self.schema, t)]
+        return tables
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        ensure_required_confs(spark)
+        reader = spark.read.format(self.format)
+        for k, v in {**_FORMAT_DEFAULTS[self.format], **self.options}.items():
+            reader = reader.option(k, v)
+        if table in self.schemas:
+            reader = reader.schema(self.schemas[table])
+        return reader.load(os.path.join(self.path, f"{table}{self._ext}"))

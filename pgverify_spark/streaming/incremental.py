@@ -176,3 +176,29 @@ def streaming_windowed_counts(
             "value_sum",
         )
     )
+
+
+def streaming_dedup(sdf: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming exact deduplication: emit only the first-arriving
+    document per normalized-content hash — the streaming twin of
+    ``operators.dedup.exact_dup_groups`` (which *reports* duplicates;
+    this *drops* them at ingest, the shape a continuously-fed training
+    pipeline needs).
+
+    State: one entry per distinct content hash, exact over the whole
+    stream.  For unbounded streams where content recurrence has a time
+    horizon, swap ``dropDuplicates`` for ``dropDuplicatesWithinWatermark``
+    after ``withWatermark`` to bound state to the horizon — same plan
+    shape, state expiring with the watermark.
+
+    Which duplicate survives depends on arrival order (inherent to
+    streaming); the *set of distinct content hashes* and the kept-row
+    count are deterministic and equal the batch distinct — asserted in
+    tests/test_streaming.py.
+    """
+    from pgverify_spark.functions.text_exprs import norm_sql
+
+    hashed = sdf.withColumn(
+        "content_md5", F.expr(f"md5({norm_sql(text_col, DIALECT_SPARK)})")
+    )
+    return hashed.dropDuplicates(["content_md5"])

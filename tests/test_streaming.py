@@ -113,3 +113,46 @@ def test_streaming_windowed_counts_matches_batch(spark, chunked_events, tmp_path
         map(tuple, streaming_windowed_counts(batch_df, window="6 hours").collect())
     )
     assert got == want and got
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
+    """The set of surviving content hashes (and kept count) equals the
+    batch distinct, regardless of arrival order/chunking; duplicates
+    injected across different chunks so cross-micro-batch state is
+    actually exercised."""
+    from pgverify_spark.streaming.incremental import streaming_dedup
+
+    docs = ParquetTarget("t", sf_dir).read(spark, "documents")
+    dup = docs.filter("doc_id % 3 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    both = docs.unionByName(dup)
+    src = str(tmp_path / "src")
+    # duplicates land in a different chunk than their originals
+    both.withColumn("chunk", (both.doc_id % 4).cast("int")).repartition(
+        4, "chunk"
+    ).drop("chunk").write.mode("overwrite").parquet(src)
+
+    sdf = spark.readStream.schema(both.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_dedup(sdf)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = spark.table("dedup_out")
+    batch_hashes = {
+        r.h
+        for r in both.selectExpr(
+            "md5(lower(regexp_replace(trim(text), '\\\\s+', ' '))) AS h"
+        ).distinct().collect()
+    }
+    got_hashes = {r.content_md5 for r in kept.collect()}
+    assert got_hashes == batch_hashes
+    assert kept.count() == len(batch_hashes)
