@@ -290,6 +290,75 @@ FINGERPRINT_OPS = {
     "additive": additive_fingerprint,
 }
 
+#: Modes computable from ONE (k, h) scan in a single aggregate pass.
+FUSABLE_MODES = ("full", "rowcount", "additive")
+
+
+def fused_fingerprints(
+    df: DataFrame, schema: TableSchema, config: VerifyConfig, modes: tuple[str, ...]
+) -> DataFrame:
+    """One-scan computation of several fingerprint modes at once.
+
+    ``full``, ``rowcount`` and ``additive`` all aggregate the same
+    per-row (key, hash) projection — running them as separate operators
+    scans the table once *per mode*, which at 100 TB triples the
+    dominant cost (the reference's default mode set pays one in-database
+    scan per mode the same way).  This fuses them into one projection +
+    one aggregate producing one column per mode (``fp_<mode>``);
+    ``plans/verify.py`` slices per-mode cells off the single row.  Each
+    column is byte-identical to the standalone operator's output (
+    asserted in tests), so fused and unfused targets stay comparable.
+
+    The additive term needs no second scan: its 48-bit integer derives
+    from the same row hash ``h`` the ordered concat consumes.
+
+    Plan shape: identical to ``full_fingerprint`` alone (small input →
+    two-stage single-reduce agg; large → distributed range sort with
+    per-partition partials) with count/sum terms riding along, i.e. the
+    marginal cost of the extra modes is a few aggregate buffers.
+    """
+    for m in modes:
+        if m not in FUSABLE_MODES:
+            raise ValueError(f"mode {m!r} is not fusable; fusable: {FUSABLE_MODES}")
+    h48 = hex_prefix_int_sql("h", DIALECT_SPARK)
+    hv = f"CAST({h48} AS DECIMAL(38,0))"
+    additive = (
+        "concat_ws(':', CAST(count(1) AS STRING), "
+        f"CAST(CAST(sum({hv}) % {ADDITIVE_MOD} AS DECIMAL(38,0)) AS STRING))"
+    )
+    kh = _kh(df, schema, config)
+    if _small(df, config):
+        aggs = {
+            "full": f"CASE WHEN count(1) = 0 THEN 'no rows' ELSE {_ORDERED_AGG} END",
+            "rowcount": "CAST(count(1) AS STRING)",
+            "additive": additive,
+        }
+        return kh.selectExpr(*[f"{aggs[m]} AS fp_{m}" for m in modes])
+    # distributed path: one range sort; per-partition ordered partials
+    # carry (concat, count, hv-sum); the final reduce derives every mode
+    partials = (
+        kh.sort("k", "h")
+        .selectExpr("spark_partition_id() AS p", "h", f"{hv} AS hv")
+        .groupBy("p")
+        .agg(
+            F.concat_ws("", F.collect_list("h")).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("hv").alias("hsum"),
+        )
+    )
+    aggs = {
+        "full": (
+            "CASE WHEN count(1) = 0 THEN 'no rows' ELSE "
+            "md5(array_join(transform(array_sort(collect_list(struct(p, s))), x -> x.s), '')) END"
+        ),
+        "rowcount": "CAST(coalesce(sum(cnt), 0) AS STRING)",
+        "additive": (
+            "concat_ws(':', CAST(coalesce(sum(cnt), 0) AS STRING), "
+            f"CAST(CAST(sum(hsum) % {ADDITIVE_MOD} AS DECIMAL(38,0)) AS STRING))"
+        ),
+    }
+    return partials.selectExpr(*[f"{aggs[m]} AS fp_{m}" for m in modes])
+
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins — same canonicalization code path, DuckDB dialect.

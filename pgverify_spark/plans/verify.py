@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgverify_spark.config import ERROR_OUTPUT, VerifyConfig
-from pgverify_spark.operators.fingerprint import FINGERPRINT_OPS
+from pgverify_spark.operators.fingerprint import (
+    FINGERPRINT_OPS,
+    FUSABLE_MODES,
+    fused_fingerprints,
+)
 from pgverify_spark.session import ensure_required_confs
 from pgverify_spark.sources.parquet import ParquetTarget
 
@@ -104,12 +108,33 @@ def _target_results(
         try:
             schema = target.table_schema(spark, table)
             df = target.read(spark, table)
-            table_parts = [
+            # Mode fusion: full/rowcount/additive all aggregate the same
+            # (k, h) projection, so when >1 of them is requested they run
+            # as ONE scan + one aggregate (fused_fingerprints); each
+            # cell's branch projects its fp_<mode> column, and exchange
+            # reuse computes the shared subplan once within the union's
+            # single action.  At 100 TB this removes one full table scan
+            # per extra fused mode — the dominant cost of a verify run.
+            fused = tuple(m for m in config.test_modes if m in FUSABLE_MODES)
+            table_parts = []
+            if len(fused) > 1:
+                fdf = fused_fingerprints(df, schema, config, fused)
+                table_parts += [
+                    (
+                        (name, target.schema, table, mode),
+                        tag(fdf.selectExpr(f"fp_{mode} AS fp"), mode),
+                    )
+                    for mode in fused
+                ]
+            else:
+                fused = ()
+            table_parts += [
                 (
                     (name, target.schema, table, mode),
                     tag(FINGERPRINT_OPS[mode](df, schema, config), mode),
                 )
                 for mode in config.test_modes
+                if mode not in fused
             ]
         except Exception:
             # schema inference / plan build already failed (missing PK,

@@ -126,3 +126,57 @@ def test_exclude_columns(spark, duck, sf_dir):
     a = _spark_fp(spark, sf_dir, "orders", "full", cfg)
     assert a == _duck_fp(duck, "orders", "full", cfg)
     assert a != _spark_fp(spark, sf_dir, "orders", "full", CFG)
+
+
+def test_fused_fingerprints_match_standalone_ops(spark, sf_dir):
+    """Fused one-scan (full, rowcount, additive) must be byte-identical
+    to the standalone operators on both plan paths (small single-reduce
+    and distributed sort), on duplicate-key data, and on empty input —
+    a fused target must stay comparable with an unfused/pushdown one."""
+    import dataclasses
+
+    from pgverify_spark.config import VerifyConfig
+    from pgverify_spark.operators.fingerprint import (
+        FINGERPRINT_OPS,
+        FUSABLE_MODES,
+        fused_fingerprints,
+    )
+    from pgverify_spark.sources.parquet import ParquetTarget
+    from pgverify_spark.sources.schemas import TESTDATA_TABLES
+
+    src = ParquetTarget("t", sf_dir)
+    for table in ("lineitem", "nation"):  # dup-key fact + tiny dim
+        schema = TESTDATA_TABLES[table]
+        df = src.read(spark, table)
+        for cfg in (
+            VerifyConfig(),
+            VerifyConfig(small_input_bytes=0),  # force distributed path
+        ):
+            fused = fused_fingerprints(df, schema, cfg, FUSABLE_MODES).collect()[0]
+            for mode in FUSABLE_MODES:
+                standalone = FINGERPRINT_OPS[mode](df, schema, cfg).collect()[0].fp
+                assert fused[f"fp_{mode}"] == standalone, (table, mode, cfg.small_input_bytes)
+    # empty input
+    schema = TESTDATA_TABLES["nation"]
+    empty = src.read(spark, "nation").filter("n_nationkey < 0")
+    fused = fused_fingerprints(empty, schema, VerifyConfig(), FUSABLE_MODES).collect()[0]
+    for mode in FUSABLE_MODES:
+        assert fused[f"fp_{mode}"] == FINGERPRINT_OPS[mode](empty, schema, VerifyConfig()).collect()[0].fp
+
+
+def test_verify_fuses_modes_into_one_scan(spark, sf_dir):
+    """A (full, rowcount, additive) verify run must not scan the table
+    once per mode: the union plan's scan count stays at one per
+    (target, table) thanks to fusion + exchange reuse."""
+    from pgverify_spark.config import VerifyConfig
+    from pgverify_spark.plans.verify import verify
+    from pgverify_spark.sources.parquet import ParquetTarget
+
+    cfg = VerifyConfig(
+        test_modes=("full", "rowcount", "additive"), include_tables=("region",)
+    )
+    res = verify(spark, [ParquetTarget("a", sf_dir)], cfg)
+    assert res.ok, res.errors
+    rows = {r["mode"]: r["output"] for r in res.results.collect()}
+    assert set(rows) == {"full", "rowcount", "additive"}
+    assert rows["rowcount"].isdigit() and rows["additive"].count(":") == 1
