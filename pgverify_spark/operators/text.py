@@ -266,3 +266,71 @@ def topk_ngrams_oracle_sql(table: str, n: int = 3, k: int = 50) -> str:
         "SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram "
         f"ORDER BY n_occurrences DESC, gram ASC LIMIT {k}"
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    max_digit_ratio: float = 0.3,
+    langs: tuple[str, ...] = (),
+) -> DataFrame:
+    """Corpus curation gate: keep documents passing the standard quality
+    bar (score, length, digit-spam, optional language allowlist by the
+    n-gram language ID).  Output: kept (doc_id, quality_score, lang_id).
+
+    The composition every training-data pipeline runs after scoring —
+    here it is ONE plan: stats, language ID and predicates fuse into a
+    single-pass projection + filter (no shuffle, no join — language ID
+    and stats both derive from the same token array), so the gate costs
+    one scan at any scale and Catalyst prunes unused stat columns.
+    """
+    exprs, metrics, quality = _stats_exprs(DIALECT_SPARK)
+    hits, best, lang_case = _langid_exprs(DIALECT_SPARK)
+    prep = _barrier(df.selectExpr("doc_id", "text", *exprs))
+    scored = (
+        prep.selectExpr(*metrics, *hits)
+        .selectExpr("*", f"{best} AS best")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "digit_ratio",
+            quality,
+            f"CASE WHEN best = 0 THEN 'und' ELSE {lang_case} END AS lang_id",
+        )
+    )
+    pred = (
+        f"quality_score >= {min_quality} AND n_tokens >= {min_tokens} "
+        f"AND digit_ratio <= {max_digit_ratio}"
+    )
+    if langs:
+        quoted = ", ".join(f"'{l}'" for l in langs)
+        pred += f" AND lang_id IN ({quoted})"
+    return scored.filter(pred).select("doc_id", "quality_score", "lang_id")
+
+
+def quality_filter_oracle_sql(
+    table: str,
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    max_digit_ratio: float = 0.3,
+    langs: tuple[str, ...] = (),
+) -> str:
+    exprs, metrics, quality = _stats_exprs(DIALECT_DUCKDB)
+    hits, best, lang_case = _langid_exprs(DIALECT_DUCKDB)
+    pred = (
+        f"quality_score >= {min_quality} AND n_tokens >= {min_tokens} "
+        f"AND digit_ratio <= {max_digit_ratio}"
+    )
+    if langs:
+        quoted = ", ".join(f"'{l}'" for l in langs)
+        pred += f" AND lang_id IN ({quoted})"
+    return (
+        "SELECT doc_id, quality_score, lang_id FROM "
+        f"(SELECT *, {quality}, "
+        f"CASE WHEN best = 0 THEN 'und' ELSE {lang_case} END AS lang_id FROM "
+        f"(SELECT *, {best} AS best FROM "
+        f"(SELECT {', '.join(metrics)}, {', '.join(hits)} FROM "
+        f"(SELECT doc_id, text, {', '.join(exprs)} FROM {table}) t1) t2) t3) t4 "
+        f"WHERE {pred}"
+    )

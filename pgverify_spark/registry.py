@@ -400,6 +400,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("embeddings", lambda df: similarity.ivf_topk(df, qids, 10, 2)),
             similarity.ivf_topk_oracle_sql("embeddings", qids, 10, 2),
         ),
+        # curation gate: quality + length + digit-spam + language filter
+        "quality_filter_documents": (
+            _table_query(
+                "documents",
+                lambda df: text.quality_filter(df, 0.5, 10, 0.3, ("en", "de")),
+            ),
+            text.quality_filter_oracle_sql("documents", 0.5, 10, 0.3, ("en", "de")),
+        ),
         # deterministic curation sampling + corpus stats
         "stratified_sample_documents": (
             _table_query(

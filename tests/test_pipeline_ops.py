@@ -455,3 +455,24 @@ def test_dup_clusters_chain_transitivity(spark):
     assert {labels[i] for i in (1, 2, 3, 4)} == {1}
     assert {labels[i] for i in (10, 11, 12)} == {10}
     assert {labels[i] for i in (20, 21)} == {20}
+
+
+def test_quality_filter(docs, duck):
+    rows = _cmp(
+        text.quality_filter(docs, 0.5, 10, 0.3, ("en", "de")),
+        duck,
+        text.quality_filter_oracle_sql("documents", 0.5, 10, 0.3, ("en", "de")),
+    )
+    assert rows and all(r[1] >= 0.5 and r[2] in ("en", "de") for r in rows)
+    # gate consistency with the standalone operators it composes
+    stats = {r.doc_id: r for r in text.text_stats(docs).collect()}
+    langs = {r.doc_id: r.lang for r in text.language_id(docs).collect()}
+    kept = {r[0] for r in rows}
+    for did, s in stats.items():
+        ok = (
+            s.quality_score >= 0.5
+            and s.n_tokens >= 10
+            and s.digit_ratio <= 0.3
+            and langs[did] in ("en", "de")
+        )
+        assert (did in kept) == ok, did
