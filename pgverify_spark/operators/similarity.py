@@ -252,3 +252,98 @@ def ann_lsh_topk_oracle_sql(table: str, query_ids: tuple[int, ...], k: int = 10)
         "FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id "
         f"WHERE q.vec_id IN ({ids})) t WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd iterations) — learned-centroid companion to the fixed
+# IVF coarse quantizer above
+# ---------------------------------------------------------------------------
+
+def kmeans_assign(df: DataFrame, k: int = 8, iterations: int = 2) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column.
+
+    Init: the embeddings of ``vec_id < k`` (deterministic, no RNG).
+    Each iteration: assign every vector to its max-cosine centroid
+    (ties -> smaller centroid id), then recompute centroids as the
+    per-dimension mean of their members.  Output after the final assign:
+    (vec_id, cluster, cosine).
+
+    Cross-engine exactness: cosine is the shared rounded fold
+    (``cosine_sql``); the centroid mean sums each dimension's values
+    *sorted* via a left-to-right double fold before dividing (float
+    addition is order-dependent, so an unordered SUM() would diverge
+    between engines and across partitionings), rounding to 6 decimals —
+    centroids are then bit-identical everywhere, and every later
+    comparison stays in lockstep.
+
+    Scale: per iteration, one broadcast of k tiny centroid vectors
+    against the corpus (no shuffle to assign) + one (cluster, dim)
+    aggregation.  The sorted-fold mean makes the aggregation collect
+    per-group value lists — exact-mode; at 10^9+ rows swap the mean to
+    a plain SUM()/COUNT() (order-dependent last-ulp differences,
+    harmless when the centroids are not cross-engine compared).  Empty
+    clusters drop out identically in both engines.
+    """
+    cent = df.filter(f"vec_id < {k}").selectExpr(
+        "CAST(vec_id AS INT) AS cid", "embedding AS cvec"
+    )
+    assigned = None
+    for it in range(iterations):
+        scored = df.crossJoin(F.broadcast(cent)).selectExpr(
+            "vec_id",
+            "embedding",
+            "cid",
+            f"{cosine_sql('embedding', 'cvec', DIALECT_SPARK)} AS cosine",
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cid"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+        )
+        if it == iterations - 1:
+            break
+        sorted_vals = "array_sort(collect_list(CAST(val AS DOUBLE)))"
+        fold = f"aggregate({sorted_vals}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        dims = (
+            assigned.selectExpr("cid", "posexplode(embedding) AS (pos, val)")
+            .groupBy("cid", "pos")
+            .agg(F.expr(f"round({fold} / count(1), 6)").alias("cv"))
+        )
+        cent = dims.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)"
+            ).alias("cvec")
+        )
+    return assigned.selectExpr("vec_id", "cid AS cluster", "cosine")
+
+
+def kmeans_assign_oracle_sql(table: str, k: int = 8, iterations: int = 2) -> str:
+    d = DIALECT_DUCKDB
+    ctes = [
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec "
+        f"FROM {table} WHERE vec_id < {k})"
+    ]
+    cos = cosine_sql("t.embedding", "c.cvec", d)
+    for it in range(iterations):
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, embedding, cid, cosine FROM ("
+            f"SELECT t.vec_id, t.embedding, c.cid, {cos} AS cosine, "
+            f"row_number() OVER (PARTITION BY t.vec_id ORDER BY {cos} DESC, c.cid ASC) AS rn "
+            f"FROM {table} t CROSS JOIN c{it} c) s WHERE rn = 1)"
+        )
+        if it == iterations - 1:
+            break
+        fold = "CAST(list_sum(list_sort(list(CAST(val AS DOUBLE)))) AS DOUBLE)"
+        # parallel unnests zip in DuckDB's projection (lateral
+        # generate_series over a column is unsupported in 1.0)
+        ctes.append(
+            f"d{it} AS (SELECT cid, pos, round({fold} / count(*), 6) AS cv FROM ("
+            f"SELECT cid, unnest(range(len(embedding))) AS pos, "
+            f"unnest(embedding) AS val FROM a{it}) e GROUP BY cid, pos)"
+        )
+        ctes.append(
+            f"c{it + 1} AS (SELECT cid, list(cv ORDER BY pos) AS cvec FROM d{it} GROUP BY cid)"
+        )
+    last = iterations - 1
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT vec_id, cid AS cluster, cosine FROM a{last}"
+    )

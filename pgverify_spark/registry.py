@@ -400,6 +400,11 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("embeddings", lambda df: similarity.ivf_topk(df, qids, 10, 2)),
             similarity.ivf_topk_oracle_sql("embeddings", qids, 10, 2),
         ),
+        # learned-centroid companion to the fixed IVF quantizer
+        "kmeans_assign_embeddings": (
+            _table_query("embeddings", lambda df: similarity.kmeans_assign(df, 8, 2)),
+            similarity.kmeans_assign_oracle_sql("embeddings", 8, 2),
+        ),
         # curation gate: quality + length + digit-spam + language filter
         "quality_filter_documents": (
             _table_query(

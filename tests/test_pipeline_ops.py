@@ -476,3 +476,19 @@ def test_quality_filter(docs, duck):
             and langs[did] in ("en", "de")
         )
         assert (did in kept) == ok, did
+
+
+def test_kmeans_assign(embs, duck):
+    rows = _cmp(
+        similarity.kmeans_assign(embs, 8, 2),
+        duck,
+        similarity.kmeans_assign_oracle_sql("embeddings", 8, 2),
+    )
+    assert len(rows) == embs.count()
+    clusters = {r[1] for r in rows}
+    assert clusters <= set(range(8)) and len(clusters) > 1
+    # Lloyd improves (or preserves) every vector's similarity to its
+    # centroid: mean assigned cosine must not decrease with iterations
+    one = {r[0]: r[2] for r in map(tuple, similarity.kmeans_assign(embs, 8, 1).collect())}
+    two = {r[0]: r[2] for r in rows}
+    assert sum(two.values()) >= sum(one.values()) - 1e-9
