@@ -22,7 +22,7 @@ via ``nanosAsLong``, DuckDB as TIMESTAMP, whence ``epoch_us``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Nanoseconds / microseconds per hour.
@@ -110,4 +110,63 @@ def hourly_rollup_oracle_sql(table: str) -> str:
         "min(value) AS min_value, "
         "max(value) AS max_value "
         f"FROM {table} GROUP BY 1, 2"
+    )
+
+
+#: Default session gap: 30 minutes, in microseconds.
+_DEFAULT_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize(df: DataFrame, gap_us: int = _DEFAULT_GAP_US) -> DataFrame:
+    """Gap-based sessionization: split each user's event stream into
+    sessions wherever the inter-event gap exceeds ``gap_us``, then
+    aggregate per session.  Output: (user_id, session_idx, start_us,
+    end_us, n_events, sum_value) with session_idx 1-based in time order.
+
+    The standard lag+cumsum formulation: one hash shuffle on user_id,
+    then two window passes (new-session flag, running session index)
+    and a hash aggregate — all within the same partitioning, so Spark
+    plans ONE Exchange for the whole operator (asserted in tests).
+    Timestamps are bigint nanos (events.parquet via nanosAsLong);
+    arithmetic runs in the exact integer microsecond domain.
+
+    Skew note: a user's whole history lands in one task (inherent to
+    per-user ordering); at 100 TB bound it by pre-splitting on
+    (user_id, coarse time bucket) and merging boundary sessions.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.selectExpr("user_id", "event_id", "ts", "CAST(ts div 1000 AS BIGINT) AS us",
+                      "CAST(value AS DECIMAL(18,2)) AS dvalue")
+        .withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "new_sess",
+            F.expr(f"CASE WHEN prev_us IS NULL OR us - prev_us > {gap_us} THEN 1 ELSE 0 END"),
+        )
+        .withColumn("session_idx", F.sum("new_sess").over(wrun))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("dvalue").cast("decimal(38,2)").alias("sum_value"),
+        )
+    )
+
+
+def sessionize_oracle_sql(table: str, gap_us: int = _DEFAULT_GAP_US) -> str:
+    us = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+    return (
+        f"WITH base AS (SELECT user_id, event_id, {us} AS us, "
+        f"CAST(value AS DECIMAL(18,2)) AS dvalue FROM {table}), "
+        "flagged AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL "
+        f"OR us - lag(us) OVER w > {gap_us} THEN 1 ELSE 0 END AS new_sess "
+        "FROM base WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+        "sessed AS (SELECT *, sum(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx "
+        "FROM flagged) "
+        "SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us, "
+        "count(*) AS n_events, CAST(sum(dvalue) AS DECIMAL(38,2)) AS sum_value "
+        "FROM sessed GROUP BY user_id, session_idx"
     )

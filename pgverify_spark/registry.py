@@ -438,6 +438,10 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", rollup.daily_rollup),
             rollup.daily_rollup_oracle_sql("events"),
         ),
+        "sessionize_events": (
+            _table_query("events", rollup.sessionize),
+            rollup.sessionize_oracle_sql("events"),
+        ),
         # as-of join: probe = every 7th event's own timestamp; output in
         # epoch-us (ts is bigint nanos in Spark, TIMESTAMP_NS in DuckDB)
         "asof_join_events": (

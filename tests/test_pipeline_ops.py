@@ -492,3 +492,26 @@ def test_kmeans_assign(embs, duck):
     one = {r[0]: r[2] for r in map(tuple, similarity.kmeans_assign(embs, 8, 1).collect())}
     two = {r[0]: r[2] for r in rows}
     assert sum(two.values()) >= sum(one.values()) - 1e-9
+
+
+def test_sessionize(spark, sf_dir, duck):
+    from pgverify_spark.operators import rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = _cmp(rollup.sessionize(events), duck, rollup.sessionize_oracle_sql("events"))
+    assert rows
+    # sessions partition the events exactly
+    assert sum(r[4] for r in rows) == events.count()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r[0], []).append(r)
+    gap = rollup._DEFAULT_GAP_US
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r[1])
+        assert [r[1] for r in sess] == list(range(1, len(sess) + 1))  # 1-based idx
+        for a, b in zip(sess, sess[1:]):
+            assert b[2] - a[3] > gap  # consecutive sessions separated by > gap
+        assert all(r[2] <= r[3] for r in sess)
+    # single Exchange: windows + final agg share the user_id partitioning
+    plan = rollup.sessionize(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
