@@ -567,9 +567,49 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         + ") AS content_md5 FROM (SELECT text FROM documents UNION ALL "
         "SELECT text FROM documents WHERE doc_id % 3 = 0) u"
     )
+    def run_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.incremental import streaming_session_rollup
+
+        ensure_required_confs(spark)
+        df = ParquetTarget("t", sf_dir).read(spark, "events")
+        tmp = tempfile.mkdtemp(prefix="pgvs_sess_")
+        (
+            df.withColumn("chunk", (F.col("event_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_session_rollup(sdf)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("registry_sessions")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table("registry_sessions")
+
+    sessions_oracle = (
+        "SELECT user_id, start_us, end_us, n_events, sum_value FROM ("
+        + rollup.sessionize_oracle_sql("events")
+        + ") s"
+    )
     return {
         "streaming_stateful_bucket_fingerprint_events": (run, None),
         "streaming_dedup_documents": (run_dedup, dedup_oracle),
+        "streaming_session_rollup_events": (run_sessions, sessions_oracle),
     }
 
 

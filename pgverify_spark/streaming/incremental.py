@@ -202,3 +202,38 @@ def streaming_dedup(sdf: DataFrame, text_col: str = "text") -> DataFrame:
         "content_md5", F.expr(f"md5({norm_sql(text_col, DIALECT_SPARK)})")
     )
     return hashed.dropDuplicates(["content_md5"])
+
+
+def streaming_session_rollup(sdf: DataFrame, gap_us: int = 30 * 60 * 1_000_000) -> DataFrame:
+    """Streaming gap-based sessionization: Spark's native
+    ``session_window`` merges events into per-user sessions whose gap
+    exceeds ``gap_us`` — the streaming twin of the batch
+    ``operators.rollup.sessionize`` (same session boundaries; asserted
+    equal in tests over a chunked replay).
+
+    Output per (user_id, session): window start/end, event count, exact
+    decimal value sum.  ``session_window``'s end extends ``gap`` past
+    the last event (Spark's definition), so the batch-comparable end is
+    ``window.end - gap``.
+
+    State: one open session per active user, merged and emitted by the
+    state store as the watermark passes; scales with concurrent active
+    users, not stream length.
+    """
+    with_ts = sdf.withColumn("ets", F.timestamp_micros(F.expr("CAST(ts div 1000 AS BIGINT)")))
+    gap_expr = f"INTERVAL {gap_us} MICROSECOND"
+    return (
+        with_ts.withWatermark("ets", "1 second")
+        .groupBy(F.session_window("ets", gap_expr), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).cast("decimal(38,2)").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            (F.unix_micros("session_window.end") - F.lit(gap_us)).alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )

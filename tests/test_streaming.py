@@ -156,3 +156,35 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
     got_hashes = {r.content_md5 for r in kept.collect()}
     assert got_hashes == batch_hashes
     assert kept.count() == len(batch_hashes)
+
+
+def test_streaming_session_rollup_matches_batch_sessionize(spark, sf_dir, chunked_events, tmp_path):
+    """Native session_window streaming sessions == batch lag+cumsum
+    sessions: same (user, start, end, count, sum) sets after replaying
+    the chunked events, modulo session_window's gap-extended end."""
+    from pgverify_spark.operators.rollup import sessionize
+    from pgverify_spark.streaming.incremental import streaming_session_rollup
+
+    src_dir, schema, _ = chunked_events
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = (
+        streaming_session_rollup(sdf)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_state")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
+        for r in spark.table("sess_state").collect()
+    }
+    batch = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
+        for r in sessionize(ParquetTarget("t", sf_dir).read(spark, "events")).collect()
+    }
+    assert streamed == batch
