@@ -1,0 +1,144 @@
+"""Train/eval contamination detection for training-data pipelines.
+
+Beyond-reference extension (the reference verifies cross-database table
+equality, SURVEY.md §2.3; it has no corpus tooling): find training
+documents that share word n-grams with a held-out evaluation split — the
+standard decontamination step before LLM training (an eval answer leaked
+into the training set inflates benchmark scores).
+
+Scale shape — the asymmetry IS the design: eval benchmark suites are
+fixed-size (thousands of documents, MBs-to-GBs), the training corpus is
+the 100 TB side.  The eval inverted index (shingle -> eval_doc) is
+therefore built once and **broadcast**; the training corpus is scanned
+exactly once, never shuffled, and each train row probes the broadcast
+map.  The only shuffled data is the matched (train_doc, eval_doc,
+shingle) hits — O(contamination), not O(corpus).  The final groupBy
+counts shared shingles per cross-split pair with map-side combine.
+
+A hot-shingle cap guards the join fan-out exactly as in
+:func:`pgverify_spark.operators.dedup.ngram_jaccard_pairs`: a
+stopword-like n-gram present in many *eval* docs would pair every train
+document containing it with all of them, so shingles shared by more than
+``max_eval_freq`` eval documents are dropped from the index — they carry
+no contamination signal (the default n=5 makes chance collisions rare to
+begin with; decontamination in practice uses 8-13-grams for the same
+reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
+from pgverify_spark.operators.util import barrier as _barrier
+from pgverify_spark.functions.text_exprs import (
+    ngrams_sql,
+    shingle_ints_sql,
+    tokens_sql,
+)
+
+#: Contamination shingle width (tokens).  Wider than dedup's 3: a shared
+#: 5-gram is strong evidence of copied text, not shared vocabulary.
+CONTAM_N = 5
+
+#: Drop shingles present in more than this many eval documents.
+MAX_EVAL_FREQ = 1_000
+
+
+def _contam_shingled(df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingles) with distinct n-token shingle hashes.
+
+    Same layering discipline as dedup's ``_shingled`` (token-count filter
+    *early*, persist before the explode consumers — both measured
+    load-bearing there); separate function because contamination uses a
+    wider n.
+    """
+    return (
+        _barrier(df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens"))
+        .filter(f"size(tokens) >= {n}")
+        .selectExpr("doc_id", f"{ngrams_sql('tokens', n, DIALECT_SPARK)} AS grams")
+        .selectExpr("doc_id", f"{shingle_ints_sql('grams', DIALECT_SPARK)} AS shingles")
+        .persist()
+    )
+
+
+def contamination_pairs(
+    df: DataFrame,
+    n: int = CONTAM_N,
+    eval_mod: int = 10,
+    min_shared: int = 2,
+    max_eval_freq: int = MAX_EVAL_FREQ,
+) -> DataFrame:
+    """Cross-split n-gram overlap: train docs sharing >= ``min_shared``
+    distinct n-token shingles with an eval doc.
+
+    The eval split is deterministic — ``doc_id % eval_mod == 0`` — so
+    both engines (and repeated runs) agree on membership; a real pipeline
+    passes the actual benchmark corpus as the eval side instead.
+
+    Output: (train_doc, eval_doc, n_shared, contamination) where
+    ``contamination = n_shared / |train shingles|`` — 1.0 means every
+    shingle of the training document appears in that eval document.
+    """
+    sh = _contam_shingled(df, n)
+    ev = sh.filter(f"doc_id % {eval_mod} = 0")
+    tr = sh.filter(f"doc_id % {eval_mod} <> 0")
+    ev_inv = ev.selectExpr("doc_id AS eval_doc", "explode(shingles) AS s")
+    if max_eval_freq is not None:
+        hot = (
+            ev_inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") > max_eval_freq)
+            .select("s")
+        )
+        ev_inv = ev_inv.join(hot, "s", "left_anti")
+    tr_inv = tr.selectExpr(
+        "doc_id AS train_doc", "size(shingles) AS train_sz", "explode(shingles) AS s"
+    )
+    hits = tr_inv.join(F.broadcast(ev_inv), "s")
+    return (
+        hits.groupBy("train_doc", "eval_doc", "train_sz")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(f"n_shared >= {min_shared}")
+        .selectExpr(
+            "train_doc",
+            "eval_doc",
+            "n_shared",
+            "round(CAST(n_shared AS DOUBLE) / train_sz, 6) AS contamination",
+        )
+    )
+
+
+def contamination_pairs_oracle_sql(
+    table: str,
+    n: int = CONTAM_N,
+    eval_mod: int = 10,
+    min_shared: int = 2,
+    max_eval_freq: int = MAX_EVAL_FREQ,
+) -> str:
+    d = DIALECT_DUCKDB
+    hot_filter = ""
+    ev_src = "ev_inv"
+    if max_eval_freq is not None:
+        hot_filter = (
+            f"hot AS (SELECT s FROM ev_inv GROUP BY s HAVING count(*) > {max_eval_freq}), "
+            "ev_invk AS (SELECT ev_inv.* FROM ev_inv ANTI JOIN hot USING (s)), "
+        )
+        ev_src = "ev_invk"
+    return (
+        f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
+        f"tokn AS (SELECT * FROM tok WHERE len(tokens) >= {n}), "
+        f"gr AS (SELECT doc_id, {ngrams_sql('tokens', n, d)} AS grams FROM tokn), "
+        f"shn AS (SELECT doc_id, {shingle_ints_sql('grams', d)} AS shingles FROM gr), "
+        f"ev_inv AS (SELECT doc_id AS eval_doc, unnest(shingles) AS s FROM shn "
+        f"WHERE doc_id % {eval_mod} = 0), "
+        f"{hot_filter}"
+        "tr_inv AS (SELECT doc_id AS train_doc, len(shingles) AS train_sz, "
+        f"unnest(shingles) AS s FROM shn WHERE doc_id % {eval_mod} <> 0), "
+        "ov AS (SELECT train_doc, eval_doc, train_sz, count(*) AS n_shared "
+        f"FROM tr_inv JOIN {ev_src} USING (s) GROUP BY 1, 2, 3) "
+        "SELECT train_doc, eval_doc, n_shared, "
+        "round(CAST(n_shared AS DOUBLE) / train_sz, 6) AS contamination "
+        f"FROM ov WHERE n_shared >= {min_shared}"
+    )

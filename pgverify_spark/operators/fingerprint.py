@@ -281,6 +281,60 @@ def additive_fingerprint(
     )
 
 
+def partitioned_fingerprint(
+    df: DataFrame,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+    partition_sql: str = "CAST(ts DIV 86400000000000 AS BIGINT)",
+) -> DataFrame:
+    """Per-partition exact fingerprints: one (part, fp) row per value of
+    ``partition_sql`` (default: day bucket of ``ts``).
+
+    The incremental-verification pattern for 100 TB tables: materialize
+    this once, then on re-verify recompute only the partitions whose
+    source files changed (storage partition pruning makes that a
+    fraction-of-table scan) and compare per-partition fingerprints across
+    targets — a mismatch names the day it happened, and unchanged
+    history is never rescanned.  The reference must re-run its full
+    in-database hash per verify (``query.go:122-158`` has no partition
+    dimension).
+
+    Plan shape: same as :func:`bucketed_fingerprint` with a *semantic*
+    partition key — one hash shuffle on part, Tungsten sort within
+    partitions, grouped ordered concat.  A calendar partition can be
+    arbitrarily large (unlike the uniform md5 buckets), so for skewed
+    timelines compose both: partition by day, bucket within day.
+    """
+    config = config or VerifyConfig()
+    k, h, _ = _exprs(schema, config)
+    base = df if _small(df, config) else _parallelize(df)
+    kh = base.selectExpr(f"{partition_sql} AS part", f"{k} AS k", f"{h} AS h")
+    return (
+        kh.repartition("part")
+        .sortWithinPartitions("part", "k", "h")
+        .groupBy("part")
+        .agg(F.md5(F.concat_ws("", F.collect_list("h"))).alias("fp"))
+    )
+
+
+def partitioned_fingerprint_oracle_sql(
+    table: str,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+    partition_sql: str = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)",
+) -> str:
+    config = config or VerifyConfig()
+    cols = config.typed_cols(schema.hashed_cols(config.valid_column))
+    pk = config.typed_cols(schema.pk_cols())
+    h = row_hash_sql(cols, DIALECT_DUCKDB, config.trunc_unit)
+    k = pk_key_sql(pk, DIALECT_DUCKDB, config.trunc_unit, config.hash_primary_keys)
+    return (
+        "SELECT part, md5(string_agg(h, '' ORDER BY k, h)) AS fp FROM "
+        f"(SELECT {partition_sql} AS part, {k} AS k, {h} AS h FROM {table}) t "
+        "GROUP BY part"
+    )
+
+
 FINGERPRINT_OPS = {
     "full": full_fingerprint,
     "bookend": bookend_fingerprint,

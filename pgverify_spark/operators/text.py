@@ -334,3 +334,113 @@ def quality_filter_oracle_sql(
         f"(SELECT doc_id, text, {', '.join(exprs)} FROM {table}) t1) t2) t3) t4 "
         f"WHERE {pred}"
     )
+
+
+def _max_run_spark(sorted_arr: str) -> str:
+    """Max frequency of any element = longest equal-run in a sorted array,
+    via one aggregate() fold (whole-stage codegen, zero shuffle)."""
+    bump = (
+        "CASE WHEN acc.prev IS NOT NULL AND x = acc.prev "
+        "THEN acc.run + CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) END"
+    )
+    return (
+        f"aggregate({sorted_arr}, "
+        "struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run, CAST(0 AS BIGINT) AS best), "
+        f"(acc, x) -> struct(x AS prev, {bump} AS run, greatest(acc.best, {bump}) AS best), "
+        "acc -> acc.best)"
+    )
+
+
+def repetition_stats(df: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals: distinct-token
+    fraction, most-frequent-token occupancy, most-frequent-bigram
+    occupancy.  High top-bigram occupancy (> ~0.18 in the Gopher rules)
+    marks boilerplate/spam for the curation gate.
+
+    Scale shape: pure per-row projection — max frequency is the longest
+    equal-run of the *sorted* token/bigram array, computed by one
+    ``aggregate()`` fold per array entirely inside whole-stage codegen;
+    no explode, no shuffle, partitioning inherited from the scan.  The
+    DuckDB oracle intentionally uses the opposite formulation
+    (unnest + GROUP BY + max(count)) so the two engines cross-check each
+    other's counting logic, not a shared expression.
+    """
+    from pgverify_spark.functions.text_exprs import ngrams_sql
+
+    d = DIALECT_SPARK
+    prep = _barrier(
+        df.selectExpr("doc_id", f"{tokens_sql('text', d)} AS tokens")
+    ).selectExpr(
+        "doc_id",
+        "tokens",
+        f"{ngrams_sql('tokens', 2, d)} AS bigrams",
+    )
+    n_tok = "size(tokens)"
+    n_bi = "size(bigrams)"
+    return prep.selectExpr(
+        "doc_id",
+        f"CAST({n_tok} AS BIGINT) AS n_tokens",
+        f"round(CAST(size(array_distinct(tokens)) AS DOUBLE) / greatest({n_tok}, 1), 6) AS distinct_token_frac",
+        f"round(CAST({_max_run_spark('array_sort(tokens)')} AS DOUBLE) / greatest({n_tok}, 1), 6) AS top_token_frac",
+        f"round(CAST({_max_run_spark('array_sort(bigrams)')} AS DOUBLE) / greatest({n_bi}, 1), 6) AS top_bigram_frac",
+    )
+
+
+def repetition_stats_oracle_sql(table: str) -> str:
+    from pgverify_spark.functions.text_exprs import ngrams_sql
+
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
+        f"base AS (SELECT doc_id, tokens, {ngrams_sql('tokens', 2, d)} AS bigrams FROM tok), "
+        "tf AS (SELECT doc_id, max(c) AS max_tok FROM "
+        "(SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(tokens) AS w FROM base) x "
+        "GROUP BY 1, 2) y GROUP BY 1), "
+        "bf AS (SELECT doc_id, max(c) AS max_bi FROM "
+        "(SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(bigrams) AS g FROM base) x "
+        "GROUP BY 1, 2) y GROUP BY 1) "
+        "SELECT base.doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, "
+        "round(CAST(len(list_distinct(tokens)) AS DOUBLE) / greatest(len(tokens), 1), 6) AS distinct_token_frac, "
+        "round(CAST(coalesce(max_tok, 0) AS DOUBLE) / greatest(len(tokens), 1), 6) AS top_token_frac, "
+        "round(CAST(coalesce(max_bi, 0) AS DOUBLE) / greatest(len(bigrams), 1), 6) AS top_bigram_frac "
+        "FROM base LEFT JOIN tf ON base.doc_id = tf.doc_id "
+        "LEFT JOIN bf ON base.doc_id = bf.doc_id"
+    )
+
+
+def length_histogram(df: DataFrame, bucket_width: int = 50) -> DataFrame:
+    """Exact fixed-width histogram of document lengths: one row per
+    occupied bucket with (bucket, lo, hi, n_docs, n_chars_total).
+
+    The corpus-report shape: a groupBy on ``length(text) div width`` whose
+    shuffle carries one partial row per *occupied bucket* per task
+    (map-side combine), i.e. KBs at any corpus size — the full scan is
+    the only real cost, and Catalyst prunes to the one needed column.
+    For quantiles over un-bucketable domains use
+    ``percentile_approx``/``approx_percentile`` (a mergeable sketch, same
+    single-shuffle shape but ±eps rank error) — the histogram here stays
+    exact, which is what an oracle-paired correctness gate needs.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.selectExpr(f"CAST(length(text) DIV {bucket_width} AS BIGINT) AS bucket",
+                      "length(text) AS len")
+        .groupBy("bucket")
+        .agg(
+            F.expr(f"CAST(min(bucket) * {bucket_width} AS BIGINT)").alias("lo"),
+            F.expr(f"CAST(min(bucket) * {bucket_width} + {bucket_width - 1} AS BIGINT)").alias("hi"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(sum(len) AS BIGINT)").alias("n_chars_total"),
+        )
+    )
+
+
+def length_histogram_oracle_sql(table: str, bucket_width: int = 50) -> str:
+    return (
+        f"SELECT bucket, CAST(bucket * {bucket_width} AS BIGINT) AS lo, "
+        f"CAST(bucket * {bucket_width} + {bucket_width - 1} AS BIGINT) AS hi, "
+        "count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_chars_total FROM "
+        f"(SELECT CAST(length(text) // {bucket_width} AS BIGINT) AS bucket, "
+        f"length(text) AS len FROM {table}) t GROUP BY bucket"
+    )

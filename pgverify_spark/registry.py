@@ -14,7 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgverify_spark.config import VerifyConfig
-from pgverify_spark.operators import dedup, multimodal, rollup, sample, similarity, text
+from pgverify_spark.operators import (
+    contamination,
+    dedup,
+    multimodal,
+    rollup,
+    sample,
+    similarity,
+    text,
+)
 from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
 from pgverify_spark.operators.fingerprint import (
     FINGERPRINT_OPS,
@@ -101,6 +109,23 @@ def _fingerprint_entries() -> dict[str, tuple[Callable, str]]:
             _fp_spark(table, mode, cfg),
             fingerprint_oracle_sql(mode, table, TESTDATA_TABLES[table], cfg),
         )
+
+    # per-day incremental fingerprints over events (timestamp_ns path)
+    def run_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pgverify_spark.operators.fingerprint import partitioned_fingerprint
+
+        ensure_required_confs(spark)
+        target = ParquetTarget("t", sf_dir)
+        return partitioned_fingerprint(
+            target.read(spark, "events"), target.table_schema(spark, "events"), _CFG
+        )
+
+    from pgverify_spark.operators.fingerprint import partitioned_fingerprint_oracle_sql
+
+    out["partitioned_fingerprint_events"] = (
+        run_partitioned,
+        partitioned_fingerprint_oracle_sql("events", TESTDATA_TABLES["events"], _CFG),
+    )
     return out
 
 
@@ -299,6 +324,48 @@ def _asof_oracle_sql() -> str:
     )
 
 
+#: FK edges checked by the integrity report: (child, parent, child_key,
+#: parent_key, edge name).  The "orders_dirty" edge unions in orphan keys
+#: (every 97th order shifted by 1e9) so the report is non-trivially
+#: exercised on clean TPC-H data.
+_FK_EDGES = (
+    ("orders", "customer", "o_custkey", "c_custkey", "orders->customer"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey", "lineitem->orders"),
+    ("customer", "nation", "c_nationkey", "n_nationkey", "customer->nation"),
+)
+
+
+def _fk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgverify_spark.operators.integrity import fk_report
+
+    ensure_required_confs(spark)
+    t = ParquetTarget("t", sf_dir)
+    frames = {n: t.read(spark, n) for n in ("orders", "customer", "lineitem", "nation")}
+    edges = [
+        (frames[c], frames[p], ck, pk, name) for c, p, ck, pk, name in _FK_EDGES
+    ]
+    orders = frames["orders"]
+    dirty = orders.select("o_custkey").unionByName(
+        orders.filter("o_orderkey % 97 = 0").selectExpr(
+            "o_custkey + 1000000000 AS o_custkey"
+        )
+    )
+    edges.append((dirty, frames["customer"], "o_custkey", "c_custkey", "orders_dirty->customer"))
+    return fk_report(edges)
+
+
+def _fk_oracle_sql() -> str:
+    from pgverify_spark.operators.integrity import fk_report_oracle_sql
+
+    edges = [(c, p, ck, pk, name) for c, p, ck, pk, name in _FK_EDGES]
+    dirty = (
+        "(SELECT o_custkey FROM orders UNION ALL "
+        "SELECT o_custkey + 1000000000 AS o_custkey FROM orders WHERE o_orderkey % 97 = 0)"
+    )
+    edges.append((dirty, "customer", "o_custkey", "c_custkey", "orders_dirty->customer"))
+    return fk_report_oracle_sql(edges)
+
+
 def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
     """LLM-data-pipeline operators: dedup, similarity, text analysis,
     multimodal plumbing (thresholds chosen to be non-trivial at sf0.01)."""
@@ -352,6 +419,16 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "ngram_jaccard_pairs_documents": (
             _table_query("documents", lambda df: dedup.ngram_jaccard_pairs(df, 0.5)),
             dedup.ngram_jaccard_pairs_oracle_sql("documents", 0.5),
+        ),
+        # intra-document repetition (Gopher-style boilerplate signals)
+        "repetition_stats_documents": (
+            _table_query("documents", text.repetition_stats),
+            text.repetition_stats_oracle_sql("documents"),
+        ),
+        # train/eval decontamination: cross-split 5-gram overlap
+        "contamination_pairs_documents": (
+            _table_query("documents", contamination.contamination_pairs),
+            contamination.contamination_pairs_oracle_sql("documents"),
         ),
         # near-dup pairs -> connected components (cluster id = min doc_id)
         "dup_clusters_documents": (
@@ -447,6 +524,16 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "asof_join_events": (
             _asof_spark,
             _asof_oracle_sql(),
+        ),
+        # corpus length distribution (exact fixed-width buckets)
+        "length_histogram_documents": (
+            _table_query("documents", text.length_histogram),
+            text.length_histogram_oracle_sql("documents"),
+        ),
+        # cross-table referential-integrity report (one row per FK edge)
+        "fk_integrity_report": (
+            _fk_spark,
+            _fk_oracle_sql(),
         ),
         # multimodal plumbing (Arrow mapInPandas vs blob-SQL oracle)
         "multimodal_features_documents": (

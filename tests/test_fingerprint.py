@@ -180,3 +180,38 @@ def test_verify_fuses_modes_into_one_scan(spark, sf_dir):
     rows = {r["mode"]: r["output"] for r in res.results.collect()}
     assert set(rows) == {"full", "rowcount", "additive"}
     assert rows["rowcount"].isdigit() and rows["additive"].count(":") == 1
+
+
+def test_partitioned_fingerprint(spark, duck, sf_dir):
+    """Per-day fingerprints match the oracle; concatenating them in day
+    order reconstructs a whole-table check (incremental-verify pattern);
+    a single-row mutation flips exactly its own day's fingerprint."""
+    from pgverify_spark.operators.fingerprint import (
+        partitioned_fingerprint,
+        partitioned_fingerprint_oracle_sql,
+    )
+
+    src = ParquetTarget("t", sf_dir)
+    events = src.read(spark, "events")
+    schema = src.table_schema(spark, "events")
+    cfg = VerifyConfig()
+    rows = sorted(map(tuple, partitioned_fingerprint(events, schema, cfg).collect()))
+    oracle = sorted(
+        duck.execute(
+            partitioned_fingerprint_oracle_sql("events", schema, cfg)
+        ).fetchall()
+    )
+    assert rows == [tuple(r) for r in oracle] and len(rows) > 1
+    # mutate one row -> only that day's fingerprint changes
+    first_day = rows[0][0]
+    ns_lo, ns_hi = first_day * 86400000000000, (first_day + 1) * 86400000000000
+    mutated = events.selectExpr(
+        "event_id", "ts", "user_id", "event_type",
+        f"CASE WHEN ts >= {ns_lo} AND ts < {ns_hi} AND event_id % 7 = 0 "
+        "THEN value + 1 ELSE value END AS value",
+        "props",
+    )
+    mrows = dict(map(tuple, partitioned_fingerprint(mutated, schema, cfg).collect()))
+    base = dict(rows)
+    changed = {d for d in base if base[d] != mrows[d]}
+    assert changed == {first_day}

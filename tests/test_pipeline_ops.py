@@ -515,3 +515,93 @@ def test_sessionize(spark, sf_dir, duck):
     # single Exchange: windows + final agg share the user_id partitioning
     plan = rollup.sessionize(events)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_contamination_pairs(docs, duck):
+    from pgverify_spark.operators import contamination
+
+    rows = _cmp(
+        contamination.contamination_pairs(docs),
+        duck,
+        contamination.contamination_pairs_oracle_sql("documents"),
+    )
+    assert rows  # the synthetic corpus has cross-split near-dups
+    for train_doc, eval_doc, n_shared, contam in rows:
+        assert train_doc % 10 != 0 and eval_doc % 10 == 0  # split respected
+        assert n_shared >= 2 and 0 < contam <= 1.0
+    # injecting an eval doc verbatim into the train side must surface it
+    # with contamination 1.0 (every train shingle is shared)
+    leak = docs.filter("doc_id = 0").selectExpr(
+        "doc_id + 1000001 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    leaked = {
+        (r.train_doc, r.eval_doc): r.contamination
+        for r in contamination.contamination_pairs(docs.unionByName(leak)).collect()
+    }
+    assert leaked[(1000001, 0)] == 1.0
+
+
+def test_contamination_hot_shingle_cap(docs):
+    from pgverify_spark.operators import contamination
+
+    # a shingle present in more than max_eval_freq eval docs is pruned:
+    # with the cap at 0 every shingle is hot, so no pairs survive
+    assert contamination.contamination_pairs(docs, max_eval_freq=0).count() == 0
+
+
+def test_repetition_stats(docs, duck):
+    rows = _cmp(
+        text.repetition_stats(docs), duck, text.repetition_stats_oracle_sql("documents")
+    )
+    assert rows
+    for _, n_tokens, distinct_frac, top_tok, top_bi in rows:
+        assert 0 < distinct_frac <= 1 and 0 < top_tok <= 1 and 0 <= top_bi <= 1
+        # a token run can never occupy less than 1/n of the doc
+        assert top_tok >= 1.0 / max(n_tokens, 1) - 1e-6  # 6-digit rounding slack
+    # a degenerate all-same-token doc scores 1.0 everywhere
+    one = docs.limit(1).selectExpr(
+        "doc_id + 2000000 AS doc_id",
+        "'spam spam spam spam spam spam' AS text",
+        "lang", "source", "n_chars",
+    )
+    r = {t[0]: t for t in map(tuple, text.repetition_stats(one).collect())}
+    row = next(iter(r.values()))
+    assert row[2] == round(1 / 6, 6) and row[3] == 1.0 and row[4] == 1.0
+
+
+def test_fk_integrity(spark, sf_dir, duck):
+    from pgverify_spark.operators.integrity import fk_check, fk_check_oracle_sql
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    clean = _cmp(
+        fk_check(orders, customer, "o_custkey", "c_custkey", "o->c"),
+        duck,
+        fk_check_oracle_sql("orders", "customer", "o_custkey", "c_custkey", "o->c"),
+    )
+    assert clean[0][3] == 0 and clean[0][4] is None  # TPC-H data is clean
+    # NULL FKs are counted but never orphans
+    with_nulls = orders.selectExpr(
+        "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END AS o_custkey"
+    )
+    row = fk_check(with_nulls, customer, "o_custkey", "c_custkey", "e").collect()[0]
+    assert row.n_rows > row.n_nonnull and row.n_orphans == 0
+    # orphans are detected with exact min/max pointers
+    bad = orders.selectExpr("o_custkey + 1000000000 AS o_custkey").limit(7)
+    row = fk_check(
+        orders.select("o_custkey").unionByName(bad),
+        customer, "o_custkey", "c_custkey", "e",
+    ).collect()[0]
+    assert row.n_orphans == 7 and row.min_orphan > 1000000000
+
+
+def test_length_histogram(docs, duck):
+    rows = _cmp(
+        text.length_histogram(docs), duck, text.length_histogram_oracle_sql("documents")
+    )
+    assert rows
+    # buckets tile the length axis without overlap and cover every doc
+    assert sum(r[3] for r in rows) == docs.count()
+    for bucket, lo, hi, n_docs, total in rows:
+        assert lo == bucket * 50 and hi == lo + 49 and n_docs > 0
+        assert n_docs * lo <= total <= n_docs * hi
