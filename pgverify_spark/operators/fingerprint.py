@@ -335,6 +335,66 @@ def partitioned_fingerprint_oracle_sql(
     )
 
 
+def partition_diff(
+    left: DataFrame,
+    right: DataFrame,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+    partition_sql: str = "CAST(ts DIV 86400000000000 AS BIGINT)",
+) -> DataFrame:
+    """Which partitions disagree: full-outer join of the two sides'
+    :func:`partitioned_fingerprint` outputs, keeping only mismatches.
+
+    Output: (part, left_fp, right_fp, status) with status in
+    ``only_left`` / ``only_right`` / ``fp_mismatch``.
+
+    This is the drill-down chain for 100 TB verification: whole-table
+    fingerprints disagree -> ``partition_diff`` names the days (both
+    sides reduce to one row per partition BEFORE the join, so the join
+    input is O(partitions), KBs) -> ``row_diff`` filtered to those days
+    names the rows, scanning only the disagreeing partitions (the
+    partition predicate pushes down to the scan).
+    """
+    config = config or VerifyConfig()
+    l = partitioned_fingerprint(left, schema, config, partition_sql).withColumnRenamed("fp", "left_fp")
+    r = partitioned_fingerprint(right, schema, config, partition_sql).withColumnRenamed("fp", "right_fp")
+    joined = l.join(r, on=["part"], how="full_outer")
+    return joined.filter(
+        F.col("left_fp").isNull()
+        | F.col("right_fp").isNull()
+        | (F.col("left_fp") != F.col("right_fp"))
+    ).select(
+        "part",
+        "left_fp",
+        "right_fp",
+        F.when(F.col("right_fp").isNull(), F.lit("only_left"))
+        .when(F.col("left_fp").isNull(), F.lit("only_right"))
+        .otherwise(F.lit("fp_mismatch"))
+        .alias("status"),
+    )
+
+
+def partition_diff_oracle_sql(
+    left_table: str,
+    right_table: str,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+    partition_sql: str = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)",
+) -> str:
+    def side(table: str) -> str:
+        return partitioned_fingerprint_oracle_sql(table, schema, config, partition_sql)
+
+    return (
+        f"WITH l AS ({side(left_table)}), r AS ({side(right_table)}) "
+        "SELECT COALESCE(l.part, r.part) AS part, l.fp AS left_fp, r.fp AS right_fp, "
+        "CASE WHEN r.fp IS NULL THEN 'only_left' "
+        "WHEN l.fp IS NULL THEN 'only_right' "
+        "ELSE 'fp_mismatch' END AS status "
+        "FROM l FULL OUTER JOIN r ON l.part = r.part "
+        "WHERE l.fp IS NULL OR r.fp IS NULL OR l.fp <> r.fp"
+    )
+
+
 FINGERPRINT_OPS = {
     "full": full_fingerprint,
     "bookend": bookend_fingerprint,

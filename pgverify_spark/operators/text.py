@@ -444,3 +444,167 @@ def length_histogram_oracle_sql(table: str, bucket_width: int = 50) -> str:
         f"(SELECT CAST(length(text) // {bucket_width} AS BIGINT) AS bucket, "
         f"length(text) AS len FROM {table}) t GROUP BY bucket"
     )
+
+
+#: PII patterns (ASCII-only so Java regex and RE2 match identically; no
+#: lookaround/backreferences, which RE2 lacks).  Order matters: URLs are
+#: redacted before emails so ``http://user@host`` doesn't double-count.
+PII_PATTERNS = (
+    ("url", "https?://[^ ]+"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("phone", "\\+[0-9]{7,15}"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}"),
+)
+
+
+def scrub_pii(df: DataFrame) -> DataFrame:
+    """Redact URLs / emails / international phone numbers / IPv4s,
+    returning the cleaned text plus per-kind match counts — the standard
+    pre-training privacy scrub.
+
+    Pure projection: counts come from ``regexp_extract_all`` and the
+    redaction chains ``regexp_replace`` per kind *in declaration order*
+    (each sees the previous kind's output, so overlapping matches
+    resolve deterministically in both engines).  No shuffle, no Python —
+    regex evaluation stays in whole-stage codegen, and at 100 TB this is
+    scan-bound like every other single-pass text operator.
+    """
+    from pgverify_spark.functions.text_exprs import _rx
+
+    d = DIALECT_SPARK
+    counts = [
+        f"CAST(size(regexp_extract_all(text, {_rx(p, d)}, 0)) AS BIGINT) AS n_{kind}"
+        for kind, p in PII_PATTERNS
+    ]
+    clean = "text"
+    for kind, p in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, {_rx(p, d)}, '<{kind.upper()}>')"
+    return df.selectExpr("doc_id", *counts, f"{clean} AS clean_text")
+
+
+def scrub_pii_oracle_sql(table: str) -> str:
+    from pgverify_spark.functions.text_exprs import _rx
+
+    d = DIALECT_DUCKDB
+    counts = [
+        f"CAST(len(regexp_extract_all(text, {_rx(p, d)})) AS BIGINT) AS n_{kind}"
+        for kind, p in PII_PATTERNS
+    ]
+    clean = "text"
+    for kind, p in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, {_rx(p, d)}, '<{kind.upper()}>', 'g')"
+    return f"SELECT doc_id, {', '.join(counts)}, {clean} AS clean_text FROM {table}"
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by a TF-IDF-style score.
+
+    Score = ``tf * (N + 1) / (df + 1)`` — the classical shape with the
+    log dropped: log is monotone, so per-document ranking is unchanged,
+    and the rational form is bit-reproducible across engines (libm log
+    implementations differ in final ulps; IEEE divide does not).
+
+    Scale shape: explode -> (doc, term, tf) with map-side combine;
+    document frequency is a second aggregate over the same exchange
+    (reused); the term-keyed join back fans out exactly the inverted
+    index (inherent); top-k per doc is a row_number window partitioned
+    by doc_id — one more hash shuffle, no global sort.  Ties break on
+    the term string so the selected set is deterministic cross-engine.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = DIALECT_SPARK
+    terms = (
+        _barrier(df.selectExpr("doc_id", f"{tokens_sql('text', d)} AS tokens"))
+        .selectExpr("doc_id", "explode(tokens) AS term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .selectExpr(
+            "doc_id", "term", "tf", "df_count",
+            # CAST to DOUBLE first: a bare 1.0 literal is DECIMAL in
+            # Spark SQL and would make the whole score decimal-typed
+            "round(CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) + 1) / (CAST(df_count AS DOUBLE) + 1), 6) AS score",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(f"rank <= {k}")
+        .select("doc_id", "term", "tf", "df_count", "score", "rank")
+    )
+
+
+def tfidf_top_terms_oracle_sql(table: str, k: int = 5) -> str:
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
+        "terms AS (SELECT doc_id, unnest(tokens) AS term FROM tok), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2), "
+        "dfreq AS (SELECT term, count(*) AS df_count FROM tf GROUP BY 1), "
+        "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf), "
+        "scored AS (SELECT doc_id, tf.term, tf, df_count, "
+        "round(CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) + 1) / (CAST(df_count AS DOUBLE) + 1), 6) AS score "
+        "FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored) "
+        f"SELECT doc_id, term, tf, df_count, score, CAST(rank AS INT) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+def corpus_mix_report(df: DataFrame) -> DataFrame:
+    """Domain-mix report: doc and token counts per (source, lang) cell of
+    a CUBE — every subtotal a mixture-weighting pipeline needs (per
+    source, per language, per pair, grand total) in ONE aggregation.
+
+    Scale shape: Spark's cube is one Expand (4x row multiplication of the
+    *aggregation input*, not the corpus: partial aggregation runs before
+    the shuffle) + one hash aggregate — cheaper than four separate
+    groupBys and four scans.  ``share`` is each cell's fraction of the
+    grand total of documents; grouping flags distinguish a real NULL
+    group from a subtotal row, rendered as 'ALL' (testdata has no NULL
+    source/lang).
+    """
+    from pyspark.sql import functions as F
+
+    d = DIALECT_SPARK
+    base = df.selectExpr(
+        "source", "lang", f"CAST({_size(tokens_sql('text', d), d)} AS BIGINT) AS n_tok"
+    )
+    total = base.select(F.count(F.lit(1)).alias("total_docs"))
+    cube = base.cube("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(sum(n_tok) AS BIGINT)").alias("n_tokens"),
+        F.grouping("source").alias("g_source"),
+        F.grouping("lang").alias("g_lang"),
+    )
+    return cube.crossJoin(F.broadcast(total)).selectExpr(
+        "CASE WHEN g_source = 1 THEN 'ALL' ELSE source END AS source",
+        "CASE WHEN g_lang = 1 THEN 'ALL' ELSE lang END AS lang",
+        "n_docs",
+        "n_tokens",
+        "round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS share",
+    )
+
+
+def corpus_mix_report_oracle_sql(table: str) -> str:
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH base AS (SELECT source, lang, "
+        f"CAST({_size(tokens_sql('text', d), d)} AS BIGINT) AS n_tok FROM {table}), "
+        "t AS (SELECT count(*) AS total_docs FROM base), "
+        "c AS (SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source, "
+        "CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang, "
+        "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens "
+        "FROM base GROUP BY CUBE (source, lang)) "
+        "SELECT source, lang, n_docs, n_tokens, "
+        "round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS share FROM c CROSS JOIN t"
+    )

@@ -253,7 +253,39 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
     sql = row_diff_oracle_sql(
         "orders", "(SELECT * FROM orders WHERE o_orderkey % 97 <> 0)", schema
     )
-    return {"row_diff_orders": (run, sql)}
+    out = {"row_diff_orders": (run, sql)}
+
+    # partition-level drill-down: one mutated day + one dropped day
+    from pgverify_spark.operators.fingerprint import (
+        partition_diff,
+        partition_diff_oracle_sql,
+    )
+
+    ev_schema = TESTDATA_TABLES["events"]
+    _DAY_NS = 86400000000000
+
+    def run_pdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_required_confs(spark)
+        left = ParquetTarget("t", sf_dir).read(spark, "events")
+        right = left.filter(f"ts DIV {_DAY_NS} <> 19724").selectExpr(
+            "event_id", "ts", "user_id", "event_type",
+            f"CASE WHEN ts DIV {_DAY_NS} = 19723 AND event_id % 11 = 0 "
+            "THEN value + 1 ELSE value END AS value",
+            "props",
+        )
+        return partition_diff(left, right, ev_schema)
+
+    day_duck = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"
+    right_sql = (
+        "(SELECT event_id, ts, user_id, event_type, "
+        f"CASE WHEN {day_duck} = 19723 AND event_id % 11 = 0 THEN value + 1 ELSE value END AS value, "
+        f"props FROM events WHERE {day_duck} <> 19724)"
+    )
+    out["partition_diff_events"] = (
+        run_pdiff,
+        partition_diff_oracle_sql("events", right_sql, ev_schema),
+    )
+    return out
 
 
 #: Tables/modes for the multi-target report query (small dims keep the
@@ -525,6 +557,45 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _asof_spark,
             _asof_oracle_sql(),
         ),
+        # domain-mix subtotals in one CUBE aggregation
+        "corpus_mix_report_documents": (
+            _table_query("documents", text.corpus_mix_report),
+            text.corpus_mix_report_oracle_sql("documents"),
+        ),
+        # per-document characteristic terms (rational TF-IDF, window top-k)
+        "tfidf_top_terms_documents": (
+            _table_query("documents", text.tfidf_top_terms),
+            text.tfidf_top_terms_oracle_sql("documents"),
+        ),
+        # PII scrub over documents + injected contact strings (the raw
+        # corpus is PII-free, so every 50th doc gets a synthetic email/
+        # url/ip/phone appended on both sides)
+        "scrub_pii_documents": (
+            _table_query(
+                "documents",
+                lambda df: text.scrub_pii(
+                    df.unionByName(
+                        df.filter("doc_id % 50 = 0").selectExpr(
+                            "doc_id + 3000000 AS doc_id",
+                            "concat(text, ' mail bob', CAST(doc_id AS STRING), "
+                            "'@example.com via https://ex.com/', CAST(doc_id AS STRING), "
+                            "' ip 10.0.0.', CAST(doc_id % 256 AS STRING), "
+                            "' tel +1415555', CAST(1000 + doc_id % 9000 AS STRING)) AS text",
+                            "lang", "source", "n_chars",
+                        )
+                    )
+                ),
+            ),
+            text.scrub_pii_oracle_sql(
+                "(SELECT * FROM documents UNION ALL "
+                "SELECT doc_id + 3000000 AS doc_id, "
+                "text || ' mail bob' || CAST(doc_id AS VARCHAR) || "
+                "'@example.com via https://ex.com/' || CAST(doc_id AS VARCHAR) || "
+                "' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+                "' tel +1415555' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text, "
+                "lang, source, n_chars FROM documents WHERE doc_id % 50 = 0) u"
+            ),
+        ),
         # corpus length distribution (exact fixed-width buckets)
         "length_histogram_documents": (
             _table_query("documents", text.length_histogram),
@@ -730,6 +801,9 @@ HEADLINE_QUERIES = (
     "multimodal_features_documents",
     "hourly_rollup_events",
     "asof_join_events",
+    "contamination_pairs_documents",
+    "partitioned_fingerprint_events",
+    "tfidf_top_terms_documents",
 )
 
 

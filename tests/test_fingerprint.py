@@ -215,3 +215,38 @@ def test_partitioned_fingerprint(spark, duck, sf_dir):
     base = dict(rows)
     changed = {d for d in base if base[d] != mrows[d]}
     assert changed == {first_day}
+
+
+def test_partition_diff(spark, duck, sf_dir):
+    """partition_diff localizes a mutation to its day and reports a
+    dropped day as only_left; identical sides produce zero rows."""
+    from pgverify_spark.operators.fingerprint import (
+        partition_diff,
+        partition_diff_oracle_sql,
+    )
+
+    src = ParquetTarget("t", sf_dir)
+    events = src.read(spark, "events")
+    schema = src.table_schema(spark, "events")
+    day_ns = 86400000000000
+    assert partition_diff(events, events, schema).count() == 0
+    right = events.filter(f"ts DIV {day_ns} <> 19724").selectExpr(
+        "event_id", "ts", "user_id", "event_type",
+        f"CASE WHEN ts DIV {day_ns} = 19723 AND event_id % 11 = 0 "
+        "THEN value + 1 ELSE value END AS value",
+        "props",
+    )
+    rows = sorted(map(tuple, partition_diff(events, right, schema).collect()))
+    day_duck = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"
+    right_sql = (
+        "(SELECT event_id, ts, user_id, event_type, "
+        f"CASE WHEN {day_duck} = 19723 AND event_id % 11 = 0 THEN value + 1 ELSE value END AS value, "
+        f"props FROM events WHERE {day_duck} <> 19724)"
+    )
+    oracle = sorted(
+        map(tuple, duck.execute(
+            partition_diff_oracle_sql("events", right_sql, schema)
+        ).fetchall())
+    )
+    assert rows == oracle
+    assert [(r[0], r[3]) for r in rows] == [(19723, "fp_mismatch"), (19724, "only_left")]

@@ -605,3 +605,60 @@ def test_length_histogram(docs, duck):
     for bucket, lo, hi, n_docs, total in rows:
         assert lo == bucket * 50 and hi == lo + 49 and n_docs > 0
         assert n_docs * lo <= total <= n_docs * hi
+
+
+def test_scrub_pii(spark, duck):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [
+            (1, "reach alice.smith+hr@corp.example.org or https://ex.com/x?q=1 now"),
+            (2, "host 192.168.0.1 and backup 10.0.0.255, dial +4915112345678"),
+            (3, "nothing sensitive here"),
+            (4, "u@v.io w@x.de http://a.b/c +1234567 1.2.3.4"),
+        ],
+        columns=["doc_id", "text"],
+    )
+    duck.register("pii_docs", pdf)
+    rows = _cmp(
+        text.scrub_pii(spark.createDataFrame(pdf)),
+        duck,
+        text.scrub_pii_oracle_sql("pii_docs"),
+    )
+    by_id = {r[0]: r for r in rows}
+    assert by_id[1][1] == 1 and by_id[1][2] == 1            # url + email
+    assert by_id[2][4] == 2 and by_id[2][3] == 1            # 2 ips + phone
+    assert by_id[3][1:5] == (0, 0, 0, 0)
+    assert by_id[3][5] == "nothing sensitive here"          # untouched
+    assert by_id[4][1:5] == (1, 2, 1, 1)
+    for r in rows:  # redaction removes every counted match
+        clean = r[5]
+        assert "@" not in clean.replace("<EMAIL>", "") or r[2] == 0
+        assert "http" not in clean.replace("<URL>", "")
+
+
+def test_tfidf_top_terms(docs, duck):
+    rows = _cmp(
+        text.tfidf_top_terms(docs), duck, text.tfidf_top_terms_oracle_sql("documents")
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r[0], []).append(r)
+    for terms in by_doc.values():
+        terms.sort(key=lambda r: r[5])
+        assert [r[5] for r in terms] == list(range(1, len(terms) + 1))
+        # scores non-increasing with rank; ties broken by term asc
+        for a, b in zip(terms, terms[1:]):
+            assert a[4] > b[4] or (a[4] == b[4] and a[1] < b[1])
+
+
+def test_corpus_mix_report(docs, duck):
+    rows = _cmp(
+        text.corpus_mix_report(docs), duck, text.corpus_mix_report_oracle_sql("documents")
+    )
+    cells = {(r[0], r[1]): r for r in rows}
+    grand = cells[("ALL", "ALL")]
+    assert grand[2] == docs.count() and grand[4] == 1.0
+    # subtotals are consistent: per-source rows sum to the grand total
+    assert sum(r[2] for (s, l), r in cells.items() if l == "ALL" and s != "ALL") == grand[2]
+    assert sum(r[3] for (s, l), r in cells.items() if s == "ALL" and l != "ALL") == grand[3]
