@@ -398,6 +398,37 @@ def _fk_oracle_sql() -> str:
     return fk_report_oracle_sql(edges)
 
 
+_DAY_WINDOW = "(day * 24 + 6) * 3600000000"  # 06:00, in epoch micros
+
+
+def _interval_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgverify_spark.operators.interval import interval_join_rollup
+
+    ensure_required_confs(spark)
+    ev = ParquetTarget("t", sf_dir).read(spark, "events")
+    windows = (
+        ev.selectExpr("CAST(ts DIV 86400000000000 AS BIGINT) AS day")
+        .distinct()
+        .selectExpr(
+            "day AS win_id",
+            f"{_DAY_WINDOW} AS lo_us",
+            f"{_DAY_WINDOW} + 5400000000 AS hi_us",
+        )
+    )
+    return interval_join_rollup(ev, windows)
+
+
+def _interval_oracle_sql() -> str:
+    from pgverify_spark.operators.interval import interval_join_rollup_oracle_sql
+
+    windows_sql = (
+        f"SELECT day AS win_id, {_DAY_WINDOW} AS lo_us, "
+        f"{_DAY_WINDOW} + 5400000000 AS hi_us FROM "
+        "(SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events) d"
+    )
+    return interval_join_rollup_oracle_sql("events", windows_sql)
+
+
 def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
     """LLM-data-pipeline operators: dedup, similarity, text analysis,
     multimodal plumbing (thresholds chosen to be non-trivial at sf0.01)."""
@@ -557,6 +588,11 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _asof_spark,
             _asof_oracle_sql(),
         ),
+        # per-language exact length percentiles
+        "length_percentiles_documents": (
+            _table_query("documents", text.length_percentiles),
+            text.length_percentiles_oracle_sql("documents"),
+        ),
         # domain-mix subtotals in one CUBE aggregation
         "corpus_mix_report_documents": (
             _table_query("documents", text.corpus_mix_report),
@@ -600,6 +636,12 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "length_histogram_documents": (
             _table_query("documents", text.length_histogram),
             text.length_histogram_oracle_sql("documents"),
+        ),
+        # interval join: per-day 06:00-07:30 windows (span two hour
+        # buckets, so the interval index genuinely multi-buckets)
+        "interval_join_rollup_events": (
+            _interval_spark,
+            _interval_oracle_sql(),
         ),
         # cross-table referential-integrity report (one row per FK edge)
         "fk_integrity_report": (

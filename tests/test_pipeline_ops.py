@@ -662,3 +662,71 @@ def test_corpus_mix_report(docs, duck):
     # subtotals are consistent: per-source rows sum to the grand total
     assert sum(r[2] for (s, l), r in cells.items() if l == "ALL" and s != "ALL") == grand[2]
     assert sum(r[3] for (s, l), r in cells.items() if s == "ALL" and l != "ALL") == grand[3]
+
+
+def test_scale_plan_shapes(docs):
+    """Guard the plan properties the 100 TB design depends on: the
+    contamination probe broadcasts the eval index (corpus side never
+    shuffles into the join); pure-projection operators plan zero
+    exchanges beyond their explicit barrier."""
+    from pgverify_spark.operators import contamination
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(contamination.contamination_pairs(docs))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    # scrub/token_counts: single-pass projections — no exchange at all
+    assert "Exchange" not in plan(text.scrub_pii(docs))
+    assert "Exchange" not in plan(text.token_counts(docs))
+    # repetition: fold-based, only the explicit barrier repartition
+    assert plan(text.repetition_stats(docs)).count("Exchange") == 1
+
+
+def test_interval_join_rollup(spark, sf_dir, duck):
+    from pgverify_spark.operators.interval import (
+        interval_join_rollup,
+        interval_join_rollup_oracle_sql,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # two windows: one spanning an hour-bucket boundary, one empty
+    windows = spark.createDataFrame(
+        [(1, 19723 * 86400000000 + 5_400_000_000, 19723 * 86400000000 + 12_600_000_000),
+         (2, 400 * 86400000000, 400 * 86400000000 + 3_600_000_000)],
+        "win_id int, lo_us long, hi_us long",
+    )
+    rows = {r.win_id: r for r in interval_join_rollup(events, windows).collect()}
+    assert rows[2].n_events == 0 and float(rows[2].sum_value) == 0.0
+    # window 1 matches a brute-force filter count exactly
+    brute = events.filter(
+        f"ts DIV 1000 >= {19723 * 86400000000 + 5_400_000_000} AND "
+        f"ts DIV 1000 < {19723 * 86400000000 + 12_600_000_000}"
+    ).count()
+    assert rows[1].n_events == brute > 0
+    # oracle twin over the registry-style day windows
+    day_w = "(day * 24 + 6) * 3600000000"
+    wsql = (
+        f"SELECT day AS win_id, {day_w} AS lo_us, {day_w} + 5400000000 AS hi_us FROM "
+        "(SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events) d"
+    )
+    wspark = (
+        events.selectExpr("CAST(ts DIV 86400000000000 AS BIGINT) AS day").distinct()
+        .selectExpr("day AS win_id", f"{day_w} AS lo_us", f"{day_w} + 5400000000 AS hi_us")
+    )
+    _cmp(
+        interval_join_rollup(events, wspark),
+        duck,
+        interval_join_rollup_oracle_sql("events", wsql),
+    )
+    # the plan broadcasts the window index (corpus side never shuffles)
+    plan = interval_join_rollup(events, wspark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_length_percentiles(docs, duck):
+    rows = _cmp(
+        text.length_percentiles(docs), duck, text.length_percentiles_oracle_sql("documents")
+    )
+    for _, n_docs, p10, p50, p90, p99 in rows:
+        assert n_docs > 0 and p10 <= p50 <= p90 <= p99
