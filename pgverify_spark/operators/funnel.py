@@ -1,0 +1,147 @@
+"""Funnel analysis over event streams: ordered step progression.
+
+Beyond-reference extension (the reference is strictly batch-relational
+verification, SURVEY.md §1.4): the classic product-analytics question —
+of the users who did step 1, how many went on to do step 2 *after* it,
+then step 3 after that — per-user **ordered** sequence matching, not a
+per-type count.
+
+Scale shape (Spark side): pre-filter to funnel event types at the scan
+(predicate pushdown), one hash shuffle on ``user_id``, then the
+progression is computed *inside each group* by sorting the user's own
+events and folding them with a higher-order ``aggregate`` — no window
+function, no self-join, no second shuffle.  Per-group state is that
+user's funnel events only; a pathological user with millions of events
+would cap via ``slice`` after sort (the fold only ever advances
+``len(steps)`` times).  The DuckDB oracle states the same semantics
+relationally: chained ``min(ts)`` joins, each step's timestamp strictly
+greater than the previous step's.
+
+The two formulations agree exactly because stage advancement depends
+only on (epoch-microsecond, event_type): the fold advances at the first
+qualifying event in time order, which is precisely ``min(ts)`` among
+qualifying events.  Timestamps compare at microsecond precision on both
+sides (Spark reads the nanos column and divides; DuckDB's ``epoch_us``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Default funnel: the natural view -> click -> purchase progression.
+DEFAULT_STEPS = ("view", "click", "purchase")
+
+_MIN_LONG = -9223372036854775808
+
+
+def _fold_expr(steps: tuple[str, ...], max_gap_us: int | None) -> str:
+    """SQL for folding a us-sorted event array into the max stage reached."""
+    body = "acc"
+    # Build innermost-else-first so step 1 is the outermost IF.
+    for i in range(len(steps) - 1, -1, -1):
+        et = steps[i].replace("'", "''")
+        gap = "" if max_gap_us is None or i == 0 else f" AND e.us - acc.ts <= {max_gap_us}"
+        body = (
+            f"IF(acc.stage = {i} AND e.et = '{et}' AND e.us > acc.ts{gap}, "
+            f"named_struct('stage', {i + 1}, 'ts', e.us), {body})"
+        )
+    return (
+        "aggregate(array_sort(evs), "
+        f"named_struct('stage', 0, 'ts', CAST({_MIN_LONG} AS BIGINT)), "
+        f"(acc, e) -> {body}, acc -> acc.stage)"
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: tuple[str, ...] = DEFAULT_STEPS,
+    max_gap_us: int | None = None,
+) -> DataFrame:
+    """Per-step funnel: (step, step_name, n_users, conversion).
+
+    ``n_users`` = users whose ordered event history contains the first
+    ``step`` funnel events in sequence (strictly increasing microsecond
+    timestamps, each within ``max_gap_us`` of the previous step when
+    set); ``conversion`` = n_users / previous step's n_users (step 1
+    converts from itself, i.e. 1.0 when non-empty).
+
+    Semantics are *anchored at earliest occurrence*: step k's timestamp
+    is the minimum qualifying time after the (already fixed) step k-1
+    time — the fold never backtracks, which is exactly what the chained
+    min-joins in the oracle compute.  (A backtracking "any subsequence"
+    windowed funnel is a different, NP-ish semantics; product funnels
+    use the anchored form.)
+    """
+    quoted = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    per_user = (
+        df.filter(f"event_type IN ({quoted})")
+        .selectExpr(
+            "user_id",
+            "CAST(ts DIV 1000 AS BIGINT) AS us",
+            "event_type AS et",
+        )
+        .groupBy("user_id")
+        .agg(F.expr("collect_list(struct(us, et))").alias("evs"))
+        .selectExpr(f"{_fold_expr(steps, max_gap_us)} AS stage")
+    )
+    counts = per_user.agg(
+        *[
+            F.sum((F.col("stage") >= i + 1).cast("long")).alias(f"n{i + 1}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = []
+    for i, name in enumerate(steps):
+        prev = "n1" if i == 0 else f"n{i}"
+        conv = (
+            f"CASE WHEN n1 > 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+            if i == 0
+            else f"coalesce(round(CAST(n{i + 1} AS DOUBLE) / nullif({prev}, 0), 6), CAST(0.0 AS DOUBLE))"
+        )
+        rows.append(
+            f"named_struct('step', {i + 1}, 'step_name', '{name}', "
+            f"'n_users', coalesce(n{i + 1}, CAST(0 AS BIGINT)), 'conversion', {conv})"
+        )
+    return counts.selectExpr(f"inline(array({', '.join(rows)}))")
+
+
+def funnel_oracle_sql(
+    table: str,
+    steps: tuple[str, ...] = DEFAULT_STEPS,
+    max_gap_us: int | None = None,
+) -> str:
+    """DuckDB twin: chained strictly-increasing min-timestamp joins."""
+    ctes = [
+        f"s1 AS (SELECT user_id, min(CAST(epoch_us(ts) AS BIGINT)) AS t1 "
+        f"FROM {table} WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i in range(1, len(steps)):
+        gap = (
+            ""
+            if max_gap_us is None
+            else f"AND CAST(epoch_us(e.ts) AS BIGINT) - s{i}.t{i} <= {max_gap_us} "
+        )
+        ctes.append(
+            f"s{i + 1} AS (SELECT e.user_id, min(CAST(epoch_us(e.ts) AS BIGINT)) AS t{i + 1} "
+            f"FROM {table} e JOIN s{i} ON e.user_id = s{i}.user_id "
+            f"WHERE e.event_type = '{steps[i]}' AND CAST(epoch_us(e.ts) AS BIGINT) > s{i}.t{i} {gap}"
+            f"GROUP BY e.user_id)"
+        )
+    ctes.append(
+        "c AS (SELECT "
+        + ", ".join(f"(SELECT count(*) FROM s{i + 1}) AS n{i + 1}" for i in range(len(steps)))
+        + ")"
+    )
+    selects = []
+    for i, name in enumerate(steps):
+        conv = (
+            "CASE WHEN n1 > 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+            if i == 0
+            else f"coalesce(round(CAST(n{i + 1} AS DOUBLE) / nullif(n{i}, 0), 6), CAST(0.0 AS DOUBLE))"
+        )
+        selects.append(
+            f"SELECT {i + 1} AS step, '{name}' AS step_name, "
+            f"CAST(n{i + 1} AS BIGINT) AS n_users, {conv} AS conversion FROM c"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)

@@ -1,0 +1,116 @@
+"""KMV (k-minimum-values) distinct-count sketch — mergeable, cross-engine exact.
+
+Beyond-reference extension: the reference only ever needs exact equality
+of fingerprints; a 100 TB pipeline also needs *cardinality* answers
+("how many distinct users / URLs / shingles?") where an exact
+``countDistinct`` forces a full shuffle of every distinct value.  The
+KMV sketch bounds that to ``k`` values per group: hash every value
+uniformly, keep the k smallest distinct hashes, and estimate
+``n ≈ (k-1) / max_kept`` (Bar-Yossef et al. 2002, the estimator
+Apache DataSketches' Theta sketch generalizes).
+
+Unlike HLL implementations (Spark's ``approx_count_distinct`` and
+DuckDB's differ in hash and register layout, so their outputs can never
+be compared), KMV over an *explicit* md5-derived hash is deterministic
+and engine-independent — the sketch itself, not just the estimate, is
+byte-identical in Spark and DuckDB, which is what makes it usable
+inside a verification engine: two targets' sketches must match exactly.
+
+Scale shape: distinct (group, hash) first — one shuffle with map-side
+combine, output |distinct| rows; then a per-group top-k
+(``row_number <= k`` window) over that reduced relation; final per-group
+state is exactly ``min(k, distinct)`` hashes forever.  Sketches merge by
+unioning hash sets and re-taking the k smallest — associative and
+commutative, so partial sketches from 1000 executors (or from
+yesterday's run) combine without re-reading data;
+:func:`kmv_merge` is that operation and the test asserts
+merge(halves) == sketch(whole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgverify_spark.functions.canonical import (
+    DIALECT_DUCKDB,
+    DIALECT_SPARK,
+    hex_prefix_int_sql,
+)
+
+#: Hash domain: first 15 hex digits of md5 = 60 bits.
+_DOMAIN = float(1 << 60)
+
+
+def _est_sql(k: int, n_col: str = "n_sketch", max_col: str = "kth_min") -> str:
+    """Estimate expression, identical text in both dialects (pure IEEE
+    double arithmetic + round, so both engines produce the same bits)."""
+    return (
+        f"CASE WHEN {n_col} < {k} THEN CAST({n_col} AS DOUBLE) "
+        f"ELSE round(({k} - 1) * {_DOMAIN!r} / {max_col}, 6) END"
+    )
+
+
+def kmv_sketch(df: DataFrame, value_col: str, group_col: str, k: int = 64) -> DataFrame:
+    """Per-group KMV sketch: (group, n_sketch, kth_min, est_distinct).
+
+    ``n_sketch`` = sketch fill (< k means the group had fewer than k
+    distinct values and ``est_distinct`` is exact); ``kth_min`` = the
+    largest kept hash (the sketch threshold).
+    """
+    h = hex_prefix_int_sql(f"md5(CAST({value_col} AS STRING))", DIALECT_SPARK, 15)
+    from pyspark.sql import Window
+
+    d = df.selectExpr(f"{group_col} AS grp", f"{h} AS h").distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        kept.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("kth_min"))
+        .selectExpr("grp", "n_sketch", "kth_min", f"{_est_sql(k)} AS est_distinct")
+    )
+
+
+def kmv_sketch_oracle_sql(table: str, value_col: str, group_col: str, k: int = 64) -> str:
+    h = hex_prefix_int_sql(f"md5(CAST({value_col} AS VARCHAR))", DIALECT_DUCKDB, 15)
+    return (
+        f"WITH d AS (SELECT DISTINCT {group_col} AS grp, {h} AS h FROM {table}), "
+        "r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM d) "
+        "SELECT grp, count(*) AS n_sketch, max(h) AS kth_min, "
+        f"{_est_sql(k, 'count(*)', 'max(h)')} AS est_distinct "
+        f"FROM r WHERE rn <= {k} GROUP BY grp"
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge per-partition sketches (grp, hashes array<bigint>) into the
+    combined per-group sketch with the same output schema as
+    :func:`kmv_sketch`.
+
+    Input rows carry explicit hash arrays (see :func:`kmv_sketch_raw`);
+    merging = union the sets, dedup, re-take the k smallest.  This is
+    the executor-side combine step a 1000-node deployment would run —
+    associativity is asserted in tests (halves == whole).
+    """
+    exploded = sketches.selectExpr("grp", "explode(hashes) AS h").distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = exploded.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        kept.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("kth_min"))
+        .selectExpr("grp", "n_sketch", "kth_min", f"{_est_sql(k)} AS est_distinct")
+    )
+
+
+def kmv_sketch_raw(df: DataFrame, value_col: str, group_col: str, k: int = 64) -> DataFrame:
+    """Sketch with the kept hashes materialized: (grp, hashes) — the
+    mergeable wire form (what you'd persist between incremental runs)."""
+    h = hex_prefix_int_sql(f"md5(CAST({value_col} AS STRING))", DIALECT_SPARK, 15)
+    from pyspark.sql import Window
+
+    d = df.selectExpr(f"{group_col} AS grp", f"{h} AS h").distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return kept.groupBy("grp").agg(F.expr("array_sort(collect_list(h))").alias("hashes"))

@@ -23,6 +23,8 @@ from pgverify_spark.operators import (
     similarity,
     text,
 )
+from pgverify_spark.operators import funnel as funnel_mod
+from pgverify_spark.operators import sketch, skew
 from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
 from pgverify_spark.operators.fingerprint import (
     FINGERPRINT_OPS,
@@ -582,6 +584,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", rollup.sessionize),
             rollup.sessionize_oracle_sql("events"),
         ),
+        # ordered-step funnel, 24h max gap between steps (discriminating
+        # at sf0.01: 150 -> 60 -> 25 users)
+        "funnel_events": (
+            _table_query(
+                "events", lambda df: funnel_mod.funnel(df, max_gap_us=86_400_000_000)
+            ),
+            funnel_mod.funnel_oracle_sql("events", max_gap_us=86_400_000_000),
+        ),
         # as-of join: probe = every 7th event's own timestamp; output in
         # epoch-us (ts is bigint nanos in Spark, TIMESTAMP_NS in DuckDB)
         "asof_join_events": (
@@ -642,6 +652,26 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "interval_join_rollup_events": (
             _interval_spark,
             _interval_oracle_sql(),
+        ),
+        # mergeable KMV distinct sketches (cross-engine exact, unlike HLL)
+        "kmv_distinct_documents": (
+            _table_query("documents", lambda df: sketch.kmv_sketch(df, "text", "lang", 64)),
+            sketch.kmv_sketch_oracle_sql("documents", "text", "lang", 64),
+        ),
+        "kmv_distinct_events": (
+            _table_query(
+                "events", lambda df: sketch.kmv_sketch(df, "user_id", "event_type", 32)
+            ),
+            sketch.kmv_sketch_oracle_sql("events", "user_id", "event_type", 32),
+        ),
+        # pre-join key-distribution audit + heavy hitters
+        "key_distribution_lineitem": (
+            _table_query("lineitem", lambda df: skew.key_distribution(df, "l_suppkey")),
+            skew.key_distribution_oracle_sql("lineitem", "l_suppkey"),
+        ),
+        "heavy_hitters_lineitem": (
+            _table_query("lineitem", lambda df: skew.heavy_hitters(df, "l_partkey", 20)),
+            skew.heavy_hitters_oracle_sql("lineitem", "l_partkey", 20),
         ),
         # cross-table referential-integrity report (one row per FK edge)
         "fk_integrity_report": (

@@ -730,3 +730,64 @@ def test_length_percentiles(docs, duck):
     )
     for _, n_docs, p10, p50, p90, p99 in rows:
         assert n_docs > 0 and p10 <= p50 <= p90 <= p99
+
+
+def test_funnel(spark, sf_dir, duck):
+    from pgverify_spark.operators.funnel import funnel, funnel_oracle_sql
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    gap = 86_400_000_000
+    rows = _cmp(funnel(events, max_gap_us=gap), duck, funnel_oracle_sql("events", max_gap_us=gap))
+    by_step = {r[0]: r for r in rows}
+    # monotone: each step keeps at most the previous step's users
+    assert by_step[1][2] >= by_step[2][2] >= by_step[3][2]
+    # gap constraint is discriminating (not everyone converts instantly)
+    assert by_step[2][2] < by_step[1][2]
+    # unconstrained funnel dominates the gap-constrained one
+    free = {r[0]: r for r in funnel(events).collect()}
+    assert all(free[s][2] >= by_step[s][2] for s in by_step)
+
+
+def test_skew_audit(spark, sf_dir, duck):
+    from pgverify_spark.operators import skew
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    (dist,) = _cmp(
+        skew.key_distribution(li, "l_suppkey"),
+        duck,
+        skew.key_distribution_oracle_sql("lineitem", "l_suppkey"),
+    )
+    n_rows, n_keys, max_g, avg_g, p50, p90, p99, ratio = dist
+    assert n_rows == li.count() and max_g >= p99 >= p90 >= p50 and ratio >= 1.0
+    hh = _cmp(
+        skew.heavy_hitters(li, "l_partkey", 20),
+        duck,
+        skew.heavy_hitters_oracle_sql("lineitem", "l_partkey", 20),
+    )
+    assert len(hh) == 20 and all(0 < r[2] <= 1 for r in hh)
+
+
+def test_kmv_sketch(docs, duck):
+    from pgverify_spark.operators.sketch import (
+        kmv_merge,
+        kmv_sketch,
+        kmv_sketch_oracle_sql,
+        kmv_sketch_raw,
+    )
+
+    rows = _cmp(
+        kmv_sketch(docs, "text", "lang", 64),
+        duck,
+        kmv_sketch_oracle_sql("documents", "text", "lang", 64),
+    )
+    exact = dict(duck.execute("SELECT lang, count(DISTINCT text) FROM documents GROUP BY lang").fetchall())
+    for grp, n_sketch, kth, est in rows:
+        if n_sketch < 64:  # under-filled sketch is exact by construction
+            assert est == exact[grp]
+        else:  # KMV error bound ~ 1/sqrt(k) = 12.5%; assert a loose 3x
+            assert abs(est - exact[grp]) / exact[grp] < 0.375
+    # mergeability: sketch(half A) ++ sketch(half B) == sketch(whole)
+    h1 = kmv_sketch_raw(docs.filter("doc_id % 2 = 0"), "text", "lang", 64)
+    h2 = kmv_sketch_raw(docs.filter("doc_id % 2 = 1"), "text", "lang", 64)
+    merged = sorted(map(tuple, kmv_merge(h1.unionByName(h2), 64).collect()))
+    assert merged == rows
