@@ -24,7 +24,7 @@ from pgverify_spark.operators import (
     text,
 )
 from pgverify_spark.operators import funnel as funnel_mod
-from pgverify_spark.operators import sketch, skew
+from pgverify_spark.operators import linkage, quantize, sketch, skew
 from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
 from pgverify_spark.operators.fingerprint import (
     FINGERPRINT_OPS,
@@ -652,6 +652,37 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "interval_join_rollup_events": (
             _interval_spark,
             _interval_oracle_sql(),
+        ),
+        # int8 scalar quantization (4x memory) + quantized cosine top-k
+        "quantize_int8_embeddings": (
+            _table_query(
+                "embeddings",
+                lambda df: quantize.quantize_int8(df).selectExpr(
+                    "vec_id", "scale", "CAST(qvec AS STRING) AS qvec", "qnorm2"
+                ),
+            ),
+            "SELECT vec_id, scale, CAST(qvec AS VARCHAR) AS qvec, qnorm2 FROM ("
+            + quantize.quantize_int8_oracle_sql("embeddings")
+            + ") q",
+        ),
+        "quantized_topk_embeddings": (
+            _table_query("embeddings", lambda df: quantize.quantized_topk(df, qids, 10)),
+            quantize.quantized_topk_oracle_sql("embeddings", qids, 10),
+        ),
+        # blocked fuzzy join (record linkage) on a 1/10 deterministic
+        # sample of part names; hot-block cap drops stopword-like tokens
+        "fuzzy_join_pairs_part": (
+            _table_query(
+                "part",
+                lambda df: linkage.fuzzy_join_pairs(
+                    df.filter("p_partkey % 10 = 0"), "p_partkey", "p_name", 2,
+                    max_block_freq=25,
+                ),
+            ),
+            linkage.fuzzy_join_pairs_oracle_sql(
+                "part", "p_partkey", "p_name", 2, max_block_freq=25,
+                where="p_partkey % 10 = 0",
+            ),
         ),
         # mergeable KMV distinct sketches (cross-engine exact, unlike HLL)
         "kmv_distinct_documents": (

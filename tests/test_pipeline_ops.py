@@ -791,3 +791,54 @@ def test_kmv_sketch(docs, duck):
     h2 = kmv_sketch_raw(docs.filter("doc_id % 2 = 1"), "text", "lang", 64)
     merged = sorted(map(tuple, kmv_merge(h1.unionByName(h2), 64).collect()))
     assert merged == rows
+
+
+def test_fuzzy_join_pairs(spark, sf_dir, duck):
+    from pgverify_spark.operators.linkage import (
+        fuzzy_join_pairs,
+        fuzzy_join_pairs_oracle_sql,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_partkey % 10 = 0")
+    rows = _cmp(
+        fuzzy_join_pairs(part, "p_partkey", "p_name", 2, max_block_freq=25),
+        duck,
+        fuzzy_join_pairs_oracle_sql(
+            "part", "p_partkey", "p_name", 2, max_block_freq=25, where="p_partkey % 10 = 0"
+        ),
+    )
+    assert rows and all(r[0] < r[1] and r[4] <= 2 and 0 < r[5] <= 1 for r in rows)
+    # the hot-block cap only ever removes candidates (soundness of capping)
+    uncapped = sorted(
+        map(tuple, fuzzy_join_pairs(part, "p_partkey", "p_name", 2).collect())
+    )
+    assert set(rows) <= set(uncapped)
+
+
+def test_quantize_int8(embs, duck):
+    from pgverify_spark.operators.quantize import (
+        quantize_int8,
+        quantize_int8_oracle_sql,
+        quantized_topk,
+        quantized_topk_oracle_sql,
+    )
+    from pgverify_spark.operators.similarity import cosine_topk
+
+    rows = _cmp(
+        quantize_int8(embs).selectExpr("vec_id", "scale", "CAST(qvec AS STRING) AS qvec", "qnorm2"),
+        duck,
+        f"SELECT vec_id, scale, CAST(qvec AS VARCHAR) AS qvec, qnorm2 FROM ({quantize_int8_oracle_sql('embeddings')}) q",
+    )
+    assert rows and all(r[3] > 0 for r in rows)
+    topk = _cmp(
+        quantized_topk(embs, QIDS, 10),
+        duck,
+        quantized_topk_oracle_sql("embeddings", QIDS, 10),
+    )
+    # quantization is lossy but must retain most of the exact neighbors
+    exact = {(r[0], r[1]) for r in cosine_topk(embs, QIDS, 10).collect()}
+    quant = {(r[0], r[1]) for r in topk}
+    assert len(exact & quant) / len(exact) >= 0.8
+    # int8 range respected
+    q = quantize_int8(embs).selectExpr("array_max(qvec) AS mx", "array_min(qvec) AS mn").collect()
+    assert all(-127 <= r.mn and r.mx <= 127 for r in q)
