@@ -867,10 +867,64 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         + rollup.sessionize_oracle_sql("events")
         + ") s"
     )
+    def run_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import glob
+        import shutil
+        import tempfile
+
+        from pgverify_spark.streaming.funnel import (
+            finalize_streaming_funnel,
+            streaming_funnel_state,
+        )
+
+        ensure_required_confs(spark)
+        df = ParquetTarget("t", sf_dir).read(spark, "events")
+        gap = 86_400_000_000
+        tmp = tempfile.mkdtemp(prefix="pgvs_sfunnel_")
+        # weekly time-ordered chunks: the left-fold state is exact when
+        # micro-batches respect event-time order (streaming/funnel.py)
+        (
+            df.withColumn("wk", (F.col("ts") / (7 * 86_400_000_000_000)).cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("wk")
+            .parquet(f"{tmp}/weeks")
+        )
+        stream_in = f"{tmp}/in"
+        import os as _os
+
+        _os.makedirs(stream_in)
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_in)
+        )
+        q = (
+            streaming_funnel_state(sdf, max_gap_us=gap)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("registry_sfunnel")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            for i, wd in enumerate(sorted(glob.glob(f"{tmp}/weeks/wk=*"))):
+                for j, f in enumerate(sorted(glob.glob(f"{wd}/*.parquet"))):
+                    shutil.copy(f, f"{stream_in}/wk{i}_{j}.parquet")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = finalize_streaming_funnel(spark.table("registry_sfunnel"))
+        return spark.createDataFrame(
+            rows, "step int, step_name string, n_users bigint, conversion double"
+        )
+
+    funnel_oracle = funnel_mod.funnel_oracle_sql("events", max_gap_us=86_400_000_000)
+
     return {
         "streaming_stateful_bucket_fingerprint_events": (run, None),
         "streaming_dedup_documents": (run_dedup, dedup_oracle),
         "streaming_session_rollup_events": (run_sessions, sessions_oracle),
+        "streaming_funnel_events": (run_funnel, funnel_oracle),
     }
 
 
@@ -907,6 +961,12 @@ HEADLINE_QUERIES = (
     "contamination_pairs_documents",
     "partitioned_fingerprint_events",
     "tfidf_top_terms_documents",
+    "funnel_events",
+    "kmv_distinct_documents",
+    "heavy_hitters_lineitem",
+    "fuzzy_join_pairs_part",
+    "quantized_topk_embeddings",
+    "interval_join_rollup_events",
 )
 
 

@@ -188,3 +188,60 @@ def test_streaming_session_rollup_matches_batch_sessionize(spark, sf_dir, chunke
         for r in sessionize(ParquetTarget("t", sf_dir).read(spark, "events")).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming funnel over time-ordered chunks == batch funnel: the
+    anchored fold is a left fold, so prefix-then-suffix folding is
+    identical when chunks respect event-time order."""
+    from pgverify_spark.operators.funnel import funnel
+    from pgverify_spark.streaming.funnel import (
+        finalize_streaming_funnel,
+        streaming_funnel_state,
+    )
+
+    src = ParquetTarget("t", sf_dir)
+    df = src.read(spark, "events")
+    out = str(tmp_path / "weekly_src")
+    # weekly time-ordered chunk files (ts is bigint nanos)
+    df.withColumn(
+        "wk", (df.ts / (7 * 86_400_000_000_000)).cast("int")
+    ).write.mode("overwrite").partitionBy("wk").parquet(out)
+    gap = 86_400_000_000
+    import glob
+
+    week_dirs = sorted(glob.glob(f"{out}/wk=*"))
+    assert len(week_dirs) >= 4
+    stream_in = str(tmp_path / "stream_in")
+    os.makedirs(stream_in)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_in)
+    )
+    state = streaming_funnel_state(sdf, max_gap_us=gap)
+    q = (
+        state.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_state")
+        .option("checkpointLocation", str(tmp_path / "ckf"))
+        .start()
+    )
+    try:
+        # feed week chunks strictly in time order, one processAllAvailable
+        # per week so micro-batches can't reorder them
+        import shutil
+
+        for i, wd in enumerate(week_dirs):
+            for j, f in enumerate(sorted(glob.glob(f"{wd}/*.parquet"))):
+                shutil.copy(f, f"{stream_in}/wk{i}_{j}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = finalize_streaming_funnel(spark.table("funnel_state"))
+    batch = [tuple(r) for r in funnel(df, max_gap_us=gap).collect()]
+    assert sorted(streamed) == sorted(batch)
+    # state emits only on change: every user's final stage came from a
+    # bounded number of updates (at most one per week + initial)
+    em = spark.table("funnel_state").groupBy("user_id").count().collect()
+    assert all(r["count"] <= len(week_dirs) + 1 for r in em)
