@@ -928,6 +928,53 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
     }
 
 
+def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
+    """Cross-format verify: a parquet target against a live CSV export of
+    the same tables, through the real ``verify()`` orchestrator — the
+    heterogeneous-source comparison the tool exists for (every cell must
+    agree iff the CSV round-trip is lossless)."""
+    cfg = VerifyConfig(test_modes=_REPORT_MODES, include_tables=_REPORT_TABLES)
+
+    def ddl(table: str) -> str:
+        spark_types = {"int": "int", "bigint": "bigint", "string": "string",
+                       "double": "double", "timestamp": "timestamp"}
+        return ", ".join(
+            f"{c} {spark_types[t]}" for c, t in TESTDATA_TABLES[table].cols
+        )
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.sources.files import FileTarget
+
+        ensure_required_confs(spark)
+        tmp = tempfile.mkdtemp(prefix="pgvs_mfmt_")
+        schemas = {}
+        for t in _REPORT_TABLES:
+            df = ParquetTarget("src", sf_dir).read(spark, t)
+            df.write.format("csv").option("header", "true").mode("overwrite").save(
+                f"{tmp}/{t}.csv"
+            )
+            schemas[t] = ddl(t)
+        targets = [
+            ParquetTarget("parquet", sf_dir),
+            FileTarget("csv", tmp, format="csv", schemas=schemas),
+        ]
+        return report_table(verify(spark, targets, cfg).results)
+
+    selects = []
+    for tname in ("parquet", "csv"):
+        for table in _REPORT_TABLES:
+            mode_cols = ", ".join(
+                f"(SELECT fp FROM ({fingerprint_oracle_sql(m, table, TESTDATA_TABLES[table], cfg)}) s) AS {m}"
+                for m in _REPORT_MODES
+            )
+            selects.append(
+                f"SELECT 'public' AS schema, '{table}' AS tbl, '{tname}' AS target, {mode_cols}"
+            )
+    return {"verify_report_parquet_vs_csv": (run, " UNION ALL ".join(selects))}
+
+
 def _entries() -> dict[str, tuple[Callable, str | None]]:
     return {
         **_fingerprint_entries(),
@@ -935,6 +982,7 @@ def _entries() -> dict[str, tuple[Callable, str | None]]:
         **_type_matrix_entry(),
         **_diff_entries(),
         **_report_entry(),
+        **_multiformat_report_entry(),
         **_pipeline_entries(),
         **_streaming_entry(),
     }
