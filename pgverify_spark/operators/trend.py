@@ -1,0 +1,180 @@
+"""Time-series / product-analytics operators over the events stream.
+
+Beyond-reference extensions: the reporting layer a team runs on top of
+the rollups — cohort retention, moving averages, anomaly flags.  All
+three are built on the same integer-bucket arithmetic as
+``operators.rollup`` (``ts DIV ns_per_bucket`` — identical in both
+engines) and keep every intermediate either integer/DECIMAL (exact) or
+a final IEEE-double division, so results hash-match the DuckDB oracle.
+
+Scale shapes:
+
+- :func:`cohort_retention` — two hash shuffles on ``user_id`` (first-week
+  assignment, then the activity join is a shuffle on the *same* key —
+  co-partitioned, AQE reuses the exchange) + one aggregation over
+  (cohort, offset) pairs, which is |users| x active-weeks rows, tiny
+  next to the event stream.
+- :func:`moving_average` — one shuffle to the per-(type, bucket) rollup
+  (map-side combined), then a window frame over each type's *hourly
+  series* — hundreds of rows per type, not events; never a window over
+  raw events.
+- :func:`daily_anomalies` — rollup shuffle + a per-type aggregate for
+  the moments; z-scores use explicitly-computed DECIMAL moments
+  (sum, sum-of-squares are exact decimal sums, so the variance is
+  order-independent — ``stddev_samp``'s float accumulation would differ
+  between engines in the last ulps and break the oracle hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NS_PER_WEEK = 7 * 86_400_000_000_000
+_NS_PER_HOUR = 3_600_000_000_000
+_NS_PER_DAY = 86_400_000_000_000
+
+#: DuckDB spelling of the same integer buckets (ts arrives as TIMESTAMP_NS
+#: there; epoch_us * 1000 keeps the arithmetic in the nanos domain).
+_DUCK_WEEK = "CAST(epoch_us(ts) * 1000 // 604800000000000 AS BIGINT)"
+_DUCK_HOUR = "CAST(epoch_us(ts) * 1000 // 3600000000000 AS BIGINT)"
+_DUCK_DAY = "CAST(epoch_us(ts) * 1000 // 86400000000000 AS BIGINT)"
+
+
+def cohort_retention(df: DataFrame) -> DataFrame:
+    """Weekly cohort retention: (cohort_week, week_offset, n_active,
+    retention) — of the users whose first event fell in ``cohort_week``,
+    how many were active ``week_offset`` weeks later.
+
+    ``retention`` = n_active / cohort size (offset 0 is 1.0 by
+    definition since the first event itself is activity).
+    """
+    weeks = df.selectExpr(
+        "user_id", f"CAST(ts DIV {_NS_PER_WEEK} AS BIGINT) AS wk"
+    )
+    first = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = (
+        weeks.join(first, "user_id")
+        .selectExpr("user_id", "cohort_week", "wk - cohort_week AS week_offset")
+        .distinct()
+    )
+    sizes = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cohort_week")
+        .selectExpr(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention",
+        )
+    )
+
+
+def cohort_retention_oracle_sql(table: str) -> str:
+    return (
+        f"WITH w AS (SELECT user_id, {_DUCK_WEEK} AS wk FROM {table}), "
+        "f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id), "
+        "a AS (SELECT DISTINCT w.user_id, f.cohort_week, w.wk - f.cohort_week AS week_offset "
+        "FROM w JOIN f ON w.user_id = f.user_id), "
+        "s AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY cohort_week) "
+        "SELECT a.cohort_week, a.week_offset, count(*) AS n_active, "
+        "round(CAST(count(*) AS DOUBLE) / any_value(s.cohort_size), 6) AS retention "
+        "FROM a JOIN s ON a.cohort_week = s.cohort_week "
+        "GROUP BY a.cohort_week, a.week_offset"
+    )
+
+
+def moving_average(df: DataFrame, window_hours: int = 3) -> DataFrame:
+    """Per-type hourly series with a trailing moving average:
+    (event_type, hour_bucket, n_events, ma) — frame = current row and
+    the ``window_hours - 1`` preceding *rows* of that type's series.
+
+    Row-based (not range-based) frames on a complete hourly series are
+    the cheap formulation; gaps in the series would call for a
+    range-interval frame instead — same one-line change in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    hourly = (
+        df.selectExpr(f"CAST(ts DIV {_NS_PER_HOUR} AS BIGINT) AS hour_bucket", "event_type")
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(-(window_hours - 1), 0)
+    )
+    return hourly.withColumn(
+        "ma", F.round(F.avg("n_events").over(w), 6)
+    )
+
+
+def moving_average_oracle_sql(table: str, window_hours: int = 3) -> str:
+    return (
+        f"WITH h AS (SELECT event_type, {_DUCK_HOUR} AS hour_bucket, count(*) AS n_events "
+        f"FROM {table} GROUP BY event_type, {_DUCK_HOUR}) "
+        "SELECT event_type, hour_bucket, n_events, "
+        "round(avg(n_events) OVER (PARTITION BY event_type ORDER BY hour_bucket "
+        f"ROWS BETWEEN {window_hours - 1} PRECEDING AND CURRENT ROW), 6) AS ma FROM h"
+    )
+
+
+def daily_anomalies(df: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """Days whose value-sum deviates > ``z_threshold`` sample standard
+    deviations from that event type's own daily mean:
+    (event_type, day_bucket, day_sum, z).
+
+    The moments are computed from exact DECIMAL sums (sum and
+    sum-of-squares), so mean/variance are order-independent and the
+    z-score is one deterministic double expression — see module
+    docstring for why ``stddev_samp`` is avoided.
+    """
+    daily = (
+        df.selectExpr(
+            f"CAST(ts DIV {_NS_PER_DAY} AS BIGINT) AS day_bucket",
+            "event_type",
+            "CAST(value AS DECIMAL(18,2)) AS dv",
+        )
+        .groupBy("event_type", "day_bucket")
+        .agg(F.sum("dv").cast("decimal(38,2)").alias("day_sum"))
+    )
+    moments = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("day_sum").cast("decimal(38,2)").alias("s1"),
+        F.sum(F.expr("CAST(day_sum * day_sum AS DECIMAL(38,4))"))
+        .cast("decimal(38,4)")
+        .alias("s2"),
+    )
+    z = (
+        "(CAST(day_sum AS DOUBLE) - CAST(s1 AS DOUBLE) / n_days) / "
+        "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_days) "
+        "/ (n_days - 1))"
+    )
+    return (
+        daily.join(moments, "event_type")
+        .filter(F.expr(f"n_days > 1 AND abs({z}) > {z_threshold!r}"))
+        .selectExpr("event_type", "day_bucket", "day_sum", f"round({z}, 6) AS z")
+    )
+
+
+def daily_anomalies_oracle_sql(table: str, z_threshold: float = 2.0) -> str:
+    z = (
+        "(CAST(day_sum AS DOUBLE) - CAST(s1 AS DOUBLE) / n_days) / "
+        "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_days) "
+        "/ (n_days - 1))"
+    )
+    return (
+        f"WITH d AS (SELECT event_type, {_DUCK_DAY} AS day_bucket, "
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_sum "
+        f"FROM {table} GROUP BY event_type, {_DUCK_DAY}), "
+        "m AS (SELECT event_type, count(*) AS n_days, "
+        "CAST(sum(day_sum) AS DECIMAL(38,2)) AS s1, "
+        "CAST(sum(CAST(day_sum * day_sum AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s2 "
+        "FROM d GROUP BY event_type) "
+        "SELECT d.event_type, day_bucket, day_sum, "
+        f"round({z}, 6) AS z FROM d JOIN m ON d.event_type = m.event_type "
+        f"WHERE n_days > 1 AND abs({z}) > {z_threshold!r}"
+    )

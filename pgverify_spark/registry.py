@@ -24,7 +24,7 @@ from pgverify_spark.operators import (
     text,
 )
 from pgverify_spark.operators import funnel as funnel_mod
-from pgverify_spark.operators import linkage, quantize, sketch, skew
+from pgverify_spark.operators import linkage, quantize, sketch, skew, trend
 from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
 from pgverify_spark.operators.fingerprint import (
     FINGERPRINT_OPS,
@@ -583,6 +583,21 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "sessionize_events": (
             _table_query("events", rollup.sessionize),
             rollup.sessionize_oracle_sql("events"),
+        ),
+        # weekly cohort retention matrix
+        "cohort_retention_events": (
+            _table_query("events", trend.cohort_retention),
+            trend.cohort_retention_oracle_sql("events"),
+        ),
+        # trailing 3h moving average over the hourly series
+        "moving_average_events": (
+            _table_query("events", lambda df: trend.moving_average(df, 3)),
+            trend.moving_average_oracle_sql("events", 3),
+        ),
+        # z-score outlier days from DECIMAL-exact moments
+        "daily_anomalies_events": (
+            _table_query("events", lambda df: trend.daily_anomalies(df, 1.5)),
+            trend.daily_anomalies_oracle_sql("events", 1.5),
         ),
         # ordered-step funnel, 24h max gap between steps (discriminating
         # at sf0.01: 150 -> 60 -> 25 users)

@@ -842,3 +842,27 @@ def test_quantize_int8(embs, duck):
     # int8 range respected
     q = quantize_int8(embs).selectExpr("array_max(qvec) AS mx", "array_min(qvec) AS mn").collect()
     assert all(-127 <= r.mn and r.mx <= 127 for r in q)
+
+
+def test_trend_operators(spark, sf_dir, duck):
+    from pgverify_spark.operators import trend
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    coh = _cmp(
+        trend.cohort_retention(events), duck, trend.cohort_retention_oracle_sql("events")
+    )
+    # offset-0 retention is 1.0 by definition; retention never exceeds 1
+    assert all(r[3] == 1.0 for r in coh if r[1] == 0)
+    assert all(0 < r[3] <= 1.0 for r in coh)
+    ma = _cmp(
+        trend.moving_average(events, 3), duck, trend.moving_average_oracle_sql("events", 3)
+    )
+    # a trailing average over positive counts stays within the series range
+    lo = min(r[2] for r in ma); hi = max(r[2] for r in ma)
+    assert all(lo <= r[3] <= hi for r in ma)
+    anom = _cmp(
+        trend.daily_anomalies(events, 1.5), duck, trend.daily_anomalies_oracle_sql("events", 1.5)
+    )
+    assert anom and all(abs(r[3]) > 1.5 for r in anom)
+    # tighter threshold flags fewer days
+    assert len(trend.daily_anomalies(events, 2.5).collect()) <= len(anom)
