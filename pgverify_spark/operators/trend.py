@@ -178,3 +178,54 @@ def daily_anomalies_oracle_sql(table: str, z_threshold: float = 2.0) -> str:
         f"round({z}, 6) AS z FROM d JOIN m ON d.event_type = m.event_type "
         f"WHERE n_days > 1 AND abs({z}) > {z_threshold!r}"
     )
+
+
+def daily_trend_slope(df: DataFrame) -> DataFrame:
+    """Per-type least-squares slope of the daily value-sum series:
+    (event_type, n_days, slope) — trending up or down, and how fast.
+
+    ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` with every S an exact
+    integer/DECIMAL sum (x = day bucket, y = exact daily sum), so the
+    only float op is the final division — deterministic cross-engine,
+    unlike ``regr_slope`` whose accumulation strategy is
+    engine-internal.
+    """
+    daily = (
+        df.selectExpr(
+            f"CAST(ts DIV {_NS_PER_DAY} AS BIGINT) AS x",
+            "event_type",
+            "CAST(value AS DECIMAL(18,2)) AS dv",
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("dv").cast("decimal(38,2)").alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("CAST(x * y AS DECIMAL(38,2))")).cast("decimal(38,2)").alias("sxy"),
+    )
+    slope = (
+        "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return m.filter("n > 1").selectExpr("event_type", "n AS n_days", f"round({slope}, 6) AS slope")
+
+
+def daily_trend_slope_oracle_sql(table: str) -> str:
+    slope = (
+        "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return (
+        f"WITH d AS (SELECT event_type, {_DUCK_DAY} AS x, "
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS y "
+        f"FROM {table} GROUP BY event_type, {_DUCK_DAY}), "
+        "m AS (SELECT event_type, count(*) AS n, "
+        "CAST(sum(x) AS DECIMAL(38,0)) AS sx, CAST(sum(y) AS DECIMAL(38,2)) AS sy, "
+        "CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx, "
+        "CAST(sum(CAST(x * y AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sxy "
+        "FROM d GROUP BY event_type) "
+        f"SELECT event_type, n AS n_days, round({slope}, 6) AS slope FROM m WHERE n > 1"
+    )

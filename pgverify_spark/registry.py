@@ -431,6 +431,35 @@ def _interval_oracle_sql() -> str:
     return interval_join_rollup_oracle_sql("events", windows_sql)
 
 
+#: Exact-decimal revenue expression shared by the salted-join pair.
+_REV_SPARK = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+def _salted_revenue_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgverify_spark.operators.joins import salted_join
+
+    ensure_required_confs(spark)
+    t = ParquetTarget("t", sf_dir)
+    li = t.read(spark, "lineitem").selectExpr("l_orderkey", f"{_REV_SPARK} AS rev")
+    od = t.read(spark, "orders").selectExpr("o_orderkey AS l_orderkey", "o_orderpriority")
+    return (
+        salted_join(li, od, "l_orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev").cast("decimal(38,4)").alias("revenue"),
+        )
+    )
+
+
+_SALTED_REVENUE_ORACLE = (
+    "SELECT o_orderpriority, count(*) AS n_items, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) "
+    "AS DECIMAL(38,4)) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+)
+
+
 def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
     """LLM-data-pipeline operators: dedup, similarity, text analysis,
     multimodal plumbing (thresholds chosen to be non-trivial at sf0.01)."""
@@ -584,6 +613,12 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", rollup.sessionize),
             rollup.sessionize_oracle_sql("events"),
         ),
+        # skew-spread big-big join: revenue per priority via salted_join
+        # (row-equal to the plain join; oracle runs the unsalted SQL)
+        "salted_join_revenue": (
+            _salted_revenue_spark,
+            _SALTED_REVENUE_ORACLE,
+        ),
         # weekly cohort retention matrix
         "cohort_retention_events": (
             _table_query("events", trend.cohort_retention),
@@ -598,6 +633,11 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "daily_anomalies_events": (
             _table_query("events", lambda df: trend.daily_anomalies(df, 1.5)),
             trend.daily_anomalies_oracle_sql("events", 1.5),
+        ),
+        # least-squares slope of each type's daily series (exact moments)
+        "daily_trend_slope_events": (
+            _table_query("events", trend.daily_trend_slope),
+            trend.daily_trend_slope_oracle_sql("events"),
         ),
         # ordered-step funnel, 24h max gap between steps (discriminating
         # at sf0.01: 150 -> 60 -> 25 users)

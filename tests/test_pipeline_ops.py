@@ -866,3 +866,36 @@ def test_trend_operators(spark, sf_dir, duck):
     assert anom and all(abs(r[3]) > 1.5 for r in anom)
     # tighter threshold flags fewer days
     assert len(trend.daily_anomalies(events, 2.5).collect()) <= len(anom)
+
+
+def test_salted_join(spark, sf_dir):
+    from pgverify_spark.operators.joins import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey", "l_quantity")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey AS l_orderkey", "o_orderpriority"
+    )
+    plain = li.join(od, "l_orderkey")
+    salted = salted_join(li, od, "l_orderkey", salt=8)
+    assert salted.columns == plain.columns
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # the join runs on (key, salt): the physical join keys include _salt
+    p = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in p
+
+
+def test_daily_trend_slope(spark, sf_dir, duck):
+    from pgverify_spark.operators import trend
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = _cmp(
+        trend.daily_trend_slope(events), duck, trend.daily_trend_slope_oracle_sql("events")
+    )
+    assert rows and all(r[1] > 1 for r in rows)
+    # slope of a manufactured perfectly-linear series is exact
+    lin = spark.createDataFrame(
+        [(i, 86_400_000_000_000 * i + 1, "lin", float(2 * i + 5)) for i in range(10)],
+        "event_id long, ts long, event_type string, value double",
+    ).selectExpr("event_id", "ts", "CAST(NULL AS BIGINT) AS user_id", "event_type", "value", "CAST(NULL AS STRING) AS props")
+    (r,) = trend.daily_trend_slope(lin).collect()
+    assert r.slope == 2.0
