@@ -975,11 +975,56 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
 
     funnel_oracle = funnel_mod.funnel_oracle_sql("events", max_gap_us=86_400_000_000)
 
+    def run_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.sketch import (
+            finalize_streaming_kmv,
+            streaming_kmv_state,
+        )
+
+        ensure_required_confs(spark)
+        docs = ParquetTarget("t", sf_dir).read(spark, "documents")
+        tmp = tempfile.mkdtemp(prefix="pgvs_skmv_")
+        (
+            docs.withColumn("chunk", (F.col("doc_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_kmv_state(sdf, "text", "lang", 64)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("registry_skmv")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = finalize_streaming_kmv(spark.table("registry_skmv"))
+        return spark.createDataFrame(
+            rows, "grp string, n_sketch bigint, kth_min bigint, est_distinct double"
+        )
+
+    # order-insensitive state => the streaming result equals the batch
+    # sketch exactly, so it shares the batch operator's oracle SQL
+    kmv_oracle = sketch.kmv_sketch_oracle_sql("documents", "text", "lang", 64)
+
     return {
         "streaming_stateful_bucket_fingerprint_events": (run, None),
         "streaming_dedup_documents": (run_dedup, dedup_oracle),
         "streaming_session_rollup_events": (run_sessions, sessions_oracle),
         "streaming_funnel_events": (run_funnel, funnel_oracle),
+        "streaming_kmv_distinct_documents": (run_kmv, kmv_oracle),
     }
 
 

@@ -1,0 +1,89 @@
+"""Streaming KMV distinct sketch: continuous cardinality per group.
+
+Streaming twin of ``operators.sketch`` — and the payoff of choosing a
+*mergeable* sketch: KMV state (the k smallest distinct hashes) absorbs
+a micro-batch by set-union + re-truncate, an operation that is
+associative, commutative and idempotent-per-hash.  Arrival order is
+irrelevant, so unlike the streaming funnel no event-time-ordered feed
+is needed — any chunking of the input converges to exactly the batch
+sketch, which the test asserts.
+
+State per group: at most ``k`` bigints, forever.  Output (update mode)
+re-emits a group only when its sketch actually changed (a hash entered
+the k-min set), with the same (grp, n_sketch, kth_min, est_distinct)
+shape as the batch operator — so the registry pairs it with the *same*
+DuckDB oracle SQL as the batch sketch.
+
+Scale: one keyed exchange on the group; per-batch work is a sort of
+that batch's distinct hashes against a k-bounded list.  This is the
+incremental-cardinality design HLL sketches serve in monitoring
+systems, with the cross-engine-exact property HLL cannot give
+(see operators/sketch.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from pgverify_spark.functions.canonical import DIALECT_SPARK, hex_prefix_int_sql
+
+_DOMAIN = float(1 << 60)
+
+_OUT_SCHEMA = "grp string, n_sketch bigint, kth_min bigint, est_distinct double, updates int"
+_STATE_SCHEMA = "hashes array<bigint>, updates int"
+
+
+def streaming_kmv_state(
+    sdf: DataFrame, value_col: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group streaming KMV state: (grp, n_sketch, kth_min,
+    est_distinct, updates), emitted on change."""
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    h = hex_prefix_int_sql(f"md5(CAST({value_col} AS STRING))", DIALECT_SPARK, 15)
+    rows = sdf.selectExpr(f"CAST({group_col} AS STRING) AS grp", f"{h} AS h")
+
+    def update_fn(key: tuple, pdfs, state: GroupState):
+        hashes, updates = state.get if state.exists else ([], 0)
+        kept = set(hashes)
+        before = frozenset(kept)
+        for pdf in pdfs:
+            kept.update(map(int, pdf["h"]))
+        merged = sorted(kept)[:k]
+        if frozenset(merged) != before or updates == 0:
+            updates += 1
+            state.update((merged, updates))
+            n, mx = len(merged), merged[-1]
+            # same arithmetic as operators.sketch._est_sql: one final
+            # IEEE-double division (inputs exact), round to 1e-6
+            est = float(n) if n < k else round((k - 1) * _DOMAIN / mx, 6)
+            yield pd.DataFrame(
+                {
+                    "grp": [key[0]],
+                    "n_sketch": [n],
+                    "kth_min": [mx],
+                    "est_distinct": [est],
+                    "updates": [updates],
+                }
+            )
+        else:
+            state.update((sorted(before), updates))
+
+    return rows.groupBy("grp").applyInPandasWithState(
+        update_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_streaming_kmv(emitted: DataFrame) -> list[tuple]:
+    """Latest state per group: [(grp, n_sketch, kth_min, est_distinct)]."""
+    latest: dict[str, tuple] = {}
+    for r in emitted.collect():
+        cur = latest.get(r["grp"])
+        if cur is None or r["updates"] > cur[3]:
+            latest[r["grp"]] = (r["n_sketch"], r["kth_min"], r["est_distinct"], r["updates"])
+    return [(g, n, mx, est) for g, (n, mx, est, _) in sorted(latest.items())]

@@ -899,3 +899,48 @@ def test_daily_trend_slope(spark, sf_dir, duck):
     ).selectExpr("event_id", "ts", "CAST(NULL AS BIGINT) AS user_id", "event_type", "value", "CAST(NULL AS STRING) AS props")
     (r,) = trend.daily_trend_slope(lin).collect()
     assert r.slope == 2.0
+
+
+def test_funnel_fold_vs_reference_model(spark):
+    """The SQL fold agrees with an independent Python reference model on
+    a seeded adversarial corpus: equal timestamps, events exactly at the
+    gap boundary, repeated steps, missing steps, out-of-order types."""
+    import random
+
+    from pgverify_spark.operators.funnel import DEFAULT_STEPS, funnel
+
+    rng = random.Random(20260813)
+    types = list(DEFAULT_STEPS) + ["error", "signup"]
+    gap = 100  # microseconds, so boundary cases are easy to hit
+    rows = []
+    for uid in range(200):
+        n = rng.randint(0, 12)
+        t = 0
+        for _ in range(n):
+            # steps of 0 (equal ts), exactly gap, and around the boundary
+            t += rng.choice([0, 1, 2, gap - 1, gap, gap + 1])
+            rows.append((uid, t * 1000, rng.choice(types)))  # ts in nanos
+
+    def ref_stage(evts):
+        stage, sts = 0, None
+        for us, et in sorted(evts):
+            if stage >= len(DEFAULT_STEPS):
+                break
+            ok_gap = stage == 0 or us - sts <= gap
+            if et == DEFAULT_STEPS[stage] and (sts is None or us > sts) and ok_gap:
+                stage, sts = stage + 1, us
+        return stage
+
+    per_user = {}
+    for uid, ts, et in rows:
+        per_user.setdefault(uid, []).append((ts // 1000, et))
+    expected = [0] * (len(DEFAULT_STEPS) + 1)
+    for evts in per_user.values():
+        expected[ref_stage(evts)] += 1
+    exp_counts = {
+        i + 1: sum(expected[i + 1 :]) for i in range(len(DEFAULT_STEPS))
+    }
+
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {r.step: r.n_users for r in funnel(df, max_gap_us=gap).collect()}
+    assert got == exp_counts

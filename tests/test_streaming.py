@@ -245,3 +245,42 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
     # bounded number of updates (at most one per week + initial)
     em = spark.table("funnel_state").groupBy("user_id").count().collect()
     assert all(r["count"] <= len(week_dirs) + 1 for r in em)
+
+
+def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
+    """KMV state merge is order-insensitive (set-union + truncate), so an
+    arbitrary (not time-ordered) chunking converges to the batch sketch."""
+    from pgverify_spark.operators.sketch import kmv_sketch
+    from pgverify_spark.streaming.sketch import (
+        finalize_streaming_kmv,
+        streaming_kmv_state,
+    )
+
+    docs = ParquetTarget("t", sf_dir).read(spark, "documents")
+    out = str(tmp_path / "kmv_src")
+    docs.withColumn("chunk", (docs.doc_id % 4).cast("int")).repartition(
+        4, "chunk"
+    ).drop("chunk").write.mode("overwrite").parquet(out)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q = (
+        streaming_kmv_state(sdf, "text", "lang", 64)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_state")
+        .option("checkpointLocation", str(tmp_path / "ckk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = finalize_streaming_kmv(spark.table("kmv_state"))
+    batch = sorted(map(tuple, kmv_sketch(docs, "text", "lang", 64).collect()))
+    assert streamed == batch
+    # bounded state/output: each group emitted at most once per micro-batch
+    em = spark.table("kmv_state").groupBy("grp").count().collect()
+    assert all(r["count"] <= 4 for r in em)
