@@ -1,0 +1,98 @@
+"""Grouped top-k: the per-group leaderboard primitive.
+
+Beyond-reference extension: "top N x per y" (top parts per supplier,
+top documents per language, top URLs per domain) is the single most
+common reporting shape over a large fact table, and the naive global
+``ORDER BY`` it replaces is a full sort of the fact table.
+
+Scale shape: aggregate first (hash shuffle with map-side combine down
+to |groups x keys| rows), *then* rank within groups with a
+``row_number`` window — the window runs over the aggregated relation,
+orders of magnitude smaller than the fact table, and needs no global
+sort.  Ties break on the ranked key so the selected set is
+deterministic cross-engine.  For extreme group cardinality the window
+shuffle can reuse the aggregation's partitioning when the group key is
+a prefix of the aggregation key (as here) — AQE plans exactly that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def grouped_topk_revenue(df: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` parts by exact-decimal revenue within each supplier:
+    (l_suppkey, l_partkey, revenue, rank)."""
+    rev = (
+        df.selectExpr(
+            "l_suppkey",
+            "l_partkey",
+            "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS r",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("r").cast("decimal(38,4)").alias("revenue"))
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("revenue"), F.asc("l_partkey")
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("l_suppkey", "l_partkey", "revenue", "rank")
+    )
+
+
+def grouped_topk_revenue_oracle_sql(table: str, k: int = 3) -> str:
+    return (
+        "WITH rev AS (SELECT l_suppkey, l_partkey, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) "
+        "AS DECIMAL(38,4)) AS revenue "
+        f"FROM {table} GROUP BY l_suppkey, l_partkey) "
+        "SELECT l_suppkey, l_partkey, revenue, rank FROM ("
+        "SELECT l_suppkey, l_partkey, revenue, row_number() OVER ("
+        "PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey ASC) AS rank FROM rev) t "
+        f"WHERE rank <= {k}"
+    )
+
+
+def equidepth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame:
+    """Equi-depth (equal-count) histogram of ``col``:
+    (bucket, n, lo, hi) — the bucket boundaries a range-partitioner or
+    a BI tool's quantile axis would use.
+
+    ``ntile`` assigns rows to ``buckets`` rank-ordered, equal-count
+    bins.  Tied values may straddle a boundary differently per engine,
+    but the *output* is still deterministic: bucket sizes are fixed by
+    ntile's definition, and a straddling value appears as one bucket's
+    ``hi`` and the next's ``lo`` either way.
+
+    Scale note: this is the **exact baseline** — a global ntile is a
+    single-reducer sort, fine for the dimension-sized relations it is
+    registered on, wrong for a 100 TB fact table.  The scale path is
+    the same two-liner with boundaries from ``approx_percentile``
+    (mergeable KLL sketch) and a join-free bucket assignment; kept
+    exact here because the correctness gate hashes values (same
+    exact/approx pairing policy as ``dedup.embedding_near_dups`` vs its
+    LSH twin).
+    """
+    w = Window.orderBy(F.asc(col))
+    binned = df.select(col).withColumn("bucket", F.ntile(buckets).over(w))
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+        )
+    )
+
+
+def equidepth_histogram_oracle_sql(table: str, col: str, buckets: int = 10) -> str:
+    return (
+        f"WITH b AS (SELECT {col}, ntile({buckets}) OVER (ORDER BY {col} ASC) AS bucket "
+        f"FROM {table}) "
+        f"SELECT bucket, count(*) AS n, min({col}) AS lo, max({col}) AS hi "
+        "FROM b GROUP BY bucket"
+    )

@@ -25,6 +25,7 @@ from pgverify_spark.operators import (
 )
 from pgverify_spark.operators import funnel as funnel_mod
 from pgverify_spark.operators import linkage, quantize, sketch, skew, trend
+from pgverify_spark.operators import topk as topk_mod
 from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
 from pgverify_spark.operators.fingerprint import (
     FINGERPRINT_OPS,
@@ -612,6 +613,16 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "sessionize_events": (
             _table_query("events", rollup.sessionize),
             rollup.sessionize_oracle_sql("events"),
+        ),
+        # per-supplier revenue leaderboard (aggregate-then-rank)
+        "grouped_topk_revenue_lineitem": (
+            _table_query("lineitem", lambda df: topk_mod.grouped_topk_revenue(df, 3)),
+            topk_mod.grouped_topk_revenue_oracle_sql("lineitem", 3),
+        ),
+        # equi-depth histogram of order totals (exact ntile baseline)
+        "equidepth_histogram_orders": (
+            _table_query("orders", lambda df: topk_mod.equidepth_histogram(df, "o_totalprice", 10)),
+            topk_mod.equidepth_histogram_oracle_sql("orders", "o_totalprice", 10),
         ),
         # skew-spread big-big join: revenue per priority via salted_join
         # (row-equal to the plain join; oracle runs the unsalted SQL)

@@ -944,3 +944,30 @@ def test_funnel_fold_vs_reference_model(spark):
     df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
     got = {r.step: r.n_users for r in funnel(df, max_gap_us=gap).collect()}
     assert got == exp_counts
+
+
+def test_grouped_topk_and_histogram(spark, sf_dir, duck):
+    from pgverify_spark.operators import topk
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = _cmp(
+        topk.grouped_topk_revenue(li, 3), duck, topk.grouped_topk_revenue_oracle_sql("lineitem", 3)
+    )
+    per_supp = {}
+    for sk, pk, rev, rank in rows:
+        per_supp.setdefault(sk, []).append((rank, rev))
+    for ranked in per_supp.values():
+        ranked.sort()
+        assert [r for r, _ in ranked] == list(range(1, len(ranked) + 1))
+        assert all(ranked[i][1] >= ranked[i + 1][1] for i in range(len(ranked) - 1))
+    hist = _cmp(
+        topk.equidepth_histogram(od, "o_totalprice", 10),
+        duck,
+        topk.equidepth_histogram_oracle_sql("orders", "o_totalprice", 10),
+    )
+    hist.sort()
+    # equal-count buckets (+-1), monotone non-overlapping ranges
+    sizes = [r[1] for r in hist]
+    assert max(sizes) - min(sizes) <= 1
+    assert all(hist[i][3] <= hist[i + 1][2] for i in range(len(hist) - 1))
