@@ -1,0 +1,161 @@
+"""Training-data preparation: chunking, sequence packing, dataset splits.
+
+Beyond-reference extensions — the last mile of an LLM data pipeline,
+after dedup/quality/decontamination have pruned the corpus:
+
+- :func:`chunk_documents` — fixed-width character windows with overlap
+  (the retrieval/embedding chunking everyone runs).  Pure per-row
+  ``transform(sequence(...))`` + ``posexplode`` — embarrassingly
+  parallel, no shuffle; output size is the only cost.
+- :func:`pack_sequences` — concatenate-and-cut packing: documents are
+  laid end-to-end in deterministic (source, doc_id) order and cut into
+  fixed token budgets — how pretraining batches are actually formed.
+  A document's bin is where its *first* token lands.  The running
+  total is a window sum **partitioned by source**: each shard packs
+  independently and in parallel (the practical formulation at 100 TB —
+  a single global order would serialize; per-shard packing is what
+  data loaders do anyway).
+- :func:`hash_split` — deterministic train/val/test assignment from an
+  md5 bucket of the document id: reproducible, join-free, and stable
+  under corpus growth (a doc's split never changes when others are
+  added — the property random sampling lacks).
+
+All three stay in exact integer arithmetic (character offsets, token
+counts, hash buckets), so every row hash-matches the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgverify_spark.functions.canonical import (
+    DIALECT_DUCKDB,
+    DIALECT_SPARK,
+    hex_prefix_int_sql,
+)
+
+
+def _n_chunks(len_expr: str, stride: int) -> str:
+    """Chunk count: ceil(max(len - overlap, 1) / stride) in integer math
+    — identical text in both dialects."""
+    return f"CAST((greatest({len_expr}, 1) + {stride - 1}) DIV {stride} AS INT)"
+
+
+def chunk_documents(df: DataFrame, chunk_chars: int = 200, overlap: int = 20) -> DataFrame:
+    """(doc_id, chunk_idx, chunk): sliding windows of ``chunk_chars``
+    stepping ``chunk_chars - overlap``; the final window may be short;
+    a doc shorter than one window yields exactly one chunk."""
+    stride = chunk_chars - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    n = _n_chunks(f"length(text) - {overlap}", stride)
+    return df.selectExpr(
+        "doc_id",
+        f"posexplode(transform(sequence(0, {n} - 1), "
+        f"i -> substr(text, i * {stride} + 1, {chunk_chars}))) AS (chunk_idx, chunk)",
+    )
+
+
+def chunk_documents_oracle_sql(table: str, chunk_chars: int = 200, overlap: int = 20) -> str:
+    stride = chunk_chars - overlap
+    n = _n_chunks(f"length(text) - {overlap}", stride).replace(" DIV ", " // ")
+    return (
+        f"WITH g AS (SELECT doc_id, text, "
+        f"unnest(generate_series(0, CAST({n} AS BIGINT) - 1)) AS i FROM {table}) "
+        "SELECT doc_id, CAST(i AS INT) AS chunk_idx, "
+        f"substr(text, CAST(i * {stride} + 1 AS INT), {chunk_chars}) AS chunk FROM g"
+    )
+
+
+def pack_sequences(df: DataFrame, budget_tokens: int = 512) -> DataFrame:
+    """Per-source concat-and-cut packing report: (source, bin, n_docs,
+    bin_tokens) — ``bin`` is where each doc's first token lands when the
+    source's docs are laid end-to-end in doc_id order and cut every
+    ``budget_tokens``."""
+    from pyspark.sql.window import Window
+
+    toks = df.selectExpr(
+        "source",
+        "doc_id",
+        "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens",
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    binned = toks.withColumn("cum", F.sum("n_tokens").over(w)).selectExpr(
+        "source",
+        "doc_id",
+        "n_tokens",
+        f"CAST((cum - n_tokens) DIV {budget_tokens} AS BIGINT) AS bin",
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+def pack_sequences_oracle_sql(table: str, budget_tokens: int = 512) -> str:
+    return (
+        "WITH t AS (SELECT source, doc_id, "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
+        f"FROM {table}), "
+        "c AS (SELECT source, doc_id, n_tokens, "
+        "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) "
+        f"SELECT source, CAST((cum - n_tokens) // {budget_tokens} AS BIGINT) AS bin, "
+        "count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens "
+        "FROM c GROUP BY source, CAST((cum - n_tokens) // {b} AS BIGINT)".replace(
+            "{b}", str(budget_tokens)
+        )
+    )
+
+
+#: (split name, per-mille weight) — weights must sum to 1000.
+DEFAULT_SPLITS = (("train", 900), ("val", 50), ("test", 50))
+
+
+def hash_split(
+    df: DataFrame, splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS
+) -> DataFrame:
+    """Deterministic split assignment summary: (split, n_docs, n_tokens).
+
+    A doc's bucket is its id-hash mod 1000; cumulative weight ranges map
+    buckets to splits.  Assignment depends only on the doc's own id —
+    stable under corpus growth and engine-independent.
+    """
+    if sum(wt for _, wt in splits) != 1000:
+        raise ValueError("split weights must sum to 1000 (per-mille)")
+    h = hex_prefix_int_sql("md5(CAST(doc_id AS STRING))", DIALECT_SPARK, 12)
+    case, lo = [], 0
+    for name, wt in splits:
+        case.append(f"WHEN b < {lo + wt} THEN '{name}'")
+        lo += wt
+    expr = f"CASE {' '.join(case)} END"
+    return (
+        df.selectExpr(
+            f"{h} % 1000 AS b",
+            "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens",
+        )
+        .selectExpr(f"{expr} AS split", "n_tokens")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").cast("long").alias("n_tokens"))
+    )
+
+
+def hash_split_oracle_sql(
+    table: str, splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS
+) -> str:
+    h = hex_prefix_int_sql("md5(CAST(doc_id AS VARCHAR))", DIALECT_DUCKDB, 12)
+    case, lo = [], 0
+    for name, wt in splits:
+        case.append(f"WHEN b < {lo + wt} THEN '{name}'")
+        lo += wt
+    expr = f"CASE {' '.join(case)} END"
+    return (
+        f"WITH t AS (SELECT {h} % 1000 AS b, "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
+        f"FROM {table}) "
+        f"SELECT {expr} AS split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens "
+        f"FROM t GROUP BY {expr}"
+    )

@@ -25,6 +25,7 @@ from pgverify_spark.operators import (
 )
 from pgverify_spark.operators import funnel as funnel_mod
 from pgverify_spark.operators import linkage, quantize, sketch, skew, trend
+from pgverify_spark.operators import prep
 from pgverify_spark.operators import topk as topk_mod
 from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
 from pgverify_spark.operators.fingerprint import (
@@ -613,6 +614,19 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "sessionize_events": (
             _table_query("events", rollup.sessionize),
             rollup.sessionize_oracle_sql("events"),
+        ),
+        # training-data prep: chunking, concat-and-cut packing, splits
+        "chunk_documents": (
+            _table_query("documents", lambda df: prep.chunk_documents(df, 200, 20)),
+            prep.chunk_documents_oracle_sql("documents", 200, 20),
+        ),
+        "pack_sequences_documents": (
+            _table_query("documents", lambda df: prep.pack_sequences(df, 512)),
+            prep.pack_sequences_oracle_sql("documents", 512),
+        ),
+        "hash_split_documents": (
+            _table_query("documents", prep.hash_split),
+            prep.hash_split_oracle_sql("documents"),
         ),
         # per-supplier revenue leaderboard (aggregate-then-rank)
         "grouped_topk_revenue_lineitem": (

@@ -971,3 +971,48 @@ def test_grouped_topk_and_histogram(spark, sf_dir, duck):
     sizes = [r[1] for r in hist]
     assert max(sizes) - min(sizes) <= 1
     assert all(hist[i][3] <= hist[i + 1][2] for i in range(len(hist) - 1))
+
+
+def test_prep_operators(docs, duck):
+    from pgverify_spark.operators import prep
+
+    chunks = _cmp(
+        prep.chunk_documents(docs, 200, 20), duck, prep.chunk_documents_oracle_sql("documents", 200, 20)
+    )
+    # every chunk <= width; consecutive chunks overlap by exactly 20 chars
+    assert all(len(c[2]) <= 200 for c in chunks)
+    by_doc = {}
+    for doc_id, idx, chunk in chunks:
+        by_doc.setdefault(doc_id, {})[idx] = chunk
+    overlapped = 0
+    for parts in by_doc.values():
+        assert sorted(parts) == list(range(len(parts)))
+        for i in range(len(parts) - 1):
+            if len(parts[i]) == 200:
+                assert parts[i][-20:] == parts[i + 1][:20]
+                overlapped += 1
+    assert overlapped  # multi-chunk docs exist at this SF
+    # chunks reassemble to the original text (drop each overlap)
+    row = docs.selectExpr("doc_id", "text").filter("length(text) > 400").first()
+    rebuilt = "".join(
+        p if i == 0 else p[20:] for i, p in sorted(by_doc[row.doc_id].items())
+    )
+    assert rebuilt == row.text
+
+    packed = _cmp(
+        prep.pack_sequences(docs, 512), duck, prep.pack_sequences_oracle_sql("documents", 512)
+    )
+    # bins are contiguous per source starting at 0
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for src, b, n, toks in packed:
+        bins[src].append(b)
+    for bs in bins.values():
+        assert sorted(bs) == list(range(len(bs)))
+
+    split = _cmp(prep.hash_split(docs), duck, prep.hash_split_oracle_sql("documents"))
+    counts = {r[0]: r[1] for r in split}
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / total > 0.8  # ~90% by construction
