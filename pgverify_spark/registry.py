@@ -1140,6 +1140,9 @@ HEADLINE_QUERIES = (
     "fuzzy_join_pairs_part",
     "quantized_topk_embeddings",
     "interval_join_rollup_events",
+    "pack_sequences_documents",
+    "grouped_topk_revenue_lineitem",
+    "cohort_retention_events",
 )
 
 

@@ -1016,3 +1016,36 @@ def test_prep_operators(docs, duck):
     total = sum(counts.values())
     assert set(counts) == {"train", "val", "test"}
     assert counts["train"] / total > 0.8  # ~90% by construction
+
+
+def test_scale_plan_shapes_round2(spark, sf_dir, docs, embs):
+    """Plan guards for the round-2 operators: the properties the 100 TB
+    story depends on, asserted against the physical plan."""
+    from pgverify_spark.operators import prep, topk, trend
+    from pgverify_spark.operators.interval import interval_join_rollup
+    from pgverify_spark.operators.quantize import quantized_topk
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # chunking is a pure projection: zero exchanges
+    assert "Exchange" not in plan(prep.chunk_documents(docs))
+    # packing windows per source — hash-partitioned, never a global sort:
+    p = plan(prep.pack_sequences(docs))
+    assert "hashpartitioning(source" in p and "SinglePartition" not in p
+    # quantized search broadcasts the query side; corpus never shuffles
+    # before scoring
+    p = plan(quantized_topk(embs, QIDS, 10))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # interval join broadcasts the window index
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = spark.createDataFrame([(1, 0, 3_600_000_000)], "win_id int, lo_us long, hi_us long")
+    assert "BroadcastHashJoin" in plan(interval_join_rollup(ev, win))
+    # moving average windows over the *rollup*, partitioned by type
+    p = plan(trend.moving_average(ev, 3))
+    assert "hashpartitioning(event_type" in p and "SinglePartition" not in p
+    # grouped top-k ranks the aggregate, not the fact table: the window
+    # input is the groupBy output (one aggregate before the window sort)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = plan(topk.grouped_topk_revenue(li, 3))
+    assert p.index("HashAggregate") > p.index("Window") or "HashAggregate" in p.split("Window")[-1]
