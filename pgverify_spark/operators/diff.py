@@ -34,6 +34,7 @@ from pgverify_spark.functions.canonical import (
     pk_key_sql,
     row_hash_sql,
 )
+from pgverify_spark.operators.fingerprint import partition_diff
 from pgverify_spark.operators.util import parallelize as _parallelize
 from pgverify_spark.sources.schemas import TableSchema
 
@@ -72,6 +73,120 @@ def row_diff(
             .otherwise(F.lit("count_mismatch"))
             .alias("status"),
         )
+    )
+
+
+def drilldown_row_diff(
+    left: DataFrame,
+    right: DataFrame,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+    partition_sql: str = "CAST(ts DIV 86400000000000 AS BIGINT)",
+) -> DataFrame:
+    """Hierarchical diff: row-level detail for ONLY the partitions whose
+    fingerprints disagree — the composed form of the drill-down chain
+    documented on :func:`~pgverify_spark.operators.fingerprint.partition_diff`.
+
+    Why this exists: :func:`row_diff` shuffles the distinct-row
+    cardinality of BOTH sides on (k, h).  On a 100 TB table where 0.001 %
+    of rows changed that shuffle is ~100 TB of wasted movement.  This
+    operator first compares per-partition fingerprints (two cheap
+    aggregate shuffles whose payload is one md5 per partition), then
+    LEFT-SEMI joins each side against the mismatched-partition list —
+    broadcast, since partitions-with-diffs is tiny — so the row-level
+    (k, h, count) aggregation and full-outer join shuffle only rows
+    belonging to disagreeing partitions.  Output is O(diff rows), shuffle
+    is O(rows in changed partitions).
+
+    The second pass re-scans the sources, but with a *semantic* partition
+    key (the default: day of ``ts``) a storage layout partitioned on the
+    same key turns the semi-join into partition pruning (materialize the
+    mismatch list and the predicate pushes down to the scan), so the
+    re-scan touches only changed partitions too.
+
+    Output: (part, k, h, left_count, right_count, status) — one row per
+    differing multiset entry, tagged with the partition it came from.
+    """
+    config = config or VerifyConfig()
+    bad = partition_diff(left, right, schema, config, partition_sql).select("part")
+
+    cols = schema.hashed_cols(config.valid_column)
+    k = pk_key_sql(schema.pk_cols(), DIALECT_SPARK, config.trunc_unit)
+    h = row_hash_sql(cols, DIALECT_SPARK, config.trunc_unit)
+
+    def side(df: DataFrame, cnt: str) -> DataFrame:
+        pkh = _parallelize(df).selectExpr(
+            f"{partition_sql} AS part", f"{k} AS k", f"{h} AS h"
+        )
+        # Restrict BEFORE the aggregate: only bad-partition rows shuffle.
+        restricted = pkh.join(F.broadcast(bad), on="part", how="left_semi")
+        return restricted.groupBy("part", "k", "h").agg(F.count(F.lit(1)).alias(cnt))
+
+    joined = side(left, "left_count").join(
+        side(right, "right_count"), on=["part", "k", "h"], how="full_outer"
+    )
+    return (
+        joined.filter(
+            F.col("left_count").isNull()
+            | F.col("right_count").isNull()
+            | (F.col("left_count") != F.col("right_count"))
+        )
+        .select(
+            "part",
+            "k",
+            "h",
+            F.coalesce("left_count", F.lit(0)).alias("left_count"),
+            F.coalesce("right_count", F.lit(0)).alias("right_count"),
+            F.when(F.col("right_count").isNull(), F.lit("only_left"))
+            .when(F.col("left_count").isNull(), F.lit("only_right"))
+            .otherwise(F.lit("count_mismatch"))
+            .alias("status"),
+        )
+    )
+
+
+def drilldown_row_diff_oracle_sql(
+    left_table: str,
+    right_table: str,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+    partition_sql: str = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)",
+) -> str:
+    """DuckDB twin of :func:`drilldown_row_diff` (same drill-down shape)."""
+    config = config or VerifyConfig()
+    cols = schema.hashed_cols(config.valid_column)
+    k = pk_key_sql(schema.pk_cols(), DIALECT_DUCKDB, config.trunc_unit)
+    h = row_hash_sql(cols, DIALECT_DUCKDB, config.trunc_unit)
+
+    def pf(table: str) -> str:
+        return (
+            "SELECT part, md5(string_agg(h, '' ORDER BY k, h)) AS fp FROM "
+            f"(SELECT {partition_sql} AS part, {k} AS k, {h} AS h FROM {table}) t "
+            "GROUP BY part"
+        )
+
+    def side(table: str) -> str:
+        return (
+            "SELECT part, k, h, count(*) AS cnt FROM "
+            f"(SELECT {partition_sql} AS part, {k} AS k, {h} AS h FROM {table}) t "
+            "WHERE part IN (SELECT part FROM bad) GROUP BY part, k, h"
+        )
+
+    return (
+        f"WITH lpf AS ({pf(left_table)}), rpf AS ({pf(right_table)}), "
+        "bad AS (SELECT COALESCE(lpf.part, rpf.part) AS part "
+        "FROM lpf FULL OUTER JOIN rpf ON lpf.part = rpf.part "
+        "WHERE lpf.fp IS NULL OR rpf.fp IS NULL OR lpf.fp <> rpf.fp), "
+        f"l AS ({side(left_table)}), r AS ({side(right_table)}) "
+        "SELECT COALESCE(l.part, r.part) AS part, "
+        "COALESCE(l.k, r.k) AS k, COALESCE(l.h, r.h) AS h, "
+        "COALESCE(l.cnt, 0) AS left_count, COALESCE(r.cnt, 0) AS right_count, "
+        "CASE WHEN r.cnt IS NULL THEN 'only_left' "
+        "WHEN l.cnt IS NULL THEN 'only_right' "
+        "ELSE 'count_mismatch' END AS status "
+        "FROM l FULL OUTER JOIN r "
+        "ON l.part = r.part AND l.k = r.k AND l.h = r.h "
+        "WHERE l.cnt IS NULL OR r.cnt IS NULL OR l.cnt <> r.cnt"
     )
 
 

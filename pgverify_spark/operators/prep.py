@@ -111,6 +111,83 @@ def pack_sequences_oracle_sql(table: str, budget_tokens: int = 512) -> str:
     )
 
 
+#: Token-count expression shared by the packing/split/shard operators.
+_TOKENS = "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"
+
+
+def assign_shards(df: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Token-balanced shard assignment: (doc_id, n_tokens, shard) with
+    ``shard = (global_rank_by_size - 1) % n_shards`` — documents dealt
+    round-robin in descending size order (the LPT heuristic), so every
+    shard's token total lands within one max-document of the mean.  This
+    is the write-side step of corpus assembly: balanced shards mean no
+    straggler data-loader worker.
+
+    The interesting part is HOW the global rank is computed at scale.
+    The naive ``row_number() OVER (ORDER BY n_tokens DESC)`` collapses
+    the table onto ONE reducer (Spark plans a SinglePartition window) —
+    a non-starter at 100 TB.  Instead, the classic two-pass distributed
+    rank:
+
+    1. ``repartitionByRange`` on (n_tokens DESC, doc_id) — a range
+       shuffle, the same machinery as a distributed sort; partition i
+       holds rows strictly ordering before partition i+1.
+    2. A tiny count-per-partition job (one BIGINT per partition crosses
+       the cluster) produces cumulative offsets.
+    3. ``row_number`` windowed WITHIN each range partition (parallel,
+       spill-safe) plus the partition's offset = exact global rank.
+
+    The offsets collect is O(partitions) driver traffic — the same order
+    of metadata Spark's own RangePartitioner already samples.  Range
+    boundaries are deterministic for a given input (seeded sketch), so
+    the offset job and the final plan see identical partitioning.  At
+    cluster scale, persist the input once across the two passes.
+    """
+    sized = df.selectExpr("doc_id", f"{_TOKENS} AS n_tokens")
+    n_parts = int(sized.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = sized.repartitionByRange(
+        n_parts, F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    counts = dict(
+        ranged.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    offset_expr = "CASE " + " ".join(
+        f"WHEN pid = {pid} THEN CAST({off} AS BIGINT)" for pid, off in offsets.items()
+    ) + " END"
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pid").orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    return (
+        ranged.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w))
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            f"CAST(({offset_expr} + rn - 1) % {n_shards} AS BIGINT) AS shard",
+        )
+    )
+
+
+def assign_shards_oracle_sql(table: str, n_shards: int = 8) -> str:
+    """DuckDB twin: the plain global row_number the two-pass plan equals."""
+    return (
+        f"WITH t AS (SELECT doc_id, "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
+        f"FROM {table}), "
+        "r AS (SELECT doc_id, n_tokens, "
+        "row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn FROM t) "
+        f"SELECT doc_id, n_tokens, CAST((rn - 1) % {n_shards} AS BIGINT) AS shard FROM r"
+    )
+
+
 #: (split name, per-mille weight) — weights must sum to 1000.
 DEFAULT_SPLITS = (("train", 900), ("val", 50), ("test", 50))
 

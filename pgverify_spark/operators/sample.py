@@ -18,7 +18,8 @@ else happens.  At 100 TB this is the cheapest possible operator shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 from pgverify_spark.functions.canonical import (
     DIALECT_DUCKDB,
@@ -84,3 +85,93 @@ def stratified_sample_oracle_sql(
 ) -> str:
     pred = _sample_predicate(key_col, strata_col, rates, default_rate, DIALECT_DUCKDB)
     return f"SELECT * FROM {table} WHERE {pred}"
+
+
+#: Mixture weights are taken in parts-per-million so every step of the
+#: rate derivation is BIGINT arithmetic — bit-identical across engines
+#: (no float rounding at a keep/drop boundary).
+_PPM = 1_000_000
+
+
+def _mixture_threshold_sql(weights: dict[str, float], target_frac: float, dialect: str) -> str:
+    """Per-source keep-threshold (out of 2^20) as a CASE over integer math.
+
+    desired_s = (N * frac_ppm / 1e6) * (w_s_ppm / 1e6), threshold_s =
+    min(2^20, desired_s * 2^20 / n_s) — all floor division on BIGINTs.
+    ``n`` and ``total`` are column references supplied by the caller's
+    per-source counts relation.
+    """
+    div = " DIV " if dialect == DIALECT_SPARK else " // "
+    frac_ppm = int(target_frac * _PPM)
+    branches = " ".join(
+        f"WHEN source = '{s}' THEN "
+        f"(((total * {frac_ppm}){div}{_PPM} * {int(w * _PPM)}){div}{_PPM} * {_BUCKETS}){div}n"
+        for s, w in sorted(weights.items())
+    )
+    return f"LEAST(CAST({_BUCKETS} AS BIGINT), CASE {branches} ELSE 0 END)"
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    target_frac: float,
+) -> DataFrame:
+    """Sample a corpus down to ``target_frac`` of its rows with the kept
+    rows distributed across sources per ``weights`` (summing to ~1) —
+    the data-mixture step of training-corpus assembly (e.g. "30 % web,
+    30 % code, 40 % books, half the original volume").
+
+    Unlike :func:`stratified_sample` the caller states the TARGET mixture,
+    not per-source rates: rates are derived from the observed per-source
+    counts inside the same plan (groupBy(source) -> tiny relation ->
+    broadcast hash join back), then applied as the deterministic
+    content-hash predicate.  A source whose desired share exceeds its
+    population keeps everything (threshold capped at 2^20 — sampling
+    never fabricates rows; re-weight upstream if a source runs dry).
+
+    Scale shape: one map-side-combinable count aggregate over the source
+    column (a scan that prunes to two columns), a broadcast join of the
+    #sources-row rate table, and a JVM-codegen filter.  No wide shuffle
+    of the corpus at any point.
+
+    Returns the kept rows with all original columns.
+    """
+    threshold = _mixture_threshold_sql(weights, target_frac, DIALECT_SPARK)
+    counts = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy(F.lit(1))))
+        .selectExpr(
+            "source AS __mix_source", f"{threshold} AS __mix_threshold"
+        )
+    )
+    keep = _keep_sql(key_col, "__mix_threshold", DIALECT_SPARK)
+    return (
+        df.join(
+            F.broadcast(counts),
+            F.col(source_col) == F.col("__mix_source"),
+            "inner",
+        )
+        .filter(keep)
+        .select(*[df[c] for c in df.columns])
+    )
+
+
+def mixture_sample_oracle_sql(
+    table: str,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    target_frac: float,
+) -> str:
+    """DuckDB twin of :func:`mixture_sample` (same integer derivation)."""
+    threshold = _mixture_threshold_sql(weights, target_frac, DIALECT_DUCKDB)
+    keep = _keep_sql(f"t.{key_col}", "c.keep_threshold", DIALECT_DUCKDB)
+    return (
+        f"WITH counts AS (SELECT {source_col} AS source, count(*) AS n FROM {table} GROUP BY 1), "
+        f"c0 AS (SELECT source, n, sum(n) OVER () AS total FROM counts), "
+        f"c AS (SELECT source, {threshold} AS keep_threshold FROM c0) "
+        f"SELECT t.* FROM {table} t JOIN c ON t.{source_col} = c.source WHERE {keep}"
+    )

@@ -289,6 +289,28 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
         run_pdiff,
         partition_diff_oracle_sql("events", right_sql, ev_schema),
     )
+
+    # composed drill-down: row detail for ONLY the mismatched partitions
+    from pgverify_spark.operators.diff import (
+        drilldown_row_diff,
+        drilldown_row_diff_oracle_sql,
+    )
+
+    def run_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_required_confs(spark)
+        left = ParquetTarget("t", sf_dir).read(spark, "events")
+        right = left.filter(f"ts DIV {_DAY_NS} <> 19724").selectExpr(
+            "event_id", "ts", "user_id", "event_type",
+            f"CASE WHEN ts DIV {_DAY_NS} = 19723 AND event_id % 11 = 0 "
+            "THEN value + 1 ELSE value END AS value",
+            "props",
+        )
+        return drilldown_row_diff(left, right, ev_schema)
+
+    out["drilldown_row_diff_events"] = (
+        run_drill,
+        drilldown_row_diff_oracle_sql("events", right_sql, ev_schema),
+    )
     return out
 
 
@@ -462,6 +484,13 @@ _SALTED_REVENUE_ORACLE = (
 )
 
 
+#: Target corpus mixture for the mixture-sample entry: 50/30/20 over
+#: three sources at 5 % of total volume — thresholds land strictly
+#: inside (0, 2^20) at every test SF, so the derivation is exercised
+#: (nothing capped, nothing zero).
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
 def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
     """LLM-data-pipeline operators: dedup, similarity, text analysis,
     multimodal plumbing (thresholds chosen to be non-trivial at sf0.01)."""
@@ -627,6 +656,23 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "hash_split_documents": (
             _table_query("documents", prep.hash_split),
             prep.hash_split_oracle_sql("documents"),
+        ),
+        # token-balanced sharding via two-pass distributed global rank
+        "assign_shards_documents": (
+            _table_query("documents", lambda df: prep.assign_shards(df, 8)),
+            prep.assign_shards_oracle_sql("documents", 8),
+        ),
+        # target-mixture corpus sampling (rates derived from counts)
+        "mixture_sample_documents": (
+            _table_query(
+                "documents",
+                lambda df: sample.mixture_sample(
+                    df, "doc_id", "source", _MIX_WEIGHTS, 0.05
+                ),
+            ),
+            sample.mixture_sample_oracle_sql(
+                "documents", "doc_id", "source", _MIX_WEIGHTS, 0.05
+            ),
         ),
         # per-supplier revenue leaderboard (aggregate-then-rank)
         "grouped_topk_revenue_lineitem": (

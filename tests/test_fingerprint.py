@@ -250,3 +250,47 @@ def test_partition_diff(spark, duck, sf_dir):
     )
     assert rows == oracle
     assert [(r[0], r[3]) for r in rows] == [(19723, "fp_mismatch"), (19724, "only_left")]
+
+
+def test_drilldown_row_diff(spark, duck, sf_dir):
+    """Composed drill-down: row detail restricted to mismatched
+    partitions, matching the oracle exactly; identical sides produce
+    zero rows; the row-level pass is gated by a broadcast semi-join."""
+    from pgverify_spark.operators.diff import (
+        drilldown_row_diff,
+        drilldown_row_diff_oracle_sql,
+    )
+
+    src = ParquetTarget("t", sf_dir)
+    events = src.read(spark, "events")
+    schema = src.table_schema(spark, "events")
+    day_ns = 86400000000000
+    assert drilldown_row_diff(events, events, schema).count() == 0
+    right = events.filter(f"ts DIV {day_ns} <> 19724").selectExpr(
+        "event_id", "ts", "user_id", "event_type",
+        f"CASE WHEN ts DIV {day_ns} = 19723 AND event_id % 11 = 0 "
+        "THEN value + 1 ELSE value END AS value",
+        "props",
+    )
+    out = drilldown_row_diff(events, right, schema)
+    rows = sorted(map(tuple, out.collect()))
+    day_duck = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"
+    right_sql = (
+        "(SELECT event_id, ts, user_id, event_type, "
+        f"CASE WHEN {day_duck} = 19723 AND event_id % 11 = 0 THEN value + 1 ELSE value END AS value, "
+        f"props FROM events WHERE {day_duck} <> 19724)"
+    )
+    oracle = sorted(
+        map(tuple, duck.execute(
+            drilldown_row_diff_oracle_sql("events", right_sql, schema)
+        ).fetchall())
+    )
+    assert rows == oracle
+    # every reported row belongs to one of the two known-bad days, and
+    # both mutation kinds surface
+    assert {r[0] for r in rows} == {19723, 19724}
+    statuses = {r[5] for r in rows}
+    assert "only_left" in statuses and "only_right" in statuses
+    # scale guard: the row pass is restricted by a broadcast semi-join
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p and "Broadcast" in p

@@ -1018,6 +1018,53 @@ def test_prep_operators(docs, duck):
     assert counts["train"] / total > 0.8  # ~90% by construction
 
 
+def test_assign_shards(docs, duck):
+    """Two-pass distributed global rank equals the oracle's plain
+    row_number, and the resulting shards are token-balanced to within
+    one max-document of each other."""
+    from pgverify_spark.operators import prep
+
+    rows = _cmp(prep.assign_shards(docs, 8), duck, prep.assign_shards_oracle_sql("documents", 8))
+    totals = {}
+    max_doc = 0
+    for _, n_tokens, shard in rows:
+        totals[shard] = totals.get(shard, 0) + n_tokens
+        max_doc = max(max_doc, n_tokens)
+    assert set(totals) == set(range(8))
+    assert max(totals.values()) - min(totals.values()) <= max_doc
+    # the point of the construction: no single-reducer global window
+    p = prep.assign_shards(docs, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in p
+
+
+def test_mixture_sample(docs, duck):
+    """Mixture-derived rates hit the oracle exactly; kept counts track
+    the requested mixture; unlisted sources are dropped; oversubscribed
+    sources cap at keep-everything."""
+    from collections import Counter
+
+    from pgverify_spark.operators import sample
+
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    rows = _cmp(
+        sample.mixture_sample(docs, "doc_id", "source", weights, 0.05),
+        duck,
+        sample.mixture_sample_oracle_sql("documents", "doc_id", "source", weights, 0.05),
+    )
+    kept = Counter(r[3] for r in rows)
+    assert set(kept) <= set(weights)
+    n_src = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    total = sum(n_src.values())
+    # each source's kept count is close to its integer-math target
+    for s, w in weights.items():
+        desired = (total * 50_000 // 1_000_000) * int(w * 1_000_000) // 1_000_000
+        assert abs(kept.get(s, 0) - desired) <= max(3, desired // 3)
+    # a source whose desired share exceeds its population keeps all rows
+    tiny = {"src0": 1.0}
+    rows_tiny = sample.mixture_sample(docs, "doc_id", "source", tiny, 1.0).collect()
+    assert len(rows_tiny) == n_src["src0"]
+
+
 def test_scale_plan_shapes_round2(spark, sf_dir, docs, embs):
     """Plan guards for the round-2 operators: the properties the 100 TB
     story depends on, asserted against the physical plan."""
