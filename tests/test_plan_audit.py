@@ -1,0 +1,56 @@
+"""Registry-wide physical-plan audit: the 100 TB guardrails, asserted.
+
+Every registered query's executed plan is checked for the three shapes
+that silently stop scaling long before they stop working:
+
+- ``CartesianProduct`` — an O(n*m) join that no cluster size saves.
+- A ``Window`` fed directly by ``Exchange SinglePartition`` — a global
+  sort/rank that collapses the table onto one reducer.
+- ``BatchEvalPython`` — a row-at-a-time Python UDF on the executor hot
+  path (Arrow-batched ``ArrowEvalPython``/``MapInPandas`` are fine).
+
+Operators that *deliberately* keep a small-relation or baseline shape
+are whitelisted with the reason inline — the test exists so the next
+operator added can't regress the fleet silently.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+#: name -> reason. A whitelisted query may exhibit WINDOW_SINGLE.
+WINDOW_SINGLE_OK = {
+    # sum(n) OVER () runs over the per-source counts relation:
+    # |sources| rows by construction, never the corpus.
+    "mixture_sample_documents": "window over #sources-row aggregate",
+    # exact ntile baseline kept next to the approx_percentile scale
+    # path documented in topk.py.
+    "equidepth_histogram_orders": "exact ntile baseline",
+}
+
+
+def _window_over_single(plan: str) -> bool:
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow(GroupLimit)?\b", ln):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if "Exchange SinglePartition" in lines[j]:
+                    return True
+    return False
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_plan_guardrails(name, spark, sf_dir):
+    df = entry.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian join"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in WINDOW_SINGLE_OK:
+        assert not _window_over_single(plan), (
+            f"{name}: Window over Exchange SinglePartition — global "
+            "single-reducer sort/rank"
+        )
