@@ -494,3 +494,63 @@ def dup_clusters_oracle_sql(pairs_sql: str) -> str:
         "UNION SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node) "
         "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node"
     )
+
+
+def exact_dedup_filter(df: DataFrame) -> DataFrame:
+    """Surviving corpus after exact content dedup: one canonical row
+    (the minimum ``doc_id``) per distinct ``text`` — the filter step
+    :func:`exact_dup_groups` reports on.
+
+    Scale shape: winners are chosen on an (content-hash, doc_id)
+    projection — the min-aggregate is map-side combinable and its
+    shuffle carries two columns, never the text.  The corpus then
+    LEFT-SEMI joins the winner ids, the one shuffle that moves full
+    rows; with the corpus bucketed on ``doc_id`` that shuffle
+    disappears too.  (A window over the content hash would also work in
+    one shuffle but moves full rows through the exchange with no
+    map-side reduction.)
+    """
+    winners = (
+        df.selectExpr("md5(text) AS h", "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return df.join(winners, "doc_id", "left_semi")
+
+
+def exact_dedup_filter_oracle_sql(table: str) -> str:
+    return (
+        f"SELECT t.* FROM {table} t WHERE doc_id IN "
+        f"(SELECT min(doc_id) FROM {table} GROUP BY md5(text))"
+    )
+
+
+def near_dedup_filter(df: DataFrame, pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Surviving corpus after near-dedup: drop every document whose
+    :func:`dup_clusters` representative is another document — the final
+    step of the pairs -> clusters -> filter pipeline (LSH/SimHash/
+    Jaccard pairs in, deduplicated corpus out).
+
+    Scale shape: the cluster relation only contains documents that
+    appeared in a pair — a small fraction of the corpus for real
+    near-dup rates — so the losers list broadcast-anti-joins against
+    the corpus: no corpus shuffle at all.  (AQE picks the broadcast
+    automatically under its threshold; for pathological dup rates the
+    anti-join degrades to one hash shuffle, still ids-only on the
+    build side.)
+    """
+    losers = (
+        dup_clusters(pairs, max_iterations)
+        .filter("doc_id <> cluster_id")
+        .select("doc_id")
+    )
+    return df.join(losers, "doc_id", "left_anti")
+
+
+def near_dedup_filter_oracle_sql(table: str, pairs_sql: str) -> str:
+    clusters = dup_clusters_oracle_sql(pairs_sql)
+    return (
+        f"SELECT t.* FROM {table} t WHERE doc_id NOT IN "
+        f"(SELECT doc_id FROM ({clusters}) c WHERE doc_id <> cluster_id)"
+    )

@@ -569,6 +569,39 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 + ") mp"
             ),
         ),
+        # pairs -> clusters -> surviving corpus (the dedup END product)
+        "near_dedup_filter_documents": (
+            _table_query(
+                "documents",
+                lambda df: dedup.near_dedup_filter(
+                    df, dedup.minhash_lsh_pairs(df, 0.3).select("doc_a", "doc_b")
+                ),
+            ),
+            dedup.near_dedup_filter_oracle_sql(
+                "documents",
+                "SELECT doc_a, doc_b FROM ("
+                + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+                + ") mp",
+            ),
+        ),
+        # exact-content dedup filter (keep min doc_id per distinct text)
+        "exact_dedup_filter_documents": (
+            _table_query(
+                "documents",
+                lambda df: dedup.exact_dedup_filter(
+                    df.unionByName(
+                        df.filter("doc_id % 10 = 0").selectExpr(
+                            "doc_id + 1000000 AS doc_id", "text", "lang", "source", "n_chars"
+                        )
+                    )
+                ),
+            ),
+            dedup.exact_dedup_filter_oracle_sql(
+                "(SELECT * FROM documents UNION ALL "
+                "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+                "FROM documents WHERE doc_id % 10 = 0)"
+            ),
+        ),
         "simhash_near_pairs_documents": (
             _table_query("documents", dedup.simhash_near_pairs),
             dedup.simhash_near_pairs_oracle_sql("documents"),
@@ -1189,6 +1222,9 @@ HEADLINE_QUERIES = (
     "pack_sequences_documents",
     "grouped_topk_revenue_lineitem",
     "cohort_retention_events",
+    "drilldown_row_diff_events",
+    "assign_shards_documents",
+    "near_dedup_filter_documents",
 )
 
 

@@ -457,6 +457,48 @@ def test_dup_clusters_chain_transitivity(spark):
     assert {labels[i] for i in (20, 21)} == {20}
 
 
+def test_dedup_filters(docs, duck, spark):
+    """End of the dedup pipeline: the surviving corpus.  Exact filter
+    keeps one canonical row per distinct text; near filter keeps exactly
+    the cluster representatives plus all unpaired docs."""
+    # exact: inject duplicates, survivors = originals only
+    dup = docs.unionByName(
+        docs.filter("doc_id % 10 = 0").selectExpr(
+            "doc_id + 1000000 AS doc_id", "text", "lang", "source", "n_chars"
+        )
+    )
+    rows = _cmp(
+        dedup.exact_dedup_filter(dup),
+        duck,
+        dedup.exact_dedup_filter_oracle_sql(
+            "(SELECT * FROM documents UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+            "FROM documents WHERE doc_id % 10 = 0)"
+        ),
+    )
+    assert len(rows) == docs.count()  # every injected copy dropped
+    assert all(r[0] < 1000000 for r in rows)
+
+    # near: survivors = corpus minus non-representative cluster members
+    pairs = dedup.minhash_lsh_pairs(docs, 0.3).select("doc_a", "doc_b")
+    surv = _cmp(
+        dedup.near_dedup_filter(docs, pairs),
+        duck,
+        dedup.near_dedup_filter_oracle_sql(
+            "documents",
+            "SELECT doc_a, doc_b FROM ("
+            + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+            + ") mp",
+        ),
+    )
+    labels = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    losers = {d for d, c in labels.items() if d != c}
+    kept = {r[0] for r in surv}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - losers
+    assert losers  # dup pairs exist at this SF, so the filter did work
+
+
 def test_quality_filter(docs, duck):
     rows = _cmp(
         text.quality_filter(docs, 0.5, 10, 0.3, ("en", "de")),
