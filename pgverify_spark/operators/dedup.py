@@ -450,12 +450,13 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
     edges = sym.persist()
-    labels = (
+    pinned = (
         edges.selectExpr("src AS doc_id")
         .distinct()
         .selectExpr("doc_id", "doc_id AS cluster_id")
         .persist()
     )
+    labels = pinned
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels.selectExpr("doc_id AS dst", "cluster_id AS nl"), "dst")
@@ -463,19 +464,22 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .agg(F.min("nl").alias("nbr_min"))
             .selectExpr("src AS doc_id", "nbr_min")
         )
-        new_labels = (
+        # One join carries both outputs of the round: the new label AND
+        # whether it moved (labels only ever decrease, so "changed" is
+        # nbr_min < cluster_id) — no second old-vs-new join per round.
+        joined = (
             labels.join(nbr_min, "doc_id", "left")
-            .selectExpr("doc_id", "least(cluster_id, coalesce(nbr_min, cluster_id)) AS cluster_id")
+            .selectExpr(
+                "doc_id",
+                "least(cluster_id, coalesce(nbr_min, cluster_id)) AS cluster_id",
+                "CAST(coalesce(nbr_min, cluster_id) < cluster_id AS INT) AS moved",
+            )
             .persist()
         )
-        changed = (
-            new_labels.selectExpr("doc_id", "cluster_id AS new_cl")
-            .join(labels, "doc_id")
-            .filter("new_cl != cluster_id")
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = joined.selectExpr("sum(moved) AS m").first()[0] or 0
+        pinned.unpersist()
+        pinned = joined
+        labels = joined.select("doc_id", "cluster_id")
         if changed == 0:
             break
     edges.unpersist()

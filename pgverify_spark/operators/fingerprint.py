@@ -358,6 +358,13 @@ def partition_diff(
     config = config or VerifyConfig()
     l = partitioned_fingerprint(left, schema, config, partition_sql).withColumnRenamed("fp", "left_fp")
     r = partitioned_fingerprint(right, schema, config, partition_sql).withColumnRenamed("fp", "right_fp")
+    return compare_partition_fingerprints(l, r)
+
+
+def compare_partition_fingerprints(l: DataFrame, r: DataFrame) -> DataFrame:
+    """Full-outer mismatch filter over two (part, *_fp) relations — the
+    shared compare of :func:`partition_diff` (both sides computed live)
+    and :func:`verify_against_snapshot` (left side read from storage)."""
     joined = l.join(r, on=["part"], how="full_outer")
     return joined.filter(
         F.col("left_fp").isNull()
@@ -372,6 +379,52 @@ def partition_diff(
         .otherwise(F.lit("fp_mismatch"))
         .alias("status"),
     )
+
+
+def write_fingerprint_snapshot(
+    df: DataFrame,
+    schema: TableSchema,
+    path: str,
+    config: VerifyConfig | None = None,
+    partition_sql: str = "CAST(ts DIV 86400000000000 AS BIGINT)",
+) -> None:
+    """Materialize :func:`partitioned_fingerprint` to parquet — the state
+    half of cross-run incremental verification.
+
+    A 100 TB table is verified ONCE in full; every later run calls
+    :func:`verify_against_snapshot`, which compares freshly computed
+    per-partition fingerprints against this snapshot and names exactly
+    the partitions that changed since — no second target scan, no
+    transfer of the previous run's data, O(partitions) storage.  The
+    reference re-runs its full in-database hash on every verify
+    (``query.go:122-158`` keeps no state between runs).
+    """
+    out = partitioned_fingerprint(df, schema, config, partition_sql)
+    out.write.mode("overwrite").parquet(path)
+
+
+def verify_against_snapshot(
+    spark,
+    df: DataFrame,
+    schema: TableSchema,
+    path: str,
+    config: VerifyConfig | None = None,
+    partition_sql: str = "CAST(ts DIV 86400000000000 AS BIGINT)",
+) -> DataFrame:
+    """Partitions that changed since :func:`write_fingerprint_snapshot`.
+
+    Output matches :func:`partition_diff`: (part, left_fp, right_fp,
+    status) where left is the SNAPSHOT side (``only_left`` = partition
+    existed at snapshot time and is gone now) and right is the current
+    data.  Compose with the drill-down chain: feed the mismatched parts
+    to a partition-filtered scan + :func:`~pgverify_spark.operators.diff.row_diff`
+    for row detail, touching only changed partitions.
+    """
+    prev = spark.read.parquet(path).withColumnRenamed("fp", "left_fp")
+    cur = partitioned_fingerprint(df, schema, config, partition_sql).withColumnRenamed(
+        "fp", "right_fp"
+    )
+    return compare_partition_fingerprints(prev, cur)
 
 
 def partition_diff_oracle_sql(

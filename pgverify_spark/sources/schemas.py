@@ -186,3 +186,29 @@ def logical_types(df: DataFrame, ns_hint_cols: tuple[str, ...] = ("ts",)) -> lis
             lt = "timestamp_ns"
         out.append((f.name, lt))
     return out
+
+
+def schema_diff(left: TableSchema, right: TableSchema) -> list[tuple[str, str | None, str | None, str]]:
+    """Column-level schema drift between two targets' views of a table:
+    ``(column, left_type, right_type, status)`` with status in
+    ``only_left`` / ``only_right`` / ``type_mismatch``; identical
+    columns are omitted.  Ordered by column name.
+
+    The pre-flight check before any data compare: a fingerprint mismatch
+    on a retyped or dropped column is noise — this names the structural
+    drift first, the way the reference's per-column type mapping gates
+    its hash query generation (``column.go:17-45``: an unknown or
+    changed type alters the canonical expression, so schema drift MUST
+    surface before row hashing is meaningful).  Driver-side metadata
+    only — no Spark job.
+    """
+    lt, rt = dict(left.cols), dict(right.cols)
+    out: list[tuple[str, str | None, str | None, str]] = []
+    for c in sorted(set(lt) | set(rt)):
+        if c not in rt:
+            out.append((c, lt[c], None, "only_left"))
+        elif c not in lt:
+            out.append((c, None, rt[c], "only_right"))
+        elif lt[c] != rt[c]:
+            out.append((c, lt[c], rt[c], "type_mismatch"))
+    return out

@@ -294,3 +294,54 @@ def test_drilldown_row_diff(spark, duck, sf_dir):
     # scale guard: the row pass is restricted by a broadcast semi-join
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in p and "Broadcast" in p
+
+
+def test_snapshot_verify(spark, sf_dir, tmp_path):
+    """Cross-run incremental verification: snapshot once, verify later
+    runs against it without rescanning the snapshot side."""
+    from pgverify_spark.operators.fingerprint import (
+        verify_against_snapshot,
+        write_fingerprint_snapshot,
+    )
+
+    src = ParquetTarget("t", sf_dir)
+    events = src.read(spark, "events")
+    schema = src.table_schema(spark, "events")
+    path = str(tmp_path / "snap")
+    write_fingerprint_snapshot(events, schema, path)
+
+    # unchanged data -> zero drift
+    assert verify_against_snapshot(spark, events, schema, path).count() == 0
+
+    # mutate one day, drop another -> exactly those partitions named
+    day_ns = 86400000000000
+    changed = events.filter(f"ts DIV {day_ns} <> 19724").selectExpr(
+        "event_id", "ts", "user_id", "event_type",
+        f"CASE WHEN ts DIV {day_ns} = 19723 AND event_id % 11 = 0 "
+        "THEN value + 1 ELSE value END AS value",
+        "props",
+    )
+    rows = sorted(
+        map(tuple, verify_against_snapshot(spark, changed, schema, path).collect())
+    )
+    assert [(r[0], r[3]) for r in rows] == [
+        (19723, "fp_mismatch"),
+        (19724, "only_left"),
+    ]
+    # the snapshot side reads O(partitions) state, never the old data
+    snap_rows = spark.read.parquet(path).count()
+    assert snap_rows == events.selectExpr(f"ts DIV {day_ns}").distinct().count()
+
+
+def test_schema_diff():
+    """Structural drift surfaces before any data compare."""
+    from pgverify_spark.sources.schemas import TableSchema, schema_diff
+
+    a = TableSchema("t", (("id", "bigint"), ("v", "double"), ("x", "string")), ("id",))
+    b = TableSchema("t", (("id", "bigint"), ("v", "decimal"), ("y", "string")), ("id",))
+    assert schema_diff(a, b) == [
+        ("v", "double", "decimal", "type_mismatch"),
+        ("x", "string", None, "only_left"),
+        ("y", None, "string", "only_right"),
+    ]
+    assert schema_diff(a, a) == []
