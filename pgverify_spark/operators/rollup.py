@@ -170,3 +170,45 @@ def sessionize_oracle_sql(table: str, gap_us: int = _DEFAULT_GAP_US) -> str:
         "count(*) AS n_events, CAST(sum(dvalue) AS DECIMAL(38,2)) AS sum_value "
         "FROM sessed GROUP BY user_id, session_idx"
     )
+
+
+def event_transitions(df: DataFrame, gap_us: int = _DEFAULT_GAP_US) -> DataFrame:
+    """Session path analysis: (from_type, to_type, n) — how often one
+    event type directly follows another within the same session (gap
+    under ``gap_us``), across all users.  The transition matrix behind
+    "where do users go next" product questions and Markov-chain journey
+    models.
+
+    Shares :func:`sessionize`'s shape: ONE hash shuffle on user_id for
+    the ordered lag window, then a final aggregate whose key space is
+    |event types|² — tiny — with map-side combine, so the second
+    exchange carries almost nothing.  Integer microsecond arithmetic
+    end-to-end.
+    """
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        df.selectExpr(
+            "user_id",
+            "event_id",
+            "CAST(ts div 1000 AS BIGINT) AS us",
+            "event_type",
+        )
+        .withColumn("prev_us", F.lag("us").over(w))
+        .withColumn("from_type", F.lag("event_type").over(w))
+        .filter(f"from_type IS NOT NULL AND us - prev_us <= {gap_us}")
+        .groupBy(F.col("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def event_transitions_oracle_sql(table: str, gap_us: int = _DEFAULT_GAP_US) -> str:
+    us = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+    return (
+        f"WITH base AS (SELECT user_id, event_id, {us} AS us, event_type FROM {table}), "
+        "lagged AS (SELECT event_type AS to_type, "
+        "lag(event_type) OVER w AS from_type, us, lag(us) OVER w AS prev_us "
+        "FROM base WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)) "
+        "SELECT from_type, to_type, count(*) AS n FROM lagged "
+        f"WHERE from_type IS NOT NULL AND us - prev_us <= {gap_us} "
+        "GROUP BY from_type, to_type"
+    )

@@ -677,6 +677,11 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", rollup.sessionize),
             rollup.sessionize_oracle_sql("events"),
         ),
+        # session path analysis: event-type transition matrix
+        "event_transitions_events": (
+            _table_query("events", rollup.event_transitions),
+            rollup.event_transitions_oracle_sql("events"),
+        ),
         # training-data prep: chunking, concat-and-cut packing, splits
         "chunk_documents": (
             _table_query("documents", lambda df: prep.chunk_documents(df, 200, 20)),

@@ -1,0 +1,86 @@
+"""Bucketed-storage layout: the write-once-shuffle-never contract,
+asserted against physical plans and against data equality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgverify_spark.sources.bucketed import read_bucketed, write_bucketed
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force SortMergeJoin so the Exchange (or its absence) is visible —
+    a broadcast join would hide the layout benefit on small testdata."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_plans_no_exchange(spark, sf_dir, tmp_path, no_broadcast):
+    """Two tables bucketed on the same key join with ZERO Exchange; the
+    same join on plain parquet shuffles both sides; results identical."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(orders, "orders_b", "o_custkey", 8, str(tmp_path / "ob"))
+    write_bucketed(customer, "cust_b", "c_custkey", 8, str(tmp_path / "cb"))
+    try:
+        ob, cb = read_bucketed(spark, "orders_b"), read_bucketed(spark, "cust_b")
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey).select(
+            "o_orderkey", "o_custkey", "c_name"
+        )
+        assert "Exchange" not in _plan(joined)
+
+        plain = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+            "o_orderkey", "o_custkey", "c_name"
+        )
+        assert "Exchange" in _plan(plain)
+
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_bucketed_aggregation_skips_shuffle(spark, sf_dir, tmp_path):
+    """A groupBy on the bucket key aggregates in place — no Exchange
+    below the final HashAggregate pair."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed(orders, "orders_agg_b", "o_custkey", 8, str(tmp_path / "oab"))
+    try:
+        ob = read_bucketed(spark, "orders_agg_b")
+        agg = ob.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+        assert "Exchange" not in _plan(agg)
+        plain = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "Exchange" in _plan(plain)
+        assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_agg_b")
+
+
+def test_bucketed_sorted_write_roundtrip(spark, sf_dir, tmp_path):
+    """sort_by metadata survives the catalog and data is complete."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed(
+        orders, "orders_s_b", "o_custkey", 4, str(tmp_path / "osb"), sort_by="o_orderkey"
+    )
+    try:
+        back = read_bucketed(spark, "orders_s_b")
+        assert back.count() == orders.count()
+        desc = spark.sql("DESCRIBE EXTENDED orders_s_b").collect()
+        txt = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+        assert "o_custkey" in txt and "4" in txt  # bucket spec recorded
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_s_b")

@@ -559,6 +559,26 @@ def test_sessionize(spark, sf_dir, duck):
     assert plan.count("Exchange") == 1
 
 
+def test_event_transitions(spark, sf_dir, duck):
+    """Transition matrix matches the oracle; totals reconcile with the
+    session structure (every non-first in-session event is exactly one
+    transition); the window and the lag share one user_id exchange."""
+    from pgverify_spark.operators import rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = _cmp(
+        rollup.event_transitions(events),
+        duck,
+        rollup.event_transitions_oracle_sql("events"),
+    )
+    assert rows
+    sessions = rollup.sessionize(events).collect()
+    expected_transitions = sum(r[4] - 1 for r in sessions)
+    assert sum(r[2] for r in rows) == expected_transitions
+    plan = rollup.event_transitions(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # user_id window + tiny final agg
+
+
 def test_contamination_pairs(docs, duck):
     from pgverify_spark.operators import contamination
 
