@@ -1,0 +1,133 @@
+"""Classic analytical anchors: TPC-H Q1/Q3 shapes over the testdata.
+
+Beyond-reference extension: the verification and curation operators all
+reduce to scans, hash aggregates and joins — the same physical shapes as
+warehouse analytics — so the engine carries two canonical TPC-H query
+shapes as recognizable, externally comparable benchmark anchors:
+
+- :func:`pricing_summary` (Q1): the heaviest pure-aggregation pattern —
+  full fact scan, tiny group space, six aggregates.  One hash shuffle
+  of |groups| partial rows; everything else is map-side.  The classic
+  whole-stage-codegen showcase.
+- :func:`shipping_priority` (Q3): selective dim filter -> fact join ->
+  aggregate -> global top-k.  The dim side broadcasts, the top-k is a
+  ``TakeOrderedAndProject`` (per-partition heaps + driver merge of k
+  rows), so nothing ever globally sorts.
+
+Exactness: all money math runs in DECIMAL (sums are bit-exact across
+engines); averages are derived with ONE final double division rounded
+to 6 places — the repo-wide pattern for cross-engine float agreement
+(see operators/trend.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Q1 cutoff / Q3 parameters tuned to the driver testdata's 1995-2001
+#: date span (classic spec values, shifted into range).
+Q1_CUTOFF = "1998-09-02 00:00:00"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-03-15 00:00:00"
+
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def pricing_summary(df: DataFrame) -> DataFrame:
+    """TPC-H Q1: per (returnflag, linestatus) pricing summary."""
+    return (
+        df.filter(f"l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'")
+        .selectExpr(
+            "l_returnflag",
+            "l_linestatus",
+            "CAST(l_quantity AS DECIMAL(18,2)) AS qty",
+            "CAST(l_extendedprice AS DECIMAL(18,2)) AS price",
+            f"{_DISC_PRICE} AS disc_price",
+            f"{_DISC_PRICE} * (1 + CAST(l_tax AS DECIMAL(4,2))) AS charge",
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").cast("decimal(38,2)").alias("sum_qty"),
+            F.sum("price").cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum("disc_price").cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum("charge").cast("decimal(38,6)").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "round(CAST(sum_qty AS DOUBLE) / count_order, 6) AS avg_qty",
+            "round(CAST(sum_base_price AS DOUBLE) / count_order, 6) AS avg_price",
+            "count_order",
+        )
+    )
+
+
+def pricing_summary_oracle_sql(table: str) -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(qty) AS DECIMAL(38,2)) AS sum_qty, "
+        "CAST(sum(price) AS DECIMAL(38,2)) AS sum_base_price, "
+        "CAST(sum(disc_price) AS DECIMAL(38,4)) AS sum_disc_price, "
+        "CAST(sum(charge) AS DECIMAL(38,6)) AS sum_charge, "
+        "round(CAST(sum(qty) AS DOUBLE) / count(*), 6) AS avg_qty, "
+        "round(CAST(sum(price) AS DOUBLE) / count(*), 6) AS avg_price, "
+        "count(*) AS count_order FROM ("
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(l_quantity AS DECIMAL(18,2)) AS qty, "
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price, "
+        f"{_DISC_PRICE} AS disc_price, "
+        f"{_DISC_PRICE} * (1 + CAST(l_tax AS DECIMAL(4,2))) AS charge "
+        f"FROM {table} WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}') t "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def shipping_priority(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H Q3: top-``k`` undelivered orders by discounted revenue for
+    one market segment.  (o_orderkey, revenue, o_orderdate)."""
+    cust = customer.filter(f"c_mktsegment = '{Q3_SEGMENT}'").select("c_custkey")
+    ords = orders.filter(f"o_orderdate < TIMESTAMP '{Q3_DATE}'").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = lineitem.filter(f"l_shipdate > TIMESTAMP '{Q3_DATE}'").selectExpr(
+        "l_orderkey", f"{_DISC_PRICE} AS disc_price"
+    )
+    return (
+        li.join(
+            ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey).select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum("disc_price").cast("decimal(38,4)").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def shipping_priority_oracle_sql(
+    lineitem: str, orders: str, customer: str, k: int = 10
+) -> str:
+    return (
+        "SELECT o_orderkey, "
+        f"CAST(sum({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue, o_orderdate "
+        f"FROM {customer} c JOIN {orders} o ON c.c_custkey = o.o_custkey "
+        f"JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey "
+        f"WHERE c.c_mktsegment = '{Q3_SEGMENT}' "
+        f"AND o.o_orderdate < TIMESTAMP '{Q3_DATE}' "
+        f"AND l.l_shipdate > TIMESTAMP '{Q3_DATE}' "
+        "GROUP BY o_orderkey, o_orderdate "
+        f"ORDER BY revenue DESC, o_orderkey ASC LIMIT {k}"
+    )

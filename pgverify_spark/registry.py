@@ -23,6 +23,7 @@ from pgverify_spark.operators import (
     similarity,
     text,
 )
+from pgverify_spark.operators import analytics
 from pgverify_spark.operators import funnel as funnel_mod
 from pgverify_spark.operators import linkage, quantize, sketch, skew, trend
 from pgverify_spark.operators import prep
@@ -347,6 +348,16 @@ def _table_query(table: str, op: Callable[[DataFrame], DataFrame]) -> Callable:
         return op(ParquetTarget("t", sf_dir).read(spark, table))
 
     return run
+
+
+def _q3_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgverify_spark.operators import analytics
+
+    ensure_required_confs(spark)
+    t = ParquetTarget("t", sf_dir)
+    return analytics.shipping_priority(
+        t.read(spark, "lineitem"), t.read(spark, "orders"), t.read(spark, "customer"), 10
+    )
 
 
 def _asof_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,6 +884,15 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _fk_spark,
             _fk_oracle_sql(),
         ),
+        # classic analytical anchors: TPC-H Q1/Q3 shapes
+        "tpch_q1_pricing_summary": (
+            _table_query("lineitem", analytics.pricing_summary),
+            analytics.pricing_summary_oracle_sql("lineitem"),
+        ),
+        "tpch_q3_shipping_priority": (
+            _q3_spark,
+            analytics.shipping_priority_oracle_sql("lineitem", "orders", "customer", 10),
+        ),
         # multimodal plumbing (Arrow mapInPandas vs blob-SQL oracle)
         "multimodal_features_documents": (
             _table_query("documents", multimodal.extract_features),
@@ -1230,6 +1250,8 @@ HEADLINE_QUERIES = (
     "drilldown_row_diff_events",
     "assign_shards_documents",
     "near_dedup_filter_documents",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
 )
 
 

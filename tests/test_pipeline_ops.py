@@ -1158,3 +1158,37 @@ def test_scale_plan_shapes_round2(spark, sf_dir, docs, embs):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     p = plan(topk.grouped_topk_revenue(li, 3))
     assert p.index("HashAggregate") > p.index("Window") or "HashAggregate" in p.split("Window")[-1]
+
+
+def test_tpch_anchors(spark, sf_dir, duck):
+    """TPC-H Q1/Q3 shapes: oracle-exact decimals, and the plans are the
+    canonical ones (Q1 one-exchange aggregate; Q3 broadcast dim + top-k
+    heap, no global sort)."""
+    from pgverify_spark.operators import analytics
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    q1 = analytics.pricing_summary(li)
+    # plan shape read BEFORE execution (afterwards the AQE string holds
+    # initial + final plan and every node appears twice)
+    p1 = q1._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("Exchange") == 1  # partial agg -> one shuffle -> final
+    _cmp(q1, duck, analytics.pricing_summary_oracle_sql("lineitem"))
+
+    q3 = analytics.shipping_priority(li, od, cu, 10)
+    rows = list(map(tuple, q3.collect()))
+    oracle = list(
+        map(
+            tuple,
+            duck.execute(
+                analytics.shipping_priority_oracle_sql("lineitem", "orders", "customer", 10)
+            ).fetchall(),
+        )
+    )
+    assert rows == oracle  # order-sensitive: ranked output
+    revs = [r[1] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    p3 = q3._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p3 and "TakeOrderedAndProject" in p3
