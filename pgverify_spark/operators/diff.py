@@ -34,6 +34,7 @@ from pgverify_spark.functions.canonical import (
     pk_key_sql,
     row_hash_sql,
 )
+from pgverify_spark.functions.timecol import US_PER_DAY, bucket_sql
 from pgverify_spark.operators.fingerprint import partition_diff
 from pgverify_spark.operators.util import parallelize as _parallelize
 from pgverify_spark.sources.schemas import TableSchema
@@ -81,7 +82,7 @@ def drilldown_row_diff(
     right: DataFrame,
     schema: TableSchema,
     config: VerifyConfig | None = None,
-    partition_sql: str = "CAST(ts DIV 86400000000000 AS BIGINT)",
+    partition_sql: str | None = None,
 ) -> DataFrame:
     """Hierarchical diff: row-level detail for ONLY the partitions whose
     fingerprints disagree — the composed form of the drill-down chain
@@ -115,8 +116,9 @@ def drilldown_row_diff(
     h = row_hash_sql(cols, DIALECT_SPARK, config.trunc_unit)
 
     def side(df: DataFrame, cnt: str) -> DataFrame:
+        psql = partition_sql if partition_sql is not None else bucket_sql(df, US_PER_DAY)
         pkh = _parallelize(df).selectExpr(
-            f"{partition_sql} AS part", f"{k} AS k", f"{h} AS h"
+            f"{psql} AS part", f"{k} AS k", f"{h} AS h"
         )
         # Restrict BEFORE the aggregate: only bad-partition rows shuffle.
         restricted = pkh.join(F.broadcast(bad), on="part", how="left_semi")

@@ -55,6 +55,7 @@ from pgverify_spark.functions.canonical import (
     row_concat_sql,
     row_hash_sql,
 )
+from pgverify_spark.functions.timecol import US_PER_DAY, bucket_sql
 from pgverify_spark.operators.util import parallelize as _parallelize
 from pgverify_spark.operators.util import plan_size_bytes
 from pgverify_spark.sources.schemas import TableSchema
@@ -285,10 +286,12 @@ def partitioned_fingerprint(
     df: DataFrame,
     schema: TableSchema,
     config: VerifyConfig | None = None,
-    partition_sql: str = "CAST(ts DIV 86400000000000 AS BIGINT)",
+    partition_sql: str | None = None,
 ) -> DataFrame:
     """Per-partition exact fingerprints: one (part, fp) row per value of
-    ``partition_sql`` (default: day bucket of ``ts``).
+    ``partition_sql`` (default ``None`` = day bucket of ``ts``, computed
+    type-adaptively via ``functions.timecol`` so micros-timestamp and
+    nanos-bigint reads partition identically).
 
     The incremental-verification pattern for 100 TB tables: materialize
     this once, then on re-verify recompute only the partitions whose
@@ -306,6 +309,8 @@ def partitioned_fingerprint(
     timelines compose both: partition by day, bucket within day.
     """
     config = config or VerifyConfig()
+    if partition_sql is None:
+        partition_sql = bucket_sql(df, US_PER_DAY)
     k, h, _ = _exprs(schema, config)
     base = df if _small(df, config) else _parallelize(df)
     kh = base.selectExpr(f"{partition_sql} AS part", f"{k} AS k", f"{h} AS h")
@@ -340,7 +345,7 @@ def partition_diff(
     right: DataFrame,
     schema: TableSchema,
     config: VerifyConfig | None = None,
-    partition_sql: str = "CAST(ts DIV 86400000000000 AS BIGINT)",
+    partition_sql: str | None = None,
 ) -> DataFrame:
     """Which partitions disagree: full-outer join of the two sides'
     :func:`partitioned_fingerprint` outputs, keeping only mismatches.
@@ -386,7 +391,7 @@ def write_fingerprint_snapshot(
     schema: TableSchema,
     path: str,
     config: VerifyConfig | None = None,
-    partition_sql: str = "CAST(ts DIV 86400000000000 AS BIGINT)",
+    partition_sql: str | None = None,
 ) -> None:
     """Materialize :func:`partitioned_fingerprint` to parquet — the state
     half of cross-run incremental verification.
@@ -409,7 +414,7 @@ def verify_against_snapshot(
     schema: TableSchema,
     path: str,
     config: VerifyConfig | None = None,
-    partition_sql: str = "CAST(ts DIV 86400000000000 AS BIGINT)",
+    partition_sql: str | None = None,
 ) -> DataFrame:
     """Partitions that changed since :func:`write_fingerprint_snapshot`.
 

@@ -21,13 +21,15 @@ The two formulations agree exactly because stage advancement depends
 only on (epoch-microsecond, event_type): the fold advances at the first
 qualifying event in time order, which is precisely ``min(ts)`` among
 qualifying events.  Timestamps compare at microsecond precision on both
-sides (Spark reads the nanos column and divides; DuckDB's ``epoch_us``).
+sides (``functions.timecol`` on the Spark side; DuckDB's ``epoch_us``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from pgverify_spark.functions.timecol import epoch_us_sql
 
 #: Default funnel: the natural view -> click -> purchase progression.
 DEFAULT_STEPS = ("view", "click", "purchase")
@@ -78,7 +80,7 @@ def funnel(
         df.filter(f"event_type IN ({quoted})")
         .selectExpr(
             "user_id",
-            "CAST(ts DIV 1000 AS BIGINT) AS us",
+            f"{epoch_us_sql(df)} AS us",
             "event_type AS et",
         )
         .groupBy("user_id")

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pgverify_spark.functions.timecol import epoch_us_sql
+
 #: Bucket width for the interval index: one hour, in microseconds.
 _BUCKET_US = 3_600_000_000
 
@@ -29,7 +31,7 @@ _BUCKET_US = 3_600_000_000
 def interval_join_rollup(events: DataFrame, windows: DataFrame) -> DataFrame:
     """Per-window event rollup via a bucketed-interval equi-join.
 
-    ``events`` needs (ts nanos bigint, value); ``windows`` needs
+    ``events`` needs (ts timestamp or nanos bigint, value); ``windows`` needs
     (win_id, lo_us, hi_us), half-open micros.  Output: one row per
     window — (win_id, lo_us, hi_us, n_events, sum_value) — including
     empty windows (left join back to the window list).
@@ -41,7 +43,7 @@ def interval_join_rollup(events: DataFrame, windows: DataFrame) -> DataFrame:
         f"explode(sequence(lo_us DIV {_BUCKET_US}, (hi_us - 1) DIV {_BUCKET_US})) AS hb",
     )
     ev = events.selectExpr(
-        "CAST(ts DIV 1000 AS BIGINT) AS us",
+        f"{epoch_us_sql(events)} AS us",
         "CAST(value AS DECIMAL(18,2)) AS dvalue",
     ).selectExpr("us", "dvalue", f"us DIV {_BUCKET_US} AS hb")
     hits = (

@@ -14,10 +14,11 @@ not DOUBLE: decimal addition is exact and commutative, so the result is
 independent of partitioning/merge order — a float sum would differ
 between engines (and between runs) in the last ulps.
 
-The time bucket is computed in integer arithmetic on epoch counts —
-``ts DIV ns_per_bucket`` — which both engines evaluate identically
-(events.ts is TIMESTAMP(NANOS) parquet: Spark reads it as bigint nanos
-via ``nanosAsLong``, DuckDB as TIMESTAMP, whence ``epoch_us``).
+The time bucket is computed in integer arithmetic on epoch
+*microsecond* counts — ``epoch_us DIV us_per_bucket`` — which both
+engines evaluate identically whatever the parquet timestamp unit
+(``functions.timecol`` adapts to micros-timestamp vs nanos-bigint
+reads; DuckDB always lands on ``epoch_us``).
 """
 
 from __future__ import annotations
@@ -25,9 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: Nanoseconds / microseconds per hour.
-_NS_PER_HOUR = 3_600_000_000_000
-_US_PER_HOUR = 3_600_000_000
+from pgverify_spark.functions.timecol import US_PER_HOUR as _US_PER_HOUR
+from pgverify_spark.functions.timecol import bucket_sql, epoch_us_sql
 
 
 def hourly_rollup(df: DataFrame, distinct_users: str | None = "exact") -> DataFrame:
@@ -46,7 +46,7 @@ def hourly_rollup(df: DataFrame, distinct_users: str | None = "exact") -> DataFr
       no Expand node in the plan.
     """
     base = df.selectExpr(
-        f"CAST(ts DIV {_NS_PER_HOUR} AS BIGINT) AS hour_bucket",
+        f"{bucket_sql(df, _US_PER_HOUR)} AS hour_bucket",
         "event_type",
         "user_id",
         "CAST(value AS DECIMAL(18,2)) AS dvalue",
@@ -127,8 +127,8 @@ def sessionize(df: DataFrame, gap_us: int = _DEFAULT_GAP_US) -> DataFrame:
     then two window passes (new-session flag, running session index)
     and a hash aggregate — all within the same partitioning, so Spark
     plans ONE Exchange for the whole operator (asserted in tests).
-    Timestamps are bigint nanos (events.parquet via nanosAsLong);
-    arithmetic runs in the exact integer microsecond domain.
+    Event time is normalized to integer epoch microseconds up front
+    (``functions.timecol``), so gap arithmetic is exact.
 
     Skew note: a user's whole history lands in one task (inherent to
     per-user ordering); at 100 TB bound it by pre-splitting on
@@ -137,7 +137,7 @@ def sessionize(df: DataFrame, gap_us: int = _DEFAULT_GAP_US) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        df.selectExpr("user_id", "event_id", "ts", "CAST(ts div 1000 AS BIGINT) AS us",
+        df.selectExpr("user_id", "event_id", "ts", f"{epoch_us_sql(df)} AS us",
                       "CAST(value AS DECIMAL(18,2)) AS dvalue")
         .withColumn("prev_us", F.lag("us").over(w))
         .withColumn(
@@ -190,7 +190,7 @@ def event_transitions(df: DataFrame, gap_us: int = _DEFAULT_GAP_US) -> DataFrame
         df.selectExpr(
             "user_id",
             "event_id",
-            "CAST(ts div 1000 AS BIGINT) AS us",
+            f"{epoch_us_sql(df)} AS us",
             "event_type",
         )
         .withColumn("prev_us", F.lag("us").over(w))

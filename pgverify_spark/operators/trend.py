@@ -3,8 +3,8 @@
 Beyond-reference extensions: the reporting layer a team runs on top of
 the rollups — cohort retention, moving averages, anomaly flags.  All
 three are built on the same integer-bucket arithmetic as
-``operators.rollup`` (``ts DIV ns_per_bucket`` — identical in both
-engines) and keep every intermediate either integer/DECIMAL (exact) or
+``operators.rollup`` (``epoch_us DIV us_per_bucket`` — identical in
+both engines) and keep every intermediate either integer/DECIMAL (exact) or
 a final IEEE-double division, so results hash-match the DuckDB oracle.
 
 Scale shapes:
@@ -30,15 +30,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_NS_PER_WEEK = 7 * 86_400_000_000_000
-_NS_PER_HOUR = 3_600_000_000_000
-_NS_PER_DAY = 86_400_000_000_000
+from pgverify_spark.functions.timecol import (
+    US_PER_DAY as _US_PER_DAY,
+    US_PER_HOUR as _US_PER_HOUR,
+    US_PER_WEEK as _US_PER_WEEK,
+    bucket_sql,
+    duck_bucket_sql,
+)
 
-#: DuckDB spelling of the same integer buckets (ts arrives as TIMESTAMP_NS
-#: there; epoch_us * 1000 keeps the arithmetic in the nanos domain).
-_DUCK_WEEK = "CAST(epoch_us(ts) * 1000 // 604800000000000 AS BIGINT)"
-_DUCK_HOUR = "CAST(epoch_us(ts) * 1000 // 3600000000000 AS BIGINT)"
-_DUCK_DAY = "CAST(epoch_us(ts) * 1000 // 86400000000000 AS BIGINT)"
+#: DuckDB spelling of the same integer buckets (ts arrives as a naive
+#: TIMESTAMP there whatever the parquet unit).
+_DUCK_WEEK = duck_bucket_sql(_US_PER_WEEK)
+_DUCK_HOUR = duck_bucket_sql(_US_PER_HOUR)
+_DUCK_DAY = duck_bucket_sql(_US_PER_DAY)
 
 
 def cohort_retention(df: DataFrame) -> DataFrame:
@@ -50,7 +54,7 @@ def cohort_retention(df: DataFrame) -> DataFrame:
     definition since the first event itself is activity).
     """
     weeks = df.selectExpr(
-        "user_id", f"CAST(ts DIV {_NS_PER_WEEK} AS BIGINT) AS wk"
+        "user_id", f"{bucket_sql(df, _US_PER_WEEK)} AS wk"
     )
     first = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
     active = (
@@ -98,7 +102,7 @@ def moving_average(df: DataFrame, window_hours: int = 3) -> DataFrame:
     from pyspark.sql.window import Window
 
     hourly = (
-        df.selectExpr(f"CAST(ts DIV {_NS_PER_HOUR} AS BIGINT) AS hour_bucket", "event_type")
+        df.selectExpr(f"{bucket_sql(df, _US_PER_HOUR)} AS hour_bucket", "event_type")
         .groupBy("event_type", "hour_bucket")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -134,7 +138,7 @@ def daily_anomalies(df: DataFrame, z_threshold: float = 2.0) -> DataFrame:
     """
     daily = (
         df.selectExpr(
-            f"CAST(ts DIV {_NS_PER_DAY} AS BIGINT) AS day_bucket",
+            f"{bucket_sql(df, _US_PER_DAY)} AS day_bucket",
             "event_type",
             "CAST(value AS DECIMAL(18,2)) AS dv",
         )
@@ -192,7 +196,7 @@ def daily_trend_slope(df: DataFrame) -> DataFrame:
     """
     daily = (
         df.selectExpr(
-            f"CAST(ts DIV {_NS_PER_DAY} AS BIGINT) AS x",
+            f"{bucket_sql(df, _US_PER_DAY)} AS x",
             "event_type",
             "CAST(value AS DECIMAL(18,2)) AS dv",
         )

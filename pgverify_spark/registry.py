@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgverify_spark.config import VerifyConfig
+from pgverify_spark.functions import timecol
 from pgverify_spark.operators import (
     contamination,
     dedup,
@@ -63,7 +64,7 @@ def _fingerprint_entries() -> dict[str, tuple[Callable, str]]:
         # full fingerprints across the type surface
         ("full_fingerprint_orders", "orders", "full", _CFG),
         ("full_fingerprint_customer", "customer", "full", _CFG),
-        ("full_fingerprint_events", "events", "full", _CFG),  # timestamp_ns
+        ("full_fingerprint_events", "events", "full", _CFG),  # timestamp_ntz
         ("full_fingerprint_documents", "documents", "full", _CFG),
         ("full_fingerprint_embeddings", "embeddings", "full", _CFG),  # array<float>
         ("full_fingerprint_part", "part", "full", _CFG),
@@ -115,7 +116,7 @@ def _fingerprint_entries() -> dict[str, tuple[Callable, str]]:
             fingerprint_oracle_sql(mode, table, TESTDATA_TABLES[table], cfg),
         )
 
-    # per-day incremental fingerprints over events (timestamp_ns path)
+    # per-day incremental fingerprints over events (event-time path)
     def run_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pgverify_spark.operators.fingerprint import partitioned_fingerprint
 
@@ -267,14 +268,14 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
     )
 
     ev_schema = TESTDATA_TABLES["events"]
-    _DAY_NS = 86400000000000
 
     def run_pdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_required_confs(spark)
         left = ParquetTarget("t", sf_dir).read(spark, "events")
-        right = left.filter(f"ts DIV {_DAY_NS} <> 19724").selectExpr(
+        day = timecol.bucket_sql(left, timecol.US_PER_DAY)
+        right = left.filter(f"{day} <> 19724").selectExpr(
             "event_id", "ts", "user_id", "event_type",
-            f"CASE WHEN ts DIV {_DAY_NS} = 19723 AND event_id % 11 = 0 "
+            f"CASE WHEN {day} = 19723 AND event_id % 11 = 0 "
             "THEN value + 1 ELSE value END AS value",
             "props",
         )
@@ -300,9 +301,10 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
     def run_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_required_confs(spark)
         left = ParquetTarget("t", sf_dir).read(spark, "events")
-        right = left.filter(f"ts DIV {_DAY_NS} <> 19724").selectExpr(
+        day = timecol.bucket_sql(left, timecol.US_PER_DAY)
+        right = left.filter(f"{day} <> 19724").selectExpr(
             "event_id", "ts", "user_id", "event_type",
-            f"CASE WHEN ts DIV {_DAY_NS} = 19723 AND event_id % 11 = 0 "
+            f"CASE WHEN {day} = 19723 AND event_id % 11 = 0 "
             "THEN value + 1 ELSE value END AS value",
             "props",
         )
@@ -368,11 +370,12 @@ def _asof_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ev.filter("event_id % 7 = 0").selectExpr(
         "event_id AS probe_id", "user_id", "ts AS t"
     )
-    return asof_join(ev, probes).selectExpr(
+    joined = asof_join(ev, probes)
+    return joined.selectExpr(
         "probe_id",
         "user_id",
-        "CAST(t div 1000 AS BIGINT) AS t_us",
-        "CAST(event_ts div 1000 AS BIGINT) AS event_ts_us",
+        f"{timecol.epoch_us_sql(joined, 't')} AS t_us",
+        f"{timecol.epoch_us_sql(joined, 'event_ts')} AS event_ts_us",
         "event_type",
         "value",
     )
@@ -444,7 +447,7 @@ def _interval_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_required_confs(spark)
     ev = ParquetTarget("t", sf_dir).read(spark, "events")
     windows = (
-        ev.selectExpr("CAST(ts DIV 86400000000000 AS BIGINT) AS day")
+        ev.selectExpr(f"{timecol.bucket_sql(ev, timecol.US_PER_DAY)} AS day")
         .distinct()
         .selectExpr(
             "day AS win_id",
@@ -1068,7 +1071,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         # weekly time-ordered chunks: the left-fold state is exact when
         # micro-batches respect event-time order (streaming/funnel.py)
         (
-            df.withColumn("wk", (F.col("ts") / (7 * 86_400_000_000_000)).cast("int"))
+            df.withColumn("wk", F.expr(timecol.bucket_sql(df, timecol.US_PER_WEEK)).cast("int"))
             .write.mode("overwrite")
             .partitionBy("wk")
             .parquet(f"{tmp}/weeks")

@@ -39,9 +39,12 @@ def _t(name: str, pk: list[str], cols: list[tuple[str, str]]) -> TableSchema:
     return TableSchema(name, tuple(cols), tuple(pk))
 
 
-#: Driver-generated testdata (seed 42).  ``timestamp_ns`` = parquet
-#: TIMESTAMP(NANOS): bigint nanos in Spark (nanosAsLong), TIMESTAMP_NS in
-#: DuckDB.  PKs per FIXTURES.md §5; note sf testdata's lineitem
+#: Driver-generated testdata (seed 42).  ``events.ts`` is parquet
+#: TIMESTAMP(MICROS) (non-UTC-adjusted): ``timestamp_ntz`` in Spark 4,
+#: naive TIMESTAMP in DuckDB.  (``timestamp_ns`` remains a supported
+#: logical type for TIMESTAMP(NANOS) sources — bigint nanos in Spark via
+#: nanosAsLong, TIMESTAMP_NS in DuckDB — exercised by the
+#: nanos-fixture tests.)  PKs per FIXTURES.md §5; note sf testdata's lineitem
 #: (l_orderkey, l_linenumber) is NOT unique, so fingerprint ordering
 #: tie-breaks on the row hash.
 TESTDATA_TABLES: dict[str, TableSchema] = {
@@ -120,7 +123,7 @@ TESTDATA_TABLES: dict[str, TableSchema] = {
             ["event_id"],
             [
                 ("event_id", "bigint"),
-                ("ts", "timestamp_ns"),
+                ("ts", "timestamp_ntz"),
                 ("user_id", "bigint"),
                 ("event_type", "string"),
                 ("value", "double"),

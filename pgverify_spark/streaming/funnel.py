@@ -42,9 +42,11 @@ def streaming_funnel_state(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     quoted = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    from pgverify_spark.functions.timecol import epoch_us_sql
+
     rows = sdf.filter(f"event_type IN ({quoted})").selectExpr(
         "user_id",
-        "CAST(ts DIV 1000 AS BIGINT) AS us",
+        f"{epoch_us_sql(sdf)} AS us",
         "event_type AS et",
     )
     n_steps = len(steps)

@@ -161,6 +161,10 @@ def streaming_windowed_counts(
     fields = dict(sdf.dtypes)
     if fields.get(ts_col) == "bigint":
         sdf = sdf.withColumn(ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long")))
+    elif fields.get(ts_col) == "timestamp_ntz":
+        # Watermarks require TIMESTAMP; the cast is wall-clock-preserving
+        # under the UTC session zone pinned by session.REQUIRED_CONFS.
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         sdf.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
@@ -220,7 +224,9 @@ def streaming_session_rollup(sdf: DataFrame, gap_us: int = 30 * 60 * 1_000_000) 
     state store as the watermark passes; scales with concurrent active
     users, not stream length.
     """
-    with_ts = sdf.withColumn("ets", F.timestamp_micros(F.expr("CAST(ts div 1000 AS BIGINT)")))
+    from pgverify_spark.functions.timecol import epoch_us_sql
+
+    with_ts = sdf.withColumn("ets", F.timestamp_micros(F.expr(epoch_us_sql(sdf))))
     gap_expr = f"INTERVAL {gap_us} MICROSECOND"
     return (
         with_ts.withWatermark("ets", "1 second")

@@ -9,6 +9,7 @@ shuffled-input invariance replicates integration_test.go:260.
 import pytest
 
 from pgverify_spark.config import VerifyConfig
+from pgverify_spark.functions.timecol import US_PER_DAY, bucket_sql
 from pgverify_spark.operators.fingerprint import (
     FINGERPRINT_OPS,
     bookend_fingerprint,
@@ -204,10 +205,10 @@ def test_partitioned_fingerprint(spark, duck, sf_dir):
     assert rows == [tuple(r) for r in oracle] and len(rows) > 1
     # mutate one row -> only that day's fingerprint changes
     first_day = rows[0][0]
-    ns_lo, ns_hi = first_day * 86400000000000, (first_day + 1) * 86400000000000
+    day = bucket_sql(events, US_PER_DAY)
     mutated = events.selectExpr(
         "event_id", "ts", "user_id", "event_type",
-        f"CASE WHEN ts >= {ns_lo} AND ts < {ns_hi} AND event_id % 7 = 0 "
+        f"CASE WHEN {day} = {first_day} AND event_id % 7 = 0 "
         "THEN value + 1 ELSE value END AS value",
         "props",
     )
@@ -228,11 +229,11 @@ def test_partition_diff(spark, duck, sf_dir):
     src = ParquetTarget("t", sf_dir)
     events = src.read(spark, "events")
     schema = src.table_schema(spark, "events")
-    day_ns = 86400000000000
+    day = bucket_sql(events, US_PER_DAY)
     assert partition_diff(events, events, schema).count() == 0
-    right = events.filter(f"ts DIV {day_ns} <> 19724").selectExpr(
+    right = events.filter(f"{day} <> 19724").selectExpr(
         "event_id", "ts", "user_id", "event_type",
-        f"CASE WHEN ts DIV {day_ns} = 19723 AND event_id % 11 = 0 "
+        f"CASE WHEN {day} = 19723 AND event_id % 11 = 0 "
         "THEN value + 1 ELSE value END AS value",
         "props",
     )
@@ -264,11 +265,11 @@ def test_drilldown_row_diff(spark, duck, sf_dir):
     src = ParquetTarget("t", sf_dir)
     events = src.read(spark, "events")
     schema = src.table_schema(spark, "events")
-    day_ns = 86400000000000
+    day = bucket_sql(events, US_PER_DAY)
     assert drilldown_row_diff(events, events, schema).count() == 0
-    right = events.filter(f"ts DIV {day_ns} <> 19724").selectExpr(
+    right = events.filter(f"{day} <> 19724").selectExpr(
         "event_id", "ts", "user_id", "event_type",
-        f"CASE WHEN ts DIV {day_ns} = 19723 AND event_id % 11 = 0 "
+        f"CASE WHEN {day} = 19723 AND event_id % 11 = 0 "
         "THEN value + 1 ELSE value END AS value",
         "props",
     )
@@ -314,10 +315,10 @@ def test_snapshot_verify(spark, sf_dir, tmp_path):
     assert verify_against_snapshot(spark, events, schema, path).count() == 0
 
     # mutate one day, drop another -> exactly those partitions named
-    day_ns = 86400000000000
-    changed = events.filter(f"ts DIV {day_ns} <> 19724").selectExpr(
+    day = bucket_sql(events, US_PER_DAY)
+    changed = events.filter(f"{day} <> 19724").selectExpr(
         "event_id", "ts", "user_id", "event_type",
-        f"CASE WHEN ts DIV {day_ns} = 19723 AND event_id % 11 = 0 "
+        f"CASE WHEN {day} = 19723 AND event_id % 11 = 0 "
         "THEN value + 1 ELSE value END AS value",
         "props",
     )
@@ -330,7 +331,7 @@ def test_snapshot_verify(spark, sf_dir, tmp_path):
     ]
     # the snapshot side reads O(partitions) state, never the old data
     snap_rows = spark.read.parquet(path).count()
-    assert snap_rows == events.selectExpr(f"ts DIV {day_ns}").distinct().count()
+    assert snap_rows == events.selectExpr(day).distinct().count()
 
 
 def test_schema_diff():

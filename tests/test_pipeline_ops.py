@@ -3,6 +3,7 @@ DuckDB oracle, plus behavioral invariants an oracle can't express."""
 
 import pytest
 
+from pgverify_spark.functions.timecol import US_PER_DAY, bucket_sql, epoch_us_sql
 from pgverify_spark.operators import dedup, multimodal, similarity, text
 
 QIDS = (0, 1, 2, 3, 4)
@@ -761,9 +762,10 @@ def test_interval_join_rollup(spark, sf_dir, duck):
     rows = {r.win_id: r for r in interval_join_rollup(events, windows).collect()}
     assert rows[2].n_events == 0 and float(rows[2].sum_value) == 0.0
     # window 1 matches a brute-force filter count exactly
+    us = epoch_us_sql(events)
     brute = events.filter(
-        f"ts DIV 1000 >= {19723 * 86400000000 + 5_400_000_000} AND "
-        f"ts DIV 1000 < {19723 * 86400000000 + 12_600_000_000}"
+        f"{us} >= {19723 * 86400000000 + 5_400_000_000} AND "
+        f"{us} < {19723 * 86400000000 + 12_600_000_000}"
     ).count()
     assert rows[1].n_events == brute > 0
     # oracle twin over the registry-style day windows
@@ -773,7 +775,7 @@ def test_interval_join_rollup(spark, sf_dir, duck):
         "(SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events) d"
     )
     wspark = (
-        events.selectExpr("CAST(ts DIV 86400000000000 AS BIGINT) AS day").distinct()
+        events.selectExpr(f"{bucket_sql(events, US_PER_DAY)} AS day").distinct()
         .selectExpr("day AS win_id", f"{day_w} AS lo_us", f"{day_w} + 5400000000 AS hi_us")
     )
     _cmp(

@@ -3,8 +3,13 @@
 The driver's correctness harness (and any library user) supplies its own
 session without the engine's REQUIRED_CONFS; round 1 failed every
 events/TIMESTAMP(NANOS) query because nothing at the engine boundary
-enforced them.  These tests strip the confs from the live session and
-assert the public entry points still produce correct results.
+enforced them.  (The regenerated testdata now stores ``events.ts`` as
+TIMESTAMP(MICROS), but the UTC timezone conf is still correctness-
+critical — the NTZ→instant cast behind every epoch-us bucket is
+session-tz-sensitive — and ``nanosAsLong`` still gates genuine
+TIMESTAMP(NANOS) sources, checked here on a synthetic file.)  These
+tests strip the confs from the live session and assert the public entry
+points still produce correct results.
 """
 
 import pytest
@@ -29,10 +34,36 @@ def test_ensure_required_confs_restores(confless):
         assert confless.conf.get(k) == v
 
 
-def test_parquet_read_enforces_nanos(confless, sf_dir):
-    # events.parquet is TIMESTAMP(NANOS): unreadable without the conf
+def test_parquet_read_confless_events(confless, sf_dir):
+    # events.parquet is TIMESTAMP(MICROS): reads as timestamp_ntz and the
+    # boundary must still repair the session for downstream tz-sensitive ops
     df = ParquetTarget("t", sf_dir).read(confless, "events")
     assert df.count() > 0
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+
+
+def test_parquet_read_enforces_nanos(confless, tmp_path):
+    # a genuine TIMESTAMP(NANOS) file is unreadable without nanosAsLong
+    # (round 1's failure mode); the engine boundary applies the conf
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_123_456_789, 1_700_000_100_000_000_000],
+                    pa.timestamp("ns"),
+                ),
+            }
+        ),
+        str(tmp_path / "evns.parquet"),
+        use_deprecated_int96_timestamps=False,
+        coerce_timestamps=None,
+    )
+    df = ParquetTarget("t", str(tmp_path)).read(confless, "evns")
+    assert df.count() == 2
     assert dict(df.dtypes)["ts"] == "bigint"
 
 

@@ -4,6 +4,7 @@ after ingesting the same rows in chunks; windowed counts match batch."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from pgverify_spark.config import VerifyConfig
 from pgverify_spark.operators.fingerprint import additive_fingerprint
@@ -203,9 +204,11 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
     src = ParquetTarget("t", sf_dir)
     df = src.read(spark, "events")
     out = str(tmp_path / "weekly_src")
-    # weekly time-ordered chunk files (ts is bigint nanos)
+    # weekly time-ordered chunk files (type-adaptive week bucket)
+    from pgverify_spark.functions.timecol import US_PER_WEEK, bucket_sql
+
     df.withColumn(
-        "wk", (df.ts / (7 * 86_400_000_000_000)).cast("int")
+        "wk", F.expr(bucket_sql(df, US_PER_WEEK)).cast("int")
     ).write.mode("overwrite").partitionBy("wk").parquet(out)
     gap = 86_400_000_000
     import glob
