@@ -1,0 +1,130 @@
+"""Corpus-trained bigram language-model fluency scoring.
+
+Beyond-reference extension (the reference verifies cross-database table
+equality, SURVEY.md §2.3; it has no corpus tooling): score every
+document by the average conditional probability its word bigrams get
+under a bigram model trained on the corpus itself — the classic
+cheap-LM quality gate of large-scale training-data pipelines (docs full
+of improbable transitions are boilerplate, OCR noise, or gibberish;
+CCNet/Gopher-style pipelines use exactly this shape with a small LM).
+
+Cross-engine determinism — same discipline as ``tfidf_top_terms``
+(text.py:499): no transcendentals.  A true perplexity sums ``ln p``
+whose libm spellings differ between the JVM and DuckDB in final ulps,
+so each bigram's conditional probability is instead quantized to
+*integer millionths* with truncating integer division::
+
+    q(w1 w2) = (c(w1 w2) * 1_000_000) DIV c(w1 ·)
+
+and a document's score is the exact int64 sum of its bigrams' ``q``
+(order-independent), divided once at the end (IEEE division of
+identical integers is bit-identical everywhere).  ``c(w1 ·)`` is the
+count of ``w1`` as a bigram *head* (= Σ_w2 c(w1 w2)), the consistent
+maximum-likelihood denominator.
+
+Scale shape (the 100 TB story):
+
+- Bigram extraction is an in-row HOF over the token array — no
+  per-token explode; the corpus is scanned once.
+- The model is two aggregates with map-side combine: bigram counts
+  (one hash shuffle keyed on the gram string) and head counts
+  (re-aggregated *from the bigram counts* — model-sized input, not
+  corpus-sized).  The q-table join (bigram counts ⋈ head counts) is
+  model×model, never touching the corpus.
+- Scoring joins the corpus gram stream to the q-table on the gram
+  key: the one corpus-sized exchange, carrying (doc_id, gram) pairs
+  only.  With ``min_count`` pruning (drop model rows with
+  ``c(w1 w2) < min_count`` — at web scale the count histogram is
+  Zipfian, so a tiny threshold shrinks the model by orders of
+  magnitude) the q-table broadcasts and the corpus is never shuffled
+  at all; pruned/unseen bigrams score q=0, the strongest surprise
+  signal.  Final per-doc aggregation shuffles (doc_id, int) partials.
+
+Reference scope check: /root/reference/query.go:193 (the reference's
+only scalar surface is hashing/aggregation for equality checks) — no
+overlap; this module is registered as a rebuild extension in
+SURVEY.md §2.4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
+from pgverify_spark.functions.text_exprs import ngrams_sql, tokens_sql
+from pgverify_spark.operators.util import barrier as _barrier
+
+#: Probability quantum: q is conditional probability in millionths.
+LM_SCALE = 1_000_000
+
+
+def bigram_lm_scores(df: DataFrame, min_count: int = 1) -> DataFrame:
+    """Per-document bigram-LM fluency scores.
+
+    Output: (doc_id, n_bigrams, sum_q, avg_cond_p) for every document
+    with at least one bigram (≥ 2 tokens); ``avg_cond_p`` is the mean
+    conditional probability of the document's bigram stream (with
+    multiplicity — a repeated bigram is evidence each time) under the
+    corpus model, in [0, 1], rounded to 6 decimals.
+    """
+    d = DIALECT_SPARK
+    # (doc_id, gram) stream WITH multiplicity — LM scoring weights every
+    # occurrence, unlike dedup's distinct shingles.
+    grams = (
+        _barrier(df.selectExpr("doc_id", f"{tokens_sql('text', d)} AS tokens"))
+        .filter("size(tokens) >= 2")
+        .selectExpr("doc_id", f"explode({ngrams_sql('tokens', 2, d)}) AS gram")
+        .persist()  # two consumers: model training and scoring
+    )
+    c12 = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c12"))
+    if min_count > 1:
+        c12 = c12.filter(f"c12 >= {min_count}")
+    # Head counts from the *bigram counts* (model-sized re-aggregate).
+    heads = (
+        c12.selectExpr("split_part(gram, ' ', 1) AS w1", "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    model = (
+        c12.selectExpr("gram", "split_part(gram, ' ', 1) AS w1", "c12")
+        .join(heads, "w1")
+        .selectExpr("gram", f"CAST(c12 * {LM_SCALE} AS BIGINT) DIV c1 AS q")
+    )
+    return (
+        grams.join(model, "gram", "left")
+        .selectExpr("doc_id", "coalesce(q, CAST(0 AS BIGINT)) AS q")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").alias("sum_q"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "sum_q",
+            f"round(CAST(sum_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / {LM_SCALE}, 6)"
+            " AS avg_cond_p",
+        )
+    )
+
+
+def bigram_lm_scores_oracle_sql(table: str, min_count: int = 1) -> str:
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
+        "gs AS (SELECT doc_id, unnest("
+        f"{ngrams_sql('tokens', 2, d)}) AS gram FROM tok WHERE len(tokens) >= 2), "
+        "c12 AS (SELECT gram, count(*) AS c12 FROM gs GROUP BY gram "
+        f"HAVING count(*) >= {min_count}), "
+        "heads AS (SELECT split_part(gram, ' ', 1) AS w1, sum(c12) AS c1 "
+        "FROM c12 GROUP BY 1), "
+        "model AS (SELECT gram, "
+        f"CAST(c12 * {LM_SCALE} AS BIGINT) // CAST(c1 AS BIGINT) AS q "
+        "FROM c12 JOIN heads ON split_part(c12.gram, ' ', 1) = heads.w1), "
+        "scored AS (SELECT doc_id, coalesce(q, 0) AS q "
+        "FROM gs LEFT JOIN model ON gs.gram = model.gram) "
+        "SELECT doc_id, count(*) AS n_bigrams, CAST(sum(q) AS BIGINT) AS sum_q, "
+        f"round(CAST(sum(q) AS DOUBLE) / count(*) / {LM_SCALE}, 6) AS avg_cond_p "
+        "FROM scored GROUP BY doc_id"
+    )

@@ -26,7 +26,7 @@ from pgverify_spark.operators import (
 )
 from pgverify_spark.operators import analytics
 from pgverify_spark.operators import funnel as funnel_mod
-from pgverify_spark.operators import linkage, quantize, sketch, skew, trend
+from pgverify_spark.operators import linkage, lm, quantize, sketch, skew, trend
 from pgverify_spark.operators import prep
 from pgverify_spark.operators import topk as topk_mod
 from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
@@ -791,6 +791,12 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", text.tfidf_top_terms),
             text.tfidf_top_terms_oracle_sql("documents"),
         ),
+        # corpus-trained bigram-LM fluency scores (integer-quantized
+        # conditional probabilities — no transcendentals cross-engine)
+        "bigram_lm_scores_documents": (
+            _table_query("documents", lm.bigram_lm_scores),
+            lm.bigram_lm_scores_oracle_sql("documents"),
+        ),
         # PII scrub over documents + injected contact strings (the raw
         # corpus is PII-free, so every 50th doc gets a synthetic email/
         # url/ip/phone appended on both sides)
@@ -1241,6 +1247,7 @@ HEADLINE_QUERIES = (
     "contamination_pairs_documents",
     "partitioned_fingerprint_events",
     "tfidf_top_terms_documents",
+    "bigram_lm_scores_documents",
     "funnel_events",
     "kmv_distinct_documents",
     "heavy_hitters_lineitem",

@@ -1194,3 +1194,44 @@ def test_tpch_anchors(spark, sf_dir, duck):
     assert revs == sorted(revs, reverse=True)
     p3 = q3._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p3 and "TakeOrderedAndProject" in p3
+
+
+def test_bigram_lm_scores(spark, docs, duck):
+    from pgverify_spark.operators import lm
+
+    rows = _cmp(
+        lm.bigram_lm_scores(docs),
+        duck,
+        lm.bigram_lm_scores_oracle_sql("documents"),
+    )
+    assert rows
+    for _, n_bigrams, sum_q, avg_p in rows:
+        assert n_bigrams >= 1 and 0 <= sum_q <= n_bigrams * lm.LM_SCALE
+        assert 0 <= avg_p <= 1
+
+    # hand-computable corpus: model trained on these 3 docs
+    #   doc 1: "a b a b"  -> bigrams: ab, ba, ab
+    #   doc 2: "a b c"    -> bigrams: ab, bc
+    #   doc 3: "c"        -> no bigram (excluded)
+    # counts: c(ab)=3, c(ba)=1, c(bc)=1; heads: c(a·)=3+... a->3? heads
+    # from bigram counts: a: c12(ab)=3 => c1(a)=3; b: ba 1 + bc 1 = 2
+    # q(ab) = 3*1e6 DIV 3 = 1e6; q(ba) = 1e6 DIV 2 = 500000;
+    # q(bc) = 1e6 DIV 2 = 500000
+    tiny = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in lm.bigram_lm_scores(tiny).collect()}
+    assert set(got) == {1, 2}
+    # doc 1: q = [1e6, 5e5, 1e6] -> sum 2.5e6 over 3
+    assert got[1]["n_bigrams"] == 3 and got[1]["sum_q"] == 2_500_000
+    assert got[1]["avg_cond_p"] == round(2_500_000 / 3 / 1e6, 6)
+    # doc 2: q = [1e6, 5e5] -> sum 1.5e6 over 2 -> 0.75
+    assert got[2]["n_bigrams"] == 2 and got[2]["avg_cond_p"] == 0.75
+
+    # min_count pruning: unseen/pruned bigrams score q=0
+    pruned = {
+        r["doc_id"]: r for r in lm.bigram_lm_scores(tiny, min_count=2).collect()
+    }
+    # only c(ab)=3 survives; heads: c1(a)=3 -> q(ab)=1e6, others 0
+    assert pruned[1]["sum_q"] == 2_000_000  # two ab occurrences
+    assert pruned[2]["sum_q"] == 1_000_000  # one ab, bc pruned -> 0
