@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
 from pgverify_spark.operators.util import barrier as _barrier
 from pgverify_spark.functions.text_exprs import (
+    MINHASH_P,
+    _const,
     ngrams_sql,
     shingle_ints_sql,
     tokens_sql,
@@ -141,4 +143,143 @@ def contamination_pairs_oracle_sql(
         "SELECT train_doc, eval_doc, n_shared, "
         "round(CAST(n_shared AS DOUBLE) / train_sz, 6) AS contamination "
         f"FROM ov WHERE n_shared >= {min_shared}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (constant-size membership, no pair fan-out)
+# ---------------------------------------------------------------------------
+
+#: Bloom bitmap size in bits (m).  2^20 bits = 128 KiB — trivially
+#: broadcastable; size m ≈ -n·ln(p)/(ln 2)² for the target eval-shingle
+#: count n and false-positive rate p at real scale.
+BLOOM_BITS = 1 << 20
+
+#: Independent hash functions (k).  k = (m/n)·ln 2 at the design point;
+#: 4 keeps the per-shingle probe cost flat while min_hits >= 2 makes the
+#: doc-level false-positive probability negligible (FPs are independent
+#: across distinct shingles).
+BLOOM_K = 4
+
+_BLOOM_A = [_const(f"bloom-a-{j}", 1, MINHASH_P) for j in range(BLOOM_K)]
+_BLOOM_B = [_const(f"bloom-b-{j}", 0, MINHASH_P) for j in range(BLOOM_K)]
+
+
+def _bloom_pos_exprs(s: str) -> list[str]:
+    """The k bit positions of shingle ``s`` — identical SQL in both
+    dialects (pure int64 arithmetic; a*(s%P) <= 2^62, no overflow)."""
+    return [
+        f"((({a} * ({s} % {MINHASH_P})) + {b}) % {MINHASH_P}) % {BLOOM_BITS}"
+        for a, b in zip(_BLOOM_A, _BLOOM_B)
+    ]
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    n: int = CONTAM_N,
+    eval_mod: int = 10,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Flag training documents whose n-gram shingles hit a Bloom filter
+    built from the eval split — decontamination at a CONSTANT memory
+    budget, the shape that survives when the eval suite grows past
+    what :func:`contamination_pairs`' broadcast inverted index holds.
+
+    The Bloom bitmap is m/8 bytes *regardless of eval size* and the
+    probe emits per-document counts, not (train, eval) pairs — there is
+    no join fan-out at all.  The trade: membership only (no eval doc
+    attribution) and a false-positive rate; ``min_hits >= 2`` distinct
+    hitting shingles makes a false *flag* vanishingly unlikely (shingle
+    FPs are independent).
+
+    Scale shape: the bitmap build aggregates (word_idx, bit) cells with
+    map-side bit_or combine into <= m/63 rows (63 usable bits per signed
+    word: bit 63 would need an unrepresentable 1<<63), broadcast to the
+    probe;
+    the corpus is scanned once and never shuffled — the only exchange
+    after the probe carries (doc_id, shingle, int) rows.  All integer
+    ops, so the DuckDB oracle computes the *same* bitmap and the same
+    flags, false positives included.
+
+    Output: (doc_id, n_shingles, bloom_hits, contaminated) per training
+    document (``doc_id % eval_mod <> 0``) with at least one shingle.
+    """
+    sh = _contam_shingled(df, n)
+    ev_cells = (
+        sh.filter(f"doc_id % {eval_mod} = 0")
+        .selectExpr("explode(shingles) AS s")
+        .selectExpr(f"explode(array({', '.join(_bloom_pos_exprs('s'))})) AS pos")
+        .selectExpr(
+            "pos DIV 63 AS word_idx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)) AS m",
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(m)").alias("word"))
+    )
+    probe = (
+        sh.filter(f"doc_id % {eval_mod} <> 0")
+        .selectExpr("doc_id", "explode(shingles) AS s")
+        .selectExpr("doc_id", "s", f"explode(array({', '.join(_bloom_pos_exprs('s'))})) AS pos")
+        .selectExpr(
+            "doc_id",
+            "s",
+            "pos DIV 63 AS word_idx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)) AS m",
+        )
+    )
+    per_shingle = (
+        probe.join(F.broadcast(ev_cells), "word_idx", "left")
+        .selectExpr(
+            "doc_id",
+            "s",
+            "CAST(word IS NOT NULL AND (word & m) <> 0 AS INT) AS bit_set",
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.sum("bit_set").alias("bits"))
+        .selectExpr("doc_id", f"CAST(bits = {BLOOM_K} AS INT) AS sh_hit")
+    )
+    return (
+        per_shingle.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("sh_hit").alias("bloom_hits"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_shingles",
+            "bloom_hits",
+            f"CAST(bloom_hits >= {min_hits} AS INT) AS contaminated",
+        )
+    )
+
+
+def bloom_decontaminate_oracle_sql(
+    table: str,
+    n: int = CONTAM_N,
+    eval_mod: int = 10,
+    min_hits: int = 2,
+) -> str:
+    d = DIALECT_DUCKDB
+    pos = _bloom_pos_exprs("s")
+    return (
+        f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
+        f"tokn AS (SELECT * FROM tok WHERE len(tokens) >= {n}), "
+        f"gr AS (SELECT doc_id, {ngrams_sql('tokens', n, d)} AS grams FROM tokn), "
+        f"shn AS (SELECT doc_id, {shingle_ints_sql('grams', d)} AS shingles FROM gr), "
+        f"evp AS (SELECT unnest([{', '.join(pos)}]) AS pos FROM "
+        f"(SELECT unnest(shingles) AS s FROM shn WHERE doc_id % {eval_mod} = 0)), "
+        "words AS (SELECT pos // 63 AS word_idx, "
+        "bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word "
+        "FROM evp GROUP BY 1), "
+        f"trp AS (SELECT doc_id, s, unnest([{', '.join(pos)}]) AS pos FROM "
+        f"(SELECT doc_id, unnest(shingles) AS s FROM shn WHERE doc_id % {eval_mod} <> 0)), "
+        "cells AS (SELECT doc_id, s, pos // 63 AS word_idx, "
+        "CAST(1 AS BIGINT) << CAST(pos % 63 AS INT) AS m FROM trp), "
+        "persh AS (SELECT doc_id, s, CAST(sum(CAST(word IS NOT NULL "
+        "AND (word & m) <> 0 AS INT)) AS BIGINT) AS bits "
+        "FROM cells LEFT JOIN words USING (word_idx) GROUP BY 1, 2) "
+        "SELECT doc_id, count(*) AS n_shingles, "
+        f"CAST(sum(CAST(bits = {BLOOM_K} AS INT)) AS BIGINT) AS bloom_hits, "
+        f"CAST(sum(CAST(bits = {BLOOM_K} AS INT)) >= {min_hits} AS INT) AS contaminated "
+        "FROM persh GROUP BY doc_id"
     )

@@ -569,6 +569,13 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", contamination.contamination_pairs),
             contamination.contamination_pairs_oracle_sql("documents"),
         ),
+        # constant-memory decontamination: Bloom bitmap of eval shingles,
+        # corpus probed with zero join fan-out (integer ops -> the oracle
+        # computes the identical bitmap, false positives included)
+        "bloom_decontaminate_documents": (
+            _table_query("documents", contamination.bloom_decontaminate),
+            contamination.bloom_decontaminate_oracle_sql("documents"),
+        ),
         # near-dup pairs -> connected components (cluster id = min doc_id)
         "dup_clusters_documents": (
             _table_query(
@@ -1248,6 +1255,7 @@ HEADLINE_QUERIES = (
     "partitioned_fingerprint_events",
     "tfidf_top_terms_documents",
     "bigram_lm_scores_documents",
+    "bloom_decontaminate_documents",
     "funnel_events",
     "kmv_distinct_documents",
     "heavy_hitters_lineitem",

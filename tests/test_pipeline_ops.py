@@ -1235,3 +1235,24 @@ def test_bigram_lm_scores(spark, docs, duck):
     # only c(ab)=3 survives; heads: c1(a)=3 -> q(ab)=1e6, others 0
     assert pruned[1]["sum_q"] == 2_000_000  # two ab occurrences
     assert pruned[2]["sum_q"] == 1_000_000  # one ab, bc pruned -> 0
+
+
+def test_bloom_decontaminate(docs, duck):
+    from pgverify_spark.operators import contamination as ct
+
+    rows = _cmp(
+        ct.bloom_decontaminate(docs),
+        duck,
+        ct.bloom_decontaminate_oracle_sql("documents"),
+    )
+    assert rows
+    by_doc = {r[0]: r for r in rows}
+    for doc_id, n_shingles, hits, flag in rows:
+        assert doc_id % 10 != 0  # train split only
+        assert 0 <= hits <= n_shingles
+        assert flag == int(hits >= 2)
+    # No false negatives: every train doc sharing >=2 shingles with the
+    # eval split per the exact pair operator must be bloom-flagged.
+    exact = ct.contamination_pairs(docs, min_shared=2).collect()
+    for r in exact:
+        assert by_doc[r["train_doc"]][3] == 1, f"bloom missed {r['train_doc']}"
