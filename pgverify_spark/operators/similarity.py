@@ -347,3 +347,56 @@ def kmeans_assign_oracle_sql(table: str, k: int = 8, iterations: int = 2) -> str
     return (
         "WITH " + ", ".join(ctes) + f" SELECT vec_id, cid AS cluster, cosine FROM a{last}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rademacher random projection (Johnson-Lindenstrauss dim reduction)
+# ---------------------------------------------------------------------------
+
+#: Output dimensionality of the sketch.  16 = 4x reduction on the
+#: 64-dim test embeddings; a power of two keeps the 1/sqrt(d') JL scale
+#: factor an exact binary fraction (0.25), so the scaling multiply is
+#: bit-exact in every IEEE engine.
+RP_DIM = 16
+
+#: Deterministic Rademacher (+1/-1) projection matrix — md5-derived like
+#: every other constant in this engine, no RNG.  Achlioptas (2003) shows
+#: +/-1 entries satisfy the JL lemma with the same distortion bounds as
+#: Gaussians, and sign literals keep the per-dim dot product free of
+#: rounding asymmetries.
+RP_SIGNS = [
+    [1.0 if _const(f"rp-{j}-{i}", 0, 2) else -1.0 for i in range(EMBEDDING_DIM)]
+    for j in range(RP_DIM)
+]
+
+
+def random_project(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Project embeddings to ``RP_DIM`` dimensions with a deterministic
+    Rademacher matrix: ``y_j = (1/sqrt(d')) * sum_i s_ji x_i``.
+
+    The standard pre-ANN compression at corpus scale: JL guarantees
+    pairwise distances distort by at most ~sqrt(ln n / d'), so top-k
+    neighborhoods survive while index size and per-candidate scoring
+    cost drop 4x.
+
+    Scale shape: a pure per-row projection — zero exchanges, zero
+    Python, whole-stage-codegen arithmetic only; composes with any
+    downstream index build (IVF, LSH) which then operates on vectors
+    a quarter the size.  Explicit left-to-right sums make the result
+    bit-identical in Spark and DuckDB.
+    """
+    scale = 1.0 / (RP_DIM ** 0.5)
+    dims = [
+        f"round({_dot_literal_sql(vec_col, signs, DIALECT_SPARK)} * {scale!r}, 6)"
+        for signs in RP_SIGNS
+    ]
+    return df.selectExpr("vec_id", f"array({', '.join(dims)}) AS rp")
+
+
+def random_project_oracle_sql(table: str, vec_col: str = "embedding") -> str:
+    scale = 1.0 / (RP_DIM ** 0.5)
+    dims = [
+        f"round({_dot_literal_sql(vec_col, signs, DIALECT_DUCKDB)} * {scale!r}, 6)"
+        for signs in RP_SIGNS
+    ]
+    return f"SELECT vec_id, [{', '.join(dims)}] AS rp FROM {table}"

@@ -844,6 +844,12 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _interval_spark,
             _interval_oracle_sql(),
         ),
+        # Johnson-Lindenstrauss Rademacher projection (4x dim reduction,
+        # zero exchanges; bit-identical explicit sums cross-engine)
+        "random_project_embeddings": (
+            _table_query("embeddings", similarity.random_project),
+            similarity.random_project_oracle_sql("embeddings"),
+        ),
         # int8 scalar quantization (4x memory) + quantized cosine top-k
         "quantize_int8_embeddings": (
             _table_query(

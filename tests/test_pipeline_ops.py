@@ -1256,3 +1256,29 @@ def test_bloom_decontaminate(docs, duck):
     exact = ct.contamination_pairs(docs, min_shared=2).collect()
     for r in exact:
         assert by_doc[r["train_doc"]][3] == 1, f"bloom missed {r['train_doc']}"
+
+
+def test_random_project(embs, duck):
+    rows = _cmp(
+        similarity.random_project(embs),
+        duck,
+        similarity.random_project_oracle_sql("embeddings"),
+    )
+    assert rows and all(len(r[1]) == similarity.RP_DIM for r in rows)
+    # JL norm preservation: E[||y||^2] = ||x||^2 under Rademacher signs
+    # (Achlioptas 2003); with d'=16 the per-vector ratio is noisy but the
+    # corpus mean must sit near 1.
+    full = {r["vec_id"]: r["embedding"] for r in embs.collect()}
+    ratios = []
+    for vec_id, rp in rows:
+        n_full = sum(x * x for x in full[vec_id])
+        n_rp = sum(y * y for y in rp)
+        if n_full > 0:
+            ratios.append(n_rp / n_full)
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean
+    # pure projection: no exchange in the plan
+    plan = (
+        similarity.random_project(embs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
