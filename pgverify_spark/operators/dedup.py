@@ -558,3 +558,83 @@ def near_dedup_filter_oracle_sql(table: str, pairs_sql: str) -> str:
         f"SELECT t.* FROM {table} t WHERE doc_id NOT IN "
         f"(SELECT doc_id FROM ({clusters}) c WHERE doc_id <> cluster_id)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus (cross-side LSH)
+# ---------------------------------------------------------------------------
+
+def cross_corpus_lsh_pairs(
+    new_df: DataFrame, corpus_df: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicates of an *incoming batch* against an *existing
+    corpus* — the ingestion-time dedup shape: a continuously-fed
+    pipeline never re-runs all-pairs dedup over 100 TB; it checks each
+    new batch against the standing corpus and admits only novel docs.
+
+    Output: (new_doc, corpus_doc, jaccard) with jaccard >= threshold.
+
+    Scale shape: band signatures for the batch cost O(batch); the
+    corpus side of the band equi-join is the LSH index a real
+    deployment precomputes once and stores bucketed on band_key (see
+    sources/bucketed.py — the join then plans zero corpus-side
+    exchange).  Candidates travel as bare id pairs; shingle arrays are
+    joined back once per distinct candidate for exact verification.
+    The asymmetry is the point: batch small, corpus huge, nothing
+    corpus-sized ever shuffles per ingest.
+    """
+    sh_new = _shingled(new_df)
+    sh_corp = _shingled(corpus_df)
+
+    def bands(sh: DataFrame, side: str) -> DataFrame:
+        sig = sh.selectExpr(
+            "doc_id", f"{minhash_sig_sql('shingles', DIALECT_SPARK)} AS sig"
+        )
+        return sig.selectExpr(
+            f"doc_id AS {side}",
+            f"explode({lsh_bands_sql('sig', DIALECT_SPARK)}) AS band_key",
+        )
+
+    pairs = (
+        bands(sh_new, "new_doc")
+        .join(bands(sh_corp, "corpus_doc"), "band_key")
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+    return (
+        pairs.join(sh_new.selectExpr("doc_id AS new_doc", "shingles AS sh_a"), "new_doc")
+        .join(sh_corp.selectExpr("doc_id AS corpus_doc", "shingles AS sh_b"), "corpus_doc")
+        .selectExpr(
+            "new_doc",
+            "corpus_doc",
+            f"{jaccard_sql('sh_a', 'sh_b', DIALECT_SPARK)} AS jaccard",
+        )
+        .filter(f"jaccard >= {threshold}")
+    )
+
+
+def cross_corpus_lsh_pairs_oracle_sql(
+    new_sql: str, corpus_sql: str, threshold: float = 0.5
+) -> str:
+    d = DIALECT_DUCKDB
+
+    def side(src: str, name: str) -> str:
+        return (
+            f"tok_{name} AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens "
+            f"FROM ({src})), "
+            f"shn_{name} AS (SELECT doc_id, {shingle_ints_sql('grams', d)} AS shingles "
+            f"FROM (SELECT doc_id, {ngrams_sql('tokens', NGRAM_N, d)} AS grams "
+            f"FROM tok_{name} WHERE len(tokens) >= {NGRAM_N})), "
+            f"ex_{name} AS (SELECT doc_id, unnest({lsh_bands_sql('sig', d)}) AS band_key "
+            f"FROM (SELECT doc_id, {minhash_sig_sql('shingles', d)} AS sig FROM shn_{name}))"
+        )
+
+    return (
+        f"WITH {side(new_sql, 'n')}, {side(corpus_sql, 'c')}, "
+        "cand AS (SELECT DISTINCT ex_n.doc_id AS new_doc, ex_c.doc_id AS corpus_doc "
+        "FROM ex_n JOIN ex_c USING (band_key)) "
+        f"SELECT new_doc, corpus_doc, {jaccard_sql('a.shingles', 'b.shingles', d)} AS jaccard "
+        "FROM cand JOIN shn_n a ON cand.new_doc = a.doc_id "
+        "JOIN shn_c b ON cand.corpus_doc = b.doc_id "
+        f"WHERE {jaccard_sql('a.shingles', 'b.shingles', d)} >= {threshold}"
+    )

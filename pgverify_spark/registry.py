@@ -590,6 +590,20 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 + ") mp"
             ),
         ),
+        # ingestion-time dedup: new batch (doc_id%10=7) vs standing corpus
+        "incremental_dedup_documents": (
+            _table_query(
+                "documents",
+                lambda df: dedup.cross_corpus_lsh_pairs(
+                    df.filter("doc_id % 10 = 7"), df.filter("doc_id % 10 <> 7"), 0.3
+                ),
+            ),
+            dedup.cross_corpus_lsh_pairs_oracle_sql(
+                "SELECT * FROM documents WHERE doc_id % 10 = 7",
+                "SELECT * FROM documents WHERE doc_id % 10 <> 7",
+                0.3,
+            ),
+        ),
         # pairs -> clusters -> surviving corpus (the dedup END product)
         "near_dedup_filter_documents": (
             _table_query(

@@ -1282,3 +1282,27 @@ def test_random_project(embs, duck):
         similarity.random_project(embs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_cross_corpus_lsh_pairs(spark, docs, duck):
+    new = docs.filter("doc_id % 10 = 7")
+    corp = docs.filter("doc_id % 10 <> 7")
+    rows = _cmp(
+        dedup.cross_corpus_lsh_pairs(new, corp, 0.3),
+        duck,
+        dedup.cross_corpus_lsh_pairs_oracle_sql(
+            "SELECT * FROM documents WHERE doc_id % 10 = 7",
+            "SELECT * FROM documents WHERE doc_id % 10 <> 7",
+            0.3,
+        ),
+    )
+    new_ids = {r[0] for r in new.select("doc_id").collect()}
+    for new_doc, corpus_doc, j in rows:
+        assert new_doc in new_ids and corpus_doc not in new_ids and j >= 0.3
+    # an injected exact copy of a corpus doc must be caught at ingest
+    copy = corp.limit(1).selectExpr(
+        "9999997 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = corp.limit(1).collect()[0]["doc_id"]
+    caught = dedup.cross_corpus_lsh_pairs(copy, corp, 0.9).collect()
+    assert any(r["corpus_doc"] == src and r["jaccard"] == 1.0 for r in caught)
