@@ -178,16 +178,24 @@ def test_streaming_session_rollup_matches_batch_sessionize(spark, sf_dir, chunke
     )
     try:
         q.processAllAvailable()
+        batch = {
+            (r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
+            for r in sessionize(ParquetTarget("t", sf_dir).read(spark, "events")).collect()
+        }
+        # the memory sink's table swap can lag processAllAvailable under
+        # heavy parallel load — re-read briefly before declaring mismatch
+        import time as _time
+
+        for attempt in range(5):
+            streamed = {
+                (r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
+                for r in spark.table("sess_state").collect()
+            }
+            if streamed == batch:
+                break
+            _time.sleep(2)
     finally:
         q.stop()
-    streamed = {
-        (r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
-        for r in spark.table("sess_state").collect()
-    }
-    batch = {
-        (r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
-        for r in sessionize(ParquetTarget("t", sf_dir).read(spark, "events")).collect()
-    }
     assert streamed == batch
 
 
