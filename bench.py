@@ -51,12 +51,30 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # Like-for-like subtotal over the round-1 15-query suite, so
+    # round-over-round totals stay comparable as the suite widens.
+    r1_suite = (
+        "full_fingerprint_lineitem bucketed_fingerprint_lineitem "
+        "bookend_fingerprint_lineitem sparse_fingerprint_lineitem "
+        "rowcount_fingerprint_lineitem full_fingerprint_orders "
+        "row_diff_orders verify_report_two_targets "
+        "minhash_lsh_pairs_documents ngram_jaccard_pairs_documents "
+        "simhash_near_pairs_documents cosine_topk_embeddings "
+        "text_stats_documents multimodal_features_documents "
+        "hourly_rollup_events"
+    ).split()
     out = {
         "metric": "pgverify_spark headline suite wall time",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "subtotals": {
+            "r1_15_queries": round(
+                sum(timings[q] for q in r1_suite if q in timings), 4
+            ),
+            "n_queries": len(timings),
+        },
     }
     print(json.dumps(out))
     sys.stdout.flush()

@@ -26,7 +26,7 @@ from pgverify_spark.operators import (
 )
 from pgverify_spark.operators import analytics
 from pgverify_spark.operators import funnel as funnel_mod
-from pgverify_spark.operators import linkage, lm, quantize, sketch, skew, trend
+from pgverify_spark.operators import decompose, linkage, lm, quantize, sketch, skew, trend
 from pgverify_spark.operators import prep
 from pgverify_spark.operators import topk as topk_mod
 from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
@@ -863,6 +863,12 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "random_project_embeddings": (
             _table_query("embeddings", similarity.random_project),
             similarity.random_project_oracle_sql("embeddings"),
+        ),
+        # distributed-PCA phase 1: constant-output gramian aggregation
+        # over integer-quantized embeddings (exact int64 sums)
+        "gramian_embeddings": (
+            _table_query("embeddings", decompose.gramian),
+            decompose.gramian_oracle_sql("embeddings"),
         ),
         # int8 scalar quantization (4x memory) + quantized cosine top-k
         "quantize_int8_embeddings": (

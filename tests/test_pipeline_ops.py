@@ -1306,3 +1306,33 @@ def test_cross_corpus_lsh_pairs(spark, docs, duck):
     src = corp.limit(1).collect()[0]["doc_id"]
     caught = dedup.cross_corpus_lsh_pairs(copy, corp, 0.9).collect()
     assert any(r["corpus_doc"] == src and r["jaccard"] == 1.0 for r in caught)
+
+
+def test_gramian_and_pca(embs, duck):
+    from pgverify_spark.operators import decompose
+
+    rows = _cmp(
+        decompose.gramian(embs), duck, decompose.gramian_oracle_sql("embeddings")
+    )
+    assert len(rows) == 64 * 65 // 2  # full upper triangle
+    diag = {gi: g for gi, gj, g in rows if gi == gj}
+    assert all(g >= 0 for g in diag.values())  # sum of squares
+
+    vals, comps = decompose.pca_components(decompose.gramian(embs), k=8)
+    # eigenvalues of a PSD matrix, sorted descending
+    assert vals == sorted(vals, reverse=True) and vals[-1] >= -1e-9
+    # unit-norm directions
+    for c in comps:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+    # projection variance onto the top component equals its eigenvalue
+    # (uncentered PCA: E[(v.x)^2] over rows = v' G v = lambda)
+    proj = decompose.pca_project(embs, comps[:1]).collect()
+    second_moment = sum(r["pc"][0] ** 2 for r in proj)
+    assert abs(second_moment - vals[0]) / vals[0] < 1e-3
+    # top-1 captures more second moment than any later direction
+    assert vals[0] > vals[7]
+    # projection plan is exchange-free
+    plan = (
+        decompose.pca_project(embs, comps)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
