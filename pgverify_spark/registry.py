@@ -1190,12 +1190,58 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
     # sketch exactly, so it shares the batch operator's oracle SQL
     kmv_oracle = sketch.kmv_sketch_oracle_sql("documents", "text", "lang", 64)
 
+    def run_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.incremental import (
+            bloom_words,
+            streaming_bloom_decontaminate,
+        )
+
+        ensure_required_confs(spark)
+        docs = ParquetTarget("t", sf_dir).read(spark, "documents")
+        words = bloom_words(docs)  # static side: built once from eval split
+        train = docs.filter("doc_id % 10 <> 0")
+        tmp = tempfile.mkdtemp(prefix="pgvs_sbloom_")
+        (
+            train.withColumn("chunk", (F.col("doc_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(train.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_bloom_decontaminate(sdf, words)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("registry_sbloom")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # each doc arrives whole in one micro-batch => exactly one update
+        # row per doc; the memory table IS the final per-doc report
+        return spark.table("registry_sbloom")
+
+    # per-doc probe is deterministic and stateless across batches =>
+    # shares the batch bloom_decontaminate oracle
+    bloom_oracle = contamination.bloom_decontaminate_oracle_sql("documents")
+
     return {
         "streaming_stateful_bucket_fingerprint_events": (run, None),
         "streaming_dedup_documents": (run_dedup, dedup_oracle),
         "streaming_session_rollup_events": (run_sessions, sessions_oracle),
         "streaming_funnel_events": (run_funnel, funnel_oracle),
         "streaming_kmv_distinct_documents": (run_kmv, kmv_oracle),
+        "streaming_bloom_decontaminate_documents": (run_bloom, bloom_oracle),
     }
 
 

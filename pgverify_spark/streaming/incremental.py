@@ -243,3 +243,103 @@ def streaming_session_rollup(sdf: DataFrame, gap_us: int = 30 * 60 * 1_000_000) 
             "sum_value",
         )
     )
+
+
+def bloom_words(docs: DataFrame, n: int | None = None, eval_mod: int = 10) -> DataFrame:
+    """Static Bloom bitmap words from a batch eval corpus — the build
+    half of :func:`streaming_bloom_decontaminate` (the bitmap is built
+    once from the fixed eval suite; the stream only probes it)."""
+    from pgverify_spark.operators.contamination import (
+        CONTAM_N,
+        _bloom_pos_exprs,
+        _contam_shingled,
+    )
+
+    n = CONTAM_N if n is None else n
+    return (
+        _contam_shingled(docs, n)
+        .filter(f"doc_id % {eval_mod} = 0")
+        .selectExpr("explode(shingles) AS s")
+        .selectExpr(f"explode(array({', '.join(_bloom_pos_exprs('s'))})) AS pos")
+        .selectExpr(
+            "pos DIV 63 AS word_idx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)) AS m",
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(m)").alias("word"))
+    )
+
+
+def streaming_bloom_decontaminate(
+    sdf: DataFrame,
+    words: DataFrame,
+    n: int | None = None,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Decontaminate a document stream at ingest: probe each arriving
+    document's shingles against a *static* broadcast Bloom bitmap of the
+    eval suite — the streaming twin of
+    :func:`pgverify_spark.operators.contamination.bloom_decontaminate`,
+    emitting identical rows (asserted in tests and shared oracle).
+
+    Plan shape under streaming's one-stateful-operator constraint: the
+    k membership checks are k stream-static *broadcast joins* (one per
+    hash function), so each shingle stays a single row — no per-shingle
+    aggregation — and the only stateful operator is the final per-doc
+    count.  State is one counter row per in-flight document; documents
+    arrive whole (one row each), so each doc's aggregate finalizes in
+    the micro-batch that carries it.
+
+    Scale: the bitmap is m/8 bytes whatever the eval size (the
+    stream-static join broadcasts it once per query, not per batch);
+    the probe itself is stateless per-row arithmetic.
+    """
+    from pgverify_spark.functions.text_exprs import (
+        ngrams_sql,
+        shingle_ints_sql,
+        tokens_sql,
+    )
+    from pgverify_spark.operators.contamination import (
+        BLOOM_K,
+        CONTAM_N,
+        _bloom_pos_exprs,
+    )
+
+    n = CONTAM_N if n is None else n
+    d = DIALECT_SPARK
+    pos = _bloom_pos_exprs("s")
+    probe_cols = ["doc_id", "s"]
+    for j in range(BLOOM_K):
+        probe_cols += [
+            f"({pos[j]}) DIV 63 AS w{j}",
+            f"shiftleft(CAST(1 AS BIGINT), CAST(({pos[j]}) % 63 AS INT)) AS m{j}",
+        ]
+    probe = (
+        sdf.selectExpr("doc_id", f"{tokens_sql('text', d)} AS tokens")
+        .filter(f"size(tokens) >= {n}")
+        .selectExpr("doc_id", f"{ngrams_sql('tokens', n, d)} AS grams")
+        .selectExpr("doc_id", f"{shingle_ints_sql('grams', d)} AS shingles")
+        .selectExpr("doc_id", "explode(shingles) AS s")
+        .selectExpr(*probe_cols)
+    )
+    checks = []
+    for j in range(BLOOM_K):
+        side = F.broadcast(
+            words.selectExpr(f"word_idx AS w{j}", f"word AS word_{j}")
+        )
+        probe = probe.join(side, f"w{j}", "left")
+        checks.append(f"CAST(word_{j} IS NOT NULL AND (word_{j} & m{j}) <> 0 AS INT)")
+    return (
+        probe.selectExpr("doc_id", f"CAST({' + '.join(checks)} = {BLOOM_K} AS INT) AS sh_hit")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("sh_hit").alias("bloom_hits"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_shingles",
+            "bloom_hits",
+            f"CAST(bloom_hits >= {min_hits} AS INT) AS contaminated",
+        )
+    )

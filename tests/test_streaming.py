@@ -295,3 +295,42 @@ def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
     # bounded state/output: each group emitted at most once per micro-batch
     em = spark.table("kmv_state").groupBy("grp").count().collect()
     assert all(r["count"] <= 4 for r in em)
+
+
+def test_streaming_bloom_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """Stateless probe + single per-doc aggregation: the streamed report
+    equals the batch bloom_decontaminate rows exactly (docs arrive whole,
+    so each doc finalizes in its carrying micro-batch)."""
+    from pgverify_spark.operators.contamination import bloom_decontaminate
+    from pgverify_spark.streaming.incremental import (
+        bloom_words,
+        streaming_bloom_decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = bloom_words(docs)
+    train = docs.filter("doc_id % 10 <> 0")
+    src = tmp_path / "src"
+    (
+        train.withColumn("chunk", (train.doc_id % 3).cast("int"))
+        .repartition(3, "chunk")
+        .drop("chunk")
+        .write.mode("overwrite")
+        .parquet(str(src))
+    )
+    sdf = spark.readStream.schema(train.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = (
+        streaming_bloom_decontaminate(sdf, words)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sbloom_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {tuple(r) for r in spark.table("sbloom_test").collect()}
+    batch = {tuple(r) for r in bloom_decontaminate(docs).collect()}
+    assert streamed == batch
