@@ -655,3 +655,66 @@ def length_percentiles_oracle_sql(table: str) -> str:
         f"round(quantile_cont(length(text), {p}), 6) AS p{int(p * 100)}" for p in PCTS
     )
     return f"SELECT lang, count(*) AS n_docs, {cols} FROM {table} GROUP BY lang"
+
+
+def vocab_coverage(df: DataFrame, v: int = 100) -> DataFrame:
+    """Tokenizer vocabulary induction report: the top-``v`` words by
+    corpus frequency with each prefix's cumulative token coverage —
+    answers "what vocab size covers X% of the corpus", the sizing
+    question before training a tokenizer.
+
+    Output: (rank, word, cnt, cum_frac) — ``cum_frac`` is the fraction
+    of ALL corpus tokens covered by words ranked 1..rank.
+
+    Scale shape: word counts are a map-side-combined groupBy whose
+    shuffle carries vocabulary size, not corpus size; the top-``v``
+    selection is TakeOrderedAndProject (each task keeps v rows, no
+    global sort); the cumulative window then runs over exactly ``v``
+    rows — a single tiny partition by construction, at any corpus
+    size.  The grand total rides along as a broadcast 1x1.  Exact
+    integer arithmetic until the final division (IEEE-identical
+    cross-engine); ties at the v boundary break on the word string.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    words = (
+        _barrier(df.selectExpr(f"{tokens_sql('text', DIALECT_SPARK)} AS tokens"))
+        .selectExpr("explode(tokens) AS word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = words.agg(F.sum("cnt").alias("total"))
+    top = words.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(v)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+        ))
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "rank",
+            "word",
+            "cnt",
+            "round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_frac",
+        )
+    )
+
+
+def vocab_coverage_oracle_sql(table: str, v: int = 100) -> str:
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH tok AS (SELECT {tokens_sql('text', d)} AS tokens FROM {table}), "
+        "wd AS (SELECT unnest(tokens) AS word FROM tok), "
+        "wc AS (SELECT word, count(*) AS cnt FROM wd GROUP BY word), "
+        "tot AS (SELECT sum(cnt) AS total FROM wc), "
+        f"top AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word ASC LIMIT {v}) "
+        "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS INT) AS rank, "
+        "word, cnt, "
+        "round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ASC "
+        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_frac "
+        "FROM top CROSS JOIN tot"
+    )

@@ -812,6 +812,11 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", text.tfidf_top_terms),
             text.tfidf_top_terms_oracle_sql("documents"),
         ),
+        # tokenizer vocab sizing: top-V words + cumulative coverage
+        "vocab_coverage_documents": (
+            _table_query("documents", text.vocab_coverage),
+            text.vocab_coverage_oracle_sql("documents"),
+        ),
         # corpus-trained bigram-LM fluency scores (integer-quantized
         # conditional probabilities — no transcendentals cross-engine)
         "bigram_lm_scores_documents": (
@@ -860,9 +865,24 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         ),
         # Johnson-Lindenstrauss Rademacher projection (4x dim reduction,
         # zero exchanges; bit-identical explicit sums cross-engine)
+        # (array flattened to scalar columns: the driver's value-hash
+        # compares scalars robustly; array rendering differs per engine)
         "random_project_embeddings": (
-            _table_query("embeddings", similarity.random_project),
-            similarity.random_project_oracle_sql("embeddings"),
+            _table_query(
+                "embeddings",
+                lambda df: similarity.random_project(df).selectExpr(
+                    "vec_id",
+                    *[
+                        f"element_at(rp, {j + 1}) AS rp_{j}"
+                        for j in range(similarity.RP_DIM)
+                    ],
+                ),
+            ),
+            "SELECT vec_id, "
+            + ", ".join(
+                f"rp[{j + 1}] AS rp_{j}" for j in range(similarity.RP_DIM)
+            )
+            + f" FROM ({similarity.random_project_oracle_sql('embeddings')}) t",
         ),
         # distributed-PCA phase 1: constant-output gramian aggregation
         # over integer-quantized embeddings (exact int64 sums)

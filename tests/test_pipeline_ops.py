@@ -1336,3 +1336,18 @@ def test_gramian_and_pca(embs, duck):
         decompose.pca_project(embs, comps)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_vocab_coverage(docs, duck):
+    rows = _cmp(
+        text.vocab_coverage(docs), duck, text.vocab_coverage_oracle_sql("documents")
+    )
+    assert rows
+    by_rank = sorted(rows)
+    # dense ranks from 1, counts non-increasing, coverage monotone in (0, 1]
+    assert [r[0] for r in by_rank] == list(range(1, len(rows) + 1))
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a[2] >= b[2] and a[3] <= b[3]
+    assert 0 < by_rank[0][3] <= by_rank[-1][3] <= 1
+    # the whole vocabulary fits in v here, so the prefix covers everything
+    assert by_rank[-1][3] == 1.0
