@@ -638,3 +638,118 @@ def cross_corpus_lsh_pairs_oracle_sql(
         "JOIN shn_c b ON cand.corpus_doc = b.doc_id "
         f"WHERE {jaccard_sql('a.shingles', 'b.shingles', d)} >= {threshold}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid semantic dedup: text LSH ∪ embedding LSH, dual verification
+# ---------------------------------------------------------------------------
+
+def semantic_dup_pairs(
+    docs: DataFrame,
+    embs: DataFrame,
+    j_thresh: float = 0.3,
+    cos_thresh: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate pairs by EITHER signal: lexical (MinHash-LSH over
+    shingles, verified with exact Jaccard) or semantic (hyperplane-LSH
+    over embeddings, verified with exact cosine) — the multi-signal
+    dedup modern pipelines run because paraphrases evade n-grams and
+    translated boilerplate evades embeddings trained per-language.
+
+    Input: ``docs`` (doc_id, text), ``embs`` (vec_id, embedding) with
+    vec_id keyed to doc_id.  Output: (doc_a, doc_b, jaccard, cosine,
+    signal) where signal ∈ {'text', 'embedding', 'both'} names which
+    verifier(s) passed; pairs lacking a text side (too few tokens)
+    report jaccard 0.
+
+    Scale shape: both candidate generators are the bucketed equi-joins
+    of their standalone operators (ids-only shuffles); the union is
+    deduplicated BEFORE the array/vector join-back, so each distinct
+    candidate pair pays for its shingle arrays and embeddings exactly
+    once.  The verification join is O(candidates), never all-pairs.
+    """
+    from pgverify_spark.operators.similarity import bucket_sql as emb_bucket_sql
+
+    sh = _shingled(docs)
+    sig = sh.selectExpr(
+        "doc_id", f"{minhash_sig_sql('shingles', DIALECT_SPARK)} AS sig"
+    ).persist()
+    bands = sig.selectExpr(
+        "doc_id", f"explode({lsh_bands_sql('sig', DIALECT_SPARK)}) AS band_key"
+    )
+    text_cands = (
+        bands.selectExpr("doc_id AS doc_a", "band_key")
+        .join(bands.selectExpr("doc_id AS doc_b", "band_key"), "band_key")
+        .filter("doc_a < doc_b")
+        .select("doc_a", "doc_b")
+    )
+    bk = embs.selectExpr(
+        "vec_id", f"{emb_bucket_sql('embedding', DIALECT_SPARK)} AS bucket"
+    )
+    emb_cands = (
+        bk.selectExpr("vec_id AS doc_a", "bucket")
+        .join(bk.selectExpr("vec_id AS doc_b", "bucket"), "bucket")
+        .filter("doc_a < doc_b")
+        .select("doc_a", "doc_b")
+    )
+    cands = text_cands.unionByName(emb_cands).distinct()
+    j = jaccard_sql("sh_a", "sh_b", DIALECT_SPARK)
+    c = cosine_sql("emb_a", "emb_b", DIALECT_SPARK)
+    return (
+        cands.join(sh.selectExpr("doc_id AS doc_a", "shingles AS sh_a"), "doc_a", "left")
+        .join(sh.selectExpr("doc_id AS doc_b", "shingles AS sh_b"), "doc_b", "left")
+        .join(embs.selectExpr("vec_id AS doc_a", "embedding AS emb_a"), "doc_a")
+        .join(embs.selectExpr("vec_id AS doc_b", "embedding AS emb_b"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"coalesce({j}, CAST(0 AS DOUBLE)) AS jaccard",
+            f"{c} AS cosine",
+        )
+        .filter(f"jaccard >= {j_thresh} OR cosine >= {cos_thresh}")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "cosine",
+            f"CASE WHEN jaccard >= {j_thresh} AND cosine >= {cos_thresh} THEN 'both' "
+            f"WHEN jaccard >= {j_thresh} THEN 'text' ELSE 'embedding' END AS signal",
+        )
+    )
+
+
+def semantic_dup_pairs_oracle_sql(
+    docs_table: str,
+    embs_table: str,
+    j_thresh: float = 0.3,
+    cos_thresh: float = 0.9,
+) -> str:
+    from pgverify_spark.operators.similarity import bucket_sql as emb_bucket_sql
+
+    d = DIALECT_DUCKDB
+    j = jaccard_sql("a.shingles", "b.shingles", d)
+    c = cosine_sql("ea.embedding", "eb.embedding", d)
+    return (
+        f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {docs_table}), "
+        f"tokn AS (SELECT * FROM tok WHERE len(tokens) >= {NGRAM_N}), "
+        f"gr AS (SELECT doc_id, {ngrams_sql('tokens', NGRAM_N, d)} AS grams FROM tokn), "
+        f"shn AS (SELECT doc_id, {shingle_ints_sql('grams', d)} AS shingles FROM gr), "
+        f"sg AS (SELECT doc_id, {minhash_sig_sql('shingles', d)} AS sig FROM shn), "
+        f"ex AS (SELECT doc_id, unnest({lsh_bands_sql('sig', d)}) AS band_key FROM sg), "
+        "tc AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "FROM ex l JOIN ex r ON l.band_key = r.band_key AND l.doc_id < r.doc_id), "
+        f"bk AS (SELECT vec_id, {emb_bucket_sql('embedding', d)} AS bucket FROM {embs_table}), "
+        "ec AS (SELECT l.vec_id AS doc_a, r.vec_id AS doc_b "
+        "FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id), "
+        "cand AS (SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM tc UNION ALL SELECT * FROM ec)), "
+        "scored AS (SELECT cand.doc_a, cand.doc_b, "
+        f"coalesce({j}, CAST(0 AS DOUBLE)) AS jaccard, {c} AS cosine "
+        "FROM cand LEFT JOIN shn a ON cand.doc_a = a.doc_id "
+        "LEFT JOIN shn b ON cand.doc_b = b.doc_id "
+        f"JOIN {embs_table} ea ON cand.doc_a = ea.vec_id "
+        f"JOIN {embs_table} eb ON cand.doc_b = eb.vec_id) "
+        "SELECT doc_a, doc_b, jaccard, cosine, "
+        f"CASE WHEN jaccard >= {j_thresh} AND cosine >= {cos_thresh} THEN 'both' "
+        f"WHEN jaccard >= {j_thresh} THEN 'text' ELSE 'embedding' END AS signal "
+        f"FROM scored WHERE jaccard >= {j_thresh} OR cosine >= {cos_thresh}"
+    )

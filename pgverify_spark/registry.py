@@ -352,6 +352,17 @@ def _table_query(table: str, op: Callable[[DataFrame], DataFrame]) -> Callable:
     return run
 
 
+def _two_table_query(
+    t1: str, t2: str, op: Callable[[DataFrame, DataFrame], DataFrame]
+) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_required_confs(spark)
+        tgt = ParquetTarget("t", sf_dir)
+        return op(tgt.read(spark, t1), tgt.read(spark, t2))
+
+    return run
+
+
 def _q3_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgverify_spark.operators import analytics
 
@@ -589,6 +600,17 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
                 + ") mp"
             ),
+        ),
+        # multi-signal near-dup: lexical LSH ∪ embedding LSH candidates,
+        # each verified by its exact measure (paraphrases evade n-grams;
+        # cross-language boilerplate evades embeddings)
+        "semantic_dup_pairs_documents": (
+            _two_table_query(
+                "documents",
+                "embeddings",
+                lambda docs, embs: dedup.semantic_dup_pairs(docs, embs, 0.3, 0.4),
+            ),
+            dedup.semantic_dup_pairs_oracle_sql("documents", "embeddings", 0.3, 0.4),
         ),
         # ingestion-time dedup: new batch (doc_id%10=7) vs standing corpus
         "incremental_dedup_documents": (

@@ -1351,3 +1351,25 @@ def test_vocab_coverage(docs, duck):
     assert 0 < by_rank[0][3] <= by_rank[-1][3] <= 1
     # the whole vocabulary fits in v here, so the prefix covers everything
     assert by_rank[-1][3] == 1.0
+
+
+def test_semantic_dup_pairs(spark, docs, embs, duck):
+    rows = _cmp(
+        dedup.semantic_dup_pairs(docs, embs, 0.3, 0.4),
+        duck,
+        dedup.semantic_dup_pairs_oracle_sql("documents", "embeddings", 0.3, 0.4),
+    )
+    assert rows
+    signals = {r[4] for r in rows}
+    for doc_a, doc_b, j, c, signal in rows:
+        assert doc_a < doc_b
+        assert (j >= 0.3) or (c >= 0.4)
+        if signal == "both":
+            assert j >= 0.3 and c >= 0.4
+        elif signal == "text":
+            assert j >= 0.3 and c < 0.4
+        else:
+            assert signal == "embedding" and j < 0.3 and c >= 0.4
+    # the union is genuinely wider than either signal alone on this
+    # corpus: embedding near-dups at 0.4 exist that are not text dups
+    assert "embedding" in signals
