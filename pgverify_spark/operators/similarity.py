@@ -400,3 +400,85 @@ def random_project_oracle_sql(table: str, vec_col: str = "embedding") -> str:
         for signs in RP_SIGNS
     ]
     return f"SELECT vec_id, [{', '.join(dims)}] AS rp FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# Label-prototype outliers (mislabeled-embedding QA)
+# ---------------------------------------------------------------------------
+
+def label_prototype_outliers(df: DataFrame, k: int = 5) -> DataFrame:
+    """Per-label centroid ("prototype") + the ``k`` vectors of each label
+    FARTHEST from their own prototype — the standard first pass for
+    finding mislabeled or noisy examples in a labeled embedding corpus
+    (a vector far from its class prototype is a labeling-error
+    candidate).
+
+    Output: (label, vec_id, cos_to_centroid, rank) with rank 1 = most
+    suspicious (lowest cosine); ties break on vec_id.
+
+    Scale shape: centroids come from an (label, dim) aggregation of the
+    integer-quantized coordinates — map-side combine collapses every
+    partition to ≤ labels×dim cells, so the shuffle is constant-size
+    like :func:`pgverify_spark.operators.decompose.gramian`.  The tiny
+    centroid table broadcasts back; scoring is one corpus scan; the
+    per-label bottom-k is a window over label partitions (uniform by
+    construction).  Determinism: centroid components are IEEE divisions
+    of exact int64 sums, identical cross-engine.
+    """
+    from pgverify_spark.functions.text_exprs import cosine_sql
+    from pgverify_spark.operators.decompose import Q_SCALE
+
+    q = f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT))"
+    cells = (
+        df.selectExpr("label", f"posexplode({q}) AS (dim, qx)")
+        .groupBy("label", "dim")
+        .agg(F.sum("qx").alias("sq"), F.count(F.lit(1)).alias("n"))
+    )
+    centroids = (
+        cells.selectExpr(
+            "label",
+            "dim",
+            f"CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / {Q_SCALE}.0 AS cx",
+        )
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(dim, cx))), s -> s.cx)").alias(
+                "centroid"
+            )
+        )
+    )
+    scored = df.join(F.broadcast(centroids), "label").selectExpr(
+        "label",
+        "vec_id",
+        f"{cosine_sql('embedding', 'centroid', DIALECT_SPARK)} AS cos_to_centroid",
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.asc("cos_to_centroid"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(f"rank <= {k}")
+        .select("label", "vec_id", "cos_to_centroid", "rank")
+    )
+
+
+def label_prototype_outliers_oracle_sql(table: str, k: int = 5) -> str:
+    from pgverify_spark.functions.text_exprs import cosine_sql
+    from pgverify_spark.operators.decompose import Q_SCALE
+
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH qv AS (SELECT label, vec_id, embedding, list_transform(embedding, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q FROM {table}), "
+        f"cells AS (SELECT label, i AS dim, sum(q[i]) AS sq, count(*) AS n "
+        f"FROM qv, range(1, {EMBEDDING_DIM} + 1) AS t(i) GROUP BY 1, 2), "
+        "cent AS (SELECT label, list(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) "
+        f"/ {Q_SCALE}.0 ORDER BY dim) AS centroid FROM cells GROUP BY label), "
+        "scored AS (SELECT qv.label, vec_id, "
+        f"{cosine_sql('embedding', 'centroid', d)} AS cos_to_centroid "
+        "FROM qv JOIN cent ON qv.label = cent.label), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY label "
+        "ORDER BY cos_to_centroid ASC, vec_id ASC) AS rank FROM scored) "
+        "SELECT label, vec_id, cos_to_centroid, CAST(rank AS INT) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )

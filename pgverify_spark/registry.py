@@ -906,6 +906,11 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             )
             + f" FROM ({similarity.random_project_oracle_sql('embeddings')}) t",
         ),
+        # mislabeled-embedding QA: per-label prototype + farthest members
+        "label_outliers_embeddings": (
+            _table_query("embeddings", similarity.label_prototype_outliers),
+            similarity.label_prototype_outliers_oracle_sql("embeddings"),
+        ),
         # distributed-PCA phase 1: constant-output gramian aggregation
         # over integer-quantized embeddings (exact int64 sums)
         "gramian_embeddings": (

@@ -1373,3 +1373,34 @@ def test_semantic_dup_pairs(spark, docs, embs, duck):
     # the union is genuinely wider than either signal alone on this
     # corpus: embedding near-dups at 0.4 exist that are not text dups
     assert "embedding" in signals
+
+
+def test_label_prototype_outliers(spark, embs, duck):
+    rows = _cmp(
+        similarity.label_prototype_outliers(embs),
+        duck,
+        similarity.label_prototype_outliers_oracle_sql("embeddings"),
+    )
+    by_label = {}
+    for label, vec_id, cos, rank in rows:
+        by_label.setdefault(label, []).append((rank, cos))
+    for members in by_label.values():
+        members.sort()
+        assert [r for r, _ in members] == list(range(1, len(members) + 1))
+        # rank 1 = farthest from prototype (lowest cosine)
+        assert all(a[1] <= b[1] for a, b in zip(members, members[1:]))
+    # a deliberately mislabeled vector pointing AWAY from its class
+    # prototype (the negated centroid direction, cosine ~ -1) must
+    # surface as the rank-1 outlier of that label
+    lab = 0
+    members = [r["embedding"] for r in embs.filter(f"label = {lab}").collect()]
+    centroid = [sum(v[i] for v in members) / len(members) for i in range(64)]
+    planted = spark.createDataFrame(
+        [(9999, [float(-x) for x in centroid], lab)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.label_prototype_outliers(
+        embs.select("vec_id", "embedding", "label").unionByName(planted)
+    ).collect()
+    top = [r for r in out if r["label"] == lab and r["rank"] == 1]
+    assert top and top[0]["vec_id"] == 9999
