@@ -1375,6 +1375,8 @@ HEADLINE_QUERIES = (
     "tfidf_top_terms_documents",
     "bigram_lm_scores_documents",
     "bloom_decontaminate_documents",
+    "incremental_dedup_documents",
+    "semantic_dup_pairs_documents",
     "funnel_events",
     "kmv_distinct_documents",
     "heavy_hitters_lineitem",
