@@ -265,14 +265,13 @@ def cosine_sql(a_col: str, b_col: str, dialect: str) -> str:
     return f"round({dot} / ({na} * {nb}), 6)"
 
 
-def rolling_fps_sql(norm_col: str, dialect: str, k: int = 8, mod: int = 16) -> str:
-    """Content-defined document fingerprints: sorted distinct 48-bit
-    hashes of character k-grams of the normalized text, kept when
+def rolling_fp_ints_sql(norm_col: str, dialect: str, k: int = 8, mod: int = 16) -> str:
+    """Content-defined fingerprints as a sorted distinct int array:
+    48-bit hashes of character k-grams of the normalized text, kept when
     ``hash % mod == 0`` (~1/mod of positions, chosen by content alone —
     the same selection a Rabin-Karp rolling hash drives in winnowing/CDC
     systems; hashing each k-gram directly is vectorized SQL instead of a
-    sequential fold, with identical output semantics).  Rendered as a
-    comma-joined string so both dialects compare byte-identically."""
+    sequential fold, with identical output semantics)."""
     n = f"length({norm_col})"
     grams_body = _transform(
         f"sequence(1, {n} - {k - 1})" if dialect == DIALECT_SPARK else f"range(1, {n} - {k - 2})",
@@ -290,7 +289,13 @@ def rolling_fps_sql(norm_col: str, dialect: str, k: int = 8, mod: int = 16) -> s
         dialect,
     )
     sel = _distinct(_filter(ints, f"x -> x % {mod} = 0", dialect), dialect)
-    sorted_sel = f"array_sort({sel})" if dialect == DIALECT_SPARK else f"list_sort({sel})"
+    return f"array_sort({sel})" if dialect == DIALECT_SPARK else f"list_sort({sel})"
+
+
+def rolling_fps_sql(norm_col: str, dialect: str, k: int = 8, mod: int = 16) -> str:
+    """:func:`rolling_fp_ints_sql` rendered as a comma-joined string so
+    both dialects compare byte-identically."""
+    sorted_sel = rolling_fp_ints_sql(norm_col, dialect, k, mod)
     joined = _transform(sorted_sel, f"x -> {_str_of('x', dialect)}", dialect)
     if dialect == DIALECT_SPARK:
         return f"array_join({joined}, ',')"

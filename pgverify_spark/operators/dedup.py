@@ -753,3 +753,93 @@ def semantic_dup_pairs_oracle_sql(
         f"WHEN jaccard >= {j_thresh} THEN 'text' ELSE 'embedding' END AS signal "
         f"FROM scored WHERE jaccard >= {j_thresh} OR cosine >= {cos_thresh}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing pairs: character-level partial-overlap detection (MOSS-style)
+# ---------------------------------------------------------------------------
+
+#: Winnowing postings cap — same skew guard as MAX_SHINGLE_FREQ: a
+#: fingerprint selected from boilerplate shared by thousands of docs
+#: carries no pair signal and quadratic join cost.
+MAX_FP_FREQ = 10_000
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 8,
+    mod: int = 16,
+    max_fp_freq: int | None = MAX_FP_FREQ,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` content-defined character
+    k-gram fingerprints — the winnowing/MOSS detector for *partial*
+    overlap (a copied paragraph inside otherwise-different documents).
+    Complements token-shingle dedup: character fingerprints survive
+    re-tokenization, punctuation edits, and catch substring-level copies
+    whose whole-document Jaccard is far below any dedup threshold.
+
+    Output: (doc_a, doc_b, n_shared).
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs`' counted
+    inverted-index join — fingerprints are ~1/mod of character
+    positions so the index is a fraction of corpus size; candidates
+    travel as id pairs with map-side-combined overlap counts; the
+    ``max_fp_freq`` postings cap bounds the self-join fan-out against
+    boilerplate fingerprints.
+    """
+    from pgverify_spark.functions.text_exprs import rolling_fp_ints_sql
+
+    norm = f"coalesce({norm_sql('text', DIALECT_SPARK)}, '')"
+    inv = (
+        _barrier(df.selectExpr("doc_id", f"{norm} AS norm"))
+        .selectExpr(
+            "doc_id", f"explode({rolling_fp_ints_sql('norm', DIALECT_SPARK, k, mod)}) AS fp"
+        )
+        .persist()
+    )
+    if max_fp_freq is not None:
+        hot = (
+            inv.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") > max_fp_freq)
+            .select("fp")
+        )
+        inv = inv.join(F.broadcast(hot), "fp", "left_anti")
+    return (
+        inv.selectExpr("doc_id AS doc_a", "fp")
+        .join(inv.selectExpr("doc_id AS doc_b", "fp"), "fp")
+        .filter("doc_a < doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(f"n_shared >= {min_shared}")
+    )
+
+
+def winnowing_pairs_oracle_sql(
+    table: str,
+    min_shared: int = 2,
+    k: int = 8,
+    mod: int = 16,
+    max_fp_freq: int | None = MAX_FP_FREQ,
+) -> str:
+    from pgverify_spark.functions.text_exprs import rolling_fp_ints_sql
+
+    d = DIALECT_DUCKDB
+    norm = f"coalesce({norm_sql('text', d)}, '')"
+    hot_filter = ""
+    src = "inv"
+    if max_fp_freq is not None:
+        hot_filter = (
+            f", hot AS (SELECT fp FROM inv GROUP BY fp HAVING count(*) > {max_fp_freq}), "
+            "invk AS (SELECT inv.* FROM inv ANTI JOIN hot USING (fp))"
+        )
+        src = "invk"
+    return (
+        f"WITH nm AS (SELECT doc_id, {norm} AS norm FROM {table}), "
+        f"inv AS (SELECT doc_id, unnest({rolling_fp_ints_sql('norm', d, k, mod)}) AS fp FROM nm)"
+        f"{hot_filter} "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared "
+        f"FROM {src} a JOIN {src} b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_shared}"
+    )

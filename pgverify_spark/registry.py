@@ -601,6 +601,12 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 + ") mp"
             ),
         ),
+        # character-level partial-overlap pairs (winnowing/MOSS shape:
+        # catches a copied paragraph inside otherwise-different docs)
+        "winnowing_pairs_documents": (
+            _table_query("documents", lambda df: dedup.winnowing_pairs(df, 5)),
+            dedup.winnowing_pairs_oracle_sql("documents", 5),
+        ),
         # multi-signal near-dup: lexical LSH ∪ embedding LSH candidates,
         # each verified by its exact measure (paraphrases evade n-grams;
         # cross-language boilerplate evades embeddings)

@@ -1404,3 +1404,32 @@ def test_label_prototype_outliers(spark, embs, duck):
     ).collect()
     top = [r for r in out if r["label"] == lab and r["rank"] == 1]
     assert top and top[0]["vec_id"] == 9999
+
+
+def test_winnowing_pairs(spark, docs, duck):
+    rows = _cmp(
+        dedup.winnowing_pairs(docs, 5),
+        duck,
+        dedup.winnowing_pairs_oracle_sql("documents", 5),
+    )
+    for a, b, n in rows:
+        assert a < b and n >= 5
+    # partial overlap: a doc made of ONE copied substring from doc X plus
+    # unrelated filler must pair with X even though whole-doc token
+    # Jaccard is tiny
+    base = docs.orderBy("doc_id").limit(1).collect()[0]
+    frag = base["text"]
+    filler = " ".join(f"zz{i}" for i in range(200))
+    hybrid = spark.createDataFrame(
+        [(888888, frag + " " + filler, "en", "syn", len(frag))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    both = docs.unionByName(hybrid)
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.winnowing_pairs(both, 5).collect()}
+    assert (base["doc_id"], 888888) in pairs
+    # ...while token-shingle Jaccard at 0.3 misses it
+    jp = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(both, 0.3).collect()
+    }
+    assert (base["doc_id"], 888888) not in jp
