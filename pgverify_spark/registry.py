@@ -27,6 +27,7 @@ from pgverify_spark.operators import (
 from pgverify_spark.operators import analytics
 from pgverify_spark.operators import funnel as funnel_mod
 from pgverify_spark.operators import decompose, linkage, lm, quantize, sketch, skew, trend
+from pgverify_spark.operators import profile as profile_mod
 from pgverify_spark.operators import prep
 from pgverify_spark.operators import topk as topk_mod
 from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
@@ -600,6 +601,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
                 + ") mp"
             ),
+        ),
+        # exact per-column profile: nulls / distincts / canonical extremes
+        "profile_orders": (
+            _table_query(
+                "orders",
+                lambda df: profile_mod.profile_table(df, TESTDATA_TABLES["orders"]),
+            ),
+            profile_mod.profile_table_oracle_sql("orders", TESTDATA_TABLES["orders"]),
         ),
         # character-level partial-overlap pairs (winnowing/MOSS shape:
         # catches a copied paragraph inside otherwise-different docs)

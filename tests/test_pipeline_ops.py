@@ -1433,3 +1433,35 @@ def test_winnowing_pairs(spark, docs, duck):
         for r in dedup.minhash_lsh_pairs(both, 0.3).collect()
     }
     assert (base["doc_id"], 888888) not in jp
+
+
+def test_profile_table(spark, sf_dir, duck):
+    from pgverify_spark.operators import profile as profile_mod
+    from pgverify_spark.sources.schemas import TESTDATA_TABLES
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = _cmp(
+        profile_mod.profile_table(orders, TESTDATA_TABLES["orders"]),
+        duck,
+        profile_mod.profile_table_oracle_sql("orders", TESTDATA_TABLES["orders"]),
+    )
+    by_col = {r[0]: r for r in rows}
+    n = orders.count()
+    assert set(by_col) == {c for c, _ in TESTDATA_TABLES["orders"].cols}
+    # the PK profiles as unique and non-null
+    assert by_col["o_orderkey"][1] == 0 and by_col["o_orderkey"][2] == n
+    for _, n_nulls, n_distinct, mn, mx in rows:
+        assert 0 <= n_nulls <= n and 1 <= n_distinct <= n
+        assert mn <= mx  # lexicographic canonical extremes
+    # a null spike is visible: nulling half a column doubles nothing else
+    mutated = orders.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+    prof = {
+        r["col_name"]: r
+        for r in profile_mod.profile_table(mutated, TESTDATA_TABLES["orders"]).collect()
+    }
+    assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
