@@ -1297,6 +1297,56 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
     # shares the batch bloom_decontaminate oracle
     bloom_oracle = contamination.bloom_decontaminate_oracle_sql("documents")
 
+    def run_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.incremental import streaming_windowed_counts
+
+        ensure_required_confs(spark)
+        ev = ParquetTarget("t", sf_dir).read(spark, "events")
+        tmp = tempfile.mkdtemp(prefix="pgvs_swin_")
+        (
+            ev.withColumn("chunk", (F.col("event_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_windowed_counts(sdf, window="6 hours", watermark="1 hour")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("registry_swin")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # epoch-micros window bounds: engine-neutral for the value hash
+        return spark.table("registry_swin").selectExpr(
+            "unix_micros(win_start) AS win_start_us",
+            "unix_micros(win_end) AS win_end_us",
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+
+    win_us = 6 * 3_600_000_000
+    windowed_oracle = (
+        f"SELECT (CAST(epoch_us(ts) AS BIGINT) // {win_us}) * {win_us} AS win_start_us, "
+        f"(CAST(epoch_us(ts) AS BIGINT) // {win_us}) * {win_us} + {win_us} AS win_end_us, "
+        "event_type, count(*) AS n_events, "
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS value_sum "
+        "FROM events GROUP BY 1, 2, 3"
+    )
+
     return {
         "streaming_stateful_bucket_fingerprint_events": (run, None),
         "streaming_dedup_documents": (run_dedup, dedup_oracle),
@@ -1304,6 +1354,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         "streaming_funnel_events": (run_funnel, funnel_oracle),
         "streaming_kmv_distinct_documents": (run_kmv, kmv_oracle),
         "streaming_bloom_decontaminate_documents": (run_bloom, bloom_oracle),
+        "streaming_windowed_counts_events": (run_windowed, windowed_oracle),
     }
 
 

@@ -170,7 +170,9 @@ def streaming_windowed_counts(
         .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("value_sum"),
+            # decimal-exact: double sums accumulate in arrival order and
+            # cannot hash-match an oracle (same policy as rollup.py)
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("value_sum"),
         )
         .select(
             F.col("win.start").alias("win_start"),
