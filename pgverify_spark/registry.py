@@ -1124,17 +1124,28 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         ensure_required_confs(spark)
         df = ParquetTarget("t", sf_dir).read(spark, "events")
         tmp = tempfile.mkdtemp(prefix="pgvs_sess_")
+        # weekly time-ordered replay: the watermark contract is "rare,
+        # bounded disorder" — feeding week k+1 only after week k keeps
+        # every event ahead of the watermark (week boundaries dominate
+        # the 1s delay), so no input is ever late-dropped and the result
+        # is deterministic.  Arbitrary-order chunks (e.g. by event_id)
+        # make late-dropping a micro-batch-timing race.
+        import glob
+        import os as _os
+        import shutil
+
         (
-            df.withColumn("chunk", (F.col("event_id") % 4).cast("int"))
-            .repartition(4, "chunk")
-            .drop("chunk")
+            df.withColumn("wk", F.expr(timecol.bucket_sql(df, timecol.US_PER_WEEK)).cast("int"))
             .write.mode("overwrite")
-            .parquet(f"{tmp}/src")
+            .partitionBy("wk")
+            .parquet(f"{tmp}/weeks")
         )
+        stream_in = f"{tmp}/in"
+        _os.makedirs(stream_in)
         sdf = (
             spark.readStream.schema(df.schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/src")
+            .parquet(stream_in)
         )
         q = (
             streaming_session_rollup(sdf)
@@ -1145,7 +1156,10 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
             .start()
         )
         try:
-            q.processAllAvailable()
+            for i, wd in enumerate(sorted(glob.glob(f"{tmp}/weeks/wk=*"))):
+                for j, f in enumerate(sorted(glob.glob(f"{wd}/*.parquet"))):
+                    shutil.copy(f, f"{stream_in}/wk{i}_{j}.parquet")
+                q.processAllAvailable()
         finally:
             q.stop()
         return spark.table("registry_sessions")

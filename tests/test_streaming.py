@@ -159,15 +159,29 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
     assert kept.count() == len(batch_hashes)
 
 
-def test_streaming_session_rollup_matches_batch_sessionize(spark, sf_dir, chunked_events, tmp_path):
+def test_streaming_session_rollup_matches_batch_sessionize(spark, sf_dir, tmp_path):
     """Native session_window streaming sessions == batch lag+cumsum
-    sessions: same (user, start, end, count, sum) sets after replaying
-    the chunked events, modulo session_window's gap-extended end."""
+    sessions over a time-ordered weekly replay (the watermark contract:
+    feeding week k+1 only after week k means no event is ever behind the
+    watermark, so nothing can be late-dropped and the result is
+    deterministic — arbitrary-order chunks make dropping a timing race)."""
+    import glob
+    import shutil
+
+    from pgverify_spark.functions import timecol
     from pgverify_spark.operators.rollup import sessionize
     from pgverify_spark.streaming.incremental import streaming_session_rollup
 
-    src_dir, schema, _ = chunked_events
-    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    df = ParquetTarget("t", sf_dir).read(spark, "events")
+    (
+        df.withColumn("wk", F.expr(timecol.bucket_sql(df, timecol.US_PER_WEEK)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("wk")
+        .parquet(str(tmp_path / "weeks"))
+    )
+    stream_in = tmp_path / "in"
+    stream_in.mkdir()
+    sdf = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(str(stream_in))
     q = (
         streaming_session_rollup(sdf)
         .writeStream.outputMode("complete")
@@ -177,25 +191,20 @@ def test_streaming_session_rollup_matches_batch_sessionize(spark, sf_dir, chunke
         .start()
     )
     try:
-        q.processAllAvailable()
-        batch = {
+        for i, wd in enumerate(sorted(glob.glob(str(tmp_path / "weeks" / "wk=*")))):
+            for j, f in enumerate(sorted(glob.glob(f"{wd}/*.parquet"))):
+                shutil.copy(f, str(stream_in / f"wk{i}_{j}.parquet"))
+            q.processAllAvailable()
+        streamed = {
             (r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
-            for r in sessionize(ParquetTarget("t", sf_dir).read(spark, "events")).collect()
+            for r in spark.table("sess_state").collect()
         }
-        # the memory sink's table swap can lag processAllAvailable under
-        # heavy parallel load — re-read briefly before declaring mismatch
-        import time as _time
-
-        for attempt in range(5):
-            streamed = {
-                (r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
-                for r in spark.table("sess_state").collect()
-            }
-            if streamed == batch:
-                break
-            _time.sleep(2)
     finally:
         q.stop()
+    batch = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
+        for r in sessionize(df).collect()
+    }
     assert streamed == batch
 
 
