@@ -843,3 +843,69 @@ def winnowing_pairs_oracle_sql(
         f"FROM {src} a JOIN {src} b ON a.fp = b.fp AND a.doc_id < b.doc_id "
         f"GROUP BY 1, 2 HAVING count(*) >= {min_shared}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted LSH index: the standing-corpus side of ingestion-time dedup
+# ---------------------------------------------------------------------------
+
+def write_lsh_index(
+    corpus: DataFrame, name: str, path: str, n_buckets: int = 16
+) -> None:
+    """Materialize the corpus's MinHash LSH index as TWO bucketed tables:
+    ``{name}_bands`` (band_key, doc_id) bucketed on band_key and
+    ``{name}_shingles`` (doc_id, shingles) bucketed on doc_id — the
+    write-once artifact :func:`cross_corpus_lsh_pairs` assumes a real
+    deployment keeps.  Both joins of every future
+    :func:`probe_lsh_index` call then reuse the stored layout: the
+    corpus is hashed and shuffled ONCE here, never again per ingest.
+    """
+    from pgverify_spark.sources.bucketed import write_bucketed
+
+    sh = _shingled(corpus)
+    bands = sh.selectExpr(
+        "doc_id", f"{minhash_sig_sql('shingles', DIALECT_SPARK)} AS sig"
+    ).selectExpr(
+        "doc_id", f"explode({lsh_bands_sql('sig', DIALECT_SPARK)}) AS band_key"
+    )
+    write_bucketed(bands, f"{name}_bands", "band_key", n_buckets, f"{path}/bands")
+    write_bucketed(sh, f"{name}_shingles", "doc_id", n_buckets, f"{path}/shingles")
+    sh.unpersist()
+
+
+def probe_lsh_index(
+    spark, new_df: DataFrame, name: str, threshold: float = 0.5
+) -> DataFrame:
+    """Ingestion-time dedup against a :func:`write_lsh_index` artifact:
+    same output as :func:`cross_corpus_lsh_pairs` (new_doc, corpus_doc,
+    jaccard), but the corpus side arrives pre-bucketed — the band join
+    and the shingle join-back both plan ZERO corpus-side Exchange
+    (asserted in tests/test_bucketed.py), so per-ingest shuffle cost is
+    O(batch) by plan shape, not just by argument.
+    """
+    from pgverify_spark.sources.bucketed import read_bucketed
+
+    corpus_bands = read_bucketed(spark, f"{name}_bands")
+    corpus_sh = read_bucketed(spark, f"{name}_shingles")
+    sh_new = _shingled(new_df)
+    new_bands = sh_new.selectExpr(
+        "doc_id", f"{minhash_sig_sql('shingles', DIALECT_SPARK)} AS sig"
+    ).selectExpr(
+        "doc_id AS new_doc",
+        f"explode({lsh_bands_sql('sig', DIALECT_SPARK)}) AS band_key",
+    )
+    pairs = (
+        new_bands.join(corpus_bands.selectExpr("band_key", "doc_id AS corpus_doc"), "band_key")
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+    return (
+        pairs.join(sh_new.selectExpr("doc_id AS new_doc", "shingles AS sh_a"), "new_doc")
+        .join(corpus_sh.selectExpr("doc_id AS corpus_doc", "shingles AS sh_b"), "corpus_doc")
+        .selectExpr(
+            "new_doc",
+            "corpus_doc",
+            f"{jaccard_sql('sh_a', 'sh_b', DIALECT_SPARK)} AS jaccard",
+        )
+        .filter(f"jaccard >= {threshold}")
+    )

@@ -84,3 +84,31 @@ def test_bucketed_sorted_write_roundtrip(spark, sf_dir, tmp_path):
         assert "o_custkey" in txt and "4" in txt  # bucket spec recorded
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_s_b")
+
+
+def test_lsh_index_probe_zero_corpus_exchange(spark, sf_dir, tmp_path, no_broadcast):
+    """probe_lsh_index against a persisted bucketed band index: the
+    corpus side of BOTH joins reuses the stored layout (scan reports
+    Bucketed: true), and results equal the recompute-everything
+    cross_corpus_lsh_pairs."""
+    from pgverify_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter("doc_id % 10 = 7")
+    corp = docs.filter("doc_id % 10 <> 7")
+    dedup.write_lsh_index(corp, "lshidx", str(tmp_path / "idx"))
+    try:
+        probe = dedup.probe_lsh_index(spark, new, "lshidx", 0.3)
+        plan = _plan(probe)
+        # both corpus-side scans come from bucketed tables
+        assert plan.count("Bucketed: true") >= 2
+        # the corpus band table is joined WITHOUT re-shuffling: strictly
+        # fewer exchanges than the recompute-everything formulation
+        recompute = dedup.cross_corpus_lsh_pairs(new, corp, 0.3)
+        assert plan.count("Exchange") < _plan(recompute).count("Exchange")
+        assert sorted(map(tuple, probe.collect())) == sorted(
+            map(tuple, recompute.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lshidx_bands")
+        spark.sql("DROP TABLE IF EXISTS lshidx_shingles")
