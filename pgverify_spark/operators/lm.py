@@ -59,24 +59,28 @@ from pgverify_spark.operators.util import barrier as _barrier
 LM_SCALE = 1_000_000
 
 
-def bigram_lm_scores(df: DataFrame, min_count: int = 1) -> DataFrame:
-    """Per-document bigram-LM fluency scores.
-
-    Output: (doc_id, n_bigrams, sum_q, avg_cond_p) for every document
-    with at least one bigram (≥ 2 tokens); ``avg_cond_p`` is the mean
-    conditional probability of the document's bigram stream (with
-    multiplicity — a repeated bigram is evidence each time) under the
-    corpus model, in [0, 1], rounded to 6 decimals.
-    """
+def _gram_stream(df: DataFrame) -> DataFrame:
+    """(doc_id, gram) bigram stream WITH multiplicity — LM scoring
+    weights every occurrence, unlike dedup's distinct shingles."""
     d = DIALECT_SPARK
-    # (doc_id, gram) stream WITH multiplicity — LM scoring weights every
-    # occurrence, unlike dedup's distinct shingles.
-    grams = (
+    return (
         _barrier(df.selectExpr("doc_id", f"{tokens_sql('text', d)} AS tokens"))
         .filter("size(tokens) >= 2")
         .selectExpr("doc_id", f"explode({ngrams_sql('tokens', 2, d)}) AS gram")
-        .persist()  # two consumers: model training and scoring
     )
+
+
+def bigram_model(df: DataFrame, min_count: int = 1) -> DataFrame:
+    """The trained model: (gram, q) with q the conditional probability
+    of the bigram in integer millionths.  Built offline once; scoring
+    (batch or streaming) joins against it."""
+    return bigram_model_from_grams(_gram_stream(df), min_count)
+
+
+def bigram_model_from_grams(grams: DataFrame, min_count: int = 1) -> DataFrame:
+    """:func:`bigram_model` from an existing (doc_id, gram) stream —
+    lets batch scoring share one persisted stream between training and
+    scoring instead of tokenizing the corpus twice."""
     c12 = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c12"))
     if min_count > 1:
         c12 = c12.filter(f"c12 >= {min_count}")
@@ -86,11 +90,24 @@ def bigram_lm_scores(df: DataFrame, min_count: int = 1) -> DataFrame:
         .groupBy("w1")
         .agg(F.sum("c12").alias("c1"))
     )
-    model = (
+    return (
         c12.selectExpr("gram", "split_part(gram, ' ', 1) AS w1", "c12")
         .join(heads, "w1")
         .selectExpr("gram", f"CAST(c12 * {LM_SCALE} AS BIGINT) DIV c1 AS q")
     )
+
+
+def bigram_lm_scores(df: DataFrame, min_count: int = 1) -> DataFrame:
+    """Per-document bigram-LM fluency scores.
+
+    Output: (doc_id, n_bigrams, sum_q, avg_cond_p) for every document
+    with at least one bigram (≥ 2 tokens); ``avg_cond_p`` is the mean
+    conditional probability of the document's bigram stream (with
+    multiplicity — a repeated bigram is evidence each time) under the
+    corpus model, in [0, 1], rounded to 6 decimals.
+    """
+    grams = _gram_stream(df).persist()  # two consumers: training + scoring
+    model = bigram_model_from_grams(grams, min_count)
     return (
         grams.join(model, "gram", "left")
         .selectExpr("doc_id", "coalesce(q, CAST(0 AS BIGINT)) AS q")

@@ -1352,6 +1352,47 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
             "value_sum",
         )
 
+    def run_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.operators.lm import bigram_model
+        from pgverify_spark.streaming.incremental import streaming_lm_scores
+
+        ensure_required_confs(spark)
+        docs = ParquetTarget("t", sf_dir).read(spark, "documents")
+        model = bigram_model(docs)  # static side: trained offline once
+        tmp = tempfile.mkdtemp(prefix="pgvs_slm_")
+        (
+            docs.withColumn("chunk", (F.col("doc_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_lm_scores(sdf, model)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("registry_slm")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # docs arrive whole => one update row per doc = the final report
+        return spark.table("registry_slm")
+
+    # scoring is stateless per doc against a fixed model => replaying
+    # the training corpus reproduces the batch scores (shared oracle)
+    lm_stream_oracle = lm.bigram_lm_scores_oracle_sql("documents")
+
     win_us = 6 * 3_600_000_000
     windowed_oracle = (
         f"SELECT (CAST(epoch_us(ts) AS BIGINT) // {win_us}) * {win_us} AS win_start_us, "
@@ -1369,6 +1410,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         "streaming_kmv_distinct_documents": (run_kmv, kmv_oracle),
         "streaming_bloom_decontaminate_documents": (run_bloom, bloom_oracle),
         "streaming_windowed_counts_events": (run_windowed, windowed_oracle),
+        "streaming_lm_scores_documents": (run_lm, lm_stream_oracle),
     }
 
 

@@ -345,3 +345,44 @@ def streaming_bloom_decontaminate(
             f"CAST(bloom_hits >= {min_hits} AS INT) AS contaminated",
         )
     )
+
+
+def streaming_lm_scores(sdf: DataFrame, model: DataFrame) -> DataFrame:
+    """Score a document stream at ingest against an offline-trained
+    bigram model (:func:`pgverify_spark.operators.lm.bigram_model`) —
+    the production LM-quality-gate shape: the model is trained once on
+    the standing corpus, and arriving documents are scored online.
+    Emits the same rows as the batch
+    :func:`~pgverify_spark.operators.lm.bigram_lm_scores` when the
+    stream replays the training corpus (shared oracle; asserted in
+    tests).
+
+    Plan shape: the bigram explode is stateless; the model lookup is a
+    stream-static broadcast join (the min_count-pruned model is
+    broadcast once per query); the only stateful operator is the
+    per-doc aggregation, one counter row per in-flight document —
+    documents arrive whole, so each finalizes in its carrying
+    micro-batch.
+    """
+    from pgverify_spark.functions.text_exprs import ngrams_sql, tokens_sql
+    from pgverify_spark.operators.lm import LM_SCALE
+
+    d = DIALECT_SPARK
+    grams = (
+        sdf.selectExpr("doc_id", f"{tokens_sql('text', d)} AS tokens")
+        .filter("size(tokens) >= 2")
+        .selectExpr("doc_id", f"explode({ngrams_sql('tokens', 2, d)}) AS gram")
+    )
+    return (
+        grams.join(F.broadcast(model), "gram", "left")
+        .selectExpr("doc_id", "coalesce(q, CAST(0 AS BIGINT)) AS q")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("q").alias("sum_q"))
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "sum_q",
+            f"round(CAST(sum_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / {LM_SCALE}, 6)"
+            " AS avg_cond_p",
+        )
+    )

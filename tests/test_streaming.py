@@ -343,3 +343,38 @@ def test_streaming_bloom_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     streamed = {tuple(r) for r in spark.table("sbloom_test").collect()}
     batch = {tuple(r) for r in bloom_decontaminate(docs).collect()}
     assert streamed == batch
+
+
+def test_streaming_lm_scores_matches_batch(spark, sf_dir, tmp_path):
+    """Score-at-ingest against an offline-trained model: replaying the
+    training corpus through the stream reproduces the batch scores
+    exactly (stateless probe, one per-doc aggregation)."""
+    from pgverify_spark.operators.lm import bigram_lm_scores, bigram_model
+    from pgverify_spark.streaming.incremental import streaming_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = bigram_model(docs)
+    src = tmp_path / "src"
+    (
+        docs.withColumn("chunk", (docs.doc_id % 3).cast("int"))
+        .repartition(3, "chunk")
+        .drop("chunk")
+        .write.mode("overwrite")
+        .parquet(str(src))
+    )
+    sdf = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = (
+        streaming_lm_scores(sdf, model)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("slm_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {tuple(r) for r in spark.table("slm_test").collect()}
+    batch = {tuple(r) for r in bigram_lm_scores(docs).collect()}
+    assert streamed == batch
