@@ -42,10 +42,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exclude-schemas", type=_csv, default=())
     p.add_argument("--include-columns", type=_csv, default=())
     p.add_argument("--exclude-columns", type=_csv, default=())
-    p.add_argument("--bookend-limit", type=int, default=1000)
-    p.add_argument("--sparse-mod", type=int, default=10)
-    p.add_argument("--timestamp-precision", default="milliseconds")
-    p.add_argument("--hash-primary-keys", action="store_true")
+    p.add_argument(
+        "--bookend-limit", type=int, default=1000,
+        help="only check the first and last N rows (with --tests=bookend)",
+    )
+    p.add_argument(
+        "--sparse-mod", type=int, default=10,
+        help="only check every Nth row (with --tests=sparse)",
+    )
+    # reference spelling is --tz-precision (cmd.go:31); keep the longer
+    # alias this CLI shipped with
+    p.add_argument(
+        "--tz-precision", "--timestamp-precision",
+        dest="timestamp_precision", default="milliseconds",
+        help="precision level to use when comparing timestamps",
+    )
+    p.add_argument(
+        "--hash-primary-keys", action="store_true",
+        help="hash primary key values before comparing them (useful for TEXT primary keys)",
+    )
+    p.add_argument(
+        "--level", default="info",
+        help="logging level (spark log level: debug,info,warn,error)",
+    )
     p.add_argument(
         "--pushdown",
         action="store_true",
@@ -78,6 +97,7 @@ def main(argv: list[str] | None = None) -> int:
         f"target{i}" for i in range(len(args.aliases), len(args.targets))
     ]
     spark = get_spark("pgverify-spark-cli")
+    spark.sparkContext.setLogLevel(args.level.upper())
     targets = []
     for alias, uri in zip(aliases, args.targets):
         if uri.startswith("jdbc:"):

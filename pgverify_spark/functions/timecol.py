@@ -10,12 +10,17 @@ source:
   (Spark 4 reads non-UTC-adjusted micros as NTZ);
 - parquet ``TIMESTAMP(NANOS)`` → ``bigint`` epoch-nanos under the
   ``spark.sql.legacy.parquet.nanosAsLong`` read (one of
-  ``session.REQUIRED_CONFS``);
-- an upstream operator may already have produced a ``bigint`` micros
-  column.
+  ``session.REQUIRED_CONFS``).
+
+A ``bigint`` event-time column is therefore *always* interpreted as
+epoch **nanoseconds** — the ``nanosAsLong`` read is the only way a raw
+event-time lands as a long in this engine.  An upstream operator that
+has already converted to epoch-micros must keep (or cast to) a
+timestamp type before re-entering these helpers; feeding a bigint
+micros column here would silently divide by 1000.
 
 These helpers inspect the DataFrame's actual dtype and emit the right
-Spark SQL expression, so operators work unchanged across all three.
+Spark SQL expression, so operators work unchanged across both shapes.
 The NTZ→TIMESTAMP cast is wall-clock-preserving and the session zone is
 pinned to UTC by ``session.REQUIRED_CONFS``, so ``unix_micros`` yields
 the same integer DuckDB's ``epoch_us`` computes on the naive TIMESTAMP

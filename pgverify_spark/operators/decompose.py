@@ -16,11 +16,18 @@ two-phase shape for PCA at corpus scale —
 Cross-engine determinism — same discipline as ``operators/lm.py``:
 embeddings are quantized to integer millionths (``round(x*1e6)`` of the
 exact float→double widening; both engines round halves identically on
-identical doubles), so gramian cells are exact int64 sums — products
-≤ 2^42, corpus sums fit comfortably — and the final descale is one
-IEEE division of identical integers.  The 1e-6 quantum is far below
-float32's own resolution for unit-scale embeddings, so this loses
-nothing real.
+identical doubles), so gramian cells are exact int64 sums, and the
+final descale is one IEEE division of identical integers.  The 1e-6
+quantum is far below float32's own resolution for unit-scale
+embeddings, so this loses nothing real.
+
+Overflow bound: unit-magnitude coordinates quantize to ~2^20, so each
+product is ~2^40 and an int64 cell sum is exact up to ~2^23 ≈ 8M rows
+of worst-case coordinates (typical unit-*norm* embeddings spread mass
+across dims, stretching this by ~d).  Beyond that row count, accumulate
+cells as ``DECIMAL(38,0)`` — still exact and order-independent, same
+shuffle shape — before the one final descale.  The same bound applies
+to ``similarity.label_prototype_outliers``'s (label, dim) sums.
 
 Reference scope check: /root/reference/query.go:193 (hash/agg scalar
 surface only) — no overlap.

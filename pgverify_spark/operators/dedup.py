@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
 from pgverify_spark.operators.util import barrier as _barrier
+from pgverify_spark.operators.util import tag_cached_deps as _tag_cached_deps
 from pgverify_spark.functions.text_exprs import (
     SIMHASH_BITS,
     cosine_sql,
@@ -585,6 +586,8 @@ def cross_corpus_lsh_pairs(
     """
     sh_new = _shingled(new_df)
     sh_corp = _shingled(corpus_df)
+    # per-ingest operator: caller releases the persisted shingle tables
+    # after materializing the result (util.release_cached_deps)
 
     def bands(sh: DataFrame, side: str) -> DataFrame:
         sig = sh.selectExpr(
@@ -601,7 +604,7 @@ def cross_corpus_lsh_pairs(
         .select("new_doc", "corpus_doc")
         .distinct()
     )
-    return (
+    return _tag_cached_deps(
         pairs.join(sh_new.selectExpr("doc_id AS new_doc", "shingles AS sh_a"), "new_doc")
         .join(sh_corp.selectExpr("doc_id AS corpus_doc", "shingles AS sh_b"), "corpus_doc")
         .selectExpr(
@@ -609,7 +612,9 @@ def cross_corpus_lsh_pairs(
             "corpus_doc",
             f"{jaccard_sql('sh_a', 'sh_b', DIALECT_SPARK)} AS jaccard",
         )
-        .filter(f"jaccard >= {threshold}")
+        .filter(f"jaccard >= {threshold}"),
+        sh_new,
+        sh_corp,
     )
 
 
@@ -660,7 +665,9 @@ def semantic_dup_pairs(
     vec_id keyed to doc_id.  Output: (doc_a, doc_b, jaccard, cosine,
     signal) where signal ∈ {'text', 'embedding', 'both'} names which
     verifier(s) passed; pairs lacking a text side (too few tokens)
-    report jaccard 0.
+    report jaccard 0, and pairs lacking an embedding row on either side
+    report cosine 0 (so a text-LSH candidate still surfaces via its
+    exact Jaccard — embedding coverage is not a precondition).
 
     Scale shape: both candidate generators are the bucketed equi-joins
     of their standalone operators (ids-only shuffles); the union is
@@ -695,16 +702,16 @@ def semantic_dup_pairs(
     cands = text_cands.unionByName(emb_cands).distinct()
     j = jaccard_sql("sh_a", "sh_b", DIALECT_SPARK)
     c = cosine_sql("emb_a", "emb_b", DIALECT_SPARK)
-    return (
+    out = (
         cands.join(sh.selectExpr("doc_id AS doc_a", "shingles AS sh_a"), "doc_a", "left")
         .join(sh.selectExpr("doc_id AS doc_b", "shingles AS sh_b"), "doc_b", "left")
-        .join(embs.selectExpr("vec_id AS doc_a", "embedding AS emb_a"), "doc_a")
-        .join(embs.selectExpr("vec_id AS doc_b", "embedding AS emb_b"), "doc_b")
+        .join(embs.selectExpr("vec_id AS doc_a", "embedding AS emb_a"), "doc_a", "left")
+        .join(embs.selectExpr("vec_id AS doc_b", "embedding AS emb_b"), "doc_b", "left")
         .selectExpr(
             "doc_a",
             "doc_b",
             f"coalesce({j}, CAST(0 AS DOUBLE)) AS jaccard",
-            f"{c} AS cosine",
+            f"coalesce({c}, CAST(0 AS DOUBLE)) AS cosine",
         )
         .filter(f"jaccard >= {j_thresh} OR cosine >= {cos_thresh}")
         .selectExpr(
@@ -716,6 +723,7 @@ def semantic_dup_pairs(
             f"WHEN jaccard >= {j_thresh} THEN 'text' ELSE 'embedding' END AS signal",
         )
     )
+    return _tag_cached_deps(out, sh, sig)
 
 
 def semantic_dup_pairs_oracle_sql(
@@ -743,11 +751,12 @@ def semantic_dup_pairs_oracle_sql(
         "FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id), "
         "cand AS (SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM tc UNION ALL SELECT * FROM ec)), "
         "scored AS (SELECT cand.doc_a, cand.doc_b, "
-        f"coalesce({j}, CAST(0 AS DOUBLE)) AS jaccard, {c} AS cosine "
+        f"coalesce({j}, CAST(0 AS DOUBLE)) AS jaccard, "
+        f"coalesce({c}, CAST(0 AS DOUBLE)) AS cosine "
         "FROM cand LEFT JOIN shn a ON cand.doc_a = a.doc_id "
         "LEFT JOIN shn b ON cand.doc_b = b.doc_id "
-        f"JOIN {embs_table} ea ON cand.doc_a = ea.vec_id "
-        f"JOIN {embs_table} eb ON cand.doc_b = eb.vec_id) "
+        f"LEFT JOIN {embs_table} ea ON cand.doc_a = ea.vec_id "
+        f"LEFT JOIN {embs_table} eb ON cand.doc_b = eb.vec_id) "
         "SELECT doc_a, doc_b, jaccard, cosine, "
         f"CASE WHEN jaccard >= {j_thresh} AND cosine >= {cos_thresh} THEN 'both' "
         f"WHEN jaccard >= {j_thresh} THEN 'text' ELSE 'embedding' END AS signal "
@@ -882,6 +891,12 @@ def probe_lsh_index(
     and the shingle join-back both plan ZERO corpus-side Exchange
     (asserted in tests/test_bucketed.py), so per-ingest shuffle cost is
     O(batch) by plan shape, not just by argument.
+
+    A long-running ingest loop should call
+    ``util.release_cached_deps(result)`` after materializing each
+    batch's result: the batch-side shingle table is persisted per call
+    (load-bearing, see ``_shingled``) and is tagged on the returned
+    DataFrame for exactly this release.
     """
     from pgverify_spark.sources.bucketed import read_bucketed
 
@@ -899,7 +914,7 @@ def probe_lsh_index(
         .select("new_doc", "corpus_doc")
         .distinct()
     )
-    return (
+    return _tag_cached_deps(
         pairs.join(sh_new.selectExpr("doc_id AS new_doc", "shingles AS sh_a"), "new_doc")
         .join(corpus_sh.selectExpr("doc_id AS corpus_doc", "shingles AS sh_b"), "corpus_doc")
         .selectExpr(
@@ -907,5 +922,6 @@ def probe_lsh_index(
             "corpus_doc",
             f"{jaccard_sql('sh_a', 'sh_b', DIALECT_SPARK)} AS jaccard",
         )
-        .filter(f"jaccard >= {threshold}")
+        .filter(f"jaccard >= {threshold}"),
+        sh_new,
     )

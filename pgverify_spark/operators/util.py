@@ -11,10 +11,24 @@ def parallelize(df: DataFrame) -> DataFrame:
     a small input (few files / few row groups) would otherwise pin to a
     handful of cores.  At 100 TB the scan has orders of magnitude more
     splits than cores and this is a no-op — no shuffle is ever added to a
-    large input."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    large input.
+
+    The split-count probe (``df.rdd.getNumPartitions``) builds the
+    physical RDD DAG, which is wasteful at plan-build frequency, so it is
+    gated behind Catalyst's size estimate: a plan whose input is at least
+    cores × maxPartitionBytes necessarily scans with ≥cores splits, so
+    large inputs skip the probe (and the repartition) without ever
+    materializing an RDD — only driver-cheap small plans pay the probe."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    cores = sc.defaultParallelism
+    max_split = int(
+        spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+    )
+    if plan_size_bytes(df) >= cores * max_split:
+        return df
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
     return df
 
 
@@ -24,6 +38,28 @@ def plan_size_bytes(df: DataFrame) -> int:
     — for sources without statistics, so unknown sizes take large-input
     paths)."""
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def tag_cached_deps(result: DataFrame, *deps: DataFrame) -> DataFrame:
+    """Record persisted intermediates on a returned DataFrame so callers
+    can release them once the result is materialized."""
+    result._pgvs_cached_deps = deps  # type: ignore[attr-defined]
+    return result
+
+
+def release_cached_deps(result: DataFrame) -> None:
+    """Unpersist the cached intermediates backing ``result``.
+
+    Operators meant to run repeatedly in a long-lived session (the
+    per-ingest probes: ``dedup.probe_lsh_index``,
+    ``dedup.cross_corpus_lsh_pairs``, ``dedup.semantic_dup_pairs``)
+    persist load-bearing intermediates per invocation.  Spark evicts
+    cached blocks LRU under memory pressure, so leaking them is not a
+    correctness bug — but a long ingest loop should call this after
+    materializing each batch's result to keep executor storage flat.
+    No-op for results with no tagged deps."""
+    for dep in getattr(result, "_pgvs_cached_deps", ()):
+        dep.unpersist()
 
 
 def barrier(df: DataFrame) -> DataFrame:

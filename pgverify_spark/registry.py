@@ -191,7 +191,18 @@ def _type_matrix_entry() -> dict[str, tuple[Callable, str]]:
     so both engines build identical values, then full-fingerprinted
     through the same canonicalization paths a real table of those types
     would use (string canon for uuid/bit/varbit — PG renders them as
-    text — and element-recursive array canon for the arrays)."""
+    text — and element-recursive array canon for the arrays).
+
+    ``ts_ns`` drives the bigint-nanos timestamp canon through its
+    pre-1970 floor edge as a driver-visible row: o_orderkey%5 selects
+    epoch-microsecond offsets including -500 us (1969-12-31
+    23:59:59.9995 — floor-vs-truncate diverge: ms-floor is -1000, a
+    plain DIV would give 0; canonical.py:102-122).  DuckDB 1.0 cannot
+    *construct* sub-microsecond TIMESTAMP_NS values in SQL (both the
+    literal parser and make_timestamp are us-resolution), so the
+    driver-visible values are exact-us nanos; the sub-us step of the
+    two-step floor is proven by tests/test_canonical_edge.py against a
+    real TIMESTAMP(NANOS) parquet file both engines read."""
     from pgverify_spark.operators.fingerprint import FINGERPRINT_OPS, fingerprint_oracle_sql
     from pgverify_spark.sources.schemas import TableSchema
 
@@ -204,12 +215,25 @@ def _type_matrix_entry() -> dict[str, tuple[Callable, str]]:
             ("vb", "string"),         # varbit(3) text form: '000'..'111'
             ("arr_big", "array<bigint>"),
             ("arr_text", "array<string>"),
+            ("ts_ns", "timestamp_ns"),  # bigint nanos (Spark) / TIMESTAMP_NS (DuckDB)
         ),
         ("id",),
     )
 
+    #: epoch-us offsets for ts_ns: pre-1970 sub-ms floor edges + varied
+    #: sub-ms non-multiples (k = o_orderkey)
+    _TS_US = (
+        "CASE CAST({k} % 5 AS INT) "
+        "WHEN 0 THEN CAST(-500 AS BIGINT) "          # 1969-12-31 23:59:59.9995
+        "WHEN 1 THEN CAST(-1 AS BIGINT) "            # 23:59:59.999999
+        "WHEN 2 THEN CAST(500 AS BIGINT) "           # post-1970 sub-ms
+        "WHEN 3 THEN CAST(-86400000500 AS BIGINT) "  # 1969-12-30 23:59:59.9995
+        "ELSE {k} * 1000 + ({k} % 997) END"
+    )
+
     def derive_sql(dialect: str) -> str:
         k = "o_orderkey"
+        ts_us = _TS_US.format(k=k)
         if dialect == "spark":
             scast, m = "STRING", f"md5(CAST({k} AS STRING))"
             bit = lambda n: f"(shiftright({k}, {n}) & 1)"
@@ -217,6 +241,7 @@ def _type_matrix_entry() -> dict[str, tuple[Callable, str]]:
             arr2 = f"array({k}, CAST(-1 AS BIGINT))"
             split_ = "split(o_orderpriority, '-')"
             empty_text = "CAST(array() AS ARRAY<STRING>)"
+            ts_ns = f"CAST(({ts_us}) * 1000 AS BIGINT)"
         else:
             scast, m = "VARCHAR", f"md5(CAST({k} AS VARCHAR))"
             bit = lambda n: f"(({k} >> {n}) & 1)"
@@ -224,6 +249,7 @@ def _type_matrix_entry() -> dict[str, tuple[Callable, str]]:
             arr2 = f"[{k}, CAST(-1 AS BIGINT)]"
             split_ = "string_split(o_orderpriority, '-')"
             empty_text = "CAST([] AS VARCHAR[])"
+            ts_ns = f"CAST(make_timestamp(CAST(({ts_us}) AS BIGINT)) AS TIMESTAMP_NS)"
         return (
             f"SELECT {k} AS id, "
             f"concat_ws('-', substr({m}, 1, 8), substr({m}, 9, 4), substr({m}, 13, 4), "
@@ -232,7 +258,8 @@ def _type_matrix_entry() -> dict[str, tuple[Callable, str]]:
             f"concat(CAST({bit(2)} AS {scast}), CAST({bit(1)} AS {scast}), CAST({bit(0)} AS {scast})) AS vb, "
             f"CASE WHEN {k} % 5 = 0 THEN {empty_big} WHEN {k} % 7 = 0 THEN {null_big} "
             f"ELSE {arr2} END AS arr_big, "
-            f"CASE WHEN {k} % 11 = 0 THEN {empty_text} ELSE {split_} END AS arr_text "
+            f"CASE WHEN {k} % 11 = 0 THEN {empty_text} ELSE {split_} END AS arr_text, "
+            f"{ts_ns} AS ts_ns "
             "FROM orders"
         )
 
@@ -1461,8 +1488,90 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
     return {"verify_report_parquet_vs_csv": (run, " UNION ALL ".join(selects))}
 
 
+#: Names the driver's bounded CORRECTNESS window should certify FIRST.
+#: The driver compares roughly the first 50 ``queries()`` entries in
+#: insertion order per round, so this list rotates per round: round 3
+#: front-loads the two operators whose round-1 driver failure was fixed
+#: but never driver-reverified (hourly/daily rollup, stateful streaming
+#: fingerprint) followed by every query that has never had a driver row
+#: (r01+r02 covered the fingerprint/diff/report/dedup/text families).
+#: Everything not listed keeps registration order after the priority
+#: block — nothing is ever dropped, only reordered.
+_DRIVER_PRIORITY = (
+    # r1 driver-FAILED, fixed in r2, never driver-reverified
+    "hourly_rollup_events",
+    "daily_rollup_events",
+    "streaming_stateful_bucket_fingerprint_events",
+    # never driver-checked: streaming family (pytest-only until now)
+    "streaming_dedup_documents",
+    "streaming_session_rollup_events",
+    "streaming_funnel_events",
+    "streaming_kmv_distinct_documents",
+    "streaming_bloom_decontaminate_documents",
+    "streaming_windowed_counts_events",
+    "streaming_lm_scores_documents",
+    # never driver-checked: events/time-series family
+    "sessionize_events",
+    "event_transitions_events",
+    "funnel_events",
+    "asof_join_events",
+    "interval_join_rollup_events",
+    "cohort_retention_events",
+    "moving_average_events",
+    "daily_anomalies_events",
+    "daily_trend_slope_events",
+    # never driver-checked: embeddings family
+    "kmeans_assign_embeddings",
+    "random_project_embeddings",
+    "label_outliers_embeddings",
+    "gramian_embeddings",
+    "quantize_int8_embeddings",
+    "quantized_topk_embeddings",
+    # never driver-checked: text/corpus analysis
+    "quality_filter_documents",
+    "topk_ngrams_documents",
+    "length_percentiles_documents",
+    "length_histogram_documents",
+    "corpus_mix_report_documents",
+    "tfidf_top_terms_documents",
+    "vocab_coverage_documents",
+    "bigram_lm_scores_documents",
+    "scrub_pii_documents",
+    # never driver-checked: prep/sampling
+    "stratified_sample_documents",
+    "mixture_sample_documents",
+    "chunk_documents",
+    "pack_sequences_documents",
+    "hash_split_documents",
+    "assign_shards_documents",
+    # never driver-checked: joins/skew/sketch/analytics
+    "grouped_topk_revenue_lineitem",
+    "equidepth_histogram_orders",
+    "salted_join_revenue",
+    "fuzzy_join_pairs_part",
+    "kmv_distinct_documents",
+    "kmv_distinct_events",
+    "key_distribution_lineitem",
+    "heavy_hitters_lineitem",
+    "fk_integrity_report",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    # changed this round (real media decode) — re-certify next in line
+    "multimodal_features_documents",
+    "multimodal_resize_documents",
+    "multimodal_frame_sample_documents",
+    # thin smoke core: one row per fingerprint mode
+    "full_fingerprint_lineitem",
+    "bookend_fingerprint_lineitem",
+    "sparse_fingerprint_lineitem",
+    "rowcount_fingerprint_lineitem",
+    "bucketed_fingerprint_lineitem",
+    "additive_fingerprint_lineitem",
+)
+
+
 def _entries() -> dict[str, tuple[Callable, str | None]]:
-    return {
+    merged = {
         **_fingerprint_entries(),
         **_file_roundtrip_entries(),
         **_type_matrix_entry(),
@@ -1472,6 +1581,9 @@ def _entries() -> dict[str, tuple[Callable, str | None]]:
         **_pipeline_entries(),
         **_streaming_entry(),
     }
+    out = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
+    out.update((name, v) for name, v in merged.items() if name not in out)
+    return out
 
 
 #: Queries timed by bench.py (the perf-representative subset).

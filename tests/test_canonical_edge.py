@@ -191,6 +191,14 @@ def test_timestamp_ns_pre_epoch_floor(spark, duck, tmp_path):
         -1,
         0,
         1_500_000,
+        # sub-microsecond magnitudes: DuckDB's NANOS parquet read
+        # truncates ns->us TOWARD ZERO (-500 ns reads as 0 us, -1500 ns
+        # as -1 us) before date_trunc floors — exactly the two-step
+        # canonical.py formula; a one-step ns floor would give -1 us /
+        # -2 us here and flip the fingerprint
+        -500,
+        -1_500,
+        1_234_567,
         -3_600_000_000_001,     # 1 ns before a negative hour boundary
         -63_115_200_000_000_000,  # 1968-01-01, exact
         1_700_000_000_123_456_789,

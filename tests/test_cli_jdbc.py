@@ -174,3 +174,50 @@ def test_quoting_helpers_escape_embedded_quotes():
     assert "'tbl''s'" in build_columns_query("pub'lic", "tbl's")
     assert '"sch""ema"."ta""ble"' in build_rowcount_query('sch"ema', 'ta"ble')
     assert pg_text_cast('col"umn', "text") == '"col""umn"::TEXT'
+
+
+def test_cli_help_covers_reference_flags():
+    """--help golden test mirroring cmd/pgverify/cmd_test.go:11-45: every
+    flag the reference registers (cmd.go:22-44) exists here with the
+    same name and default."""
+    from pgverify_spark.cli import build_parser
+
+    parser = build_parser()
+    help_text = parser.format_help()
+    reference_flags = (
+        "--aliases",
+        "--bookend-limit",
+        "--exclude-columns",
+        "--exclude-schemas",
+        "--exclude-tables",
+        "--hash-primary-keys",
+        "--include-columns",
+        "--include-schemas",
+        "--include-tables",
+        "--level",
+        "--sparse-mod",
+        "--tests",
+        "--tz-precision",
+    )
+    for flag in reference_flags:
+        assert flag in help_text, f"missing reference flag {flag}"
+
+    defaults = parser.parse_args(["t1"])
+    # reference defaults: cmd.go:40-41 (1000/10), cmd.go:31
+    # ("milliseconds"), cmd.go:32 ("info")
+    assert defaults.bookend_limit == 1000
+    assert defaults.sparse_mod == 10
+    assert defaults.timestamp_precision == "milliseconds"
+    assert defaults.level == "info"
+    assert defaults.hash_primary_keys is False
+    # both spellings parse to the same dest (reference name + legacy)
+    assert (
+        build_parser().parse_args(["t", "--tz-precision", "seconds"]).timestamp_precision
+        == "seconds"
+    )
+    assert (
+        build_parser()
+        .parse_args(["t", "--timestamp-precision", "hours"])
+        .timestamp_precision
+        == "hours"
+    )
