@@ -1,173 +1,416 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: real binary media payloads + real decode.
 
-Beyond-reference extension: a 100 TB training pipeline carries
-image/audio/video as opaque ``binary`` columns with typed metadata, and
+Beyond-reference extension (the reference verifies cross-database table
+equality, SURVEY.md §2.3; it has no media tooling): a 100 TB training
+pipeline carries image/audio/video as opaque ``binary`` columns and
 runs decode / feature-extract / resize / frame-sample as Arrow-batched
-Python over ``mapInPandas``.  The decode step itself is STUBBED here
-(image/audio libraries are not available in this environment —
-``NotImplementedError`` behind ``decode_stub``) but everything Spark
-cares about is real and tested: the binary column, the schema contract,
-the Arrow batch shapes, and the deterministic feature extraction, which
-is oracle-checked against DuckDB blob functions.
+Python over ``mapInPandas``.
+
+No image/audio *libraries* exist in this environment, so the media
+formats are the classic codec-free containers — 24-bit uncompressed
+BMP, binary PPM (P6), and PCM16 WAV — parsed and synthesized with
+``struct``/numpy only.  The decode path is REAL: it sniffs magic bytes,
+walks container headers (RIFF chunks, BMP's bottom-up BGR rows, PPM's
+ASCII header), and the extracted dimensions/durations and resized-pixel
+checksums are verified against a DuckDB oracle that predicts them from
+the synthesis formulas — a decoder that mis-parsed a header offset, or
+forgot BMP's row flip or BGR order, fails the value-hash immediately.
+Swapping in PIL/libav for compressed formats changes only the body of
+``decode_media``; every schema, batch shape and plan stays as-is.
+
+Payload synthesis is deterministic from md5(text) (``_h48``), so both
+engines can derive the expected features without shipping bytes into
+SQL; the Spark side measures them from the actual decoded container.
 
 Scale: ``mapInPandas`` streams Arrow record batches through one Python
 worker per core with no shuffle; payload bytes never pass through the
-driver.  Feature extraction is a pure projection — partitioning is
-whatever the source had, which is exactly right.
+driver and never shuffle (synthesis, decode and feature extraction fuse
+into one stage over the source partitioning).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
 from pgverify_spark.functions.canonical import DIALECT_DUCKDB, hex_prefix_int_sql
 
-#: Schema of the extracted-feature output (driver contract: stable).
-FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes bigint, checksum string, media_type string, "
-    "width int, height int"
-)
+# ---------------------------------------------------------------------------
+# Deterministic synthesis parameters (mirrored in the oracle SQL)
+# ---------------------------------------------------------------------------
 
-_MEDIA_TYPES = ("image/png", "image/jpeg", "audio/wav")
+#: kind = h48 % 3 -> 0: BMP image, 1: PPM image, 2: WAV audio.
+MEDIA_TYPES = ("image/bmp", "image/x-portable-pixmap", "audio/wav")
+#: pixel-formula seed modulus (prime < 256).
+SEED_MOD = 251
+#: image dims: w in 4..32, h in 4..26 (small; pixel count is w*h*3 bytes).
+W_BASE, W_DIV, W_MOD = 4, 3, 29
+H_BASE, H_DIV, H_MOD = 4, 97, 23
+#: WAV: PCM16 mono at a fixed rate; sample count in 256..4351.
+SAMPLE_RATE = 8000
+NS_BASE, NS_DIV, NS_MOD = 256, 7, 4096
+#: samples per video-style "frame" for the frame sampler.
+FRAME_SAMPLES = 256
 
 
-def attach_payload(df: DataFrame) -> DataFrame:
-    """Attach an opaque binary payload column (here: UTF-8 text bytes
-    standing in for image bytes) — the ingestion half of the plumbing."""
-    return df.selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+def _h48(text: str) -> int:
+    return int(hashlib.md5(text.encode()).hexdigest()[:12], 16)
 
 
-def decode_stub(payload: bytes) -> None:
-    """Placeholder for a real decoder (PIL / libav).  Not available in
-    this environment; the feature extractor uses deterministic
-    hash-derived pseudo-features instead."""
-    raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; wire PIL/av here in production"
+def _params(h48: int) -> tuple[int, int, int, int, int]:
+    """(kind, seed, width, height, n_samples) from the doc hash."""
+    return (
+        h48 % 3,
+        h48 % SEED_MOD,
+        W_BASE + (h48 // W_DIV) % W_MOD,
+        H_BASE + (h48 // H_DIV) % H_MOD,
+        NS_BASE + (h48 // NS_DIV) % NS_MOD,
     )
 
 
-def _features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched feature extraction (runs on executors)."""
-    for pdf in it:
-        digests = [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]]
-        h48 = [int(d[:12], 16) for d in digests]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                "checksum": digests,
-                # deterministic pseudo-decode: a real decoder would parse
-                # the container header here (see decode_stub)
-                "media_type": [_MEDIA_TYPES[h % len(_MEDIA_TYPES)] for h in h48],
-                "width": [64 + h % 1920 for h in h48],
-                "height": [64 + (h // 1920) % 1080 for h in h48],
-            }
-        )
+def _rgb_plane(seed: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8 gradient pixels — formulas mirrored in the oracle."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = (seed + 7 * x + 13 * y) % 256
+    g = (2 * seed + 11 * x + 5 * y) % 256
+    b = (3 * seed + 3 * x + 17 * y) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _pcm(seed: int, n: int) -> np.ndarray:
+    """n int16 samples — formula mirrored in the oracle."""
+    i = np.arange(n, dtype=np.int64)
+    return ((seed * 31 + 11 * i) % 65536 - 32768).astype(np.int16)
+
+
+def _make_bmp(seed: int, w: int, h: int) -> bytes:
+    """24bpp uncompressed BMP: bottom-up rows, BGR order, 4-byte row pad."""
+    px = _rgb_plane(seed, w, h)
+    pad = (-3 * w) % 4
+    stride = 3 * w + pad
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # flip rows, RGB->BGR
+    body = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def _make_ppm(seed: int, w: int, h: int) -> bytes:
+    """Binary PPM (P6): ASCII header + top-down RGB rows, no padding."""
+    return f"P6\n{w} {h}\n255\n".encode() + _rgb_plane(seed, w, h).tobytes()
+
+
+def _make_wav(seed: int, n: int) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + PCM16LE mono samples."""
+    body = _pcm(seed, n).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(body), b"WAVE",
+        b"fmt ", 16, 1, 1, SAMPLE_RATE, SAMPLE_RATE * 2, 2, 16,
+        b"data", len(body),
+    )
+    return hdr + body
+
+
+def synthesize_media(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) — a real binary media column derived
+    deterministically from each document's text hash (the ingestion half
+    of the plumbing; in production this column comes off object storage).
+    """
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                kind, seed, w, h, n = _params(_h48(text))
+                if kind == 0:
+                    payloads.append(_make_bmp(seed, w, h))
+                elif kind == 1:
+                    payloads.append(_make_ppm(seed, w, h))
+                else:
+                    payloads.append(_make_wav(seed, n))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id", "text").mapInPandas(batch, "doc_id bigint, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Decode — real container parsing (struct/numpy only, no codecs)
+# ---------------------------------------------------------------------------
+
+def decode_media(payload: bytes) -> dict:
+    """Parse a BMP/PPM/WAV container into typed metadata + raw content.
+
+    Returns ``media_type, width, height, sample_rate, n_samples,
+    duration_us`` plus the decoded content: ``pixels`` as an (h, w, 3)
+    top-down RGB uint8 array for images, ``samples`` as an int16 array
+    for audio.  Raises ``ValueError`` on an unknown or malformed
+    container (unknown magic, unsupported bpp, truncated body).
+    """
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        if bpp != 24 or planes != 1 or h <= 0 or w <= 0:
+            raise ValueError(f"unsupported BMP (bpp={bpp}, {w}x{h})")
+        stride = (3 * w + 3) // 4 * 4
+        body = np.frombuffer(payload, np.uint8, count=h * stride, offset=data_off)
+        rows = body.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+        return {
+            "media_type": "image/bmp",
+            "width": w,
+            "height": h,
+            "sample_rate": None,
+            "n_samples": None,
+            "duration_us": None,
+            "pixels": rows[::-1, :, ::-1],  # bottom-up BGR -> top-down RGB
+            "samples": None,
+        }
+    if payload[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws>
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while payload[pos : pos + 1].isspace():
+                pos += 1
+            start = pos
+            while not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        px = np.frombuffer(payload, np.uint8, count=3 * w * h, offset=pos)
+        return {
+            "media_type": "image/x-portable-pixmap",
+            "width": w,
+            "height": h,
+            "sample_rate": None,
+            "n_samples": None,
+            "duration_us": None,
+            "pixels": px.reshape(h, w, 3),
+            "samples": None,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # walk RIFF chunks for fmt and data (real files interleave others)
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid, clen = struct.unpack_from("<4sI", payload, pos)
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            elif cid == b"data":
+                data = payload[pos + 8 : pos + 8 + clen]
+            pos += 8 + clen + (clen & 1)
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        audio_fmt, channels, rate, _, _, bits = fmt
+        if audio_fmt != 1 or bits != 16 or channels != 1:
+            raise ValueError(f"unsupported WAV (fmt={audio_fmt}, {bits}bit x{channels})")
+        samples = np.frombuffer(data, "<i2")
+        return {
+            "media_type": "audio/wav",
+            "width": None,
+            "height": None,
+            "sample_rate": rate,
+            "n_samples": len(samples),
+            "duration_us": len(samples) * 1_000_000 // rate,
+            "pixels": None,
+            "samples": samples,
+        }
+    raise ValueError(f"unknown container magic {payload[:4]!r}")
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction
+# ---------------------------------------------------------------------------
+
+#: Schema of the extracted-feature output (driver contract: stable).
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, width int, height int, "
+    "sample_rate int, n_samples int, duration_us bigint"
+)
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """Binary payload -> typed metadata via Arrow-batched mapInPandas."""
-    return attach_payload(df).mapInPandas(_features_batch, FEATURE_SCHEMA)
-
-
-#: Output schema of the resize stub.
-RESIZE_SCHEMA = "doc_id bigint, width int, height int, checksum string"
-#: Characters per pseudo-video frame for the frame sampler.
-FRAME_CHARS = 128
-FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_checksum string"
-
-
-def resize_images(df: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
-    """Resize plumbing: Arrow-batched 1->1 projection over payload bytes.
-
-    A real implementation decodes and resamples pixels (``decode_stub``);
-    here the "resized" artifact is a deterministic checksum of
-    (payload, target size), so the batch shape, schema contract and
-    partitioning behavior are real and oracle-checkable.
-    """
-
-    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tag = f"|{width}x{height}".encode()
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": width,
-                    "height": height,
-                    "checksum": [
-                        hashlib.md5(bytes(p) + tag).hexdigest() for p in pdf["payload"]
-                    ],
-                }
-            )
-
-    return attach_payload(df).mapInPandas(batch, RESIZE_SCHEMA)
-
-
-def resize_images_oracle_sql(table: str, width: int = 64, height: int = 48) -> str:
-    return (
-        f"SELECT doc_id, {width} AS width, {height} AS height, "
-        f"md5(text || '|{width}x{height}') AS checksum FROM {table}"
-    )
-
-
-def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
-    """Frame-sampling plumbing: Arrow-batched 1->N fan-out — each payload
-    is treated as a frame sequence (``FRAME_CHARS`` characters per frame)
-    and every ``every_n``-th frame is emitted as its own row, the shape a
-    real video sampler produces.  Frame identity is the md5 of the frame
-    slice, so the fan-out is oracle-checkable end-to-end.
-    """
+    """Binary payload -> typed metadata, via real container decode in
+    Arrow-batched ``mapInPandas`` (synthesis and decode fuse into one
+    scan stage; payload bytes never shuffle)."""
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids: list[int] = []
-            idxs: list[int] = []
-            sums: list[str] = []
+            rows = []
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
-                t = bytes(p).decode("utf-8")
-                for i in range(0, len(t) // FRAME_CHARS, every_n):
-                    ids.append(did)
-                    idxs.append(i)
-                    sums.append(
-                        hashlib.md5(
-                            t[i * FRAME_CHARS : (i + 1) * FRAME_CHARS].encode()
-                        ).hexdigest()
-                    )
+                m = decode_media(bytes(p))
+                rows.append(
+                    (did, m["media_type"], len(p), m["width"], m["height"],
+                     m["sample_rate"], m["n_samples"], m["duration_us"])
+                )
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
-            )
+                rows,
+                columns=["doc_id", "media_type", "n_bytes", "width", "height",
+                         "sample_rate", "n_samples", "duration_us"],
+            ).astype({"width": "Int32", "height": "Int32", "sample_rate": "Int32",
+                      "n_samples": "Int32", "duration_us": "Int64"})
 
-    return attach_payload(df).mapInPandas(batch, FRAME_SAMPLE_SCHEMA)
+    return synthesize_media(df).mapInPandas(batch, FEATURE_SCHEMA)
 
 
-def frame_sample_oracle_sql(table: str, every_n: int = 2) -> str:
-    fc = FRAME_CHARS
+def _oracle_params(table: str) -> str:
+    """WITH-clause body deriving (kind, seed, w, h, ns) per doc in DuckDB."""
+    h48 = hex_prefix_int_sql("md5(text)", DIALECT_DUCKDB)
     return (
-        f"SELECT doc_id, CAST(i AS INT) AS frame_idx, "
-        f"md5(substr(text, CAST(i * {fc} + 1 AS INT), {fc})) AS frame_checksum FROM "
-        f"(SELECT doc_id, text, unnest(range(0, length(text) // {fc})) AS i "
-        f"FROM {table}) t WHERE i % {every_n} = 0"
+        f"params AS (SELECT doc_id, h48 % 3 AS kind, h48 % {SEED_MOD} AS seed, "
+        f"{W_BASE} + (h48 // {W_DIV}) % {W_MOD} AS w, "
+        f"{H_BASE} + (h48 // {H_DIV}) % {H_MOD} AS h, "
+        f"{NS_BASE} + (h48 // {NS_DIV}) % {NS_MOD} AS ns "
+        f"FROM (SELECT doc_id, {h48} AS h48 FROM {table}) t)"
     )
 
 
 def extract_features_oracle_sql(table: str) -> str:
-    """DuckDB twin: the payload is UTF-8 text bytes, so md5(text) equals
-    the Python md5 of the payload and blob length is octet_length."""
-    h48 = hex_prefix_int_sql("md5(text)", DIALECT_DUCKDB)
-    media = (
-        f"CASE ({h48} % 3) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' "
-        "ELSE 'audio/wav' END"
-    )
+    """DuckDB twin: predicts every decoded feature (including exact
+    container byte size) from the synthesis formulas — BMP is 54-byte
+    headers + 4-byte-padded rows, PPM is an ASCII header + 3wh, WAV is a
+    44-byte header + 2 bytes per sample."""
     return (
-        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
-        "md5(text) AS checksum, "
-        f"{media} AS media_type, "
-        f"CAST(64 + ({h48} % 1920) AS INT) AS width, "
-        f"CAST(64 + (({h48} // 1920) % 1080) AS INT) AS height "
-        f"FROM {table}"
+        f"WITH {_oracle_params(table)} "
+        "SELECT doc_id, "
+        f"CASE kind WHEN 0 THEN '{MEDIA_TYPES[0]}' WHEN 1 THEN '{MEDIA_TYPES[1]}' "
+        f"ELSE '{MEDIA_TYPES[2]}' END AS media_type, "
+        "CAST(CASE kind WHEN 0 THEN 54 + ((3 * w + 3) // 4) * 4 * h "
+        "WHEN 1 THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h "
+        "ELSE 44 + 2 * ns END AS BIGINT) AS n_bytes, "
+        "CAST(CASE WHEN kind IN (0, 1) THEN w END AS INT) AS width, "
+        "CAST(CASE WHEN kind IN (0, 1) THEN h END AS INT) AS height, "
+        f"CAST(CASE WHEN kind = 2 THEN {SAMPLE_RATE} END AS INT) AS sample_rate, "
+        "CAST(CASE WHEN kind = 2 THEN ns END AS INT) AS n_samples, "
+        f"CAST(CASE WHEN kind = 2 THEN ns * 1000000 // {SAMPLE_RATE} END AS BIGINT) AS duration_us "
+        "FROM params"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resize (images): decode -> nearest-neighbor resample -> canonical checksum
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, checksum string"
+
+
+def _canon_pixels_md5(px: np.ndarray) -> str:
+    """md5 of the engine-neutral pixel rendering 'r,g,b;' row-major —
+    the form the oracle reproduces with string_agg."""
+    flat = px.reshape(-1, 3)
+    s = "".join(f"{r},{g},{b};" for r, g, b in flat)
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
+    """Decode each image payload and nearest-neighbor resample it to
+    (width, height); audio rows are routed out (a real pipeline sends
+    them to the audio path).  The output checksum hashes the actual
+    resized pixel buffer, so a decoder that mis-handled BMP's bottom-up
+    BGR rows or PPM's header produces the wrong value, not just a
+    different-looking image.
+
+    Scale shape: pure 1->1 Arrow projection fused over the source scan;
+    nearest-neighbor index math is numpy on the executor, no shuffle.
+    """
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_media(bytes(p))
+                if m["pixels"] is None:
+                    continue
+                px = m["pixels"]
+                sy = (np.arange(height) * m["height"]) // height
+                sx = (np.arange(width) * m["width"]) // width
+                rows.append((did, width, height, _canon_pixels_md5(px[sy][:, sx])))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "checksum"])
+
+    return synthesize_media(df).mapInPandas(batch, RESIZE_SCHEMA)
+
+
+def resize_images_oracle_sql(table: str, width: int = 64, height: int = 48) -> str:
+    """DuckDB twin: regenerates the resized pixel stream from the
+    synthesis formulas + the same nearest-neighbor index map and hashes
+    the identical canonical rendering."""
+    return (
+        f"WITH {_oracle_params(table)}, "
+        f"imgs AS (SELECT doc_id, seed, w, h FROM params WHERE kind IN (0, 1)), "
+        f"cells AS (SELECT doc_id, seed, w, h, unnest(range(0, {width * height})) AS idx FROM imgs), "
+        f"px AS (SELECT doc_id, idx, "
+        f"(seed + 7 * sx + 13 * sy) % 256 AS r, "
+        f"(2 * seed + 11 * sx + 5 * sy) % 256 AS g, "
+        f"(3 * seed + 3 * sx + 17 * sy) % 256 AS b "
+        f"FROM (SELECT doc_id, seed, idx, ((idx % {width}) * w) // {width} AS sx, "
+        f"((idx // {width}) * h) // {height} AS sy FROM cells) t) "
+        f"SELECT doc_id, {width} AS width, {height} AS height, "
+        "md5(string_agg(CAST(r AS VARCHAR) || ',' || CAST(g AS VARCHAR) || ',' || "
+        "CAST(b AS VARCHAR) || ';', '' ORDER BY idx)) AS checksum "
+        "FROM px GROUP BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (audio): decode -> fixed windows -> every Nth window
+# ---------------------------------------------------------------------------
+
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_checksum string"
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Sample every ``every_n``-th fixed-size window ("frame") of each
+    audio payload's decoded PCM stream — the 1->N fan-out shape a video
+    frame sampler produces, here over the one time-indexed medium the
+    codec-free containers provide.  Frame identity hashes the actual
+    decoded samples (canonical 'v;' rendering), oracle-checkable
+    end-to-end; the ragged tail (< FRAME_SAMPLES samples) is dropped,
+    as frame samplers do.
+    """
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sums = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_media(bytes(p))
+                if m["samples"] is None:
+                    continue
+                s = m["samples"]
+                for f in range(0, len(s) // FRAME_SAMPLES, every_n):
+                    win = s[f * FRAME_SAMPLES : (f + 1) * FRAME_SAMPLES]
+                    canon = "".join(f"{v};" for v in win)
+                    ids.append(did)
+                    idxs.append(f)
+                    sums.append(hashlib.md5(canon.encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
+            )
+
+    return synthesize_media(df).mapInPandas(batch, FRAME_SAMPLE_SCHEMA)
+
+
+def frame_sample_oracle_sql(table: str, every_n: int = 2) -> str:
+    fs = FRAME_SAMPLES
+    return (
+        f"WITH {_oracle_params(table)}, "
+        "aud AS (SELECT doc_id, seed, ns FROM params WHERE kind = 2), "
+        f"frames AS (SELECT doc_id, seed, unnest(range(0, ns // {fs})) AS f FROM aud), "
+        f"keep AS (SELECT * FROM frames WHERE f % {every_n} = 0), "
+        f"samp AS (SELECT doc_id, f, j, "
+        f"(seed * 31 + 11 * (f * {fs} + j)) % 65536 - 32768 AS v "
+        f"FROM (SELECT doc_id, seed, f, unnest(range(0, {fs})) AS j FROM keep) t) "
+        "SELECT doc_id, CAST(f AS INT) AS frame_idx, "
+        "md5(string_agg(CAST(v AS VARCHAR) || ';', '' ORDER BY j)) AS frame_checksum "
+        "FROM samp GROUP BY doc_id, f"
     )

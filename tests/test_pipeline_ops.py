@@ -242,7 +242,15 @@ def test_multimodal_features(docs, duck):
         duck,
         multimodal.extract_features_oracle_sql("documents"),
     )
-    assert all(r[1] > 0 and len(r[2]) == 32 for r in rows)
+    assert all(r[1] in multimodal.MEDIA_TYPES and r[2] > 0 for r in rows)
+    # all three container kinds appear, with type-appropriate metadata
+    kinds = {r[1] for r in rows}
+    assert kinds == set(multimodal.MEDIA_TYPES)
+    for r in rows:
+        if r[1].startswith("image/"):
+            assert r[3] >= 4 and r[4] >= 4 and r[7] is None  # w, h; no duration
+        else:
+            assert r[3] is None and r[5] == multimodal.SAMPLE_RATE and r[7] > 0
 
 
 def test_multimodal_resize(docs, duck):
@@ -264,9 +272,37 @@ def test_multimodal_frame_sample(docs, duck):
     assert all(r[1] % 2 == 0 for r in rows)  # only every 2nd frame
 
 
-def test_multimodal_decode_stub():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_stub(b"\x89PNG")
+def test_multimodal_decode_roundtrip():
+    """Real container parsing: synthesize -> decode recovers the exact
+    header fields AND content (pixels/samples) for all three formats."""
+    import numpy as np
+
+    px = multimodal._rgb_plane(seed=17, w=5, h=3)
+    for payload, media_type in (
+        (multimodal._make_bmp(17, 5, 3), "image/bmp"),
+        (multimodal._make_ppm(17, 5, 3), "image/x-portable-pixmap"),
+    ):
+        m = multimodal.decode_media(payload)
+        assert (m["media_type"], m["width"], m["height"]) == (media_type, 5, 3)
+        # BMP stores bottom-up BGR with row padding; decode must undo all
+        # of it and agree with PPM's top-down RGB byte-for-byte
+        assert np.array_equal(m["pixels"], px)
+
+    wav = multimodal.decode_media(multimodal._make_wav(seed=17, n=300))
+    assert wav["media_type"] == "audio/wav"
+    assert wav["sample_rate"] == multimodal.SAMPLE_RATE
+    assert wav["n_samples"] == 300
+    assert wav["duration_us"] == 300 * 1_000_000 // multimodal.SAMPLE_RATE
+    assert np.array_equal(wav["samples"], multimodal._pcm(17, 300))
+
+
+def test_multimodal_decode_rejects_malformed():
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"\x89PNG\r\n\x1a\n")  # no codec for PNG
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"BM" + b"\x00" * 10)  # truncated BMP
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"RIFF\x04\x00\x00\x00WAVE")  # chunkless WAV
 
 
 def test_hourly_rollup(spark, sf_dir, duck):
