@@ -443,21 +443,28 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     star-contraction (large-star/small-star, O(log n) rounds); the
     round structure here is the same, only the contraction rule differs.
 
-    The per-round persist is load-bearing: labels feed both the join and
-    the convergence count, and iterative lineage would otherwise regrow
-    the whole chain each round.
+    The per-round ``localCheckpoint(eager=True)`` is load-bearing and
+    does what a plain persist cannot: persist caches the *data* but the
+    logical plan still accumulates one round's operators per iteration,
+    so Catalyst re-analyzes an ever-deeper tree each round AND every
+    downstream consumer (the dedup filter's anti-join) re-optimizes the
+    whole history — measured as 3s -> 8s per-round growth on a 285-pair
+    graph.  Checkpointing truncates the plan to an RDD leaf: constant
+    per-round cost, and consumers see a leaf.  (On a cluster with
+    dynamic allocation, swap for a reliable ``checkpoint`` dir —
+    localCheckpoint blocks live on executors; the loop structure is
+    unchanged.)
     """
     sym = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
     edges = sym.persist()
-    pinned = (
+    labels = (
         edges.selectExpr("src AS doc_id")
         .distinct()
         .selectExpr("doc_id", "doc_id AS cluster_id")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = pinned
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels.selectExpr("doc_id AS dst", "cluster_id AS nl"), "dst")
@@ -475,14 +482,14 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 "least(cluster_id, coalesce(nbr_min, cluster_id)) AS cluster_id",
                 "CAST(coalesce(nbr_min, cluster_id) < cluster_id AS INT) AS moved",
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = joined.selectExpr("sum(moved) AS m").first()[0] or 0
-        pinned.unpersist()
-        pinned = joined
         labels = joined.select("doc_id", "cluster_id")
         if changed == 0:
             break
+        # superseded round RDDs are unreferenced here; the context
+        # cleaner GCs their blocks (tiny: ids + labels only)
     edges.unpersist()
     return labels
 
@@ -724,6 +731,45 @@ def semantic_dup_pairs(
         )
     )
     return _tag_cached_deps(out, sh, sig)
+
+
+def semantic_dedup_filter(
+    docs: DataFrame,
+    embs: DataFrame,
+    j_thresh: float = 0.3,
+    cos_thresh: float = 0.9,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """End-to-end multi-signal dedup: corpus in, kept corpus out — the
+    single call a pipeline user actually runs.  Composes
+    :func:`semantic_dup_pairs` (text-LSH ∪ embedding-LSH candidates,
+    dual exact verification) -> :func:`dup_clusters` (connected
+    components) -> :func:`near_dedup_filter` (drop every non-
+    representative member).
+
+    Scale shape: each stage keeps its standalone shape — ids-only
+    candidate shuffles, 2-shuffle-per-round label propagation over only
+    the paired docs, and a losers broadcast-anti-join so the corpus
+    itself never shuffles.
+    """
+    pairs = semantic_dup_pairs(docs, embs, j_thresh, cos_thresh).select(
+        "doc_a", "doc_b"
+    )
+    return near_dedup_filter(docs, pairs, max_iterations)
+
+
+def semantic_dedup_filter_oracle_sql(
+    docs_table: str,
+    embs_table: str,
+    j_thresh: float = 0.3,
+    cos_thresh: float = 0.9,
+) -> str:
+    pairs = (
+        "SELECT doc_a, doc_b FROM ("
+        + semantic_dup_pairs_oracle_sql(docs_table, embs_table, j_thresh, cos_thresh)
+        + ") sp"
+    )
+    return near_dedup_filter_oracle_sql(docs_table, pairs)
 
 
 def semantic_dup_pairs_oracle_sql(

@@ -654,6 +654,16 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             dedup.semantic_dup_pairs_oracle_sql("documents", "embeddings", 0.3, 0.4),
         ),
+        # the composed end product: multi-signal pairs -> clusters ->
+        # surviving corpus, one call (what a pipeline user actually runs)
+        "semantic_dedup_filter_documents": (
+            _two_table_query(
+                "documents",
+                "embeddings",
+                lambda docs, embs: dedup.semantic_dedup_filter(docs, embs, 0.3, 0.4),
+            ),
+            dedup.semantic_dedup_filter_oracle_sql("documents", "embeddings", 0.3, 0.4),
+        ),
         # ingestion-time dedup: new batch (doc_id%10=7) vs standing corpus
         "incremental_dedup_documents": (
             _table_query(
@@ -1556,7 +1566,9 @@ _DRIVER_PRIORITY = (
     "fk_integrity_report",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    # changed this round (real media decode) — re-certify next in line
+    # new this round (end-to-end composed dedup) and changed this round
+    # (real media decode) — certify next in line
+    "semantic_dedup_filter_documents",
     "multimodal_features_documents",
     "multimodal_resize_documents",
     "multimodal_frame_sample_documents",
@@ -1623,6 +1635,7 @@ HEADLINE_QUERIES = (
     "drilldown_row_diff_events",
     "assign_shards_documents",
     "near_dedup_filter_documents",
+    "semantic_dedup_filter_documents",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
 )

@@ -1501,3 +1501,23 @@ def test_profile_table(spark, sf_dir, duck):
         for r in profile_mod.profile_table(mutated, TESTDATA_TABLES["orders"]).collect()
     }
     assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
+
+
+def test_semantic_dedup_filter_end_to_end(docs, embs, duck):
+    """Composed pipeline: multi-signal pairs -> clusters -> kept corpus.
+    The survivor set must equal the oracle's and keep one representative
+    (the min doc_id) per duplicate cluster."""
+    kept = _cmp(
+        dedup.semantic_dedup_filter(docs, embs, 0.3, 0.4),
+        duck,
+        dedup.semantic_dedup_filter_oracle_sql("documents", "embeddings", 0.3, 0.4),
+    )
+    n_docs = docs.count()
+    pairs = dedup.semantic_dup_pairs(docs, embs, 0.3, 0.4)
+    n_losers = (
+        dedup.dup_clusters(pairs.select("doc_a", "doc_b"))
+        .filter("doc_id <> cluster_id")
+        .count()
+    )
+    assert len(kept) == n_docs - n_losers
+    assert n_losers > 0, "fixture should contain near-duplicates"
