@@ -143,6 +143,56 @@ def ann_lsh_topk(df: DataFrame, query_ids: tuple[int, ...], k: int = 10) -> Data
     )
 
 
+def ann_recall(df: DataFrame, query_ids: tuple[int, ...], k: int = 10) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact cosine top-k —
+    the evaluation loop every ANN deployment runs before trusting an
+    index (bucket width trades recall for candidate count; this measures
+    the trade instead of guessing it).
+
+    Output: (query_id, n_exact, n_hit, recall) — n_exact is k capped by
+    corpus size, n_hit the overlap, recall their ratio.
+
+    Scale shape: both inputs are per-query top-k results (k rows per
+    query, tiny by construction), so the overlap join and the per-query
+    counts broadcast; the expensive parts are the two underlying top-k
+    scans, each corpus-shuffle-free (see ``cosine_topk``/``ann_lsh_topk``).
+    """
+    exact = cosine_topk(df, query_ids, k).select("query_id", "vec_id")
+    approx = ann_lsh_topk(df, query_ids, k).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .selectExpr(
+            "query_id",
+            "n_exact",
+            "coalesce(n_hit, CAST(0 AS BIGINT)) AS n_hit",
+            "round(CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)"
+            " AS recall",
+        )
+    )
+
+
+def ann_recall_oracle_sql(table: str, query_ids: tuple[int, ...], k: int = 10) -> str:
+    exact = cosine_topk_oracle_sql(table, query_ids, k)
+    approx = ann_lsh_topk_oracle_sql(table, query_ids, k)
+    return (
+        f"WITH e AS ({exact}), a AS ({approx}), "
+        "h AS (SELECT e.query_id, count(*) AS n_hit FROM e "
+        "JOIN a ON e.query_id = a.query_id AND e.vec_id = a.vec_id "
+        "GROUP BY e.query_id), "
+        "x AS (SELECT query_id, count(*) AS n_exact FROM e GROUP BY query_id) "
+        "SELECT x.query_id, x.n_exact, coalesce(h.n_hit, 0) AS n_hit, "
+        "round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(x.n_exact AS DOUBLE), 6) AS recall "
+        "FROM x LEFT JOIN h ON x.query_id = h.query_id"
+    )
+
+
 #: Deterministic IVF coarse centroids (md5-derived like HYPERPLANES).
 IVF_CENTROIDS_N = 16
 IVF_CENTROIDS = [

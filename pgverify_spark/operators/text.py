@@ -446,6 +446,46 @@ def length_histogram_oracle_sql(table: str, bucket_width: int = 50) -> str:
     )
 
 
+def dedup_lines(df: DataFrame) -> DataFrame:
+    """Per-document repeated-line removal — the Gopher/C4-style cleaning
+    rule that strips boilerplate a page repeats within itself (nav bars,
+    cookie banners, list refrains): every line keeps only its FIRST
+    occurrence inside the document, order otherwise preserved.
+
+    Output: (doc_id, n_lines, n_dup_lines, clean_text).
+
+    Scale shape: a pure per-row projection — zero exchanges, zero
+    Python; the first-occurrence filter is an index-aware array lambda
+    (``array_position(l, x) == i + 1``) inside whole-stage codegen.
+    Per-doc cost is O(lines²) string compares, bounded by document size,
+    embarrassingly parallel.
+    """
+    return df.selectExpr(
+        "doc_id",
+        "split(coalesce(text, ''), chr(10)) AS l",
+    ).selectExpr(
+        "doc_id",
+        "CAST(size(l) AS BIGINT) AS n_lines",
+        "CAST(size(l) - size(filter(l, (x, i) -> array_position(l, x) == i + 1)) AS BIGINT)"
+        " AS n_dup_lines",
+        "array_join(filter(l, (x, i) -> array_position(l, x) == i + 1), chr(10))"
+        " AS clean_text",
+    )
+
+
+def dedup_lines_oracle_sql(table: str) -> str:
+    """DuckDB twin: RE2-free first-occurrence keep via
+    ``list_position(l, l[i]) = i`` over a 1-based index range."""
+    keep = "list_filter(range(1, len(l) + 1), i -> list_position(l, l[i]) = i)"
+    return (
+        "SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines, "
+        f"CAST(len(l) - len({keep}) AS BIGINT) AS n_dup_lines, "
+        f"array_to_string(list_transform({keep}, i -> l[i]), chr(10)) AS clean_text "
+        f"FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS l "
+        f"FROM {table}) t"
+    )
+
+
 #: PII patterns (ASCII-only so Java regex and RE2 match identically; no
 #: lookaround/backreferences, which RE2 lacks).  Order matters: URLs are
 #: redacted before emails so ``http://user@host`` doesn't double-count.

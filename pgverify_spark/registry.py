@@ -654,6 +654,33 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             dedup.semantic_dup_pairs_oracle_sql("documents", "embeddings", 0.3, 0.4),
         ),
+        # per-document repeated-line removal (Gopher/C4 cleaning rule);
+        # the corpus has no newlines, so build a liney twin on both
+        # sides: first-40-chars line repeated front and back + sentence
+        # breaks turned into lines
+        "dedup_lines_documents": (
+            _table_query(
+                "documents",
+                lambda df: text.dedup_lines(
+                    df.selectExpr(
+                        "doc_id",
+                        "concat(substr(text, 1, 40), chr(10), "
+                        "replace(text, '. ', concat('.', chr(10))), chr(10), "
+                        "substr(text, 1, 40)) AS text",
+                    )
+                ),
+            ),
+            text.dedup_lines_oracle_sql(
+                "(SELECT doc_id, substr(text, 1, 40) || chr(10) || "
+                "replace(text, '. ', '.' || chr(10)) || chr(10) || "
+                "substr(text, 1, 40) AS text FROM documents) liney"
+            ),
+        ),
+        # ANN quality gate: recall@k of the LSH index vs exact cosine
+        "ann_recall_embeddings": (
+            _table_query("embeddings", lambda df: similarity.ann_recall(df, qids, 10)),
+            similarity.ann_recall_oracle_sql("embeddings", qids, 10),
+        ),
         # the composed end product: multi-signal pairs -> clusters ->
         # surviving corpus, one call (what a pipeline user actually runs)
         "semantic_dedup_filter_documents": (
@@ -1566,9 +1593,11 @@ _DRIVER_PRIORITY = (
     "fk_integrity_report",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    # new this round (end-to-end composed dedup) and changed this round
-    # (real media decode) — certify next in line
+    # new this round (end-to-end composed dedup, line cleaning, ANN
+    # recall) and changed this round (real media decode) — certify next
     "semantic_dedup_filter_documents",
+    "dedup_lines_documents",
+    "ann_recall_embeddings",
     "multimodal_features_documents",
     "multimodal_resize_documents",
     "multimodal_frame_sample_documents",

@@ -1521,3 +1521,36 @@ def test_semantic_dedup_filter_end_to_end(docs, embs, duck):
     )
     assert len(kept) == n_docs - n_losers
     assert n_losers > 0, "fixture should contain near-duplicates"
+
+
+def test_dedup_lines(docs, duck):
+    """First-occurrence line keep: injected duplicate lines removed,
+    order preserved, oracle-identical."""
+    liney = docs.selectExpr(
+        "doc_id",
+        "concat(substr(text, 1, 40), chr(10), "
+        "replace(text, '. ', concat('.', chr(10))), chr(10), "
+        "substr(text, 1, 40)) AS text",
+    )
+    rows = _cmp(
+        text.dedup_lines(liney),
+        duck,
+        text.dedup_lines_oracle_sql(
+            "(SELECT doc_id, substr(text, 1, 40) || chr(10) || "
+            "replace(text, '. ', '.' || chr(10)) || chr(10) || "
+            "substr(text, 1, 40) AS text FROM documents) liney"
+        ),
+    )
+    # every doc has the injected duplicate trailing line removed
+    assert all(r[2] >= 1 for r in rows)  # n_dup_lines
+    assert all(not r[3].endswith("\n") for r in rows)  # no dangling line
+
+
+def test_ann_recall(embs, duck):
+    rows = _cmp(
+        similarity.ann_recall(embs, (0, 1, 2, 3, 4), 10),
+        duck,
+        similarity.ann_recall_oracle_sql("embeddings", (0, 1, 2, 3, 4), 10),
+    )
+    assert len(rows) == 5
+    assert all(r[1] == 10 and 0 <= r[2] <= 10 and 0.0 <= r[3] <= 1.0 for r in rows)
