@@ -1457,6 +1457,49 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
     # the training corpus reproduces the batch scores (shared oracle)
     lm_stream_oracle = lm.bigram_lm_scores_oracle_sql("documents")
 
+    def run_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.incremental import streaming_lsh_ingest_probe
+
+        ensure_required_confs(spark)
+        docs = ParquetTarget("t", sf_dir).read(spark, "documents")
+        corpus = docs.filter("doc_id % 10 <> 7")
+        new = docs.filter("doc_id % 10 = 7")
+        tmp = tempfile.mkdtemp(prefix="pgvs_singest_")
+        # standing-corpus artifact: written once, probed per batch
+        dedup.write_lsh_index(corpus, "reg_stream_lsh", f"{tmp}/idx", n_buckets=16)
+        (
+            new.withColumn("chunk", (F.col("doc_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_lsh_ingest_probe(sdf, "reg_stream_lsh", f"{tmp}/out", 0.3)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(f"{tmp}/out")
+
+    # per-doc probes are independent, so the per-batch union equals the
+    # one-shot cross-corpus run — same oracle as incremental_dedup
+    lsh_ingest_oracle = dedup.cross_corpus_lsh_pairs_oracle_sql(
+        "SELECT * FROM documents WHERE doc_id % 10 = 7",
+        "SELECT * FROM documents WHERE doc_id % 10 <> 7",
+        0.3,
+    )
+
     win_us = 6 * 3_600_000_000
     windowed_oracle = (
         f"SELECT (CAST(epoch_us(ts) AS BIGINT) // {win_us}) * {win_us} AS win_start_us, "
@@ -1475,6 +1518,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         "streaming_bloom_decontaminate_documents": (run_bloom, bloom_oracle),
         "streaming_windowed_counts_events": (run_windowed, windowed_oracle),
         "streaming_lm_scores_documents": (run_lm, lm_stream_oracle),
+        "streaming_lsh_ingest_dedup_documents": (run_lsh_ingest, lsh_ingest_oracle),
     }
 
 
@@ -1547,6 +1591,7 @@ _DRIVER_PRIORITY = (
     "streaming_bloom_decontaminate_documents",
     "streaming_windowed_counts_events",
     "streaming_lm_scores_documents",
+    "streaming_lsh_ingest_dedup_documents",
     # never driver-checked: events/time-series family
     "sessionize_events",
     "event_transitions_events",

@@ -210,6 +210,41 @@ def streaming_dedup(sdf: DataFrame, text_col: str = "text") -> DataFrame:
     return hashed.dropDuplicates(["content_md5"])
 
 
+def streaming_lsh_ingest_probe(
+    sdf: DataFrame, index_name: str, out_path: str, threshold: float = 0.5
+):
+    """Streaming near-dup ingest gate: every micro-batch of arriving
+    documents probes the persisted bucketed MinHash-LSH index
+    (``operators.dedup.write_lsh_index``) and appends its near-duplicate
+    pairs (new_doc, corpus_doc, jaccard) to ``out_path`` — the
+    production ingest loop, composed from the pieces this engine already
+    certifies: per-batch cost is O(batch) with ZERO corpus-side Exchange
+    (the index arrives pre-bucketed), and the per-batch persisted
+    intermediates are released after each batch materializes, so a
+    day-long ingest run holds executor storage flat.
+
+    Probes are independent per document, so the union of per-batch
+    outputs equals the one-shot ``cross_corpus_lsh_pairs`` over all
+    arrived docs — which is the oracle pairing.
+
+    Returns a configured ``writeStream`` (caller sets checkpoint and
+    calls ``start()``).  ``foreachBatch`` is the right tool here, not a
+    stateful operator: the standing corpus is a *batch* artifact and the
+    probe a batch join per micro-batch; no streaming state is needed.
+    """
+    from pgverify_spark.operators.dedup import probe_lsh_index
+    from pgverify_spark.operators.util import release_cached_deps
+
+    def probe(batch_df: DataFrame, _batch_id: int) -> None:
+        res = probe_lsh_index(
+            batch_df.sparkSession, batch_df, index_name, threshold
+        )
+        res.write.mode("append").parquet(out_path)
+        release_cached_deps(res)
+
+    return sdf.writeStream.foreachBatch(probe).outputMode("append")
+
+
 def streaming_session_rollup(sdf: DataFrame, gap_us: int = 30 * 60 * 1_000_000) -> DataFrame:
     """Streaming gap-based sessionization: Spark's native
     ``session_window`` merges events into per-user sessions whose gap

@@ -378,3 +378,44 @@ def test_streaming_lm_scores_matches_batch(spark, sf_dir, tmp_path):
     streamed = {tuple(r) for r in spark.table("slm_test").collect()}
     batch = {tuple(r) for r in bigram_lm_scores(docs).collect()}
     assert streamed == batch
+
+
+def test_streaming_lsh_ingest_probe_matches_batch(spark, sf_dir, tmp_path):
+    """Per-batch probes of the persisted LSH index, unioned over the
+    stream, must equal the one-shot cross-corpus run (probes are
+    independent per document)."""
+    from pgverify_spark.operators import dedup
+    from pgverify_spark.streaming.incremental import streaming_lsh_ingest_probe
+
+    docs = ParquetTarget("t", sf_dir).read(spark, "documents")
+    corpus = docs.filter("doc_id % 10 <> 7")
+    new = docs.filter("doc_id % 10 = 7")
+    dedup.write_lsh_index(corpus, "t_stream_lsh", str(tmp_path / "idx"), 16)
+    (
+        new.withColumn("chunk", (F.col("doc_id") % 4).cast("int"))
+        .repartition(4, "chunk")
+        .drop("chunk")
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "src"))
+    )
+    sdf = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        streaming_lsh_ingest_probe(sdf, "t_stream_lsh", str(tmp_path / "out"), 0.3)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "out")).collect())
+    )
+    want = sorted(
+        map(tuple, dedup.cross_corpus_lsh_pairs(new, corpus, 0.3).collect())
+    )
+    assert got == want and len(got) > 0
