@@ -24,7 +24,7 @@ from pgverify_spark.operators import (
     similarity,
     text,
 )
-from pgverify_spark.operators import analytics
+from pgverify_spark.operators import analytics, constraints
 from pgverify_spark.operators import funnel as funnel_mod
 from pgverify_spark.operators import decompose, linkage, lm, quantize, sketch, skew, trend
 from pgverify_spark.operators import profile as profile_mod
@@ -544,6 +544,26 @@ _SALTED_REVENUE_ORACLE = (
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
+#: Constraint suite for the orders table: a deliberate pass/fail mix so
+#: the report is non-trivial at every SF (o_custkey repeats, 'P' status
+#: rows exist, totalprice exceeds 200k, priorities 4/5 break the regex).
+_ORDERS_SUITE = [
+    constraints.not_null("o_custkey"),
+    constraints.unique("o_orderkey"),
+    constraints.unique("o_custkey"),
+    constraints.accepted_values("o_orderstatus", ("O", "F")),
+    constraints.accepted_values("o_orderstatus", ("O", "F", "P"), "status_full_domain"),
+    constraints.in_range("o_totalprice", 0, 200000),
+    constraints.matches("o_orderpriority", "^[1-3]-"),
+    constraints.satisfies(
+        "orderdate_in_epoch",
+        "o_orderdate",
+        "o_orderdate BETWEEN TIMESTAMP '1990-01-01 00:00:00' "
+        "AND TIMESTAMP '2005-01-01 00:00:00'",
+    ),
+]
+
+
 def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
     """LLM-data-pipeline operators: dedup, similarity, text analysis,
     multimodal plumbing (thresholds chosen to be non-trivial at sf0.01)."""
@@ -636,6 +656,15 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 lambda df: profile_mod.profile_table(df, TESTDATA_TABLES["orders"]),
             ),
             profile_mod.profile_table_oracle_sql("orders", TESTDATA_TABLES["orders"]),
+        ),
+        # declarative data-quality constraint suite: all checks fused
+        # into one aggregation pass (see operators/constraints.py)
+        "constraint_report_orders": (
+            _table_query(
+                "orders",
+                lambda df: constraints.constraint_report(df, _ORDERS_SUITE),
+            ),
+            constraints.constraint_report_oracle_sql("orders", _ORDERS_SUITE),
         ),
         # character-level partial-overlap pairs (winnowing/MOSS shape:
         # catches a copied paragraph inside otherwise-different docs)

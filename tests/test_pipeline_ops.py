@@ -1503,6 +1503,80 @@ def test_profile_table(spark, sf_dir, duck):
     assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
 
 
+def test_constraint_report(spark, sf_dir, duck):
+    from pgverify_spark import registry
+    from pgverify_spark.operators import constraints
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    suite = registry._ORDERS_SUITE
+    rows = _cmp(
+        constraints.constraint_report(orders, suite),
+        duck,
+        constraints.constraint_report_oracle_sql("orders", suite),
+    )
+    by_name = {r[0]: r for r in rows}
+    assert set(by_name) == {c.name for c in suite}
+    n = orders.count()
+    # every row carries the table count; status is consistent with violations
+    for _, _, status, violations, n_rows in rows:
+        assert n_rows == n
+        assert (status == "pass") == (violations == 0)
+    # deliberate mix: PK passes, repeated custkey fails with the exact gap
+    assert by_name["unique_o_orderkey"][2] == "pass"
+    dup_gap = n - orders.select("o_custkey").distinct().count()
+    assert by_name["unique_o_custkey"][3] == dup_gap > 0
+    assert by_name["status_full_domain"][2] == "pass"
+    assert by_name["accepted_values_o_orderstatus"][2] == "fail"
+    assert by_name["matches_o_orderpriority"][3] == orders.filter(
+        "o_orderpriority NOT RLIKE '^[1-3]-'"
+    ).count()
+    assert by_name["orderdate_in_epoch"][2] == "pass"
+
+
+def test_constraint_report_single_pass_plan(spark, sf_dir):
+    """All row-predicate checks must fuse into one scan: the physical
+    plan reads the parquet exactly once (unique-checks add Expand but
+    not extra scans)."""
+    from pgverify_spark import registry
+    from pgverify_spark.operators import constraints
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = (
+        constraints.constraint_report(orders, registry._ORDERS_SUITE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+
+
+def test_constraint_null_semantics(spark):
+    """NULL never violates accepted_values/in_range/matches (SQL
+    constraint semantics) but always violates not_null; satisfies
+    treats NULL predicate as a violation (coalesce FALSE)."""
+    from pgverify_spark.operators import constraints
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, "Z")], "id bigint, v string"
+    )
+    suite = [
+        constraints.not_null("v"),
+        constraints.accepted_values("v", ("A",)),
+        constraints.matches("v", "^[A-M]"),
+        constraints.satisfies("v_in_domain", "v", "v IN ('A', 'Z')"),
+    ]
+    got = {
+        r["check_name"]: r["violations"]
+        for r in constraints.constraint_report(df, suite).collect()
+    }
+    assert got == {
+        "not_null_v": 1,        # the NULL row
+        "accepted_values_v": 1,  # only 'Z'; NULL exempt
+        "matches_v": 1,          # only 'Z'; NULL exempt
+        "v_in_domain": 1,        # NULL coalesces to a violation
+    }
+
+
 def test_semantic_dedup_filter_end_to_end(docs, embs, duck):
     """Composed pipeline: multi-signal pairs -> clusters -> kept corpus.
     The survivor set must equal the oracle's and keep one representative
