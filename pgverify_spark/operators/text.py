@@ -486,6 +486,73 @@ def dedup_lines_oracle_sql(table: str) -> str:
     )
 
 
+def corpus_dedup_lines(df: DataFrame) -> DataFrame:
+    """CROSS-corpus line-level dedup — the CCNet/C4 cleaning step that
+    :func:`dedup_lines` (per-document) doesn't cover: a line duplicated
+    ACROSS documents (shared boilerplate, syndicated paragraphs, cookie
+    banners) keeps only its globally-first occurrence (smallest
+    ``(doc_id, pos)``); whitespace-only lines are structural and always
+    kept.
+
+    Output: (doc_id, n_lines, n_removed, clean_text).
+
+    Scale shape: explode to (doc_id, pos, line); per-line winners via
+    ``groupBy(line).agg(min(struct(doc_id, pos)))`` — a hash aggregate
+    with map-side combine, so a line repeated 10^9 times still reduces
+    to partial minima per input partition (a window
+    ``row_number() OVER (PARTITION BY line)`` would funnel every copy of
+    a hot line through one reducer — the skew CCNet's shard-hash design
+    avoids, and why this is an aggregate+join, not a window); then one
+    equi-join back on line and a per-doc reconstruction aggregate.  Two
+    shuffles of the exploded corpus — inherent to a global
+    first-occurrence policy — plus one of the winner table.
+    """
+    from pyspark.sql import functions as F
+
+    lines = df.selectExpr(
+        "doc_id", "posexplode(split(coalesce(text, ''), chr(10))) AS (pos, line)"
+    )
+    winners = lines.groupBy("line").agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+    kept = lines.join(winners, "line").selectExpr(
+        "doc_id",
+        "pos",
+        "line",
+        "trim(line) = '' OR (doc_id = w.doc_id AND pos = w.pos) AS keep",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_lines"),
+        F.expr("CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)").alias(
+            "n_removed"
+        ),
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(CASE WHEN keep THEN struct(pos, line) END)), "
+            "s -> s.line), chr(10))"
+        ).alias("clean_text"),
+    )
+
+
+def corpus_dedup_lines_oracle_sql(table: str) -> str:
+    """DuckDB twin: the window formulation (rn = 1 over (doc_id, pos)
+    order) — semantically identical to the min-struct winner because
+    (doc_id, pos) is unique; positions are 1-based here vs Spark's
+    0-based, which cannot change which occurrence is first."""
+    return (
+        "WITH x AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, "
+        "unnest(l) AS line FROM (SELECT doc_id, "
+        f"string_split(coalesce(text, ''), chr(10)) AS l FROM {table}) t), "
+        "w AS (SELECT doc_id, pos, line, row_number() OVER "
+        "(PARTITION BY line ORDER BY doc_id, pos) AS rn FROM x), "
+        "k AS (SELECT doc_id, pos, line, (trim(line) = '' OR rn = 1) AS keep "
+        "FROM w) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed, "
+        "coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) "
+        "ORDER BY pos), '') AS clean_text "
+        "FROM k GROUP BY doc_id"
+    )
+
+
 #: PII patterns (ASCII-only so Java regex and RE2 match identically; no
 #: lookaround/backreferences, which RE2 lacks).  Order matters: URLs are
 #: redacted before emails so ``http://user@host`` doesn't double-count.

@@ -705,6 +705,37 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "substr(text, 1, 40) AS text FROM documents) liney"
             ),
         ),
+        # CROSS-corpus line dedup (CCNet shape): testdata docs share no
+        # literal lines, so the twin corpus injects what real web data
+        # has — shared nav/footer boilerplate on a doc subset — plus
+        # sentence lines; only each boilerplate line's globally-first
+        # occurrence survives
+        "corpus_dedup_lines_documents": (
+            _table_query(
+                "documents",
+                lambda df: text.corpus_dedup_lines(
+                    df.selectExpr(
+                        "doc_id",
+                        "concat("
+                        "CASE WHEN doc_id % 11 = 0 THEN "
+                        "concat('NAV | Home | About | Contact', chr(10)) ELSE '' END, "
+                        "replace(text, '. ', concat('.', chr(10))), "
+                        "CASE WHEN doc_id % 7 = 0 THEN "
+                        "concat(chr(10), 'FOOTER: unsubscribe at example.invalid') "
+                        "ELSE '' END) AS text",
+                    )
+                ),
+            ),
+            text.corpus_dedup_lines_oracle_sql(
+                "(SELECT doc_id, "
+                "CASE WHEN doc_id % 11 = 0 THEN "
+                "'NAV | Home | About | Contact' || chr(10) ELSE '' END || "
+                "replace(text, '. ', '.' || chr(10)) || "
+                "CASE WHEN doc_id % 7 = 0 THEN "
+                "chr(10) || 'FOOTER: unsubscribe at example.invalid' ELSE '' END "
+                "AS text FROM documents) liney"
+            ),
+        ),
         # ANN quality gate: recall@k of the LSH index vs exact cosine
         "ann_recall_embeddings": (
             _table_query("embeddings", lambda df: similarity.ann_recall(df, qids, 10)),

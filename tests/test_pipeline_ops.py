@@ -1503,6 +1503,46 @@ def test_profile_table(spark, sf_dir, duck):
     assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
 
 
+def test_corpus_dedup_lines(spark, duck):
+    """Cross-doc line dedup keeps only the globally-first copy of a
+    shared line, exempts blank lines, and matches the oracle."""
+    rows = [
+        (1, "alpha\nSHARED\n\nbeta"),
+        (2, "SHARED\ngamma\n\nSHARED"),
+        (3, "delta\n \nSHARED"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    duck.execute("CREATE OR REPLACE TABLE cdl AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({i}, '{t}')".replace("\n", "' || chr(10) || '")
+                             for i, t in rows)
+                 + ") v(doc_id, text)")
+    got = _cmp(
+        text.corpus_dedup_lines(df),
+        duck,
+        text.corpus_dedup_lines_oracle_sql("cdl"),
+    )
+    by_id = {r[0]: r for r in got}
+    # doc 1 owns the first SHARED; docs 2 and 3 lose theirs (doc 2 twice)
+    assert by_id[1] == (1, 4, 0, "alpha\nSHARED\n\nbeta")
+    assert by_id[2] == (2, 4, 2, "gamma\n")
+    assert by_id[3] == (3, 3, 1, "delta\n ")
+    duck.execute("DROP TABLE cdl")
+
+
+def test_corpus_dedup_lines_plan_is_aggregate_not_window(spark, sf_dir):
+    """Winner selection must be a map-side-combinable aggregate (hot
+    shared lines would funnel through one reducer under a window)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        text.corpus_dedup_lines(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_first" in plan or "HashAggregate" in plan
+
+
 def test_constraint_report(spark, sf_dir, duck):
     from pgverify_spark import registry
     from pgverify_spark.operators import constraints
