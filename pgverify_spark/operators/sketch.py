@@ -82,6 +82,108 @@ def kmv_sketch_oracle_sql(table: str, value_col: str, group_col: str, k: int = 6
     )
 
 
+def _cm_hash(value_sql: str, j_sql: str, dialect: str) -> str:
+    """Row-``j`` Count-Min hash: salted md5 → 60-bit uint.  The salt is
+    the row index prefixed to the value, so the d rows are independent
+    hash functions while staying engine-portable (pure md5 + substr)."""
+    cast = "STRING" if dialect == DIALECT_SPARK else "VARCHAR"
+    return hex_prefix_int_sql(
+        f"md5(concat(CAST({j_sql} AS {cast}), ':', CAST({value_sql} AS {cast})))",
+        dialect,
+        15,
+    )
+
+
+def countmin_sketch(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-Min sketch of ``value_col`` frequencies: sparse cells
+    (j, col, cnt), at most ``depth`` × ``width`` rows.
+
+    The classic streaming frequency summary (Cormode & Muthukrishnan
+    2005): row j counts values into ``width`` buckets under hash h_j;
+    a point estimate is ``min_j cnt[j][h_j(x)]`` — always ≥ the true
+    count, with overcount bounded by collisions.  All-integer, so the
+    sketch AND every estimate are bit-identical across engines — like
+    :func:`kmv_sketch` this makes the sketch itself verifiable between
+    two targets, not just "approximately equal".
+
+    Scale shape: the d×input explode feeds a hash aggregate whose
+    map-side partials are already ≤ d×w cells per input partition —
+    constant-size state per executor regardless of input rows or key
+    skew (a 10^9-times-repeated key is just one hot cell).  Sketches
+    merge by summing cnt per (j, col) (:func:`countmin_merge`),
+    associative and commutative, so daily partial sketches combine
+    without re-reading data.
+    """
+    h = _cm_hash(value_col, "j", DIALECT_SPARK)
+    return (
+        df.selectExpr(f"explode(sequence(0, {depth - 1})) AS j", value_col)
+        .selectExpr("j", f"CAST({h} % {width} AS BIGINT) AS col")
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_merge(sketches: DataFrame) -> DataFrame:
+    """Merge partial sketches (union of (j, col, cnt) cell sets) by
+    summing counts per cell — the cross-partition / cross-run combine."""
+    return sketches.groupBy("j", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def countmin_estimate(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Per-distinct-key frequency estimate next to the truth:
+    (key, est_count, true_count, overcount).
+
+    Composes the sketch with a probe of every distinct key — the QA
+    view a pipeline uses to pick (depth, width) before trusting the
+    sketch at scale.  The ≤ d×w cell table broadcasts to the probe
+    side; the probe never shuffles the input relation (true counts come
+    from the same single aggregation pass shape as exact_dup_groups).
+    """
+    cells = countmin_sketch(df, value_col, depth, width)
+    truth = df.groupBy(F.col(value_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    h = _cm_hash("key", "j", DIALECT_SPARK)
+    probes = truth.selectExpr(
+        "key", "true_count", f"explode(sequence(0, {depth - 1})) AS j"
+    ).selectExpr("key", "true_count", "j", f"CAST({h} % {width} AS BIGINT) AS col")
+    return (
+        probes.join(F.broadcast(cells), ["j", "col"])
+        .groupBy("key", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+        .selectExpr(
+            "key",
+            "est_count",
+            "true_count",
+            "est_count - true_count AS overcount",
+        )
+    )
+
+
+def countmin_estimate_oracle_sql(
+    table: str, value_col: str, depth: int = 4, width: int = 64
+) -> str:
+    h_build = _cm_hash(value_col, "j", DIALECT_DUCKDB)
+    h_probe = _cm_hash("key", "j", DIALECT_DUCKDB)
+    return (
+        f"WITH cells AS (SELECT j, CAST({h_build} % {width} AS BIGINT) AS col, "
+        f"count(*) AS cnt FROM {table}, range(0, {depth}) r(j) GROUP BY 1, 2), "
+        f"truth AS (SELECT {value_col} AS key, count(*) AS true_count "
+        f"FROM {table} GROUP BY 1), "
+        f"probes AS (SELECT key, true_count, j, "
+        f"CAST({h_probe} % {width} AS BIGINT) AS col "
+        f"FROM truth, range(0, {depth}) r(j)), "
+        "est AS (SELECT key, true_count, min(cnt) AS est_count FROM probes "
+        "JOIN cells USING (j, col) GROUP BY key, true_count) "
+        "SELECT key, est_count, true_count, "
+        "est_count - true_count AS overcount FROM est"
+    )
+
+
 def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:
     """Merge per-partition sketches (grp, hashes array<bigint>) into the
     combined per-group sketch with the same output schema as

@@ -1098,6 +1098,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             sketch.kmv_sketch_oracle_sql("events", "user_id", "event_type", 32),
         ),
+        # Count-Min frequency estimates beside the truth (overcount > 0
+        # at sf0.01: 150 users into 64 buckets guarantees collisions)
+        "countmin_freq_events": (
+            _table_query(
+                "events", lambda df: sketch.countmin_estimate(df, "user_id", 4, 64)
+            ),
+            sketch.countmin_estimate_oracle_sql("events", "user_id", 4, 64),
+        ),
         # pre-join key-distribution audit + heavy hitters
         "key_distribution_lineitem": (
             _table_query("lineitem", lambda df: skew.key_distribution(df, "l_suppkey")),

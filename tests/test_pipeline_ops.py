@@ -893,6 +893,49 @@ def test_kmv_sketch(docs, duck):
     assert merged == rows
 
 
+def test_countmin_estimate(spark, sf_dir, duck):
+    from pgverify_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_estimate_oracle_sql,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = _cmp(
+        countmin_estimate(events, "user_id", 4, 64),
+        duck,
+        countmin_estimate_oracle_sql("events", "user_id", 4, 64),
+    )
+    assert len(rows) == events.select("user_id").distinct().count()
+    # CM guarantee: never undercounts; total truth is conserved
+    for _, est, true, over in rows:
+        assert est >= true and over == est - true >= 0
+    assert sum(r[2] for r in rows) == events.count()
+
+
+def test_countmin_collisions_overcount(spark):
+    """Width 2 forces collisions: some key must overcount, none under."""
+    from pgverify_spark.operators.sketch import countmin_estimate
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(100)], "k bigint"
+    )
+    rows = countmin_estimate(df, "k", 2, 2).collect()
+    assert all(r["est_count"] >= r["true_count"] for r in rows)
+    assert any(r["overcount"] > 0 for r in rows)
+
+
+def test_countmin_merge(spark, sf_dir):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) cell-for-cell."""
+    from pgverify_spark.operators.sketch import countmin_merge, countmin_sketch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    whole = sorted(map(tuple, countmin_sketch(events, "user_id").collect()))
+    h1 = countmin_sketch(events.filter("event_id % 2 = 0"), "user_id")
+    h2 = countmin_sketch(events.filter("event_id % 2 = 1"), "user_id")
+    merged = sorted(map(tuple, countmin_merge(h1.unionByName(h2)).collect()))
+    assert merged == whole
+
+
 def test_fuzzy_join_pairs(spark, sf_dir, duck):
     from pgverify_spark.operators.linkage import (
         fuzzy_join_pairs,
