@@ -117,6 +117,132 @@ def shipping_priority(
     )
 
 
+#: Q5 / Q18 parameters tuned to the 1995-2001 testdata span; the Q18
+#: quantity threshold sits near the 99th percentile of per-order
+#: quantity at every test SF, so the HAVING filter is selective but
+#: never empty.
+Q5_REGION = "ASIA"
+Q5_FROM = "1996-01-01 00:00:00"
+Q5_TO = "1997-01-01 00:00:00"
+Q18_QTY = 250
+Q18_K = 100
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5: per-nation revenue where customer and supplier share a
+    nation in one region, one order-date year.  (n_name, revenue).
+
+    The canonical snowflake join: region -> nation -> supplier chain is
+    broadcast (dims shrink left-to-right), the fact-side
+    lineitem⋈orders⋈customer joins shuffle on uniformly distributed
+    keys and AQE is free to flip any of them to broadcast when the
+    filtered side collapses.  The co-nationality predicate
+    (c_nationkey = s_nationkey) rides on the supplier join — no extra
+    exchange.
+    """
+    r = region.filter(f"r_name = '{Q5_REGION}'").select("r_regionkey")
+    n = nation.join(
+        F.broadcast(r), nation.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    s = supplier.join(
+        F.broadcast(n), supplier.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = orders.filter(
+        f"o_orderdate >= TIMESTAMP '{Q5_FROM}' AND o_orderdate < TIMESTAMP '{Q5_TO}'"
+    ).select("o_orderkey", "o_custkey")
+    c = customer.select("c_custkey", "c_nationkey")
+    li = lineitem.selectExpr("l_orderkey", "l_suppkey", f"{_DISC_PRICE} AS disc_price")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("disc_price").cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def local_supplier_volume_oracle_sql(
+    customer: str,
+    orders: str,
+    lineitem: str,
+    supplier: str,
+    nation: str,
+    region: str,
+) -> str:
+    return (
+        "SELECT n_name, "
+        f"CAST(sum({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue "
+        f"FROM {customer}, {orders}, {lineitem}, {supplier}, {nation}, {region} "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        f"AND r_name = '{Q5_REGION}' "
+        f"AND o_orderdate >= TIMESTAMP '{Q5_FROM}' "
+        f"AND o_orderdate < TIMESTAMP '{Q5_TO}' "
+        "GROUP BY n_name ORDER BY revenue DESC, n_name ASC"
+    )
+
+
+def large_volume_customer(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q18: top-``Q18_K`` orders whose total quantity exceeds
+    ``Q18_QTY``, with their customer.
+    (c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty).
+
+    The HAVING subquery and the outer aggregate are the SAME
+    ``groupBy(l_orderkey).sum(qty)`` — computed once and filtered, not
+    twice as the literal SQL suggests; the surviving order keys (a
+    ~1 % selection) then drive broadcast-able joins to orders and
+    customer, and the final top-k is a ``TakeOrderedAndProject`` (no
+    global sort).  Quantity sums run in DECIMAL so both engines agree
+    bit-for-bit regardless of add order.
+    """
+    per_order = lineitem.selectExpr(
+        "l_orderkey", "CAST(l_quantity AS DECIMAL(18,2)) AS q"
+    ).groupBy("l_orderkey").agg(F.sum("q").cast("decimal(38,2)").alias("sum_qty"))
+    big = per_order.filter(F.col("sum_qty") > Q18_QTY)
+    o = orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = customer.select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(Q18_K)
+    )
+
+
+def large_volume_customer_oracle_sql(
+    customer: str, orders: str, lineitem: str
+) -> str:
+    return (
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+        "CAST(sum_qty AS DECIMAL(38,2)) AS sum_qty FROM ("
+        "SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty "
+        f"FROM {lineitem} GROUP BY l_orderkey "
+        f"HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY}) big "
+        f"JOIN {orders} ON l_orderkey = o_orderkey "
+        f"JOIN {customer} ON o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC "
+        f"LIMIT {Q18_K}"
+    )
+
+
 def shipping_priority_oracle_sql(
     lineitem: str, orders: str, customer: str, k: int = 10
 ) -> str:

@@ -401,6 +401,27 @@ def _q3_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q5_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_required_confs(spark)
+    t = ParquetTarget("t", sf_dir)
+    return analytics.local_supplier_volume(
+        t.read(spark, "customer"),
+        t.read(spark, "orders"),
+        t.read(spark, "lineitem"),
+        t.read(spark, "supplier"),
+        t.read(spark, "nation"),
+        t.read(spark, "region"),
+    )
+
+
+def _q18_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_required_confs(spark)
+    t = ParquetTarget("t", sf_dir)
+    return analytics.large_volume_customer(
+        t.read(spark, "customer"), t.read(spark, "orders"), t.read(spark, "lineitem")
+    )
+
+
 def _asof_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgverify_spark.operators.asof import asof_join
 
@@ -1129,6 +1150,18 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _q3_spark,
             analytics.shipping_priority_oracle_sql("lineitem", "orders", "customer", 10),
         ),
+        "tpch_q5_local_supplier_volume": (
+            _q5_spark,
+            analytics.local_supplier_volume_oracle_sql(
+                "customer", "orders", "lineitem", "supplier", "nation", "region"
+            ),
+        ),
+        "tpch_q18_large_volume_customer": (
+            _q18_spark,
+            analytics.large_volume_customer_oracle_sql(
+                "customer", "orders", "lineitem"
+            ),
+        ),
         # multimodal plumbing (Arrow mapInPandas vs blob-SQL oracle)
         "multimodal_features_documents": (
             _table_query("documents", multimodal.extract_features),
@@ -1780,6 +1813,8 @@ HEADLINE_QUERIES = (
     "semantic_dedup_filter_documents",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
 )
 
 

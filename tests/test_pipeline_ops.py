@@ -1275,6 +1275,40 @@ def test_tpch_anchors(spark, sf_dir, duck):
     assert "BroadcastHashJoin" in p3 and "TakeOrderedAndProject" in p3
 
 
+def test_tpch_q5_q18(spark, sf_dir, duck):
+    """Q5 snowflake join and Q18 having-subquery anchors: oracle-exact,
+    and the plans are the canonical ones (Q5 broadcasts the dim chain;
+    Q18 aggregates lineitem ONCE and top-ks without a global sort)."""
+    from pgverify_spark.operators import analytics
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    q5 = analytics.local_supplier_volume(
+        rd("customer"), rd("orders"), rd("lineitem"),
+        rd("supplier"), rd("nation"), rd("region"),
+    )
+    p5 = q5._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p5
+    rows5 = list(map(tuple, q5.collect()))
+    oracle5 = list(map(tuple, duck.execute(
+        analytics.local_supplier_volume_oracle_sql(
+            "customer", "orders", "lineitem", "supplier", "nation", "region"
+        )).fetchall()))
+    assert rows5 == oracle5 and len(rows5) > 0  # order-sensitive: ranked
+
+    q18 = analytics.large_volume_customer(rd("customer"), rd("orders"), rd("lineitem"))
+    p18 = q18._jdf.queryExecution().executedPlan().toString()
+    # the HAVING subquery reuses the single lineitem aggregate: exactly
+    # one scan of lineitem, and the top-k is a heap, not a global sort
+    assert p18.count("Scan parquet") == 3  # lineitem + orders + customer
+    assert "TakeOrderedAndProject" in p18
+    rows18 = list(map(tuple, q18.collect()))
+    oracle18 = list(map(tuple, duck.execute(
+        analytics.large_volume_customer_oracle_sql("customer", "orders", "lineitem")
+    ).fetchall()))
+    assert rows18 == oracle18 and len(rows18) > 0
+    assert all(r[5] > analytics.Q18_QTY for r in rows18)
+
+
 def test_bigram_lm_scores(spark, docs, duck):
     from pgverify_spark.operators import lm
 
