@@ -93,6 +93,46 @@ def stratified_sample_oracle_sql(
 _PPM = 1_000_000
 
 
+def reservoir_sample(
+    df: DataFrame, key_col: str, group_col: str, k: int
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group — the fixed-SIZE
+    sibling of :func:`stratified_sample`'s fixed-RATE selection (eval
+    sets, per-source spot-check panels, "give me 100 docs per
+    language").  Selection is the content-hash rank of ``key_col``, so
+    the sample is reproducible across runs, engines and cluster
+    layouts, and adding new rows to a group only ever swaps individual
+    members (hash order is stable — the online-reservoir property,
+    without the RNG).
+
+    Scale shape: one hash-partition exchange on ``group_col`` + a
+    rank-k window; per-reducer cost is a k-bounded scan of its groups.
+    For a group so hot one reducer can't stream it (10^9 rows of one
+    language), pre-filter with the rate sampler at ~4k/|group| (counts
+    from a map-side-combined aggregate, same derivation as
+    :func:`mixture_sample`) and rank only the survivors — the hybrid
+    keeps the window input ~k-sized per group at any skew.
+    """
+    h = hex_prefix_int_sql(f"md5(CAST({key_col} AS STRING))", DIALECT_SPARK, 15)
+    w = Window.partitionBy(group_col).orderBy(F.expr(h), F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def reservoir_sample_oracle_sql(
+    table: str, key_col: str, group_col: str, k: int, cols: tuple[str, ...]
+) -> str:
+    h = hex_prefix_int_sql(f"md5(CAST({key_col} AS VARCHAR))", DIALECT_DUCKDB, 15)
+    return (
+        f"SELECT {', '.join(cols)} FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {group_col} ORDER BY {h}, {key_col}) AS rn "
+        f"FROM {table}) t WHERE rn <= {k}"
+    )
+
+
 def _mixture_threshold_sql(weights: dict[str, float], target_frac: float, dialect: str) -> str:
     """Per-source keep-threshold (out of 2^20) as a CASE over integer math.
 

@@ -877,6 +877,18 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "documents", "doc_id", "lang", {"en": 0.5, "de": 1.0, "fr": 0.25}, 0.1
             ),
         ),
+        # fixed-size per-group panel (k per event_type, content-hash rank)
+        "reservoir_sample_events": (
+            _table_query(
+                "events",
+                lambda df: sample.reservoir_sample(df, "event_id", "event_type", 20)
+                .select("event_id", "user_id", "event_type", "value"),
+            ),
+            sample.reservoir_sample_oracle_sql(
+                "events", "event_id", "event_type", 20,
+                ("event_id", "user_id", "event_type", "value"),
+            ),
+        ),
         "topk_ngrams_documents": (
             _table_query("documents", lambda df: text.topk_ngrams(df, 3, 50)),
             text.topk_ngrams_oracle_sql("documents", 3, 50),

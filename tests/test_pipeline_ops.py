@@ -1180,6 +1180,34 @@ def test_assign_shards(docs, duck):
     assert "SinglePartition" not in p
 
 
+def test_reservoir_sample(spark, sf_dir, duck):
+    from pgverify_spark.operators import sample
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = ("event_id", "user_id", "event_type", "value")
+    rows = _cmp(
+        sample.reservoir_sample(events, "event_id", "event_type", 20)
+        .select(*cols),
+        duck,
+        sample.reservoir_sample_oracle_sql("events", "event_id", "event_type", 20, cols),
+    )
+    # exactly min(k, |group|) per group
+    sizes = {t: c for t, c in events.groupBy("event_type").count().collect()}
+    got = {}
+    for r in rows:
+        got[r[2]] = got.get(r[2], 0) + 1
+    assert got == {t: min(20, n) for t, n in sizes.items()}
+    # reservoir property: growing the input only swaps members — the
+    # sample from a superset never loses a row whose hash rank still fits
+    half = sample.reservoir_sample(
+        events.filter("event_id % 2 = 0"), "event_id", "event_type", 20
+    )
+    full_ids = {r[0] for r in rows}
+    half_ids = {r["event_id"] for r in half.select("event_id").collect()}
+    # every full-corpus pick that lives in the half corpus was picked there too
+    assert {i for i in full_ids if i % 2 == 0} <= half_ids
+
+
 def test_mixture_sample(docs, duck):
     """Mixture-derived rates hit the oracle exactly; kept counts track
     the requested mixture; unlisted sources are dropped; oversubscribed
