@@ -408,6 +408,130 @@ def repetition_stats_oracle_sql(table: str) -> str:
     )
 
 
+def _gopher_rules(
+    min_tokens: int,
+    max_tokens: int,
+    max_digit_ratio: float,
+    max_punct_ratio: float,
+    min_stopword_ratio: float,
+    min_distinct_frac: float,
+    max_top_token_frac: float,
+    max_top_bigram_frac: float,
+) -> tuple[tuple[str, str], ...]:
+    """(rule name, FAIL predicate) pairs — dialect-neutral SQL over the
+    scored metric columns, in fixed declaration order so the joined
+    ``reasons`` string is byte-identical in both engines."""
+    return (
+        ("too_few_tokens", f"n_tokens < {min_tokens}"),
+        ("too_many_tokens", f"n_tokens > {max_tokens}"),
+        ("word_length", "avg_token_len < 3.0 OR avg_token_len > 10.0"),
+        ("digit_heavy", f"digit_ratio > {max_digit_ratio}"),
+        ("punct_heavy", f"punct_ratio > {max_punct_ratio}"),
+        ("low_stopwords", f"stopword_ratio < {min_stopword_ratio}"),
+        ("low_diversity", f"distinct_token_frac < {min_distinct_frac}"),
+        ("top_token_spam", f"top_token_frac > {max_top_token_frac}"),
+        ("top_bigram_spam", f"top_bigram_frac > {max_top_bigram_frac}"),
+    )
+
+
+def gopher_gate(
+    df: DataFrame,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    max_digit_ratio: float = 0.3,
+    max_punct_ratio: float = 0.15,
+    min_stopword_ratio: float = 0.0,
+    min_distinct_frac: float = 0.3,
+    max_top_token_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style composite quality gate with per-rule ATTRIBUTION —
+    unlike :func:`quality_filter` (which silently keeps) this scores
+    EVERY document and reports which rules it failed, the view a
+    curation team audits before committing to thresholds (Rae et al.
+    2021's repetition + length + symbol rules, thresholds
+    parameterized).
+
+    Output: (doc_id, keep, n_fail, reasons) — ``reasons`` is the
+    comma-joined failing rule names in fixed declaration order ('' when
+    keep).
+
+    Scale shape: ONE projection pass — the length/symbol stats and the
+    repetition signals (sorted-array equal-run folds, no explode) fuse
+    over the same token array; rule predicates and the reasons join are
+    a constant cascade of codegen'd CASEs.  No shuffle anywhere.
+    """
+    from pgverify_spark.functions.text_exprs import ngrams_sql
+
+    d = DIALECT_SPARK
+    exprs, metrics, _ = _stats_exprs(d)
+    rules = _gopher_rules(
+        min_tokens, max_tokens, max_digit_ratio, max_punct_ratio,
+        min_stopword_ratio, min_distinct_frac, max_top_token_frac,
+        max_top_bigram_frac,
+    )
+    prep = _barrier(df.selectExpr("doc_id", "text", *exprs))
+    base = _barrier(
+        prep.selectExpr(
+            "doc_id", "text", "norm", "tokens",
+            f"{ngrams_sql('tokens', 2, d)} AS bigrams",
+        )
+    )
+    n_tok = "size(tokens)"
+    scored = base.selectExpr(
+        *metrics,
+        f"round(CAST(size(array_distinct(tokens)) AS DOUBLE) / greatest({n_tok}, 1), 6) AS distinct_token_frac",
+        f"round(CAST({_max_run_spark('array_sort(tokens)')} AS DOUBLE) / greatest({n_tok}, 1), 6) AS top_token_frac",
+        f"round(CAST({_max_run_spark('array_sort(bigrams)')} AS DOUBLE) / greatest(size(bigrams), 1), 6) AS top_bigram_frac",
+    )
+    return scored.selectExpr("doc_id", *_gate_exprs(rules))
+
+
+def _gate_exprs(rules: tuple[tuple[str, str], ...]) -> list[str]:
+    """keep / n_fail / reasons projections (dialect-neutral: concat_ws
+    skips NULL arguments in both Spark and DuckDB)."""
+    n_fail = " + ".join(f"(CASE WHEN {p} THEN 1 ELSE 0 END)" for _, p in rules)
+    reasons = ", ".join(f"CASE WHEN {p} THEN '{n}' END" for n, p in rules)
+    return [
+        f"CAST(({n_fail}) = 0 AS BOOLEAN) AS keep",
+        f"CAST({n_fail} AS BIGINT) AS n_fail",
+        f"concat_ws(',', {reasons}) AS reasons",
+    ]
+
+
+def gopher_gate_oracle_sql(
+    table: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    max_digit_ratio: float = 0.3,
+    max_punct_ratio: float = 0.15,
+    min_stopword_ratio: float = 0.0,
+    min_distinct_frac: float = 0.3,
+    max_top_token_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.18,
+) -> str:
+    """DuckDB twin: stats via the shared expression builders, repetition
+    via the deliberately-different unnest+GROUP BY formulation
+    (:func:`repetition_stats_oracle_sql`), joined on doc_id — the gate
+    cross-checks both counting strategies."""
+    exprs, metrics, _ = _stats_exprs(DIALECT_DUCKDB)
+    rules = _gopher_rules(
+        min_tokens, max_tokens, max_digit_ratio, max_punct_ratio,
+        min_stopword_ratio, min_distinct_frac, max_top_token_frac,
+        max_top_bigram_frac,
+    )
+    gate = ", ".join(_gate_exprs(rules))
+    return (
+        f"WITH s AS (SELECT {', '.join(metrics)} FROM "
+        f"(SELECT doc_id, text, {', '.join(exprs)} FROM {table}) t1), "
+        f"r AS ({repetition_stats_oracle_sql(table)}), "
+        "j AS (SELECT s.doc_id, s.n_tokens, s.avg_token_len, s.punct_ratio, "
+        "s.digit_ratio, s.stopword_ratio, r.distinct_token_frac, "
+        "r.top_token_frac, r.top_bigram_frac FROM s JOIN r ON s.doc_id = r.doc_id) "
+        f"SELECT doc_id, {gate} FROM j"
+    )
+
+
 def length_histogram(df: DataFrame, bucket_width: int = 50) -> DataFrame:
     """Exact fixed-width histogram of document lengths: one row per
     occupied bucket with (bucket, lo, hi, n_docs, n_chars_total).

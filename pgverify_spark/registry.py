@@ -865,6 +865,22 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             text.quality_filter_oracle_sql("documents", 0.5, 10, 0.3, ("en", "de")),
         ),
+        # Gopher composite gate with per-rule attribution (thresholds
+        # tuned so several rules fire on the synthetic corpus: token
+        # floor, stopword floor, diversity floor, repetition caps)
+        "gopher_gate_documents": (
+            _table_query(
+                "documents",
+                lambda df: text.gopher_gate(
+                    df, min_tokens=20, max_tokens=10_000,
+                    min_stopword_ratio=0.01,
+                ),
+            ),
+            text.gopher_gate_oracle_sql(
+                "documents", min_tokens=20, max_tokens=10_000,
+                min_stopword_ratio=0.01,
+            ),
+        ),
         # deterministic curation sampling + corpus stats
         "stratified_sample_documents": (
             _table_query(

@@ -1608,6 +1608,51 @@ def test_profile_table(spark, sf_dir, duck):
     assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
 
 
+def test_gopher_gate(docs, duck):
+    rows = _cmp(
+        text.gopher_gate(docs, min_tokens=20, max_tokens=10_000,
+                         min_stopword_ratio=0.01),
+        duck,
+        text.gopher_gate_oracle_sql("documents", min_tokens=20,
+                                    max_tokens=10_000,
+                                    min_stopword_ratio=0.01),
+    )
+    assert len(rows) == docs.count()
+    for _, keep, n_fail, reasons in rows:
+        assert keep == (n_fail == 0)
+        assert n_fail == (len(reasons.split(",")) if reasons else 0)
+
+
+def test_gopher_gate_rules_fire(spark):
+    """Synthetic documents tripping specific rules get exactly those
+    reasons, in declaration order."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over lazy dogs and every "
+                "clever animal runs through green fields with joyful "
+                "energy under bright skies near quiet rivers"),   # clean
+            (2, "short text"),                                    # too few
+            (3, "the spam spam spam spam " + "spam " * 60),       # repetition
+            (4, ("a1 22 333 4444 " * 20)),                        # digits
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.gopher_gate(
+            docs, min_tokens=10, min_stopword_ratio=0.01
+        ).collect()
+    }
+    assert out[1]["keep"] and out[1]["reasons"] == ""
+    assert "too_few_tokens" in out[2]["reasons"]
+    assert "top_token_spam" in out[3]["reasons"]
+    assert "top_bigram_spam" in out[3]["reasons"]
+    assert "digit_heavy" in out[4]["reasons"]
+    # declaration order: token-count rules come before repetition rules
+    r3 = out[3]["reasons"].split(",")
+    assert r3.index("top_token_spam") < r3.index("top_bigram_spam")
+
+
 def test_corpus_dedup_lines(spark, duck):
     """Cross-doc line dedup keeps only the globally-first copy of a
     shared line, exempts blank lines, and matches the oracle."""
