@@ -125,6 +125,18 @@ def countmin_sketch(
     )
 
 
+def countmin_sketch_oracle_sql(
+    table: str, value_col: str, depth: int = 4, width: int = 64
+) -> str:
+    """DuckDB twin of the raw cell table (shared by the batch sketch
+    and the streaming aggregate's final state)."""
+    h = _cm_hash(value_col, "j", DIALECT_DUCKDB)
+    return (
+        f"SELECT j, CAST({h} % {width} AS BIGINT) AS col, count(*) AS cnt "
+        f"FROM {table}, range(0, {depth}) r(j) GROUP BY 1, 2"
+    )
+
+
 def countmin_merge(sketches: DataFrame) -> DataFrame:
     """Merge partial sketches (union of (j, col, cnt) cell sets) by
     summing counts per cell — the cross-partition / cross-run combine."""

@@ -1459,6 +1459,47 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
     # sketch exactly, so it shares the batch operator's oracle SQL
     kmv_oracle = sketch.kmv_sketch_oracle_sql("documents", "text", "lang", 64)
 
+    def run_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.sketch import (
+            finalize_streaming_countmin,
+            streaming_countmin,
+        )
+
+        ensure_required_confs(spark)
+        events = ParquetTarget("t", sf_dir).read(spark, "events")
+        tmp = tempfile.mkdtemp(prefix="pgvs_scm_")
+        (
+            events.withColumn("chunk", (F.col("event_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_countmin(sdf, "user_id", 4, 64)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("registry_scm")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return finalize_streaming_countmin(spark.table("registry_scm"))
+
+    # purely-additive cells => final streaming state equals the batch
+    # cell table, bit-for-bit, under any chunking of the input
+    countmin_oracle = sketch.countmin_sketch_oracle_sql("events", "user_id", 4, 64)
+
     def run_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
@@ -1644,6 +1685,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         "streaming_session_rollup_events": (run_sessions, sessions_oracle),
         "streaming_funnel_events": (run_funnel, funnel_oracle),
         "streaming_kmv_distinct_documents": (run_kmv, kmv_oracle),
+        "streaming_countmin_events": (run_countmin, countmin_oracle),
         "streaming_bloom_decontaminate_documents": (run_bloom, bloom_oracle),
         "streaming_windowed_counts_events": (run_windowed, windowed_oracle),
         "streaming_lm_scores_documents": (run_lm, lm_stream_oracle),

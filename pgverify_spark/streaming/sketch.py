@@ -79,6 +79,44 @@ def streaming_kmv_state(
     )
 
 
+def streaming_countmin(
+    sdf: DataFrame, value_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Streaming Count-Min frequency sketch — the purely-additive twin
+    of ``operators.sketch.countmin_sketch``: because cells are sums,
+    the sketch IS a native Structured Streaming aggregate (explode d
+    hash rows -> groupBy(j, col) count in update mode).  No custom
+    state code; Spark's streaming state store holds exactly the ≤ d×w
+    counters, forever, regardless of stream volume or key skew — the
+    bounded-state property that makes CM the standard streaming
+    frequency monitor.
+
+    Emitted rows are (j, col, cnt) with cnt monotonically increasing;
+    the final sketch is the max cnt per cell
+    (:func:`finalize_streaming_countmin`), which equals the batch
+    sketch over the same data — the registry pairs it with the SAME
+    DuckDB oracle as the batch cell table.
+    """
+    from pgverify_spark.operators.sketch import _cm_hash
+
+    h = _cm_hash(value_col, "j", DIALECT_SPARK)
+    return (
+        sdf.selectExpr(f"explode(sequence(0, {depth - 1})) AS j", value_col)
+        .selectExpr("CAST(j AS BIGINT) AS j", f"CAST({h} % {width} AS BIGINT) AS col")
+        .groupBy("j", "col")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+def finalize_streaming_countmin(emitted: DataFrame) -> DataFrame:
+    """Final cell table from update-mode emissions: cnt only grows, so
+    the last state per (j, col) is the max."""
+    from pyspark.sql import functions as F
+
+    return emitted.groupBy("j", "col").agg(F.max("cnt").alias("cnt"))
+
+
 def finalize_streaming_kmv(emitted: DataFrame) -> list[tuple]:
     """Latest state per group: [(grp, n_sketch, kth_min, est_distinct)]."""
     latest: dict[str, tuple] = {}

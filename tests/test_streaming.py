@@ -306,6 +306,46 @@ def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
     assert all(r["count"] <= 4 for r in em)
 
 
+def test_streaming_countmin_matches_batch(spark, sf_dir, tmp_path):
+    """Count-Min cells are purely additive, so the native streaming
+    aggregate's final state equals the batch cell table under any
+    chunking — and its state is bounded at d×w counters."""
+    from pgverify_spark.operators.sketch import countmin_sketch
+    from pgverify_spark.streaming.sketch import (
+        finalize_streaming_countmin,
+        streaming_countmin,
+    )
+
+    events = ParquetTarget("t", sf_dir).read(spark, "events")
+    out = str(tmp_path / "scm_src")
+    events.withColumn("chunk", (events.event_id % 4).cast("int")).repartition(
+        4, "chunk"
+    ).drop("chunk").write.mode("overwrite").parquet(out)
+    sdf = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q = (
+        streaming_countmin(sdf, "user_id", 4, 64)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("scm_state")
+        .option("checkpointLocation", str(tmp_path / "ckscm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(
+        map(tuple, finalize_streaming_countmin(spark.table("scm_state")).collect())
+    )
+    batch = sorted(map(tuple, countmin_sketch(events, "user_id", 4, 64).collect()))
+    assert streamed == batch
+    assert len(streamed) <= 4 * 64  # bounded state
+
+
 def test_streaming_bloom_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     """Stateless probe + single per-doc aggregation: the streamed report
     equals the batch bloom_decontaminate rows exactly (docs arrive whole,
