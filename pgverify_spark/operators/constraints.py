@@ -117,13 +117,10 @@ def _agg_exprs(constraints: list[Constraint], dialect: str) -> list[str]:
     return out
 
 
-def constraint_report(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
-    """Evaluate ``constraints`` in one aggregation pass.
-
-    Output: (check_name, col_name, status, violations, n_rows) — one row
-    per constraint, ``status`` in {'pass', 'fail'}.
-    """
-    wide = df.selectExpr(*_agg_exprs(constraints, "spark"))
+def report_from_wide(wide: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Unpivot a 1-row (v0..vN, n_rows) counter relation into the
+    per-check report shape (shared by the batch pass and the streaming
+    monitor's final state)."""
     stack = ", ".join(
         f"'{c.name}', '{c.column}', v{i}" for i, c in enumerate(constraints)
     )
@@ -136,6 +133,17 @@ def constraint_report(df: DataFrame, constraints: list[Constraint]) -> DataFrame
         "CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status",
         "violations",
         "n_rows",
+    )
+
+
+def constraint_report(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Evaluate ``constraints`` in one aggregation pass.
+
+    Output: (check_name, col_name, status, violations, n_rows) — one row
+    per constraint, ``status`` in {'pass', 'fail'}.
+    """
+    return report_from_wide(
+        df.selectExpr(*_agg_exprs(constraints, "spark")), constraints
     )
 
 

@@ -568,6 +568,60 @@ def near_dedup_filter_oracle_sql(table: str, pairs_sql: str) -> str:
     )
 
 
+def near_dedup_filter_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    scores: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """:func:`near_dedup_filter` with a QUALITY-aware representative:
+    within each duplicate cluster keep the member with the highest
+    ``scores`` value (ties → smallest doc_id) instead of the arbitrary
+    min-id — what production pipelines actually do, because the first
+    crawl of a page is often the worst copy (truncated, un-boilerplated)
+    while a later fetch is the one worth training on.
+
+    ``scores``: (doc_id, score) — any per-document quality signal
+    (gopher_gate pass-count, quality_score, length, recency).  Must
+    cover every clustered document: an unscored member can't win, and a
+    cluster scored nowhere keeps nothing (both dialects agree).
+
+    Scale shape: identical to :func:`near_dedup_filter` plus one
+    ids+score join against the cluster relation (clustered docs only —
+    a small fraction of the corpus), then a map-side-combinable
+    max-struct winner aggregate per cluster.  The corpus still never
+    shuffles: losers broadcast-anti-join.
+    """
+    clusters = dup_clusters(pairs, max_iterations)
+    scored = clusters.join(scores, "doc_id")
+    # winner = max (score, -doc_id) lexicographically → highest score,
+    # smallest id on ties; struct max is map-side combinable
+    winners = (
+        scored.selectExpr("cluster_id", "struct(score, -doc_id AS neg_id) AS w")
+        .groupBy("cluster_id")
+        .agg(F.max("w").alias("w"))
+        .selectExpr("-w.neg_id AS doc_id")
+    )
+    losers = clusters.select("doc_id").exceptAll(winners)
+    return df.join(losers, "doc_id", "left_anti")
+
+
+def near_dedup_filter_best_oracle_sql(
+    table: str, pairs_sql: str, scores_sql: str
+) -> str:
+    """DuckDB twin: rank members per cluster by (score DESC, doc_id
+    ASC) — row 1 is the representative kept."""
+    clusters = dup_clusters_oracle_sql(pairs_sql)
+    return (
+        f"SELECT t.* FROM {table} t WHERE doc_id NOT IN ("
+        "SELECT doc_id FROM ("
+        "SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_id "
+        "ORDER BY q.score DESC, c.doc_id ASC) AS rn "
+        f"FROM ({clusters}) c JOIN ({scores_sql}) q ON c.doc_id = q.doc_id) r "
+        "WHERE rn > 1)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: new batch vs existing corpus (cross-side LSH)
 # ---------------------------------------------------------------------------

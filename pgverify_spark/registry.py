@@ -801,6 +801,25 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 + ") mp",
             ),
         ),
+        # quality-aware variant: the representative is the LONGEST
+        # member of each duplicate cluster, not the smallest id
+        "near_dedup_filter_best_documents": (
+            _table_query(
+                "documents",
+                lambda df: dedup.near_dedup_filter_best(
+                    df,
+                    dedup.minhash_lsh_pairs(df, 0.3).select("doc_a", "doc_b"),
+                    df.selectExpr("doc_id", "CAST(n_chars AS DOUBLE) AS score"),
+                ),
+            ),
+            dedup.near_dedup_filter_best_oracle_sql(
+                "documents",
+                "SELECT doc_a, doc_b FROM ("
+                + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+                + ") mp",
+                "SELECT doc_id, CAST(n_chars AS DOUBLE) AS score FROM documents",
+            ),
+        ),
         # exact-content dedup filter (keep min doc_id per distinct text)
         "exact_dedup_filter_documents": (
             _table_query(
@@ -1500,6 +1519,51 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
     # cell table, bit-for-bit, under any chunking of the input
     countmin_oracle = sketch.countmin_sketch_oracle_sql("events", "user_id", 4, 64)
 
+    # streaming constraint monitor: the row-predicate subset of the
+    # orders suite (uniqueness needs per-key state — batch-only)
+    row_suite = [c for c in _ORDERS_SUITE if c.distinct_col is None]
+
+    def run_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.constraints import (
+            finalize_streaming_constraints,
+            streaming_constraint_counts,
+        )
+
+        ensure_required_confs(spark)
+        orders = ParquetTarget("t", sf_dir).read(spark, "orders")
+        tmp = tempfile.mkdtemp(prefix="pgvs_scon_")
+        (
+            orders.withColumn("chunk", (F.col("o_orderkey") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_constraint_counts(sdf, row_suite)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("registry_scon")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return finalize_streaming_constraints(spark.table("registry_scon"), row_suite)
+
+    constraints_stream_oracle = constraints.constraint_report_oracle_sql(
+        "orders", row_suite
+    )
+
     def run_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
@@ -1686,6 +1750,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         "streaming_funnel_events": (run_funnel, funnel_oracle),
         "streaming_kmv_distinct_documents": (run_kmv, kmv_oracle),
         "streaming_countmin_events": (run_countmin, countmin_oracle),
+        "streaming_constraint_report_orders": (run_constraints, constraints_stream_oracle),
         "streaming_bloom_decontaminate_documents": (run_bloom, bloom_oracle),
         "streaming_windowed_counts_events": (run_windowed, windowed_oracle),
         "streaming_lm_scores_documents": (run_lm, lm_stream_oracle),

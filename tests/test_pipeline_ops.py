@@ -1608,6 +1608,35 @@ def test_profile_table(spark, sf_dir, duck):
     assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
 
 
+def test_near_dedup_filter_best(docs, duck):
+    """Quality-aware winner: matches the oracle, keeps exactly one
+    member per cluster, and that member maximizes (score, -doc_id)."""
+    pairs = dedup.minhash_lsh_pairs(docs, 0.3).select("doc_a", "doc_b")
+    scores = docs.selectExpr("doc_id", "CAST(n_chars AS DOUBLE) AS score")
+    kept = _cmp(
+        dedup.near_dedup_filter_best(docs, pairs, scores),
+        duck,
+        dedup.near_dedup_filter_best_oracle_sql(
+            "documents",
+            "SELECT doc_a, doc_b FROM ("
+            + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+            + ") mp",
+            "SELECT doc_id, CAST(n_chars AS DOUBLE) AS score FROM documents",
+        ),
+    )
+    kept_ids = {r[0] for r in kept}
+    clusters = dedup.dup_clusters(pairs).collect()
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    lens = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    for cid, members in by_cluster.items():
+        winners = [m for m in members if m in kept_ids]
+        assert len(winners) == 1, (cid, winners)
+        best = min(members, key=lambda m: (-lens[m], m))
+        assert winners[0] == best
+
+
 def test_gopher_gate(docs, duck):
     rows = _cmp(
         text.gopher_gate(docs, min_tokens=20, max_tokens=10_000,

@@ -306,6 +306,54 @@ def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
     assert all(r["count"] <= 4 for r in em)
 
 
+def test_streaming_constraint_report_matches_batch(spark, sf_dir, tmp_path):
+    """Additive counters: the monitor's final state equals the batch
+    report over the same data; unique checks are rejected loudly."""
+    import pytest as _pytest
+
+    from pgverify_spark.operators import constraints as con
+    from pgverify_spark.streaming.constraints import (
+        finalize_streaming_constraints,
+        streaming_constraint_counts,
+    )
+
+    orders = ParquetTarget("t", sf_dir).read(spark, "orders")
+    suite = [
+        con.not_null("o_custkey"),
+        con.accepted_values("o_orderstatus", ("O", "F")),
+        con.in_range("o_totalprice", 0, 200000),
+        con.matches("o_orderpriority", "^[1-3]-"),
+    ]
+    out = str(tmp_path / "scon_src")
+    orders.withColumn("chunk", (orders.o_orderkey % 4).cast("int")).repartition(
+        4, "chunk"
+    ).drop("chunk").write.mode("overwrite").parquet(out)
+    sdf = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q = (
+        streaming_constraint_counts(sdf, suite)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("scon_state")
+        .option("checkpointLocation", str(tmp_path / "ckscon"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(map(tuple, finalize_streaming_constraints(
+        spark.table("scon_state"), suite
+    ).collect()))
+    batch = sorted(map(tuple, con.constraint_report(orders, suite).collect()))
+    assert streamed == batch
+    with _pytest.raises(ValueError, match="unique"):
+        streaming_constraint_counts(sdf, [con.unique("o_orderkey")])
+
+
 def test_streaming_countmin_matches_batch(spark, sf_dir, tmp_path):
     """Count-Min cells are purely additive, so the native streaming
     aggregate's final state equals the batch cell table under any
