@@ -677,6 +677,64 @@ def corpus_dedup_lines_oracle_sql(table: str) -> str:
     )
 
 
+def hashed_vectors(df: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature-hashed (signed hashing-trick) bag-of-words vectors —
+    a model-free text→vector path: each token adds ±1 to the hash
+    bucket ``md5(token) % dim``, sign drawn from the next hash bit
+    (Weinberger et al. 2009, the construction behind
+    HashingVectorizer / Spark MLlib's HashingTF, plus the sign trick
+    that makes the inner product unbiased).  The derived column plugs
+    straight into the embedding operators: cosine top-k, LSH, k-means
+    run on text alone, no model in the loop.
+
+    Output: (doc_id, vec array<bigint>) — integer counts, so the
+    vector (not just a similarity) is bit-identical across engines.
+
+    Scale shape: zero exchanges — one md5 per token into a (bucket,
+    sign) struct array (barrier stops CollapseProject from re-inlining
+    the md5 ``dim`` times), then a per-dimension in-row fold.  Per-row
+    cost O(dim × tokens) integer adds inside whole-stage codegen; at
+    100 TB this is scan-bound like every single-pass text operator.
+    """
+    d = DIALECT_SPARK
+    from pgverify_spark.functions.canonical import hex_prefix_int_sql
+
+    h = hex_prefix_int_sql("md5(x)", d, 15)
+    bs = (
+        f"transform({tokens_sql('text', d)}, x -> "
+        f"struct(CAST({h} % {dim} AS BIGINT) AS b, "
+        f"CAST(CASE WHEN ({h} DIV {dim}) % 2 = 0 THEN 1 ELSE -1 END AS BIGINT) AS s))"
+    )
+    prep = _barrier(df.selectExpr("doc_id", f"{bs} AS bs"))
+    vec = (
+        f"transform(sequence(0, {dim - 1}), i -> "
+        "aggregate(bs, CAST(0 AS BIGINT), "
+        "(acc, p) -> acc + CASE WHEN p.b = i THEN p.s ELSE CAST(0 AS BIGINT) END))"
+    )
+    return prep.selectExpr("doc_id", f"{vec} AS vec")
+
+
+def hashed_vectors_oracle_sql(table: str, dim: int = 64) -> str:
+    from pgverify_spark.functions.canonical import hex_prefix_int_sql
+
+    d = DIALECT_DUCKDB
+    h = hex_prefix_int_sql("md5(x)", d, 15)
+    bs = (
+        f"list_transform({tokens_sql('text', d)}, x -> "
+        f"struct_pack(b := CAST({h} % {dim} AS BIGINT), "
+        f"s := CAST(CASE WHEN ({h} // {dim}) % 2 = 0 THEN 1 ELSE -1 END AS BIGINT)))"
+    )
+    vec = (
+        f"list_transform(range(0, {dim}), i -> CAST(coalesce(list_sum("
+        "list_transform(bs, p -> CASE WHEN p.b = i THEN p.s ELSE 0 END)"
+        "), 0) AS BIGINT))"
+    )
+    return (
+        f"SELECT doc_id, {vec} AS vec FROM "
+        f"(SELECT doc_id, {bs} AS bs FROM {table}) t"
+    )
+
+
 #: PII patterns (ASCII-only so Java regex and RE2 match identically; no
 #: lookaround/backreferences, which RE2 lacks).  Order matters: URLs are
 #: redacted before emails so ``http://user@host`` doesn't double-count.

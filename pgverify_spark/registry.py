@@ -884,6 +884,34 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             text.quality_filter_oracle_sql("documents", 0.5, 10, 0.3, ("en", "de")),
         ),
+        # model-free text -> vector path (signed hashing trick)...
+        "hashed_vectors_documents": (
+            _table_query("documents", lambda df: text.hashed_vectors(df, 64)),
+            text.hashed_vectors_oracle_sql("documents", 64),
+        ),
+        # ...composed straight into the embedding ANN family: exact
+        # cosine top-k over vectors derived from raw text, no model
+        "hashed_text_topk_documents": (
+            _table_query(
+                "documents",
+                lambda df: similarity.cosine_topk(
+                    text.hashed_vectors(df, 64).selectExpr(
+                        "doc_id AS vec_id",
+                        "transform(vec, v -> CAST(v AS DOUBLE)) AS embedding",
+                    ),
+                    qids,
+                    5,
+                ),
+            ),
+            similarity.cosine_topk_oracle_sql(
+                "(SELECT doc_id AS vec_id, "
+                "list_transform(vec, v -> CAST(v AS DOUBLE)) AS embedding FROM ("
+                + text.hashed_vectors_oracle_sql("documents", 64)
+                + ") hv)",
+                qids,
+                5,
+            ),
+        ),
         # Gopher composite gate with per-rule attribution (thresholds
         # tuned so several rules fire on the synthetic corpus: token
         # floor, stopword floor, diversity floor, repetition caps)

@@ -1608,6 +1608,41 @@ def test_profile_table(spark, sf_dir, duck):
     assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
 
 
+def test_hashed_vectors(docs, duck):
+    """Feature-hashed vectors match the oracle; each vector's L1 mass
+    is bounded by the token count (signs cancel, never add)."""
+    rows = _cmp(
+        text.hashed_vectors(docs, 64),
+        duck,
+        text.hashed_vectors_oracle_sql("documents", 64),
+    )
+    n_tok = {
+        r[0]: r[1]
+        for r in text.text_stats(docs).select("doc_id", "n_tokens").collect()
+    }
+    for doc_id, vec in rows:
+        assert len(vec) == 64
+        l1 = sum(abs(v) for v in vec)
+        assert 0 < l1 <= n_tok[doc_id]
+        assert (l1 - n_tok[doc_id]) % 2 == 0  # each cancellation eats 2
+
+
+def test_hashed_text_topk_is_real_similarity(docs, spark):
+    """The text->vector->ANN composition ranks a near-duplicate of a
+    query doc above unrelated docs."""
+    from pgverify_spark.operators import similarity
+
+    base = docs.filter("doc_id = 0").selectExpr(
+        "9999990 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    hv = text.hashed_vectors(docs.unionByName(base), 64).selectExpr(
+        "doc_id AS vec_id",
+        "transform(vec, v -> CAST(v AS DOUBLE)) AS embedding",
+    )
+    top = similarity.cosine_topk(hv, (0,), 3).collect()
+    assert top[0]["vec_id"] == 9999990 and top[0]["cosine"] == 1.0
+
+
 def test_near_dedup_filter_best(docs, duck):
     """Quality-aware winner: matches the oracle, keeps exactly one
     member per cluster, and that member maximizes (score, -doc_id)."""
