@@ -113,6 +113,60 @@ def hourly_rollup_oracle_sql(table: str) -> str:
     )
 
 
+def fill_gaps_hourly(df: DataFrame) -> DataFrame:
+    """Zero-filled continuous hourly series per event_type — the
+    resample step between a rollup and anything that assumes a dense
+    time axis (anomaly z-scores, moving averages, charting, model
+    features): hours with no events exist as explicit rows with
+    ``n_events = 0`` / ``sum_value = 0``.
+
+    Output: (hour_bucket, event_type, n_events, sum_value) for EVERY
+    hour in [min, max] × every observed event_type.
+
+    Scale shape: the raw scan collapses to the hourly rollup first
+    (tiny at any corpus size: hours × types rows), the dense spine is
+    ``sequence(lo, hi)`` exploded from a 1-row bounds aggregate crossed
+    with the broadcast type list (a BroadcastNestedLoopJoin over two
+    generated relations — no CartesianProduct over data), and the
+    left join back is rollup-sized.  Raw events are touched exactly
+    once, by the rollup.
+    """
+    hourly = hourly_rollup(df, distinct_users=None).select(
+        "hour_bucket", "event_type", "n_events", "sum_value"
+    )
+    bounds = hourly.agg(
+        F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi")
+    )
+    types = hourly.select("event_type").distinct()
+    spine = bounds.selectExpr("explode(sequence(lo, hi)) AS hour_bucket").join(
+        F.broadcast(types)
+    )
+    return spine.join(hourly, ["hour_bucket", "event_type"], "left").selectExpr(
+        "hour_bucket",
+        "event_type",
+        "CAST(coalesce(n_events, 0) AS BIGINT) AS n_events",
+        "CAST(coalesce(sum_value, 0) AS DECIMAL(38,2)) AS sum_value",
+    )
+
+
+def fill_gaps_hourly_oracle_sql(table: str) -> str:
+    return (
+        "WITH h AS ("
+        f"SELECT CAST(epoch_us(ts) // {_US_PER_HOUR} AS BIGINT) AS hour_bucket, "
+        "event_type, count(*) AS n_events, "
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value "
+        f"FROM {table} GROUP BY 1, 2), "
+        "b AS (SELECT min(hour_bucket) AS lo, max(hour_bucket) AS hi FROM h), "
+        "sp AS (SELECT unnest(generate_series(lo, hi)) AS hour_bucket FROM b), "
+        "t AS (SELECT DISTINCT event_type FROM h) "
+        "SELECT sp.hour_bucket, t.event_type, "
+        "CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events, "
+        "CAST(coalesce(h.sum_value, 0) AS DECIMAL(38,2)) AS sum_value "
+        "FROM sp CROSS JOIN t LEFT JOIN h "
+        "ON h.hour_bucket = sp.hour_bucket AND h.event_type = t.event_type"
+    )
+
+
 #: Default session gap: 30 minutes, in microseconds.
 _DEFAULT_GAP_US = 30 * 60 * 1_000_000
 

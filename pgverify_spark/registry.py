@@ -961,6 +961,11 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", rollup.hourly_rollup),
             rollup.hourly_rollup_oracle_sql("events"),
         ),
+        # dense resample: every hour in range exists, zero-filled
+        "fill_gaps_hourly_events": (
+            _table_query("events", rollup.fill_gaps_hourly),
+            rollup.fill_gaps_hourly_oracle_sql("events"),
+        ),
         "daily_rollup_events": (
             _table_query("events", rollup.daily_rollup),
             rollup.daily_rollup_oracle_sql("events"),

@@ -1608,6 +1608,34 @@ def test_profile_table(spark, sf_dir, duck):
     assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
 
 
+def test_fill_gaps_hourly(spark, sf_dir, duck):
+    """Dense spine: every (hour, type) cell exists; filled cells equal
+    the plain rollup; gap cells are zero; totals conserved."""
+    from pgverify_spark.operators import rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = _cmp(
+        rollup.fill_gaps_hourly(events),
+        duck,
+        rollup.fill_gaps_hourly_oracle_sql("events"),
+    )
+    hours = sorted({r[0] for r in rows})
+    types = {r[1] for r in rows}
+    assert len(rows) == len(hours) * len(types)  # complete grid
+    assert hours == list(range(hours[0], hours[-1] + 1))  # no holes
+    assert sum(r[2] for r in rows) == events.count()  # zero-fill adds nothing
+    # forcing a gap: removing one hour's events yields explicit zeros
+    gap_hour = hours[len(hours) // 2]
+    thinned = rollup.fill_gaps_hourly(
+        events.filter(
+            f"CAST({rollup.epoch_us_sql(events)} DIV {3600 * 1_000_000} AS BIGINT) "
+            f"<> {gap_hour}"
+        )
+    ).collect()
+    gap_rows = [r for r in thinned if r["hour_bucket"] == gap_hour]
+    assert gap_rows and all(r["n_events"] == 0 for r in gap_rows)
+
+
 def test_hashed_vectors(docs, duck):
     """Feature-hashed vectors match the oracle; each vector's L1 mass
     is bounded by the token count (signs cancel, never add)."""
