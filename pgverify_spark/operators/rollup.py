@@ -167,6 +167,46 @@ def fill_gaps_hourly_oracle_sql(table: str) -> str:
     )
 
 
+def debounce(df: DataFrame, window_us: int = 5_000_000) -> DataFrame:
+    """Collapse retry/duplicate-fire bursts: drop any event closer than
+    ``window_us`` to its (user_id, event_type) predecessor — the event
+    cleaning applied before funnels/rollups so a double-submitted
+    purchase or a client retry storm counts once.  A chain of
+    sub-window arrivals collapses to its first event (each dropped
+    event still anchors the gap test for the next, so continuous
+    bursts never re-qualify mid-burst).
+
+    Output: kept events as (event_id, user_id, event_type, us, value).
+
+    Scale shape: identical to :func:`sessionize` — one hash exchange on
+    the (user, type) key, one lag window inside it, then a codegen
+    filter; time normalized to integer epoch micros so the gap test is
+    exact.  Same per-user skew note as sessionize.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    return (
+        df.selectExpr(
+            "event_id", "user_id", "event_type",
+            f"{epoch_us_sql(df)} AS us", "value",
+        )
+        .withColumn("prev_us", F.lag("us").over(w))
+        .filter(f"prev_us IS NULL OR us - prev_us > {window_us}")
+        .drop("prev_us")
+    )
+
+
+def debounce_oracle_sql(table: str, window_us: int = 5_000_000) -> str:
+    return (
+        "SELECT event_id, user_id, event_type, us, value FROM ("
+        "SELECT event_id, user_id, event_type, "
+        "CAST(epoch_us(ts) AS BIGINT) AS us, value, "
+        "lag(CAST(epoch_us(ts) AS BIGINT)) OVER (PARTITION BY user_id, event_type "
+        "ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS prev_us "
+        f"FROM {table}) t "
+        f"WHERE prev_us IS NULL OR us - prev_us > {window_us}"
+    )
+
+
 #: Default session gap: 30 minutes, in microseconds.
 _DEFAULT_GAP_US = 30 * 60 * 1_000_000
 

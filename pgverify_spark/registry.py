@@ -966,6 +966,13 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", rollup.fill_gaps_hourly),
             rollup.fill_gaps_hourly_oracle_sql("events"),
         ),
+        # retry-burst collapse (4 h window: ~2 % of testdata gaps)
+        "debounce_events": (
+            _table_query(
+                "events", lambda df: rollup.debounce(df, 4 * 3600 * 1_000_000)
+            ),
+            rollup.debounce_oracle_sql("events", 4 * 3600 * 1_000_000),
+        ),
         "daily_rollup_events": (
             _table_query("events", rollup.daily_rollup),
             rollup.daily_rollup_oracle_sql("events"),

@@ -1608,6 +1608,32 @@ def test_profile_table(spark, sf_dir, duck):
     assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
 
 
+def test_debounce(spark, sf_dir, duck):
+    """Burst collapse: matches the oracle, drops something at a 4 h
+    window, keeps everything at 0, and a synthetic burst keeps only its
+    first event."""
+    from pgverify_spark.operators import rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = 4 * 3600 * 1_000_000
+    kept = _cmp(
+        rollup.debounce(events, win),
+        duck,
+        rollup.debounce_oracle_sql("events", win),
+    )
+    n = events.count()
+    assert len(kept) < n
+    assert len(rollup.debounce(events, 0).collect()) == n
+    burst = spark.createDataFrame(
+        [(i, 1, "click", f"2020-01-01 00:00:{i:02d}", 1.0) for i in range(5)]
+        + [(9, 1, "click", "2020-01-01 01:00:00", 1.0)],
+        "event_id bigint, user_id bigint, event_type string, ts string, value double",
+    ).selectExpr("event_id", "user_id", "event_type",
+                 "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = sorted(r["event_id"] for r in rollup.debounce(burst, 10_000_000).collect())
+    assert got == [0, 9]  # 1s-apart retries collapse to the first
+
+
 def test_fill_gaps_hourly(spark, sf_dir, duck):
     """Dense spine: every (hour, type) cell exists; filled cells equal
     the plain rollup; gap cells are zero; totals conserved."""
