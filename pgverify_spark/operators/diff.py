@@ -31,6 +31,7 @@ from pgverify_spark.config import VerifyConfig
 from pgverify_spark.functions.canonical import (
     DIALECT_DUCKDB,
     DIALECT_SPARK,
+    canon_sql,
     pk_key_sql,
     row_hash_sql,
 )
@@ -189,6 +190,95 @@ def drilldown_row_diff_oracle_sql(
         "FROM l FULL OUTER JOIN r "
         "ON l.part = r.part AND l.k = r.k AND l.h = r.h "
         "WHERE l.cnt IS NULL OR r.cnt IS NULL OR l.cnt <> r.cnt"
+    )
+
+
+def column_diff_report(
+    left: DataFrame,
+    right: DataFrame,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+) -> DataFrame:
+    """Which COLUMNS drive the mismatches — the attribution step after
+    :func:`row_diff` says rows differ: for every key present on both
+    sides, count per column how often the canonical values disagree
+    (NULL-safe, same canonicalization as the fingerprints, so a float
+    formatting or timestamp-precision difference counts exactly when
+    the fingerprints would).  The answer to "is this one drifted column
+    or real row corruption?" before anyone re-syncs a 100 TB table.
+
+    Output: (col_name, n_diffs, n_keys_compared) — one row per hashed
+    column.  Keys on one side only are :func:`row_diff`'s department
+    and are excluded here (inner join on the PK; assumes unique PKs,
+    the reference's own premise — verify.go:152-198 skips no-PK
+    tables).
+
+    Scale shape: each side projects to (k, canonical columns) — no
+    pre-aggregation needed — then ONE equi-join on the uniform md5-free
+    PK key and ONE aggregate with a conditional sum per column
+    (map-side combinable, output = #columns rows via a constant stack
+    unpivot).  Shuffle = both sides' (k, canon) projections, the
+    minimum any per-column compare can move.
+    """
+    config = config or VerifyConfig()
+    cols = schema.hashed_cols(config.valid_column)
+    k = pk_key_sql(schema.pk_cols(), DIALECT_SPARK, config.trunc_unit)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        exprs = [f"{k} AS k"] + [
+            f"{canon_sql(c, t, DIALECT_SPARK, config.trunc_unit)} AS {tag}_{c}"
+            for c, t in cols
+        ]
+        return _parallelize(df).selectExpr(*exprs)
+
+    joined = side(left, "l").join(side(right, "r"), "k")
+    aggs = [
+        f"CAST(sum(CASE WHEN l_{c} IS DISTINCT FROM r_{c} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS d_{c}"
+        for c, _ in cols
+    ] + ["count(*) AS n_keys_compared"]
+    stack = ", ".join(f"'{c}', d_{c}" for c, _ in cols)
+    return (
+        joined.selectExpr(*aggs)
+        .selectExpr(
+            "n_keys_compared",
+            f"stack({len(cols)}, {stack}) AS (col_name, n_diffs)",
+        )
+        .select("col_name", "n_diffs", "n_keys_compared")
+    )
+
+
+def column_diff_report_oracle_sql(
+    left_table: str,
+    right_table: str,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+) -> str:
+    config = config or VerifyConfig()
+    cols = schema.hashed_cols(config.valid_column)
+    k = pk_key_sql(schema.pk_cols(), DIALECT_DUCKDB, config.trunc_unit)
+
+    def side(table: str, tag: str) -> str:
+        exprs = ", ".join(
+            f"{canon_sql(c, t, DIALECT_DUCKDB, config.trunc_unit)} AS {tag}_{c}"
+            for c, t in cols
+        )
+        return f"SELECT {k} AS k, {exprs} FROM {table}"
+
+    agg = ", ".join(
+        f"CAST(sum(CASE WHEN l_{c} IS DISTINCT FROM r_{c} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS d_{c}"
+        for c, _ in cols
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, d_{c} AS n_diffs, n_keys_compared FROM a"
+        for c, _ in cols
+    )
+    return (
+        f"WITH l AS ({side(left_table, 'l')}), r AS ({side(right_table, 'r')}), "
+        f"a AS (SELECT {agg}, count(*) AS n_keys_compared "
+        "FROM l JOIN r ON l.k = r.k) "
+        + selects
     )
 
 

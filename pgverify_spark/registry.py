@@ -289,6 +289,38 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
     )
     out = {"row_diff_orders": (run, sql)}
 
+    # per-column attribution: two drifted columns with known key sets
+    from pgverify_spark.operators.diff import (
+        column_diff_report,
+        column_diff_report_oracle_sql,
+    )
+
+    _MUT_SPARK = (
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1 "
+        "ELSE o_totalprice END AS o_totalprice",
+        "o_orderdate",
+        "CASE WHEN o_orderkey % 37 = 0 THEN NULL "
+        "ELSE o_orderpriority END AS o_orderpriority",
+    )
+
+    def run_coldiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        left = ParquetTarget("t", sf_dir).read(spark, "orders")
+        return column_diff_report(left, left.selectExpr(*_MUT_SPARK), schema)
+
+    out["column_diff_orders"] = (
+        run_coldiff,
+        column_diff_report_oracle_sql(
+            "orders",
+            "(SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1 "
+            "ELSE o_totalprice END AS o_totalprice, o_orderdate, "
+            "CASE WHEN o_orderkey % 37 = 0 THEN NULL "
+            "ELSE o_orderpriority END AS o_orderpriority FROM orders) rmut",
+            schema,
+        ),
+    )
+
     # partition-level drill-down: one mutated day + one dropped day
     from pgverify_spark.operators.fingerprint import (
         partition_diff,

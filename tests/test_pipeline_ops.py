@@ -1608,6 +1608,49 @@ def test_profile_table(spark, sf_dir, duck):
     assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
 
 
+def test_column_diff_report(spark, sf_dir, duck):
+    """Per-column attribution pins each drift to its column with exact
+    counts; identical sides report all zeros."""
+    from pgverify_spark.operators.diff import (
+        column_diff_report,
+        column_diff_report_oracle_sql,
+    )
+    from pgverify_spark.sources.schemas import TESTDATA_TABLES
+
+    schema = TESTDATA_TABLES["orders"]
+    left = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    right = left.selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1 "
+        "ELSE o_totalprice END AS o_totalprice",
+        "o_orderdate",
+        "CASE WHEN o_orderkey % 37 = 0 THEN NULL "
+        "ELSE o_orderpriority END AS o_orderpriority",
+    )
+    rows = _cmp(
+        column_diff_report(left, right, schema),
+        duck,
+        column_diff_report_oracle_sql(
+            "orders",
+            "(SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1 "
+            "ELSE o_totalprice END AS o_totalprice, o_orderdate, "
+            "CASE WHEN o_orderkey % 37 = 0 THEN NULL "
+            "ELSE o_orderpriority END AS o_orderpriority FROM orders) rmut",
+            schema,
+        ),
+    )
+    n = left.count()
+    by_col = {r[0]: r[1] for r in rows}
+    assert by_col["o_totalprice"] == left.filter("o_orderkey % 31 = 0").count()
+    assert by_col["o_orderpriority"] == left.filter("o_orderkey % 37 = 0").count()
+    for c in ("o_custkey", "o_orderstatus", "o_orderdate"):
+        assert by_col[c] == 0
+    assert all(r[2] == n for r in rows)
+    clean = column_diff_report(left, left, schema).collect()
+    assert all(r["n_diffs"] == 0 for r in clean)
+
+
 def test_debounce(spark, sf_dir, duck):
     """Burst collapse: matches the oracle, drops something at a 4 h
     window, keeps everything at 0, and a synthetic burst keeps only its
