@@ -282,6 +282,99 @@ def column_diff_report_oracle_sql(
     )
 
 
+def distribution_drift(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+    buckets: int = 20,
+) -> DataFrame:
+    """Per-bucket distribution comparison of one numeric column across
+    two targets — the drift check between fingerprints (exact equality,
+    brittle to ANY change) and row counts (blind to value changes): a
+    re-sync that silently rescaled prices or zeroed a field shows up as
+    mass moving between buckets even when row counts agree.
+
+    Buckets are equal-width over the LEFT side's [min, max] (the
+    reference distribution), with underflow/overflow clamped to the
+    edge buckets and a NULL bucket (-1); output one row per occupied
+    bucket: (bucket, left_n, right_n, left_ppm, right_ppm, drift_ppm)
+    where ppm = parts-per-million of each side's total (integer math,
+    cross-engine exact) and drift_ppm = |left_ppm - right_ppm|.
+    Total-variation distance = sum(drift_ppm) / 2e6.
+
+    Scale shape: one tiny bounds aggregate on the left, then each side
+    collapses to ≤ buckets+1 partial rows per task (map-side combine)
+    before a buckets-sized full-outer join — the same constant-output-
+    aggregate family as the fingerprints; two scans total, nothing wide
+    ever shuffles.
+    """
+    bounds = left.selectExpr(
+        f"CAST(min({col}) AS DOUBLE) AS lo", f"CAST(max({col}) AS DOUBLE) AS hi"
+    )
+    bexpr = (
+        f"CASE WHEN {col} IS NULL THEN -1 ELSE "
+        f"least({buckets - 1}, greatest(0, CAST(floor(((CAST({col} AS DOUBLE)) - lo) "
+        f"* {buckets} / (hi - lo + 1e-12)) AS INT))) END"
+    )
+
+    def side(df: DataFrame, cnt: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(bounds))
+            .selectExpr(f"{bexpr} AS bucket")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(cnt))
+        )
+
+    l, r = side(left, "left_n"), side(right, "right_n")
+    joined = l.join(r, "bucket", "full_outer").selectExpr(
+        "bucket",
+        "CAST(coalesce(left_n, 0) AS BIGINT) AS left_n",
+        "CAST(coalesce(right_n, 0) AS BIGINT) AS right_n",
+    )
+    return joined.selectExpr(
+        "bucket",
+        "left_n",
+        "right_n",
+        "CAST(left_n * 1000000 DIV greatest(sum(left_n) OVER (), 1) AS BIGINT) AS left_ppm",
+        "CAST(right_n * 1000000 DIV greatest(sum(right_n) OVER (), 1) AS BIGINT) AS right_ppm",
+    ).selectExpr(
+        "bucket",
+        "left_n",
+        "right_n",
+        "left_ppm",
+        "right_ppm",
+        "abs(left_ppm - right_ppm) AS drift_ppm",
+    )
+
+
+def distribution_drift_oracle_sql(
+    left_table: str, right_table: str, col: str, buckets: int = 20
+) -> str:
+    bexpr = (
+        f"CASE WHEN {col} IS NULL THEN -1 ELSE "
+        f"least({buckets - 1}, greatest(0, CAST(floor(((CAST({col} AS DOUBLE)) - lo) "
+        f"* {buckets} / (hi - lo + 1e-12)) AS INT))) END"
+    )
+    return (
+        f"WITH b AS (SELECT CAST(min({col}) AS DOUBLE) AS lo, "
+        f"CAST(max({col}) AS DOUBLE) AS hi FROM {left_table}), "
+        f"l AS (SELECT {bexpr} AS bucket, count(*) AS left_n "
+        f"FROM {left_table}, b GROUP BY 1), "
+        f"r AS (SELECT {bexpr} AS bucket, count(*) AS right_n "
+        f"FROM {right_table}, b GROUP BY 1), "
+        "j AS (SELECT COALESCE(l.bucket, r.bucket) AS bucket, "
+        "CAST(COALESCE(left_n, 0) AS BIGINT) AS left_n, "
+        "CAST(COALESCE(right_n, 0) AS BIGINT) AS right_n "
+        "FROM l FULL OUTER JOIN r ON l.bucket = r.bucket), "
+        "p AS (SELECT bucket, left_n, right_n, "
+        "CAST(left_n * 1000000 // greatest(sum(left_n) OVER (), 1) AS BIGINT) AS left_ppm, "
+        "CAST(right_n * 1000000 // greatest(sum(right_n) OVER (), 1) AS BIGINT) AS right_ppm "
+        "FROM j) "
+        "SELECT bucket, left_n, right_n, left_ppm, right_ppm, "
+        "abs(left_ppm - right_ppm) AS drift_ppm FROM p"
+    )
+
+
 def row_diff_oracle_sql(
     left_table: str,
     right_table: str,

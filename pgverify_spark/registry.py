@@ -321,6 +321,34 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
         ),
     )
 
+    # value-distribution drift: 10 % of prices scaled 1.5x moves mass
+    # into higher buckets even though row counts agree
+    from pgverify_spark.operators.diff import (
+        distribution_drift,
+        distribution_drift_oracle_sql,
+    )
+
+    _DRIFT_MUT = (
+        "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.5 "
+        "ELSE o_totalprice END AS o_totalprice"
+    )
+
+    def run_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        left = ParquetTarget("t", sf_dir).read(spark, "orders")
+        return distribution_drift(
+            left, left.selectExpr(_DRIFT_MUT), "o_totalprice", 20
+        )
+
+    out["distribution_drift_orders"] = (
+        run_drift,
+        distribution_drift_oracle_sql(
+            "orders",
+            f"(SELECT {_DRIFT_MUT} FROM orders) rmut",
+            "o_totalprice",
+            20,
+        ),
+    )
+
     # partition-level drill-down: one mutated day + one dropped day
     from pgverify_spark.operators.fingerprint import (
         partition_diff,

@@ -1608,6 +1608,34 @@ def test_profile_table(spark, sf_dir, duck):
     assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
 
 
+def test_distribution_drift(spark, sf_dir, duck):
+    """Scaled prices move ppm mass upward; identical sides show zero
+    drift; clamping keeps every bucket in [-1, buckets-1]."""
+    from pgverify_spark.operators.diff import (
+        distribution_drift,
+        distribution_drift_oracle_sql,
+    )
+
+    left = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mut = ("CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.5 "
+           "ELSE o_totalprice END AS o_totalprice")
+    rows = _cmp(
+        distribution_drift(left, left.selectExpr(mut), "o_totalprice", 20),
+        duck,
+        distribution_drift_oracle_sql(
+            "orders", f"(SELECT {mut} FROM orders) rmut", "o_totalprice", 20
+        ),
+    )
+    assert all(-1 <= r[0] <= 19 for r in rows)
+    assert sum(r[1] for r in rows) == sum(r[2] for r in rows) == left.count()
+    assert sum(r[5] for r in rows) > 0  # drift detected
+    # top bucket gains mass: 1.5x pushes values past the left max
+    top = {r[0]: r for r in rows}[19]
+    assert top[2] > top[1]
+    clean = distribution_drift(left, left, "o_totalprice", 20).collect()
+    assert all(r["drift_ppm"] == 0 for r in clean)
+
+
 def test_column_diff_report(spark, sf_dir, duck):
     """Per-column attribution pins each drift to its column with exact
     counts; identical sides report all zeros."""
