@@ -2050,6 +2050,18 @@ HEADLINE_QUERIES = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
+    # round-3 additions
+    "corpus_dedup_lines_documents",
+    "gopher_gate_documents",
+    "constraint_report_orders",
+    "countmin_freq_events",
+    "column_diff_orders",
+    "distribution_drift_orders",
+    "hashed_text_topk_documents",
+    "fill_gaps_hourly_events",
+    "debounce_events",
+    "reservoir_sample_events",
+    "near_dedup_filter_best_documents",
 )
 
 

@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis): randomized inputs vs pure-Python
+reference implementations — a third, independent check beside the
+example-based tests and the DuckDB oracles.  Each property runs a small
+Spark job per example, so example counts are modest and deterministic
+(derandomize=True keeps CI stable)."""
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(max_examples=12, deadline=None, derandomize=True)
+
+
+def _h15(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# --- corpus line dedup ------------------------------------------------------
+
+_lines = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "", " ", "dd dd", "e"]), min_size=0, max_size=6
+)
+_corpus = st.lists(_lines, min_size=1, max_size=5)
+
+
+def _ref_corpus_dedup(texts):
+    seen = set()
+    out = []
+    for doc_id, lines in enumerate(texts):
+        kept = []
+        for line in lines:
+            if line.strip() == "":
+                kept.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept.append(line)
+        out.append((doc_id, len(lines), len(lines) - len(kept), "\n".join(kept)))
+    return sorted(out)
+
+
+@SETTINGS
+@given(_corpus)
+def test_corpus_dedup_lines_matches_reference(spark, texts):
+    from pgverify_spark.operators.text import corpus_dedup_lines
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(texts)],
+        "doc_id bigint, text string",
+    )
+    got = sorted(map(tuple, corpus_dedup_lines(df).collect()))
+    # splitting "" yields one empty line, mirroring split() semantics
+    expect = _ref_corpus_dedup([l if l else [""] for l in texts])
+    assert got == expect
+
+
+# --- debounce ---------------------------------------------------------------
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),              # user_id
+        st.sampled_from(["a", "b"]),   # event_type
+        st.integers(0, 50),             # seconds offset
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _ref_debounce(rows, window_us):
+    kept = []
+    by_key = {}
+    for eid, (u, t, sec) in enumerate(rows):
+        by_key.setdefault((u, t), []).append((sec * 1_000_000, eid))
+    for (u, t), evs in by_key.items():
+        prev = None
+        for us, eid in sorted(evs):
+            if prev is None or us - prev > window_us:
+                kept.append(eid)
+            prev = us
+    return sorted(kept)
+
+
+@SETTINGS
+@given(_events, st.sampled_from([0, 1_000_000, 5_000_000, 60_000_000]))
+def test_debounce_matches_reference(spark, rows, window_us):
+    from pgverify_spark.operators.rollup import debounce
+
+    df = spark.createDataFrame(
+        [
+            (eid, u, t, f"2020-01-01 00:00:{sec:02d}" if sec < 60
+             else f"2020-01-01 00:{sec // 60:02d}:{sec % 60:02d}", 1.0)
+            for eid, (u, t, sec) in enumerate(rows)
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts string, value double",
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts", "value"
+    )
+    got = sorted(r["event_id"] for r in debounce(df, window_us).collect())
+    assert got == _ref_debounce(rows, window_us)
+
+
+# --- Count-Min --------------------------------------------------------------
+
+_keys = st.lists(st.integers(0, 9), min_size=1, max_size=30)
+
+
+@SETTINGS
+@given(_keys)
+def test_countmin_cells_match_reference(spark, keys):
+    from pgverify_spark.operators.sketch import countmin_sketch
+
+    depth, width = 3, 8
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = sorted(map(tuple, countmin_sketch(df, "k", depth, width).collect()))
+    ref = {}
+    for k in keys:
+        for j in range(depth):
+            cell = (j, _h15(f"{j}:{k}") % width)
+            ref[cell] = ref.get(cell, 0) + 1
+    assert got == sorted((j, c, n) for (j, c), n in ref.items())
+
+
+# --- reservoir sample -------------------------------------------------------
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 99), st.sampled_from(["x", "y"])),
+                min_size=0, max_size=20, unique_by=lambda t: t[0]),
+       st.integers(1, 5))
+def test_reservoir_sample_matches_reference(spark, rows, k):
+    from pgverify_spark.operators.sample import reservoir_sample
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+    got = sorted((r["grp"], r["id"]) for r in reservoir_sample(df, "id", "grp", k).collect())
+    ref = []
+    for g in {g for _, g in rows}:
+        members = sorted((i for i, gg in rows if gg == g),
+                         key=lambda i: (_h15(str(i)), i))
+        ref += [(g, i) for i in members[:k]]
+    assert got == sorted(ref)
+
+
+# --- hashed vectors ---------------------------------------------------------
+
+@SETTINGS
+@given(st.lists(st.sampled_from(["apple", "bee", "cat", "dog", "e"]),
+                min_size=1, max_size=12))
+def test_hashed_vectors_match_reference(spark, tokens):
+    from pgverify_spark.operators.text import hashed_vectors
+
+    dim = 16
+    df = spark.createDataFrame([(0, " ".join(tokens))], "doc_id bigint, text string")
+    [(_, vec)] = hashed_vectors(df, dim).collect()
+    ref = [0] * dim
+    for t in tokens:
+        h = _h15(t)
+        ref[h % dim] += 1 if (h // dim) % 2 == 0 else -1
+    assert list(vec) == ref
