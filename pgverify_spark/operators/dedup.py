@@ -622,6 +622,71 @@ def near_dedup_filter_best_oracle_sql(
     )
 
 
+def lsh_recall_eval(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Quality gate for the text-LSH pipeline — the lexical twin of
+    ``similarity.ann_recall``: compare :func:`minhash_lsh_pairs`
+    (banded candidates, exact-verified) against the exhaustive
+    :func:`ngram_jaccard_pairs` truth at the same threshold, so the
+    band/row parameters are a measured trade-off, not folklore, before
+    anyone trusts them on 100 TB.
+
+    Output: ONE row (n_true, n_pred, n_hit, precision_ppm, recall_ppm)
+    — integer parts-per-million, cross-engine exact.  Because LSH
+    candidates are exactly verified, precision is 1e6 by construction
+    (asserted in tests); recall measures what banding misses.
+
+    Scale shape: both pair generators keep their standalone bucketed
+    shapes; the comparison is a full-outer join of two id-pair
+    relations followed by a 1-row count aggregate.  (The truth side is
+    the quadratic-ish exact operator — run the eval on a sampled or
+    small-SF corpus, which is the point of a recall HARNESS: measure
+    cheap, then deploy the tuned LSH at scale.)
+    """
+    truth = ngram_jaccard_pairs(df, threshold).select("doc_a", "doc_b")
+    pred = minhash_lsh_pairs(df, threshold).select("doc_a", "doc_b")
+    j = truth.withColumn("t", F.lit(1)).join(
+        pred.withColumn("p", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    # coalesce around the sums: a corpus with NO pairs at this threshold
+    # aggregates over zero rows (sum -> NULL) and must report clean zeros
+    return j.agg(
+        F.expr("CAST(coalesce(sum(coalesce(t, 0)), 0) AS BIGINT) AS n_true"),
+        F.expr("CAST(coalesce(sum(coalesce(p, 0)), 0) AS BIGINT) AS n_pred"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN t IS NOT NULL AND p IS NOT NULL "
+            "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit"
+        ),
+    ).selectExpr(
+        "n_true",
+        "n_pred",
+        "n_hit",
+        "CAST(CASE WHEN n_pred = 0 THEN 1000000 "
+        "ELSE n_hit * 1000000 DIV n_pred END AS BIGINT) AS precision_ppm",
+        "CAST(CASE WHEN n_true = 0 THEN 1000000 "
+        "ELSE n_hit * 1000000 DIV n_true END AS BIGINT) AS recall_ppm",
+    )
+
+
+def lsh_recall_eval_oracle_sql(table: str, threshold: float = 0.5) -> str:
+    truth = ngram_jaccard_pairs_oracle_sql(table, threshold)
+    pred = minhash_lsh_pairs_oracle_sql(table, threshold)
+    return (
+        f"WITH tr AS (SELECT doc_a, doc_b, 1 AS t FROM ({truth}) x), "
+        f"pr AS (SELECT doc_a, doc_b, 1 AS p FROM ({pred}) y), "
+        "j AS (SELECT tr.t, pr.p FROM tr FULL OUTER JOIN pr "
+        "ON tr.doc_a = pr.doc_a AND tr.doc_b = pr.doc_b), "
+        "a AS (SELECT CAST(coalesce(sum(coalesce(t, 0)), 0) AS BIGINT) AS n_true, "
+        "CAST(coalesce(sum(coalesce(p, 0)), 0) AS BIGINT) AS n_pred, "
+        "CAST(coalesce(sum(CASE WHEN t IS NOT NULL AND p IS NOT NULL "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit FROM j) "
+        "SELECT n_true, n_pred, n_hit, "
+        "CAST(CASE WHEN n_pred = 0 THEN 1000000 "
+        "ELSE n_hit * 1000000 // n_pred END AS BIGINT) AS precision_ppm, "
+        "CAST(CASE WHEN n_true = 0 THEN 1000000 "
+        "ELSE n_hit * 1000000 // n_true END AS BIGINT) AS recall_ppm FROM a"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: new batch vs existing corpus (cross-side LSH)
 # ---------------------------------------------------------------------------

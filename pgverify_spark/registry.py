@@ -817,6 +817,12 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "AS text FROM documents) liney"
             ),
         ),
+        # lexical-LSH quality gate: banded-candidate recall vs the
+        # exhaustive Jaccard truth at the same threshold
+        "lsh_recall_eval_documents": (
+            _table_query("documents", lambda df: dedup.lsh_recall_eval(df, 0.5)),
+            dedup.lsh_recall_eval_oracle_sql("documents", 0.5),
+        ),
         # ANN quality gate: recall@k of the LSH index vs exact cosine
         "ann_recall_embeddings": (
             _table_query("embeddings", lambda df: similarity.ann_recall(df, qids, 10)),

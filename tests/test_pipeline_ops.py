@@ -1608,6 +1608,43 @@ def test_profile_table(spark, sf_dir, duck):
     assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
 
 
+def test_lsh_recall_eval(docs, duck, spark):
+    """Exact-verified candidates make precision 1e6 by construction;
+    recall drops below 1e6 on a borderline corpus; a no-pair corpus
+    reports clean zeros, not NULLs."""
+    import random
+
+    rows = _cmp(
+        dedup.lsh_recall_eval(docs, 0.5),
+        duck,
+        dedup.lsh_recall_eval_oracle_sql("documents", 0.5),
+    )
+    [(n_true, n_pred, n_hit, prec, rec)] = rows
+    assert prec == 1_000_000 and n_hit == n_pred <= n_true
+    # borderline pairs (~55 % shared shingles): banding misses some
+    random.seed(7)
+    words = [f"w{i}" for i in range(200)]
+    synth = []
+    for p in range(12):
+        base = random.sample(words, 40)
+        partner = base[:24] + random.sample(
+            [w for w in words if w not in base], 16
+        )
+        synth.append((p * 2, " ".join(base)))
+        synth.append((p * 2 + 1, " ".join(partner)))
+    sdf = spark.createDataFrame(synth, "doc_id bigint, text string")
+    [(bt, bp, bh, bprec, brec)] = dedup.lsh_recall_eval(sdf, 0.3).collect()
+    assert bt > bh and brec < 1_000_000 and bprec == 1_000_000
+    # zero-pair corpus: clean zeros
+    lone = spark.createDataFrame(
+        [(1, "completely distinct alpha"), (2, "unrelated beta gamma")],
+        "doc_id bigint, text string",
+    )
+    assert dedup.lsh_recall_eval(lone, 0.5).collect() == [
+        (0, 0, 0, 1_000_000, 1_000_000)
+    ]
+
+
 def test_distribution_drift(spark, sf_dir, duck):
     """Scaled prices move ppm mass upward; identical sides show zero
     drift; clamping keeps every bucket in [-1, buckets-1]."""
