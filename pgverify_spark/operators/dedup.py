@@ -1047,6 +1047,29 @@ def write_lsh_index(
     sh.unpersist()
 
 
+def append_lsh_index(admitted: DataFrame, name: str, n_buckets: int = 16) -> None:
+    """Admit a batch into the standing index — the maintenance step that
+    closes the ingest loop: probe (:func:`probe_lsh_index`) -> drop
+    near-dups -> APPEND the novel documents' bands and shingles so the
+    NEXT batch dedups against them too.  Cost is O(batch): the admitted
+    docs are hashed once and appended into the existing bucket layout
+    (``sources.bucketed.append_bucketed``), never rewriting the corpus
+    index; every zero-corpus-Exchange probe property is preserved
+    (asserted in tests/test_bucketed.py).
+    """
+    from pgverify_spark.sources.bucketed import append_bucketed
+
+    sh = _shingled(admitted)
+    bands = sh.selectExpr(
+        "doc_id", f"{minhash_sig_sql('shingles', DIALECT_SPARK)} AS sig"
+    ).selectExpr(
+        "doc_id", f"explode({lsh_bands_sql('sig', DIALECT_SPARK)}) AS band_key"
+    )
+    append_bucketed(bands, f"{name}_bands", "band_key", n_buckets)
+    append_bucketed(sh, f"{name}_shingles", "doc_id", n_buckets)
+    sh.unpersist()
+
+
 def probe_lsh_index(
     spark, new_df: DataFrame, name: str, threshold: float = 0.5
 ) -> DataFrame:

@@ -54,6 +54,30 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def append_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int,
+    sort_by: str | list[str] | None = None,
+) -> None:
+    """Append rows to an existing bucketed table, preserving its layout.
+
+    The bucket spec must be restated and MATCH the table's (Spark
+    validates and refuses a mismatched append) — new rows hash into the
+    same bucket files' layout, so every zero-Exchange join property of
+    the original write keeps holding over the grown table.  This is the
+    incremental-maintenance half of a standing index: a write of
+    O(batch), not a rewrite of O(corpus).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode("append").format("parquet").bucketBy(n_buckets, *keys)
+    if sort_by is not None:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sorts)
+    w.saveAsTable(table)
+
+
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back with its layout metadata intact
     (``spark.read.parquet(path)`` on the same files would NOT carry the

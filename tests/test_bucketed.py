@@ -112,3 +112,49 @@ def test_lsh_index_probe_zero_corpus_exchange(spark, sf_dir, tmp_path, no_broadc
     finally:
         spark.sql("DROP TABLE IF EXISTS lshidx_bands")
         spark.sql("DROP TABLE IF EXISTS lshidx_shingles")
+
+
+def test_lsh_index_append_admits_batch(spark, sf_dir, tmp_path, no_broadcast):
+    """Ingest-loop maintenance: probe -> admit novel docs -> append;
+    the NEXT batch's probe sees the admitted docs, the bucket layout
+    survives the append (still Bucketed: true), and the grown index
+    equals a from-scratch rebuild."""
+    from pgverify_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corp = docs.filter("doc_id % 3 = 0")
+    batch1 = docs.filter("doc_id % 3 = 1")
+    dedup.write_lsh_index(corp, "lshapp", str(tmp_path / "appidx"))
+    try:
+        # admit every batch1 doc with no near-dup in the corpus
+        hits = dedup.probe_lsh_index(spark, batch1, "lshapp", 0.3)
+        dup_ids = {r["new_doc"] for r in hits.collect()}
+        admitted = batch1.filter(
+            ~batch1.doc_id.isin(list(dup_ids)) if dup_ids else "true"
+        )
+        dedup.append_lsh_index(admitted, "lshapp")
+
+        # batch2 contains an exact copy of an admitted batch1 doc: the
+        # grown index must flag it even though the original index would not
+        some_admitted = admitted.limit(1).collect()[0]
+        batch2 = spark.createDataFrame(
+            [(9_000_001, some_admitted["text"], "en", "src0", len(some_admitted["text"]))],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        probe2 = dedup.probe_lsh_index(spark, batch2, "lshapp", 0.3)
+        plan = _plan(probe2)
+        assert plan.count("Bucketed: true") >= 2  # layout survived append
+        rows = probe2.collect()
+        assert any(
+            r["new_doc"] == 9_000_001 and r["corpus_doc"] == some_admitted["doc_id"]
+            and r["jaccard"] == 1.0
+            for r in rows
+        )
+        # grown index == rebuild over corp + admitted
+        rebuilt_pairs = dedup.cross_corpus_lsh_pairs(
+            batch2, corp.unionByName(admitted), 0.3
+        )
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, rebuilt_pairs.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lshapp_bands")
+        spark.sql("DROP TABLE IF EXISTS lshapp_shingles")
