@@ -290,6 +290,70 @@ def ivf_topk_oracle_sql(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame, name: str, path: str, n_buckets: int = IVF_CENTROIDS_N
+) -> None:
+    """Persist the IVF inverted file as a bucketed table
+    ``{name}_cells`` (cluster, vec_id, embedding) bucketed on the cell
+    id — the embedding twin of ``dedup.write_lsh_index``: assign and
+    shuffle the corpus ONCE at build time, then every
+    :func:`probe_ivf_index` call reads only the probed cells.
+    """
+    from pgverify_spark.sources.bucketed import write_bucketed
+
+    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
+    cells = corpus.selectExpr(
+        "vec_id", "embedding", f"element_at({ranked}, 1) AS cluster"
+    )
+    write_bucketed(cells, f"{name}_cells", "cluster", n_buckets, path)
+
+
+def probe_ivf_index(
+    spark,
+    queries: DataFrame,
+    name: str,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN probe against a :func:`write_ivf_index` artifact — same
+    semantics as :func:`ivf_topk` but the corpus side is the stored
+    inverted file: the probed cell ids (a driver-side list of
+    |queries| × nprobe ints — bounded, probe-time metadata) become a
+    LITERAL ``cluster IN (...)`` predicate, which Spark turns into
+    bucket pruning on the bucketed table: the scan READS only the
+    probed cells' files (``SelectedBucketsCount`` in the plan, asserted
+    in tests), ~nprobe/C of the index, and the broadcast query join
+    shuffles nothing.  Per-probe cost is O(candidates), by plan shape
+    AND by I/O.
+    """
+    from pgverify_spark.sources.bucketed import read_bucketed
+
+    cells = read_bucketed(spark, f"{name}_cells")
+    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
+    q = queries.selectExpr(
+        "vec_id AS query_id",
+        "embedding AS q_emb",
+        f"explode(slice({ranked}, 1, {nprobe})) AS cluster",
+    )
+    probed = sorted({r["cluster"] for r in q.select("cluster").distinct().collect()})
+    scored = (
+        cells.filter(F.col("cluster").isin(probed))
+        .join(F.broadcast(q), "cluster")
+        .filter("vec_id <> query_id")
+        .selectExpr(
+            "query_id",
+            "vec_id",
+            f"{cosine_sql('q_emb', 'embedding', DIALECT_SPARK)} AS cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(f"rank <= {k}")
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def ann_lsh_topk_oracle_sql(table: str, query_ids: tuple[int, ...], k: int = 10) -> str:
     ids = ", ".join(map(str, query_ids))
     cos = cosine_sql("q.embedding", "c.embedding", DIALECT_DUCKDB)

@@ -158,3 +158,29 @@ def test_lsh_index_append_admits_batch(spark, sf_dir, tmp_path, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS lshapp_bands")
         spark.sql("DROP TABLE IF EXISTS lshapp_shingles")
+
+
+def test_ivf_index_probe_bucket_pruning(spark, sf_dir, tmp_path, no_broadcast):
+    """probe_ivf_index reads ONLY the probed cells (bucket pruning:
+    SelectedBucketsCount < total) and returns exactly ivf_topk's answer
+    for the same queries."""
+    from pgverify_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.write_ivf_index(embs, "ivfidx", str(tmp_path / "ivf"))
+    try:
+        qids = (0, 1, 2)
+        queries = embs.filter(f"vec_id IN {qids}")
+        probe = similarity.probe_ivf_index(spark, queries, "ivfidx", 10, 2)
+        plan = _plan(probe)
+        assert "SelectedBucketsCount" in plan
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2))  # pruned
+        expect = similarity.ivf_topk(embs, qids, 10, 2)
+        assert sorted(map(tuple, probe.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivfidx_cells")
