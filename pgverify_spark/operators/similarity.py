@@ -354,6 +354,102 @@ def probe_ivf_index(
     )
 
 
+def cross_corpus_ivf_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    tau: float = 0.9,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Embedding near-duplicates of an incoming batch against a standing
+    corpus — the semantic twin of ``dedup.cross_corpus_lsh_pairs``: each
+    new vector is compared only against corpus vectors in its ``nprobe``
+    nearest IVF cells, and pairs with cosine ≥ ``tau`` are flagged.
+
+    Output: (new_vec, corpus_vec, cosine).
+
+    Scale shape: corpus cell assignment is one projection (or, in a
+    real deployment, the precomputed :func:`write_ivf_index` artifact —
+    see :func:`probe_ivf_dups`); the batch side explodes to
+    |batch| × nprobe cell probes and broadcasts; candidates per new
+    vector ~ nprobe/C of the corpus; the corpus never shuffles.
+    """
+    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
+    corpus = corpus_df.selectExpr(
+        "vec_id AS corpus_vec", "embedding AS c_emb",
+        f"element_at({ranked}, 1) AS cluster",
+    )
+    q = new_df.selectExpr(
+        "vec_id AS new_vec",
+        "embedding AS q_emb",
+        f"explode(slice({ranked}, 1, {nprobe})) AS cluster",
+    )
+    return (
+        corpus.join(F.broadcast(q), "cluster")
+        .selectExpr(
+            "new_vec",
+            "corpus_vec",
+            f"{cosine_sql('q_emb', 'c_emb', DIALECT_SPARK)} AS cosine",
+        )
+        .filter(f"cosine >= {tau}")
+        .distinct()
+    )
+
+
+def cross_corpus_ivf_pairs_oracle_sql(
+    new_sql: str, corpus_sql: str, tau: float = 0.9, nprobe: int = 2
+) -> str:
+    ranked = _centroid_rank_sql("embedding", DIALECT_DUCKDB)
+    cos = cosine_sql("q.q_emb", "c.c_emb", DIALECT_DUCKDB)
+    return (
+        f"WITH c AS (SELECT vec_id AS corpus_vec, embedding AS c_emb, "
+        f"({ranked})[1] AS cluster FROM {corpus_sql} cs), "
+        "q AS (SELECT vec_id AS new_vec, embedding AS q_emb, "
+        f"unnest(list_slice({ranked}, 1, {nprobe})) AS cluster "
+        f"FROM {new_sql} ns) "
+        f"SELECT DISTINCT new_vec, corpus_vec, {cos} AS cosine "
+        "FROM c JOIN q ON c.cluster = q.cluster "
+        f"WHERE {cos} >= {tau}"
+    )
+
+
+def probe_ivf_dups(
+    spark,
+    new_df: DataFrame,
+    name: str,
+    tau: float = 0.9,
+    nprobe: int = 2,
+) -> DataFrame:
+    """:func:`cross_corpus_ivf_pairs` against a persisted
+    :func:`write_ivf_index` artifact: probed cells bucket-prune the
+    stored inverted file (same plan property as
+    :func:`probe_ivf_index`), so per-ingest I/O is ~nprobe/C of the
+    index and nothing corpus-sized shuffles.  Equality with the
+    recompute-everything form is asserted in tests.
+    """
+    from pgverify_spark.sources.bucketed import read_bucketed
+
+    cells = read_bucketed(spark, f"{name}_cells")
+    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
+    q = new_df.selectExpr(
+        "vec_id AS new_vec",
+        "embedding AS q_emb",
+        f"explode(slice({ranked}, 1, {nprobe})) AS cluster",
+    )
+    probed = sorted({r["cluster"] for r in q.select("cluster").distinct().collect()})
+    return (
+        cells.filter(F.col("cluster").isin(probed))
+        .selectExpr("vec_id AS corpus_vec", "embedding AS c_emb", "cluster")
+        .join(F.broadcast(q), "cluster")
+        .selectExpr(
+            "new_vec",
+            "corpus_vec",
+            f"{cosine_sql('q_emb', 'c_emb', DIALECT_SPARK)} AS cosine",
+        )
+        .filter(f"cosine >= {tau}")
+        .distinct()
+    )
+
+
 def ann_lsh_topk_oracle_sql(table: str, query_ids: tuple[int, ...], k: int = 10) -> str:
     ids = ", ".join(map(str, query_ids))
     cos = cosine_sql("q.embedding", "c.embedding", DIALECT_DUCKDB)

@@ -916,6 +916,25 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("embeddings", lambda df: dedup.embedding_near_dups_lsh(df, 0.4)),
             dedup.embedding_near_dups_lsh_oracle_sql("embeddings", 0.4),
         ),
+        # ingestion-time embedding dedup: new batch vs standing corpus
+        # via nprobe nearest IVF cells (semantic twin of incremental_dedup)
+        "embedding_ingest_dedup_embeddings": (
+            _table_query(
+                "embeddings",
+                lambda df: similarity.cross_corpus_ivf_pairs(
+                    df.filter("vec_id % 10 = 7"),
+                    df.filter("vec_id % 10 <> 7"),
+                    0.4,
+                    2,
+                ),
+            ),
+            similarity.cross_corpus_ivf_pairs_oracle_sql(
+                "(SELECT * FROM embeddings WHERE vec_id % 10 = 7)",
+                "(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)",
+                0.4,
+                2,
+            ),
+        ),
         # similarity search
         "cosine_topk_embeddings": (
             _table_query("embeddings", lambda df: similarity.cosine_topk(df, qids, 10)),
@@ -1840,6 +1859,48 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         0.3,
     )
 
+    def run_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.incremental import streaming_ivf_ingest_probe
+
+        ensure_required_confs(spark)
+        embs = ParquetTarget("t", sf_dir).read(spark, "embeddings")
+        corpus = embs.filter("vec_id % 10 <> 7")
+        new = embs.filter("vec_id % 10 = 7")
+        tmp = tempfile.mkdtemp(prefix="pgvs_sivf_")
+        similarity.write_ivf_index(corpus, "reg_stream_ivf", f"{tmp}/idx")
+        (
+            new.withColumn("chunk", (F.col("vec_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_ivf_ingest_probe(sdf, "reg_stream_ivf", f"{tmp}/out", 0.4, 2)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            spark.sql("DROP TABLE IF EXISTS reg_stream_ivf_cells")
+        return spark.read.parquet(f"{tmp}/out")
+
+    ivf_ingest_oracle = similarity.cross_corpus_ivf_pairs_oracle_sql(
+        "(SELECT * FROM embeddings WHERE vec_id % 10 = 7)",
+        "(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)",
+        0.4,
+        2,
+    )
+
     win_us = 6 * 3_600_000_000
     windowed_oracle = (
         f"SELECT (CAST(epoch_us(ts) AS BIGINT) // {win_us}) * {win_us} AS win_start_us, "
@@ -1857,6 +1918,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         "streaming_kmv_distinct_documents": (run_kmv, kmv_oracle),
         "streaming_countmin_events": (run_countmin, countmin_oracle),
         "streaming_constraint_report_orders": (run_constraints, constraints_stream_oracle),
+        "streaming_ivf_ingest_dedup_embeddings": (run_ivf_ingest, ivf_ingest_oracle),
         "streaming_bloom_decontaminate_documents": (run_bloom, bloom_oracle),
         "streaming_windowed_counts_events": (run_windowed, windowed_oracle),
         "streaming_lm_scores_documents": (run_lm, lm_stream_oracle),

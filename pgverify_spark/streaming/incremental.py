@@ -245,6 +245,39 @@ def streaming_lsh_ingest_probe(
     return sdf.writeStream.foreachBatch(probe).outputMode("append")
 
 
+def streaming_ivf_ingest_probe(
+    sdf: DataFrame,
+    index_name: str,
+    out_path: str,
+    tau: float = 0.9,
+    nprobe: int = 2,
+):
+    """Streaming EMBEDDING near-dup ingest gate — the semantic twin of
+    :func:`streaming_lsh_ingest_probe`: every micro-batch of arriving
+    vectors probes the persisted bucketed IVF inverted file
+    (``similarity.write_ivf_index``) and appends its (new_vec,
+    corpus_vec, cosine) near-duplicates to ``out_path``.  Per-batch
+    cost: the probed cells bucket-prune the stored index (~nprobe/C of
+    its files read) and the batch side broadcasts — nothing
+    corpus-sized shuffles, no streaming state (the standing index is a
+    batch artifact; ``foreachBatch`` is the right tool, same reasoning
+    as the LSH gate).
+
+    Probes are independent per vector, so the union of per-batch
+    outputs equals the one-shot ``cross_corpus_ivf_pairs`` over all
+    arrived vectors — the oracle pairing.
+    """
+    from pgverify_spark.operators.similarity import probe_ivf_dups
+
+    def probe(batch_df: DataFrame, _batch_id: int) -> None:
+        res = probe_ivf_dups(
+            batch_df.sparkSession, batch_df, index_name, tau, nprobe
+        )
+        res.write.mode("append").parquet(out_path)
+
+    return sdf.writeStream.foreachBatch(probe).outputMode("append")
+
+
 def streaming_session_rollup(sdf: DataFrame, gap_us: int = 30 * 60 * 1_000_000) -> DataFrame:
     """Streaming gap-based sessionization: Spark's native
     ``session_window`` merges events into per-user sessions whose gap

@@ -184,3 +184,23 @@ def test_ivf_index_probe_bucket_pruning(spark, sf_dir, tmp_path, no_broadcast):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS ivfidx_cells")
+
+
+def test_ivf_ingest_probe_matches_recompute(spark, sf_dir, tmp_path, no_broadcast):
+    """probe_ivf_dups against the stored inverted file bucket-prunes and
+    equals the recompute-everything cross_corpus_ivf_pairs."""
+    from pgverify_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corp = embs.filter("vec_id % 10 <> 7")
+    new = embs.filter("vec_id % 10 = 7")
+    similarity.write_ivf_index(corp, "ivfing", str(tmp_path / "iv2"))
+    try:
+        probe = similarity.probe_ivf_dups(spark, new, "ivfing", 0.4, 2)
+        assert "SelectedBucketsCount" in _plan(probe)
+        expect = similarity.cross_corpus_ivf_pairs(new, corp, 0.4, 2)
+        got = sorted(map(tuple, probe.collect()))
+        assert got == sorted(map(tuple, expect.collect()))
+        assert got  # non-trivial at sf0.001 too
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivfing_cells")
