@@ -68,3 +68,132 @@ def profile_table_oracle_sql(table: str, schema: TableSchema) -> str:
             f"coalesce(max({canon}), '') AS max_c FROM {table}"
         )
     return " UNION ALL ".join(parts)
+
+
+#: Benford expected first-significant-digit shares in exact ppm:
+#: round(log10(1 + 1/d) * 1e6).  Precomputed Python-side so neither
+#: engine evaluates a transcendental at query time (the repo-wide
+#: cross-engine-exactness rule); both dialects consume identical
+#: integer literals.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _first_digit_sql(col: str) -> str:
+    """First significant digit of |col| via string inspection — no
+    logs, no floats: strip sign/zeros/dot from the canonical decimal
+    rendering and take the first digit char (identical semantics in
+    Spark and DuckDB; 0/NULL rows are excluded by the caller)."""
+    s = f"regexp_replace(CAST(abs(CAST({col} AS DECIMAL(38,6))) AS VARCHAR), '[.0]*', '')"
+    return f"CAST(substr({s}, 1, 1) AS INT)"
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution of ``col`` vs Benford's law
+    — the classic forensic screen for fabricated, truncated or
+    unit-mangled numeric data (real multiplicative quantities follow
+    log-uniform digit shares; synthetic or clipped ones don't).
+
+    Output: one row per digit 1-9 with (digit, n, observed_ppm,
+    expected_ppm, dev_ppm); dev summed /2e6 is the total-variation
+    distance from Benford.  Zero/NULL values carry no leading digit and
+    are excluded from the denominator.
+
+    Scale shape: one scan collapsing to ≤ 9 partial rows per task
+    (map-side combine), then constant-size arithmetic — the same
+    constant-output-aggregate family as the fingerprints.  Digits come
+    from the canonical decimal STRING, so no engine evaluates log10 at
+    query time (expected shares are integer literals).
+    """
+    fd = _first_digit_sql(col).replace("VARCHAR", "STRING")
+    counts = (
+        df.filter(f"{col} IS NOT NULL AND CAST({col} AS DECIMAL(38,6)) <> 0")
+        .selectExpr(f"{fd} AS digit")
+        .groupBy("digit")
+        .count()
+    )
+    expected = ", ".join(f"{d}, {p}" for d, p in sorted(BENFORD_PPM.items()))
+    return (
+        counts.selectExpr(
+            "digit",
+            "count AS n",
+            "CAST(count * 1000000 DIV greatest(sum(count) OVER (), 1) AS BIGINT)"
+            " AS observed_ppm",
+            f"CAST(element_at(map({expected}), digit) AS BIGINT) AS expected_ppm",
+        )
+        .selectExpr(
+            "digit", "n", "observed_ppm", "expected_ppm",
+            "abs(observed_ppm - expected_ppm) AS dev_ppm",
+        )
+    )
+
+
+def benford_audit_oracle_sql(table: str, col: str) -> str:
+    fd = _first_digit_sql(col)
+    cases = " ".join(
+        f"WHEN digit = {d} THEN {p}" for d, p in sorted(BENFORD_PPM.items())
+    )
+    return (
+        f"WITH c AS (SELECT {fd} AS digit, count(*) AS n FROM {table} "
+        f"WHERE {col} IS NOT NULL AND CAST({col} AS DECIMAL(38,6)) <> 0 "
+        "GROUP BY 1), "
+        "p AS (SELECT digit, n, "
+        "CAST(n * 1000000 // greatest(sum(n) OVER (), 1) AS BIGINT) AS observed_ppm, "
+        f"CAST(CASE {cases} END AS BIGINT) AS expected_ppm FROM c) "
+        "SELECT digit, n, observed_ppm, expected_ppm, "
+        "abs(observed_ppm - expected_ppm) AS dev_ppm FROM p"
+    )
+
+
+def fd_violations(df: DataFrame, det: str, dep: str) -> DataFrame:
+    """Functional-dependency check ``det -> dep``: does each determinant
+    value map to exactly one dependent value?  The structural QA that
+    catches denormalization drift (one order number with two dates, one
+    user with two countries) that no single-column profile can see.
+
+    Output: ONE row (n_keys, n_violating_keys, max_variants,
+    n_rows_in_violation).
+
+    Scale shape: one (det, dep)-distinct aggregate with map-side
+    combine, a per-det count over that reduced relation, and a 1-row
+    summary — the determinant's distinct cardinality bounds every
+    post-scan relation.
+    """
+    from pyspark.sql import functions as F
+
+    per_det = (
+        df.selectExpr(f"{det} AS det", f"{dep} AS dep")
+        .distinct()
+        .groupBy("det")
+        .agg(F.count(F.lit(1)).alias("variants"))
+    )
+    rows_per_det = df.selectExpr(f"{det} AS det").groupBy("det").count()
+    j = per_det.join(rows_per_det, "det")
+    return j.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_keys"),
+        F.expr(
+            "CAST(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_violating_keys"
+        ),
+        F.expr("CAST(coalesce(max(variants), 0) AS BIGINT) AS max_variants"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN variants > 1 THEN count ELSE 0 END), 0)"
+            " AS BIGINT) AS n_rows_in_violation"
+        ),
+    )
+
+
+def fd_violations_oracle_sql(table: str, det: str, dep: str) -> str:
+    return (
+        f"WITH pd AS (SELECT det, count(*) AS variants FROM "
+        f"(SELECT DISTINCT {det} AS det, {dep} AS dep FROM {table}) x GROUP BY det), "
+        f"rp AS (SELECT {det} AS det, count(*) AS n FROM {table} GROUP BY 1) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_keys, "
+        "CAST(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys, "
+        "CAST(coalesce(max(variants), 0) AS BIGINT) AS max_variants, "
+        "CAST(coalesce(sum(CASE WHEN variants > 1 THEN n ELSE 0 END), 0) AS BIGINT) "
+        "AS n_rows_in_violation "
+        "FROM pd JOIN rp USING (det)"
+    )

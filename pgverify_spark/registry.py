@@ -738,6 +738,23 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             profile_mod.profile_table_oracle_sql("orders", TESTDATA_TABLES["orders"]),
         ),
+        # Benford first-digit forensic screen (TPC-H prices are
+        # range-uniform, so the deviation is large and non-trivial)
+        "benford_audit_orders": (
+            _table_query(
+                "orders", lambda df: profile_mod.benford_audit(df, "o_totalprice")
+            ),
+            profile_mod.benford_audit_oracle_sql("orders", "o_totalprice"),
+        ),
+        # functional-dependency drift: o_custkey ->? o_orderstatus is
+        # deliberately violated (customers hold orders in many states)
+        "fd_check_orders": (
+            _table_query(
+                "orders",
+                lambda df: profile_mod.fd_violations(df, "o_custkey", "o_orderstatus"),
+            ),
+            profile_mod.fd_violations_oracle_sql("orders", "o_custkey", "o_orderstatus"),
+        ),
         # declarative data-quality constraint suite: all checks fused
         # into one aggregation pass (see operators/constraints.py)
         "constraint_report_orders": (

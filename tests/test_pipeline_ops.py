@@ -1608,6 +1608,49 @@ def test_profile_table(spark, sf_dir, duck):
     assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
 
 
+def test_benford_audit(spark, sf_dir, duck):
+    """Digit shares match the oracle; ppm sums ≈ 1e6; a genuinely
+    log-uniform sample scores near Benford while uniform prices don't."""
+    from pgverify_spark.operators import profile as profile_mod
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = _cmp(
+        profile_mod.benford_audit(orders, "o_totalprice"),
+        duck,
+        profile_mod.benford_audit_oracle_sql("orders", "o_totalprice"),
+    )
+    assert {r[0] for r in rows} <= set(range(1, 10))
+    total_ppm = sum(r[2] for r in rows)
+    assert 999_990 <= total_ppm <= 1_000_000  # floor-division remainder
+    assert sum(r[1] for r in rows) == orders.count()
+    uniform_tvd = sum(r[4] for r in rows)
+    # synthetic log-uniform data: 2^i spans decades evenly
+    logu = spark.createDataFrame(
+        [(float(2**i % 10**9 + 1),) for i in range(1, 400)], "v double"
+    )
+    ben_rows = profile_mod.benford_audit(logu, "v").collect()
+    ben_tvd = sum(r["dev_ppm"] for r in ben_rows)
+    assert ben_tvd < uniform_tvd  # powers of two ARE Benford; prices aren't
+
+
+def test_fd_violations(spark, sf_dir, duck):
+    from pgverify_spark.operators import profile as profile_mod
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    [(n_keys, n_viol, max_var, n_rows_viol)] = _cmp(
+        profile_mod.fd_violations(orders, "o_custkey", "o_orderstatus"),
+        duck,
+        profile_mod.fd_violations_oracle_sql("orders", "o_custkey", "o_orderstatus"),
+    )
+    assert n_keys == orders.select("o_custkey").distinct().count()
+    assert 0 < n_viol <= n_keys and max_var >= 2
+    # a real FD holds: the PK determines everything
+    [(k2, v2, m2, r2)] = profile_mod.fd_violations(
+        orders, "o_orderkey", "o_custkey"
+    ).collect()
+    assert v2 == 0 and m2 == 1 and r2 == 0
+
+
 def test_lsh_recall_eval(docs, duck, spark):
     """Exact-verified candidates make precision 1e6 by construction;
     recall drops below 1e6 on a borderline corpus; a no-pair corpus
