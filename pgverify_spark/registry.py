@@ -1918,6 +1918,54 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         2,
     )
 
+    def run_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import glob
+        import os as _os
+        import shutil
+        import tempfile
+
+        from pgverify_spark.streaming.incremental import streaming_debounce
+
+        ensure_required_confs(spark)
+        df = ParquetTarget("t", sf_dir).read(spark, "events")
+        tmp = tempfile.mkdtemp(prefix="pgvs_sdeb_")
+        # weekly time-ordered chunks: the per-key last-seen fold is
+        # exact when micro-batches respect event-time order
+        (
+            df.withColumn(
+                "wk", F.expr(timecol.bucket_sql(df, timecol.US_PER_WEEK)).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("wk")
+            .parquet(f"{tmp}/weeks")
+        )
+        stream_in = f"{tmp}/in"
+        _os.makedirs(stream_in)
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_in)
+        )
+        q = (
+            streaming_debounce(sdf, 4 * 3600 * 1_000_000)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("registry_sdebounce")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            for i, wd in enumerate(sorted(glob.glob(f"{tmp}/weeks/wk=*"))):
+                for j, f in enumerate(sorted(glob.glob(f"{wd}/*.parquet"))):
+                    shutil.copy(f, f"{stream_in}/wk{i}_{j}.parquet")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table("registry_sdebounce")
+
+    # append-mode kept events == the batch debounce over the same data
+    debounce_stream_oracle = rollup.debounce_oracle_sql("events", 4 * 3600 * 1_000_000)
+
     win_us = 6 * 3_600_000_000
     windowed_oracle = (
         f"SELECT (CAST(epoch_us(ts) AS BIGINT) // {win_us}) * {win_us} AS win_start_us, "
@@ -1936,6 +1984,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         "streaming_countmin_events": (run_countmin, countmin_oracle),
         "streaming_constraint_report_orders": (run_constraints, constraints_stream_oracle),
         "streaming_ivf_ingest_dedup_embeddings": (run_ivf_ingest, ivf_ingest_oracle),
+        "streaming_debounce_events": (run_debounce, debounce_stream_oracle),
         "streaming_bloom_decontaminate_documents": (run_bloom, bloom_oracle),
         "streaming_windowed_counts_events": (run_windowed, windowed_oracle),
         "streaming_lm_scores_documents": (run_lm, lm_stream_oracle),

@@ -245,6 +245,65 @@ def streaming_lsh_ingest_probe(
     return sdf.writeStream.foreachBatch(probe).outputMode("append")
 
 
+def streaming_debounce(sdf: DataFrame, window_us: int = 5_000_000) -> DataFrame:
+    """Streaming retry-burst collapse — the stateful twin of
+    ``operators.rollup.debounce``: per (user_id, event_type) key the
+    state is ONE bigint (the last-seen event time); each micro-batch
+    left-folds its time-sorted events through that scalar, emitting the
+    events whose gap to their predecessor exceeds ``window_us``.  A
+    left fold over time-ordered events makes prefix-then-suffix
+    identical to the whole, so streaming equals batch under the same
+    event-time-ordered delivery contract as the streaming funnel
+    (streaming/funnel.py); kept events are final on emission — append
+    mode, no retraction.
+
+    State: one bigint per active (user, type) key, forever — no growth
+    with event count, no watermark needed.
+    """
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pgverify_spark.functions.timecol import epoch_us_sql
+
+    rows = sdf.selectExpr(
+        "user_id", "event_type", "event_id", f"{epoch_us_sql(sdf)} AS us", "value"
+    )
+
+    def update_fn(key: tuple, pdfs, state: GroupState):
+        (last_us,) = state.get if state.exists else (None,)
+        kept = {"event_id": [], "us": [], "value": []}
+        for pdf in pdfs:
+            for us, eid, val in sorted(
+                zip(map(int, pdf["us"]), map(int, pdf["event_id"]), pdf["value"])
+            ):
+                if last_us is None or us - last_us > window_us:
+                    kept["event_id"].append(eid)
+                    kept["us"].append(us)
+                    kept["value"].append(val)
+                last_us = us
+        state.update((last_us,))
+        if kept["event_id"]:
+            n = len(kept["event_id"])
+            yield pd.DataFrame(
+                {
+                    "event_id": kept["event_id"],
+                    "user_id": [key[0]] * n,
+                    "event_type": [key[1]] * n,
+                    "us": kept["us"],
+                    "value": kept["value"],
+                }
+            )
+
+    return rows.groupBy("user_id", "event_type").applyInPandasWithState(
+        update_fn,
+        outputStructType="event_id bigint, user_id bigint, event_type string, "
+        "us bigint, value double",
+        stateStructType="last_us bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_ivf_ingest_probe(
     sdf: DataFrame,
     index_name: str,

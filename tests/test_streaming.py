@@ -306,6 +306,56 @@ def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
     assert all(r["count"] <= 4 for r in em)
 
 
+def test_streaming_debounce_matches_batch(spark, sf_dir, tmp_path):
+    """Per-key last-seen left fold: streamed kept events equal the batch
+    debounce under time-ordered weekly replay."""
+    import glob
+    import os
+    import shutil
+
+    from pgverify_spark.functions import timecol
+    from pgverify_spark.operators.rollup import debounce
+    from pgverify_spark.streaming.incremental import streaming_debounce
+
+    events = ParquetTarget("t", sf_dir).read(spark, "events")
+    win = 4 * 3600 * 1_000_000
+    tmp = tmp_path
+    (
+        events.withColumn(
+            "wk",
+            F.expr(timecol.bucket_sql(events, timecol.US_PER_WEEK)).cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("wk")
+        .parquet(str(tmp / "weeks"))
+    )
+    stream_in = str(tmp / "in")
+    os.makedirs(stream_in)
+    sdf = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_in)
+    )
+    q = (
+        streaming_debounce(sdf, win)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdeb_state")
+        .option("checkpointLocation", str(tmp / "ck"))
+        .start()
+    )
+    try:
+        for i, wd in enumerate(sorted(glob.glob(f"{tmp}/weeks/wk=*"))):
+            for j, f in enumerate(sorted(glob.glob(f"{wd}/*.parquet"))):
+                shutil.copy(f, f"{stream_in}/wk{i}_{j}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(map(tuple, spark.table("sdeb_state").collect()))
+    batch = sorted(map(tuple, debounce(events, win).collect()))
+    assert streamed == batch
+
+
 def test_streaming_constraint_report_matches_batch(spark, sf_dir, tmp_path):
     """Additive counters: the monitor's final state equals the batch
     report over the same data; unique checks are rejected loudly."""
