@@ -30,6 +30,12 @@ WINDOW_SINGLE_OK = {
     # exact ntile baseline kept next to the approx_percentile scale
     # path documented in topk.py.
     "equidepth_histogram_orders": "exact ntile baseline",
+    # sum(n) OVER () runs over the first-digit counts relation:
+    # ≤ 9 rows by construction (digits 1-9), never the corpus.
+    "benford_audit_orders": "window over ≤9-row digit-count aggregate",
+    # sum(n) OVER () runs over the per-bucket counts relation:
+    # ≤ buckets+1 rows by construction, never the corpus.
+    "distribution_drift_orders": "window over ≤buckets-row aggregate",
 }
 
 
