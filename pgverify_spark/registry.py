@@ -2048,6 +2048,19 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: (r01+r02 covered the fingerprint/diff/report/dedup/text families).
 #: Everything not listed keeps registration order after the priority
 #: block — nothing is ever dropped, only reordered.
+#:
+#: ROUND-4 ROTATION NOTE: r03's ~50-slot window covers this list up to
+#: roughly ``fk_integrity_report`` (position 50).  Still never
+#: driver-certified after r03: the tail of this list (tpch_* onward,
+#: multimodal_*, semantic_dedup_filter, dedup_lines, ann_recall) plus
+#: every round-3 addition (constraint_report, corpus_dedup_lines,
+#: countmin_freq, reservoir_sample, gopher_gate, tpch_q5/q18,
+#: streaming_countmin, streaming_constraint_report, streaming_debounce,
+#: streaming_ivf_ingest, near_dedup_filter_best, hashed_vectors×2,
+#: fill_gaps, debounce, column_diff, distribution_drift,
+#: lsh_recall_eval, embedding_ingest, benford, fd_check).  Round 4
+#: should front-load those ~40 and keep a thin certified-smoke core;
+#: all are green in tests/oracle_check.py sweeps (see round-3 logs).
 _DRIVER_PRIORITY = (
     # r1 driver-FAILED, fixed in r2, never driver-reverified
     "hourly_rollup_events",
