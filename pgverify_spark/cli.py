@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="run fingerprint SQL inside jdbc: targets (reference-style; "
         "one scalar over the wire) instead of reading rows into Spark",
     )
+    p.add_argument(
+        "--constraints",
+        metavar="FILE",
+        help="JSON file {table: [constraint specs]} — additionally run "
+        "the declarative data-quality suite on every target and fail "
+        "the run on any failing check (see operators/constraints.py)",
+    )
     return p
 
 
@@ -110,7 +117,33 @@ def main(argv: list[str] | None = None) -> int:
     report_table(result.results).show(1000, truncate=False)
     for err in result.errors:
         print(f"ERROR: {err}", file=sys.stderr)
-    return 1 if result.errors else 0
+
+    constraint_failures = 0
+    if args.constraints:
+        import json
+
+        from pgverify_spark.operators.constraints import (
+            constraint_report,
+            suite_from_spec,
+        )
+
+        with open(args.constraints) as fh:
+            spec = json.load(fh)
+        for target in targets:
+            for table, entries in spec.items():
+                suite = suite_from_spec(entries)
+                rows = constraint_report(target.read(spark, table), suite)
+                print(f"-- constraints: target={target.name} table={table}")
+                rows.show(1000, truncate=False)
+                constraint_failures += sum(
+                    1 for r in rows.collect() if r["status"] == "fail"
+                )
+        if constraint_failures:
+            print(
+                f"ERROR: {constraint_failures} constraint check(s) failed",
+                file=sys.stderr,
+            )
+    return 1 if (result.errors or constraint_failures) else 0
 
 
 if __name__ == "__main__":

@@ -100,6 +100,53 @@ def satisfies(
     )
 
 
+def suite_from_spec(spec: list[dict]) -> list[Constraint]:
+    """Build a suite from a declarative JSON-style spec (the CLI's
+    ``--constraints`` file format)::
+
+        [{"check": "not_null", "column": "o_custkey"},
+         {"check": "unique", "column": "o_orderkey"},
+         {"check": "accepted_values", "column": "o_orderstatus",
+          "values": ["O", "F", "P"]},
+         {"check": "in_range", "column": "o_totalprice", "lo": 0, "hi": 1e6},
+         {"check": "matches", "column": "o_orderpriority", "regex": "^[1-5]-"},
+         {"check": "satisfies", "name": "positive", "column": "value",
+          "predicate": "value > 0"}]
+
+    Each entry may carry an optional ``name`` override.  Unknown check
+    kinds or missing keys raise ``ValueError`` with the offending entry.
+    """
+    out = []
+    for entry in spec:
+        try:
+            kind = entry["check"]
+            if kind == "not_null":
+                c = not_null(entry["column"], entry.get("name"))
+            elif kind == "unique":
+                c = unique(entry["column"], entry.get("name"))
+            elif kind == "accepted_values":
+                c = accepted_values(
+                    entry["column"], tuple(entry["values"]), entry.get("name")
+                )
+            elif kind == "in_range":
+                c = in_range(
+                    entry["column"], entry["lo"], entry["hi"], entry.get("name")
+                )
+            elif kind == "matches":
+                c = matches(entry["column"], entry["regex"], entry.get("name"))
+            elif kind == "satisfies":
+                c = satisfies(
+                    entry["name"], entry["column"], entry["predicate"],
+                    entry.get("predicate_duckdb"),
+                )
+            else:
+                raise KeyError(f"unknown check kind {kind!r}")
+        except KeyError as e:
+            raise ValueError(f"bad constraint spec entry {entry!r}: {e}") from e
+        out.append(c)
+    return out
+
+
 def _agg_exprs(constraints: list[Constraint], dialect: str) -> list[str]:
     out = []
     for i, c in enumerate(constraints):

@@ -157,6 +157,43 @@ def test_pushdown_rowcount_query():
     )
 
 
+def test_cli_constraint_suite(sf_dir, tmp_path):
+    """--constraints runs the declarative suite per target: a passing
+    spec keeps exit 0; a failing check turns the run red with the
+    report on stdout."""
+    import json as _json
+    import os as _os
+
+    env = {"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "JAVA_HOME": _os.environ.get("JAVA_HOME", "")}
+    ok_spec = tmp_path / "ok.json"
+    ok_spec.write_text(_json.dumps({
+        "region": [
+            {"check": "not_null", "column": "r_regionkey"},
+            {"check": "unique", "column": "r_regionkey"},
+        ]
+    }))
+    base = [sys.executable, "-m", "pgverify_spark.cli", sf_dir,
+            "--tests", "rowcount", "--include-tables", "region"]
+    proc = subprocess.run(base + ["--constraints", str(ok_spec)],
+                          capture_output=True, text=True, timeout=300,
+                          env=env, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "not_null_r_regionkey" in proc.stdout and "pass" in proc.stdout
+
+    bad_spec = tmp_path / "bad.json"
+    bad_spec.write_text(_json.dumps({
+        "region": [
+            {"check": "matches", "column": "r_name", "regex": "^ZZZ"},
+        ]
+    }))
+    proc = subprocess.run(base + ["--constraints", str(bad_spec)],
+                          capture_output=True, text=True, timeout=300,
+                          env=env, cwd="/root/repo")
+    assert proc.returncode == 1
+    assert "constraint check(s) failed" in proc.stderr
+
+
 def test_quoting_helpers_escape_embedded_quotes():
     """Identifiers with double quotes and literals with single quotes
     must be doubled, not break the generated SQL (ADVICE hardening; the
