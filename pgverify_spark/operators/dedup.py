@@ -440,8 +440,9 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     matches most of its copies directly), so this converges in 2-3
     rounds in practice, checked by an exact changed-label count each
     round.  For adversarial long-chain graphs at 100 TB, switch to
-    star-contraction (large-star/small-star, O(log n) rounds); the
-    round structure here is the same, only the contraction rule differs.
+    :func:`dup_clusters_star` (large-star/small-star contraction,
+    O(log n) rounds, identical output and oracle); the per-round cost
+    is the same, only the contraction rule differs.
 
     The per-round ``localCheckpoint(eager=True)`` is load-bearing and
     does what a plain persist cannot: persist caches the *data* but the
@@ -492,6 +493,92 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         # cleaner GCs their blocks (tiny: ids + labels only)
     edges.unpersist()
     return labels
+
+
+def dup_clusters_star(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — the documented escape hatch on
+    :func:`dup_clusters` for adversarial LONG-CHAIN graphs: min-label
+    propagation needs diameter rounds (a 10^6-link chain = 10^6
+    rounds), star contraction needs O(log n) regardless of shape.
+    Output is identical: (doc_id, cluster_id = component min), so the
+    registry pairs it with the SAME recursive-CTE oracle.
+
+    Each round is two half-steps over the directed edge set E:
+
+    - large-star: every node u links each STRICTLY LARGER neighbor to
+      ``m(u) = min(N(u) ∪ {u})`` — long tails collapse toward minima;
+    - small-star: u links each smaller-or-equal neighbor AND itself to
+      ``m(u)`` — stars flatten to height 1.
+
+    Both half-steps are one ``groupBy(u).min`` + one edges join (hash
+    shuffles on bare ids, map-side combine), same per-round cost as a
+    propagation round.  Convergence = the canonical edge multiset
+    stops changing, detected by a constant-size checksum aggregate
+    (count + two independent weighted sums — a collision would need to
+    preserve all three simultaneously); per-round
+    ``localCheckpoint(eager=True)`` keeps plans constant-cost exactly
+    as in :func:`dup_clusters`.
+    """
+    sym = pairs.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
+        pairs.selectExpr("doc_b AS u", "doc_a AS v")
+    )
+    edges = sym.distinct().localCheckpoint(eager=True)
+
+    def half_step(e: DataFrame, large: bool) -> DataFrame:
+        # the paper's neighborhoods are UNDIRECTED: symmetrize the
+        # (possibly directed) working edge set before ranking, or a
+        # converged star (member -> min) erases itself under large-star
+        adj = (
+            e.selectExpr("u", "v")
+            .unionByName(e.selectExpr("v AS u", "u AS v"))
+            .distinct()
+        )
+        m = (
+            adj.unionByName(adj.selectExpr("u", "u AS v"))
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        joined = adj.join(m, "u")
+        cond = "v > u" if large else "v <= u"
+        out = joined.filter(cond).selectExpr("v AS u", "m AS v")
+        if not large:
+            out = out.unionByName(joined.selectExpr("u", "m AS v"))
+        return out.filter("u <> v").distinct()
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("u * 1000003 + v")).alias("s1"),
+            F.sum(F.expr("u + v * 998244353")).alias("s2"),
+        ).first()
+        return (row["n"], row["s1"], row["s2"])
+
+    prev = checksum(edges)
+    for _ in range(max_rounds):
+        edges = half_step(edges, large=True).localCheckpoint(eager=True)
+        edges = half_step(edges, large=False).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # Contraction preserves connectivity while crushing diameter to
+    # ~1-2; a SHORT min-label propagation over the contracted graph
+    # then resolves exact component minima without assuming perfect
+    # star shape (belt and braces for the convergence edge cases).
+    # Nodes that contracted away entirely (appear in the original
+    # pairs but in no surviving edge) are their own singleton... which
+    # cannot happen for a paired node: every member keeps its (u, min)
+    # edge.  Union the original node set anyway so the output domain
+    # matches dup_clusters exactly.
+    contracted = edges.selectExpr("u AS doc_a", "v AS doc_b")
+    nodes = sym.selectExpr("u AS doc_id").distinct()
+    labels = dup_clusters(contracted, max_iterations=6)
+    return (
+        nodes.join(labels, "doc_id", "left")
+        .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+    )
 
 
 def dup_clusters_oracle_sql(pairs_sql: str) -> str:

@@ -730,6 +730,22 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 + ") mp"
             ),
         ),
+        # O(log n)-round star-contraction twin: identical output and
+        # oracle, shape-robust (a 10^6-link chain converges in ~20
+        # rounds where propagation needs 10^6)
+        "dup_clusters_star_documents": (
+            _table_query(
+                "documents",
+                lambda df: dedup.dup_clusters_star(
+                    dedup.minhash_lsh_pairs(df, 0.3).select("doc_a", "doc_b")
+                ),
+            ),
+            dedup.dup_clusters_oracle_sql(
+                "SELECT doc_a, doc_b FROM ("
+                + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+                + ") mp"
+            ),
+        ),
         # exact per-column profile: nulls / distincts / canonical extremes
         "profile_orders": (
             _table_query(

@@ -1608,6 +1608,33 @@ def test_profile_table(spark, sf_dir, duck):
     assert prof["o_orderstatus"]["n_nulls"] == mutated.filter("o_orderkey % 2 = 0").count()
 
 
+def test_dup_clusters_star(docs, duck, spark):
+    """Star contraction equals min-label propagation on real pairs, and
+    converges on a long chain in O(log n) rounds where bounded-round
+    propagation visibly cannot."""
+    pairs = dedup.minhash_lsh_pairs(docs, 0.3).select("doc_a", "doc_b")
+    star = _cmp(
+        dedup.dup_clusters_star(pairs),
+        duck,
+        dedup.dup_clusters_oracle_sql(
+            "SELECT doc_a, doc_b FROM ("
+            + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+            + ") mp"
+        ),
+    )
+    assert star == sorted(map(tuple, dedup.dup_clusters(pairs).collect()))
+    # 150-link chain: star resolves every node to 0 within its default
+    # 30 rounds; propagation needs diameter rounds and, capped at 10,
+    # provably has not converged yet
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(150)], "doc_a bigint, doc_b bigint"
+    )
+    s = {d: c for d, c in dedup.dup_clusters_star(chain).collect()}
+    assert len(s) == 151 and all(c == 0 for c in s.values())
+    p = {d: c for d, c in dedup.dup_clusters(chain, max_iterations=10).collect()}
+    assert any(c != 0 for c in p.values())  # the escape hatch is real
+
+
 def test_benford_audit(spark, sf_dir, duck):
     """Digit shares match the oracle; ppm sums ≈ 1e6; a genuinely
     log-uniform sample scores near Benford while uniform prices don't."""
