@@ -1,0 +1,192 @@
+"""Byte-pair-encoding statistics: the tokenizer-training workload.
+
+Beyond-reference extension (the reference verifies tables, it does not
+train tokenizers): before an LLM run, the corpus is scanned to learn a
+BPE merge table (Sennrich et al. 2016).  The expensive part — counting
+adjacent symbol pairs across 100 TB of text — is exactly the Spark-shaped
+half of the algorithm; the merge *selection* loop operates on the
+aggregated vocabulary, which is many orders of magnitude smaller.
+
+Scale design
+------------
+- :func:`bpe_pair_counts` (one-pass, oracle-paired): corpus -> word
+  counts (hash groupBy with map-side combine: the shuffle carries the
+  *vocabulary*, not the corpus) -> adjacent character-pair explode over
+  distinct words weighted by count -> second vocabulary-sized groupBy ->
+  global top-k via TakeOrderedAndProject (no global sort).  At 100 TB
+  the corpus is read once; everything after the first aggregate is
+  |vocab|-sized.
+- :func:`bpe_learn` (iterative): repeats pair-count -> pick-best ->
+  merge on the standing word/symbol-count table.  Each round collects
+  exactly ONE row (the winning pair) to the driver and rewrites the
+  symbol arrays with a left-fold ``aggregate`` lambda — the corpus is
+  never re-read after the initial word count, and per-round state is
+  the persisted vocabulary table.  Not SQL-expressible as one statement
+  (argmax feeds the next round's input), so it is verified against a
+  pure-Python reference implementation in tests instead of a DuckDB
+  twin (tests/test_pipeline_ops.py).
+
+Determinism: ties on pair frequency break on the pair string (count
+DESC, pair ASC) in both the one-pass top-k and the per-round argmax, so
+the merge sequence is engine- and partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
+from pgverify_spark.functions.text_exprs import tokens_sql
+from pgverify_spark.operators.util import barrier as _barrier
+
+#: Separator between the two symbols of a pair key.  Tokens are
+#: whitespace-split, so no symbol ever contains a space.
+_SEP = " "
+
+
+def word_counts(df: DataFrame) -> DataFrame:
+    """(word, cnt) over the whitespace-tokenized normalized corpus.
+
+    The one corpus-sized scan of the BPE family; its output (the
+    vocabulary) is what every later step operates on.
+    """
+    return (
+        _barrier(df.selectExpr(f"{tokens_sql('text', DIALECT_SPARK)} AS tokens"))
+        .selectExpr("explode(tokens) AS word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, k: int = 50) -> DataFrame:
+    """Top-k adjacent character pairs weighted by word frequency —
+    the first BPE merge iteration (initial symbols = characters).
+
+    Output: (pair, n_occurrences); ``pair`` is the two characters
+    space-joined.  "aaa" contributes the pair "a a" twice (adjacent
+    enumeration, the BPE convention).  Words shorter than 2 characters
+    have no pairs and are pruned before the explode.
+    """
+    wc = word_counts(df).filter("length(word) >= 2")
+    pairs = wc.selectExpr(
+        "cnt",
+        "explode(transform(sequence(1, length(word) - 1), "
+        f"i -> concat(substr(word, i, 1), '{_SEP}', substr(word, i + 1, 1)))) AS pair",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_oracle_sql(table: str, k: int = 50) -> str:
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH tok AS (SELECT {tokens_sql('text', d)} AS tokens FROM {table}), "
+        "w AS (SELECT unnest(tokens) AS word FROM tok), "
+        "wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word), "
+        "wc2 AS (SELECT * FROM wc WHERE length(word) >= 2), "
+        "p AS (SELECT cnt, unnest(list_transform(range(1, length(word)), "
+        f"i -> substr(word, i, 1) || '{_SEP}' || substr(word, i + 1, 1))) AS pair FROM wc2) "
+        "SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences FROM p GROUP BY pair "
+        f"ORDER BY n_occurrences DESC, pair ASC LIMIT {k}"
+    )
+
+
+def _sq(sym: str) -> str:
+    """Escape a symbol for embedding in a single-quoted SQL literal."""
+    return sym.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _merge_expr(a: str, b: str) -> str:
+    """Left-fold merge of adjacent (a, b) symbol occurrences.
+
+    The BPE convention: scan left to right, greedily replacing the
+    leftmost (a, b) with the concatenated symbol — "aaa" under merge
+    (a, a) becomes ["aa", "a"], because after merging the new symbol
+    ("aa") no longer matches ``a`` for the next step.  The fold
+    reproduces that exactly: append x unless the accumulator's last
+    element is ``a`` (and was not itself just produced by this merge —
+    guaranteed because the merged symbol ``a||b`` differs from ``a``
+    whenever b is non-empty) and x is ``b``.
+    """
+    qa, qb = _sq(a), _sq(b)
+    return (
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{qa}' AND x = '{qb}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_learn(
+    df: DataFrame, n_merges: int = 10, min_count: int = 2
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns the ordered merge table [(sym_a, sym_b, count), ...] — the
+    artifact a tokenizer ships.  Stops early when no pair reaches
+    ``min_count``.
+
+    Per round: one vocabulary-sized aggregation (pair counts), one
+    single-row collect (the argmax — count DESC, pair ASC tie-break),
+    and one projection rewriting the symbol arrays.  The corpus is
+    scanned exactly once (the initial word count); every subsequent
+    round runs over the persisted ``(syms, cnt)`` vocabulary table,
+    re-persisted per round to keep lineage flat (same discipline as
+    dup_clusters' label propagation, dedup.py:425).
+    """
+    vocab = (
+        word_counts(df)
+        .selectExpr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1)) AS syms",
+            "cnt",
+        )
+        .persist()
+    )
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            best = (
+                vocab.filter("size(syms) >= 2")
+                .selectExpr(
+                    "cnt",
+                    "explode(transform(sequence(1, size(syms) - 1), "
+                    f"i -> concat(element_at(syms, i), '{_SEP}', element_at(syms, i + 1)))) AS pair",
+                )
+                .groupBy("pair")
+                .agg(F.sum("cnt").cast("bigint").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["n"] < min_count:
+                break
+            a, b = best[0]["pair"].split(_SEP, 1)
+            merges.append((a, b, int(best[0]["n"])))
+            nxt = vocab.selectExpr(f"{_merge_expr(a, b)} AS syms", "cnt").persist()
+            nxt.count()  # materialize before dropping the parent cache
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def bpe_merges_df(spark, df: DataFrame, n_merges: int = 10) -> DataFrame:
+    """:func:`bpe_learn` as a DataFrame: (step, sym_a, sym_b, n_occurrences).
+
+    Iterative-argmax shape — no single-statement SQL twin exists, so the
+    registry records the weaker rows-only driver check; the merge
+    sequence itself is asserted against a pure-Python reference BPE in
+    tests/test_pipeline_ops.py.
+    """
+    rows = [
+        (i + 1, a, b, n) for i, (a, b, n) in enumerate(bpe_learn(df, n_merges))
+    ]
+    return spark.createDataFrame(
+        rows, "step int, sym_a string, sym_b string, n_occurrences bigint"
+    )

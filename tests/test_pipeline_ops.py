@@ -2114,3 +2114,69 @@ def test_ann_recall(embs, duck):
     )
     assert len(rows) == 5
     assert all(r[1] == 10 and 0 <= r[2] <= 10 and 0.0 <= r[3] <= 1.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer statistics
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts(docs, duck):
+    from pgverify_spark.operators import bpe
+
+    rows = _cmp(
+        bpe.bpe_pair_counts(docs, 30), duck, bpe.bpe_pair_counts_oracle_sql("documents", 30)
+    )
+    assert len(rows) == 30
+    # every pair key is exactly two space-joined single characters
+    assert all(len(p) == 3 and p[1] == " " for p, _ in rows)
+
+
+def _reference_bpe(word_counts, n_merges, min_count=2):
+    """Pure-Python BPE (Sennrich et al. 2016 semantics): the truth the
+    distributed implementation must reproduce, including the greedy
+    left-to-right merge scan and the (count DESC, pair ASC) tie-break."""
+    from collections import Counter
+
+    vv = [(list(w), c) for w, c in word_counts.items()]
+    out = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, c in vv:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        top = max(pc.values())
+        if top < min_count:
+            break
+        a, b = min(p for p, n in pc.items() if n == top)
+        out.append((a, b, top))
+        for syms, _c in vv:
+            i, merged = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms[:] = merged
+    return out
+
+
+def test_bpe_learn_matches_reference(docs):
+    from pgverify_spark.operators import bpe
+
+    wc = {r["word"]: r["cnt"] for r in bpe.word_counts(docs).collect()}
+    assert bpe.bpe_learn(docs, 6) == _reference_bpe(wc, 6)
+
+
+def test_bpe_learn_greedy_fold_on_runs(spark):
+    """'aaa' under merge (a,a) must become [aa, a] (leftmost-greedy),
+    making the second merge (aa, a) — the classic BPE fold edge."""
+    from pgverify_spark.operators import bpe
+
+    df = spark.createDataFrame([(1, "aaa aaa"), (2, "aaa")], "doc_id int, text string")
+    merges = bpe.bpe_learn(df, 2, min_count=1)
+    assert merges == [("a", "a", 6), ("aa", "a", 3)]
