@@ -380,6 +380,36 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
         partition_diff_oracle_sql("events", right_sql, ev_schema),
     )
 
+    # cross-run incremental verify: snapshot the original to parquet
+    # state, verify the mutated current data against it — same expected
+    # diff as partition_diff_events, but the left side round-trips
+    # through the persisted O(partitions) fingerprint snapshot
+    def run_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.operators.fingerprint import (
+            verify_against_snapshot,
+            write_fingerprint_snapshot,
+        )
+
+        ensure_required_confs(spark)
+        left = ParquetTarget("t", sf_dir).read(spark, "events")
+        day = timecol.bucket_sql(left, timecol.US_PER_DAY)
+        changed = left.filter(f"{day} <> 19724").selectExpr(
+            "event_id", "ts", "user_id", "event_type",
+            f"CASE WHEN {day} = 19723 AND event_id % 11 = 0 "
+            "THEN value + 1 ELSE value END AS value",
+            "props",
+        )
+        tmp = tempfile.mkdtemp(prefix="pgvs_snap_")
+        write_fingerprint_snapshot(left, ev_schema, f"{tmp}/state")
+        return verify_against_snapshot(spark, changed, ev_schema, f"{tmp}/state")
+
+    out["snapshot_verify_events"] = (
+        run_snapshot,
+        partition_diff_oracle_sql("events", right_sql, ev_schema),
+    )
+
     # composed drill-down: row detail for ONLY the mismatched partitions
     from pgverify_spark.operators.diff import (
         drilldown_row_diff,
@@ -2095,7 +2125,8 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: streaming_ivf_ingest, near_dedup_filter_best, hashed_vectors×2,
 #: fill_gaps, debounce, column_diff, distribution_drift,
 #: lsh_recall_eval, embedding_ingest, benford, fd_check,
-#: dup_clusters_star, bpe_pair_counts, bpe_merges).  Round 4 should
+#: dup_clusters_star, bpe_pair_counts, bpe_merges, snapshot_verify).
+#: Round 4 should
 #: front-load those ~40 and keep a thin certified-smoke core; all are
 #: green in tests/oracle_check.py sweeps (138 pass / 0 fail / 1 weak
 #: at sf0.01, re-verified this round after the final additions).
