@@ -228,3 +228,84 @@ def kmv_sketch_raw(df: DataFrame, value_col: str, group_col: str, k: int = 64) -
     w = Window.partitionBy("grp").orderBy("h")
     kept = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     return kept.groupBy("grp").agg(F.expr("array_sort(collect_list(h))").alias("hashes"))
+
+
+def _ht_hash(key_col: str, dialect: str) -> str:
+    cast = "STRING" if dialect == DIALECT_SPARK else "VARCHAR"
+    from pgverify_spark.functions.canonical import hex_prefix_int_sql
+
+    return hex_prefix_int_sql(f"md5(CAST({key_col} AS {cast}))", dialect, 15)
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+    rate_ppm: int = 50_000,
+) -> DataFrame:
+    """Approximate quantiles from a deterministic hash-threshold sample:
+    (prob_ppm, n_sample, est_value).
+
+    The scale path beside :func:`~pgverify_spark.operators.topk.equidepth_histogram`'s
+    exact-ntile baseline: an exact global quantile sorts the corpus; this
+    sorts only the ``rate_ppm``-fraction sample whose membership is
+    ``md5(key) < rate_ppm/1e6 * 2^60`` — deterministic and
+    engine-independent (unlike ``TABLESAMPLE``/``approx_percentile``,
+    whose RNG and sketch layouts differ per engine), so two targets'
+    quantile reports must agree bit-for-bit, which is what makes the
+    estimate usable *inside* a verification engine.  Mergeable by
+    construction: the union of two targets' samples IS the sample of the
+    union (membership is a pure row predicate), so partial samples from
+    1000 executors or from yesterday's run combine without re-reading.
+
+    The selected rank is all-integer (``ceil(p*n)`` as
+    ``(p_ppm*n + 999999) div 1e6``) and ties order on the key hash
+    (unique for PK keys), so the picked element is well-defined.  The
+    rank window runs over the sample only — rate-bounded, whitelisted in
+    the plan audit; the probe join broadcasts the |probs|-row rank table.
+    """
+    from pyspark.sql import Window
+
+    thresh = rate_ppm * (1 << 60) // 1_000_000
+    h = _ht_hash(key_col, DIALECT_SPARK)
+    s = df.selectExpr(f"{value_col} AS v", f"{h} AS hk").filter(F.col("hk") < thresh)
+    ranked = s.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "hk"))
+    )
+    probs_arr = ", ".join(str(p) for p in probs_ppm)
+    pr = (
+        s.groupBy()
+        .agg(F.count(F.lit(1)).alias("n_sample"))
+        .selectExpr("n_sample", f"explode(array({probs_arr})) AS prob_ppm")
+        .selectExpr(
+            "prob_ppm",
+            "n_sample",
+            "CAST((prob_ppm * n_sample + 999999) DIV 1000000 AS BIGINT) AS r",
+        )
+    )
+    return (
+        ranked.join(F.broadcast(pr), ranked.rn == pr.r)
+        .selectExpr("prob_ppm", "n_sample", "v AS est_value")
+    )
+
+
+def sampled_quantiles_oracle_sql(
+    table: str,
+    value_col: str,
+    key_col: str,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+    rate_ppm: int = 50_000,
+) -> str:
+    thresh = rate_ppm * (1 << 60) // 1_000_000
+    h = _ht_hash(key_col, DIALECT_DUCKDB)
+    probs_arr = ", ".join(str(p) for p in probs_ppm)
+    return (
+        f"WITH s AS (SELECT {value_col} AS v, {h} AS hk FROM {table} WHERE {h} < {thresh}), "
+        "n AS (SELECT count(*) AS n_sample FROM s), "
+        "rk AS (SELECT v, row_number() OVER (ORDER BY v, hk) AS rn FROM s), "
+        f"p AS (SELECT unnest([{probs_arr}]) AS prob_ppm), "
+        "pr AS (SELECT prob_ppm, n_sample, "
+        "CAST((prob_ppm * n_sample + 999999) // 1000000 AS BIGINT) AS r FROM p, n) "
+        "SELECT prob_ppm, n_sample, v AS est_value FROM rk JOIN pr ON rk.rn = pr.r"
+    )

@@ -1366,6 +1366,15 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             sketch.kmv_sketch_oracle_sql("events", "user_id", "event_type", 32),
         ),
+        # deterministic hash-threshold sample quantiles (the scale path
+        # beside the exact equidepth baseline; mergeable by construction)
+        "sampled_quantiles_orders": (
+            _table_query(
+                "orders",
+                lambda df: sketch.sampled_quantiles(df, "o_totalprice", "o_orderkey"),
+            ),
+            sketch.sampled_quantiles_oracle_sql("orders", "o_totalprice", "o_orderkey"),
+        ),
         # Count-Min frequency estimates beside the truth (overcount > 0
         # at sf0.01: 150 users into 64 buckets guarantees collisions)
         "countmin_freq_events": (

@@ -2180,3 +2180,43 @@ def test_bpe_learn_greedy_fold_on_runs(spark):
     df = spark.createDataFrame([(1, "aaa aaa"), (2, "aaa")], "doc_id int, text string")
     merges = bpe.bpe_learn(df, 2, min_count=1)
     assert merges == [("a", "a", 6), ("aa", "a", 3)]
+
+
+def test_sampled_quantiles(spark, sf_dir, duck):
+    from pgverify_spark.operators.sketch import (
+        sampled_quantiles,
+        sampled_quantiles_oracle_sql,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = _cmp(
+        sampled_quantiles(orders, "o_totalprice", "o_orderkey"),
+        duck,
+        sampled_quantiles_oracle_sql("orders", "o_totalprice", "o_orderkey"),
+    )
+    assert len(rows) == 5
+    # monotone in prob; estimates inside the value range
+    by_prob = sorted(rows)
+    vals = [r[2] for r in by_prob]
+    assert vals == sorted(vals)
+    lo, hi = orders.selectExpr("min(o_totalprice)", "max(o_totalprice)").first()
+    assert lo <= vals[0] and vals[-1] <= hi
+
+
+def test_sampled_quantiles_sample_is_mergeable(spark, sf_dir):
+    """Hash-threshold membership is a pure row predicate, so quantiles
+    over a union equal quantiles computed after unioning the halves'
+    samples — the property that lets partial samples combine."""
+    from pgverify_spark.operators.sketch import sampled_quantiles
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    whole = sorted(
+        map(tuple, sampled_quantiles(orders, "o_totalprice", "o_orderkey").collect())
+    )
+    halves = orders.filter("o_orderkey % 2 = 0").unionByName(
+        orders.filter("o_orderkey % 2 <> 0")
+    )
+    again = sorted(
+        map(tuple, sampled_quantiles(halves, "o_totalprice", "o_orderkey").collect())
+    )
+    assert whole == again

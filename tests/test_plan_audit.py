@@ -36,6 +36,9 @@ WINDOW_SINGLE_OK = {
     # sum(n) OVER () runs over the per-bucket counts relation:
     # ≤ buckets+1 rows by construction, never the corpus.
     "distribution_drift_orders": "window over ≤buckets-row aggregate",
+    # rank window runs over the rate_ppm hash-threshold sample, never
+    # the corpus (membership is a pure row predicate pushed to the scan).
+    "sampled_quantiles_orders": "window over rate-bounded deterministic sample",
 }
 
 
