@@ -958,10 +958,13 @@ def semantic_dedup_filter(
     the paired docs, and a losers broadcast-anti-join so the corpus
     itself never shuffles.
     """
-    pairs = semantic_dup_pairs(docs, embs, j_thresh, cos_thresh).select(
-        "doc_a", "doc_b"
-    )
-    return near_dedup_filter(docs, pairs, max_iterations)
+    scored = semantic_dup_pairs(docs, embs, j_thresh, cos_thresh)
+    kept = near_dedup_filter(docs, scored.select("doc_a", "doc_b"), max_iterations)
+    # re-tag: the select() above returns a fresh DataFrame, so the
+    # cached-deps tag on `scored` would otherwise be unreachable from
+    # the returned frame (a repeated-ingest caller could never release
+    # the shingle/signature caches)
+    return _tag_cached_deps(kept, *getattr(scored, "_pgvs_cached_deps", ()))
 
 
 def semantic_dedup_filter_oracle_sql(

@@ -309,3 +309,76 @@ def sampled_quantiles_oracle_sql(
         "CAST((prob_ppm * n_sample + 999999) // 1000000 AS BIGINT) AS r FROM p, n) "
         "SELECT prob_ppm, n_sample, v AS est_value FROM rk JOIN pr ON rk.rn = pr.r"
     )
+
+
+def grouped_sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_col: str,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+    rate_ppm: int = 200_000,
+) -> DataFrame:
+    """Per-group :func:`sampled_quantiles`: (grp, prob_ppm, n_sample,
+    est_value) — the scale twin of the exact per-group percentile
+    operators (e.g. ``text.length_percentiles``): those sort every group
+    in full; this ranks only each group's hash-threshold sample, with
+    the window partitioned by group (no single-reducer stage at all).
+    Same determinism and merge story as the global form.  Groups whose
+    sample is empty produce no rows (raise ``rate_ppm`` for fine-grained
+    groupings).
+    """
+    from pyspark.sql import Window
+
+    thresh = rate_ppm * (1 << 60) // 1_000_000
+    h = _ht_hash(key_col, DIALECT_SPARK)
+    s = df.selectExpr(
+        f"{group_col} AS grp", f"{value_col} AS v", f"{h} AS hk"
+    ).filter(F.col("hk") < thresh)
+    ranked = s.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("grp").orderBy("v", "hk"))
+    )
+    probs_arr = ", ".join(str(p) for p in probs_ppm)
+    pr = (
+        s.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_sample"))
+        .selectExpr("grp AS pgrp", "n_sample", f"explode(array({probs_arr})) AS prob_ppm")
+        .selectExpr(
+            "pgrp",
+            "prob_ppm",
+            "n_sample",
+            "CAST((prob_ppm * n_sample + 999999) DIV 1000000 AS BIGINT) AS r",
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(pr),
+            (F.col("grp") == F.col("pgrp")) & (F.col("rn") == F.col("r")),
+        )
+        .select("grp", "prob_ppm", "n_sample", F.col("v").alias("est_value"))
+    )
+
+
+def grouped_sampled_quantiles_oracle_sql(
+    table: str,
+    value_col: str,
+    key_col: str,
+    group_col: str,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+    rate_ppm: int = 200_000,
+) -> str:
+    thresh = rate_ppm * (1 << 60) // 1_000_000
+    h = _ht_hash(key_col, DIALECT_DUCKDB)
+    probs_arr = ", ".join(str(p) for p in probs_ppm)
+    return (
+        f"WITH s AS (SELECT {group_col} AS grp, {value_col} AS v, {h} AS hk "
+        f"FROM {table} WHERE {h} < {thresh}), "
+        "rk AS (SELECT grp, v, row_number() OVER "
+        "(PARTITION BY grp ORDER BY v, hk) AS rn FROM s), "
+        "n AS (SELECT grp, count(*) AS n_sample FROM s GROUP BY grp), "
+        f"p AS (SELECT unnest([{probs_arr}]) AS prob_ppm), "
+        "pr AS (SELECT grp, prob_ppm, n_sample, "
+        "CAST((prob_ppm * n_sample + 999999) // 1000000 AS BIGINT) AS r FROM n, p) "
+        "SELECT pr.grp, prob_ppm, n_sample, v AS est_value "
+        "FROM rk JOIN pr ON rk.grp = pr.grp AND rk.rn = pr.r"
+    )

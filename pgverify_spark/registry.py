@@ -1375,6 +1375,19 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             sketch.sampled_quantiles_oracle_sql("orders", "o_totalprice", "o_orderkey"),
         ),
+        # per-group variant: the scale twin of exact length_percentiles
+        # (rank window partitioned by group, never single-reducer)
+        "sampled_quantiles_by_lang_documents": (
+            _table_query(
+                "documents",
+                lambda df: sketch.grouped_sampled_quantiles(
+                    df, "n_chars", "doc_id", "lang"
+                ),
+            ),
+            sketch.grouped_sampled_quantiles_oracle_sql(
+                "documents", "n_chars", "doc_id", "lang"
+            ),
+        ),
         # Count-Min frequency estimates beside the truth (overcount > 0
         # at sf0.01: 150 users into 64 buckets guarantees collisions)
         "countmin_freq_events": (

@@ -2220,3 +2220,23 @@ def test_sampled_quantiles_sample_is_mergeable(spark, sf_dir):
         map(tuple, sampled_quantiles(halves, "o_totalprice", "o_orderkey").collect())
     )
     assert whole == again
+
+
+def test_grouped_sampled_quantiles(docs, duck):
+    from pgverify_spark.operators.sketch import (
+        grouped_sampled_quantiles,
+        grouped_sampled_quantiles_oracle_sql,
+    )
+
+    rows = _cmp(
+        grouped_sampled_quantiles(docs, "n_chars", "doc_id", "lang"),
+        duck,
+        grouped_sampled_quantiles_oracle_sql("documents", "n_chars", "doc_id", "lang"),
+    )
+    # per-group monotone estimates
+    from collections import defaultdict
+
+    by_grp = defaultdict(list)
+    for grp, ppm, n, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_grp[grp].append(v)
+    assert by_grp and all(vs == sorted(vs) for vs in by_grp.values())
