@@ -72,6 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
         "one scalar over the wire) instead of reading rows into Spark",
     )
     p.add_argument(
+        "--snapshot-dir",
+        metavar="DIR",
+        help="incremental verification state: first run writes per-table "
+        "partition-fingerprint snapshots under DIR; later runs compare "
+        "the (first) target against the stored state and report only "
+        "changed partitions — no second target needed (see "
+        "operators/fingerprint.py:write_fingerprint_snapshot)",
+    )
+    p.add_argument(
         "--constraints",
         metavar="FILE",
         help="JSON file {table: [constraint specs]} — additionally run "
@@ -112,6 +121,42 @@ def main(argv: list[str] | None = None) -> int:
         else:
             targets.append(ParquetTarget(alias, uri))
 
+    snapshot_failures = 0
+    if args.snapshot_dir:
+        import os
+
+        from pgverify_spark.operators.fingerprint import (
+            content_bucket_sql,
+            verify_against_snapshot,
+            write_fingerprint_snapshot,
+        )
+
+        target = targets[0]
+        for table in target.list_tables(spark, config):
+            df = target.read(spark, table)
+            tschema = target.table_schema(spark, table)
+            # time tables partition by day; dimension tables by a
+            # content-derived md5 bucket of the PK (stable across runs)
+            psql = None if "ts" in df.columns else content_bucket_sql(tschema, config)
+            state = os.path.join(args.snapshot_dir, table)
+            if os.path.isdir(state):
+                diff = verify_against_snapshot(spark, df, tschema, state, config, psql)
+                rows = diff.collect()
+                print(f"-- snapshot diff: table={table} changed_partitions={len(rows)}")
+                if rows:
+                    diff.show(1000, truncate=False)
+                snapshot_failures += len(rows)
+            else:
+                write_fingerprint_snapshot(df, tschema, state, config, psql)
+                print(f"-- snapshot written: table={table} dir={state}")
+        if len(targets) == 1:
+            if snapshot_failures:
+                print(
+                    f"ERROR: {snapshot_failures} changed partition(s) since snapshot",
+                    file=sys.stderr,
+                )
+            return 1 if snapshot_failures else 0
+
     result = verify(spark, targets, config)
     # report always prints, pass or fail (cmd.go:102-105)
     report_table(result.results).show(1000, truncate=False)
@@ -143,7 +188,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"ERROR: {constraint_failures} constraint check(s) failed",
                 file=sys.stderr,
             )
-    return 1 if (result.errors or constraint_failures) else 0
+    return 1 if (result.errors or constraint_failures or snapshot_failures) else 0
 
 
 if __name__ == "__main__":

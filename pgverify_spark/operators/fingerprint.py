@@ -386,6 +386,20 @@ def compare_partition_fingerprints(l: DataFrame, r: DataFrame) -> DataFrame:
     )
 
 
+def content_bucket_sql(schema: TableSchema, config: VerifyConfig | None = None) -> str:
+    """Deterministic content-derived partition expression for tables
+    WITHOUT an event-time column: md5-of-PK mod ``fingerprint_buckets``
+    (the same bucketing rule as :func:`bucketed_fingerprint`).  Stable
+    across runs and engines, so it is a valid ``partition_sql`` for
+    :func:`partitioned_fingerprint` snapshots of dimension tables."""
+    config = config or VerifyConfig()
+    _, _, k_plain = _exprs(schema, config)
+    return (
+        f"({hex_prefix_int_sql(f'md5({k_plain})', DIALECT_SPARK)}"
+        f" % {config.fingerprint_buckets})"
+    )
+
+
 def write_fingerprint_snapshot(
     df: DataFrame,
     schema: TableSchema,

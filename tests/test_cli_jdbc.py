@@ -258,3 +258,47 @@ def test_cli_help_covers_reference_flags():
         .timestamp_precision
         == "hours"
     )
+
+
+def _run_cli(argv, timeout=300):
+    return subprocess.run(
+        [sys.executable, "-m", "pgverify_spark.cli", *argv],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin", "HOME": "/root",
+             "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")},
+        cwd="/root/repo",
+    )
+
+
+def test_cli_snapshot_incremental_verify(spark, sf_dir, tmp_path):
+    """--snapshot-dir: first run writes state (rc 0); an unchanged rerun
+    reports zero changed partitions (rc 0); a mutated current target
+    reports the drifted table (rc 1) — the cross-run incremental verify
+    loop, ts tables partitioned by day and dimension tables by content
+    bucket."""
+    state = tmp_path / "state"
+    base = ["--include-tables", "nation,events", "--snapshot-dir", str(state),
+            "--level", "error"]
+    first = _run_cli([sf_dir, *base])
+    assert first.returncode == 0, first.stderr[-2000:]
+    assert first.stdout.count("snapshot written") == 2
+
+    clean = _run_cli([sf_dir, *base])
+    assert clean.returncode == 0, clean.stderr[-2000:]
+    assert "changed_partitions=0" in clean.stdout
+
+    # mutate one nation row; copy events unchanged
+    bad = tmp_path / "bad"
+    spark.read.parquet(f"{sf_dir}/nation.parquet").selectExpr(
+        "n_nationkey", "n_name",
+        "CASE WHEN n_nationkey = 3 THEN 99 ELSE n_regionkey END AS n_regionkey",
+    ).write.parquet(str(bad / "nation.parquet"))
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(
+        str(bad / "events.parquet")
+    )
+    drift = _run_cli([str(bad), *base])
+    assert drift.returncode == 1
+    assert "changed partition(s) since snapshot" in drift.stderr
+    assert "table=events changed_partitions=0" in drift.stdout
