@@ -456,10 +456,17 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     localCheckpoint blocks live on executors; the loop structure is
     unchanged.)
     """
-    sym = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
-        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    # Checkpoint the ids-only pair list BEFORE symmetrizing: the union
+    # puts `pairs` in BOTH branches, so building edges directly off the
+    # caller's plan executes the (often expensive — LSH joins, exact
+    # verification) pair pipeline twice in the first job.  After the
+    # checkpoint both branches read one tiny RDD leaf, and every
+    # propagation round joins against in-memory blocks (no persist /
+    # unpersist lifecycle needed).
+    src = pairs.localCheckpoint(eager=True)
+    edges = src.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        src.selectExpr("doc_b AS src", "doc_a AS dst")
     )
-    edges = sym.persist()
     labels = (
         edges.selectExpr("src AS doc_id")
         .distinct()
@@ -491,7 +498,6 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             break
         # superseded round RDDs are unreferenced here; the context
         # cleaner GCs their blocks (tiny: ids + labels only)
-    edges.unpersist()
     return labels
 
 
@@ -521,8 +527,11 @@ def dup_clusters_star(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     ``localCheckpoint(eager=True)`` keeps plans constant-cost exactly
     as in :func:`dup_clusters`.
     """
-    sym = pairs.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
-        pairs.selectExpr("doc_b AS u", "doc_a AS v")
+    # same pre-symmetrize checkpoint as dup_clusters: run the caller's
+    # pair pipeline once, not once per union branch
+    src = pairs.localCheckpoint(eager=True)
+    sym = src.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
+        src.selectExpr("doc_b AS u", "doc_a AS v")
     )
     edges = sym.distinct().localCheckpoint(eager=True)
 
