@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
 from pgverify_spark.operators.util import barrier as _barrier
+from pgverify_spark.operators.util import release_cached_deps as _release_cached_deps
 from pgverify_spark.operators.util import tag_cached_deps as _tag_cached_deps
 from pgverify_spark.functions.text_exprs import (
     SIMHASH_BITS,
@@ -539,10 +540,15 @@ def dup_clusters_star(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
         # the paper's neighborhoods are UNDIRECTED: symmetrize the
         # (possibly directed) working edge set before ranking, or a
         # converged star (member -> min) erases itself under large-star
+        # adj is consumed three times (both branches of the m aggregate
+        # and the join); persist so its distinct-shuffle runs once — the
+        # consumer materializes it, and the caller's localCheckpoint of
+        # the half-step output lets us release it immediately after
         adj = (
             e.selectExpr("u", "v")
             .unionByName(e.selectExpr("v AS u", "u AS v"))
             .distinct()
+            .persist()
         )
         m = (
             adj.unionByName(adj.selectExpr("u", "u AS v"))
@@ -554,7 +560,7 @@ def dup_clusters_star(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
         out = joined.filter(cond).selectExpr("v AS u", "m AS v")
         if not large:
             out = out.unionByName(joined.selectExpr("u", "m AS v"))
-        return out.filter("u <> v").distinct()
+        return _tag_cached_deps(out.filter("u <> v").distinct(), adj)
 
     def checksum(e: DataFrame) -> tuple:
         row = e.agg(
@@ -566,8 +572,10 @@ def dup_clusters_star(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
 
     prev = checksum(edges)
     for _ in range(max_rounds):
-        edges = half_step(edges, large=True).localCheckpoint(eager=True)
-        edges = half_step(edges, large=False).localCheckpoint(eager=True)
+        for large in (True, False):
+            out = half_step(edges, large=large)
+            edges = out.localCheckpoint(eager=True)  # materializes adj...
+            _release_cached_deps(out)  # ...which can be dropped at once
         cur = checksum(edges)
         if cur == prev:
             break
