@@ -158,3 +158,93 @@ def test_hashed_vectors_match_reference(spark, tokens):
         h = _h15(t)
         ref[h % dim] += 1 if (h // dim) % 2 == 0 else -1
     assert list(vec) == ref
+
+
+# --- BPE merge learning -----------------------------------------------------
+
+_bpe_words = st.lists(
+    st.sampled_from(["aaa", "aa", "abab", "ab", "ba", "banana", "bb b", "cc"]),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ref_bpe(word_counts, n_merges, min_count=1):
+    from collections import Counter
+
+    vv = [(list(w), c) for w, c in word_counts.items()]
+    out = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, c in vv:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        top = max(pc.values())
+        if top < min_count:
+            break
+        a, b = min(p for p, n in pc.items() if n == top)
+        out.append((a, b, top))
+        for syms, _c in vv:
+            i, merged = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms[:] = merged
+    return out
+
+
+@SETTINGS
+@given(_bpe_words)
+def test_bpe_learn_matches_reference_on_random_corpora(spark, words):
+    """Distributed BPE == pure-Python BPE on adversarial repeated-symbol
+    corpora ('aaa', 'banana': overlapping-pair and re-merge edges)."""
+    from collections import Counter
+
+    from pgverify_spark.operators.bpe import bpe_learn
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id int, text string"
+    )
+    wc = Counter()
+    for w in words:
+        for tok in w.split():
+            wc[tok] += 1
+    assert bpe_learn(docs, 4, min_count=1) == _ref_bpe(dict(wc), 4)
+
+
+# --- sampled quantiles ------------------------------------------------------
+
+_qvalues = st.lists(st.integers(-1000, 1000), min_size=1, max_size=40)
+
+
+@SETTINGS
+@given(_qvalues)
+def test_sampled_quantiles_match_reference(spark, values):
+    """Rank selection == ceil(p*n) over the hash-selected sample, ties on
+    key hash — checked against an independent pure-Python evaluation."""
+    from pgverify_spark.operators.sketch import sampled_quantiles
+
+    rate_ppm = 800_000  # high rate so small random inputs keep a sample
+    thresh = rate_ppm * (1 << 60) // 1_000_000
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "k int, v int"
+    )
+    got = sorted(
+        map(tuple, sampled_quantiles(df, "v", "k", rate_ppm=rate_ppm).collect())
+    )
+    sample = sorted(
+        (v, _h15(str(i))) for i, v in enumerate(values) if _h15(str(i)) < thresh
+    )
+    n = len(sample)
+    want = sorted(
+        (p, n, sample[(p * n + 999_999) // 1_000_000 - 1][0])
+        for p in (250_000, 500_000, 750_000, 900_000, 990_000)
+        if n
+    )
+    assert got == want
