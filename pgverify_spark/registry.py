@@ -2147,8 +2147,8 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: streaming_ivf_ingest, near_dedup_filter_best, hashed_vectors×2,
 #: fill_gaps, debounce, column_diff, distribution_drift,
 #: lsh_recall_eval, embedding_ingest, benford, fd_check,
-#: dup_clusters_star, bpe_pair_counts, bpe_merges, snapshot_verify).
-#: Round 4 should
+#: dup_clusters_star, bpe_pair_counts, bpe_merges, snapshot_verify,
+#: sampled_quantiles, sampled_quantiles_by_lang).  Round 4 should
 #: front-load those ~40 and keep a thin certified-smoke core; all are
 #: green in tests/oracle_check.py sweeps (138 pass / 0 fail / 1 weak
 #: at sf0.01, re-verified this round after the final additions).
@@ -2301,6 +2301,8 @@ HEADLINE_QUERIES = (
     "reservoir_sample_events",
     "near_dedup_filter_best_documents",
     "bpe_pair_counts_documents",
+    "sampled_quantiles_by_lang_documents",
+    "snapshot_verify_events",
 )
 
 
