@@ -265,11 +265,33 @@ def sampled_quantiles(
     rank window runs over the sample only — rate-bounded, whitelisted in
     the plan audit; the probe join broadcasts the |probs|-row rank table.
     """
-    from pyspark.sql import Window
+    return quantiles_from_sample(
+        sample_select(df, value_col, key_col, rate_ppm), probs_ppm
+    )
 
+
+def sample_select(
+    df: DataFrame, value_col: str, key_col: str, rate_ppm: int = 50_000
+) -> DataFrame:
+    """The deterministic hash-threshold sample as a (v, hk) relation —
+    a pure stateless row predicate, so it applies identically to a
+    batch table or to each streaming micro-batch."""
     thresh = rate_ppm * (1 << 60) // 1_000_000
     h = _ht_hash(key_col, DIALECT_SPARK)
-    s = df.selectExpr(f"{value_col} AS v", f"{h} AS hk").filter(F.col("hk") < thresh)
+    return df.selectExpr(f"{value_col} AS v", f"{h} AS hk").filter(
+        F.col("hk") < thresh
+    )
+
+
+def quantiles_from_sample(
+    s: DataFrame,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> DataFrame:
+    """Rank-select quantiles from a materialized (v, hk) sample relation —
+    the shared back half of :func:`sampled_quantiles` and the streaming
+    sample store (``streaming.sketch.finalize_streaming_quantiles``)."""
+    from pyspark.sql import Window
+
     ranked = s.withColumn(
         "rn", F.row_number().over(Window.orderBy("v", "hk"))
     )

@@ -2054,6 +2054,48 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
     # append-mode kept events == the batch debounce over the same data
     debounce_stream_oracle = rollup.debounce_oracle_sql("events", 4 * 3600 * 1_000_000)
 
+    def run_squant(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.sketch import (
+            finalize_streaming_quantiles,
+            streaming_sample_quantiles,
+        )
+
+        ensure_required_confs(spark)
+        orders = ParquetTarget("t", sf_dir).read(spark, "orders")
+        tmp = tempfile.mkdtemp(prefix="pgvs_squant_")
+        (
+            orders.withColumn("chunk", (F.col("o_orderkey") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_sample_quantiles(
+                sdf, "o_totalprice", "o_orderkey", f"{tmp}/sample"
+            )
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return finalize_streaming_quantiles(spark, f"{tmp}/sample")
+
+    # sample membership is a pure row predicate => union of per-batch
+    # samples IS the whole-table sample => shares the batch oracle
+    squant_oracle = sketch.sampled_quantiles_oracle_sql(
+        "orders", "o_totalprice", "o_orderkey"
+    )
+
     win_us = 6 * 3_600_000_000
     windowed_oracle = (
         f"SELECT (CAST(epoch_us(ts) AS BIGINT) // {win_us}) * {win_us} AS win_start_us, "
@@ -2077,6 +2119,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         "streaming_windowed_counts_events": (run_windowed, windowed_oracle),
         "streaming_lm_scores_documents": (run_lm, lm_stream_oracle),
         "streaming_lsh_ingest_dedup_documents": (run_lsh_ingest, lsh_ingest_oracle),
+        "streaming_sampled_quantiles_orders": (run_squant, squant_oracle),
     }
 
 

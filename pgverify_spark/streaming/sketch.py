@@ -125,3 +125,45 @@ def finalize_streaming_kmv(emitted: DataFrame) -> list[tuple]:
         if cur is None or r["updates"] > cur[3]:
             latest[r["grp"]] = (r["n_sketch"], r["kth_min"], r["est_distinct"], r["updates"])
     return [(g, n, mx, est) for g, (n, mx, est, _) in sorted(latest.items())]
+
+
+def streaming_sample_quantiles(
+    sdf: DataFrame, value_col: str, key_col: str, sample_path: str,
+    rate_ppm: int = 50_000,
+):
+    """Streaming quantile maintenance: each micro-batch applies the
+    stateless hash-threshold sample predicate and appends its (v, hk)
+    survivors to the persisted sample store at ``sample_path`` — the
+    "state" IS the growing rate-bounded sample, held in storage rather
+    than in a stateful operator (``foreachBatch``, like the LSH ingest
+    gate: no per-key streaming state is needed for a pure row
+    predicate).
+
+    Exactness: sample-of-union == union-of-samples (membership depends
+    only on the row), so quantiles finalized from the store equal the
+    batch :func:`~pgverify_spark.operators.sketch.sampled_quantiles`
+    over all arrived rows — the registry pairs the streaming run with
+    the BATCH operator's oracle SQL.
+
+    Returns a configured ``writeStream`` (caller sets checkpoint and
+    calls ``start()``).
+    """
+    from pgverify_spark.operators.sketch import sample_select
+
+    def append(batch_df: DataFrame, _batch_id: int) -> None:
+        sample_select(batch_df, value_col, key_col, rate_ppm).write.mode(
+            "append"
+        ).parquet(sample_path)
+
+    return sdf.writeStream.foreachBatch(append).outputMode("append")
+
+
+def finalize_streaming_quantiles(
+    spark, sample_path: str,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> DataFrame:
+    """Quantile report from the persisted sample store — the same rank
+    selection as the batch operator (shared code path)."""
+    from pgverify_spark.operators.sketch import quantiles_from_sample
+
+    return quantiles_from_sample(spark.read.parquet(sample_path), probs_ppm)

@@ -39,6 +39,8 @@ WINDOW_SINGLE_OK = {
     # rank window runs over the rate_ppm hash-threshold sample, never
     # the corpus (membership is a pure row predicate pushed to the scan).
     "sampled_quantiles_orders": "window over rate-bounded deterministic sample",
+    # same rank window, reading the persisted rate-bounded sample store
+    "streaming_sampled_quantiles_orders": "window over rate-bounded sample store",
 }
 
 

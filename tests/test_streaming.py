@@ -557,3 +557,53 @@ def test_streaming_lsh_ingest_probe_matches_batch(spark, sf_dir, tmp_path):
         map(tuple, dedup.cross_corpus_lsh_pairs(new, corpus, 0.3).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_sample_quantiles_match_batch(spark, sf_dir, tmp_path):
+    """The persisted sample store accumulated over micro-batches yields
+    EXACTLY the batch sampled_quantiles (sample-of-union property) —
+    under an arbitrary chunking of the input."""
+    from pgverify_spark.operators.sketch import sampled_quantiles
+    from pgverify_spark.streaming.sketch import (
+        finalize_streaming_quantiles,
+        streaming_sample_quantiles,
+    )
+
+    orders = ParquetTarget("t", sf_dir).read(spark, "orders")
+    (
+        orders.withColumn("chunk", (orders.o_orderkey % 4).cast("int"))
+        .repartition(4, "chunk")
+        .drop("chunk")
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "src"))
+    )
+    sdf = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    # high rate: sf0.001 orders is small, keep the sample non-trivial
+    q = (
+        streaming_sample_quantiles(
+            sdf, "o_totalprice", "o_orderkey", str(tmp_path / "sample"),
+            rate_ppm=500_000,
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        map(tuple, finalize_streaming_quantiles(spark, str(tmp_path / "sample")).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            sampled_quantiles(
+                orders, "o_totalprice", "o_orderkey", rate_ppm=500_000
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 5
