@@ -2193,8 +2193,10 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: dup_clusters_star, bpe_pair_counts, bpe_merges, snapshot_verify,
 #: sampled_quantiles, sampled_quantiles_by_lang).  Round 4 should
 #: front-load those ~40 and keep a thin certified-smoke core; all are
-#: green in tests/oracle_check.py sweeps (138 pass / 0 fail / 1 weak
-#: at sf0.01, re-verified this round after the final additions).
+#: green in tests/oracle_check.py sweeps (143 pass / 0 fail / 2 weak
+#: at sf0.01 — the weak pair are the stateful streaming fingerprint and
+#: the iterative BPE learner, both rows-only by nature — re-verified at
+#: round end after the final additions).
 _DRIVER_PRIORITY = (
     # r1 driver-FAILED, fixed in r2, never driver-reverified
     "hourly_rollup_events",
