@@ -446,6 +446,46 @@ def verify_against_snapshot(
     return compare_partition_fingerprints(prev, cur)
 
 
+def update_fingerprint_snapshot(
+    spark,
+    df: DataFrame,
+    schema: TableSchema,
+    path: str,
+    parts: tuple,
+    config: VerifyConfig | None = None,
+    partition_sql: str | None = None,
+) -> DataFrame:
+    """Refresh the stored snapshot for ONLY the named partitions — the
+    write half of the incremental loop: yesterday's ingest touched
+    partitions P, so recompute P's fingerprints (the partition predicate
+    pushes to the scan: a fraction-of-table read at any size) and splice
+    them into the state; a partition in ``parts`` with no surviving rows
+    drops out of the state.  Returns the new state (part, fp), which
+    must equal a from-scratch :func:`partitioned_fingerprint` of the
+    current table — the oracle pairing in the registry proves exactly
+    that.
+
+    The state itself is O(partitions) (a 10-year daily table is ~3.7k
+    rows), so the splice collects it to the driver and rewrites the
+    parquet in place — deliberately NOT a distributed job; the only
+    cluster work is the pruned fingerprint scan.
+    """
+    from pgverify_spark.functions import timecol
+
+    psql = partition_sql
+    if psql is None:
+        psql = timecol.bucket_sql(df, timecol.US_PER_DAY)
+    in_list = ", ".join(str(p) for p in parts)
+    fresh = partitioned_fingerprint(
+        df.filter(f"({psql}) IN ({in_list})"), schema, config, psql
+    )
+    kept = spark.read.parquet(path).filter(~F.col("part").isin(list(parts)))
+    rows = kept.unionByName(fresh).collect()
+    new_state = spark.createDataFrame(rows, kept.schema)
+    new_state.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def partition_diff_oracle_sql(
     left_table: str,
     right_table: str,

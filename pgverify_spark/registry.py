@@ -410,6 +410,42 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
         partition_diff_oracle_sql("events", right_sql, ev_schema),
     )
 
+    # the write half of the loop: snapshot the original, mutate two days,
+    # refresh state for ONLY those two partitions — the updated state
+    # must equal a from-scratch partitioned fingerprint of the mutated
+    # table (one partition's fp changes, one drops out entirely)
+    def run_snap_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.operators.fingerprint import (
+            update_fingerprint_snapshot,
+            write_fingerprint_snapshot,
+        )
+
+        ensure_required_confs(spark)
+        left = ParquetTarget("t", sf_dir).read(spark, "events")
+        day = timecol.bucket_sql(left, timecol.US_PER_DAY)
+        changed = left.filter(f"{day} <> 19724").selectExpr(
+            "event_id", "ts", "user_id", "event_type",
+            f"CASE WHEN {day} = 19723 AND event_id % 11 = 0 "
+            "THEN value + 1 ELSE value END AS value",
+            "props",
+        )
+        tmp = tempfile.mkdtemp(prefix="pgvs_snapup_")
+        write_fingerprint_snapshot(left, ev_schema, f"{tmp}/state")
+        return update_fingerprint_snapshot(
+            spark, changed, ev_schema, f"{tmp}/state", (19723, 19724)
+        )
+
+    from pgverify_spark.operators.fingerprint import (
+        partitioned_fingerprint_oracle_sql,
+    )
+
+    out["snapshot_update_events"] = (
+        run_snap_update,
+        partitioned_fingerprint_oracle_sql(f"{right_sql} r", ev_schema),
+    )
+
     # composed drill-down: row detail for ONLY the mismatched partitions
     from pgverify_spark.operators.diff import (
         drilldown_row_diff,

@@ -346,3 +346,38 @@ def test_schema_diff():
         ("y", None, "string", "only_right"),
     ]
     assert schema_diff(a, a) == []
+
+
+def test_snapshot_update(spark, sf_dir, tmp_path):
+    """Splice-update of only the touched partitions == from-scratch
+    recompute of the whole mutated table; untouched partitions keep
+    their stored fingerprints without being rescanned."""
+    from pgverify_spark.operators.fingerprint import (
+        partitioned_fingerprint,
+        update_fingerprint_snapshot,
+        verify_against_snapshot,
+        write_fingerprint_snapshot,
+    )
+
+    src = ParquetTarget("t", sf_dir)
+    events = src.read(spark, "events")
+    schema = src.table_schema(spark, "events")
+    path = str(tmp_path / "snap")
+    write_fingerprint_snapshot(events, schema, path)
+
+    day = bucket_sql(events, US_PER_DAY)
+    changed = events.filter(f"{day} <> 19724").selectExpr(
+        "event_id", "ts", "user_id", "event_type",
+        f"CASE WHEN {day} = 19723 AND event_id % 11 = 0 "
+        "THEN value + 1 ELSE value END AS value",
+        "props",
+    )
+    updated = update_fingerprint_snapshot(
+        spark, changed, schema, path, (19723, 19724)
+    )
+    want = sorted(
+        map(tuple, partitioned_fingerprint(changed, schema).collect())
+    )
+    assert sorted(map(tuple, updated.collect())) == want
+    # and the refreshed state verifies clean against the current data
+    assert verify_against_snapshot(spark, changed, schema, path).count() == 0
