@@ -457,13 +457,18 @@ def update_fingerprint_snapshot(
 ) -> DataFrame:
     """Refresh the stored snapshot for ONLY the named partitions — the
     write half of the incremental loop: yesterday's ingest touched
-    partitions P, so recompute P's fingerprints (the partition predicate
-    pushes to the scan: a fraction-of-table read at any size) and splice
-    them into the state; a partition in ``parts`` with no surviving rows
-    drops out of the state.  Returns the new state (part, fp), which
-    must equal a from-scratch :func:`partitioned_fingerprint` of the
-    current table — the oracle pairing in the registry proves exactly
-    that.
+    partitions P, so recompute P's fingerprints and splice them into the
+    state; a partition in ``parts`` with no surviving rows drops out of
+    the state.  Returns the new state (part, fp), which must equal a
+    from-scratch :func:`partitioned_fingerprint` of the current table —
+    the oracle pairing in the registry proves exactly that.
+
+    I/O note: the filter is on the *derived* partition expression, so it
+    prunes storage only when the table layout is partitioned/bucketed on
+    the same key (``partitionBy(date)`` at 100 TB — then this is
+    partition pruning and the read is a fraction of the table).  On a
+    flat layout the predicate evaluates after the scan; the compute
+    (sort + hash) is still restricted to the touched partitions.
 
     The state itself is O(partitions) (a 10-year daily table is ~3.7k
     rows), so the splice collects it to the driver and rewrites the
