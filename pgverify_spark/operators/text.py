@@ -1007,3 +1007,73 @@ def vocab_coverage_oracle_sql(table: str, v: int = 100) -> str:
         "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_frac "
         "FROM top CROSS JOIN tot"
     )
+
+
+#: HTML stripping steps, in application order: content-dropping blocks
+#: first (script/style/comments), then tags, then entities with &amp;
+#: LAST (so double-encoded "&amp;lt;" correctly yields literal "&lt;").
+#: No backreferences anywhere — Java regex (Spark) and RE2 (DuckDB)
+#: agree on every pattern.
+_HTML_BLOCKS = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+)
+_HTML_TAG = r"(?s)<[^>]+>"
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _sql_str(s: str, dialect: str) -> str:
+    """Single-quoted string literal in the given dialect (Spark escapes
+    with backslash, DuckDB doubles the quote)."""
+    if dialect == DIALECT_SPARK:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _strip_html_exprs(dialect: str) -> tuple[str, str]:
+    from pgverify_spark.functions.text_exprs import _rx
+
+    g = "" if dialect == DIALECT_SPARK else ", 'g'"
+    clean = "text"
+    for p in (*_HTML_BLOCKS, _HTML_TAG):
+        clean = f"regexp_replace({clean}, {_rx(p, dialect)}, ' '{g})"
+    for frm, to in _HTML_ENTITIES:
+        clean = f"replace({clean}, {_sql_str(frm, dialect)}, {_sql_str(to, dialect)})"
+    clean = f"trim(regexp_replace({clean}, {_rx(chr(92) + 's+', dialect)}, ' '{g}))"
+    size_fn = "size" if dialect == DIALECT_SPARK else "len"
+    zero = ", 0" if dialect == DIALECT_SPARK else ""
+    n_tags = (
+        f"CAST({size_fn}(regexp_extract_all(text, {_rx(_HTML_TAG, dialect)}{zero})) AS BIGINT)"
+    )
+    return n_tags, clean
+
+
+def strip_html(df: DataFrame) -> DataFrame:
+    """Web-corpus HTML cleaning: drop script/style/comment blocks, strip
+    tags, decode the common entities, collapse whitespace — the step
+    between a raw crawl and every text operator above.  Output:
+    (doc_id, n_tags, clean_text); ``n_tags`` counts tags in the raw
+    input (including those inside dropped blocks), a cheap page-vs-prose
+    signal for downstream quality gates.
+
+    Pure projection like :func:`scrub_pii`: regex evaluation stays in
+    whole-stage codegen, no shuffle, scan-bound at any scale.  Patterns
+    avoid backreferences so Java regex and RE2 produce identical output
+    (the script and style blocks are separate patterns for exactly this
+    reason).
+    """
+    n_tags, clean = _strip_html_exprs(DIALECT_SPARK)
+    return df.selectExpr("doc_id", f"{n_tags} AS n_tags", f"{clean} AS clean_text")
+
+
+def strip_html_oracle_sql(table: str) -> str:
+    n_tags, clean = _strip_html_exprs(DIALECT_DUCKDB)
+    return f"SELECT doc_id, {n_tags} AS n_tags, {clean} AS clean_text FROM {table}"

@@ -1317,6 +1317,32 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "lang, source, n_chars FROM documents WHERE doc_id % 50 = 0) u"
             ),
         ),
+        # web-corpus HTML stripping (raw docs are markup-free, so every
+        # 7th doc gets wrapped in a real page skeleton on both sides)
+        "strip_html_documents": (
+            _table_query(
+                "documents",
+                lambda df: text.strip_html(
+                    df.selectExpr(
+                        "doc_id",
+                        "CASE WHEN doc_id % 7 = 0 THEN concat("
+                        "'<html><head><title>T</title><style>p{color:red}</style>"
+                        "<script>var x=1;</script></head><body><p>', "
+                        "replace(text, '. ', '.</p> <p>'), "
+                        "'</p> &amp; &lt;EOF&gt;<!-- c --></body></html>') "
+                        "ELSE text END AS text",
+                    )
+                ),
+            ),
+            text.strip_html_oracle_sql(
+                "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+                "'<html><head><title>T</title><style>p{color:red}</style>"
+                "<script>var x=1;</script></head><body><p>' || "
+                "replace(text, '. ', '.</p> <p>') || "
+                "'</p> &amp; &lt;EOF&gt;<!-- c --></body></html>' "
+                "ELSE text END AS text FROM documents) pages"
+            ),
+        ),
         # corpus length distribution (exact fixed-width buckets)
         "length_histogram_documents": (
             _table_query("documents", text.length_histogram),
@@ -2227,7 +2253,8 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: fill_gaps, debounce, column_diff, distribution_drift,
 #: lsh_recall_eval, embedding_ingest, benford, fd_check,
 #: dup_clusters_star, bpe_pair_counts, bpe_merges, snapshot_verify,
-#: sampled_quantiles, sampled_quantiles_by_lang).  Round 4 should
+#: snapshot_update, sampled_quantiles, sampled_quantiles_by_lang,
+#: streaming_sampled_quantiles, strip_html).  Round 4 should
 #: front-load those ~40 and keep a thin certified-smoke core; all are
 #: green in tests/oracle_check.py sweeps (143 pass / 0 fail / 2 weak
 #: at sf0.01 — the weak pair are the stateful streaming fingerprint and

@@ -2240,3 +2240,33 @@ def test_grouped_sampled_quantiles(docs, duck):
     for grp, ppm, n, v in sorted(rows, key=lambda r: (r[0], r[1])):
         by_grp[grp].append(v)
     assert by_grp and all(vs == sorted(vs) for vs in by_grp.values())
+
+
+def test_strip_html(docs, duck):
+    """Injected page skeleton stripped identically in both engines;
+    markup-free docs pass through with n_tags = 0."""
+    from pgverify_spark.operators import text as text_mod
+
+    wrap_spark = (
+        "CASE WHEN doc_id % 7 = 0 THEN concat("
+        "'<html><head><style>p{c}</style><script>var x=1;</script></head><body><p>', "
+        "replace(text, '. ', '.</p> <p>'), '</p> &amp; end<!-- c --></body></html>') "
+        "ELSE text END AS text"
+    )
+    wrap_duck = (
+        "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+        "'<html><head><style>p{c}</style><script>var x=1;</script></head><body><p>' || "
+        "replace(text, '. ', '.</p> <p>') || '</p> &amp; end<!-- c --></body></html>' "
+        "ELSE text END AS text FROM documents"
+    )
+    rows = _cmp(
+        text_mod.strip_html(docs.selectExpr("doc_id", wrap_spark)),
+        duck,
+        text_mod.strip_html_oracle_sql(f"({wrap_duck}) pages"),
+    )
+    wrapped = [r for r in rows if r[0] % 7 == 0]
+    plain = [r for r in rows if r[0] % 7 != 0]
+    assert wrapped and all(r[1] > 0 and "<" not in r[2].replace("< ", "") for r in wrapped)
+    assert all(r[1] == 0 for r in plain)
+    # script/style content and comments never leak into the clean text
+    assert all("var x" not in r[2] and "p{c}" not in r[2] for r in wrapped)
