@@ -2411,6 +2411,7 @@ HEADLINE_QUERIES = (
     "bpe_pair_counts_documents",
     "sampled_quantiles_by_lang_documents",
     "snapshot_verify_events",
+    "strip_html_documents",
 )
 
 
