@@ -65,3 +65,31 @@ def test_plan_guardrails(name, spark, sf_dir):
             f"{name}: Window over Exchange SinglePartition — global "
             "single-reducer sort/rank"
         )
+
+
+def test_registry_name_lists_resolve():
+    """Every name in the driver-priority rotation and the bench headline
+    must exist in the registry — _entries() and bench.py skip unknown
+    names SILENTLY, so a typo would quietly drop a query from the
+    driver's correctness window or the bench suite."""
+    from pgverify_spark.registry import _DRIVER_PRIORITY, HEADLINE_QUERIES
+
+    names = set(entry.queries())
+    missing_priority = [n for n in _DRIVER_PRIORITY if n not in names]
+    missing_headline = [n for n in HEADLINE_QUERIES if n not in names]
+    assert not missing_priority, f"priority names not in registry: {missing_priority}"
+    assert not missing_headline, f"headline names not in registry: {missing_headline}"
+    # no duplicates either (a duplicate would double-count bench time)
+    assert len(set(HEADLINE_QUERIES)) == len(HEADLINE_QUERIES)
+    assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
+
+
+def test_oracle_paired_except_documented():
+    """Exactly two registry entries are rows-only by nature (stateful
+    streaming fingerprint, iterative BPE learner); everything else must
+    carry a DuckDB oracle twin."""
+    unpaired = sorted(set(entry.queries()) - set(entry.oracle_sql()))
+    assert unpaired == [
+        "bpe_merges_documents",
+        "streaming_stateful_bucket_fingerprint_events",
+    ]
