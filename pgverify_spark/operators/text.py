@@ -1077,3 +1077,49 @@ def strip_html(df: DataFrame) -> DataFrame:
 def strip_html_oracle_sql(table: str) -> str:
     n_tags, clean = _strip_html_exprs(DIALECT_DUCKDB)
     return f"SELECT doc_id, {n_tags} AS n_tags, {clean} AS clean_text FROM {table}"
+
+
+#: 1:1 codepoint folds (translate): Latin-1/Latin-Extended accents to
+#: ASCII plus smart quotes/dashes.  Multi-char expansions (ellipsis,
+#: ligatures) go through replace() below.  translate semantics are
+#: identical in Spark and DuckDB (positional map; no regex involved).
+_FOLD_FROM = "áàâäãåāçéèêëēíìîïīñóòôöõøōúùûüūýÿÁÀÂÄÃÅĀÇÉÈÊËĒÍÌÎÏĪÑÓÒÔÖÕØŌÚÙÛÜŪÝ“”‘’«»–—"
+_FOLD_TO = "aaaaaaaceeeeeiiiiinooooooouuuuuyyAAAAAAACEEEEEIIIIINOOOOOOOUUUUUY\"\"''\"\"--"
+_FOLD_MULTI = (("…", "..."), ("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"), ("ß", "ss"))
+
+
+def _normalize_exprs(dialect: str) -> tuple[str, str]:
+    frm = _sql_str(_FOLD_FROM, dialect)
+    n_folded = (
+        f"CAST(length(text) - length(translate(text, {frm}, '')) AS BIGINT)"
+    )
+    out = f"translate(text, {frm}, {_sql_str(_FOLD_TO, dialect)})"
+    for a, b in _FOLD_MULTI:
+        n_folded += (
+            f" + CAST(length(text) - length(replace(text, {_sql_str(a, dialect)}, '')) AS BIGINT)"
+        )
+        out = f"replace({out}, {_sql_str(a, dialect)}, {_sql_str(b, dialect)})"
+    return n_folded, out
+
+
+def normalize_unicode_light(df: DataFrame) -> DataFrame:
+    """Deterministic light unicode normalization: fold Latin accents to
+    ASCII, straighten smart quotes/dashes, expand ellipsis and
+    ligatures.  Output: (doc_id, n_folded, norm_text).
+
+    Deliberately NOT full NFKC — that needs an ICU table (different
+    versions ship different data, so two engines or two cluster images
+    could disagree); this explicit positional map is reproducible
+    everywhere forever, which is the property a *verification* engine
+    needs.  Pure codegen projection (translate + replace chain), no
+    shuffle, scan-bound like :func:`strip_html`.
+    """
+    n_folded, out = _normalize_exprs(DIALECT_SPARK)
+    return df.selectExpr(
+        "doc_id", f"{n_folded} AS n_folded", f"{out} AS norm_text"
+    )
+
+
+def normalize_unicode_light_oracle_sql(table: str) -> str:
+    n_folded, out = _normalize_exprs(DIALECT_DUCKDB)
+    return f"SELECT doc_id, {n_folded} AS n_folded, {out} AS norm_text FROM {table}"

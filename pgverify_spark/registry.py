@@ -1343,6 +1343,25 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "ELSE text END AS text FROM documents) pages"
             ),
         ),
+        # light unicode normalization (ASCII corpus, so every 9th doc
+        # gets an accented/smart-punctuation tail on both sides)
+        "normalize_unicode_documents": (
+            _table_query(
+                "documents",
+                lambda df: text.normalize_unicode_light(
+                    df.selectExpr(
+                        "doc_id",
+                        "CASE WHEN doc_id % 9 = 0 THEN concat(text, "
+                        "' Café – “naïve” Œuvre straße…') ELSE text END AS text",
+                    )
+                ),
+            ),
+            text.normalize_unicode_light_oracle_sql(
+                "(SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN "
+                "text || ' Café – “naïve” Œuvre straße…' "
+                "ELSE text END AS text FROM documents) accented"
+            ),
+        ),
         # corpus length distribution (exact fixed-width buckets)
         "length_histogram_documents": (
             _table_query("documents", text.length_histogram),

@@ -2270,3 +2270,26 @@ def test_strip_html(docs, duck):
     assert all(r[1] == 0 for r in plain)
     # script/style content and comments never leak into the clean text
     assert all("var x" not in r[2] and "p{c}" not in r[2] for r in wrapped)
+
+
+def test_normalize_unicode_light(docs, duck):
+    from pgverify_spark.operators import text as text_mod
+
+    wrap_s = (
+        "CASE WHEN doc_id % 9 = 0 THEN concat(text, "
+        "' Café – “naïve” Œuvre straße…') ELSE text END AS text"
+    )
+    wrap_d = (
+        "SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN "
+        "text || ' Café – “naïve” Œuvre straße…' ELSE text END AS text FROM documents"
+    )
+    rows = _cmp(
+        text_mod.normalize_unicode_light(docs.selectExpr("doc_id", wrap_s)),
+        duck,
+        text_mod.normalize_unicode_light_oracle_sql(f"({wrap_d}) accented"),
+    )
+    touched = [r for r in rows if r[0] % 9 == 0]
+    assert touched and all(r[1] > 0 for r in touched)
+    # folded output is pure ASCII for the injected tail
+    assert all(r[2].endswith('Cafe - "naive" OEuvre strasse...') for r in touched)
+    assert all(r[1] == 0 for r in rows if r[0] % 9 != 0)
