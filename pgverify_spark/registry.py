@@ -717,6 +717,26 @@ def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_merges_df(spark, docs, 10)
 
 
+#: Raw-web-page twin of documents for the HTML/curation entries: every
+#: 7th doc wrapped in a page skeleton, every 9th given an accented tail.
+_WEB_WRAP_SPARK = (
+    "CASE WHEN doc_id % 7 = 0 THEN concat("
+    "'<html><head><style>p{color:red}</style><script>var x=1;</script>"
+    "</head><body><p>', replace(text, '. ', '.</p> <p>'), "
+    "'</p><!-- c --></body></html>') "
+    "WHEN doc_id % 9 = 0 THEN concat(text, ' Café – “naïve” straße…') "
+    "ELSE text END AS text"
+)
+_WEB_WRAP_DUCK = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+    "'<html><head><style>p{color:red}</style><script>var x=1;</script>"
+    "</head><body><p>' || replace(text, '. ', '.</p> <p>') || "
+    "'</p><!-- c --></body></html>' "
+    "WHEN doc_id % 9 = 0 THEN text || ' Café – “naïve” straße…' "
+    "ELSE text END AS text FROM documents"
+)
+
+
 def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
     """LLM-data-pipeline operators: dedup, similarity, text analysis,
     multimodal plumbing (thresholds chosen to be non-trivial at sf0.01)."""
@@ -1360,6 +1380,32 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "(SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN "
                 "text || ' Café – “naïve” Œuvre straße…' "
                 "ELSE text END AS text FROM documents) accented"
+            ),
+        ),
+        # the composed curation FRONT-END a web pipeline actually runs:
+        # page -> strip_html -> normalize_unicode -> Gopher gate, one
+        # call end-to-end (oracle = the same three stages nested in SQL)
+        "clean_web_corpus_documents": (
+            _table_query(
+                "documents",
+                lambda df: text.gopher_gate(
+                    text.normalize_unicode_light(
+                        text.strip_html(
+                            df.selectExpr("doc_id", _WEB_WRAP_SPARK)
+                        ).selectExpr("doc_id", "clean_text AS text")
+                    ).selectExpr("doc_id", "norm_text AS text"),
+                    min_tokens=20, max_tokens=10_000, min_stopword_ratio=0.01,
+                ),
+            ),
+            text.gopher_gate_oracle_sql(
+                "(SELECT doc_id, norm_text AS text FROM ("
+                + text.normalize_unicode_light_oracle_sql(
+                    "(SELECT doc_id, clean_text AS text FROM ("
+                    + text.strip_html_oracle_sql(f"({_WEB_WRAP_DUCK}) pages")
+                    + ") stripped)"
+                )
+                + ") normed) cleaned",
+                min_tokens=20, max_tokens=10_000, min_stopword_ratio=0.01,
             ),
         ),
         # corpus length distribution (exact fixed-width buckets)
