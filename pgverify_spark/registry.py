@@ -2477,6 +2477,7 @@ HEADLINE_QUERIES = (
     "sampled_quantiles_by_lang_documents",
     "snapshot_verify_events",
     "strip_html_documents",
+    "clean_web_corpus_documents",
 )
 
 
