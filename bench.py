@@ -9,6 +9,15 @@ run of every headline query at sf0.001, which populates the JVM's
 whole-stage-codegen cache for each plan shape — so numbers reflect
 steady-state query execution (what a long-running cluster sees), not
 one-time JIT/analysis cost.  The target-SF data itself stays cold.
+
+PROTOCOL (FROZEN as of round 4 — do not change; per-query comparisons
+are valid r4-onward only): warm-up as above, then per query min of two
+timed runs, ``spark.catalog.clearCache()`` between queries.  The same
+headline queries' DuckDB oracle twins are timed in one pass on the same
+parquet at the same SF (threads = SPARK_GRAFT_CPUS) and reported as
+``oracle_value`` / ``oracle_queries`` so the Spark:oracle ratio is
+self-contained in each round's BENCH output.  Set
+``SPARK_GRAFT_SKIP_ORACLE=1`` to skip the oracle pass.
 """
 
 from __future__ import annotations
@@ -69,6 +78,35 @@ def main() -> None:
         "text_stats_documents multimodal_features_documents "
         "hourly_rollup_events"
     ).split()
+    # Oracle pass: the identical DuckDB twins on the identical parquet,
+    # min of two timed runs each (mirrors the Spark protocol; the OS
+    # page cache is warm from the Spark pass either way).
+    oracle_timings: dict[str, float] = {}
+    if not os.environ.get("SPARK_GRAFT_SKIP_ORACLE"):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        oracles = registry.oracle_queries()
+        for name in headline:
+            sql = oracles.get(name)
+            if sql is None:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            oracle_timings[name] = round(best, 4)
+
     out = {
         "metric": "pgverify_spark headline suite wall time",
         "value": round(sum(timings.values()), 4),
@@ -82,6 +120,15 @@ def main() -> None:
             "n_queries": len(timings),
         },
     }
+    if oracle_timings:
+        out["oracle_value"] = round(sum(oracle_timings.values()), 4)
+        out["oracle_queries"] = oracle_timings
+        common = [q for q in timings if q in oracle_timings]
+        spark_common = sum(timings[q] for q in common)
+        oracle_common = sum(oracle_timings[q] for q in common)
+        out["spark_vs_oracle_ratio"] = round(
+            spark_common / oracle_common, 4
+        ) if oracle_common else None
     print(json.dumps(out))
     sys.stdout.flush()
     spark.stop()

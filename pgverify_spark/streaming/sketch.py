@@ -145,17 +145,44 @@ def streaming_sample_quantiles(
     over all arrived rows — the registry pairs the streaming run with
     the BATCH operator's oracle SQL.
 
+    Replay-idempotent: ``foreachBatch`` is at-least-once, so each
+    batch writes to its own ``batch_id=<id>`` partition with dynamic
+    partition overwrite — a batch replayed after failure/restart
+    *replaces* its partition instead of double-appending (which would
+    shift row_number ranks in the finalize and break the batch-equality
+    contract above).  Same epoch, same input, same sample rows: the
+    rewrite is a no-op on content.
+
     Returns a configured ``writeStream`` (caller sets checkpoint and
     calls ``start()``).
     """
-    from pgverify_spark.operators.sketch import sample_select
-
-    def append(batch_df: DataFrame, _batch_id: int) -> None:
-        sample_select(batch_df, value_col, key_col, rate_ppm).write.mode(
-            "append"
-        ).parquet(sample_path)
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        _write_sample_batch(
+            batch_df, batch_id, value_col, key_col, sample_path, rate_ppm
+        )
 
     return sdf.writeStream.foreachBatch(append).outputMode("append")
+
+
+def _write_sample_batch(
+    batch_df: DataFrame, batch_id: int, value_col: str, key_col: str,
+    sample_path: str, rate_ppm: int,
+) -> None:
+    """One micro-batch's sample write — idempotent on replay: dynamic
+    partition overwrite of this batch's own ``batch_id`` partition
+    (module-level so tests can drive a replay directly)."""
+    from pyspark.sql import functions as F
+
+    from pgverify_spark.operators.sketch import sample_select
+
+    (
+        sample_select(batch_df, value_col, key_col, rate_ppm)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(sample_path)
+    )
 
 
 def finalize_streaming_quantiles(
@@ -163,7 +190,11 @@ def finalize_streaming_quantiles(
     probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
 ) -> DataFrame:
     """Quantile report from the persisted sample store — the same rank
-    selection as the batch operator (shared code path)."""
+    selection as the batch operator (shared code path).  The store's
+    ``batch_id`` partition column exists only for replay idempotency
+    and is dropped before ranking."""
     from pgverify_spark.operators.sketch import quantiles_from_sample
 
-    return quantiles_from_sample(spark.read.parquet(sample_path), probs_ppm)
+    return quantiles_from_sample(
+        spark.read.parquet(sample_path).select("v", "hk"), probs_ppm
+    )

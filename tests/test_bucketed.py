@@ -160,6 +160,79 @@ def test_lsh_index_append_admits_batch(spark, sf_dir, tmp_path, no_broadcast):
         spark.sql("DROP TABLE IF EXISTS lshapp_shingles")
 
 
+def test_probe_loop_holds_no_growing_storage(spark, sf_dir, tmp_path):
+    """A long ingest loop must keep executor storage flat: each
+    probe_lsh_index call persists its batch-side shingle table
+    (load-bearing, see dedup._shingled), tags it on the result, and
+    release_cached_deps drops it after materialization — so N probes
+    leave exactly as many persistent RDDs as zero probes did.  The same
+    contract covers cross_corpus_lsh_pairs and semantic_dup_pairs."""
+    from pgverify_spark.operators import dedup
+    from pgverify_spark.operators.util import release_cached_deps
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corp = docs.filter("doc_id % 10 <> 7")
+    dedup.write_lsh_index(corp, "lshflat", str(tmp_path / "flatidx"))
+    try:
+        base = n_persisted()
+        for k in (7, 8, 9):
+            batch = docs.filter(f"doc_id % 10 = {k}")
+            res = dedup.probe_lsh_index(spark, batch, "lshflat", 0.3)
+            res.collect()
+            release_cached_deps(res)
+        assert n_persisted() == base, "probe loop leaked persisted blocks"
+
+        res = dedup.cross_corpus_lsh_pairs(
+            docs.filter("doc_id % 10 = 7"), corp, 0.3
+        )
+        res.collect()
+        release_cached_deps(res)
+        assert n_persisted() == base
+
+        res = dedup.semantic_dup_pairs(docs, embs)
+        res.collect()
+        release_cached_deps(res)
+        assert n_persisted() == base
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lshflat_bands")
+        spark.sql("DROP TABLE IF EXISTS lshflat_shingles")
+
+
+def test_semantic_dup_pairs_survives_missing_embedding(spark, sf_dir):
+    """A text-signal pair must survive a missing embedding row: the
+    embedding join is LEFT (cosine coalesced to 0), so embedding
+    coverage is not a precondition for lexical dedup (VERDICT r3 #5)."""
+    from pgverify_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = dedup.semantic_dup_pairs(docs, embs)
+    text_pairs = [
+        r
+        for r in full.collect()
+        if r["signal"] in ("text", "both")
+    ]
+    assert text_pairs, "fixture has no text-signal pairs at sf0.001"
+    victim = text_pairs[0]
+    # drop BOTH sides' embedding rows: the pair must still surface via
+    # its exact Jaccard, now as signal='text' with cosine 0
+    embs_holed = embs.filter(
+        f"vec_id NOT IN ({victim['doc_a']}, {victim['doc_b']})"
+    )
+    holed = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.semantic_dup_pairs(docs, embs_holed).collect()
+    }
+    got = holed.get((victim["doc_a"], victim["doc_b"]))
+    assert got is not None, "text pair dropped when embedding row missing"
+    assert got["signal"] == "text" and got["cosine"] == 0.0
+    assert got["jaccard"] == victim["jaccard"]
+
+
 def test_ivf_index_probe_bucket_pruning(spark, sf_dir, tmp_path, no_broadcast):
     """probe_ivf_index reads ONLY the probed cells (bucket pruning:
     SelectedBucketsCount < total) and returns exactly ivf_topk's answer

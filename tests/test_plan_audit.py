@@ -84,6 +84,43 @@ def test_registry_name_lists_resolve():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
 
 
+def test_no_decimal_output_columns():
+    """Render-hazard lint: no oracle-paired query may emit a DECIMAL
+    output column.  The driver's order-insensitive value hash renders a
+    DECIMAL cell through float on one side only, so any cell whose
+    decimal string carries trailing zeros (``Decimal('239577.7750')``
+    vs ``239577.775``) hash-mismatches even when the values are exactly
+    equal — the CORRECTNESS_r03 failure mode (a perfect 7/43
+    discriminator across that round's window).  Terminal outputs must
+    cast to DOUBLE (see registry._DOUBLE_OUTPUT_COLS); internal
+    arithmetic stays DECIMAL-exact."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    hazards = {}
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(f"SELECT * FROM ({sql}) _q LIMIT 0")
+        dec = [
+            (c, str(ty))
+            for c, ty in zip(rel.columns, rel.types)
+            if "DECIMAL" in str(ty)
+        ]
+        if dec:
+            hazards[name] = dec
+    assert not hazards, (
+        "oracle output schemas contain DECIMAL columns (driver render "
+        f"hazard — cast terminal outputs to DOUBLE in both twins): {hazards}"
+    )
+
+
 def test_oracle_paired_except_documented():
     """Exactly two registry entries are rows-only by nature (stateful
     streaming fingerprint, iterative BPE learner); everything else must

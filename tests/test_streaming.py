@@ -607,3 +607,29 @@ def test_streaming_sample_quantiles_match_batch(spark, sf_dir, tmp_path):
         )
     )
     assert got == want and len(got) == 5
+
+    # Replay idempotency: foreachBatch is at-least-once, so a batch
+    # re-fired after failure/restart (same batch_id, same input rows)
+    # must REPLACE its own partition, not double-append — doubled
+    # sample rows would shift row_number ranks and break the ==batch
+    # contract just asserted.
+    from pgverify_spark.streaming.sketch import _write_sample_batch
+
+    replay_input = spark.read.parquet(str(tmp_path / "src")).filter(
+        "o_orderkey % 4 = 2"
+    )
+    _write_sample_batch(
+        replay_input, 2, "o_totalprice", "o_orderkey",
+        str(tmp_path / "sample"), 500_000,
+    )
+    once = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "sample")).collect())
+    )
+    _write_sample_batch(  # the at-least-once duplicate delivery
+        replay_input, 2, "o_totalprice", "o_orderkey",
+        str(tmp_path / "sample"), 500_000,
+    )
+    twice = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "sample")).collect())
+    )
+    assert twice == once, "replayed batch double-appended its sample"
