@@ -149,12 +149,15 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 write_fingerprint_snapshot(df, tschema, state, config, psql)
                 print(f"-- snapshot written: table={table} dir={state}")
+        if snapshot_failures:
+            # emitted whatever the target count: the snapshot component
+            # contributes to the exit code below either way, and an
+            # exit-1 with no stderr line would be unexplainable
+            print(
+                f"ERROR: {snapshot_failures} changed partition(s) since snapshot",
+                file=sys.stderr,
+            )
         if len(targets) == 1:
-            if snapshot_failures:
-                print(
-                    f"ERROR: {snapshot_failures} changed partition(s) since snapshot",
-                    file=sys.stderr,
-                )
             return 1 if snapshot_failures else 0
 
     result = verify(spark, targets, config)

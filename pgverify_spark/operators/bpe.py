@@ -26,9 +26,15 @@ Scale design
   pure-Python reference implementation in tests instead of a DuckDB
   twin (tests/test_pipeline_ops.py).
 
-Determinism: ties on pair frequency break on the pair string (count
-DESC, pair ASC) in both the one-pass top-k and the per-round argmax, so
-the merge sequence is engine- and partitioning-independent.
+Determinism: ties on pair frequency break deterministically in both
+operators, but on different keys by design: the one-pass top-k orders
+by the space-joined pair string (count DESC, pair ASC — the same key
+its DuckDB twin orders by), while the per-round argmax orders by the
+two symbols *separately* (count DESC, sym_a ASC, sym_b ASC) — the
+(a, b) tuple order the pure-Python reference uses.  The distinction
+matters only for symbols containing codepoints below 0x20 (control
+characters survive norm_sql's whitespace collapse), where joined-string
+order and tuple order can disagree.
 """
 
 from __future__ import annotations
@@ -132,12 +138,20 @@ def bpe_learn(
     ``min_count``.
 
     Per round: one vocabulary-sized aggregation (pair counts), one
-    single-row collect (the argmax — count DESC, pair ASC tie-break),
-    and one projection rewriting the symbol arrays.  The corpus is
-    scanned exactly once (the initial word count); every subsequent
-    round runs over the persisted ``(syms, cnt)`` vocabulary table,
-    re-persisted per round to keep lineage flat (same discipline as
-    dup_clusters' label propagation, dedup.py:425).
+    single-row collect (the argmax — count DESC, then the two symbols
+    ASC *separately*, the (a, b) tuple order of the pure-Python
+    reference; ordering the space-joined pair string instead can
+    disagree on symbols containing control characters), and one
+    projection rewriting the symbol arrays.  The corpus is scanned
+    exactly once (the initial word count); every subsequent round runs
+    over the ``(syms, cnt)`` vocabulary table, re-checkpointed per
+    round with ``localCheckpoint(eager=True)`` — the same discipline as
+    dup_clusters' label propagation (dedup.py:427): persist alone
+    caches the data but nests one aggregate-lambda per merge in the
+    logical plan, so analysis cost grows per round and cache eviction
+    recomputes the whole chain; checkpointing truncates the plan to an
+    RDD leaf (superseded rounds' blocks are GC'd by the context
+    cleaner).
     """
     vocab = (
         word_counts(df)
@@ -145,34 +159,31 @@ def bpe_learn(
             "transform(sequence(1, length(word)), i -> substr(word, i, 1)) AS syms",
             "cnt",
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str, int]] = []
-    try:
-        for _ in range(n_merges):
-            best = (
-                vocab.filter("size(syms) >= 2")
-                .selectExpr(
-                    "cnt",
-                    "explode(transform(sequence(1, size(syms) - 1), "
-                    f"i -> concat(element_at(syms, i), '{_SEP}', element_at(syms, i + 1)))) AS pair",
-                )
-                .groupBy("pair")
-                .agg(F.sum("cnt").cast("bigint").alias("n"))
-                .orderBy(F.col("n").desc(), F.col("pair").asc())
-                .limit(1)
-                .collect()
+    for _ in range(n_merges):
+        best = (
+            vocab.filter("size(syms) >= 2")
+            .selectExpr(
+                "cnt",
+                "explode(transform(sequence(1, size(syms) - 1), "
+                "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))) AS pr",
             )
-            if not best or best[0]["n"] < min_count:
-                break
-            a, b = best[0]["pair"].split(_SEP, 1)
-            merges.append((a, b, int(best[0]["n"])))
-            nxt = vocab.selectExpr(f"{_merge_expr(a, b)} AS syms", "cnt").persist()
-            nxt.count()  # materialize before dropping the parent cache
-            vocab.unpersist()
-            vocab = nxt
-    finally:
-        vocab.unpersist()
+            .selectExpr("cnt", "pr.a AS a", "pr.b AS b")
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b, int(best[0]["n"])))
+        vocab = vocab.selectExpr(
+            f"{_merge_expr(a, b)} AS syms", "cnt"
+        ).localCheckpoint(eager=True)
     return merges
 
 

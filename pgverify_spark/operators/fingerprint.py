@@ -446,6 +446,19 @@ def verify_against_snapshot(
     return compare_partition_fingerprints(prev, cur)
 
 
+def _sql_literal(v) -> str:
+    """Render a partition value as a Spark SQL literal: numbers bare,
+    everything else single-quoted with quotes doubled — a string-valued
+    ``partition_sql`` (e.g. a region or source column) must not be
+    interpolated as a bare identifier."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return str(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
 def update_fingerprint_snapshot(
     spark,
     df: DataFrame,
@@ -477,10 +490,12 @@ def update_fingerprint_snapshot(
     """
     from pgverify_spark.functions import timecol
 
+    if not parts:  # 'refresh nothing' is a no-op, not 'IN ()' (a parse error)
+        return spark.read.parquet(path)
     psql = partition_sql
     if psql is None:
         psql = timecol.bucket_sql(df, timecol.US_PER_DAY)
-    in_list = ", ".join(str(p) for p in parts)
+    in_list = ", ".join(_sql_literal(p) for p in parts)
     fresh = partitioned_fingerprint(
         df.filter(f"({psql}) IN ({in_list})"), schema, config, psql
     )

@@ -381,3 +381,41 @@ def test_snapshot_update(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, updated.collect())) == want
     # and the refreshed state verifies clean against the current data
     assert verify_against_snapshot(spark, changed, schema, path).count() == 0
+
+    # empty parts = 'refresh nothing': a no-op returning the state
+    # unchanged, NOT an 'IN ()' parse error
+    same = update_fingerprint_snapshot(spark, changed, schema, path, ())
+    assert sorted(map(tuple, same.collect())) == want
+
+
+def test_snapshot_update_string_partitions(spark, sf_dir, tmp_path):
+    """String-valued partition_sql: partition values must be rendered
+    as quoted SQL literals (bare str() would be an invalid identifier),
+    including values containing a quote."""
+    from pgverify_spark.operators.fingerprint import (
+        partitioned_fingerprint,
+        update_fingerprint_snapshot,
+        write_fingerprint_snapshot,
+    )
+
+    src = ParquetTarget("t", sf_dir)
+    events = src.read(spark, "events")
+    schema = src.table_schema(spark, "events")
+    path = str(tmp_path / "snap_str")
+    psql = "event_type"  # string partition key
+    write_fingerprint_snapshot(events, schema, path, partition_sql=psql)
+
+    changed = events.selectExpr(
+        "event_id", "ts", "user_id", "event_type",
+        "CASE WHEN event_type = 'click' AND event_id % 7 = 0 "
+        "THEN value + 1 ELSE value END AS value",
+        "props",
+    )
+    updated = update_fingerprint_snapshot(
+        spark, changed, schema, path, ("click", "it'sfine"),
+        partition_sql=psql,
+    )
+    want = sorted(
+        map(tuple, partitioned_fingerprint(changed, schema, None, psql).collect())
+    )
+    assert sorted(map(tuple, updated.collect())) == want

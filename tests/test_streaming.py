@@ -267,6 +267,93 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
     assert all(r["count"] <= len(week_dirs) + 1 for r in em)
 
 
+def test_streaming_windowed_counts_late_data_within_watermark(
+    spark, sf_dir, tmp_path
+):
+    """Watermark semantics under OUT-OF-ORDER delivery: one in five
+    events arrives a full day late (delivered with the next day's
+    chunk), the watermark is 3 days, and the APPEND-mode finalized
+    output still equals batch replay over ALL events — late-but-within-
+    watermark rows are incorporated before their window finalizes, and
+    each window is emitted exactly once.  (The other streaming tests
+    feed time-ordered chunks, where nothing is ever late; this is the
+    late-data half of the watermark contract.)"""
+    import glob
+    import shutil
+
+    from pgverify_spark.functions.timecol import US_PER_DAY, bucket_sql
+
+    df = ParquetTarget("t", sf_dir).read(spark, "events")
+    # delivery chunk = event-time day, except stragglers (every 5th
+    # event) which ship one day late — lateness ≤ 24h < the 3d watermark
+    day = bucket_sql(df, US_PER_DAY)
+    (
+        df.withColumn(
+            "dchunk",
+            (F.expr(day) + F.expr("CAST(event_id % 5 = 0 AS INT)")).cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("dchunk")
+        .parquet(str(tmp_path / "days"))
+    )
+    stream_in = tmp_path / "in"
+    stream_in.mkdir()
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_in))
+    )
+    q = (
+        streaming_windowed_counts(sdf, window="6 hours", watermark="3 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wlate")
+        .option("checkpointLocation", str(tmp_path / "ck_wlate"))
+        .start()
+    )
+    try:
+        for i, dd in enumerate(sorted(glob.glob(str(tmp_path / "days" / "dchunk=*")))):
+            for j, f in enumerate(sorted(glob.glob(f"{dd}/*.parquet"))):
+                shutil.copy(f, str(stream_in / f"d{i:03d}_{j}.parquet"))
+            q.processAllAvailable()
+        # flush: a far-future sentinel advances the watermark past every
+        # real window so append mode finalizes them (two sentinel files
+        # so the post-watermark-advance batch also fires)
+        ts_type = dict(df.dtypes)["ts"]
+        for k, when in enumerate(("2031-01-01 00:00:00", "2031-01-02 00:00:00")):
+            flush = (
+                df.limit(1)
+                .withColumn("ts", F.lit(when).cast(ts_type))
+                .withColumn("event_type", F.lit("flush"))
+            )
+            fdir = str(tmp_path / f"flush{k}")
+            flush.coalesce(1).write.mode("overwrite").parquet(fdir)
+            for f in glob.glob(f"{fdir}/*.parquet"):
+                shutil.copy(f, str(stream_in / f"zz_flush{k}.parquet"))
+            q.processAllAvailable()
+        emitted = [
+            r
+            for r in spark.table("wlate").collect()
+            if r["event_type"] != "flush"
+        ]
+    finally:
+        q.stop()
+    # append emits each finalized window exactly once
+    keys = [(r["win_start"], r["event_type"]) for r in emitted]
+    assert len(keys) == len(set(keys)), "window emitted more than once"
+    streamed = {
+        (r["win_start"], r["win_end"], r["event_type"], r["n_events"], r["value_sum"])
+        for r in emitted
+    }
+    batch = {
+        tuple(r)
+        for r in streaming_windowed_counts(
+            df, window="6 hours", watermark="3 days"
+        ).collect()  # watermark is a no-op on a batch frame
+    }
+    assert streamed == batch, "late-within-watermark rows were lost"
+
+
 def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
     """KMV state merge is order-insensitive (set-union + truncate), so an
     arbitrary (not time-ordered) chunking converges to the batch sketch."""
