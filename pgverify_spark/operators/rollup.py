@@ -266,6 +266,129 @@ def sessionize_oracle_sql(table: str, gap_us: int = _DEFAULT_GAP_US) -> str:
     )
 
 
+def sessionize_scalable(
+    df: DataFrame,
+    gap_us: int = _DEFAULT_GAP_US,
+    block_us: int = 7 * 24 * 3_600_000_000,
+) -> DataFrame:
+    """:func:`sessionize` with the documented 100 TB skew fix actually
+    implemented: pre-split each user's stream on (user_id, coarse time
+    block) so no single task ever holds a whole power-user history,
+    then merge sessions across block boundaries.  Output is IDENTICAL
+    to :func:`sessionize` (same oracle in the registry): (user_id,
+    session_idx, start_us, end_us, n_events, sum_value).
+
+    Two-level shape — the key insight is that level 2 runs over
+    *sessions*, not events:
+
+    1. **Partial sessions per (user, block)**: the event-heavy pass.
+       The lag+cumsum window partitions on (user_id, block), so the
+       biggest task is one user-week, not one user-lifetime — bounded
+       whatever the per-user skew.  One hash exchange of events.
+    2. **Boundary merge per user**: partial sessions are re-sessionized
+       with the SAME lag+cumsum rule applied to their interval gaps
+       (``next.start_us - prev.end_us``) — a partial-session boundary
+       either stands (gap > gap_us) or the two partials merge, exactly
+       the decision the single-pass window makes.  This window
+       partitions on user_id but its input is the partial-session
+       relation: |sessions| rows, orders of magnitude smaller than
+       events (a user has at most block_us/gap_us partials per block).
+       Aggregates re-merge losslessly (min/max/sum).
+
+    Correctness argument: within a block the rule is literally
+    :func:`sessionize`'s; across a boundary, two events in the same
+    true session (gap <= gap_us) land in partial sessions whose
+    interval gap equals that event gap (the boundary partials end/start
+    ON those events), so level 2 merges them; conversely level 2 never
+    merges partials whose closest events are > gap_us apart.
+    """
+    w1 = Window.partitionBy("user_id", "block").orderBy("us", "event_id")
+    w1run = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    partials = (
+        df.selectExpr(
+            "user_id", "event_id", f"{epoch_us_sql(df)} AS us",
+            "CAST(value AS DECIMAL(18,2)) AS dvalue",
+        )
+        .withColumn("block", F.expr(f"us div {block_us}"))
+        .withColumn("prev_us", F.lag("us").over(w1))
+        .withColumn(
+            "new_sess",
+            F.expr(
+                f"CASE WHEN prev_us IS NULL OR us - prev_us > {gap_us} THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn("part_idx", F.sum("new_sess").over(w1run))
+        .groupBy("user_id", "block", "part_idx")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("dvalue").cast("decimal(38,2)").alias("sum_value"),
+        )
+    )
+    # level 2: sessionize the partial-session intervals themselves
+    w2 = Window.partitionBy("user_id").orderBy("start_us", "end_us")
+    w2run = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        partials.withColumn("prev_end", F.lag("end_us").over(w2))
+        .withColumn(
+            "new_sess",
+            F.expr(
+                f"CASE WHEN prev_end IS NULL OR start_us - prev_end > {gap_us} THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn("session_idx", F.sum("new_sess").over(w2run))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("start_us").alias("start_us"),
+            F.max("end_us").alias("end_us"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("decimal(38,2)").alias("sum_value"),
+        )
+    )
+
+
+def debounce_scalable(
+    df: DataFrame,
+    window_us: int = 5_000_000,
+    block_us: int = 7 * 24 * 3_600_000_000,
+) -> DataFrame:
+    """:func:`debounce` with the same per-key skew fix as
+    :func:`sessionize_scalable` — output identical to :func:`debounce`
+    (same oracle).  The keep decision depends ONLY on the immediate
+    predecessor's timestamp (kept or dropped — a burst's dropped events
+    still anchor the gap test), so the only cross-block state is the
+    previous block's LAST event time:
+
+    1. the lag window partitions on (user_id, event_type, block) —
+       event-heavy pass, skew bounded at one key-block;
+    2. each block's first event instead tests against the previous
+       block's max timestamp, delivered by a lag window over the
+       per-block bounds relation (|key-blocks| rows, tiny).
+    """
+    w1 = Window.partitionBy("user_id", "event_type", "block").orderBy(
+        "us", "event_id"
+    )
+    base = df.selectExpr(
+        "event_id", "user_id", "event_type",
+        f"{epoch_us_sql(df)} AS us", "value",
+    ).withColumn("block", F.expr(f"us div {block_us}"))
+    blocks = base.groupBy("user_id", "event_type", "block").agg(
+        F.max("us").alias("blk_max")
+    )
+    wb = Window.partitionBy("user_id", "event_type").orderBy("block")
+    prev_blocks = blocks.withColumn(
+        "carry_us", F.lag("blk_max").over(wb)
+    ).select("user_id", "event_type", "block", "carry_us")
+    return (
+        base.withColumn("prev_us", F.lag("us").over(w1))
+        .join(prev_blocks, ["user_id", "event_type", "block"], "left")
+        .withColumn("prev_us", F.coalesce("prev_us", "carry_us"))
+        .filter(f"prev_us IS NULL OR us - prev_us > {window_us}")
+        .select("event_id", "user_id", "event_type", "us", "value")
+    )
+
+
 def event_transitions(df: DataFrame, gap_us: int = _DEFAULT_GAP_US) -> DataFrame:
     """Session path analysis: (from_type, to_type, n) — how often one
     event type directly follows another within the same session (gap

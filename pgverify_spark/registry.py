@@ -1191,6 +1191,28 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", rollup.sessionize),
             rollup.sessionize_oracle_sql("events"),
         ),
+        # the 100 TB skew variants: per-(user, week-block) pre-split +
+        # boundary merge — output proven IDENTICAL by sharing the
+        # single-pass operator's oracle (3-day blocks so boundary merges
+        # actually fire at sf0.01's ~5-month span)
+        "sessionize_scalable_events": (
+            _table_query(
+                "events",
+                lambda df: rollup.sessionize_scalable(
+                    df, block_us=3 * 86_400_000_000
+                ),
+            ),
+            rollup.sessionize_oracle_sql("events"),
+        ),
+        "debounce_scalable_events": (
+            _table_query(
+                "events",
+                lambda df: rollup.debounce_scalable(
+                    df, 4 * 3600 * 1_000_000, block_us=3 * 86_400_000_000
+                ),
+            ),
+            rollup.debounce_oracle_sql("events", 4 * 3600 * 1_000_000),
+        ),
         # session path analysis: event-type transition matrix
         "event_transitions_events": (
             _table_query("events", rollup.event_transitions),
@@ -2405,6 +2427,7 @@ _DOUBLE_OUTPUT_COLS: dict[str, tuple[str, ...]] = {
     "hourly_rollup_events": ("sum_value",),
     "daily_rollup_events": ("sum_value",),
     "sessionize_events": ("sum_value",),
+    "sessionize_scalable_events": ("sum_value",),
     "interval_join_rollup_events": ("sum_value",),
     "fill_gaps_hourly_events": ("sum_value",),
     "daily_anomalies_events": ("day_sum",),

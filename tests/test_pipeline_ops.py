@@ -596,6 +596,52 @@ def test_sessionize(spark, sf_dir, duck):
     assert plan.count("Exchange") == 1
 
 
+def test_sessionize_scalable_equals_single_pass(spark, sf_dir):
+    """The skew-bounded two-level sessionizer returns EXACTLY the
+    single-pass result at every block size — including blocks far
+    smaller than the session gap, where nearly every session straddles
+    boundaries and the level-2 merge does all the work."""
+    from pgverify_spark.operators import rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = sorted(map(tuple, rollup.sessionize(events).collect()))
+    hour = 3_600_000_000
+    for block_us in (7 * 24 * hour, 24 * hour, hour, rollup._DEFAULT_GAP_US // 3):
+        got = sorted(
+            map(tuple, rollup.sessionize_scalable(events, block_us=block_us).collect())
+        )
+        assert got == want, f"mismatch at block_us={block_us}"
+    # the event-heavy window partitions on (user, block), never on the
+    # bare user key: no task holds a whole user history
+    plan = (
+        rollup.sessionize_scalable(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "block" in plan
+
+
+def test_debounce_scalable_equals_single_pass(spark, sf_dir):
+    """Skew-bounded debounce == single-pass debounce at every block
+    size; tiny blocks force the cross-block carry (previous block's
+    last event time) to anchor nearly every block's first gap test."""
+    from pgverify_spark.operators import rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = 4 * 3600 * 1_000_000
+    want = sorted(map(tuple, rollup.debounce(events, win).collect()))
+    hour = 3_600_000_000
+    for block_us in (7 * 24 * hour, 24 * hour, 2 * hour):
+        got = sorted(
+            map(
+                tuple,
+                rollup.debounce_scalable(events, win, block_us=block_us).collect(),
+            )
+        )
+        assert got == want, f"mismatch at block_us={block_us}"
+
+
 def test_event_transitions(spark, sf_dir, duck):
     """Transition matrix matches the oracle; totals reconcile with the
     session structure (every non-first in-session event is exactly one
