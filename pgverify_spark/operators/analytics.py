@@ -257,3 +257,288 @@ def shipping_priority_oracle_sql(
         "GROUP BY o_orderkey, o_orderdate "
         f"ORDER BY revenue DESC, o_orderkey ASC LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Further TPC-H anchors — each chosen to cover a physical plan SHAPE no
+# other anchor exercises.  The testdata schema lacks l_commitdate /
+# l_receiptdate / l_shipmode / partsupp, so Q4/Q12/Q16 are faithful
+# shape adaptations over the columns that exist (noted per query).
+# ---------------------------------------------------------------------------
+
+Q6_FROM = "1996-01-01 00:00:00"
+Q6_TO = "1997-01-01 00:00:00"
+
+_REV_Q6 = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))"
+)
+
+
+def forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6: revenue increase from eliminating small-quantity
+    discounts — ONE row, no join, no group key.  The pure predicate-
+    pushdown showcase: all three filters (date range, discount band,
+    quantity cap) reach the parquet scan as PushedFilters and the
+    aggregate is a single map-side-combined partial per split."""
+    return (
+        lineitem.filter(
+            f"l_shipdate >= TIMESTAMP '{Q6_FROM}' AND l_shipdate < TIMESTAMP '{Q6_TO}' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        )
+        .selectExpr(f"{_REV_Q6} AS rev")
+        .agg(F.sum("rev").cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+def forecast_revenue_oracle_sql(lineitem: str) -> str:
+    return (
+        f"SELECT CAST(sum({_REV_Q6}) AS DECIMAL(38,4)) AS revenue FROM {lineitem} "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}' AND l_shipdate < TIMESTAMP '{Q6_TO}' "
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+    )
+
+
+Q10_FROM = "1996-01-01 00:00:00"
+Q10_TO = "1996-04-01 00:00:00"
+Q10_K = 20
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = Q10_K,
+) -> DataFrame:
+    """TPC-H Q10: top-``k`` customers by revenue lost to returned items
+    in one quarter.  (c_custkey, c_name, revenue, c_acctbal, n_name).
+    Fact side shuffles once on orderkey then once on custkey; nation
+    broadcasts; the top-k is TakeOrderedAndProject."""
+    o = orders.filter(
+        f"o_orderdate >= TIMESTAMP '{Q10_FROM}' AND o_orderdate < TIMESTAMP '{Q10_TO}'"
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter("l_returnflag = 'R'").selectExpr(
+        "l_orderkey", f"{_DISC_PRICE} AS disc_price"
+    )
+    c = customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("disc_price").cast("decimal(38,4)").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def returned_item_revenue_oracle_sql(
+    customer: str, orders: str, lineitem: str, nation: str, k: int = Q10_K
+) -> str:
+    return (
+        "SELECT c_custkey, c_name, "
+        f"CAST(sum({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue, c_acctbal, n_name "
+        f"FROM {customer}, {orders}, {lineitem}, {nation} "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        f"AND o_orderdate >= TIMESTAMP '{Q10_FROM}' "
+        f"AND o_orderdate < TIMESTAMP '{Q10_TO}' "
+        "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+        f"ORDER BY revenue DESC, c_custkey ASC LIMIT {k}"
+    )
+
+
+Q4_FROM = "1997-01-01 00:00:00"
+Q4_TO = "1997-04-01 00:00:00"
+Q4_LATE_DAYS = 90
+
+
+def order_priority_check(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders with at least one
+    late line — the EXISTS **left-semi join** anchor (no other anchor
+    plans one).  The testdata lacks l_commitdate/l_receiptdate, so
+    'late' is adapted to ``l_shipdate > o_orderdate + 90 days`` — same
+    correlated-predicate semi join, EXISTS semantics exact (an order
+    with five late lines counts once).  (o_orderpriority, order_count)."""
+    o = orders.filter(
+        f"o_orderdate >= TIMESTAMP '{Q4_FROM}' AND o_orderdate < TIMESTAMP '{Q4_TO}'"
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.expr(f"o_orderdate + INTERVAL {Q4_LATE_DAYS} DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def order_priority_check_oracle_sql(orders: str, lineitem: str) -> str:
+    return (
+        f"SELECT o_orderpriority, count(*) AS order_count FROM {orders} o "
+        f"WHERE o_orderdate >= TIMESTAMP '{Q4_FROM}' "
+        f"AND o_orderdate < TIMESTAMP '{Q4_TO}' "
+        f"AND EXISTS (SELECT 1 FROM {lineitem} l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        f"AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAYS) "
+        "GROUP BY o_orderpriority"
+    )
+
+
+Q14_FROM = "1996-06-01 00:00:00"
+Q14_TO = "1996-07-01 00:00:00"
+
+
+def promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14: promotional revenue share for one month — the
+    conditional-aggregation anchor (CASE inside sum).  ONE row:
+    (promo_revenue_pct, promo_rev, total_rev).  Both sums accumulate
+    DECIMAL-exact in one pass; the percentage is ONE final double
+    division of identical integers-scaled decimals (the repo-wide
+    cross-engine float pattern), so the pct is bit-identical."""
+    li = lineitem.filter(
+        f"l_shipdate >= TIMESTAMP '{Q14_FROM}' AND l_shipdate < TIMESTAMP '{Q14_TO}'"
+    ).selectExpr("l_partkey", f"{_DISC_PRICE} AS disc_price")
+    p = part.select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .selectExpr(
+            "CASE WHEN p_type = 'PROMO' THEN disc_price ELSE CAST(0 AS DECIMAL(18,4)) END AS promo",
+            "disc_price",
+        )
+        .agg(
+            F.sum("promo").cast("decimal(38,4)").alias("promo_rev"),
+            F.sum("disc_price").cast("decimal(38,4)").alias("total_rev"),
+        )
+        .selectExpr(
+            "round(100.0 * CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) "
+            "AS promo_revenue_pct",
+            "promo_rev",
+            "total_rev",
+        )
+    )
+
+
+def promo_revenue_oracle_sql(lineitem: str, part: str) -> str:
+    return (
+        "SELECT round(100.0 * CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) "
+        "AS promo_revenue_pct, promo_rev, total_rev FROM ("
+        "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' "
+        f"THEN {_DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS promo_rev, "
+        f"CAST(sum({_DISC_PRICE}) AS DECIMAL(38,4)) AS total_rev "
+        f"FROM {lineitem}, {part} WHERE l_partkey = p_partkey "
+        f"AND l_shipdate >= TIMESTAMP '{Q14_FROM}' "
+        f"AND l_shipdate < TIMESTAMP '{Q14_TO}') t"
+    )
+
+
+Q16_FROM = "1999-01-01 00:00:00"
+Q16_TO = "2000-01-01 00:00:00"
+
+
+def unsold_parts(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape: per (p_brand, p_type) count of parts with NO
+    sale in a year — the **left-anti join** anchor.  (The spec's
+    partsupp table is absent from the testdata; the NOT-EXISTS shape —
+    the query's physical point — is identical.)  The anti join's right
+    side reduces to distinct sold partkeys BEFORE the join, so the
+    shuffled relation is key-sized."""
+    sold = (
+        lineitem.filter(
+            f"l_shipdate >= TIMESTAMP '{Q16_FROM}' AND l_shipdate < TIMESTAMP '{Q16_TO}'"
+        )
+        .select("l_partkey")
+        .distinct()
+    )
+    return (
+        part.join(sold, part.p_partkey == sold.l_partkey, "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("n_unsold"))
+    )
+
+
+def unsold_parts_oracle_sql(part: str, lineitem: str) -> str:
+    return (
+        f"SELECT p_brand, p_type, count(*) AS n_unsold FROM {part} p "
+        f"WHERE NOT EXISTS (SELECT 1 FROM {lineitem} l "
+        "WHERE l.l_partkey = p.p_partkey "
+        f"AND l.l_shipdate >= TIMESTAMP '{Q16_FROM}' "
+        f"AND l.l_shipdate < TIMESTAMP '{Q16_TO}') "
+        "GROUP BY p_brand, p_type"
+    )
+
+
+#: Q19 triples adapted to the testdata domains (p_brand 'Brand#1'..'#50',
+#: p_size 1..50, l_quantity 1..50).
+Q19_ARMS = (
+    ("Brand#12", 1, 11, 1, 15),
+    ("Brand#23", 10, 20, 1, 25),
+    ("Brand#34", 20, 30, 1, 35),
+)
+
+
+def special_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19: revenue from three OR'd (brand, quantity-band,
+    size-band) arms — the **disjunctive-predicate** anchor: Catalyst
+    must evaluate an OR-of-ANDs across two relations after a broadcast
+    join (and can push the per-side disjunction residuals to each
+    scan).  ONE row: (revenue)."""
+    arms = " OR ".join(
+        f"(p_brand = '{b}' AND l_quantity >= {qlo} AND l_quantity <= {qhi} "
+        f"AND p_size >= {slo} AND p_size <= {shi})"
+        for b, qlo, qhi, slo, shi in Q19_ARMS
+    )
+    li = lineitem.selectExpr("l_partkey", "l_quantity", f"{_DISC_PRICE} AS disc_price")
+    p = part.select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arms)
+        .agg(F.sum("disc_price").cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+def special_revenue_oracle_sql(lineitem: str, part: str) -> str:
+    arms = " OR ".join(
+        f"(p_brand = '{b}' AND l_quantity >= {qlo} AND l_quantity <= {qhi} "
+        f"AND p_size >= {slo} AND p_size <= {shi})"
+        for b, qlo, qhi, slo, shi in Q19_ARMS
+    )
+    return (
+        f"SELECT CAST(sum({_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue "
+        f"FROM {lineitem}, {part} WHERE l_partkey = p_partkey AND ({arms})"
+    )
+
+
+def corpus_mix_rollup(docs: DataFrame) -> DataFrame:
+    """Corpus composition with ROLLUP subtotals: per (lang, source),
+    per lang, and grand total in ONE aggregation pass — the
+    grouping-sets anchor (Spark plans a single Expand + hash aggregate;
+    no per-level rescans).  ``gid`` is the standard grouping bitmask
+    (0 = leaf, 1 = per-lang subtotal, 3 = grand total), which both
+    engines define identically, so subtotal rows are distinguishable
+    from a real NULL group value.  Output: (lang, source, gid, n_docs,
+    total_chars)."""
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            # grouping_id() is an aggregate-context expression: it must
+            # be computed inside agg(), not a later projection
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "total_chars")
+    )
+
+
+def corpus_mix_rollup_oracle_sql(docs: str) -> str:
+    return (
+        "SELECT lang, source, CAST(GROUPING(lang, source) AS INT) AS gid, "
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        f"FROM {docs} GROUP BY ROLLUP (lang, source)"
+    )

@@ -548,6 +548,17 @@ def _q18_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q10_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_required_confs(spark)
+    t = ParquetTarget("t", sf_dir)
+    return analytics.returned_item_revenue(
+        t.read(spark, "customer"),
+        t.read(spark, "orders"),
+        t.read(spark, "lineitem"),
+        t.read(spark, "nation"),
+    )
+
+
 def _asof_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgverify_spark.operators.asof import asof_join
 
@@ -1580,6 +1591,41 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "customer", "orders", "lineitem"
             ),
         ),
+        # TPC-H anchors covering plan shapes no other query exercises:
+        # full-pushdown scan-agg (Q6), EXISTS semi join (Q4 shape),
+        # NOT-EXISTS anti join (Q16 shape), conditional agg (Q14),
+        # OR-of-ANDs disjunction (Q19), wide join + top-k (Q10)
+        "tpch_q6_forecast_revenue": (
+            _table_query("lineitem", analytics.forecast_revenue),
+            analytics.forecast_revenue_oracle_sql("lineitem"),
+        ),
+        "tpch_q4_order_priority": (
+            _two_table_query("orders", "lineitem", analytics.order_priority_check),
+            analytics.order_priority_check_oracle_sql("orders", "lineitem"),
+        ),
+        "tpch_q10_returned_items": (
+            _q10_spark,
+            analytics.returned_item_revenue_oracle_sql(
+                "customer", "orders", "lineitem", "nation"
+            ),
+        ),
+        "tpch_q14_promo_revenue": (
+            _two_table_query("lineitem", "part", analytics.promo_revenue),
+            analytics.promo_revenue_oracle_sql("lineitem", "part"),
+        ),
+        "tpch_q16_unsold_parts": (
+            _two_table_query("part", "lineitem", analytics.unsold_parts),
+            analytics.unsold_parts_oracle_sql("part", "lineitem"),
+        ),
+        "tpch_q19_special_revenue": (
+            _two_table_query("lineitem", "part", analytics.special_revenue),
+            analytics.special_revenue_oracle_sql("lineitem", "part"),
+        ),
+        # grouping-sets anchor: ROLLUP subtotals in one Expand+agg pass
+        "corpus_mix_rollup_documents": (
+            _table_query("documents", analytics.corpus_mix_rollup),
+            analytics.corpus_mix_rollup_oracle_sql("documents"),
+        ),
         # full BPE merge-table learning (iterative argmax: no
         # single-statement SQL twin exists — rows-only driver check;
         # merge sequence proven vs a pure-Python reference BPE in
@@ -2439,6 +2485,10 @@ _DOUBLE_OUTPUT_COLS: dict[str, tuple[str, ...]] = {
         "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
     ),
     "tpch_q3_shipping_priority": ("revenue",),
+    "tpch_q6_forecast_revenue": ("revenue",),
+    "tpch_q10_returned_items": ("revenue",),
+    "tpch_q14_promo_revenue": ("promo_rev", "total_rev"),
+    "tpch_q19_special_revenue": ("revenue",),
     "tpch_q5_local_supplier_volume": ("revenue",),
     "tpch_q18_large_volume_customer": ("sum_qty",),
 }
@@ -2543,6 +2593,11 @@ HEADLINE_QUERIES = (
     "snapshot_verify_events",
     "strip_html_documents",
     "clean_web_corpus_documents",
+    # round-4 additions (lineitem-scanning anchors + the skew variant)
+    "tpch_q4_order_priority",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "sessionize_scalable_events",
 )
 
 

@@ -1383,6 +1383,87 @@ def test_tpch_q5_q18(spark, sf_dir, duck):
     assert all(r[5] > analytics.Q18_QTY for r in rows18)
 
 
+def test_tpch_plan_shape_anchors(spark, sf_dir, duck):
+    """Q4/Q6/Q10/Q14/Q16/Q19 anchors: oracle-exact, and each plans the
+    shape it was chosen to exercise — semi join, pushed filters,
+    broadcast+top-k, conditional agg, anti join, disjunction."""
+    from pgverify_spark.operators import analytics
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li, od, cu, na, pa = (
+        rd("lineitem"), rd("orders"), rd("customer"), rd("nation"), rd("part")
+    )
+
+    q6 = analytics.forecast_revenue(li)
+    p6 = q6._jdf.queryExecution().executedPlan().toString()
+    # all three predicates reach the parquet scan
+    assert "PushedFilters: [" in p6 and "l_shipdate" in p6.split("PushedFilters")[1][:400]
+    _cmp(q6, duck, analytics.forecast_revenue_oracle_sql("lineitem"))
+
+    q4 = analytics.order_priority_check(od, li)
+    p4 = q4._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p4  # EXISTS planned as a semi join
+    rows4 = _cmp(q4, duck, analytics.order_priority_check_oracle_sql("orders", "lineitem"))
+    assert rows4  # the late-line predicate actually selects something
+
+    q10 = analytics.returned_item_revenue(cu, od, li, na)
+    p10 = q10._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p10  # top-k heap, no global sort
+    rows10 = list(map(tuple, q10.collect()))
+    oracle10 = list(map(tuple, duck.execute(
+        analytics.returned_item_revenue_oracle_sql(
+            "customer", "orders", "lineitem", "nation"
+        )).fetchall()))
+    assert rows10 == oracle10 and len(rows10) == analytics.Q10_K
+
+    q14 = analytics.promo_revenue(li, pa)
+    rows14 = _cmp(q14, duck, analytics.promo_revenue_oracle_sql("lineitem", "part"))
+    assert len(rows14) == 1 and 0.0 < rows14[0][0] < 100.0
+
+    q16 = analytics.unsold_parts(pa, li)
+    p16 = q16._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in p16  # NOT EXISTS planned as an anti join
+    rows16 = _cmp(q16, duck, analytics.unsold_parts_oracle_sql("part", "lineitem"))
+    assert rows16
+
+    q19 = analytics.special_revenue(li, pa)
+    rows19 = _cmp(q19, duck, analytics.special_revenue_oracle_sql("lineitem", "part"))
+    assert rows19[0][0] is not None  # the OR arms select real revenue
+
+
+def test_corpus_mix_rollup(docs, duck):
+    """ROLLUP subtotals reconcile level-by-level: leaf rows sum to the
+    per-lang subtotals, which sum to the grand total; one Expand+agg."""
+    from pgverify_spark.operators import analytics
+
+    # subtotal rows hold None group keys, so sorted() would compare
+    # None<str; group keys are unique per row → set comparison is exact
+    s = {tuple(r) for r in analytics.corpus_mix_rollup(docs).collect()}
+    d = {
+        tuple(r)
+        for r in duck.execute(
+            analytics.corpus_mix_rollup_oracle_sql("documents")
+        ).fetchall()
+    }
+    assert s == d
+    rows = list(s)
+    leaves = [r for r in rows if r[2] == 0]
+    by_lang = [r for r in rows if r[2] == 1]
+    grand = [r for r in rows if r[2] == 3]
+    assert len(grand) == 1
+    assert sum(r[3] for r in leaves) == grand[0][3]
+    assert sum(r[3] for r in by_lang) == grand[0][3]
+    for lang_row in by_lang:
+        assert lang_row[3] == sum(r[3] for r in leaves if r[0] == lang_row[0])
+    plan = (
+        analytics.corpus_mix_rollup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") == 1  # one pass, not per-level rescans
+
+
 def test_bigram_lm_scores(spark, docs, duck):
     from pgverify_spark.operators import lm
 
