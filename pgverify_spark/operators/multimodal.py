@@ -400,6 +400,106 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     return synthesize_media(df).mapInPandas(batch, FRAME_SAMPLE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image hash (aHash) + image dedup over the REAL decoder
+# ---------------------------------------------------------------------------
+
+#: aHash grid: 7 rows x 9 cols = 63 bits, so the packed hash fits a
+#: signed BIGINT in both engines (an 8x8 grid's bit 63 would overflow).
+AHASH_H, AHASH_W = 7, 9
+
+AHASH_SCHEMA = "doc_id bigint, ahash bigint"
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash of each image payload: decode (real BMP/
+    PPM parsing), nearest-neighbor downsample to a 7x9 grid, integer
+    grayscale ``(r+g+b) DIV 3``, threshold each cell against the integer
+    grid mean, pack the 63 bits into a BIGINT.  Audio rows route out.
+
+    The standard image-dedup primitive: near-identical images (re-
+    encodes, minor crops/rescales) agree on most bits, byte-identical
+    pixels agree on all.  Every step is integer arithmetic, so the
+    DuckDB twin recomputes the exact hash from the synthesis formulas —
+    a decoder bug (row flip, BGR order, header offset) flips bits and
+    fails the value hash.
+
+    Scale shape: 1->1 Arrow projection fused over the scan; 8 bytes out
+    per image; no shuffle.
+    """
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_media(bytes(p))
+                if m["pixels"] is None:
+                    continue
+                px = m["pixels"].astype(np.int64)
+                sy = (np.arange(AHASH_H) * m["height"]) // AHASH_H
+                sx = (np.arange(AHASH_W) * m["width"]) // AHASH_W
+                gray = px[sy][:, sx].sum(axis=-1) // 3  # (7, 9) ints
+                mean = int(gray.sum()) // (AHASH_H * AHASH_W)
+                bits = gray.reshape(-1) > mean  # row-major: idx = y*9+x
+                h = sum(1 << i for i, b in enumerate(bits) if b)
+                ids.append(did)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return synthesize_media(df).mapInPandas(batch, AHASH_SCHEMA)
+
+
+def image_ahash_oracle_sql(table: str) -> str:
+    """DuckDB twin: the same 63 grid cells from the synthesis formulas,
+    same integer grayscale/mean/threshold, same bit packing."""
+    hw = AHASH_H * AHASH_W
+    return (
+        f"WITH {_oracle_params(table)}, "
+        "imgs AS (SELECT doc_id, seed, w, h FROM params WHERE kind IN (0, 1)), "
+        f"cells AS (SELECT doc_id, seed, w, h, unnest(range(0, {hw})) AS idx FROM imgs), "
+        "gr AS (SELECT doc_id, idx, "
+        "((seed + 7 * sx + 13 * sy) % 256 + (2 * seed + 11 * sx + 5 * sy) % 256 "
+        "+ (3 * seed + 3 * sx + 17 * sy) % 256) // 3 AS gray "
+        f"FROM (SELECT doc_id, seed, idx, ((idx % {AHASH_W}) * w) // {AHASH_W} AS sx, "
+        f"((idx // {AHASH_W}) * h) // {AHASH_H} AS sy FROM cells) t), "
+        f"m AS (SELECT doc_id, sum(gray) // {hw} AS mean FROM gr GROUP BY doc_id) "
+        "SELECT gr.doc_id, CAST(sum(CASE WHEN gray > mean "
+        "THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS ahash "
+        "FROM gr JOIN m ON gr.doc_id = m.doc_id GROUP BY gr.doc_id"
+    )
+
+
+def image_dup_groups(df: DataFrame) -> DataFrame:
+    """Perceptual-duplicate image groups: documents whose image payloads
+    share an aHash — the multimodal twin of ``dedup.exact_dup_groups``
+    (same output convention: sorted comma-joined ids, groups >= 2).
+    One 8-byte-per-image hash groupBy; payload bytes never shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        image_ahash(df)
+        .groupBy("ahash")
+        .agg(
+            F.count("doc_id").alias("n_imgs"),
+            F.expr(
+                "concat_ws(',', transform(array_sort(collect_list(doc_id)), "
+                "x -> CAST(x AS STRING)))"
+            ).alias("doc_ids"),
+        )
+        .filter("n_imgs >= 2")
+    )
+
+
+def image_dup_groups_oracle_sql(table: str) -> str:
+    return (
+        "SELECT ahash, count(doc_id) AS n_imgs, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids "
+        f"FROM ({image_ahash_oracle_sql(table)}) a "
+        "GROUP BY ahash HAVING count(doc_id) >= 2"
+    )
+
+
 def frame_sample_oracle_sql(table: str, every_n: int = 2) -> str:
     fs = FRAME_SAMPLES
     return (

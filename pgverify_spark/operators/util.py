@@ -57,9 +57,14 @@ def release_cached_deps(result: DataFrame) -> None:
     cached blocks LRU under memory pressure, so leaking them is not a
     correctness bug — but a long ingest loop should call this after
     materializing each batch's result to keep executor storage flat.
-    No-op for results with no tagged deps."""
+    No-op for results with no tagged deps.
+
+    The unpersist is BLOCKING: an ingest loop calling this per batch
+    gets deterministic storage accounting (the next batch starts with
+    the blocks actually gone), at the cost of waiting for block removal
+    — microseconds against a batch's job time."""
     for dep in getattr(result, "_pgvs_cached_deps", ()):
-        dep.unpersist()
+        dep.unpersist(blocking=True)
 
 
 def barrier(df: DataFrame) -> DataFrame:

@@ -1647,6 +1647,15 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", lambda df: multimodal.frame_sample(df, 2)),
             multimodal.frame_sample_oracle_sql("documents", 2),
         ),
+        # perceptual image hash + image-level dedup over the real decoder
+        "multimodal_image_ahash_documents": (
+            _table_query("documents", multimodal.image_ahash),
+            multimodal.image_ahash_oracle_sql("documents"),
+        ),
+        "multimodal_image_dup_groups_documents": (
+            _table_query("documents", multimodal.image_dup_groups),
+            multimodal.image_dup_groups_oracle_sql("documents"),
+        ),
     }
 
 

@@ -166,7 +166,12 @@ def test_probe_loop_holds_no_growing_storage(spark, sf_dir, tmp_path):
     (load-bearing, see dedup._shingled), tags it on the result, and
     release_cached_deps drops it after materialization — so N probes
     leave exactly as many persistent RDDs as zero probes did.  The same
-    contract covers cross_corpus_lsh_pairs and semantic_dup_pairs."""
+    contract covers cross_corpus_lsh_pairs and semantic_dup_pairs.
+
+    release_cached_deps unpersists BLOCKING, so counts are exact — but
+    the shared session's ContextCleaner may concurrently GC *other*
+    tests' stale checkpoint blocks, so the assertion is <= (a leak
+    strictly adds; background cleanup only subtracts)."""
     from pgverify_spark.operators import dedup
     from pgverify_spark.operators.util import release_cached_deps
 
@@ -184,19 +189,19 @@ def test_probe_loop_holds_no_growing_storage(spark, sf_dir, tmp_path):
             res = dedup.probe_lsh_index(spark, batch, "lshflat", 0.3)
             res.collect()
             release_cached_deps(res)
-        assert n_persisted() == base, "probe loop leaked persisted blocks"
+        assert n_persisted() <= base, "probe loop leaked persisted blocks"
 
         res = dedup.cross_corpus_lsh_pairs(
             docs.filter("doc_id % 10 = 7"), corp, 0.3
         )
         res.collect()
         release_cached_deps(res)
-        assert n_persisted() == base
+        assert n_persisted() <= base
 
         res = dedup.semantic_dup_pairs(docs, embs)
         res.collect()
         release_cached_deps(res)
-        assert n_persisted() == base
+        assert n_persisted() <= base
     finally:
         spark.sql("DROP TABLE IF EXISTS lshflat_bands")
         spark.sql("DROP TABLE IF EXISTS lshflat_shingles")

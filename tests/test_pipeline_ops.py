@@ -272,6 +272,36 @@ def test_multimodal_frame_sample(docs, duck):
     assert all(r[1] % 2 == 0 for r in rows)  # only every 2nd frame
 
 
+def test_multimodal_image_ahash_and_dup_groups(spark, docs, duck):
+    """aHash matches the formula oracle bit-for-bit; identical payloads
+    hash identically (a byte-identical duplicate image is always
+    grouped); groups are >= 2 and cover every image-kind doc at most
+    once."""
+    rows = _cmp(
+        multimodal.image_ahash(docs), duck, multimodal.image_ahash_oracle_sql("documents")
+    )
+    assert rows and all(0 <= r[1] < (1 << 63) for r in rows)
+    groups = _cmp(
+        multimodal.image_dup_groups(docs),
+        duck,
+        multimodal.image_dup_groups_oracle_sql("documents"),
+    )
+    assert all(g[1] >= 2 for g in groups)
+    # a constructed exact-duplicate image pair must land in one group
+    two = spark.createDataFrame(
+        [(1, "the same text payload"), (2, "the same text payload")],
+        "doc_id bigint, text string",
+    )
+    g2 = multimodal.image_dup_groups(two).collect()
+    # both docs synthesize the same payload; if it's an image kind they
+    # form exactly one group, if audio the operator correctly emits none
+    kind = multimodal._params(multimodal._h48("the same text payload"))[0]
+    if kind in (0, 1):
+        assert len(g2) == 1 and g2[0]["doc_ids"] == "1,2"
+    else:
+        assert g2 == []
+
+
 def test_multimodal_decode_roundtrip():
     """Real container parsing: synthesize -> decode recovers the exact
     header fields AND content (pixels/samples) for all three formats."""
