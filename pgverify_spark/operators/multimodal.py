@@ -500,6 +500,78 @@ def image_dup_groups_oracle_sql(table: str) -> str:
     )
 
 
+#: audio fingerprint: 63 energy windows (bits fit a signed BIGINT).
+AFP_WINDOWS = 63
+
+AUDIO_FP_SCHEMA = "doc_id bigint, audio_fp bigint, n_windows int"
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """Energy-profile fingerprint of each audio payload — the WAV
+    analog of :func:`image_ahash`, completing the multimodal dedup
+    triad: decode (real RIFF walk), split the PCM stream into 63 equal
+    windows, sum |sample| per window (exact int64), threshold each
+    window's energy against the integer mean, pack 63 bits.
+
+    Re-encodes and padding-trims of the same recording agree on most
+    bits; byte-identical audio agrees on all — group on the fp exactly
+    like ``image_dup_groups``.  Streams shorter than 63 samples emit
+    fp 0 with their real window count (n_windows < 63 marks them).
+
+    Scale shape: 1->1 Arrow projection, 12 bytes per clip out, no
+    shuffle; the oracle recomputes the exact bits from the PCM formula.
+    """
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps, nw = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_media(bytes(p))
+                if m["samples"] is None:
+                    continue
+                s = np.abs(m["samples"].astype(np.int64))
+                n = len(s)
+                k = min(AFP_WINDOWS, n)
+                if k == 0:
+                    ids.append(did); fps.append(0); nw.append(0)
+                    continue
+                # sample i belongs to window w = i*k // n — so window w
+                # covers [ceil(w*n/k), ceil((w+1)*n/k)), the exact
+                # integer partition the oracle reproduces per-sample
+                bounds = (np.arange(k + 1) * n + k - 1) // k
+                energies = np.add.reduceat(s, bounds[:-1])
+                mean = int(energies.sum()) // k
+                h = sum(1 << i for i, e in enumerate(energies) if e > mean)
+                ids.append(did); fps.append(h); nw.append(k)
+            yield pd.DataFrame({"doc_id": ids, "audio_fp": fps, "n_windows": nw})
+
+    return synthesize_media(df).mapInPandas(batch, AUDIO_FP_SCHEMA)
+
+
+def audio_fingerprint_oracle_sql(table: str) -> str:
+    """DuckDB twin: regenerates |PCM| per sample from the synthesis
+    formula, aggregates the same integer window energies (window id =
+    ``i * k // n`` reproduces the reduceat bounds), same mean/threshold
+    and bit packing."""
+    k = AFP_WINDOWS
+    return (
+        f"WITH {_oracle_params(table)}, "
+        "aud AS (SELECT doc_id, seed, ns FROM params WHERE kind = 2), "
+        f"samp AS (SELECT doc_id, ns, i, "
+        "abs((seed * 31 + 11 * i) % 65536 - 32768) AS a "
+        "FROM (SELECT doc_id, seed, ns, unnest(range(0, ns)) AS i FROM aud) t), "
+        # sample i -> window w = i*k // n (ns >= 256 > k, so all k
+        # windows are non-empty and the mean divisor is exactly k)
+        f"win AS (SELECT doc_id, (i * {k}) // ns AS w, a FROM samp), "
+        "en AS (SELECT doc_id, w, sum(a) AS e FROM win GROUP BY doc_id, w), "
+        f"m AS (SELECT doc_id, sum(e) // {k} AS mean FROM en GROUP BY doc_id) "
+        "SELECT en.doc_id, CAST(sum(CASE WHEN e > mean "
+        "THEN (CAST(1 AS BIGINT) << w) ELSE 0 END) AS BIGINT) AS audio_fp, "
+        "CAST(count(*) AS INT) AS n_windows "
+        "FROM en JOIN m ON en.doc_id = m.doc_id GROUP BY en.doc_id"
+    )
+
+
 def frame_sample_oracle_sql(table: str, every_n: int = 2) -> str:
     fs = FRAME_SAMPLES
     return (

@@ -1656,6 +1656,10 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", multimodal.image_dup_groups),
             multimodal.image_dup_groups_oracle_sql("documents"),
         ),
+        "multimodal_audio_fingerprint_documents": (
+            _table_query("documents", multimodal.audio_fingerprint),
+            multimodal.audio_fingerprint_oracle_sql("documents"),
+        ),
     }
 
 

@@ -302,6 +302,29 @@ def test_multimodal_image_ahash_and_dup_groups(spark, docs, duck):
         assert g2 == []
 
 
+def test_multimodal_audio_fingerprint(spark, docs, duck):
+    """Energy-profile fingerprint matches the PCM-formula oracle
+    bit-for-bit; identical payloads fingerprint identically."""
+    rows = _cmp(
+        multimodal.audio_fingerprint(docs),
+        duck,
+        multimodal.audio_fingerprint_oracle_sql("documents"),
+    )
+    assert rows and all(r[2] == multimodal.AFP_WINDOWS for r in rows)
+    assert all(0 <= r[1] < (1 << 63) for r in rows)
+    # same PCM stream -> same fingerprint, regardless of container copy
+    two = spark.createDataFrame(
+        [(1, "same audio text"), (2, "same audio text")],
+        "doc_id bigint, text string",
+    )
+    fps = {r["doc_id"]: r["audio_fp"] for r in multimodal.audio_fingerprint(two).collect()}
+    kind = multimodal._params(multimodal._h48("same audio text"))[0]
+    if kind == 2:
+        assert fps[1] == fps[2]
+    else:
+        assert fps == {}
+
+
 def test_multimodal_decode_roundtrip():
     """Real container parsing: synthesize -> decode recovers the exact
     header fields AND content (pixels/samples) for all three formats."""
