@@ -560,6 +560,174 @@ def kmeans_assign_oracle_sql(table: str, k: int = 8, iterations: int = 2) -> str
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ): codebook encode + asymmetric-distance top-k
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: 64-dim embeddings split into M=8 subspaces of 8 dims,
+#: K=16 codes per subspace -> 8 bytes per vector (32x compression of
+#: the float32 embedding), the classic Jegou et al. 2011 configuration
+#: scaled to the test dimensionality.
+PQ_M = 8
+PQ_K = 16
+PQ_SUB = EMBEDDING_DIM // PQ_M
+
+
+def _pq_sub_d2_sql(a_col: str, b_col: str, m: int, dialect: str) -> str:
+    """Squared L2 distance between subvectors ``m`` of two embeddings,
+    in integer MILLIONTHS: explicit left-to-right double sum of the 8
+    squared differences, then one round+cast.  Integer distances make
+    every later sum order-independent and cross-engine exact (same
+    discipline as operators/lm.py)."""
+    at = (
+        (lambda c, i: f"element_at({c}, {i})")
+        if dialect == DIALECT_SPARK
+        else (lambda c, i: f"{c}[{i}]")
+    )
+    terms = []
+    for i in range(m * PQ_SUB + 1, (m + 1) * PQ_SUB + 1):
+        d = f"(CAST({at(a_col, i)} AS DOUBLE) - CAST({at(b_col, i)} AS DOUBLE))"
+        terms.append(f"{d} * {d}")
+    return f"CAST(round(({' + '.join(terms)}) * 1000000) AS BIGINT)"
+
+
+def _pq_codebook(df: DataFrame) -> DataFrame:
+    """Deterministic codebook: the embeddings of ``vec_id < PQ_K``
+    (same no-RNG init scheme as :func:`kmeans_assign`; a production
+    pipeline would Lloyd-refine per subspace — the encode/ADC plumbing
+    is identical either way)."""
+    return df.filter(f"vec_id < {PQ_K}").selectExpr(
+        "CAST(vec_id AS INT) AS code", "embedding AS cvec"
+    )
+
+
+_PQ_CB_SQL = "SELECT CAST(vec_id AS INT) AS code, embedding AS cvec FROM {table} WHERE vec_id < " + str(PQ_K)
+
+
+def pq_encode(df: DataFrame) -> DataFrame:
+    """Encode every embedding as ``PQ_M`` codebook indices: per
+    subspace, the code minimizing squared L2 (ties -> smaller code).
+    Output: (vec_id, codes array<int>) — 8 small ints replacing 64
+    floats.
+
+    Scale shape: ONE broadcast of the K tiny codebook vectors against
+    the corpus, then one hash aggregate per vec_id whose M argmins are
+    min-of-struct aggregates — map-side combinable, so the shuffle
+    carries K-fold-reduced partials.  No window, no sort.
+    """
+    cb = _pq_codebook(df)
+    aggs = [
+        F.min(
+            F.expr(
+                f"struct({_pq_sub_d2_sql('embedding', 'cvec', m, DIALECT_SPARK)} AS d2, code)"
+            )
+        ).alias(f"m{m}")
+        for m in range(PQ_M)
+    ]
+    return (
+        df.crossJoin(F.broadcast(cb))
+        .groupBy("vec_id")
+        .agg(*aggs)
+        .selectExpr(
+            "vec_id",
+            "array(" + ", ".join(f"m{m}.code" for m in range(PQ_M)) + ") AS codes",
+        )
+    )
+
+
+def pq_encode_oracle_sql(table: str) -> str:
+    d = DIALECT_DUCKDB
+    cb = _PQ_CB_SQL.format(table=table)
+    mins = ", ".join(
+        f"min({{'d2': {_pq_sub_d2_sql('t.embedding', 'c.cvec', m, d)}, 'code': c.code}}) AS m{m}"
+        for m in range(PQ_M)
+    )
+    codes = ", ".join(f"(m{m}).code" for m in range(PQ_M))
+    return (
+        f"WITH cb AS ({cb}), "
+        f"a AS (SELECT t.vec_id, {mins} FROM {table} t CROSS JOIN cb c GROUP BY t.vec_id) "
+        f"SELECT vec_id, [{codes}] AS codes FROM a"
+    )
+
+
+def pq_topk(df: DataFrame, query_ids: tuple[int, ...], k: int = 10) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus: each
+    query's exact subvectors score against the codebook once (a
+    |queries| x K x M lookup table), and every corpus vector's distance
+    is the sum of M table lookups on its stored codes — the scan reads
+    8 bytes per vector, never the embedding.
+
+    Output: (query_id, vec_id, adc_millionths, rank), rank 1..k by
+    ascending approximate distance (ties -> smaller vec_id), self
+    excluded.  Distances are exact int64 millionths, so sums are
+    order-independent and both engines agree bit-for-bit.
+
+    Scale shape: encode as :func:`pq_encode`; the LUT is Q*K*M tiny
+    rows BROADCAST to the corpus; the corpus side explodes its code
+    array to M rows, joins the LUT hash-side, and aggregates (query,
+    vec) partial sums map-side.  One corpus-sized exchange of (ids +
+    int) rows; the per-query rank window partitions on query_id.
+    """
+    ids = ", ".join(map(str, query_ids))
+    cb = _pq_codebook(df)
+    q = df.filter(f"vec_id IN ({ids})").selectExpr(
+        "vec_id AS query_id", "embedding AS q_emb"
+    )
+    d2s = [
+        f"{_pq_sub_d2_sql('q_emb', 'cvec', m, DIALECT_SPARK)} AS d{m}"
+        for m in range(PQ_M)
+    ]
+    lut = (
+        q.crossJoin(F.broadcast(cb))
+        .selectExpr("query_id", "code", *d2s)
+        .selectExpr(
+            "query_id",
+            "code",
+            "posexplode(array(" + ", ".join(f"d{m}" for m in range(PQ_M)) + ")) AS (m, d2)",
+        )
+    )
+    corp = pq_encode(df).selectExpr("vec_id", "posexplode(codes) AS (m, code)")
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_millionths"), F.asc("vec_id"))
+    return (
+        corp.join(F.broadcast(lut), ["m", "code"])
+        .filter("vec_id <> query_id")
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_millionths"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(f"rank <= {k}")
+    )
+
+
+def pq_topk_oracle_sql(table: str, query_ids: tuple[int, ...], k: int = 10) -> str:
+    d = DIALECT_DUCKDB
+    ids = ", ".join(map(str, query_ids))
+    cb = _PQ_CB_SQL.format(table=table)
+    d2s = ", ".join(
+        f"{_pq_sub_d2_sql('q.embedding', 'c.cvec', m, d)} AS d{m}"
+        for m in range(PQ_M)
+    )
+    darr = ", ".join(f"d{m}" for m in range(PQ_M))
+    return (
+        f"WITH cb AS ({cb}), "
+        f"enc AS ({pq_encode_oracle_sql(table)}), "
+        f"qd AS (SELECT q.vec_id AS query_id, c.code, {d2s} "
+        f"FROM {table} q CROSS JOIN cb c WHERE q.vec_id IN ({ids})), "
+        "lut AS (SELECT query_id, code, m - 1 AS m, d2 FROM ("
+        f"SELECT query_id, code, unnest([{darr}]) AS d2, "
+        "generate_subscripts([" + darr + "], 1) AS m FROM qd) u), "
+        "corp AS (SELECT vec_id, m - 1 AS m, code FROM ("
+        "SELECT vec_id, unnest(codes) AS code, "
+        "generate_subscripts(codes, 1) AS m FROM enc) e), "
+        "scored AS (SELECT query_id, vec_id, CAST(sum(d2) AS BIGINT) AS adc_millionths "
+        "FROM corp JOIN lut USING (m, code) WHERE vec_id <> query_id "
+        "GROUP BY query_id, vec_id) "
+        "SELECT query_id, vec_id, adc_millionths, CAST(rank AS INT) AS rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adc_millionths ASC, vec_id ASC) AS rank FROM scored) r "
+        f"WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rademacher random projection (Johnson-Lindenstrauss dim reduction)
 # ---------------------------------------------------------------------------
 

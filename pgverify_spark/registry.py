@@ -1660,6 +1660,18 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", multimodal.audio_fingerprint),
             multimodal.audio_fingerprint_oracle_sql("documents"),
         ),
+        # product quantization: 8-byte codes (32x compression) + ADC
+        # top-k that scans codes, never embeddings
+        "pq_encode_embeddings": (
+            _table_query("embeddings", similarity.pq_encode),
+            similarity.pq_encode_oracle_sql("embeddings"),
+        ),
+        "pq_topk_embeddings": (
+            _table_query(
+                "embeddings", lambda df: similarity.pq_topk(df, (0, 1, 2, 3, 4), 10)
+            ),
+            similarity.pq_topk_oracle_sql("embeddings", (0, 1, 2, 3, 4), 10),
+        ),
     }
 
 

@@ -302,6 +302,64 @@ def test_multimodal_image_ahash_and_dup_groups(spark, docs, duck):
         assert g2 == []
 
 
+def test_pq_encode_and_adc_topk(spark, embs, duck):
+    """PQ codes match the oracle exactly; ADC top-k is oracle-exact,
+    ranked ascending with deterministic ties; and the approximation is
+    real: ADC's nearest neighbors overlap the exact-L2 nearest
+    neighbors for most queries."""
+    from pgverify_spark.operators import similarity
+
+    codes = _cmp(
+        similarity.pq_encode(embs), duck, similarity.pq_encode_oracle_sql("embeddings")
+    )
+    assert len(codes) == embs.count()
+    assert all(
+        len(r[1]) == similarity.PQ_M and all(0 <= c < similarity.PQ_K for c in r[1])
+        for r in codes
+    )
+    # a codebook vector encodes (in each subspace) to itself: d2 = 0
+    cb_codes = {r[0]: r[1] for r in codes if r[0] < similarity.PQ_K}
+    for vid, cs in cb_codes.items():
+        assert all(c == vid for c in cs), f"codebook vec {vid} -> {cs}"
+
+    qids = (0, 1, 2, 3, 4)
+    rows = _cmp(
+        similarity.pq_topk(embs, qids, 10),
+        duck,
+        similarity.pq_topk_oracle_sql("embeddings", qids, 10),
+    )
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r[0], []).append(r)
+    assert set(by_q) == set(qids)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r[3])
+        assert [r[3] for r in rs] == list(range(1, 11))
+        dists = [r[2] for r in rs]
+        assert dists == sorted(dists)
+        assert all(r[1] != q for r in rs)  # self excluded
+
+    # approximation quality: per query, ADC@10 hits the exact-L2 top-10
+    # more than chance (64-dim corpus of 500: chance overlap ~0.2 ids)
+    import math
+
+    emb_map = {r["vec_id"]: r["embedding"] for r in embs.collect()}
+
+    def exact_top10(qid):
+        qv = emb_map[qid]
+        d = [
+            (sum((a - b) ** 2 for a, b in zip(qv, v)), vid)
+            for vid, v in emb_map.items()
+            if vid != qid
+        ]
+        return {vid for _, vid in sorted(d)[:10]}
+
+    overlaps = [
+        len({r[1] for r in by_q[q]} & exact_top10(q)) for q in qids
+    ]
+    assert sum(overlaps) >= 10, f"ADC recall implausibly low: {overlaps}"
+
+
 def test_multimodal_audio_fingerprint(spark, docs, duck):
     """Energy-profile fingerprint matches the PCM-formula oracle
     bit-for-bit; identical payloads fingerprint identically."""
