@@ -727,6 +727,109 @@ def pq_topk_oracle_sql(table: str, query_ids: tuple[int, ...], k: int = 10) -> s
     )
 
 
+def ivfpq_topk(
+    df: DataFrame, query_ids: tuple[int, ...], k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """IVF-PQ: the classic two-stage ANN architecture (Jegou et al.
+    2011, the FAISS default) composed from this engine's two halves —
+    the IVF coarse quantizer prunes the corpus to each query's
+    ``nprobe`` nearest cells, then PQ asymmetric distance ranks the
+    surviving candidates reading ONLY their 8-byte codes.
+
+    Output: (query_id, vec_id, adc_millionths, rank) — identical
+    semantics to :func:`pq_topk` restricted to the probed cells.
+
+    Scale shape: the stored index is (cluster, vec_id, codes) — built
+    once (one codebook broadcast + one vec_id-keyed aggregate).  Per
+    query batch: the probed-cells relation and the Q x K x M distance
+    LUT both broadcast; the corpus-side work is an equi-join on the
+    cell id over code rows (nprobe/C of the corpus) and a map-side-
+    combinable partial sum.  Embeddings are read only at index build
+    and for the query vectors; the probe itself never touches a float
+    vector — the property that makes IVF-PQ the 100 TB default.
+    """
+    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
+    ids = ", ".join(map(str, query_ids))
+    # stored index: cluster + codes per vector (build-time cost)
+    cells = df.selectExpr(
+        "vec_id", f"element_at({ranked}, 1) AS cluster"
+    ).join(pq_encode(df), "vec_id")
+    corp = cells.selectExpr(
+        "vec_id", "cluster", "posexplode(codes) AS (m, code)"
+    )
+    qcells = df.filter(f"vec_id IN ({ids})").selectExpr(
+        "vec_id AS query_id",
+        f"explode(slice({ranked}, 1, {nprobe})) AS cluster",
+    )
+    cb = _pq_codebook(df)
+    d2s = [
+        f"{_pq_sub_d2_sql('q_emb', 'cvec', m, DIALECT_SPARK)} AS d{m}"
+        for m in range(PQ_M)
+    ]
+    lut = (
+        df.filter(f"vec_id IN ({ids})")
+        .selectExpr("vec_id AS query_id", "embedding AS q_emb")
+        .crossJoin(F.broadcast(cb))
+        .selectExpr("query_id", "code", *d2s)
+        .selectExpr(
+            "query_id",
+            "code",
+            "posexplode(array(" + ", ".join(f"d{m}" for m in range(PQ_M)) + ")) AS (m, d2)",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_millionths"), F.asc("vec_id"))
+    return (
+        corp.join(F.broadcast(qcells), "cluster")
+        .filter("vec_id <> query_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_millionths"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(f"rank <= {k}")
+    )
+
+
+def ivfpq_topk_oracle_sql(
+    table: str, query_ids: tuple[int, ...], k: int = 10, nprobe: int = 2
+) -> str:
+    d = DIALECT_DUCKDB
+    ids = ", ".join(map(str, query_ids))
+    ranked = _centroid_rank_sql("embedding", d)
+    cb = _PQ_CB_SQL.format(table=table)
+    d2s = ", ".join(
+        f"{_pq_sub_d2_sql('q.embedding', 'c.cvec', m, d)} AS d{m}"
+        for m in range(PQ_M)
+    )
+    darr = ", ".join(f"d{m}" for m in range(PQ_M))
+    return (
+        f"WITH cb AS ({cb}), "
+        f"enc AS ({pq_encode_oracle_sql(table)}), "
+        f"cl AS (SELECT vec_id, ({ranked})[1] AS cluster FROM {table}), "
+        "corp AS (SELECT cl.vec_id, cl.cluster, m - 1 AS m, code FROM cl JOIN ("
+        "SELECT vec_id, unnest(codes) AS code, generate_subscripts(codes, 1) AS m "
+        "FROM enc) e ON cl.vec_id = e.vec_id), "
+        f"qc AS (SELECT vec_id AS query_id, "
+        f"unnest(list_slice({ranked}, 1, {nprobe})) AS cluster "
+        f"FROM {table} WHERE vec_id IN ({ids})), "
+        f"qd AS (SELECT q.vec_id AS query_id, c.code, {d2s} "
+        f"FROM {table} q CROSS JOIN cb c WHERE q.vec_id IN ({ids})), "
+        "lut AS (SELECT query_id, code, m - 1 AS m, d2 FROM ("
+        f"SELECT query_id, code, unnest([{darr}]) AS d2, "
+        f"generate_subscripts([{darr}], 1) AS m FROM qd) u), "
+        "scored AS (SELECT corp.vec_id, lut.query_id, "
+        "CAST(sum(d2) AS BIGINT) AS adc_millionths "
+        "FROM corp JOIN qc ON corp.cluster = qc.cluster "
+        "AND corp.vec_id <> qc.query_id "
+        "JOIN lut ON lut.query_id = qc.query_id AND lut.m = corp.m "
+        "AND lut.code = corp.code "
+        "GROUP BY corp.vec_id, lut.query_id) "
+        "SELECT query_id, vec_id, adc_millionths, CAST(rank AS INT) AS rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adc_millionths ASC, vec_id ASC) AS rank FROM scored) r "
+        f"WHERE rank <= {k}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rademacher random projection (Johnson-Lindenstrauss dim reduction)
 # ---------------------------------------------------------------------------

@@ -1672,6 +1672,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             similarity.pq_topk_oracle_sql("embeddings", (0, 1, 2, 3, 4), 10),
         ),
+        # the composed two-stage ANN: IVF cell pruning + PQ ADC ranking
+        "ivfpq_topk_embeddings": (
+            _table_query(
+                "embeddings",
+                lambda df: similarity.ivfpq_topk(df, (0, 1, 2, 3, 4), 10, 2),
+            ),
+            similarity.ivfpq_topk_oracle_sql("embeddings", (0, 1, 2, 3, 4), 10, 2),
+        ),
     }
 
 

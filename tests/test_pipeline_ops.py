@@ -360,6 +360,37 @@ def test_pq_encode_and_adc_topk(spark, embs, duck):
     assert sum(overlaps) >= 10, f"ADC recall implausibly low: {overlaps}"
 
 
+def test_ivfpq_topk(spark, embs, duck):
+    """IVF-PQ == oracle; every hit lies in one of its query's nprobe
+    probed cells; and on the probed candidate set the ADC distances
+    agree exactly with pq_topk's (the composition changes candidate
+    generation, never the metric)."""
+    from pgverify_spark.operators import similarity
+
+    qids = (0, 1, 2, 3, 4)
+    rows = _cmp(
+        similarity.ivfpq_topk(embs, qids, 10, 2),
+        duck,
+        similarity.ivfpq_topk_oracle_sql("embeddings", qids, 10, 2),
+    )
+    assert rows
+    # probed-cell containment
+    ranked = similarity._centroid_rank_sql("embedding", similarity.DIALECT_SPARK)
+    cells = {
+        r["vec_id"]: r["ranked"]
+        for r in embs.selectExpr("vec_id", f"{ranked} AS ranked").collect()
+    }
+    for q, vid, _adc, _rank in rows:
+        assert cells[vid][0] in cells[q][:2], f"{vid} outside {q}'s probed cells"
+    # metric agreement with the unpruned PQ ranker
+    full = {
+        (r["query_id"], r["vec_id"]): r["adc_millionths"]
+        for r in similarity.pq_topk(embs, qids, 500).collect()
+    }
+    for q, vid, adc, _rank in rows:
+        assert full[(q, vid)] == adc
+
+
 def test_multimodal_audio_fingerprint(spark, docs, duck):
     """Energy-profile fingerprint matches the PCM-formula oracle
     bit-for-bit; identical payloads fingerprint identically."""
