@@ -1123,3 +1123,112 @@ def normalize_unicode_light(df: DataFrame) -> DataFrame:
 def normalize_unicode_light_oracle_sql(table: str) -> str:
     n_folded, out = _normalize_exprs(DIALECT_DUCKDB)
     return f"SELECT doc_id, {n_folded} AS n_folded, {out} AS norm_text FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-call pre-training corpus summary
+# ---------------------------------------------------------------------------
+
+def dataset_card(df: DataFrame) -> DataFrame:
+    """The summary a pipeline team reads before committing a corpus to
+    training, as ONE call composing the engine's own gates: volume,
+    language diversity and concentration, Gopher quality pass rate,
+    PII incidence, and exact-duplication excess.
+
+    Output: (metric, value) — nine rows, every value an exact BIGINT
+    (counts, or integer parts-per-million for rates: ``x * 1e6 DIV n``
+    — truncating integer division, so both engines agree bit-for-bit
+    with no float anywhere):
+
+    - ``n_docs``, ``total_chars``, ``mean_chars_millionths``
+    - ``distinct_langs``, ``top_lang_share_ppm``
+    - ``gopher_pass_ppm`` (share passing :func:`gopher_gate`)
+    - ``pii_docs_ppm`` (share with >= 1 URL/email/phone/IPv4 match)
+    - ``exact_dup_excess`` (docs removable by exact dedup:
+      n_docs - distinct normalized-content hashes)
+    - ``distinct_sources``
+
+    Scale shape: three corpus scans (base stats + PII regex fused into
+    one projection->aggregate; the gopher gate's own fused pass; the
+    per-lang concentration aggregate), each map-side combined; every
+    post-aggregate relation is <= |langs| rows.  No joins touch the
+    corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from pgverify_spark.functions.text_exprs import _rx, norm_sql
+
+    d = DIALECT_SPARK
+    pii_any = " + ".join(
+        f"size(regexp_extract_all(text, {_rx(p, d)}, 0))" for _, p in PII_PATTERNS
+    )
+    base = df.selectExpr(
+        "n_chars",
+        "lang",
+        "source",
+        f"md5({norm_sql('text', d)}) AS content_md5",
+        f"CAST(({pii_any}) > 0 AS INT) AS has_pii",
+    ).agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(n_chars) AS BIGINT) AS total_chars"),
+        F.expr("CAST(count(DISTINCT lang) AS BIGINT) AS distinct_langs"),
+        F.expr("CAST(count(DISTINCT source) AS BIGINT) AS distinct_sources"),
+        F.expr("CAST(count(DISTINCT content_md5) AS BIGINT) AS distinct_content"),
+        F.expr("CAST(sum(has_pii) AS BIGINT) AS pii_docs"),
+    )
+    gate = gopher_gate(df).agg(
+        F.expr("CAST(sum(CAST(keep AS INT)) AS BIGINT) AS n_pass")
+    )
+    top_lang = (
+        df.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.expr("CAST(max(n) AS BIGINT) AS top_lang_docs"))
+    )
+    # three 1-row frames -> one 1-row frame (1x1 joins) -> unpivot
+    row = base.crossJoin(gate).crossJoin(top_lang)
+    return row.selectExpr(
+        "stack(9, "
+        "'n_docs', n_docs, "
+        "'total_chars', total_chars, "
+        "'mean_chars_millionths', (total_chars * 1000000) DIV n_docs, "
+        "'distinct_langs', distinct_langs, "
+        "'distinct_sources', distinct_sources, "
+        "'top_lang_share_ppm', (top_lang_docs * 1000000) DIV n_docs, "
+        "'gopher_pass_ppm', (n_pass * 1000000) DIV n_docs, "
+        "'pii_docs_ppm', (pii_docs * 1000000) DIV n_docs, "
+        "'exact_dup_excess', n_docs - distinct_content"
+        ") AS (metric, value)"
+    )
+
+
+def dataset_card_oracle_sql(table: str) -> str:
+    from pgverify_spark.functions.text_exprs import _rx, norm_sql
+
+    d = DIALECT_DUCKDB
+    pii_any = " + ".join(
+        f"len(regexp_extract_all(text, {_rx(p, d)}))" for _, p in PII_PATTERNS
+    )
+    gate = gopher_gate_oracle_sql(table)
+    return (
+        "WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS distinct_langs, "
+        "CAST(count(DISTINCT source) AS BIGINT) AS distinct_sources, "
+        f"CAST(count(DISTINCT md5({norm_sql('text', d)})) AS BIGINT) AS distinct_content, "
+        f"CAST(sum(CASE WHEN ({pii_any}) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs "
+        f"FROM {table}), "
+        f"gate AS (SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass "
+        f"FROM ({gate}) g), "
+        f"tl AS (SELECT CAST(max(n) AS BIGINT) AS top_lang_docs FROM "
+        f"(SELECT count(*) AS n FROM {table} GROUP BY lang) c), "
+        "row AS (SELECT * FROM base CROSS JOIN gate CROSS JOIN tl) "
+        "SELECT 'n_docs' AS metric, n_docs AS value FROM row "
+        "UNION ALL SELECT 'total_chars', total_chars FROM row "
+        "UNION ALL SELECT 'mean_chars_millionths', (total_chars * 1000000) // n_docs FROM row "
+        "UNION ALL SELECT 'distinct_langs', distinct_langs FROM row "
+        "UNION ALL SELECT 'distinct_sources', distinct_sources FROM row "
+        "UNION ALL SELECT 'top_lang_share_ppm', (top_lang_docs * 1000000) // n_docs FROM row "
+        "UNION ALL SELECT 'gopher_pass_ppm', (n_pass * 1000000) // n_docs FROM row "
+        "UNION ALL SELECT 'pii_docs_ppm', (pii_docs * 1000000) // n_docs FROM row "
+        "UNION ALL SELECT 'exact_dup_excess', n_docs - distinct_content FROM row"
+    )

@@ -1626,6 +1626,11 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", analytics.corpus_mix_rollup),
             analytics.corpus_mix_rollup_oracle_sql("documents"),
         ),
+        # one-call pre-training corpus summary (all-BIGINT metrics)
+        "dataset_card_documents": (
+            _table_query("documents", text.dataset_card),
+            text.dataset_card_oracle_sql("documents"),
+        ),
         # full BPE merge-table learning (iterative argmax: no
         # single-statement SQL twin exists — rows-only driver check;
         # merge sequence proven vs a pure-Python reference BPE in

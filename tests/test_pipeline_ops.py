@@ -236,6 +236,27 @@ def test_hyperplane_buckets(embs, duck):
     assert all(0 <= r[1] < (1 << similarity.HYPERPLANE_BITS) for r in rows)
 
 
+def test_dataset_card(docs, duck):
+    """The composed corpus card equals the oracle, and its metrics
+    reconcile with the standalone operators they compose."""
+    from pgverify_spark.operators import dedup
+
+    rows = dict(_cmp(text.dataset_card(docs), duck, text.dataset_card_oracle_sql("documents")))
+    n = docs.count()
+    assert rows["n_docs"] == n
+    assert rows["total_chars"] == sum(r["n_chars"] for r in docs.select("n_chars").collect())
+    assert rows["mean_chars_millionths"] == rows["total_chars"] * 1_000_000 // n
+    # exact_dup_excess reconciles with exact_dup_groups: excess = sum
+    # over groups of (size - 1)
+    groups = dedup.exact_dup_groups(docs).collect()
+    assert rows["exact_dup_excess"] == sum(g["n_docs"] - 1 for g in groups)
+    # gopher pass rate reconciles with the gate itself
+    n_pass = text.gopher_gate(docs).filter("keep").count()
+    assert rows["gopher_pass_ppm"] == n_pass * 1_000_000 // n
+    assert 0 < rows["gopher_pass_ppm"] <= 1_000_000
+    assert rows["distinct_langs"] >= 1 and rows["top_lang_share_ppm"] <= 1_000_000
+
+
 def test_multimodal_features(docs, duck):
     rows = _cmp(
         multimodal.extract_features(docs),
