@@ -514,6 +514,46 @@ def special_revenue_oracle_sql(lineitem: str, part: str) -> str:
     )
 
 
+Q13_EXCLUDE = "1-URGENT"
+
+
+def customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count, INCLUDING
+    zero-order customers — the **left outer join** anchor (no other
+    anchor plans one at fact scale): customers LEFT JOIN a filtered
+    orders relation, count per customer (NULL-aware), then histogram
+    the counts.  (c_count, custdist).
+
+    The classic double-aggregation: the first groupBy reduces the
+    joined relation to |customers| rows, the second to |distinct order
+    counts| — both map-side combined.  The priority exclusion stands in
+    for the spec's comment-pattern filter (the testdata has no
+    o_comment)."""
+    o = orders.filter(f"o_orderpriority <> '{Q13_EXCLUDE}'").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, customer.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips NULLs
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def customer_distribution_oracle_sql(customer: str, orders: str) -> str:
+    return (
+        "SELECT c_count, count(*) AS custdist FROM ("
+        "SELECT c_custkey, count(o_orderkey) AS c_count "
+        f"FROM {customer} LEFT OUTER JOIN {orders} "
+        "ON c_custkey = o_custkey "
+        f"AND o_orderpriority <> '{Q13_EXCLUDE}' "
+        "GROUP BY c_custkey) c_orders GROUP BY c_count"
+    )
+
+
 def corpus_mix_rollup(docs: DataFrame) -> DataFrame:
     """Corpus composition with ROLLUP subtotals: per (lang, source),
     per lang, and grand total in ONE aggregation pass — the

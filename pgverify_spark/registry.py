@@ -1621,6 +1621,10 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _two_table_query("lineitem", "part", analytics.special_revenue),
             analytics.special_revenue_oracle_sql("lineitem", "part"),
         ),
+        "tpch_q13_customer_distribution": (
+            _two_table_query("customer", "orders", analytics.customer_distribution),
+            analytics.customer_distribution_oracle_sql("customer", "orders"),
+        ),
         # grouping-sets anchor: ROLLUP subtotals in one Expand+agg pass
         "corpus_mix_rollup_documents": (
             _table_query("documents", analytics.corpus_mix_rollup),

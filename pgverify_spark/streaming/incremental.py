@@ -337,7 +337,11 @@ def streaming_ivf_ingest_probe(
     return sdf.writeStream.foreachBatch(probe).outputMode("append")
 
 
-def streaming_session_rollup(sdf: DataFrame, gap_us: int = 30 * 60 * 1_000_000) -> DataFrame:
+def streaming_session_rollup(
+    sdf: DataFrame,
+    gap_us: int = 30 * 60 * 1_000_000,
+    watermark: str = "1 second",
+) -> DataFrame:
     """Streaming gap-based sessionization: Spark's native
     ``session_window`` merges events into per-user sessions whose gap
     exceeds ``gap_us`` — the streaming twin of the batch
@@ -351,14 +355,18 @@ def streaming_session_rollup(sdf: DataFrame, gap_us: int = 30 * 60 * 1_000_000) 
 
     State: one open session per active user, merged and emitted by the
     state store as the watermark passes; scales with concurrent active
-    users, not stream length.
+    users, not stream length.  ``watermark`` sets the late-data bound:
+    rows later than it are dropped, rows within it merge into (or
+    re-split) their open session before it finalizes — equality with
+    batch replay under bounded out-of-order delivery is asserted in
+    tests/test_streaming.py's late-data test.
     """
     from pgverify_spark.functions.timecol import epoch_us_sql
 
     with_ts = sdf.withColumn("ets", F.timestamp_micros(F.expr(epoch_us_sql(sdf))))
     gap_expr = f"INTERVAL {gap_us} MICROSECOND"
     return (
-        with_ts.withWatermark("ets", "1 second")
+        with_ts.withWatermark("ets", watermark)
         .groupBy(F.session_window("ets", gap_expr), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -1594,6 +1594,32 @@ def test_tpch_plan_shape_anchors(spark, sf_dir, duck):
     assert rows19[0][0] is not None  # the OR arms select real revenue
 
 
+def test_tpch_q13_customer_distribution(spark, sf_dir, duck):
+    """Q13: oracle-exact; zero-order customers are present (the LEFT
+    OUTER semantics the anchor exists for); distribution covers every
+    customer exactly once."""
+    from pgverify_spark.operators import analytics
+
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = _cmp(
+        analytics.customer_distribution(cu, od),
+        duck,
+        analytics.customer_distribution_oracle_sql("customer", "orders"),
+    )
+    dist = dict(rows)
+    assert sum(dist.values()) == cu.count()  # partition of all customers
+    # the URGENT-only exclusion guarantees some zero-count customers at
+    # sf0.001 (150 customers, ~273/5 urgent-only orders spread thin)
+    plan = (
+        analytics.customer_distribution(cu, od)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftOuter" in plan
+
+
 def test_corpus_mix_rollup(docs, duck):
     """ROLLUP subtotals reconcile level-by-level: leaf rows sum to the
     per-lang subtotals, which sum to the grand total; one Expand+agg."""

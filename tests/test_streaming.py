@@ -354,6 +354,81 @@ def test_streaming_windowed_counts_late_data_within_watermark(
     assert streamed == batch, "late-within-watermark rows were lost"
 
 
+def test_streaming_session_rollup_late_data_within_watermark(
+    spark, sf_dir, tmp_path
+):
+    """session_window under OUT-OF-ORDER delivery: stragglers arrive a
+    day late under a 3-day watermark, and the append-mode finalized
+    sessions still equal batch sessionize over ALL events — late rows
+    merge into (or re-split) their session before the watermark
+    finalizes it.  The time-ordered replay test covers the no-late
+    case; this is the late-data half of the session contract."""
+    import glob
+    import shutil
+
+    from pgverify_spark.functions.timecol import US_PER_DAY, bucket_sql
+    from pgverify_spark.operators.rollup import sessionize
+    from pgverify_spark.streaming.incremental import streaming_session_rollup
+
+    df = ParquetTarget("t", sf_dir).read(spark, "events")
+    day = bucket_sql(df, US_PER_DAY)
+    (
+        df.withColumn(
+            "dchunk",
+            (F.expr(day) + F.expr("CAST(event_id % 5 = 0 AS INT)")).cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("dchunk")
+        .parquet(str(tmp_path / "days"))
+    )
+    stream_in = tmp_path / "in"
+    stream_in.mkdir()
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_in))
+    )
+    # 3-day watermark: the 1-day-late stragglers are always inside it
+    rollup_df = streaming_session_rollup(sdf, watermark="3 days")
+    q = (
+        rollup_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_late")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .start()
+    )
+    try:
+        for i, dd in enumerate(sorted(glob.glob(str(tmp_path / "days" / "dchunk=*")))):
+            for j, f in enumerate(sorted(glob.glob(f"{dd}/*.parquet"))):
+                shutil.copy(f, str(stream_in / f"d{i:03d}_{j}.parquet"))
+            q.processAllAvailable()
+        ts_type = dict(df.dtypes)["ts"]
+        for k, when in enumerate(("2031-01-01 00:00:00", "2031-01-02 00:00:00")):
+            flush = df.limit(1).withColumn("ts", F.lit(when).cast(ts_type))
+            fdir = str(tmp_path / f"flush{k}")
+            flush.coalesce(1).write.mode("overwrite").parquet(fdir)
+            for f in glob.glob(f"{fdir}/*.parquet"):
+                shutil.copy(f, str(stream_in / f"zz_flush{k}.parquet"))
+            q.processAllAvailable()
+        emitted = spark.table("sess_late").collect()
+    finally:
+        q.stop()
+    flush_users = {r[0] for r in df.limit(1).select("user_id").collect()}
+    streamed = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
+        for r in emitted
+        # drop the flush sentinels: real events end in 2001; the
+        # sentinels live in 2031 (epoch us > year-2030 cutoff)
+        if r.start_us < 1_900_000_000_000_000
+    }
+    batch = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
+        for r in sessionize(df).collect()
+    }
+    assert streamed == batch, "late-within-watermark session rows lost or split"
+    assert flush_users  # fixture sanity
+
+
 def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
     """KMV state merge is order-insensitive (set-union + truncate), so an
     arbitrary (not time-ordered) chunking converges to the batch sketch."""
