@@ -240,16 +240,40 @@ FEATURE_SCHEMA = (
 )
 
 
-def extract_features(df: DataFrame) -> DataFrame:
-    """Binary payload -> typed metadata, via real container decode in
-    Arrow-batched ``mapInPandas`` (synthesis and decode fuse into one
-    scan stage; payload bytes never shuffle)."""
+#: ``features_from_payloads`` error policies: a corrupt container
+#: either fails the job ("fail", the default — a verification engine
+#: should not silently eat bad bytes), is dropped ("skip"), or is kept
+#: as an auditable row with media_type 'invalid' and NULL metadata
+#: ("mark" — the curation-pipeline default, so bad-blob *rates* are
+#: measurable downstream).
+DECODE_POLICIES = ("fail", "skip", "mark")
+
+
+def features_from_payloads(
+    payloads: DataFrame, on_error: str = "fail"
+) -> DataFrame:
+    """(doc_id, payload) -> typed metadata via real container decode —
+    the production entry point (payloads come off object storage);
+    :func:`extract_features` is this over the deterministic synthetic
+    column.  ``on_error`` sets the corrupt-container policy (see
+    ``DECODE_POLICIES``); decode stays Arrow-batched ``mapInPandas``
+    with payload bytes never shuffling whatever the policy."""
+    if on_error not in DECODE_POLICIES:
+        raise ValueError(f"on_error must be one of {DECODE_POLICIES}, got {on_error!r}")
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
-                m = decode_media(bytes(p))
+                try:
+                    m = decode_media(bytes(p))
+                except ValueError:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    rows.append((did, "invalid", len(p), None, None, None, None, None))
+                    continue
                 rows.append(
                     (did, m["media_type"], len(p), m["width"], m["height"],
                      m["sample_rate"], m["n_samples"], m["duration_us"])
@@ -261,7 +285,14 @@ def extract_features(df: DataFrame) -> DataFrame:
             ).astype({"width": "Int32", "height": "Int32", "sample_rate": "Int32",
                       "n_samples": "Int32", "duration_us": "Int64"})
 
-    return synthesize_media(df).mapInPandas(batch, FEATURE_SCHEMA)
+    return payloads.mapInPandas(batch, FEATURE_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Binary payload -> typed metadata, via real container decode in
+    Arrow-batched ``mapInPandas`` (synthesis and decode fuse into one
+    scan stage; payload bytes never shuffle)."""
+    return features_from_payloads(synthesize_media(df))
 
 
 def _oracle_params(table: str) -> str:

@@ -2430,6 +2430,19 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: at-risk family") — included in case the window is >50.  Everything
 #: not listed keeps registration order after the priority block;
 #: nothing is ever dropped, only reordered.
+#:
+#: ROUND-5 ROTATION NOTE: if CORRECTNESS_r04 certifies this window,
+#: the remaining backlog is the post-window tail (tpch_q18,
+#: multimodal_resize, multimodal_frame_sample, additive_fingerprint —
+#: positions 51-54) plus every round-4 addition, none of which has a
+#: driver row yet: sessionize_scalable_events, debounce_scalable_events,
+#: tpch_q4/q6/q10/q13/q14/q16/q19, corpus_mix_rollup_documents,
+#: dataset_card_documents, multimodal_image_ahash_documents,
+#: multimodal_image_dup_groups_documents,
+#: multimodal_audio_fingerprint_documents, pq_encode_embeddings,
+#: pq_topk_embeddings, ivfpq_topk_embeddings (~20 rows).  Round 5
+#: should front-load those plus any r04 reds, then a thin smoke core —
+#: all are green in the repo's own sf0.01 sweep (see round-4 commits).
 _DRIVER_PRIORITY = (
     # r03 hash-fails, fixed by terminal DOUBLE casts — re-certify first
     "hourly_rollup_events",
@@ -2639,7 +2652,12 @@ HEADLINE_QUERIES = (
     "tpch_q4_order_priority",
     "tpch_q10_returned_items",
     "tpch_q14_promo_revenue",
+    "tpch_q13_customer_distribution",
     "sessionize_scalable_events",
+    "pq_topk_embeddings",
+    "ivfpq_topk_embeddings",
+    "dataset_card_documents",
+    "multimodal_image_ahash_documents",
 )
 
 

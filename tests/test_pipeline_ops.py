@@ -459,6 +459,36 @@ def test_multimodal_decode_roundtrip():
     assert np.array_equal(wav["samples"], multimodal._pcm(17, 300))
 
 
+def test_multimodal_decode_error_policies(spark, docs):
+    """features_from_payloads on a corpus with corrupt blobs: 'fail'
+    raises, 'skip' drops the bad rows, 'mark' keeps them as auditable
+    'invalid' rows with NULL metadata — counts reconcile exactly."""
+    import pytest as _pytest
+
+    good = multimodal.synthesize_media(docs.limit(20))
+    bad = spark.createDataFrame(
+        [(900001, bytearray(b"NOTAMEDIAFILE")), (900002, bytearray(b"BM\x01"))],
+        "doc_id bigint, payload binary",
+    )
+    mixed = good.unionByName(bad)
+
+    with _pytest.raises(Exception):
+        multimodal.features_from_payloads(mixed, on_error="fail").collect()
+
+    skipped = multimodal.features_from_payloads(mixed, on_error="skip").collect()
+    assert len(skipped) == 20 and all(r["media_type"] != "invalid" for r in skipped)
+
+    marked = multimodal.features_from_payloads(mixed, on_error="mark").collect()
+    assert len(marked) == 22
+    inv = [r for r in marked if r["media_type"] == "invalid"]
+    assert {r["doc_id"] for r in inv} == {900001, 900002}
+    assert all(r["width"] is None and r["n_samples"] is None for r in inv)
+    assert all(r["n_bytes"] > 0 for r in inv)  # size still measured
+
+    with _pytest.raises(ValueError):
+        multimodal.features_from_payloads(mixed, on_error="explode")
+
+
 def test_multimodal_decode_rejects_malformed():
     with pytest.raises(ValueError):
         multimodal.decode_media(b"\x89PNG\r\n\x1a\n")  # no codec for PNG
