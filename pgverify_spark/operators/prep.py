@@ -236,3 +236,72 @@ def hash_split_oracle_sql(
         f"SELECT {expr} AS split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens "
         f"FROM t GROUP BY {expr}"
     )
+
+
+def curriculum_pack(
+    df: DataFrame, budget_tokens: int = 512, max_bucket: int = 3
+) -> DataFrame:
+    """Quality-curriculum packing: documents bucketed by their Gopher
+    fail count (bucket 0 = passes every rule, ..., ``max_bucket`` =
+    that many or more failures), then concat-and-cut packed within
+    each bucket — so a curriculum schedule can feed the cleanest bins
+    first and the noisiest last, each bucket packed exactly like
+    :func:`pack_sequences`.
+
+    Output: (bucket, bin, n_docs, bin_tokens) — ``bin`` is where each
+    document's first token lands when its bucket's docs are laid
+    end-to-end in doc_id order and cut every ``budget_tokens``.
+
+    Scale shape: the gate is the fused single-pass projection it always
+    is; the join back to token counts is a doc_id equi-join (bucketable
+    at scale); the running total windows per bucket — a handful of
+    partitions, each internally ordered, same parallelism story as
+    per-source packing.  All integer arithmetic, oracle-exact.
+    """
+    from pyspark.sql.window import Window
+
+    from pgverify_spark.operators.text import gopher_gate
+
+    gate = gopher_gate(df).selectExpr(
+        "doc_id", f"CAST(least(n_fail, {max_bucket}) AS INT) AS bucket"
+    )
+    toks = df.selectExpr("doc_id", f"{_TOKENS} AS n_tokens")
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    binned = (
+        toks.join(gate, "doc_id")
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .selectExpr(
+            "bucket",
+            "n_tokens",
+            f"CAST((cum - n_tokens) DIV {budget_tokens} AS BIGINT) AS bin",
+        )
+    )
+    return binned.groupBy("bucket", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+def curriculum_pack_oracle_sql(
+    table: str, budget_tokens: int = 512, max_bucket: int = 3
+) -> str:
+    from pgverify_spark.operators.text import gopher_gate_oracle_sql
+
+    gate = gopher_gate_oracle_sql(table)
+    return (
+        f"WITH g AS (SELECT doc_id, CAST(least(n_fail, {max_bucket}) AS INT) AS bucket "
+        f"FROM ({gate}) gg), "
+        "t AS (SELECT doc_id, "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
+        f"FROM {table}), "
+        "j AS (SELECT g.bucket, t.doc_id, t.n_tokens FROM t JOIN g ON t.doc_id = g.doc_id), "
+        "c AS (SELECT bucket, n_tokens, "
+        "sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM j) "
+        f"SELECT bucket, CAST((cum - n_tokens) // {budget_tokens} AS BIGINT) AS bin, "
+        "count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens "
+        "FROM c GROUP BY bucket, CAST((cum - n_tokens) // "
+        f"{budget_tokens} AS BIGINT)"
+    )

@@ -1238,6 +1238,11 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", lambda df: prep.pack_sequences(df, 512)),
             prep.pack_sequences_oracle_sql("documents", 512),
         ),
+        # curriculum scheduling: pack within Gopher-fail-count buckets
+        "curriculum_pack_documents": (
+            _table_query("documents", lambda df: prep.curriculum_pack(df, 512)),
+            prep.curriculum_pack_oracle_sql("documents", 512),
+        ),
         "hash_split_documents": (
             _table_query("documents", prep.hash_split),
             prep.hash_split_oracle_sql("documents"),

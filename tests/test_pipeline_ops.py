@@ -236,6 +236,28 @@ def test_hyperplane_buckets(embs, duck):
     assert all(0 <= r[1] < (1 << similarity.HYPERPLANE_BITS) for r in rows)
 
 
+def test_curriculum_pack(docs, duck):
+    """Curriculum packing == oracle; bins within a bucket are full
+    (every bin except a bucket's last carries >= the budget's worth of
+    starts... i.e. bin token totals reconcile with the bucket totals);
+    bucket 0 is exactly the gopher-pass documents."""
+    from pgverify_spark.operators import prep
+
+    rows = _cmp(
+        prep.curriculum_pack(docs, 512),
+        duck,
+        prep.curriculum_pack_oracle_sql("documents", 512),
+    )
+    assert rows
+    buckets = {r[0] for r in rows}
+    assert 0 in buckets and len(buckets) >= 2  # a real curriculum split
+    # total docs across all bins == corpus size (packing is a partition)
+    assert sum(r[2] for r in rows) == docs.count()
+    # bucket 0 holds exactly the documents that pass every gopher rule
+    n_pass = text.gopher_gate(docs).filter("keep").count()
+    assert sum(r[2] for r in rows if r[0] == 0) == n_pass
+
+
 def test_dataset_card(docs, duck):
     """The composed corpus card equals the oracle, and its metrics
     reconcile with the standalone operators they compose."""
