@@ -917,6 +917,89 @@ def ivfpq_topk_oracle_sql(
     )
 
 
+def write_ivfpq_index(
+    corpus: DataFrame, name: str, path: str, n_buckets: int = IVF_CENTROIDS_N
+) -> None:
+    """Persist the IVF-PQ index: ``{name}_cells`` (cluster, vec_id,
+    codes) bucketed on the cell id — 9 small ints per vector, the
+    32x-compressed artifact a real deployment stores — plus
+    ``{name}_cb`` (the 16-row codebook probes rebuild their distance
+    tables from).  The corpus is encoded and shuffled ONCE here; every
+    later :func:`probe_ivfpq_index` bucket-prunes to its probed cells.
+    """
+    from pgverify_spark.sources.bucketed import write_bucketed
+
+    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
+    codebook = _collect_codebook(corpus)
+    codes = ", ".join(
+        f"CAST({_pq_code_fold_sql('embedding', '_cb', m)} AS INT)"
+        for m in range(PQ_M)
+    )
+    cells = (
+        corpus.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(_cb_frame(corpus, codebook)))
+        .selectExpr(
+            "vec_id",
+            f"element_at({ranked}, 1) AS cluster",
+            f"array({codes}) AS codes",
+        )
+    )
+    write_bucketed(cells, f"{name}_cells", "cluster", n_buckets, f"{path}/cells")
+    write_bucketed(_pq_codebook(corpus), f"{name}_cb", "code", 1, f"{path}/cb")
+
+
+def probe_ivfpq_index(
+    spark, queries: DataFrame, name: str, k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """:func:`ivfpq_topk` against a persisted :func:`write_ivfpq_index`
+    artifact — the production probe: the query batch's probed cells
+    become a literal IN predicate, so the stored cells table is
+    BUCKET-PRUNED (``SelectedBucketsCount`` < total, plan-asserted in
+    tests); probe I/O is ~nprobe/C of an index that is itself 32x
+    smaller than the embeddings.  No checkpoint needed — the codes are
+    stored data, so the explode re-reads 8 ints, not an expression.
+    Output matches :func:`ivfpq_topk` exactly (asserted in tests).
+    """
+    from pgverify_spark.sources.bucketed import read_bucketed
+
+    cells = read_bucketed(spark, f"{name}_cells")
+    cb = read_bucketed(spark, f"{name}_cb")
+    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
+    qcells = queries.selectExpr(
+        "vec_id AS query_id",
+        f"explode(slice({ranked}, 1, {nprobe})) AS cluster",
+    )
+    probed = sorted({r["cluster"] for r in qcells.select("cluster").distinct().collect()})
+    d2s = [
+        f"{_pq_sub_d2_sql('q_emb', 'cvec', m, DIALECT_SPARK)} AS d{m}"
+        for m in range(PQ_M)
+    ]
+    lut = (
+        queries.selectExpr("vec_id AS query_id", "embedding AS q_emb")
+        .crossJoin(F.broadcast(cb))
+        .selectExpr("query_id", "code", *d2s)
+        .selectExpr(
+            "query_id",
+            "code",
+            "posexplode(array(" + ", ".join(f"d{m}" for m in range(PQ_M)) + ")) AS (m, d2)",
+        )
+    )
+    corp = (
+        cells.filter(F.col("cluster").isin(probed))
+        .selectExpr("vec_id", "cluster", "posexplode(codes) AS (m, code)")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_millionths"), F.asc("vec_id"))
+    return (
+        corp.join(F.broadcast(qcells), "cluster")
+        .filter("vec_id <> query_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_millionths"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(f"rank <= {k}")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rademacher random projection (Johnson-Lindenstrauss dim reduction)
 # ---------------------------------------------------------------------------

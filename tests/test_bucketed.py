@@ -264,6 +264,32 @@ def test_ivf_index_probe_bucket_pruning(spark, sf_dir, tmp_path, no_broadcast):
         spark.sql("DROP TABLE IF EXISTS ivfidx_cells")
 
 
+def test_ivfpq_index_probe_bucket_pruning(spark, sf_dir, tmp_path, no_broadcast):
+    """probe_ivfpq_index reads ONLY the probed cells of the stored
+    32x-compressed codes table (SelectedBucketsCount < total) and
+    returns exactly ivfpq_topk's answer for the same queries."""
+    import re
+
+    from pgverify_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.write_ivfpq_index(embs, "ivfpqidx", str(tmp_path / "ivfpq"))
+    try:
+        qids = (0, 1, 2, 3, 4)
+        queries = embs.filter(f"vec_id IN {qids}")
+        probe = similarity.probe_ivfpq_index(spark, queries, "ivfpqidx", 10, 2)
+        plan = _plan(probe)
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2)), "no bucket pruning"
+        expect = similarity.ivfpq_topk(embs, qids, 10, 2)
+        assert sorted(map(tuple, probe.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivfpqidx_cells")
+        spark.sql("DROP TABLE IF EXISTS ivfpqidx_cb")
+
+
 def test_ivf_ingest_probe_matches_recompute(spark, sf_dir, tmp_path, no_broadcast):
     """probe_ivf_dups against the stored inverted file bucket-prunes and
     equals the recompute-everything cross_corpus_ivf_pairs."""
