@@ -248,3 +248,81 @@ def test_sampled_quantiles_match_reference(spark, values):
         if n
     )
     assert got == want
+
+
+# --- product quantization ---------------------------------------------------
+
+def _synth_vectors(seed: int, n: int) -> list:
+    """n deterministic 64-dim vectors from one drawn seed (drawing
+    16+ x 64 floats directly exceeds hypothesis's entropy budget)."""
+    return [
+        [((_h15(f"{seed}-{i}-{j}") % 1700) - 850) / 1000.0 for j in range(64)]
+        for i in range(n)
+    ]
+
+
+def _ref_pq_codes(vectors):
+    """Pure-Python PQ encode: per 8-dim subspace, argmin squared L2 in
+    integer millionths against the first-16-vectors codebook, ties to
+    the smaller code."""
+    cb = vectors[:16]
+    out = []
+    for vid, v in enumerate(vectors):
+        codes = []
+        for m in range(8):
+            best = None
+            for code, c in enumerate(cb):
+                d2 = 0.0
+                for i in range(m * 8, (m + 1) * 8):
+                    d = float(v[i]) - float(c[i])
+                    d2 += d * d
+                q = int(_py_round_half_up(d2 * 1_000_000))
+                if best is None or q < best[0]:
+                    best = (q, code)
+            codes.append(best[1])
+        out.append((vid, codes))
+    return sorted(out)
+
+
+def _py_round_half_up(x: float) -> float:
+    import math
+
+    f = math.floor(x)
+    return f + 1 if x - f >= 0.5 else f
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(st.integers(0, 2**32 - 1), st.integers(16, 24))
+def test_pq_encode_matches_reference(spark, seed, n):
+    vectors = _synth_vectors(seed, n)
+    """Spark's in-row fold encode == a pure-Python reference on random
+    float32 vectors, and a vector's codes depend ONLY on (vector,
+    codebook): re-encoding a corpus extended with extra rows leaves the
+    original vectors' codes unchanged."""
+    from pgverify_spark.operators.similarity import pq_encode
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = sorted((r["vec_id"], list(r["codes"])) for r in pq_encode(df).collect())
+    # Spark reads the column as float32 then widens; mirror that
+    import struct as _struct
+
+    def f32(x):
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    want = _ref_pq_codes([[f32(x) for x in v] for v in vectors])
+    assert got == want
+    # stability under corpus growth (codebook rows unchanged)
+    extended = df.unionByName(
+        spark.createDataFrame(
+            [(1000, [0.5] * 64)], "vec_id bigint, embedding array<float>"
+        )
+    )
+    again = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(extended).collect()
+        if r["vec_id"] < 1000
+    }
+    assert again == dict(got)
