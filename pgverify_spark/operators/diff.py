@@ -403,3 +403,63 @@ def row_diff_oracle_sql(
         "FROM l FULL OUTER JOIN r ON l.k = r.k AND l.h = r.h "
         "WHERE l.cnt IS NULL OR r.cnt IS NULL OR l.cnt <> r.cnt"
     )
+
+
+def repair_plan(
+    left: DataFrame,
+    right: DataFrame,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+) -> DataFrame:
+    """Actionable anti-entropy plan: per primary key, what it takes to
+    make ``right`` equal ``left`` — the step after :func:`row_diff`
+    tells you rows differ (the reference stops at reporting mismatch,
+    results.go:101-166; repair is the rebuild's follow-through).
+
+    Output: (k, action, n_insert, n_delete) — ``n_insert`` rows of this
+    key must be copied from left into right and ``n_delete`` removed
+    (multiset semantics: a count mismatch of the same content repairs
+    by copies).  ``action`` classifies the key: 'update' (content
+    differs — both an insert and a delete), 'insert' (key missing on
+    the right), 'delete' (key only on the right).
+
+    Scale shape: one aggregate over :func:`row_diff`'s output, which is
+    DIFF-sized, not table-sized; compose with the drill-down chain
+    (partition-gated diff) when the diff rate is tiny.
+    """
+    d = row_diff(left, right, schema, config)
+    return (
+        d.groupBy("k")
+        .agg(
+            F.sum(F.expr("greatest(left_count - right_count, 0)"))
+            .cast("bigint")
+            .alias("n_insert"),
+            F.sum(F.expr("greatest(right_count - left_count, 0)"))
+            .cast("bigint")
+            .alias("n_delete"),
+        )
+        .selectExpr(
+            "k",
+            "CASE WHEN n_insert > 0 AND n_delete > 0 THEN 'update' "
+            "WHEN n_insert > 0 THEN 'insert' ELSE 'delete' END AS action",
+            "n_insert",
+            "n_delete",
+        )
+    )
+
+
+def repair_plan_oracle_sql(
+    left_table: str,
+    right_table: str,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+) -> str:
+    rd = row_diff_oracle_sql(left_table, right_table, schema, config)
+    return (
+        "SELECT k, CASE WHEN n_insert > 0 AND n_delete > 0 THEN 'update' "
+        "WHEN n_insert > 0 THEN 'insert' ELSE 'delete' END AS action, "
+        "n_insert, n_delete FROM ("
+        "SELECT k, CAST(sum(greatest(left_count - right_count, 0)) AS BIGINT) AS n_insert, "
+        "CAST(sum(greatest(right_count - left_count, 0)) AS BIGINT) AS n_delete "
+        f"FROM ({rd}) d GROUP BY k) a"
+    )

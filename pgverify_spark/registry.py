@@ -289,6 +289,29 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
     )
     out = {"row_diff_orders": (run, sql)}
 
+    # anti-entropy repair plan: the right side exhibits all three
+    # repair classes — deleted keys (% 97: 'insert'), mutated rows
+    # (% 31: 'update'), and extra keys (offset copies, % 101: 'delete')
+    from pgverify_spark.operators.diff import repair_plan, repair_plan_oracle_sql
+
+    _RP_RIGHT_SPARK = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice, "
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 97 <> 0 "
+        "UNION ALL SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, "
+        "o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 101 = 0"
+    )
+
+    def run_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+        left = ParquetTarget("t", sf_dir).read(spark, "orders")
+        left.createOrReplaceTempView("orders")
+        return repair_plan(left, spark.sql(_RP_RIGHT_SPARK), schema)
+
+    out["repair_plan_orders"] = (
+        run_repair,
+        repair_plan_oracle_sql("orders", f"({_RP_RIGHT_SPARK})", schema),
+    )
+
     # per-column attribution: two drifted columns with known key sets
     from pgverify_spark.operators.diff import (
         column_diff_report,

@@ -161,3 +161,45 @@ def test_row_diff_identical_is_empty(spark, sf_dir):
     schema = TESTDATA_TABLES["nation"]
     df = target.read(spark, "nation")
     assert row_diff(df, df, schema).count() == 0
+
+
+def test_repair_plan(spark, duck, sf_dir):
+    """Anti-entropy plan classifies every mutated key correctly: a
+    right side with deletions, mutations, and insertions yields
+    'insert'/'update'/'delete' actions, oracle-exact; applying the
+    plan's arithmetic reconciles the row counts."""
+    from pgverify_spark.operators.diff import repair_plan, repair_plan_oracle_sql
+
+    target = ParquetTarget("t", sf_dir)
+    schema = TESTDATA_TABLES["orders"]
+    left = target.read(spark, "orders")
+    left.createOrReplaceTempView("orders_rp")
+    right_sql = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice, "
+        "o_orderdate, o_orderpriority FROM orders_rp WHERE o_orderkey % 97 <> 0 "
+        "UNION ALL SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, "
+        "o_totalprice, o_orderdate, o_orderpriority FROM orders_rp WHERE o_orderkey % 101 = 0"
+    )
+    right = spark.sql(right_sql)
+    got = sorted(map(tuple, repair_plan(left, right, schema).collect()))
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                repair_plan_oracle_sql(
+                    "orders", f"({right_sql.replace('orders_rp', 'orders')})", schema
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want and got
+    actions = {a for _, a, _, _ in got}
+    assert actions == {"insert", "update", "delete"}
+    # the plan's arithmetic reconciles the two sides exactly
+    net = sum(ni - nd for _, _, ni, nd in got)
+    assert left.count() - right.count() == net
+    # updates always move one row out and one in (content swap per key)
+    assert all(ni >= 1 and nd >= 1 for _, a, ni, nd in got if a == "update")
+    assert all(nd == 0 for _, a, _, nd in got if a == "insert")
+    assert all(ni == 0 for _, a, ni, _ in got if a == "delete")
