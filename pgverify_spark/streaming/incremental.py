@@ -210,6 +210,42 @@ def streaming_dedup(sdf: DataFrame, text_col: str = "text") -> DataFrame:
     return hashed.dropDuplicates(["content_md5"])
 
 
+def streaming_dedup_bounded(
+    sdf: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    horizon: str = "30 days",
+) -> DataFrame:
+    """Bounded-state streaming dedup: :func:`streaming_dedup` whose
+    per-hash state EXPIRES with the event-time watermark — the form an
+    *unbounded* stream must run (exact dropDuplicates state grows with
+    distinct content forever; this holds one entry per distinct hash
+    seen within the last ``horizon``).
+
+    Semantics (proven in tests/test_streaming.py): a duplicate arriving
+    within ``horizon`` of its first occurrence is dropped; a recurrence
+    AFTER the horizon is re-admitted — the deliberate trade that bounds
+    state, appropriate when content recurrence has a time locality
+    (crawl recrawls, retry storms), and exactly Spark's
+    ``dropDuplicatesWithinWatermark`` contract.
+    """
+    from pgverify_spark.functions.text_exprs import norm_sql
+
+    fields = dict(sdf.dtypes)
+    if fields.get(ts_col) == "bigint":
+        sdf = sdf.withColumn(
+            ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        )
+    elif fields.get(ts_col) == "timestamp_ntz":
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    hashed = sdf.withColumn(
+        "content_md5", F.expr(f"md5({norm_sql(text_col, DIALECT_SPARK)})")
+    )
+    return hashed.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
+        ["content_md5"]
+    )
+
+
 def streaming_lsh_ingest_probe(
     sdf: DataFrame, index_name: str, out_path: str, threshold: float = 0.5
 ):

@@ -159,6 +159,56 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
     assert kept.count() == len(batch_hashes)
 
 
+def test_streaming_dedup_bounded_state_expires(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics, pinned: a duplicate
+    within the horizon is dropped; a recurrence AFTER the horizon is
+    re-admitted (the deliberate bounded-state trade); distinct content
+    is never dropped.  Chunks are fed strictly in event-time order so
+    watermark progression is deterministic."""
+    import glob
+    import shutil
+
+    from pgverify_spark.streaming.incremental import streaming_dedup_bounded
+
+    schema = "doc_id bigint, ts timestamp, text string"
+    chunks = [
+        [(1, "2020-01-01 00:00:00", "hello world")],         # kept (first)
+        [(2, "2020-01-02 00:00:00", "hello world")],         # dup within 30d: dropped
+        [(3, "2020-03-15 00:00:00", "something else")],      # kept; advances watermark
+        [(4, "2020-03-16 00:00:00", "hello world")],         # first-seen expired: re-admitted
+    ]
+    stream_in = tmp_path / "in"
+    stream_in.mkdir()
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_in))
+    )
+    q = (
+        streaming_dedup_bounded(sdf, horizon="30 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_bounded")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        for i, rows in enumerate(chunks):
+            df = spark.createDataFrame(
+                [(d, __import__("datetime").datetime.fromisoformat(t), x) for d, t, x in rows],
+                schema,
+            )
+            cdir = str(tmp_path / f"c{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(cdir)
+            for f in glob.glob(f"{cdir}/*.parquet"):
+                shutil.copy(f, str(stream_in / f"c{i:02d}.parquet"))
+            q.processAllAvailable()
+        kept = {r["doc_id"] for r in spark.table("dedup_bounded").collect()}
+    finally:
+        q.stop()
+    assert kept == {1, 3, 4}, kept
+
+
 def test_streaming_session_rollup_matches_batch_sessionize(spark, sf_dir, tmp_path):
     """Native session_window streaming sessions == batch lag+cumsum
     sessions over a time-ordered weekly replay (the watermark contract:
