@@ -305,3 +305,71 @@ def curriculum_pack_oracle_sql(
         "FROM c GROUP BY bucket, CAST((cum - n_tokens) // "
         f"{budget_tokens} AS BIGINT)"
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: every member of a near-dup CLUSTER receives the same
+    split, because the split hash is computed on the cluster
+    representative (the cluster id for paired docs, the doc's own id
+    otherwise).  Plain :func:`hash_split` puts a doc and its
+    near-duplicate on opposite sides of the train/val boundary with
+    probability 2·p·(1-p) — silent eval contamination.
+
+    Input: the corpus plus near-dup ``pairs`` from any pair operator
+    (MinHash-LSH, SimHash, semantic).  Output: (doc_id, split_key,
+    split) — one row per document.
+
+    Scale shape: clustering runs over only the PAIRED docs
+    (dedup.dup_clusters, ids-only shuffles); the corpus takes one
+    doc_id equi-join against that cluster relation (broadcastable when
+    the dup rate is low, which it always is post-dedup) and a pure
+    hash projection.  Assignment is stable under corpus growth for
+    unpaired docs (depends on their own id) and changes for a doc only
+    when its cluster membership changes — the correct invalidation.
+    """
+    from pgverify_spark.operators.dedup import dup_clusters
+
+    if sum(wt for _, wt in splits) != 1000:
+        raise ValueError("split weights must sum to 1000 (per-mille)")
+    clusters = dup_clusters(pairs, max_iterations)
+    keyed = (
+        df.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS split_key")
+    )
+    h = hex_prefix_int_sql("md5(CAST(split_key AS STRING))", DIALECT_SPARK, 12)
+    case, lo = [], 0
+    for name, wt in splits:
+        case.append(f"WHEN b < {lo + wt} THEN '{name}'")
+        lo += wt
+    return keyed.selectExpr(
+        "doc_id", "split_key", f"{h} % 1000 AS b"
+    ).selectExpr("doc_id", "split_key", f"CASE {' '.join(case)} END AS split")
+
+
+def leakage_safe_split_oracle_sql(
+    table: str,
+    pairs_sql: str,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+) -> str:
+    from pgverify_spark.operators.dedup import dup_clusters_oracle_sql
+
+    clusters = dup_clusters_oracle_sql(pairs_sql)
+    h = hex_prefix_int_sql("md5(CAST(split_key AS VARCHAR))", DIALECT_DUCKDB, 12)
+    case, lo = [], 0
+    for name, wt in splits:
+        case.append(f"WHEN b < {lo + wt} THEN '{name}'")
+        lo += wt
+    return (
+        f"WITH cl AS ({clusters}), "
+        f"keyed AS (SELECT t.doc_id, coalesce(cl.cluster_id, t.doc_id) AS split_key "
+        f"FROM {table} t LEFT JOIN cl ON t.doc_id = cl.doc_id), "
+        f"b AS (SELECT doc_id, split_key, {h} % 1000 AS b FROM keyed) "
+        f"SELECT doc_id, split_key, CASE {' '.join(case)} END AS split FROM b"
+    )

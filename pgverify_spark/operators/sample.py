@@ -215,3 +215,66 @@ def mixture_sample_oracle_sql(
         f"c AS (SELECT source, {threshold} AS keep_threshold FROM c0) "
         f"SELECT t.* FROM {table} t JOIN c ON t.{source_col} = c.source WHERE {keep}"
     )
+
+
+def token_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    target_frac: float,
+) -> DataFrame:
+    """:func:`mixture_sample` with the budget measured in TOKENS, not
+    documents — how training mixes are actually specified ("30 % of the
+    token budget from web"): sources with systematically longer
+    documents would otherwise overshoot their share.  Per-source keep
+    rates derive from the observed per-source token sums (same integer
+    threshold math as mixture_sample with n = token sum); membership
+    stays the per-row content-hash predicate, so the kept TOKEN share
+    matches the target in expectation (document hash is independent of
+    document length).
+
+    Scale shape: identical to mixture_sample — one map-side-combinable
+    (source -> token sum) aggregate, a broadcast #sources-row rate
+    table, a codegen filter.  No wide shuffle.
+    """
+    tokens = f"CAST(size(split(trim({text_col}), '\\\\s+')) AS BIGINT)"
+    threshold = _mixture_threshold_sql(weights, target_frac, DIALECT_SPARK)
+    counts = (
+        df.selectExpr(f"{source_col} AS source", f"{tokens} AS tk")
+        .groupBy("source")
+        .agg(F.sum("tk").alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy(F.lit(1))))
+        .selectExpr("source AS __mix_source", f"{threshold} AS __mix_threshold")
+    )
+    keep = _keep_sql(key_col, "__mix_threshold", DIALECT_SPARK)
+    return (
+        df.join(
+            F.broadcast(counts),
+            F.col(source_col) == F.col("__mix_source"),
+            "inner",
+        )
+        .filter(keep)
+        .select(*[df[c] for c in df.columns])
+    )
+
+
+def token_mixture_sample_oracle_sql(
+    table: str,
+    key_col: str,
+    source_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    target_frac: float,
+) -> str:
+    tokens = f"CAST(len(regexp_split_to_array(trim({text_col}), '\\s+')) AS BIGINT)"
+    threshold = _mixture_threshold_sql(weights, target_frac, DIALECT_DUCKDB)
+    keep = _keep_sql(f"t.{key_col}", "c.keep_threshold", DIALECT_DUCKDB)
+    return (
+        f"WITH counts AS (SELECT {source_col} AS source, sum({tokens}) AS n "
+        f"FROM {table} GROUP BY 1), "
+        "c0 AS (SELECT source, n, sum(n) OVER () AS total FROM counts), "
+        f"c AS (SELECT source, {threshold} AS keep_threshold FROM c0) "
+        f"SELECT t.* FROM {table} t JOIN c ON t.{source_col} = c.source WHERE {keep}"
+    )

@@ -1266,6 +1266,33 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", lambda df: prep.curriculum_pack(df, 512)),
             prep.curriculum_pack_oracle_sql("documents", 512),
         ),
+        # eval-integrity split: near-dup clusters never straddle splits
+        "leakage_safe_split_documents": (
+            _table_query(
+                "documents",
+                lambda df: prep.leakage_safe_split(
+                    df, dedup.minhash_lsh_pairs(df, 0.3).select("doc_a", "doc_b")
+                ),
+            ),
+            prep.leakage_safe_split_oracle_sql(
+                "documents",
+                "SELECT doc_a, doc_b FROM ("
+                + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+                + ") mp",
+            ),
+        ),
+        # token-budget mixture (mixes are specified in tokens, not docs)
+        "token_mixture_sample_documents": (
+            _table_query(
+                "documents",
+                lambda df: sample.token_mixture_sample(
+                    df, "doc_id", "source", "text", _MIX_WEIGHTS, 0.5
+                ),
+            ),
+            sample.token_mixture_sample_oracle_sql(
+                "documents", "doc_id", "source", "text", _MIX_WEIGHTS, 0.5
+            ),
+        ),
         "hash_split_documents": (
             _table_query("documents", prep.hash_split),
             prep.hash_split_oracle_sql("documents"),

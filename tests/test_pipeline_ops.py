@@ -236,6 +236,80 @@ def test_hyperplane_buckets(embs, duck):
     assert all(0 <= r[1] < (1 << similarity.HYPERPLANE_BITS) for r in rows)
 
 
+def test_leakage_safe_split(spark, docs, duck):
+    """THE property: no near-dup pair straddles a split (hash_split
+    provably violates this on the same corpus); unpaired docs keep
+    their plain hash_split assignment (stability); oracle-exact."""
+    from pgverify_spark.operators import prep
+
+    pairs = dedup.minhash_lsh_pairs(docs, 0.3).select("doc_a", "doc_b")
+    rows = _cmp(
+        prep.leakage_safe_split(docs, pairs),
+        duck,
+        prep.leakage_safe_split_oracle_sql(
+            "documents",
+            "SELECT doc_a, doc_b FROM ("
+            + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+            + ") mp",
+        ),
+    )
+    split_of = {r[0]: r[2] for r in rows}
+    plist = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert plist, "fixture needs near-dup pairs"
+    assert all(split_of[a] == split_of[b] for a, b in plist)
+    # plain hash_split DOES leak on this corpus (the reason this
+    # operator exists): at least one pair straddles splits
+    from pgverify_spark.functions.canonical import hex_prefix_int_sql
+
+    def plain(doc_id):
+        import hashlib
+
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16) % 1000
+        return "train" if b < 900 else ("val" if b < 950 else "test")
+
+    assert any(plain(a) != plain(b) for a, b in plist), (
+        "fixture too small to demonstrate leakage"
+    )
+    # unpaired docs: split == plain hash_split of their own id
+    paired = {d for ab in plist for d in ab}
+    clustered = {r[0] for r in rows if r[0] != r[1]}
+    for doc_id, key, split in rows:
+        if doc_id not in paired and doc_id not in clustered:
+            assert key == doc_id and split == plain(doc_id)
+
+
+def test_token_mixture_sample(spark, docs, duck):
+    """Token-budget mixture == oracle; the kept TOKEN shares track the
+    target weights (doc-count mixture would not when sources have
+    different length distributions)."""
+    from pgverify_spark.operators import sample as sample_mod
+
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    kept = sample_mod.token_mixture_sample(docs, "doc_id", "source", "text", weights, 0.5)
+    got = sorted(map(tuple, kept.collect()))
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                sample_mod.token_mixture_sample_oracle_sql(
+                    "documents", "doc_id", "source", "text", weights, 0.5
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want and got
+    # kept token share per source tracks the target (loose: the sample
+    # is row-hash-selected, so shares converge only in expectation)
+    toks = {}
+    for r in kept.collect():
+        if r["source"] in weights:
+            toks[r["source"]] = toks.get(r["source"], 0) + len(r["text"].split())
+    total = sum(toks.values())
+    for s, w in weights.items():
+        share = toks.get(s, 0) / total
+        assert abs(share - w) < 0.15, (s, share, w)
+
+
 def test_curriculum_pack(docs, duck):
     """Curriculum packing == oracle; bins within a bucket are full
     (every bin except a bucket's last carries >= the budget's worth of

@@ -27,6 +27,8 @@ WINDOW_SINGLE_OK = {
     # sum(n) OVER () runs over the per-source counts relation:
     # |sources| rows by construction, never the corpus.
     "mixture_sample_documents": "window over #sources-row aggregate",
+    # same shape with n = per-source token sums
+    "token_mixture_sample_documents": "window over #sources-row aggregate",
     # exact ntile baseline kept next to the approx_percentile scale
     # path documented in topk.py.
     "equidepth_histogram_orders": "exact ntile baseline",
