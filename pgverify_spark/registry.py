@@ -2493,10 +2493,11 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: driver row yet: sessionize_scalable_events, debounce_scalable_events,
 #: tpch_q4/q6/q10/q13/q14/q16/q19, corpus_mix_rollup_documents,
 #: dataset_card_documents, curriculum_pack_documents,
-#: repair_plan_orders, multimodal_image_ahash_documents,
+#: repair_plan_orders, leakage_safe_split_documents,
+#: token_mixture_sample_documents, multimodal_image_ahash_documents,
 #: multimodal_image_dup_groups_documents,
 #: multimodal_audio_fingerprint_documents, pq_encode_embeddings,
-#: pq_topk_embeddings, ivfpq_topk_embeddings (~23 rows).  Round 5
+#: pq_topk_embeddings, ivfpq_topk_embeddings (~25 rows).  Round 5
 #: should front-load those plus any r04 reds, then a thin smoke core —
 #: all are green in the repo's own sf0.01 sweep (see round-4 commits).
 _DRIVER_PRIORITY = (
