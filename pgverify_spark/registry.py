@@ -1736,6 +1736,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             similarity.pq_topk_oracle_sql("embeddings", (0, 1, 2, 3, 4), 10),
         ),
+        # PQ quality gate: ADC recall vs the exact-L2 truth at small SF
+        "pq_recall_eval_embeddings": (
+            _table_query(
+                "embeddings",
+                lambda df: similarity.pq_recall_eval(df, (0, 1, 2, 3, 4), 10),
+            ),
+            similarity.pq_recall_eval_oracle_sql("embeddings", (0, 1, 2, 3, 4), 10),
+        ),
         # the composed two-stage ANN: IVF cell pruning + PQ ADC ranking
         "ivfpq_topk_embeddings": (
             _table_query(

@@ -477,6 +477,31 @@ def test_pq_encode_and_adc_topk(spark, embs, duck):
     assert sum(overlaps) >= 10, f"ADC recall implausibly low: {overlaps}"
 
 
+def test_pq_recall_eval(spark, embs, duck):
+    """PQ recall harness == oracle; recall is a real signal (strictly
+    between 0 and 1 on this corpus — codes lose information but beat
+    chance), and n_hit always reconciles with the two top-k sets."""
+    from pgverify_spark.operators import similarity
+
+    qids = (0, 1, 2, 3, 4)
+    rows = _cmp(
+        similarity.pq_recall_eval(embs, qids, 10),
+        duck,
+        similarity.pq_recall_eval_oracle_sql("embeddings", qids, 10),
+    )
+    assert {r[0] for r in rows} == set(qids)
+    assert all(r[1] == 10 and 0 <= r[2] <= 10 for r in rows)
+    total_hit = sum(r[2] for r in rows)
+    assert 0 < total_hit < 50, f"recall degenerate: {rows}"
+    # reconcile one query's n_hit by hand
+    q = qids[0]
+    exact = {
+        r["vec_id"] for r in similarity.exact_l2_topk(embs, (q,), 10).collect()
+    }
+    approx = {r["vec_id"] for r in similarity.pq_topk(embs, (q,), 10).collect()}
+    assert dict((r[0], r[2]) for r in rows)[q] == len(exact & approx)
+
+
 def test_ivfpq_topk(spark, embs, duck):
     """IVF-PQ == oracle; every hit lies in one of its query's nprobe
     probed cells; and on the probed candidate set the ADC distances
