@@ -1220,3 +1220,87 @@ def probe_lsh_index(
         .filter(f"jaccard >= {threshold}"),
         sh_new,
     )
+
+
+def dedup_agreement_report(
+    df: DataFrame, j_threshold: float = 0.3
+) -> DataFrame:
+    """Method-agreement matrix for the lexical near-dup family: how
+    many pairs each method flags and how many two methods SHARE — the
+    analysis a curation team runs before committing to one method and
+    threshold (methods that agree are redundant; pairs found by only
+    one method are either its unique strength or its false positives,
+    and this report says where to sample for review).
+
+    Methods compared: MinHash-LSH (banded, exact-verified) and exact
+    n-gram Jaccard at ``j_threshold``, and SimHash within the
+    pigeonhole Hamming bound.  Output: one row per unordered method
+    pair plus one per method — (method_a, method_b, n_a, n_b,
+    n_common); the solo rows carry method_b = method_a and
+    n_common = n_a.
+
+    Scale shape: each pair generator keeps its standalone bucketed
+    shape; the overlaps are equi-joins of ids-only pair relations, and
+    every output is a 1-row count — the whole report is a union of
+    nine tiny aggregates over three shared pair streams.
+    """
+    methods = {
+        "minhash_lsh": minhash_lsh_pairs(df, j_threshold).select("doc_a", "doc_b"),
+        "ngram_jaccard": ngram_jaccard_pairs(df, j_threshold).select("doc_a", "doc_b"),
+        "simhash": simhash_near_pairs(df).select("doc_a", "doc_b"),
+    }
+    names = sorted(methods)
+    parts = []
+    for i, a in enumerate(names):
+        pa = methods[a]
+        for b in names[i:]:
+            common = pa if a == b else pa.join(methods[b], ["doc_a", "doc_b"])
+            counts = (
+                pa.agg(F.count(F.lit(1)).alias("n_a"))
+                .crossJoin(methods[b].agg(F.count(F.lit(1)).alias("n_b")))
+                .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+            )
+            parts.append(
+                counts.selectExpr(
+                    f"'{a}' AS method_a",
+                    f"'{b}' AS method_b",
+                    "CAST(n_a AS BIGINT) AS n_a",
+                    "CAST(n_b AS BIGINT) AS n_b",
+                    "CAST(n_common AS BIGINT) AS n_common",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dedup_agreement_report_oracle_sql(
+    table: str, j_threshold: float = 0.3
+) -> str:
+    srcs = {
+        "minhash_lsh": minhash_lsh_pairs_oracle_sql(table, j_threshold),
+        "ngram_jaccard": ngram_jaccard_pairs_oracle_sql(table, j_threshold),
+        "simhash": simhash_near_pairs_oracle_sql(table),
+    }
+    names = sorted(srcs)
+    ctes = ", ".join(
+        f"m_{n} AS (SELECT doc_a, doc_b FROM ({sql}) s_{n})" for n, sql in srcs.items()
+    )
+    selects = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            if a == b:
+                common = f"(SELECT count(*) FROM m_{a})"
+            else:
+                common = (
+                    f"(SELECT count(*) FROM m_{a} JOIN m_{b} "
+                    f"ON m_{a}.doc_a = m_{b}.doc_a AND m_{a}.doc_b = m_{b}.doc_b)"
+                )
+            selects.append(
+                f"SELECT '{a}' AS method_a, '{b}' AS method_b, "
+                f"CAST((SELECT count(*) FROM m_{a}) AS BIGINT) AS n_a, "
+                f"CAST((SELECT count(*) FROM m_{b}) AS BIGINT) AS n_b, "
+                f"CAST({common} AS BIGINT) AS n_common"
+            )
+    return f"WITH {ctes} " + " UNION ALL ".join(selects)

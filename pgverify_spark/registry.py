@@ -1266,6 +1266,11 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", lambda df: prep.curriculum_pack(df, 512)),
             prep.curriculum_pack_oracle_sql("documents", 512),
         ),
+        # method-agreement matrix across the lexical near-dup family
+        "dedup_agreement_report_documents": (
+            _table_query("documents", dedup.dedup_agreement_report),
+            dedup.dedup_agreement_report_oracle_sql("documents"),
+        ),
         # eval-integrity split: near-dup clusters never straddle splits
         "leakage_safe_split_documents": (
             _table_query(
@@ -2502,10 +2507,11 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: tpch_q4/q6/q10/q13/q14/q16/q19, corpus_mix_rollup_documents,
 #: dataset_card_documents, curriculum_pack_documents,
 #: repair_plan_orders, leakage_safe_split_documents,
-#: token_mixture_sample_documents, multimodal_image_ahash_documents,
+#: token_mixture_sample_documents, dedup_agreement_report_documents,
+#: pq_recall_eval_embeddings, multimodal_image_ahash_documents,
 #: multimodal_image_dup_groups_documents,
 #: multimodal_audio_fingerprint_documents, pq_encode_embeddings,
-#: pq_topk_embeddings, ivfpq_topk_embeddings (~25 rows).  Round 5
+#: pq_topk_embeddings, ivfpq_topk_embeddings (~27 rows).  Round 5
 #: should front-load those plus any r04 reds, then a thin smoke core —
 #: all are green in the repo's own sf0.01 sweep (see round-4 commits).
 _DRIVER_PRIORITY = (

@@ -236,6 +236,29 @@ def test_hyperplane_buckets(embs, duck):
     assert all(0 <= r[1] < (1 << similarity.HYPERPLANE_BITS) for r in rows)
 
 
+def test_dedup_agreement_report(docs, duck):
+    """Agreement matrix == oracle; the structure is coherent: solo rows
+    carry n_common == n_a == n_b, cross rows never exceed either side,
+    and minhash∩jaccard equals minhash's pair count at the same
+    threshold (banded candidates are exactly verified, so every LSH
+    pair IS a Jaccard pair — precision 1 by construction)."""
+    rows = _cmp(
+        dedup.dedup_agreement_report(docs),
+        duck,
+        dedup.dedup_agreement_report_oracle_sql("documents"),
+    )
+    assert len(rows) == 6  # 3 solo + 3 unordered cross pairs
+    m = {(r[0], r[1]): r for r in rows}
+    for (a, b), (_, _, n_a, n_b, n_common) in m.items():
+        if a == b:
+            assert n_common == n_a == n_b
+        else:
+            assert n_common <= min(n_a, n_b)
+    lsh_vs_jac = m[("minhash_lsh", "ngram_jaccard")]
+    assert lsh_vs_jac[4] == lsh_vs_jac[2]  # LSH ⊆ exact Jaccard
+    assert any(r[4] > 0 for r in rows if r[0] != r[1]), "no cross agreement"
+
+
 def test_leakage_safe_split(spark, docs, duck):
     """THE property: no near-dup pair straddles a split (hash_split
     provably violates this on the same corpus); unpaired docs keep
