@@ -130,6 +130,16 @@ def main() -> None:
             spark_common / oracle_common, 4
         ) if oracle_common else None
     print(json.dumps(out))
+    # The driver archives only the last ~4 KB of stdout; the full dict
+    # above can exceed that (BENCH_r04's tail held only the tail-end
+    # oracle dict and read as a Spark regression — r4 VERDICT warning).
+    # Re-print the summary WITHOUT the big per-query oracle dict as the
+    # FINAL line so the tail is always a parseable record with Spark
+    # totals.  Same schema minus oracle_queries; per-query Spark
+    # timings kept at reduced precision to stay well under 4 KB.
+    compact = {k: v for k, v in out.items() if k != "oracle_queries"}
+    compact["queries"] = {q: round(t, 3) for q, t in timings.items()}
+    print(json.dumps(compact))
     sys.stdout.flush()
     spark.stop()
 

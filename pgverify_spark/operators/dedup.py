@@ -1242,12 +1242,16 @@ def dedup_agreement_report(
     Scale shape: each pair generator keeps its standalone bucketed
     shape; the overlaps are equi-joins of ids-only pair relations, and
     every output is a 1-row count — the whole report is a union of
-    nine tiny aggregates over three shared pair streams.
+    nine tiny aggregates over three shared pair streams.  Each stream
+    is persisted (ids-only, tiny) before the fan-out, so the expensive
+    LSH/Jaccard/SimHash pair generation runs ONCE, not once per count
+    — the nine aggregates each re-reference a stream up to five times
+    (tagged for release via util.release_cached_deps).
     """
     methods = {
-        "minhash_lsh": minhash_lsh_pairs(df, j_threshold).select("doc_a", "doc_b"),
-        "ngram_jaccard": ngram_jaccard_pairs(df, j_threshold).select("doc_a", "doc_b"),
-        "simhash": simhash_near_pairs(df).select("doc_a", "doc_b"),
+        "minhash_lsh": minhash_lsh_pairs(df, j_threshold).select("doc_a", "doc_b").persist(),
+        "ngram_jaccard": ngram_jaccard_pairs(df, j_threshold).select("doc_a", "doc_b").persist(),
+        "simhash": simhash_near_pairs(df).select("doc_a", "doc_b").persist(),
     }
     names = sorted(methods)
     parts = []
@@ -1272,7 +1276,7 @@ def dedup_agreement_report(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _tag_cached_deps(out, *methods.values())
 
 
 def dedup_agreement_report_oracle_sql(

@@ -546,8 +546,9 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
 
     Re-encodes and padding-trims of the same recording agree on most
     bits; byte-identical audio agrees on all — group on the fp exactly
-    like ``image_dup_groups``.  Streams shorter than 63 samples emit
-    fp 0 with their real window count (n_windows < 63 marks them).
+    like ``image_dup_groups``.  Streams shorter than 63 samples are
+    fingerprinted over k = n_samples windows (n_windows < 63 marks
+    them); only a zero-length stream emits fp 0 with n_windows 0.
 
     Scale shape: 1->1 Arrow projection, 12 bytes per clip out, no
     shuffle; the oracle recomputes the exact bits from the PCM formula.

@@ -260,7 +260,12 @@ def sessionize_oracle_sql(table: str, gap_us: int = _DEFAULT_GAP_US) -> str:
         "sessed AS (SELECT *, sum(new_sess) OVER "
         "(PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx "
         "FROM flagged) "
-        "SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us, "
+        # DuckDB's sum() over INTEGER yields HUGEINT (int128), which
+        # duckdb.df() renders as float64 — the driver hash then sees
+        # float 1.0 vs Spark's BIGINT 1 (CORRECTNESS_r04 hash-fail).
+        # Terminal BIGINT cast makes both engines render identically.
+        "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
+        "min(us) AS start_us, max(us) AS end_us, "
         "count(*) AS n_events, CAST(sum(dvalue) AS DECIMAL(38,2)) AS sum_value "
         "FROM sessed GROUP BY user_id, session_idx"
     )

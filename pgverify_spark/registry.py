@@ -751,6 +751,32 @@ def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_merges_df(spark, docs, 10)
 
 
+#: sf_dir -> persisted IVF-PQ index table name.  The build (encode +
+#: one bucket shuffle) is memoized so every call after the first —
+#: including bench run 2, whose min-of-two the protocol keeps — times
+#: the PURE PROBE against stored codes: the production deploy shape
+#: (r4 VERDICT item 5).  Keyed by sf_dir so tests at sf0.001 and the
+#: driver at sf0.01 never share an index.
+_IVFPQ_REG_INDEX: dict[str, str] = {}
+
+
+def _ivfpq_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    ensure_required_confs(spark)
+    embs = ParquetTarget("t", sf_dir).read(spark, "embeddings")
+    name = _IVFPQ_REG_INDEX.get(sf_dir)
+    if name is None or not spark.catalog.tableExists(f"{name}_cells"):
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        name = f"reg_ivfpq_{tag}"
+        tmp = tempfile.mkdtemp(prefix="pgvs_ivfpqidx_")
+        similarity.write_ivfpq_index(embs, name, f"{tmp}/idx")
+        _IVFPQ_REG_INDEX[sf_dir] = name
+    queries = embs.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    return similarity.probe_ivfpq_index(spark, queries, name, 10, 2)
+
+
 #: Raw-web-page twin of documents for the HTML/curation entries: every
 #: 7th doc wrapped in a page skeleton, every 9th given an accented tail.
 _WEB_WRAP_SPARK = (
@@ -1129,9 +1155,20 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             text.quality_filter_oracle_sql("documents", 0.5, 10, 0.3, ("en", "de")),
         ),
         # model-free text -> vector path (signed hashing trick)...
+        # (array flattened to a joined string at the registry boundary:
+        # the driver's pandas canon crashes on list cells — r04 `err`;
+        # the array-valued hashed_vectors stays the library API)
         "hashed_vectors_documents": (
-            _table_query("documents", lambda df: text.hashed_vectors(df, 64)),
-            text.hashed_vectors_oracle_sql("documents", 64),
+            _table_query(
+                "documents",
+                lambda df: text.hashed_vectors(df, 64).selectExpr(
+                    "doc_id",
+                    "array_join(CAST(vec AS ARRAY<STRING>), ',') AS vec",
+                ),
+            ),
+            "SELECT doc_id, array_to_string(vec, ',') AS vec FROM ("
+            + text.hashed_vectors_oracle_sql("documents", 64)
+            + ") hv",
         ),
         # ...composed straight into the embedding ANN family: exact
         # cosine top-k over vectors derived from raw text, no model
@@ -1731,9 +1768,27 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         ),
         # product quantization: 8-byte codes (32x compression) + ADC
         # top-k that scans codes, never embeddings
+        # (codes array flattened to code_0..code_7 scalar columns at the
+        # registry boundary — same driver list-cell hazard as
+        # hashed_vectors/random_project; pq_encode itself stays array-
+        # valued because pq_topk/ivfpq compose on it)
         "pq_encode_embeddings": (
-            _table_query("embeddings", similarity.pq_encode),
-            similarity.pq_encode_oracle_sql("embeddings"),
+            _table_query(
+                "embeddings",
+                lambda df: similarity.pq_encode(df).selectExpr(
+                    "vec_id",
+                    *[
+                        f"CAST(element_at(codes, {m + 1}) AS BIGINT) AS code_{m}"
+                        for m in range(similarity.PQ_M)
+                    ],
+                ),
+            ),
+            "SELECT vec_id, "
+            + ", ".join(
+                f"CAST(codes[{m + 1}] AS BIGINT) AS code_{m}"
+                for m in range(similarity.PQ_M)
+            )
+            + f" FROM ({similarity.pq_encode_oracle_sql('embeddings')}) t",
         ),
         "pq_topk_embeddings": (
             _table_query(
@@ -1755,6 +1810,16 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "embeddings",
                 lambda df: similarity.ivfpq_topk(df, (0, 1, 2, 3, 4), 10, 2),
             ),
+            similarity.ivfpq_topk_oracle_sql("embeddings", (0, 1, 2, 3, 4), 10, 2),
+        ),
+        # the DEPLOY shape of the same ANN: probe a PERSISTED IVF-PQ
+        # index (codes + codebook stored bucketed; build memoized per
+        # sf_dir so repeated calls — and bench run 2 — time the pure
+        # probe, exactly what production pays per query batch).  Same
+        # output and oracle as the one-shot ivfpq_topk, which stays
+        # registered as the index-BUILD benchmark.
+        "ivfpq_probe_index_embeddings": (
+            _ivfpq_probe_index,
             similarity.ivfpq_topk_oracle_sql("embeddings", (0, 1, 2, 3, 4), 10, 2),
         ),
     }
@@ -2485,102 +2550,70 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: Everything not listed keeps registration order after the priority
 #: block — nothing is ever dropped, only reordered.
 #:
-#: ROUND-4 ROTATION (window = roughly the first 50, per CORRECTNESS_r03
-#: which recorded exactly 50 rows): positions 1-7 are the r03
-#: hash-fails, now representation-fixed via _DOUBLE_OUTPUT_COLS — the
-#: round's headline claim, so they lead.  Position 8 driver-certifies
-#: the real multimodal decoder (its only green rows predate the
-#: stub→real rewrite).  Positions 9-45 are the 37 remaining
-#: never-driver-checked queries (r01-r03 union); positions 46-50 are
-#: the VERDICT-requested 5-row fingerprint smoke core on lineitem so
-#: the §2.1 parity core regains a current driver row.  Position 51 is
-#: tpch_q18 — the verdict's designated swap-out ("tpch is the least
-#: at-risk family") — included in case the window is >50.  Everything
-#: not listed keeps registration order after the priority block;
-#: nothing is ever dropped, only reordered.
-#:
-#: ROUND-5 ROTATION NOTE: if CORRECTNESS_r04 certifies this window,
-#: the remaining backlog is the post-window tail (tpch_q18,
-#: multimodal_resize, multimodal_frame_sample, additive_fingerprint —
-#: positions 51-54) plus every round-4 addition, none of which has a
-#: driver row yet: sessionize_scalable_events, debounce_scalable_events,
-#: tpch_q4/q6/q10/q13/q14/q16/q19, corpus_mix_rollup_documents,
-#: dataset_card_documents, curriculum_pack_documents,
-#: repair_plan_orders, leakage_safe_split_documents,
-#: token_mixture_sample_documents, dedup_agreement_report_documents,
-#: pq_recall_eval_embeddings, multimodal_image_ahash_documents,
-#: multimodal_image_dup_groups_documents,
-#: multimodal_audio_fingerprint_documents, pq_encode_embeddings,
-#: pq_topk_embeddings, ivfpq_topk_embeddings (~27 rows).  Round 5
-#: should front-load those plus any r04 reds, then a thin smoke core —
-#: all are green in the repo's own sf0.01 sweep (see round-4 commits).
+#: ROUND-5 ROTATION (window = roughly the first 50 queries() entries,
+#: per CORRECTNESS_r04 which recorded exactly 50 rows): positions 1-2
+#: are the two r04 reds, now representation-fixed (sessionize oracle
+#: HUGEINT session_idx -> BIGINT; hashed_vectors array output ->
+#: array_join string) — the round's headline claim, so they lead.
+#: Positions 3-4 are the two latent twins of those same hazards the
+#: r04 VERDICT type-audit flagged (sessionize_scalable shares the
+#: oracle; pq_encode's codes array is now code_0..code_7 scalars).
+#: Then every remaining never-driver-checked query: the round-4
+#: additions (TPC-H anchors, PQ/IVF-PQ family, multimodal
+#: fingerprints, pipeline-prep and agreement reports), the round-4
+#: post-window tail (tpch_q18, multimodal resize / frame-sample,
+#: additive fingerprint), and the round-5 additions.  The tail is a
+#: thin 3-row smoke core (full/rowcount fingerprint + tpch_q1) so the
+#: parity core keeps a current row without burning window capacity.
+#: Rows-only entries (bpe_merges, streaming_stateful_bucket) are
+#: deliberately NOT in the window — they can never hash-certify and
+#: would waste rows (r04 VERDICT "What's wrong" #3).  Everything not
+#: listed keeps registration order after the priority block; nothing
+#: is ever dropped, only reordered.
 _DRIVER_PRIORITY = (
-    # r03 hash-fails, fixed by terminal DOUBLE casts — re-certify first
-    "hourly_rollup_events",
-    "daily_rollup_events",
+    # r04 reds, representation-fixed — re-certify first
     "sessionize_events",
-    "interval_join_rollup_events",
-    "grouped_topk_revenue_lineitem",
-    "streaming_session_rollup_events",
-    "streaming_windowed_counts_events",
-    # real BMP/PPM/WAV decoder (replaced the r2 stub; r1 rows are stale)
-    "multimodal_features_documents",
-    # never driver-checked: TPC-H core (q18 demoted to post-window)
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    # never driver-checked: dedup/similarity family
-    "semantic_dedup_filter_documents",
-    "dedup_lines_documents",
-    "corpus_dedup_lines_documents",
-    "dup_clusters_star_documents",
-    "near_dedup_filter_best_documents",
-    "lsh_recall_eval_documents",
-    "ann_recall_embeddings",
-    "embedding_ingest_dedup_embeddings",
-    # never driver-checked: text/corpus cleaning
-    "gopher_gate_documents",
-    "strip_html_documents",
-    "normalize_unicode_documents",
-    "clean_web_corpus_documents",
     "hashed_vectors_documents",
-    "hashed_text_topk_documents",
-    "bpe_pair_counts_documents",
-    "bpe_merges_documents",
-    # never driver-checked: quality/profile/diff
-    "column_diff_orders",
-    "distribution_drift_orders",
-    "benford_audit_orders",
-    "fd_check_orders",
-    "constraint_report_orders",
-    # never driver-checked: snapshot / incremental verify
-    "snapshot_verify_events",
-    "snapshot_update_events",
-    # never driver-checked: time-series / sampling / sketch
-    "fill_gaps_hourly_events",
-    "debounce_events",
-    "reservoir_sample_events",
-    "countmin_freq_events",
-    "sampled_quantiles_orders",
-    "sampled_quantiles_by_lang_documents",
-    # never driver-checked: streaming additions
-    "streaming_countmin_events",
-    "streaming_constraint_report_orders",
-    "streaming_ivf_ingest_dedup_embeddings",
-    "streaming_debounce_events",
-    "streaming_sampled_quantiles_orders",
-    # fingerprint smoke core (§2.1 parity, one row per mode)
-    "full_fingerprint_lineitem",
-    "bookend_fingerprint_lineitem",
-    "sparse_fingerprint_lineitem",
-    "rowcount_fingerprint_lineitem",
-    "bucketed_fingerprint_lineitem",
-    # post-window tail: the designated swap-out, then the remaining
-    # real-decoder rows (r1 rows are stale) in case the window is >50
+    # latent twins of the same two hazard classes, fixed pre-emptively
+    "sessionize_scalable_events",
+    "pq_encode_embeddings",
+    # never driver-checked: round-4 TPC-H plan anchors
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_unsold_parts",
+    "tpch_q19_special_revenue",
+    # never driver-checked: PQ / IVF-PQ ANN family
+    "pq_topk_embeddings",
+    "ivfpq_topk_embeddings",
+    "pq_recall_eval_embeddings",
+    # never driver-checked: multimodal fingerprints (real decoder)
+    "multimodal_image_ahash_documents",
+    "multimodal_image_dup_groups_documents",
+    "multimodal_audio_fingerprint_documents",
+    # never driver-checked: skew-bounded time-series variants
+    "debounce_scalable_events",
+    # never driver-checked: pipeline prep / reporting
+    "corpus_mix_rollup_documents",
+    "dataset_card_documents",
+    "curriculum_pack_documents",
+    "repair_plan_orders",
+    "leakage_safe_split_documents",
+    "token_mixture_sample_documents",
+    "dedup_agreement_report_documents",
+    # round-5 additions
+    "ivfpq_probe_index_embeddings",
+    # round-4 post-window tail, still unchecked
     "tpch_q18_large_volume_customer",
     "multimodal_resize_documents",
     "multimodal_frame_sample_documents",
     "additive_fingerprint_lineitem",
+    # thin smoke core (parity §2.1 keeps a current row)
+    "full_fingerprint_lineitem",
+    "rowcount_fingerprint_lineitem",
+    "tpch_q1_pricing_summary",
 )
 
 
@@ -2729,6 +2762,8 @@ HEADLINE_QUERIES = (
     "ivfpq_topk_embeddings",
     "dataset_card_documents",
     "multimodal_image_ahash_documents",
+    # round-5 additions: the ANN deploy shape (probe vs persisted index)
+    "ivfpq_probe_index_embeddings",
 )
 
 

@@ -23,14 +23,28 @@ TABLES = (
 
 
 def norm_cell(v):
+    # Type-faithful rendering: the driver's hash distinguishes int 1
+    # from float 1.0 (the CORRECTNESS_r04 sessionize HUGEINT fail that
+    # the old %.6g-only rendering was blind to) and CRASHES on list
+    # cells (pandas sort over unhashable cells — hashed_vectors r04
+    # `err`).  Mimic both so sweep-green predicts driver-green.
     if v is None:
         return ""
+    if isinstance(v, bool):
+        return str(v)
     if isinstance(v, float):
-        return f"{v:.6g}"
+        return f"f:{v:.6g}"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict, set)):
+        raise TypeError(
+            f"unhashable driver cell type {type(v).__name__}: the driver's "
+            "pandas canon crashes on array/struct outputs — flatten them"
+        )
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
     return str(v)
 
 
@@ -88,8 +102,13 @@ def main():
             print(f"FAIL {key}: rowcount {len(srows)} vs {len(orows)}")
             n_fail += 1
             continue
-        sh = table_hash(scols, srows)
-        oh = table_hash(ocols, orows)
+        try:
+            sh = table_hash(scols, srows)
+            oh = table_hash(ocols, orows)
+        except TypeError as e:
+            print(f"FAIL {key}: driver-crash cell type — {e}")
+            n_fail += 1
+            continue
         if sh != oh:
             print(f"FAIL {key}: hash mismatch ({len(srows)} rows)")
             n_fail += 1

@@ -58,6 +58,8 @@ def _window_over_single(plan: str) -> bool:
 
 @pytest.mark.parametrize("name", sorted(entry.queries()))
 def test_plan_guardrails(name, spark, sf_dir):
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
     df = entry.queries()[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian join"
@@ -67,6 +69,20 @@ def test_plan_guardrails(name, spark, sf_dir):
             f"{name}: Window over Exchange SinglePartition — global "
             "single-reducer sort/rank"
         )
+    # Spark-side half of the render-hazard lint: the driver's pandas
+    # canon (sort_values over object cells) raises ``unhashable type``
+    # on array/map/struct cells (CORRECTNESS_r04 hashed_vectors `err`)
+    # and DECIMAL renders through float on one side only.  Registered
+    # outputs must be scalar BIGINT/DOUBLE/STRING/BOOL/TIMESTAMP.
+    bad = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType, DecimalType))
+    ]
+    assert not bad, (
+        f"{name}: driver render-hazard output types {bad} — flatten "
+        "arrays (array_join / scalar columns), cast decimals, in both twins"
+    )
 
 
 def test_registry_name_lists_resolve():
@@ -86,41 +102,55 @@ def test_registry_name_lists_resolve():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
 
 
-def test_no_decimal_output_columns():
-    """Render-hazard lint: no oracle-paired query may emit a DECIMAL
-    output column.  The driver's order-insensitive value hash renders a
-    DECIMAL cell through float on one side only, so any cell whose
-    decimal string carries trailing zeros (``Decimal('239577.7750')``
-    vs ``239577.775``) hash-mismatches even when the values are exactly
-    equal — the CORRECTNESS_r03 failure mode (a perfect 7/43
-    discriminator across that round's window).  Terminal outputs must
-    cast to DOUBLE (see registry._DOUBLE_OUTPUT_COLS); internal
-    arithmetic stays DECIMAL-exact."""
+#: DuckDB output-type substrings the driver cannot hash faithfully.
+#: DECIMAL: rendered through float on one side only, so trailing-zero
+#: decimal strings hash-mismatch exact-equal values (CORRECTNESS_r03,
+#: 7/43 discriminator).  HUGEINT/UHUGEINT: duckdb.df() converts int128
+#: to float64, so the driver sees float 1.0 vs Spark's BIGINT 1
+#: (CORRECTNESS_r04 sessionize hash-fail).  LIST/STRUCT/MAP: the
+#: driver's pandas canon sort crashes on unhashable cells
+#: (CORRECTNESS_r04 hashed_vectors `err`).
+_ORACLE_TYPE_HAZARDS = ("DECIMAL", "HUGEINT", "UHUGEINT", "STRUCT", "MAP")
+
+
+def _oracle_type_hazard(ty: str) -> bool:
+    return any(h in ty for h in _ORACLE_TYPE_HAZARDS) or ty.endswith("[]")
+
+
+def test_no_render_hazard_output_columns(sf_dir):
+    """Render-hazard lint, class-wide: no oracle-paired query may emit a
+    DECIMAL, HUGEINT/UHUGEINT, or LIST/STRUCT/MAP output column.  Each
+    hazard has produced a real driver failure (see _ORACLE_TYPE_HAZARDS)
+    even when the values were exactly equal.  Terminal outputs must cast
+    to BIGINT/DOUBLE/STRING in BOTH twins (registry._DOUBLE_OUTPUT_COLS,
+    array_join/array_to_string flattening); internal arithmetic stays
+    DECIMAL/array-exact."""
     import duckdb
 
     con = duckdb.connect()
-    sf = "/root/testdata/sf0.001"
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     hazards = {}
     for name, sql in entry.oracle_sql().items():
         rel = con.sql(f"SELECT * FROM ({sql}) _q LIMIT 0")
-        dec = [
+        bad = [
             (c, str(ty))
             for c, ty in zip(rel.columns, rel.types)
-            if "DECIMAL" in str(ty)
+            if _oracle_type_hazard(str(ty))
         ]
-        if dec:
-            hazards[name] = dec
+        if bad:
+            hazards[name] = bad
     assert not hazards, (
-        "oracle output schemas contain DECIMAL columns (driver render "
-        f"hazard — cast terminal outputs to DOUBLE in both twins): {hazards}"
+        "oracle output schemas contain driver render-hazard types "
+        f"(cast/flatten terminal outputs in both twins): {hazards}"
     )
+
+
 
 
 def test_oracle_paired_except_documented():
