@@ -540,6 +540,18 @@ def _two_table_query(
     return run
 
 
+def _tables_query(op: Callable[..., DataFrame], *tables: str) -> Callable:
+    """N-table generalization of :func:`_two_table_query` (the wider
+    TPC-H anchors take 4-7 relations in spec order)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_required_confs(spark)
+        tgt = ParquetTarget("t", sf_dir)
+        return op(*[tgt.read(spark, t) for t in tables])
+
+    return run
+
+
 def _q3_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgverify_spark.operators import analytics
 
@@ -1722,6 +1734,88 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _two_table_query("customer", "orders", analytics.customer_distribution),
             analytics.customer_distribution_oracle_sql("customer", "orders"),
         ),
+        # round-5 anchors: the remaining 11 queries, completing all 22.
+        # Shapes each adds: correlated-MIN join-back (Q2), dim on both
+        # fact sides (Q7), conditional-sum ratio (Q8), LIKE-filtered
+        # multi-join (Q9), agg-vs-global-scalar HAVING (Q11), dual CASE
+        # counts (Q12), agg-joined-to-own-MAX (Q15), fact vs its own
+        # group average (Q17), nested-IN semi chain (Q20), EXISTS +
+        # NOT-EXISTS on one fact (Q21), scalar-avg + anti join (Q22).
+        "tpch_q2_min_cost_supplier": (
+            _tables_query(
+                analytics.min_cost_supplier,
+                "part", "supplier", "lineitem", "nation", "region",
+            ),
+            analytics.min_cost_supplier_oracle_sql(
+                "part", "supplier", "lineitem", "nation", "region"
+            ),
+        ),
+        "tpch_q7_volume_shipping": (
+            _tables_query(
+                analytics.volume_shipping,
+                "supplier", "lineitem", "orders", "customer", "nation",
+            ),
+            analytics.volume_shipping_oracle_sql(
+                "supplier", "lineitem", "orders", "customer", "nation"
+            ),
+        ),
+        "tpch_q8_market_share": (
+            _tables_query(
+                analytics.national_market_share,
+                "part", "supplier", "lineitem", "orders", "customer",
+                "nation", "region",
+            ),
+            analytics.national_market_share_oracle_sql(
+                "part", "supplier", "lineitem", "orders", "customer",
+                "nation", "region",
+            ),
+        ),
+        "tpch_q9_product_profit": (
+            _tables_query(
+                analytics.product_type_profit,
+                "part", "supplier", "lineitem", "orders", "nation",
+            ),
+            analytics.product_type_profit_oracle_sql(
+                "part", "supplier", "lineitem", "orders", "nation"
+            ),
+        ),
+        "tpch_q11_important_parts": (
+            _table_query("lineitem", analytics.important_parts),
+            analytics.important_parts_oracle_sql("lineitem"),
+        ),
+        "tpch_q12_shipping_delay": (
+            _two_table_query("orders", "lineitem", analytics.shipping_delay_check),
+            analytics.shipping_delay_check_oracle_sql("orders", "lineitem"),
+        ),
+        "tpch_q15_top_supplier": (
+            _two_table_query("supplier", "lineitem", analytics.top_supplier),
+            analytics.top_supplier_oracle_sql("supplier", "lineitem"),
+        ),
+        "tpch_q17_small_qty_revenue": (
+            _two_table_query("part", "lineitem", analytics.small_quantity_revenue),
+            analytics.small_quantity_revenue_oracle_sql("part", "lineitem"),
+        ),
+        "tpch_q20_excess_suppliers": (
+            _tables_query(
+                analytics.excess_suppliers,
+                "supplier", "lineitem", "part", "nation",
+            ),
+            analytics.excess_suppliers_oracle_sql(
+                "supplier", "lineitem", "part", "nation"
+            ),
+        ),
+        "tpch_q21_waiting_suppliers": (
+            _tables_query(
+                analytics.waiting_suppliers, "supplier", "lineitem", "orders"
+            ),
+            analytics.waiting_suppliers_oracle_sql(
+                "supplier", "lineitem", "orders"
+            ),
+        ),
+        "tpch_q22_sales_opportunity": (
+            _two_table_query("customer", "orders", analytics.sales_opportunity),
+            analytics.sales_opportunity_oracle_sql("customer", "orders"),
+        ),
         # grouping-sets anchor: ROLLUP subtotals in one Expand+agg pass
         "corpus_mix_rollup_documents": (
             _table_query("documents", analytics.corpus_mix_rollup),
@@ -2605,6 +2699,17 @@ _DRIVER_PRIORITY = (
     "dedup_agreement_report_documents",
     # round-5 additions
     "ivfpq_probe_index_embeddings",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_shipping_delay",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
     # round-4 post-window tail, still unchecked
     "tpch_q18_large_volume_customer",
     "multimodal_resize_documents",
@@ -2650,6 +2755,14 @@ _DOUBLE_OUTPUT_COLS: dict[str, tuple[str, ...]] = {
     "tpch_q19_special_revenue": ("revenue",),
     "tpch_q5_local_supplier_volume": ("revenue",),
     "tpch_q18_large_volume_customer": ("sum_qty",),
+    "tpch_q2_min_cost_supplier": ("min_cost",),
+    "tpch_q7_volume_shipping": ("revenue",),
+    "tpch_q8_market_share": ("nation_rev", "total_rev"),
+    "tpch_q9_product_profit": ("sum_profit",),
+    "tpch_q11_important_parts": ("value",),
+    "tpch_q15_top_supplier": ("total_revenue",),
+    "tpch_q17_small_qty_revenue": ("total_rev",),
+    "tpch_q22_sales_opportunity": ("totacctbal",),
 }
 
 
@@ -2763,7 +2876,13 @@ HEADLINE_QUERIES = (
     "dataset_card_documents",
     "multimodal_image_ahash_documents",
     # round-5 additions: the ANN deploy shape (probe vs persisted index)
+    # plus the heaviest of the completing TPC-H anchors (fact-scale
+    # multi-join, dual-fact semi/anti, correlated-MIN join-back)
     "ivfpq_probe_index_embeddings",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
 )
 
 

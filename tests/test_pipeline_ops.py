@@ -2783,3 +2783,134 @@ def test_normalize_unicode_light(docs, duck):
     # folded output is pure ASCII for the injected tail
     assert all(r[2].endswith('Cafe - "naive" OEuvre strasse...') for r in touched)
     assert all(r[1] == 0 for r in rows if r[0] % 9 != 0)
+
+
+def test_tpch_completion_q2_q7_q8_q9(spark, sf_dir, duck):
+    """Round-5 anchors (first half): correlated-MIN join-back (Q2),
+    dim on both fact sides (Q7), conditional-sum ratio (Q8),
+    LIKE-filtered multi-join profit (Q9) — oracle-exact, and each plans
+    the shape it was chosen for."""
+    from pgverify_spark.operators import analytics
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li, od, cu, na, re_, pa, su = (
+        rd("lineitem"), rd("orders"), rd("customer"), rd("nation"),
+        rd("region"), rd("part"), rd("supplier"),
+    )
+
+    q2 = analytics.min_cost_supplier(pa, su, li, na, re_)
+    rows2 = _cmp(
+        q2, duck,
+        analytics.min_cost_supplier_oracle_sql(
+            "part", "supplier", "lineitem", "nation", "region"
+        ),
+    )
+    # one winner per part, min(struct) tie-break (no window in the plan)
+    assert len({r[0] for r in rows2}) == len(rows2)
+    assert "Window" not in q2._jdf.queryExecution().executedPlan().toString()
+
+    q7 = analytics.volume_shipping(su, li, od, cu, na)
+    rows7 = _cmp(
+        q7, duck,
+        analytics.volume_shipping_oracle_sql(
+            "supplier", "lineitem", "orders", "customer", "nation"
+        ),
+    )
+    assert all(
+        {r[0], r[1]} == {analytics.Q7_NATION_A, analytics.Q7_NATION_B}
+        for r in rows7
+    )
+
+    q8 = analytics.national_market_share(pa, su, li, od, cu, na, re_)
+    rows8 = _cmp(
+        q8, duck,
+        analytics.national_market_share_oracle_sql(
+            "part", "supplier", "lineitem", "orders", "customer",
+            "nation", "region",
+        ),
+    )
+    assert rows8 and all(0.0 <= r[1] <= 1.0 for r in rows8)  # share bounded
+
+    q9 = analytics.product_type_profit(pa, su, li, od, na)
+    rows9 = _cmp(
+        q9, duck,
+        analytics.product_type_profit_oracle_sql(
+            "part", "supplier", "lineitem", "orders", "nation"
+        ),
+    )
+    assert rows9
+
+
+def test_tpch_completion_q11_q12_q15_q17(spark, sf_dir, duck):
+    """Round-5 anchors (second half, single/dual-table): global-scalar
+    HAVING (Q11), dual CASE counts (Q12), agg-joined-to-own-MAX (Q15),
+    exact group-average threshold (Q17)."""
+    from pgverify_spark.operators import analytics
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li, od, pa, su = rd("lineitem"), rd("orders"), rd("part"), rd("supplier")
+
+    rows11 = _cmp(
+        analytics.important_parts(li), duck,
+        analytics.important_parts_oracle_sql("lineitem"),
+    )
+    assert rows11  # threshold selects a non-empty head
+
+    rows12 = _cmp(
+        analytics.shipping_delay_check(od, li), duck,
+        analytics.shipping_delay_check_oracle_sql("orders", "lineitem"),
+    )
+    assert {r[0] for r in rows12} <= {"LATE", "ONTIME"} and rows12
+
+    q15 = analytics.top_supplier(su, li)
+    rows15 = _cmp(
+        q15, duck, analytics.top_supplier_oracle_sql("supplier", "lineitem")
+    )
+    assert len(rows15) >= 1  # max always selects (ties included)
+
+    rows17 = _cmp(
+        analytics.small_quantity_revenue(pa, li), duck,
+        analytics.small_quantity_revenue_oracle_sql("part", "lineitem"),
+    )
+    assert len(rows17) == 1
+
+
+def test_tpch_completion_q20_q21_q22(spark, sf_dir, duck):
+    """Round-5 anchors (semi/anti families): nested-IN chain (Q20),
+    EXISTS + NOT-EXISTS on one fact (Q21), scalar-avg threshold +
+    anti join (Q22)."""
+    from pgverify_spark.operators import analytics
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li, od, cu, na, pa, su = (
+        rd("lineitem"), rd("orders"), rd("customer"), rd("nation"),
+        rd("part"), rd("supplier"),
+    )
+
+    q20 = analytics.excess_suppliers(su, li, pa, na)
+    p20 = q20._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p20
+    _cmp(
+        q20, duck,
+        analytics.excess_suppliers_oracle_sql(
+            "supplier", "lineitem", "part", "nation"
+        ),
+    )
+
+    q21 = analytics.waiting_suppliers(su, li, od)
+    p21 = q21._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    rows21 = list(map(tuple, q21.collect()))
+    oracle21 = list(map(tuple, duck.execute(
+        analytics.waiting_suppliers_oracle_sql("supplier", "lineitem", "orders")
+    ).fetchall()))
+    assert rows21 == oracle21  # order-sensitive: ranked output
+
+    q22 = analytics.sales_opportunity(cu, od)
+    p22 = q22._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in p22
+    rows22 = _cmp(
+        q22, duck, analytics.sales_opportunity_oracle_sql("customer", "orders")
+    )
+    # every reported code is one of the selected country codes
+    assert all(r[0] in analytics.Q22_CODES for r in rows22)
