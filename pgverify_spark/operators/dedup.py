@@ -1308,3 +1308,60 @@ def dedup_agreement_report_oracle_sql(
                 f"CAST({common} AS BIGINT) AS n_common"
             )
     return f"WITH {ctes} " + " UNION ALL ".join(selects)
+
+
+def dedup_savings_report(df: DataFrame) -> DataFrame:
+    """Per-(source, lang) accounting of what exact dedup would save —
+    the before/after report a curation team reads ahead of committing a
+    dedup pass: how many documents and characters each slice keeps.
+    Winners are GLOBAL (min doc_id per distinct text, exactly
+    :func:`exact_dedup_filter`'s rule), so a slice whose docs lose to
+    copies in another slice shows the true cross-slice shrinkage.
+    Output: (source, lang, n_docs, n_kept, n_removed, chars_total,
+    chars_kept, chars_saved) — all BIGINT.
+
+    Scale shape: winner choice shuffles only (16-byte hash, doc_id)
+    with a map-side-combined min; the flag rides back on an ids-only
+    broadcast-able semi-join shape (here a left join to a kept marker),
+    and the report is one |slices|-row aggregate.  The text column
+    never shuffles.
+    """
+    winners = (
+        df.selectExpr(f"md5({norm_sql('text', DIALECT_SPARK)}) AS h", "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("kept", F.lit(1))
+    )
+    return (
+        df.select("doc_id", "source", "lang", "n_chars")
+        .join(winners, "doc_id", "left")
+        .selectExpr(
+            "source", "lang", "n_chars", "coalesce(kept, 0) AS kept"
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.sum(F.expr("1 - kept")).cast("bigint").alias("n_removed"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.sum(F.expr("kept * n_chars")).cast("bigint").alias("chars_kept"),
+            F.sum(F.expr("(1 - kept) * n_chars")).cast("bigint").alias("chars_saved"),
+        )
+    )
+
+
+def dedup_savings_report_oracle_sql(table: str) -> str:
+    return (
+        "SELECT source, lang, count(*) AS n_docs, "
+        "CAST(sum(kept) AS BIGINT) AS n_kept, "
+        "CAST(sum(1 - kept) AS BIGINT) AS n_removed, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars_total, "
+        "CAST(sum(kept * n_chars) AS BIGINT) AS chars_kept, "
+        "CAST(sum((1 - kept) * n_chars) AS BIGINT) AS chars_saved FROM ("
+        "SELECT source, lang, n_chars, CASE WHEN doc_id IN ("
+        f"SELECT min(doc_id) FROM {table} "
+        f"GROUP BY md5({norm_sql('text', DIALECT_DUCKDB)})) "
+        f"THEN 1 ELSE 0 END AS kept FROM {table}) t "
+        "GROUP BY source, lang"
+    )

@@ -1235,3 +1235,145 @@ def label_prototype_outliers_oracle_sql(table: str, k: int = 5) -> str:
         "SELECT label, vec_id, cos_to_centroid, CAST(rank AS INT) AS rank "
         f"FROM ranked WHERE rank <= {k}"
     )
+
+
+def filtered_cosine_topk(
+    df: DataFrame,
+    query_ids: tuple[int, ...],
+    labels: tuple[int, ...],
+    k: int = 10,
+) -> DataFrame:
+    """FILTERED vector search: exact cosine top-k restricted to corpus
+    vectors whose ``label`` is in ``labels`` — the metadata-constrained
+    ANN shape every retrieval stack needs (search only docs the user
+    may see / only one language / only one time range).  Pre-filtering
+    beats post-filtering a plain top-k, which under-fills k whenever
+    the predicate is selective.
+
+    Output: (query_id, vec_id, label, cosine, rank), rank 1..k.
+
+    Scale shape: the label predicate is a plain scan filter — it
+    reaches the parquet reader as a PushedFilter (asserted in tests),
+    so a selective filter prunes row groups BEFORE any vector math;
+    the query side broadcasts and the corpus never shuffles before the
+    per-query top-k, exactly :func:`cosine_topk`'s plan.  With the
+    corpus partitioned on the filter column the scan prunes whole
+    partitions — the same composed plan at 100 TB.
+    """
+    ids = ", ".join(map(str, query_ids))
+    labs = ", ".join(map(str, labels))
+    q = df.filter(f"vec_id IN ({ids})").selectExpr(
+        "vec_id AS query_id", "embedding AS q_emb"
+    )
+    scored = (
+        df.filter(f"label IN ({labs})")
+        .crossJoin(F.broadcast(q))
+        .filter("vec_id <> query_id")
+        .selectExpr(
+            "query_id",
+            "vec_id",
+            "label",
+            f"{cosine_sql('q_emb', 'embedding', DIALECT_SPARK)} AS cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(f"rank <= {k}")
+        .select("query_id", "vec_id", "label", "cosine", "rank")
+    )
+
+
+def filtered_cosine_topk_oracle_sql(
+    table: str,
+    query_ids: tuple[int, ...],
+    labels: tuple[int, ...],
+    k: int = 10,
+) -> str:
+    ids = ", ".join(map(str, query_ids))
+    labs = ", ".join(map(str, labels))
+    cos = cosine_sql("q.embedding", "c.embedding", DIALECT_DUCKDB)
+    return (
+        "SELECT query_id, vec_id, label, cosine, rank FROM ("
+        f"SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label, "
+        f"{cos} AS cosine, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"{cos} DESC, c.vec_id ASC) AS rank "
+        f"FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id "
+        f"AND c.label IN ({labs}) "
+        f"WHERE q.vec_id IN ({ids})) t WHERE rank <= {k}"
+    )
+
+
+def label_centroid_drift(df: DataFrame) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots, per label —
+    the QA report that catches a broken encoder or a shifted data
+    distribution before training: how far did each label's centroid
+    move?  The two 'snapshots' are the deterministic halves
+    ``vec_id % 2`` (in production: two ingestion dates).
+
+    Output: (label, n_a, n_b, l1_shift) — l1_shift is the L1 distance
+    between the two halves' centroids, 6-decimal double.
+
+    Exactness: per-dimension sums accumulate in INTEGER MILLIONTHS
+    (the repo-wide pattern — float addition is order-dependent, int64
+    addition is not), so both engines agree bit-for-bit; the per-dim
+    mean divisions and the final L1 fold run in a FIXED dimension
+    order, making the one float stage deterministic too.
+
+    Scale shape: one map-side-combined aggregate to 2x|labels| rows
+    (64 integer sums each), one tiny self-join on label — the corpus
+    is scanned once and never shuffled (the groupBy exchange carries
+    |labels| x 2 partial rows per task).
+    """
+    sums = {
+        f"s{d}": (
+            f"CAST(sum(CAST(round(CAST(element_at(embedding, {d + 1}) AS DOUBLE) "
+            "* 1000000) AS BIGINT)) AS BIGINT)"
+        )
+        for d in range(EMBEDDING_DIM)
+    }
+    halves = (
+        df.selectExpr("CAST(vec_id % 2 AS INT) AS half", "label", "embedding")
+        .groupBy("label", "half")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.expr(expr).alias(name) for name, expr in sums.items()],
+        )
+    )
+    a = halves.filter("half = 0").drop("half")
+    b = halves.filter("half = 1").drop("half")
+    terms = " + ".join(
+        f"abs(CAST(a.s{d} AS DOUBLE) / a.n - CAST(b.s{d} AS DOUBLE) / b.n)"
+        for d in range(EMBEDDING_DIM)
+    )
+    return (
+        a.alias("a")
+        .join(b.alias("b"), "label")
+        .selectExpr(
+            "label",
+            "a.n AS n_a",
+            "b.n AS n_b",
+            f"round(({terms}) / 1000000, 6) AS l1_shift",
+        )
+    )
+
+
+def label_centroid_drift_oracle_sql(table: str) -> str:
+    sums = ", ".join(
+        f"CAST(sum(CAST(round(CAST(embedding[{d + 1}] AS DOUBLE) "
+        f"* 1000000) AS BIGINT)) AS BIGINT) AS s{d}"
+        for d in range(EMBEDDING_DIM)
+    )
+    terms = " + ".join(
+        f"abs(CAST(a.s{d} AS DOUBLE) / a.n - CAST(b.s{d} AS DOUBLE) / b.n)"
+        for d in range(EMBEDDING_DIM)
+    )
+    return (
+        "WITH halves AS (SELECT label, CAST(vec_id % 2 AS INT) AS half, "
+        f"count(*) AS n, {sums} FROM {table} GROUP BY label, vec_id % 2) "
+        "SELECT a.label, a.n AS n_a, b.n AS n_b, "
+        f"round(({terms}) / 1000000, 6) AS l1_shift "
+        "FROM halves a JOIN halves b ON a.label = b.label "
+        "AND a.half = 0 AND b.half = 1"
+    )

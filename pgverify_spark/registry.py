@@ -1916,6 +1916,30 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _ivfpq_probe_index,
             similarity.ivfpq_topk_oracle_sql("embeddings", (0, 1, 2, 3, 4), 10, 2),
         ),
+        # metadata-constrained vector search: label predicate pre-filters
+        # the corpus scan (pushed filter), then exact cosine top-k
+        "filtered_cosine_topk_embeddings": (
+            _table_query(
+                "embeddings",
+                lambda df: similarity.filtered_cosine_topk(
+                    df, (0, 1, 2, 3, 4), (0, 1, 2, 3), 5
+                ),
+            ),
+            similarity.filtered_cosine_topk_oracle_sql(
+                "embeddings", (0, 1, 2, 3, 4), (0, 1, 2, 3), 5
+            ),
+        ),
+        # embedding-space QA: per-label centroid drift between two
+        # corpus snapshots (integer-millionth-exact per-dim sums)
+        "label_centroid_drift_embeddings": (
+            _table_query("embeddings", similarity.label_centroid_drift),
+            similarity.label_centroid_drift_oracle_sql("embeddings"),
+        ),
+        # what exact dedup saves, per (source, lang) slice
+        "dedup_savings_report_documents": (
+            _table_query("documents", dedup.dedup_savings_report),
+            dedup.dedup_savings_report_oracle_sql("documents"),
+        ),
     }
 
 
@@ -2710,6 +2734,9 @@ _DRIVER_PRIORITY = (
     "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_sales_opportunity",
+    "filtered_cosine_topk_embeddings",
+    "label_centroid_drift_embeddings",
+    "dedup_savings_report_documents",
     # round-4 post-window tail, still unchecked
     "tpch_q18_large_volume_customer",
     "multimodal_resize_documents",

@@ -2914,3 +2914,60 @@ def test_tpch_completion_q20_q21_q22(spark, sf_dir, duck):
     )
     # every reported code is one of the selected country codes
     assert all(r[0] in analytics.Q22_CODES for r in rows22)
+
+
+def test_filtered_cosine_topk(spark, embs, duck):
+    """Metadata-constrained ANN: the label predicate reaches the parquet
+    scan (pushed filter — the 100 TB point of pre-filtering), results
+    are oracle-exact, and every hit satisfies the predicate."""
+    from pgverify_spark.operators import similarity
+
+    q = similarity.filtered_cosine_topk(embs, QIDS, (0, 1, 2, 3), 5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan.split("PushedFilters")[1][:300]
+    rows = _cmp(
+        q, duck,
+        similarity.filtered_cosine_topk_oracle_sql(
+            "embeddings", QIDS, (0, 1, 2, 3), 5
+        ),
+    )
+    assert rows and all(r[2] in (0, 1, 2, 3) for r in rows)
+    # pre-filtering fills k whenever enough candidates match
+    per_q = {}
+    for r in rows:
+        per_q[r[0]] = per_q.get(r[0], 0) + 1
+    assert all(v == 5 for v in per_q.values())
+
+
+def test_label_centroid_drift(spark, embs, duck):
+    """Snapshot drift: oracle-exact (integer-millionth per-dim sums make
+    the centroids deterministic), every label with both halves present
+    reports once, and the corpus is scanned once (a single aggregate
+    exchange; the self-join runs over |labels| rows)."""
+    from pgverify_spark.operators import similarity
+
+    q = similarity.label_centroid_drift(embs)
+    rows = _cmp(
+        q, duck, similarity.label_centroid_drift_oracle_sql("embeddings")
+    )
+    assert rows and all(r[3] >= 0 for r in rows)
+    labels = {r[0] for r in rows}
+    assert len(labels) == len(rows)  # one row per label
+
+
+def test_dedup_savings_report(spark, docs, duck):
+    """Savings accounting reconciles: kept + removed = docs,
+    chars_kept + chars_saved = chars_total per slice, and the global
+    kept count equals the exact-dedup filter's survivor count."""
+    from pgverify_spark.operators import dedup
+
+    rows = _cmp(
+        dedup.dedup_savings_report(docs), duck,
+        dedup.dedup_savings_report_oracle_sql("documents"),
+    )
+    assert rows
+    for (_, _, n_docs, n_kept, n_removed, ct, ck, cs) in rows:
+        assert n_kept + n_removed == n_docs
+        assert ck + cs == ct
+    total_kept = sum(r[3] for r in rows)
+    assert total_kept == dedup.exact_dedup_filter(docs).count()
