@@ -2660,88 +2660,96 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 
 #: Names the driver's bounded CORRECTNESS window should certify FIRST.
 #: The driver compares roughly the first 50 ``queries()`` entries in
-#: insertion order per round, so this list rotates per round: round 3
-#: front-loads the two operators whose round-1 driver failure was fixed
-#: but never driver-reverified (hourly/daily rollup, stateful streaming
-#: fingerprint) followed by every query that has never had a driver row
-#: (r01+r02 covered the fingerprint/diff/report/dedup/text families).
-#: Everything not listed keeps registration order after the priority
-#: block — nothing is ever dropped, only reordered.
+#: insertion order per round, so this list rotates each round onto the
+#: queries whose evidence is weakest.  Everything not listed keeps
+#: registration order after the priority block — nothing is ever
+#: dropped, only reordered.
 #:
-#: ROUND-5 ROTATION (window = roughly the first 50 queries() entries,
-#: per CORRECTNESS_r04 which recorded exactly 50 rows): positions 1-2
-#: are the two r04 reds, now representation-fixed (sessionize oracle
-#: HUGEINT session_idx -> BIGINT; hashed_vectors array output ->
-#: array_join string) — the round's headline claim, so they lead.
-#: Positions 3-4 are the two latent twins of those same hazards the
-#: r04 VERDICT type-audit flagged (sessionize_scalable shares the
-#: oracle; pq_encode's codes array is now code_0..code_7 scalars).
-#: Then every remaining never-driver-checked query: the round-4
-#: additions (TPC-H anchors, PQ/IVF-PQ family, multimodal
-#: fingerprints, pipeline-prep and agreement reports), the round-4
-#: post-window tail (tpch_q18, multimodal resize / frame-sample,
-#: additive fingerprint), and the round-5 additions.  The tail is a
-#: thin 3-row smoke core (full/rowcount fingerprint + tpch_q1) so the
-#: parity core keeps a current row without burning window capacity.
-#: Rows-only entries (bpe_merges, streaming_stateful_bucket) are
-#: deliberately NOT in the window — they can never hash-certify and
-#: would waste rows (r04 VERDICT "What's wrong" #3).  Everything not
-#: listed keeps registration order after the priority block; nothing
-#: is ever dropped, only reordered.
+#: INVARIANT (lint-enforced by tests/test_plan_audit.py): rows-only
+#: entries — registered queries whose ``oracle_sql()`` entry is absent
+#: by design (bpe_merges, streaming_stateful_bucket) — must NEVER
+#: appear in ``_DRIVER_PRIORITY``.  They can never hash-certify, so a
+#: window row spent on them is a row taken from a certifiable query.
+#:
+#: ROUND-6 ROTATION — certification STALENESS (r5 VERDICT item 1).
+#: After r5 every one of the 187 registered queries has a driver row
+#: and 185/187 are green, but 52 of those greens date from r1/r2 and
+#: the code under them (canonical expressions, registry plumbing,
+#: plans/verify.py) was refactored across r3-r5.  This round's window
+#: is ordered oldest-certification-first, verified locally green via
+#: tests/oracle_check.py before rotation: positions 1-8 the r1
+#: survivors (the similarity/ANN family), then the 44 r2 rows — the
+#: §2.1 #8-12 verify orchestrator chain first, then the fingerprint
+#: variants, then text/dedup.  ``full_fingerprint_part`` and
+#: ``full_fingerprint_embeddings`` sit at positions 51-52 (just past a
+#: 50-row window) deliberately: they exercise the operator already
+#: covered by the four in-window full_fingerprint tables, so they are
+#: the lowest-marginal-evidence rows if the window cuts at 50; they
+#: lead the r7 backlog otherwise.  The 3-row smoke core follows, then
+#: (via registration order) the r3-r5-certified remainder, freshest
+#: last.  Round-6 ADDITIONS (never driver-checked -> r7 backlog, list
+#: them first next round): bpe_apply_documents (if oracle-paired),
+#: curate_corpus_documents, and any cosine partial-topk variants.
 _DRIVER_PRIORITY = (
-    # r04 reds, representation-fixed — re-certify first
-    "sessionize_events",
-    "hashed_vectors_documents",
-    # latent twins of the same two hazard classes, fixed pre-emptively
-    "sessionize_scalable_events",
-    "pq_encode_embeddings",
-    # never driver-checked: round-4 TPC-H plan anchors
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_unsold_parts",
-    "tpch_q19_special_revenue",
-    # never driver-checked: PQ / IVF-PQ ANN family
-    "pq_topk_embeddings",
-    "ivfpq_topk_embeddings",
-    "pq_recall_eval_embeddings",
-    # never driver-checked: multimodal fingerprints (real decoder)
-    "multimodal_image_ahash_documents",
-    "multimodal_image_dup_groups_documents",
-    "multimodal_audio_fingerprint_documents",
-    # never driver-checked: skew-bounded time-series variants
-    "debounce_scalable_events",
-    # never driver-checked: pipeline prep / reporting
-    "corpus_mix_rollup_documents",
-    "dataset_card_documents",
-    "curriculum_pack_documents",
-    "repair_plan_orders",
-    "leakage_safe_split_documents",
-    "token_mixture_sample_documents",
-    "dedup_agreement_report_documents",
-    # round-5 additions
-    "ivfpq_probe_index_embeddings",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_shipping_delay",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
-    "filtered_cosine_topk_embeddings",
-    "label_centroid_drift_embeddings",
-    "dedup_savings_report_documents",
-    # round-4 post-window tail, still unchecked
-    "tpch_q18_large_volume_customer",
-    "multimodal_resize_documents",
-    "multimodal_frame_sample_documents",
-    "additive_fingerprint_lineitem",
+    # last green r1: similarity / ANN family
+    "simhash_near_pairs_documents",
+    "embedding_near_dups",
+    "embedding_near_dups_lsh",
+    "cosine_topk_embeddings",
+    "hyperplane_buckets_embeddings",
+    "ann_lsh_topk_embeddings",
+    "ivf_assign_embeddings",
+    "ivf_topk_embeddings",
+    # last green r2: the §2.1 #8-12 verify orchestrator chain
+    "verify_report_two_targets",
+    "verify_report_parquet_vs_csv",
+    "row_diff_orders",
+    "partition_diff_events",
+    "drilldown_row_diff_events",
+    # last green r2: fingerprint modes + option variants
+    "full_fingerprint_orders",
+    "full_fingerprint_customer",
+    "full_fingerprint_events",
+    "full_fingerprint_documents",
+    "bookend_fingerprint_orders",
+    "sparse_fingerprint_orders",
+    "bucketed_fingerprint_events",
+    "rowcount_orders",
+    "additive_fingerprint_orders",
+    "full_fingerprint_orders_hashed_pk",
+    "full_fingerprint_orders_excl_cols",
+    "full_fingerprint_orders_secs_precision",
+    "full_fingerprint_events_hours_precision",
+    "full_fingerprint_events_json_props",
+    "partitioned_fingerprint_events",
+    "full_fingerprint_nation_csv_roundtrip",
+    "full_fingerprint_nation_json_roundtrip",
+    "full_fingerprint_orders_orc_roundtrip",
+    "full_fingerprint_type_matrix",
+    # last green r2: text analysis
+    "text_stats_documents",
+    "language_id_documents",
+    "token_counts_documents",
+    "rolling_fingerprint_documents",
+    "doc_fingerprints_documents",
+    # last green r2: dedup / contamination / profile
+    "exact_dup_groups_documents",
+    "minhash_lsh_pairs_documents",
+    "ngram_jaccard_pairs_documents",
+    "repetition_stats_documents",
+    "contamination_pairs_documents",
+    "bloom_decontaminate_documents",
+    "dup_clusters_documents",
+    "profile_orders",
+    "winnowing_pairs_documents",
+    "semantic_dup_pairs_documents",
+    "incremental_dedup_documents",
+    "near_dedup_filter_documents",
+    "exact_dedup_filter_documents",
+    # positions 51-52: same operator as the in-window full_fingerprint
+    # rows — least marginal evidence if the window cuts at exactly 50
+    "full_fingerprint_part",
+    "full_fingerprint_embeddings",
     # thin smoke core (parity §2.1 keeps a current row)
     "full_fingerprint_lineitem",
     "rowcount_fingerprint_lineitem",

@@ -100,6 +100,12 @@ def test_registry_name_lists_resolve():
     # no duplicates either (a duplicate would double-count bench time)
     assert len(set(HEADLINE_QUERIES)) == len(HEADLINE_QUERIES)
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
+    # rows-only entries (no oracle twin) can never hash-certify, so a
+    # driver-window row spent on one is a row taken from a certifiable
+    # query — they must never enter the priority rotation.
+    rows_only = names - set(entry.oracle_sql())
+    in_window = sorted(rows_only & set(_DRIVER_PRIORITY))
+    assert not in_window, f"rows-only entries in _DRIVER_PRIORITY: {in_window}"
 
 
 #: DuckDB output-type substrings the driver cannot hash faithfully.
@@ -114,7 +120,10 @@ _ORACLE_TYPE_HAZARDS = ("DECIMAL", "HUGEINT", "UHUGEINT", "STRUCT", "MAP")
 
 
 def _oracle_type_hazard(ty: str) -> bool:
-    return any(h in ty for h in _ORACLE_TYPE_HAZARDS) or ty.endswith("[]")
+    # "[" catches both variable LISTs (DOUBLE[]) and fixed-size ARRAYs
+    # (DOUBLE[3]) — both reach the driver as list cells and crash its
+    # pandas canon the same way.
+    return any(h in ty for h in _ORACLE_TYPE_HAZARDS) or "[" in ty
 
 
 def test_no_render_hazard_output_columns(sf_dir):
