@@ -18,6 +18,19 @@ parquet at the same SF (threads = SPARK_GRAFT_CPUS) and reported as
 ``oracle_value`` / ``oracle_queries`` so the Spark:oracle ratio is
 self-contained in each round's BENCH output.  Set
 ``SPARK_GRAFT_SKIP_ORACLE=1`` to skip the oracle pass.
+
+AMENDMENT (round 6, r5 ADVICE item 1): the stored-index ANN entries
+(registry.bench_oracle_setup()) memoize their index build Spark-side,
+so their min-of-two times a pure probe; their DuckDB twins are now
+timed the same way — the build is materialized ONCE untimed and the
+timed SQL probes the stored relations.  Ratios for those three rows
+are probe-vs-probe from r6 on (r4/r5 compared Spark probe to DuckDB
+build+probe, flattering Spark).
+
+Output: exactly ONE JSON line (the driver archives only the stdout
+tail, and a second full record pushed the compact one out of the
+window in r4).  Set ``SPARK_GRAFT_BENCH_FULL=1`` to also print the
+full record with per-query oracle timings as a PRECEDING line.
 """
 
 from __future__ import annotations
@@ -96,8 +109,19 @@ def main() -> None:
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
         oracles = registry.oracle_queries()
+        # Stored-index ANN rows: build the DuckDB index relations once,
+        # untimed, and time the probe-only twin — like-for-like with the
+        # Spark side's memoized stored index (see PROTOCOL AMENDMENT).
+        probe_twins = registry.bench_oracle_setup()
+        setup_done = False
         for name in headline:
             sql = oracles.get(name)
+            if name in probe_twins:
+                setup_stmts, sql = probe_twins[name]
+                if not setup_done:
+                    for stmt in setup_stmts:
+                        con.execute(stmt)
+                    setup_done = True
             if sql is None:
                 continue
             best = float("inf")
@@ -129,17 +153,25 @@ def main() -> None:
         out["spark_vs_oracle_ratio"] = round(
             spark_common / oracle_common, 4
         ) if oracle_common else None
-    print(json.dumps(out))
-    # The driver archives only the last ~4 KB of stdout; the full dict
-    # above can exceed that (BENCH_r04's tail held only the tail-end
-    # oracle dict and read as a Spark regression — r4 VERDICT warning).
-    # Re-print the summary WITHOUT the big per-query oracle dict as the
-    # FINAL line so the tail is always a parseable record with Spark
-    # totals.  Same schema minus oracle_queries; per-query Spark
-    # timings kept at reduced precision to stay well under 4 KB.
+    # The driver archives only the last ~4 KB of stdout and consumers
+    # parse one-JSON-record-per-run, so emit exactly ONE line: the
+    # compact record (no per-query oracle dict; Spark timings at
+    # reduced precision).  The full record is opt-in and printed FIRST
+    # so the tail line stays the compact one.
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        print(json.dumps(out))
     compact = {k: v for k, v in out.items() if k != "oracle_queries"}
     compact["queries"] = {q: round(t, 3) for q, t in timings.items()}
-    print(json.dumps(compact))
+    line = json.dumps(compact)
+    if len(line) > 3800:  # never let headline growth overflow the window
+        print(
+            f"WARNING: compact record {len(line)} B > 3800; dropping "
+            "per-query timings — trim HEADLINE_QUERIES",
+            file=sys.stderr,
+        )
+        del compact["queries"]
+        line = json.dumps(compact)
+    print(line)
     sys.stdout.flush()
     spark.stop()
 

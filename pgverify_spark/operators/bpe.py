@@ -187,6 +187,101 @@ def bpe_learn(
     return merges
 
 
+#: Symbol boundary sentinel for the replace-chain BPE apply: U+001F
+#: (unit separator).  Words are whitespace-split so the sentinel never
+#: comes from tokenization itself; any pathological word containing it
+#: is dropped on BOTH twins before application.
+_BOUND = "\x1f"
+
+
+def _rep_sql(word_col: str, dialect: str) -> str:
+    """The word as a boundary-delimited symbol string: each initial
+    symbol (character) wrapped in sentinels — ``"ab"`` becomes
+    ``\\x1fa\\x1f\\x1fb\\x1f``.  Boundaries make symbol-pair string
+    replacement exact: a merge pattern can only match whole adjacent
+    symbols, never a substring of a longer symbol."""
+    if dialect == DIALECT_SPARK:
+        return (
+            f"concat_ws('', transform(sequence(1, length({word_col})), "
+            f"i -> concat('{_BOUND}', substr({word_col}, i, 1), '{_BOUND}')))"
+        )
+    return (
+        f"array_to_string(list_transform(range(1, length({word_col}) + 1), "
+        f"i -> '{_BOUND}' || substr({word_col}, i, 1) || '{_BOUND}'), '')"
+    )
+
+
+def _sq_dialect(sym: str, dialect: str) -> str:
+    if dialect == DIALECT_SPARK:
+        return _sq(sym)
+    return sym.replace("'", "''")
+
+
+def bpe_apply_sql(
+    word_col: str, merges: list[tuple[str, str]], dialect: str
+) -> str:
+    """Tokens of ``word_col`` under the ordered ``merges`` table, as a
+    SQL array expression — the APPLY half of BPE, dual-dialect.
+
+    Each merge is one string ``replace`` on the boundary-delimited
+    representation: ``replace(rep, ⟨a⟩⟨b⟩, ⟨ab⟩)``.  Built-in replace
+    scans left to right and resumes AFTER each replacement — exactly
+    BPE's greedy leftmost-merge convention (the :func:`_merge_expr`
+    fold), and identical in the JVM and DuckDB, so the twins agree
+    bit-for-bit (property-tested against a pure-Python reference in
+    tests/test_properties.py).  m merges = m codegen'd string passes
+    over a vocabulary-sized relation — no lambda folds, no UDFs.
+    """
+    rep = _rep_sql(word_col, dialect)
+    for a, b in merges:
+        qa, qb = _sq_dialect(a, dialect), _sq_dialect(b, dialect)
+        pat = f"{_BOUND}{qa}{_BOUND}{_BOUND}{qb}{_BOUND}"
+        new = f"{_BOUND}{qa}{qb}{_BOUND}"
+        rep = f"replace({rep}, '{pat}', '{new}')"
+    inner = f"substring({rep}, 2, length({rep}) - 2)"
+    if dialect == DIALECT_SPARK:
+        return f"split({inner}, '{_BOUND}{_BOUND}')"
+    return f"str_split({inner}, '{_BOUND}{_BOUND}')"
+
+
+def bpe_apply_tokens(
+    df: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Tokenize the corpus with a learned/shipped BPE merge table and
+    return the resulting token frequency table (token, n_occurrences).
+
+    The merge table is a static artifact (what a tokenizer ships);
+    application is pure per-word string work, so the corpus is scanned
+    ONCE for word counts (the shuffle carries the vocabulary with
+    map-side combine) and the m replace passes + token explode run
+    over the |vocab|-sized relation only — at 100 TB the apply cost is
+    independent of corpus size beyond the one word-count scan.
+    """
+    wc = word_counts(df).filter(f"NOT contains(word, '{_BOUND}')")
+    toks = wc.selectExpr(
+        "cnt",
+        f"explode({bpe_apply_sql('word', merges, DIALECT_SPARK)}) AS token",
+    )
+    return toks.groupBy("token").agg(
+        F.sum("cnt").cast("bigint").alias("n_occurrences")
+    )
+
+
+def bpe_apply_tokens_oracle_sql(
+    table: str, merges: list[tuple[str, str]]
+) -> str:
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH tok AS (SELECT {tokens_sql('text', d)} AS tokens FROM {table}), "
+        "w AS (SELECT unnest(tokens) AS word FROM tok), "
+        "wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word), "
+        f"wc2 AS (SELECT * FROM wc WHERE NOT contains(word, '{_BOUND}')), "
+        f"t AS (SELECT cnt, unnest({bpe_apply_sql('word', merges, d)}) AS token FROM wc2) "
+        "SELECT token, CAST(sum(cnt) AS BIGINT) AS n_occurrences "
+        "FROM t GROUP BY token"
+    )
+
+
 def bpe_merges_df(spark, df: DataFrame, n_merges: int = 10) -> DataFrame:
     """:func:`bpe_learn` as a DataFrame: (step, sym_a, sym_b, n_occurrences).
 

@@ -512,12 +512,17 @@ def partition_diff_oracle_sql(
     schema: TableSchema,
     config: VerifyConfig | None = None,
     partition_sql: str = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)",
+    left_sql: str | None = None,
 ) -> str:
+    """``left_sql`` overrides the left-side CTE body with a
+    pre-materialized (part, fp) relation — the verify-only twin
+    bench.py times against :func:`verify_against_snapshot`'s stored
+    state, so both engines fingerprint the left side once, untimed."""
     def side(table: str) -> str:
         return partitioned_fingerprint_oracle_sql(table, schema, config, partition_sql)
 
     return (
-        f"WITH l AS ({side(left_table)}), r AS ({side(right_table)}) "
+        f"WITH l AS ({left_sql or side(left_table)}), r AS ({side(right_table)}) "
         "SELECT COALESCE(l.part, r.part) AS part, l.fp AS left_fp, r.fp AS right_fp, "
         "CASE WHEN r.fp IS NULL THEN 'only_left' "
         "WHEN l.fp IS NULL THEN 'only_right' "

@@ -97,7 +97,9 @@ def bigram_model_from_grams(grams: DataFrame, min_count: int = 1) -> DataFrame:
     )
 
 
-def bigram_lm_scores(df: DataFrame, min_count: int = 1) -> DataFrame:
+def bigram_lm_scores(
+    df: DataFrame, min_count: int = 1, model: DataFrame | None = None
+) -> DataFrame:
     """Per-document bigram-LM fluency scores.
 
     Output: (doc_id, n_bigrams, sum_q, avg_cond_p) for every document
@@ -105,9 +107,17 @@ def bigram_lm_scores(df: DataFrame, min_count: int = 1) -> DataFrame:
     conditional probability of the document's bigram stream (with
     multiplicity — a repeated bigram is evidence each time) under the
     corpus model, in [0, 1], rounded to 6 decimals.
+
+    ``model`` (optional): a precomputed :func:`bigram_model` relation
+    (gram, q) — pass the stored model so scoring pays one tokenize +
+    one model join, the "built offline once" deploy shape; ``None``
+    trains on ``df`` itself in the same plan (self-scoring baseline).
     """
-    grams = _gram_stream(df).persist()  # two consumers: training + scoring
-    model = bigram_model_from_grams(grams, min_count)
+    if model is not None:
+        grams = _gram_stream(df)
+    else:
+        grams = _gram_stream(df).persist()  # two consumers: train + score
+        model = bigram_model_from_grams(grams, min_count)
     return (
         grams.join(model, "gram", "left")
         .selectExpr("doc_id", "coalesce(q, CAST(0 AS BIGINT)) AS q")
@@ -126,7 +136,10 @@ def bigram_lm_scores(df: DataFrame, min_count: int = 1) -> DataFrame:
     )
 
 
-def bigram_lm_scores_oracle_sql(table: str, min_count: int = 1) -> str:
+def bigram_model_oracle_sql(table: str, min_count: int = 1) -> str:
+    """Oracle twin of :func:`bigram_model`: the trained (gram, q)
+    relation — the build half bench.py materializes once so its
+    scoring-only timing is like-for-like with Spark's stored model."""
     d = DIALECT_DUCKDB
     return (
         f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
@@ -135,10 +148,26 @@ def bigram_lm_scores_oracle_sql(table: str, min_count: int = 1) -> str:
         "c12 AS (SELECT gram, count(*) AS c12 FROM gs GROUP BY gram "
         f"HAVING count(*) >= {min_count}), "
         "heads AS (SELECT split_part(gram, ' ', 1) AS w1, sum(c12) AS c1 "
-        "FROM c12 GROUP BY 1), "
-        "model AS (SELECT gram, "
+        "FROM c12 GROUP BY 1) "
+        "SELECT gram, "
         f"CAST(c12 * {LM_SCALE} AS BIGINT) // CAST(c1 AS BIGINT) AS q "
-        "FROM c12 JOIN heads ON split_part(c12.gram, ' ', 1) = heads.w1), "
+        "FROM c12 JOIN heads ON split_part(c12.gram, ' ', 1) = heads.w1"
+    )
+
+
+def bigram_lm_scores_oracle_sql(
+    table: str, min_count: int = 1, model_sql: str | None = None
+) -> str:
+    """Oracle twin of :func:`bigram_lm_scores`.  ``model_sql`` overrides
+    the train-model CTE body with a pre-materialized relation — the
+    scoring-only twin bench.py times against the Spark stored-model
+    path, so both engines train once, outside the timer."""
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
+        "gs AS (SELECT doc_id, unnest("
+        f"{ngrams_sql('tokens', 2, d)}) AS gram FROM tok WHERE len(tokens) >= 2), "
+        f"model AS ({model_sql or bigram_model_oracle_sql(table, min_count)}), "
         "scored AS (SELECT doc_id, coalesce(q, 0) AS q "
         "FROM gs LEFT JOIN model ON gs.gram = model.gram) "
         "SELECT doc_id, count(*) AS n_bigrams, CAST(sum(q) AS BIGINT) AS sum_q, "

@@ -549,6 +549,9 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
     like ``image_dup_groups``.  Streams shorter than 63 samples are
     fingerprinted over k = n_samples windows (n_windows < 63 marks
     them); only a zero-length stream emits fp 0 with n_windows 0.
+    NOTE: the oracle twin hard-codes k = 63 because the synthesized
+    payloads guarantee n_samples >= 256; the short-stream (0 < n < 63)
+    branch is covered by unit tests, not by the oracle pairing.
 
     Scale shape: 1->1 Arrow projection, 12 bytes per clip out, no
     shuffle; the oracle recomputes the exact bits from the PCM formula.
@@ -561,23 +564,29 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
                 m = decode_media(bytes(p))
                 if m["samples"] is None:
                     continue
-                s = np.abs(m["samples"].astype(np.int64))
-                n = len(s)
-                k = min(AFP_WINDOWS, n)
-                if k == 0:
-                    ids.append(did); fps.append(0); nw.append(0)
-                    continue
-                # sample i belongs to window w = i*k // n — so window w
-                # covers [ceil(w*n/k), ceil((w+1)*n/k)), the exact
-                # integer partition the oracle reproduces per-sample
-                bounds = (np.arange(k + 1) * n + k - 1) // k
-                energies = np.add.reduceat(s, bounds[:-1])
-                mean = int(energies.sum()) // k
-                h = sum(1 << i for i, e in enumerate(energies) if e > mean)
+                h, k = _audio_fp_bits(m["samples"])
                 ids.append(did); fps.append(h); nw.append(k)
             yield pd.DataFrame({"doc_id": ids, "audio_fp": fps, "n_windows": nw})
 
     return synthesize_media(df).mapInPandas(batch, AUDIO_FP_SCHEMA)
+
+
+def _audio_fp_bits(samples) -> tuple[int, int]:
+    """(fp, k) for one PCM stream — pure so the short-stream branch
+    (0 < n < 63, unreachable through synthesize_media's >= 256-sample
+    payloads) is unit-testable directly."""
+    s = np.abs(samples.astype(np.int64))
+    n = len(s)
+    k = min(AFP_WINDOWS, n)
+    if k == 0:
+        return 0, 0
+    # sample i belongs to window w = i*k // n — so window w covers
+    # [ceil(w*n/k), ceil((w+1)*n/k)), the exact integer partition the
+    # oracle reproduces per-sample
+    bounds = (np.arange(k + 1) * n + k - 1) // k
+    energies = np.add.reduceat(s, bounds[:-1])
+    mean = int(energies.sum()) // k
+    return sum(1 << i for i, e in enumerate(energies) if e > mean), k
 
 
 def audio_fingerprint_oracle_sql(table: str) -> str:

@@ -68,6 +68,13 @@ def cosine_topk(df: DataFrame, query_ids: tuple[int, ...], k: int = 10) -> DataF
     ties broken by vec_id so results are deterministic.  The query side
     is broadcast (tiny), so the corpus is scanned once with no shuffle
     before the per-query top-k.
+
+    Scale shape of the top-k itself: ``row_number() <= k`` triggers
+    Catalyst's InferWindowGroupLimit, which inserts a PARTIAL
+    WindowGroupLimit below the query_id exchange — each input
+    partition forwards at most k rows per query, so the shuffle
+    carries k x partitions x |Q| rows, never |corpus| x |Q|
+    (plan-asserted in tests/test_plan_audit.py).
     """
     ids = ", ".join(map(str, query_ids))
     q = df.filter(f"vec_id IN ({ids})").selectExpr(
@@ -700,7 +707,12 @@ def pq_encode_oracle_sql(table: str) -> str:
     )
 
 
-def pq_topk(df: DataFrame, query_ids: tuple[int, ...], k: int = 10) -> DataFrame:
+def pq_topk(
+    df: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 10,
+    codes: DataFrame | None = None,
+) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus: each
     query's exact subvectors score against the codebook once (a
     |queries| x K x M lookup table), and every corpus vector's distance
@@ -718,11 +730,17 @@ def pq_topk(df: DataFrame, query_ids: tuple[int, ...], k: int = 10) -> DataFrame
     vec) partial sums map-side.  One corpus-sized exchange of (ids +
     int) rows; the per-query rank window partitions on query_id.
 
+    ``codes`` (optional): a precomputed :func:`pq_encode` relation
+    (vec_id, codes) — pass stored codes so repeated query batches pay
+    only the probe, the production deploy shape (the registry memoizes
+    a per-sf_dir parquet store exactly this way); ``None`` re-encodes
+    the corpus per call, the cold index-build benchmark.
+
     Local-bench note: ad-hoc construction pays ~1 s of fixed cost (the
     codes checkpoint job + analysis of the fold expressions) on top of
     ~1 s of real work at sf0.1 — constants that vanish at scale, and
     that a production deployment amortizes by persisting the codes as
-    a stored index (the ivf_index pattern) instead of re-encoding per
+    a stored index (the ``codes`` parameter) instead of re-encoding per
     query batch.  Alternative formulations measured slower end-to-end:
     broadcast-join + min-struct aggregation (corpus shuffle), literal
     codebooks (seconds of Catalyst re-analysis per call), in-row ADC
@@ -752,10 +770,11 @@ def pq_topk(df: DataFrame, query_ids: tuple[int, ...], k: int = 10) -> DataFrame
     # (see dedup._shingled) — so the full in-row argmin expression
     # would re-run 8x per vector.  localCheckpoint truncates the plan
     # to the materialized (vec_id, 8 small ints) rows; superseded
-    # blocks are GC'd by the context cleaner.
-    corp = pq_encode(df).localCheckpoint(eager=True).selectExpr(
-        "vec_id", "posexplode(codes) AS (m, code)"
-    )
+    # blocks are GC'd by the context cleaner.  Stored codes need no
+    # checkpoint — the explode re-reads 8 ints, not an expression.
+    if codes is None:
+        codes = pq_encode(df).localCheckpoint(eager=True)
+    corp = codes.selectExpr("vec_id", "posexplode(codes) AS (m, code)")
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_millionths"), F.asc("vec_id"))
     return (
         corp.join(F.broadcast(lut), ["m", "code"])
@@ -767,10 +786,20 @@ def pq_topk(df: DataFrame, query_ids: tuple[int, ...], k: int = 10) -> DataFrame
     )
 
 
-def pq_topk_oracle_sql(table: str, query_ids: tuple[int, ...], k: int = 10) -> str:
+def pq_topk_oracle_sql(
+    table: str,
+    query_ids: tuple[int, ...],
+    k: int = 10,
+    enc_sql: str | None = None,
+    cb_sql: str | None = None,
+) -> str:
+    """Oracle twin of :func:`pq_topk`.  ``enc_sql``/``cb_sql`` override
+    the encode/codebook CTE bodies with pre-materialized relations —
+    the probe-only twin bench.py times against the Spark stored-codes
+    probe, so both engines pay build cost once, outside the timer."""
     d = DIALECT_DUCKDB
     ids = ", ".join(map(str, query_ids))
-    cb = _PQ_CB_SQL.format(table=table)
+    cb = cb_sql or _PQ_CB_SQL.format(table=table)
     d2s = ", ".join(
         f"{_pq_sub_d2_sql('q.embedding', 'c.cvec', m, d)} AS d{m}"
         for m in range(PQ_M)
@@ -778,7 +807,7 @@ def pq_topk_oracle_sql(table: str, query_ids: tuple[int, ...], k: int = 10) -> s
     darr = ", ".join(f"d{m}" for m in range(PQ_M))
     return (
         f"WITH cb AS ({cb}), "
-        f"enc AS ({pq_encode_oracle_sql(table)}), "
+        f"enc AS ({enc_sql or pq_encode_oracle_sql(table)}), "
         f"qd AS (SELECT q.vec_id AS query_id, c.code, {d2s} "
         f"FROM {table} q CROSS JOIN cb c WHERE q.vec_id IN ({ids})), "
         "lut AS (SELECT query_id, code, m - 1 AS m, d2 FROM ("
@@ -797,8 +826,36 @@ def pq_topk_oracle_sql(table: str, query_ids: tuple[int, ...], k: int = 10) -> s
     )
 
 
+def ivfpq_cells(corpus: DataFrame) -> DataFrame:
+    """The IVF-PQ index relation: (vec_id, cluster, codes) — each
+    vector's coarse cell plus its 8 PQ codes, ONE zero-shuffle
+    projection over the corpus (cell id and all M argmins are in-row
+    literal arithmetic — see :func:`pq_encode`).  This is the 32x-
+    compressed artifact a deployment stores; :func:`write_ivfpq_index`
+    persists it bucketed, :func:`ivfpq_topk` consumes it directly."""
+    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
+    codebook = _collect_codebook(corpus)
+    codes = ", ".join(
+        f"CAST({_pq_code_fold_sql('embedding', '_cb', m)} AS INT)"
+        for m in range(PQ_M)
+    )
+    return (
+        corpus.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(_cb_frame(corpus, codebook)))
+        .selectExpr(
+            "vec_id",
+            f"element_at({ranked}, 1) AS cluster",
+            f"array({codes}) AS codes",
+        )
+    )
+
+
 def ivfpq_topk(
-    df: DataFrame, query_ids: tuple[int, ...], k: int = 10, nprobe: int = 2
+    df: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 10,
+    nprobe: int = 2,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the classic two-stage ANN architecture (Jegou et al.
     2011, the FAISS default) composed from this engine's two halves —
@@ -820,28 +877,16 @@ def ivfpq_topk(
     """
     ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
     ids = ", ".join(map(str, query_ids))
-    # stored index: cluster + codes per vector, ONE zero-shuffle
-    # projection over the corpus (cell id and all M argmins are in-row
-    # literal arithmetic — see pq_encode)
-    codebook = _collect_codebook(df)
-    codes = ", ".join(
-        f"CAST({_pq_code_fold_sql('embedding', '_cb', m)} AS INT)"
-        for m in range(PQ_M)
-    )
-    cells = (
-        df.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(_cb_frame(df, codebook)))
-        .selectExpr(
-            "vec_id",
-            f"element_at({ranked}, 1) AS cluster",
-            f"array({codes}) AS codes",
-        )
-    )
-    # materialize before the explode (same reason as pq_topk: the
-    # explode would re-run the argmin + centroid-rank expressions per
-    # element; plain projections and repartitions get reordered away) —
-    # the checkpointed rows are (vec_id, cluster, 8 small ints) only
-    corp = cells.localCheckpoint(eager=True).selectExpr(
+    # index side: :func:`ivfpq_cells` built ad hoc (cold benchmark) or
+    # passed in pre-materialized (``cells`` — the deploy shape, probe
+    # cost only).  The ad-hoc build is materialized before the explode
+    # (same reason as pq_topk: the explode would re-run the argmin +
+    # centroid-rank expressions per element; plain projections and
+    # repartitions get reordered away) — the checkpointed rows are
+    # (vec_id, cluster, 8 small ints) only.
+    if cells is None:
+        cells = ivfpq_cells(df).localCheckpoint(eager=True)
+    corp = cells.selectExpr(
         "vec_id", "cluster", "posexplode(codes) AS (m, code)"
     )
     cb = _pq_codebook(df)
@@ -876,25 +921,53 @@ def ivfpq_topk(
     )
 
 
+def pq_codebook_oracle_sql(table: str) -> str:
+    """Oracle twin of the PQ codebook relation (code, cvec) — exposed
+    so bench.py can materialize it once for probe-only timing."""
+    return _PQ_CB_SQL.format(table=table)
+
+
+def ivfpq_cells_oracle_sql(table: str) -> str:
+    """Oracle twin of :func:`ivfpq_cells`: the (vec_id, cluster, codes)
+    index relation — the build half bench.py materializes once so its
+    probe-only timing is like-for-like with Spark's stored index."""
+    ranked = _centroid_rank_sql("embedding", DIALECT_DUCKDB)
+    return (
+        f"WITH enc AS ({pq_encode_oracle_sql(table)}) "
+        "SELECT cl.vec_id, cl.cluster, enc.codes FROM "
+        f"(SELECT vec_id, ({ranked})[1] AS cluster FROM {table}) cl "
+        "JOIN enc ON cl.vec_id = enc.vec_id"
+    )
+
+
 def ivfpq_topk_oracle_sql(
-    table: str, query_ids: tuple[int, ...], k: int = 10, nprobe: int = 2
+    table: str,
+    query_ids: tuple[int, ...],
+    k: int = 10,
+    nprobe: int = 2,
+    cells_sql: str | None = None,
+    cb_sql: str | None = None,
 ) -> str:
+    """Oracle twin of :func:`ivfpq_topk`.  ``cells_sql``/``cb_sql``
+    override the index-build CTEs with pre-materialized relations —
+    the probe-only twin bench.py times against the Spark stored-index
+    probe, so both engines pay build cost once, outside the timer."""
     d = DIALECT_DUCKDB
     ids = ", ".join(map(str, query_ids))
     ranked = _centroid_rank_sql("embedding", d)
-    cb = _PQ_CB_SQL.format(table=table)
+    cb = cb_sql or _PQ_CB_SQL.format(table=table)
     d2s = ", ".join(
         f"{_pq_sub_d2_sql('q.embedding', 'c.cvec', m, d)} AS d{m}"
         for m in range(PQ_M)
     )
     darr = ", ".join(f"d{m}" for m in range(PQ_M))
+    pre = f"cells AS ({cells_sql or ivfpq_cells_oracle_sql(table)}), "
     return (
         f"WITH cb AS ({cb}), "
-        f"enc AS ({pq_encode_oracle_sql(table)}), "
-        f"cl AS (SELECT vec_id, ({ranked})[1] AS cluster FROM {table}), "
-        "corp AS (SELECT cl.vec_id, cl.cluster, m - 1 AS m, code FROM cl JOIN ("
-        "SELECT vec_id, unnest(codes) AS code, generate_subscripts(codes, 1) AS m "
-        "FROM enc) e ON cl.vec_id = e.vec_id), "
+        + pre
+        + "corp AS (SELECT vec_id, cluster, m - 1 AS m, code FROM ("
+        "SELECT vec_id, cluster, unnest(codes) AS code, "
+        "generate_subscripts(codes, 1) AS m FROM cells) e), "
         f"qc AS (SELECT vec_id AS query_id, "
         f"unnest(list_slice({ranked}, 1, {nprobe})) AS cluster "
         f"FROM {table} WHERE vec_id IN ({ids})), "
@@ -929,22 +1002,10 @@ def write_ivfpq_index(
     """
     from pgverify_spark.sources.bucketed import write_bucketed
 
-    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
-    codebook = _collect_codebook(corpus)
-    codes = ", ".join(
-        f"CAST({_pq_code_fold_sql('embedding', '_cb', m)} AS INT)"
-        for m in range(PQ_M)
+    write_bucketed(
+        ivfpq_cells(corpus), f"{name}_cells", "cluster", n_buckets,
+        f"{path}/cells",
     )
-    cells = (
-        corpus.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(_cb_frame(corpus, codebook)))
-        .selectExpr(
-            "vec_id",
-            f"element_at({ranked}, 1) AS cluster",
-            f"array({codes}) AS codes",
-        )
-    )
-    write_bucketed(cells, f"{name}_cells", "cluster", n_buckets, f"{path}/cells")
     write_bucketed(_pq_codebook(corpus), f"{name}_cb", "code", 1, f"{path}/cb")
 
 
@@ -1256,7 +1317,9 @@ def filtered_cosine_topk(
     reaches the parquet reader as a PushedFilter (asserted in tests),
     so a selective filter prunes row groups BEFORE any vector math;
     the query side broadcasts and the corpus never shuffles before the
-    per-query top-k, exactly :func:`cosine_topk`'s plan.  With the
+    per-query top-k, exactly :func:`cosine_topk`'s plan — including
+    its map-side Partial WindowGroupLimit, so the rank exchange is
+    bounded at k x partitions x |Q| rows (plan-asserted).  With the
     corpus partitioned on the filter column the scan prunes whole
     partitions — the same composed plan at 100 TB.
     """

@@ -406,7 +406,12 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
     # cross-run incremental verify: snapshot the original to parquet
     # state, verify the mutated current data against it — same expected
     # diff as partition_diff_events, but the left side round-trips
-    # through the persisted O(partitions) fingerprint snapshot
+    # through the persisted O(partitions) fingerprint snapshot.  The
+    # snapshot write is memoized per sf_dir (the deploy shape: state is
+    # written once, then every verify run reads it — r5 VERDICT item
+    # 3), so repeated calls (incl. bench min-of-two) time the VERIFY
+    # half only; bench.py's probe twin materializes the DuckDB left
+    # side the same way.
     def run_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
@@ -424,9 +429,12 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
             "THEN value + 1 ELSE value END AS value",
             "props",
         )
-        tmp = tempfile.mkdtemp(prefix="pgvs_snap_")
-        write_fingerprint_snapshot(left, ev_schema, f"{tmp}/state")
-        return verify_against_snapshot(spark, changed, ev_schema, f"{tmp}/state")
+        state = _SNAPSHOT_STORE.get(sf_dir)
+        if state is None:
+            state = tempfile.mkdtemp(prefix="pgvs_snap_") + "/state"
+            write_fingerprint_snapshot(left, ev_schema, state)
+            _SNAPSHOT_STORE[sf_dir] = state
+        return verify_against_snapshot(spark, changed, ev_schema, state)
 
     out["snapshot_verify_events"] = (
         run_snapshot,
@@ -757,6 +765,17 @@ _ORDERS_SUITE = [
 ]
 
 
+#: Shipped BPE merge table for bpe_apply_documents: the top-8 merges
+#: learned offline (pure-Python reference BPE over the sf0.001 corpus),
+#: frozen as literals because oracle_sql() must be data-independent —
+#: exactly how production tokenizers work: the merge table is a fixed
+#: artifact, application is the corpus-sized job.
+_BPE_SHIPPED_MERGES = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+    ("s", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+]
+
+
 def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_required_confs(spark)
     docs = ParquetTarget("t", sf_dir).read(spark, "documents")
@@ -770,6 +789,68 @@ def _bpe_merges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (r4 VERDICT item 5).  Keyed by sf_dir so tests at sf0.001 and the
 #: driver at sf0.01 never share an index.
 _IVFPQ_REG_INDEX: dict[str, str] = {}
+
+#: (sf_dir, kind) -> parquet path of the stored PQ artifact ("codes" =
+#: pq_encode output, "cells" = ivfpq_cells output).  Built once per
+#: sf_dir and read back per call, so pq_topk/ivfpq_topk registrations
+#: time the PROBE against a stored index (r5 VERDICT item 2) — like
+#: the persisted _IVFPQ_REG_INDEX, but as plain parquet because these
+#: probes scan all cells (no bucket pruning to preserve).  bench.py
+#: materializes the matching DuckDB relations once (BENCH_ORACLE_SETUP)
+#: so the ratio compares probe to probe, build to nothing on neither
+#: side (r5 ADVICE item 1).
+_PQ_STORE: dict[tuple[str, str], str] = {}
+
+#: sf_dir -> parquet path of the persisted events fingerprint snapshot
+#: (snapshot_verify_events state half, written once per sf_dir).
+_SNAPSHOT_STORE: dict[str, str] = {}
+
+#: sf_dir -> parquet path of the stored bigram LM model (trained once
+#: per sf_dir; scoring joins against it — the "built offline once"
+#: deploy shape lm.py documents).
+_LM_MODEL_STORE: dict[str, str] = {}
+
+
+def _pq_stored(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    import tempfile
+
+    path = _PQ_STORE.get((sf_dir, kind))
+    if path is None:
+        embs = ParquetTarget("t", sf_dir).read(spark, "embeddings")
+        build = similarity.pq_encode if kind == "codes" else similarity.ivfpq_cells
+        path = tempfile.mkdtemp(prefix=f"pgvs_pq_{kind}_") + "/data"
+        build(embs).write.parquet(path)
+        _PQ_STORE[(sf_dir, kind)] = path
+    return spark.read.parquet(path)
+
+
+def _lm_scores_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ensure_required_confs(spark)
+    docs = ParquetTarget("t", sf_dir).read(spark, "documents")
+    path = _LM_MODEL_STORE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pgvs_lm_model_") + "/data"
+        lm.bigram_model(docs).write.parquet(path)
+        _LM_MODEL_STORE[sf_dir] = path
+    return lm.bigram_lm_scores(docs, model=spark.read.parquet(path))
+
+
+def _pq_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_required_confs(spark)
+    embs = ParquetTarget("t", sf_dir).read(spark, "embeddings")
+    return similarity.pq_topk(
+        embs, (0, 1, 2, 3, 4), 10, codes=_pq_stored(spark, sf_dir, "codes")
+    )
+
+
+def _ivfpq_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_required_confs(spark)
+    embs = ParquetTarget("t", sf_dir).read(spark, "embeddings")
+    return similarity.ivfpq_topk(
+        embs, (0, 1, 2, 3, 4), 10, 2, cells=_pq_stored(spark, sf_dir, "cells")
+    )
 
 
 def _ivfpq_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1444,10 +1525,28 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", lambda df: bpe.bpe_pair_counts(df, 50)),
             bpe.bpe_pair_counts_oracle_sql("documents", 50),
         ),
+        # tokenizer APPLY: tokenize the corpus with a shipped merge
+        # table (the third BPE stage: counts -> learn -> apply).  The
+        # merge table is a static artifact frozen from an offline
+        # sf0.001 bpe_learn run — deliberately including the
+        # second-level merge ('p','ar') so multi-char symbol
+        # application is exercised on both twins.
+        "bpe_apply_documents": (
+            _table_query(
+                "documents",
+                lambda df: bpe.bpe_apply_tokens(df, _BPE_SHIPPED_MERGES),
+            ),
+            bpe.bpe_apply_tokens_oracle_sql("documents", _BPE_SHIPPED_MERGES),
+        ),
         # corpus-trained bigram-LM fluency scores (integer-quantized
-        # conditional probabilities — no transcendentals cross-engine)
+        # conditional probabilities — no transcendentals cross-engine).
+        # The model is trained once per sf_dir and stored
+        # (_lm_scores_stored), so repeated calls time tokenize + score
+        # against the stored model — the "built offline once" deploy
+        # shape; bench.py's probe twin materializes the DuckDB model
+        # the same way (r5 VERDICT item 3).
         "bigram_lm_scores_documents": (
-            _table_query("documents", lm.bigram_lm_scores),
+            _lm_scores_stored,
             lm.bigram_lm_scores_oracle_sql("documents"),
         ),
         # PII scrub over documents + injected contact strings (the raw
@@ -1884,10 +1983,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             )
             + f" FROM ({similarity.pq_encode_oracle_sql('embeddings')}) t",
         ),
+        # ADC probe against a stored codes parquet (built once per
+        # sf_dir via _pq_stored) — repeated calls, incl. bench's
+        # min-of-two, time the probe, matching the probe-only DuckDB
+        # twin bench.py materializes (BENCH_ORACLE_SETUP).  The cold
+        # build stays covered: pq_encode_embeddings times the encode,
+        # and pq_topk(codes=None) is the tested one-shot path.
         "pq_topk_embeddings": (
-            _table_query(
-                "embeddings", lambda df: similarity.pq_topk(df, (0, 1, 2, 3, 4), 10)
-            ),
+            _pq_topk_stored,
             similarity.pq_topk_oracle_sql("embeddings", (0, 1, 2, 3, 4), 10),
         ),
         # PQ quality gate: ADC recall vs the exact-L2 truth at small SF
@@ -1898,12 +2001,12 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             similarity.pq_recall_eval_oracle_sql("embeddings", (0, 1, 2, 3, 4), 10),
         ),
-        # the composed two-stage ANN: IVF cell pruning + PQ ADC ranking
+        # the composed two-stage ANN: IVF cell pruning + PQ ADC ranking,
+        # probing a stored (vec_id, cluster, codes) parquet (see
+        # pq_topk_embeddings note; the bucket-pruned variant is
+        # ivfpq_probe_index below)
         "ivfpq_topk_embeddings": (
-            _table_query(
-                "embeddings",
-                lambda df: similarity.ivfpq_topk(df, (0, 1, 2, 3, 4), 10, 2),
-            ),
+            _ivfpq_topk_stored,
             similarity.ivfpq_topk_oracle_sql("embeddings", (0, 1, 2, 3, 4), 10, 2),
         ),
         # the DEPLOY shape of the same ANN: probe a PERSISTED IVF-PQ
@@ -2809,17 +2912,47 @@ def _cast_output_double(
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = fn(spark, sf_dir)
-        return df.select(
+        out = df.select(
             *[
                 F.col(c).cast("double").alias(c) if c in cols else F.col(c)
                 for c in df.columns
             ]
         )
+        deps = getattr(df, "_pgvs_cached_deps", ())
+        if deps:  # keep tagged intermediates visible through the cast
+            out._pgvs_cached_deps = deps
+        return out
 
     if sql is not None:
         repl = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in cols)
         sql = f"SELECT * REPLACE ({repl}) FROM ({sql}) _dbl"
     return run, sql
+
+
+#: name -> the last returned DataFrame that tagged persisted deps.
+#: Bounds cached-intermediate growth in ANY long-lived caller (driver,
+#: bench, sweep, user session): re-invoking a registered query first
+#: unpersists the previous invocation's tagged intermediates (LSH pair
+#: streams, signatures), so storage holds at most one live generation
+#: per query instead of one per call.
+_LIVE_TAGGED: dict[str, DataFrame] = {}
+
+
+def _release_prev_generation(
+    name: str, fn: Callable[[SparkSession, str], DataFrame]
+) -> Callable[[SparkSession, str], DataFrame]:
+    from pgverify_spark.operators.util import release_cached_deps
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        prev = _LIVE_TAGGED.pop(name, None)
+        if prev is not None:
+            release_cached_deps(prev)
+        df = fn(spark, sf_dir)
+        if getattr(df, "_pgvs_cached_deps", ()):
+            _LIVE_TAGGED[name] = df
+        return df
+
+    return run
 
 
 def _entries() -> dict[str, tuple[Callable, str | None]]:
@@ -2836,6 +2969,10 @@ def _entries() -> dict[str, tuple[Callable, str | None]]:
     for name, cols in _DOUBLE_OUTPUT_COLS.items():
         if name in merged:
             merged[name] = _cast_output_double(merged[name], cols)
+    merged = {
+        name: (_release_prev_generation(name, fn), sql)
+        for name, (fn, sql) in merged.items()
+    }
     out = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     out.update((name, v) for name, v in merged.items() if name not in out)
     return out
@@ -2919,6 +3056,71 @@ HEADLINE_QUERIES = (
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
 )
+
+
+def bench_oracle_setup() -> dict[str, tuple[tuple[str, ...], str]]:
+    """Probe-only DuckDB twins for the stored-index ANN headline rows:
+    name -> (setup statements run ONCE untimed, the timed probe SQL).
+
+    The Spark side of these entries probes a memoized stored index
+    (_pq_stored / _IVFPQ_REG_INDEX), so timing the full self-contained
+    oracle_sql() — which re-encodes the corpus per run — would compare
+    Spark's probe against DuckDB's build+probe and flatter the ratio
+    (r5 ADVICE item 1).  bench.py runs the setup once per session and
+    times the probe twin; the registry's oracle_sql() stays the full
+    self-contained build (what the correctness driver hash-compares).
+    """
+    from pgverify_spark.operators.fingerprint import (
+        partition_diff_oracle_sql,
+        partitioned_fingerprint_oracle_sql,
+    )
+
+    qids = (0, 1, 2, 3, 4)
+    setup = (
+        "CREATE TEMP TABLE IF NOT EXISTS bench_pq_cb AS "
+        + similarity.pq_codebook_oracle_sql("embeddings"),
+        "CREATE TEMP TABLE IF NOT EXISTS bench_pq_enc AS "
+        + similarity.pq_encode_oracle_sql("embeddings"),
+        "CREATE TEMP TABLE IF NOT EXISTS bench_ivfpq_cells AS "
+        + similarity.ivfpq_cells_oracle_sql("embeddings"),
+        "CREATE TEMP TABLE IF NOT EXISTS bench_lm_model AS "
+        + lm.bigram_model_oracle_sql("documents"),
+        "CREATE TEMP TABLE IF NOT EXISTS bench_snap_state AS "
+        + partitioned_fingerprint_oracle_sql(
+            "events", TESTDATA_TABLES["events"]
+        ),
+    )
+    pq_probe = similarity.pq_topk_oracle_sql(
+        "embeddings", qids, 10,
+        enc_sql="SELECT * FROM bench_pq_enc",
+        cb_sql="SELECT * FROM bench_pq_cb",
+    )
+    ivfpq_probe = similarity.ivfpq_topk_oracle_sql(
+        "embeddings", qids, 10, 2,
+        cells_sql="SELECT * FROM bench_ivfpq_cells",
+        cb_sql="SELECT * FROM bench_pq_cb",
+    )
+    lm_probe = lm.bigram_lm_scores_oracle_sql(
+        "documents", model_sql="SELECT * FROM bench_lm_model"
+    )
+    day_duck = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"
+    right_sql = (
+        "(SELECT event_id, ts, user_id, event_type, "
+        f"CASE WHEN {day_duck} = 19723 AND event_id % 11 = 0 "
+        "THEN value + 1 ELSE value END AS value, "
+        f"props FROM events WHERE {day_duck} <> 19724)"
+    )
+    snap_probe = partition_diff_oracle_sql(
+        "events", right_sql, TESTDATA_TABLES["events"],
+        left_sql="SELECT * FROM bench_snap_state",
+    )
+    return {
+        "pq_topk_embeddings": (setup, pq_probe),
+        "ivfpq_topk_embeddings": (setup, ivfpq_probe),
+        "ivfpq_probe_index_embeddings": (setup, ivfpq_probe),
+        "bigram_lm_scores_documents": (setup, lm_probe),
+        "snapshot_verify_events": (setup, snap_probe),
+    }
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -77,6 +77,11 @@ def main():
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # keep sweep storage flat: drop this query's persisted
+            # intermediates (LSH pair streams etc.) once materialized
+            from pgverify_spark.operators.util import release_cached_deps
+
+            release_cached_deps(sdf)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {key}: spark error {type(e).__name__}: {e}")
             n_fail += 1

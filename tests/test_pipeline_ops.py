@@ -579,6 +579,30 @@ def test_multimodal_audio_fingerprint(spark, docs, duck):
         assert fps == {}
 
 
+def test_audio_fingerprint_short_streams():
+    """The short-stream branch (0 < n < 63 -> k = n windows), which the
+    oracle pairing can't reach (synthesized payloads are >= 256
+    samples): window partition must be exhaustive and fp reproducible
+    from the per-sample formula."""
+    for n in (1, 2, 10, 62, 63, 64):
+        wav = multimodal._make_wav(seed=7, n=n)
+        samples = multimodal.decode_media(wav)["samples"]
+        assert len(samples) == n
+        fp, k = multimodal._audio_fp_bits(samples)
+        assert k == min(63, n)
+        # reference computation straight from the definition
+        s = [abs(int(x)) for x in samples]
+        energies = [
+            sum(s[i] for i in range(n) if i * k // n == w) for w in range(k)
+        ]
+        mean = sum(energies) // k
+        want = sum(1 << i for i, e in enumerate(energies) if e > mean)
+        assert fp == want
+    assert multimodal._audio_fp_bits(
+        multimodal.decode_media(multimodal._make_wav(1, 0))["samples"]
+    ) == (0, 0)
+
+
 def test_multimodal_decode_roundtrip():
     """Real container parsing: synthesize -> decode recovers the exact
     header fields AND content (pixels/samples) for all three formats."""
@@ -2660,6 +2684,48 @@ def test_bpe_learn_matches_reference(docs):
 
     wc = {r["word"]: r["cnt"] for r in bpe.word_counts(docs).collect()}
     assert bpe.bpe_learn(docs, 6) == _reference_bpe(wc, 6)
+
+
+def test_bpe_apply_oracle_and_learned_roundtrip(docs, duck):
+    """The apply stage: (1) Spark and DuckDB replace-chain twins agree
+    on the registry's shipped merge table; (2) end-to-end learn->apply
+    with merges learned from THIS corpus equals the pure-Python
+    tokenization of the same word counts (VERDICT r5 item 6's bar)."""
+    from collections import Counter
+
+    from pgverify_spark.operators import bpe
+    from pgverify_spark.registry import _BPE_SHIPPED_MERGES
+
+    rows = _cmp(
+        bpe.bpe_apply_tokens(docs, _BPE_SHIPPED_MERGES),
+        duck,
+        bpe.bpe_apply_tokens_oracle_sql("documents", _BPE_SHIPPED_MERGES),
+    )
+    toks = {t for t, _n in rows}
+    assert "er" in toks and "par" in toks  # multi-char merge applied
+
+    wc = {r["word"]: r["cnt"] for r in bpe.word_counts(docs).collect()}
+    merges = [(a, b) for a, b, _n in bpe.bpe_learn(docs, 6)]
+    got = {
+        (r["token"], r["n_occurrences"])
+        for r in bpe.bpe_apply_tokens(docs, merges).collect()
+    }
+    want = Counter()
+    for w, c in wc.items():
+        syms = list(w)
+        for a, b in merges:
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        for t in syms:
+            want[t] += c
+    assert got == set(want.items())
 
 
 def test_bpe_learn_greedy_fold_on_runs(spark):

@@ -162,6 +162,57 @@ def test_no_render_hazard_output_columns(sf_dir):
 
 
 
+@pytest.mark.parametrize(
+    "name", ["cosine_topk_embeddings", "filtered_cosine_topk_embeddings"]
+)
+def test_cosine_topk_partial_window_limit(name, spark, sf_dir):
+    """The per-query rank shuffle must be bounded map-side: Catalyst's
+    InferWindowGroupLimit turns `row_number() <= k` into a PARTIAL
+    WindowGroupLimit BELOW the exchange, so the exchange carries at
+    most k rows per query per input partition — k x partitions x |Q| —
+    instead of |corpus| x |Q| scored rows (the 100 TB concern for the
+    exact-scoring family).  Pin the shape so a refactor that breaks
+    the inference (e.g. rank instead of row_number, or a projection
+    between filter and window) fails loudly."""
+    plan = entry.queries()[name](spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    lines = plan.splitlines()
+    partial = [i for i, ln in enumerate(lines)
+               if "WindowGroupLimit" in ln and "Partial" in ln]
+    exchange = [i for i, ln in enumerate(lines)
+                if "Exchange hashpartitioning(query_id" in ln]
+    assert partial and exchange and exchange[0] < partial[0], (
+        f"{name}: no map-side (Partial) WindowGroupLimit under the "
+        "query_id exchange — per-query top-k shuffles the full corpus"
+    )
+
+
+def test_bench_probe_twins_match_full_oracles(sf_dir):
+    """Every probe-only bench twin (registry.bench_oracle_setup) must
+    return exactly the full self-contained oracle's rows — the setup
+    statements duplicate build SQL and mutation literals, so drift
+    between twin and oracle would silently corrupt the bench ratio."""
+    import duckdb
+
+    from pgverify_spark import registry
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    full = registry.oracle_queries()
+    for name, (setup, probe_sql) in registry.bench_oracle_setup().items():
+        for stmt in setup:
+            con.execute(stmt)
+        got = sorted(map(tuple, con.execute(probe_sql).fetchall()))
+        want = sorted(map(tuple, con.execute(full[name]).fetchall()))
+        assert got == want, f"{name}: probe twin diverges from full oracle"
+
+
 def test_oracle_paired_except_documented():
     """Exactly two registry entries are rows-only by nature (stateful
     streaming fingerprint, iterative BPE learner); everything else must

@@ -218,6 +218,53 @@ def test_bpe_learn_matches_reference_on_random_corpora(spark, words):
     assert bpe_learn(docs, 4, min_count=1) == _ref_bpe(dict(wc), 4)
 
 
+def _ref_bpe_apply(word, merges):
+    """Pure-Python BPE apply: one greedy leftmost-merge pass per merge,
+    in merge-table order — the reference for the replace-chain SQL."""
+    syms = list(word)
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@SETTINGS
+@given(_bpe_words)
+def test_bpe_apply_matches_reference(spark, words):
+    """The replace-chain apply == pure-Python BPE apply under merges
+    learned from the same corpus (so multi-char symbols and
+    overlapping-pair words like 'aaa'/'banana' are exercised), token
+    frequencies compared exactly."""
+    from collections import Counter
+
+    from pgverify_spark.operators.bpe import bpe_apply_tokens
+
+    wc = Counter()
+    for w in words:
+        for tok in w.split():
+            wc[tok] += 1
+    merges = [(a, b) for a, b, _n in _ref_bpe(dict(wc), 4)]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id int, text string"
+    )
+    got = {
+        (r["token"], r["n_occurrences"])
+        for r in bpe_apply_tokens(docs, merges).collect()
+    }
+    want = Counter()
+    for w, c in wc.items():
+        for t in _ref_bpe_apply(w, merges):
+            want[t] += c
+    assert got == set(want.items())
+
+
 # --- sampled quantiles ------------------------------------------------------
 
 _qvalues = st.lists(st.integers(-1000, 1000), min_size=1, max_size=40)
