@@ -890,6 +890,106 @@ _WEB_WRAP_DUCK = (
 )
 
 
+def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus curation — the END-TO-END pipeline this engine
+    exists for, composed from the individually-certified stages:
+
+        raw pages -> strip_html -> normalize_unicode -> Gopher gate
+        -> exact dedup -> MinHash-LSH near dedup -> Bloom
+        decontaminate -> leakage-safe split -> per-split packing
+
+    Output: (split, bin, n_docs, bin_tokens) — the packed-bin report of
+    the training-ready corpus, per split.
+
+    Scale shape: one composition, one plan.  The corpus flows through
+    codegen'd projections (clean/gate) without shuffling; every
+    decision relation (gate keeps, dedup winners/losers, contamination
+    flags, cluster split keys) is ids-only and joins back semi/anti —
+    the only full-row exchanges are the final split join and the
+    per-split packing window.  The LSH pair stream is persisted once
+    and reused by BOTH consumers (near-dup filter + leakage split),
+    tagged for release via util.release_cached_deps.
+    """
+    from pgverify_spark.operators import contamination, dedup, prep, text
+    from pgverify_spark.operators.util import tag_cached_deps
+
+    ensure_required_confs(spark)
+    raw = ParquetTarget("t", sf_dir).read(spark, "documents")
+    pages = raw.selectExpr("doc_id", _WEB_WRAP_SPARK)
+    cleaned = text.normalize_unicode_light(
+        text.strip_html(pages).selectExpr("doc_id", "clean_text AS text")
+    ).selectExpr("doc_id", "norm_text AS text")
+    gates = text.gopher_gate(
+        cleaned, min_tokens=20, max_tokens=10_000, min_stopword_ratio=0.01
+    )
+    gated = cleaned.join(
+        gates.filter("keep").select("doc_id"), "doc_id", "left_semi"
+    )
+    exactd = dedup.exact_dedup_filter(gated)
+    pairs_raw = dedup.minhash_lsh_pairs(exactd, 0.3)
+    pairs = pairs_raw.select("doc_a", "doc_b").persist()
+    neard = dedup.near_dedup_filter(exactd, pairs)
+    flags = contamination.bloom_decontaminate(neard)
+    decon = neard.filter("doc_id % 10 <> 0").join(
+        flags.filter("contaminated = 1").select("doc_id"), "doc_id", "left_anti"
+    )
+    ids_a = decon.selectExpr("doc_id AS doc_a")
+    ids_b = decon.selectExpr("doc_id AS doc_b")
+    rpairs = pairs.join(ids_a, "doc_a", "left_semi").join(
+        ids_b, "doc_b", "left_semi"
+    )
+    splits = prep.leakage_safe_split(decon, rpairs)
+    packed_in = decon.join(splits.select("doc_id", "split"), "doc_id").selectExpr(
+        "split AS source", "doc_id", "text"
+    )
+    out = prep.pack_sequences(packed_in, 512).selectExpr(
+        "source AS split", "bin", "n_docs", "bin_tokens"
+    )
+    return tag_cached_deps(
+        out, pairs, *getattr(pairs_raw, "_pgvs_cached_deps", ())
+    )
+
+
+def _curate_corpus_oracle_sql() -> str:
+    """The identical pipeline as ONE DuckDB statement: each stage's
+    oracle builder is given the previous stage's CTE NAME as its table,
+    so the statement chains by reference (no textual blow-up) and every
+    stage twin is exactly the one its standalone entry certifies."""
+    from pgverify_spark.operators import contamination, dedup, prep, text
+
+    cleaned_inner = text.normalize_unicode_light_oracle_sql(
+        "(SELECT doc_id, clean_text AS text FROM stripped) s"
+    )
+    # AS MATERIALIZED on every multi-referenced stage: DuckDB inlines
+    # single-use CTEs, and inlining a CTE referenced n times re-runs
+    # its whole upstream chain n times — the nested stages compound
+    # that into exponential re-evaluation (measured: the un-hinted
+    # statement did not finish sf0.001 in minutes; hinted it runs in
+    # seconds).  Spark-side twin: the persisted pair stream.
+    return (
+        f"WITH pages AS ({_WEB_WRAP_DUCK}), "
+        f"stripped AS ({text.strip_html_oracle_sql('pages')}), "
+        f"cleaned AS MATERIALIZED (SELECT doc_id, norm_text AS text FROM ({cleaned_inner}) n), "
+        f"gates AS ({text.gopher_gate_oracle_sql('cleaned', min_tokens=20, max_tokens=10_000, min_stopword_ratio=0.01)}), "
+        "gated AS MATERIALIZED (SELECT c.doc_id, c.text FROM cleaned c "
+        "JOIN gates g ON c.doc_id = g.doc_id WHERE g.keep), "
+        f"exactd AS MATERIALIZED ({dedup.exact_dedup_filter_oracle_sql('gated')}), "
+        f"pairs AS MATERIALIZED ({dedup.minhash_lsh_pairs_oracle_sql('exactd', 0.3)}), "
+        f"clusters AS ({dedup.dup_clusters_oracle_sql('SELECT doc_a, doc_b FROM pairs')}), "
+        "neard AS MATERIALIZED (SELECT t.* FROM exactd t WHERE doc_id NOT IN "
+        "(SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)), "
+        f"bloom AS ({contamination.bloom_decontaminate_oracle_sql('neard')}), "
+        "decon AS MATERIALIZED (SELECT * FROM neard WHERE doc_id % 10 <> 0 AND doc_id NOT IN "
+        "(SELECT doc_id FROM bloom WHERE contaminated = 1)), "
+        "rpairs AS (SELECT doc_a, doc_b FROM pairs "
+        "WHERE doc_a IN (SELECT doc_id FROM decon) "
+        "AND doc_b IN (SELECT doc_id FROM decon)), "
+        f"splits AS ({prep.leakage_safe_split_oracle_sql('decon', 'SELECT doc_a, doc_b FROM rpairs')}), "
+        f"packed AS ({prep.pack_sequences_oracle_sql('(SELECT s.split AS source, d.doc_id, d.text FROM decon d JOIN splits s ON d.doc_id = s.doc_id) p', 512)}) "
+        "SELECT source AS split, bin, n_docs, bin_tokens FROM packed"
+    )
+
+
 def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
     """LLM-data-pipeline operators: dedup, similarity, text analysis,
     multimodal plumbing (thresholds chosen to be non-trivial at sf0.01)."""
@@ -1622,6 +1722,12 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "text || ' Café – “naïve” Œuvre straße…' "
                 "ELSE text END AS text FROM documents) accented"
             ),
+        ),
+        # the composed curation FLAGSHIP: the full raw-pages -> training
+        # -ready pipeline in one call/plan (see _curate_corpus_run)
+        "curate_corpus_documents": (
+            _curate_corpus_run,
+            _curate_corpus_oracle_sql(),
         ),
         # the composed curation FRONT-END a web pipeline actually runs:
         # page -> strip_html -> normalize_unicode -> Gopher gate, one

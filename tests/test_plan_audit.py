@@ -187,6 +187,28 @@ def test_cosine_topk_partial_window_limit(name, spark, sf_dir):
     )
 
 
+def test_curate_corpus_composition_stays_bounded(spark, sf_dir):
+    """The one-call curation flagship composes 8 stages into ONE plan;
+    this pins the composition's shuffle budget so a stage refactor
+    can't silently add a corpus-wide exchange.  Decision relations
+    (gate keeps, dedup winners, contamination flags, split keys) must
+    attach semi/anti — the corpus text itself only moves in the final
+    split join + packing window."""
+    import re
+
+    plan = entry.queries()["curate_corpus_documents"](spark, sf_dir)._jdf \
+        .queryExecution().executedPlan().toString()
+    shuffles = len(re.findall(r"\bExchange\b", plan)) - len(
+        re.findall(r"BroadcastExchange", plan)
+    )
+    # 17 shuffle exchanges at time of writing (plan-string subtree
+    # repetition counts reused stages more than once; the true DAG is
+    # smaller) — the pin is a tripwire, not a target
+    assert shuffles <= 20, f"curate_corpus shuffle count grew: {shuffles}"
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bench_probe_twins_match_full_oracles(sf_dir):
     """Every probe-only bench twin (registry.bench_oracle_setup) must
     return exactly the full self-contained oracle's rows — the setup
