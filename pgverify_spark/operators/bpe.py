@@ -282,6 +282,60 @@ def bpe_apply_tokens_oracle_sql(
     )
 
 
+def bpe_token_counts(
+    df: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Per-document token counts under a BPE merge table — the number
+    that drives packing/pricing/budgeting once a real tokenizer is
+    fixed: (doc_id, n_words, n_bpe_tokens).
+
+    Scale shape: the merge chain runs once per DISTINCT word (the
+    vocabulary relation, never the corpus) producing a (word ->
+    token count) map that joins back to the per-document word stream —
+    broadcastable (the vocabulary of a web corpus is millions of rows,
+    KBs per row), so the corpus is scanned once and the per-doc
+    aggregate combines map-side.
+    """
+    words = df.selectExpr(
+        "doc_id",
+        f"explode({tokens_sql('text', DIALECT_SPARK)}) AS word",
+    ).filter(f"NOT contains(word, '{_BOUND}')")
+    vocab = (
+        words.select("word")
+        .distinct()
+        .selectExpr(
+            "word",
+            f"CAST(size({bpe_apply_sql('word', merges, DIALECT_SPARK)}) AS BIGINT)"
+            " AS n_toks",
+        )
+    )
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_token_counts_oracle_sql(
+    table: str, merges: list[tuple[str, str]]
+) -> str:
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
+        "w AS (SELECT doc_id, unnest(tokens) AS word FROM tok), "
+        f"w2 AS (SELECT * FROM w WHERE NOT contains(word, '{_BOUND}')), "
+        "vocab AS (SELECT word, "
+        f"CAST(len({bpe_apply_sql('word', merges, d)}) AS BIGINT) AS n_toks "
+        "FROM (SELECT DISTINCT word FROM w2) v) "
+        "SELECT doc_id, count(*) AS n_words, "
+        "CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens "
+        "FROM w2 JOIN vocab USING (word) GROUP BY doc_id"
+    )
+
+
 def bpe_merges_df(spark, df: DataFrame, n_merges: int = 10) -> DataFrame:
     """:func:`bpe_learn` as a DataFrame: (step, sym_a, sym_b, n_occurrences).
 

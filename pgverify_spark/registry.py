@@ -1638,6 +1638,16 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             bpe.bpe_apply_tokens_oracle_sql("documents", _BPE_SHIPPED_MERGES),
         ),
+        # per-document token budget under the same shipped merge table
+        # (vocabulary-sized merge work, broadcast join back to the
+        # corpus word stream)
+        "bpe_token_counts_documents": (
+            _table_query(
+                "documents",
+                lambda df: bpe.bpe_token_counts(df, _BPE_SHIPPED_MERGES),
+            ),
+            bpe.bpe_token_counts_oracle_sql("documents", _BPE_SHIPPED_MERGES),
+        ),
         # corpus-trained bigram-LM fluency scores (integer-quantized
         # conditional probabilities — no transcendentals cross-engine).
         # The model is trained once per sf_dir and stored
@@ -3161,6 +3171,9 @@ HEADLINE_QUERIES = (
     "tpch_q7_volume_shipping",
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
+    # round-6 additions: the composed curation flagship + BPE apply
+    "curate_corpus_documents",
+    "bpe_apply_documents",
 )
 
 

