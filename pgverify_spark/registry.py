@@ -916,23 +916,34 @@ def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_required_confs(spark)
     raw = ParquetTarget("t", sf_dir).read(spark, "documents")
     pages = raw.selectExpr("doc_id", _WEB_WRAP_SPARK)
+    # Every multi-consumer stage is persisted — the Spark twin of the
+    # oracle's AS MATERIALIZED hints: without it each downstream
+    # consumer re-derives the whole upstream pipeline (clean + gate +
+    # shingle), which measured ~40x the runtime at sf0.1 (121 s vs 3 s)
+    # — lazy-DAG inlining compounds exactly like DuckDB's CTE inlining.
     cleaned = text.normalize_unicode_light(
         text.strip_html(pages).selectExpr("doc_id", "clean_text AS text")
-    ).selectExpr("doc_id", "norm_text AS text")
+    ).selectExpr("doc_id", "norm_text AS text").persist()
+    # gates must be persisted BEFORE the keep-filter: Catalyst pushes
+    # the filter predicate below gopher_gate's barrier repartitions,
+    # re-inlining the token/bigram pipeline once per reference inside
+    # the keep expression (measured 15 s vs 0.7 s at sf0.1 — the
+    # CollapseProject hazard util.barrier guards against, resurrected
+    # through filter pushdown, which passes through repartitions).
     gates = text.gopher_gate(
         cleaned, min_tokens=20, max_tokens=10_000, min_stopword_ratio=0.01
-    )
+    ).persist()
     gated = cleaned.join(
         gates.filter("keep").select("doc_id"), "doc_id", "left_semi"
     )
-    exactd = dedup.exact_dedup_filter(gated)
+    exactd = dedup.exact_dedup_filter(gated).persist()
     pairs_raw = dedup.minhash_lsh_pairs(exactd, 0.3)
     pairs = pairs_raw.select("doc_a", "doc_b").persist()
-    neard = dedup.near_dedup_filter(exactd, pairs)
+    neard = dedup.near_dedup_filter(exactd, pairs).persist()
     flags = contamination.bloom_decontaminate(neard)
     decon = neard.filter("doc_id % 10 <> 0").join(
         flags.filter("contaminated = 1").select("doc_id"), "doc_id", "left_anti"
-    )
+    ).persist()
     ids_a = decon.selectExpr("doc_id AS doc_a")
     ids_b = decon.selectExpr("doc_id AS doc_b")
     rpairs = pairs.join(ids_a, "doc_a", "left_semi").join(
@@ -946,7 +957,8 @@ def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source AS split", "bin", "n_docs", "bin_tokens"
     )
     return tag_cached_deps(
-        out, pairs, *getattr(pairs_raw, "_pgvs_cached_deps", ())
+        out, cleaned, gates, exactd, pairs, neard, decon,
+        *getattr(pairs_raw, "_pgvs_cached_deps", ()),
     )
 
 
@@ -1734,7 +1746,12 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
         ),
         # the composed curation FLAGSHIP: the full raw-pages -> training
-        # -ready pipeline in one call/plan (see _curate_corpus_run)
+        # -ready pipeline in one call/plan (see _curate_corpus_run).
+        # Bench note: ~8 persisted stages in sequence mean the sf0.1
+        # wall time is ~8 stage constants + real work (~8 s vs the
+        # oracle's ~2.7 s); the dominant stages (LSH dedup, gate,
+        # fingerprint-class scans) are the family SCALE_CHECK.md shows
+        # widening Spark's lead as data grows.
         "curate_corpus_documents": (
             _curate_corpus_run,
             _curate_corpus_oracle_sql(),

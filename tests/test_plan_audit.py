@@ -198,13 +198,18 @@ def test_curate_corpus_composition_stays_bounded(spark, sf_dir):
 
     plan = entry.queries()["curate_corpus_documents"](spark, sf_dir)._jdf \
         .queryExecution().executedPlan().toString()
-    shuffles = len(re.findall(r"\bExchange\b", plan)) - len(
-        re.findall(r"BroadcastExchange", plan)
-    )
-    # 17 shuffle exchanges at time of writing (plan-string subtree
-    # repetition counts reused stages more than once; the true DAG is
-    # smaller) — the pin is a tripwire, not a target
-    assert shuffles <= 20, f"curate_corpus shuffle count grew: {shuffles}"
+    # count DISTINCT shuffle exchanges by plan_id: the plan string
+    # re-renders every persisted stage's subtree at each
+    # InMemoryTableScan site, so a raw substring count explodes with
+    # caching while the true DAG stays fixed
+    ids = set()
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "BroadcastExchange" not in ln:
+            m = re.search(r"\[plan_id=(\d+)\]", ln)
+            ids.add(m.group(1) if m else ln.strip())
+    # 16 distinct shuffle exchanges at time of writing — a tripwire,
+    # not a target
+    assert len(ids) <= 20, f"curate_corpus shuffle count grew: {len(ids)}"
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
 
