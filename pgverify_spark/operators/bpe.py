@@ -336,6 +336,58 @@ def bpe_token_counts_oracle_sql(
     )
 
 
+def bpe_pack_sequences(
+    df: DataFrame, merges: list[tuple[str, str]], budget_tokens: int = 512
+) -> DataFrame:
+    """Concat-and-cut packing measured in BPE TOKENS — the unit real
+    training pipelines pack by (prep.pack_sequences' whitespace-token
+    variant under- or over-fills bins whenever tokenizer fertility
+    differs from 1 token/word).  Output: (source, bin, n_docs,
+    bin_tokens), ``bin`` = where each doc's first BPE token lands when
+    the source's docs run end-to-end in doc_id order, cut every
+    ``budget_tokens``.
+
+    Scale shape: :func:`bpe_token_counts`'s vocabulary-sized merge work
+    + broadcast join, then ONE per-source running-sum window over
+    (doc_id, int) rows — text never enters the window exchange.
+    """
+    from pyspark.sql.window import Window
+
+    toks = bpe_token_counts(df, merges).join(
+        df.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    binned = toks.withColumn(
+        "cum", F.sum("n_bpe_tokens").over(w)
+    ).selectExpr(
+        "source",
+        "n_bpe_tokens",
+        f"CAST((cum - n_bpe_tokens) DIV {budget_tokens} AS BIGINT) AS bin",
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+def bpe_pack_sequences_oracle_sql(
+    table: str, merges: list[tuple[str, str]], budget_tokens: int = 512
+) -> str:
+    return (
+        f"WITH tc AS ({bpe_token_counts_oracle_sql(table, merges)}), "
+        f"t AS (SELECT d.source, tc.doc_id, tc.n_bpe_tokens FROM tc "
+        f"JOIN {table} d ON tc.doc_id = d.doc_id), "
+        "c AS (SELECT source, doc_id, n_bpe_tokens, "
+        "sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) "
+        f"SELECT source, CAST((cum - n_bpe_tokens) // {budget_tokens} AS BIGINT) AS bin, "
+        "count(*) AS n_docs, CAST(sum(n_bpe_tokens) AS BIGINT) AS bin_tokens "
+        "FROM c GROUP BY source, bin"
+    )
+
+
 def bpe_merges_df(spark, df: DataFrame, n_merges: int = 10) -> DataFrame:
     """:func:`bpe_learn` as a DataFrame: (step, sym_a, sym_b, n_occurrences).
 

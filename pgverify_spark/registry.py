@@ -1660,6 +1660,18 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             bpe.bpe_token_counts_oracle_sql("documents", _BPE_SHIPPED_MERGES),
         ),
+        # concat-and-cut packing measured in BPE tokens, the unit real
+        # pipelines pack by (pack_sequences' whitespace twin misfills
+        # bins whenever tokenizer fertility differs from 1 token/word)
+        "bpe_pack_sequences_documents": (
+            _table_query(
+                "documents",
+                lambda df: bpe.bpe_pack_sequences(df, _BPE_SHIPPED_MERGES, 512),
+            ),
+            bpe.bpe_pack_sequences_oracle_sql(
+                "documents", _BPE_SHIPPED_MERGES, 512
+            ),
+        ),
         # corpus-trained bigram-LM fluency scores (integer-quantized
         # conditional probabilities — no transcendentals cross-engine).
         # The model is trained once per sf_dir and stored
@@ -2924,8 +2936,10 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: lead the r7 backlog otherwise.  The 3-row smoke core follows, then
 #: (via registration order) the r3-r5-certified remainder, freshest
 #: last.  Round-6 ADDITIONS (never driver-checked -> r7 backlog, list
-#: them first next round): bpe_apply_documents (if oracle-paired),
-#: curate_corpus_documents, and any cosine partial-topk variants.
+#: them first next round, after positions 51-52 if the r6 window cut
+#: at 50): curate_corpus_documents, bpe_apply_documents,
+#: bpe_token_counts_documents, bpe_pack_sequences_documents; then
+#: continue the staleness rotation onto the r3-certified rows.
 _DRIVER_PRIORITY = (
     # last green r1: similarity / ANN family
     "simhash_near_pairs_documents",

