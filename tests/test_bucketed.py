@@ -207,6 +207,29 @@ def test_probe_loop_holds_no_growing_storage(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lshflat_shingles")
 
 
+def test_registry_reinvocation_holds_no_growing_storage(spark, sf_dir):
+    """The registry's generation-release wrapper: re-invoking a
+    registered query that persists tagged intermediates (the agreement
+    report persists three pair streams; the curation flagship persists
+    five stages) must first release the PREVIOUS invocation's blocks,
+    so a long-lived session (driver, bench, sweep) holds at most one
+    live generation per query instead of one per call."""
+    from pgverify_spark import registry
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    fn = registry.spark_queries()["dedup_agreement_report_documents"]
+    fn(spark, sf_dir).collect()
+    after_first = n_persisted()
+    for _ in range(2):
+        fn(spark, sf_dir).collect()
+    # each re-invocation releases the previous generation before
+    # persisting its own, so the count must not grow run-over-run
+    # (<=: the shared session's ContextCleaner may GC other blocks)
+    assert n_persisted() <= after_first, "re-invocation leaked persisted blocks"
+
+
 def test_semantic_dup_pairs_survives_missing_embedding(spark, sf_dir):
     """A text-signal pair must survive a missing embedding row: the
     embedding join is LEFT (cosine coalesced to 0), so embedding
