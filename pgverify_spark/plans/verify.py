@@ -61,12 +61,22 @@ def _target_results(
     target: ParquetTarget,
     config: VerifyConfig,
     name: str | None = None,
+    plan_cache: dict | None = None,
 ) -> list[tuple[Cell, DataFrame]]:
     """Per-target fingerprint sub-plans (runTestsOnTarget, verify.go:90-106),
     each carrying its cell identity so a runtime failure can be pinned to
     the cell (the reference seeds every cell with "(err)" up front for
     the same reason, verify.go:108-136).  ``name`` is the reporting name
-    (the configured alias when present, verify.go:46-48)."""
+    (the configured alias when present, verify.go:46-48).
+
+    ``plan_cache`` (shared across the targets of one ``verify()`` call)
+    memoizes the *untagged* fingerprint DataFrames by
+    (path, schema, table, pk, modes): two targets reading the same
+    table from the same location produce byte-identical sub-plans, and
+    building the canonical-hash expression tree is the dominant
+    driver-side cost of a small verify run.  Execution-side this is the
+    same dedup Spark's ReusedExchange would do; caching just skips the
+    redundant plan *construction*."""
     name = target.name if name is None else name
     parts: list[tuple[Cell, DataFrame]] = []
     for table in target.list_tables(spark, config):
@@ -106,35 +116,43 @@ def _target_results(
             ]
 
         try:
-            schema = target.table_schema(spark, table)
-            df = target.read(spark, table)
-            # Mode fusion: full/rowcount/additive all aggregate the same
-            # (k, h) projection, so when >1 of them is requested they run
-            # as ONE scan + one aggregate (fused_fingerprints); each
-            # cell's branch projects its fp_<mode> column, and exchange
-            # reuse computes the shared subplan once within the union's
-            # single action.  At 100 TB this removes one full table scan
-            # per extra fused mode — the dominant cost of a verify run.
-            fused = tuple(m for m in config.test_modes if m in FUSABLE_MODES)
-            table_parts = []
-            if len(fused) > 1:
-                fdf = fused_fingerprints(df, schema, config, fused)
-                table_parts += [
-                    (
-                        (name, target.schema, table, mode),
-                        tag(fdf.selectExpr(f"fp_{mode} AS fp"), mode),
-                    )
-                    for mode in fused
-                ]
-            else:
-                fused = ()
-            table_parts += [
-                (
-                    (name, target.schema, table, mode),
-                    tag(FINGERPRINT_OPS[mode](df, schema, config), mode),
-                )
-                for mode in config.test_modes
-                if mode not in fused
+            cache_key = (
+                getattr(target, "path", None),
+                target.schema,
+                table,
+                target.primary_key(table) if hasattr(target, "primary_key") else None,
+                tuple(config.test_modes),
+            )
+            fps: dict[str, DataFrame] | None = None
+            if plan_cache is not None and cache_key[0] is not None:
+                fps = plan_cache.get(cache_key)
+            if fps is None:
+                schema = target.table_schema(spark, table)
+                df = target.read(spark, table)
+                # Mode fusion: full/rowcount/additive all aggregate the
+                # same (k, h) projection, so when >1 of them is requested
+                # they run as ONE scan + one aggregate
+                # (fused_fingerprints); each cell's branch projects its
+                # fp_<mode> column, and exchange reuse computes the shared
+                # subplan once within the union's single action.  At
+                # 100 TB this removes one full table scan per extra fused
+                # mode — the dominant cost of a verify run.
+                fused = tuple(m for m in config.test_modes if m in FUSABLE_MODES)
+                fps = {}
+                if len(fused) > 1:
+                    fdf = fused_fingerprints(df, schema, config, fused)
+                    for mode in fused:
+                        fps[mode] = fdf.selectExpr(f"fp_{mode} AS fp")
+                else:
+                    fused = ()
+                for mode in config.test_modes:
+                    if mode not in fused:
+                        fps[mode] = FINGERPRINT_OPS[mode](df, schema, config)
+                if plan_cache is not None and cache_key[0] is not None:
+                    plan_cache[cache_key] = fps
+            table_parts = [
+                ((name, target.schema, table, mode), tag(fp_df, mode))
+                for mode, fp_df in fps.items()
             ]
         except Exception:
             # schema inference / plan build already failed (missing PK,
@@ -166,9 +184,12 @@ def verify(
     else:
         names = [t.name for t in targets]
     parts: list[tuple[Cell, DataFrame]] = []
+    # Shared across targets: races are benign (two threads may build the
+    # same entry; last write wins with an equivalent plan).
+    plan_cache: dict = {}
     with ThreadPoolExecutor(max_workers=min(8, max(1, len(targets)))) as pool:
         for sub in pool.map(
-            lambda tn: _target_results(spark, tn[0], config, tn[1]),
+            lambda tn: _target_results(spark, tn[0], config, tn[1], plan_cache),
             zip(targets, names),
         ):
             parts.extend(sub)
@@ -198,7 +219,9 @@ def verify(
     results = spark.createDataFrame(
         [tuple(r) for r in rows], "target string, schema string, tbl string, mode string, output string"
     )
-    errors = check_for_errors(results, expected_targets=names)
+    # Error-check the rows already in hand — re-collecting the local
+    # relation would launch a (tiny but real) extra Spark job.
+    errors = _errors_from_rows(rows, expected_targets=names)
     return VerifyResult(results=results, errors=errors)
 
 
@@ -211,13 +234,19 @@ def check_for_errors(results: DataFrame, expected_targets: list[str]) -> list[st
     so the check is plain driver-side Python — launching Spark jobs over
     a dozen rows would cost more in scheduling than the work itself.
     """
+    return _errors_from_rows(results.collect(), expected_targets)
+
+
+def _errors_from_rows(rows, expected_targets: list[str]) -> list[str]:
+    """check_for_errors over already-collected (target, schema, tbl,
+    mode, output) rows — Row objects or plain tuples (the cell-pinned
+    error fallback emits tuples), hence positional access."""
     cells: dict[tuple[str, str, str], tuple[set, set]] = {}
-    for r in results.collect():
-        targets, outputs = cells.setdefault(
-            (r["schema"], r["tbl"], r["mode"]), (set(), set())
-        )
-        targets.add(r["target"])
-        outputs.add(r["output"])
+    for r in rows:
+        target, schema, tbl, mode, output = r[0], r[1], r[2], r[3], r[4]
+        targets, outputs = cells.setdefault((schema, tbl, mode), (set(), set()))
+        targets.add(target)
+        outputs.add(output)
     errors: list[str] = []
     for (schema, tbl, mode), (targets, outputs) in sorted(cells.items()):
         cell = f"{schema}.{tbl} mode={mode}"
