@@ -1026,24 +1026,35 @@ def probe_ivfpq_index(
     cells = read_bucketed(spark, f"{name}_cells")
     cb = read_bucketed(spark, f"{name}_cb")
     ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
-    qcells = queries.selectExpr(
-        "vec_id AS query_id",
-        f"explode(slice({ranked}, 1, {nprobe})) AS cluster",
-    )
-    probed = sorted({r["cluster"] for r in qcells.select("cluster").distinct().collect()})
     d2s = [
         f"{_pq_sub_d2_sql('q_emb', 'cvec', m, DIALECT_SPARK)} AS d{m}"
         for m in range(PQ_M)
     ]
-    lut = (
-        queries.selectExpr("vec_id AS query_id", "embedding AS q_emb")
-        .crossJoin(F.broadcast(cb))
-        .selectExpr("query_id", "code", *d2s)
-        .selectExpr(
-            "query_id",
-            "code",
-            "posexplode(array(" + ", ".join(f"d{m}" for m in range(PQ_M)) + ")) AS (m, d2)",
+    # The whole query side — probed cells AND the per-(query, code) ADC
+    # distance table — is |Q| x 16 rows, computed by the SAME Spark
+    # expressions as before but collected in ONE job (a probe serves a
+    # small query batch by contract; the cells literal IN below already
+    # assumes that).  The collected rows come back as local relations,
+    # whose broadcast needs no extra scan jobs — this cuts the per-probe
+    # action count from ~4 to 2 without touching a single computed value.
+    q_rows = (
+        queries.selectExpr(
+            "vec_id AS query_id",
+            "embedding AS q_emb",
+            f"slice({ranked}, 1, {nprobe}) AS probe_cells",
         )
+        .crossJoin(F.broadcast(cb))
+        .selectExpr("query_id", "probe_cells", "code", *d2s)
+        .collect()
+    )
+    probed = sorted({int(c) for r in q_rows for c in r["probe_cells"]})
+    qcells = queries.sparkSession.createDataFrame(
+        sorted({(r["query_id"], int(c)) for r in q_rows for c in r["probe_cells"]}),
+        "query_id bigint, cluster int",
+    )
+    lut = queries.sparkSession.createDataFrame(
+        [(r["query_id"], r["code"], m, r[f"d{m}"]) for r in q_rows for m in range(PQ_M)],
+        "query_id bigint, code int, m int, d2 bigint",
     )
     corp = (
         cells.filter(F.col("cluster").isin(probed))
