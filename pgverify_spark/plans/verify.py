@@ -70,9 +70,9 @@ def _target_results(
     (the configured alias when present, verify.go:46-48).
 
     ``plan_cache`` (shared across the targets of one ``verify()`` call)
-    memoizes the *untagged* fingerprint DataFrames by
-    (path, schema, table, pk, modes): two targets reading the same
-    table from the same location produce byte-identical sub-plans, and
+    memoizes the *untagged* fingerprint DataFrames by the target's own
+    ``cache_identity(table)`` (plus the mode tuple): two targets reading
+    the same table the same way produce byte-identical sub-plans, and
     building the canonical-hash expression tree is the dominant
     driver-side cost of a small verify run.  Execution-side this is the
     same dedup Spark's ReusedExchange would do; caching just skips the
@@ -116,15 +116,23 @@ def _target_results(
             ]
 
         try:
+            # Memoization is gated on the target declaring its own cache
+            # identity (ParquetTarget/FileTarget).  Building the key from
+            # generic attributes here is wrong twice over: JDBC targets
+            # have a different primary_key signature (calling it raised
+            # inside this try, silently degrading every JDBC cell to
+            # "(err)"), and a path-only key collides across formats or
+            # reader options, which would compare a plan against itself.
+            identity = (
+                target.cache_identity(table)
+                if hasattr(target, "cache_identity")
+                else None
+            )
             cache_key = (
-                getattr(target, "path", None),
-                target.schema,
-                table,
-                target.primary_key(table) if hasattr(target, "primary_key") else None,
-                tuple(config.test_modes),
+                None if identity is None else (identity, tuple(config.test_modes))
             )
             fps: dict[str, DataFrame] | None = None
-            if plan_cache is not None and cache_key[0] is not None:
+            if plan_cache is not None and cache_key is not None:
                 fps = plan_cache.get(cache_key)
             if fps is None:
                 schema = target.table_schema(spark, table)
@@ -148,7 +156,7 @@ def _target_results(
                 for mode in config.test_modes:
                     if mode not in fused:
                         fps[mode] = FINGERPRINT_OPS[mode](df, schema, config)
-                if plan_cache is not None and cache_key[0] is not None:
+                if plan_cache is not None and cache_key is not None:
                     plan_cache[cache_key] = fps
             table_parts = [
                 ((name, target.schema, table, mode), tag(fp_df, mode))

@@ -141,6 +141,99 @@ def test_verify_pushdown_targets(spark):
     assert {r.mode: r.output for r in res3.results.collect()}["bucketed"] == "(err)"
 
 
+class _StubJDBCStyleTarget:
+    """Duck-typed non-pushdown target with the JDBC method surface —
+    ``primary_key(spark, table)`` takes the session, and there is no
+    ``path`` or ``cache_identity``.  Regression for the plan-cache key
+    construction calling the parquet-style ``primary_key(table)`` on any
+    target that had the attribute: the TypeError landed inside the
+    try/except and silently degraded every cell to '(err)'."""
+
+    schema = "public"
+
+    def __init__(self, name, sf_dir):
+        self.name = name
+        self._inner = ParquetTarget(name, sf_dir)
+
+    def list_tables(self, spark, config=None):
+        return self._inner.list_tables(spark, config)
+
+    def primary_key(self, spark, table):  # JDBC signature: (spark, table)
+        return self._inner.primary_key(table)
+
+    def read(self, spark, table):
+        return self._inner.read(spark, table)
+
+    def table_schema(self, spark, table):
+        return self._inner.table_schema(spark, table)
+
+
+def test_verify_jdbc_style_target_not_degraded_by_cache(spark, sf_dir):
+    cfg = VerifyConfig(test_modes=("full", "rowcount"), include_tables=("region",))
+    res = verify(
+        spark, [_StubJDBCStyleTarget("db", sf_dir), ParquetTarget("pq", sf_dir)], cfg
+    )
+    assert res.ok, res.errors
+    outputs = {(r.target, r.mode): r.output for r in res.results.collect()}
+    assert outputs[("db", "rowcount")].isdigit()
+    assert outputs[("db", "full")] == outputs[("pq", "full")] != "(err)"
+
+
+def test_verify_plan_cache_distinguishes_formats(spark, sf_dir, tmp_path):
+    """A parquet target and a csv target sharing ONE directory must not
+    collide in the plan cache — a path-keyed collision reused the first
+    target's plan for the second and verify compared a plan against
+    itself, reporting a false 'consistent' (ADVICE r6)."""
+    from pgverify_spark.sources.files import FileTarget
+
+    shared = tmp_path / "shared"
+    src = ParquetTarget("a", sf_dir)
+    region = src.read(spark, "region")
+    region.coalesce(1).write.parquet(str(shared / "region.parquet"))
+    # The csv copy drops a row -> the two formats genuinely disagree.
+    region.filter("r_regionkey <> 2").coalesce(1).write.option("header", "true").csv(
+        str(shared / "region.csv")
+    )
+    ddl = "r_regionkey INT, r_name STRING, r_comment STRING"
+    cfg = VerifyConfig(test_modes=("full", "rowcount"), include_tables=("region",))
+    res = verify(
+        spark,
+        [
+            ParquetTarget("pq", str(shared)),
+            FileTarget("csv", str(shared), format="csv", schemas={"region": ddl}),
+        ],
+        cfg,
+    )
+    assert not res.ok
+    assert any("outputs differ" in e for e in res.errors)
+
+
+def test_cache_identity_components(sf_dir, tmp_path):
+    """cache_identity must separate targets that read differently."""
+    from pgverify_spark.sources.files import FileTarget
+
+    p = ParquetTarget("a", sf_dir)
+    ddl = "r_regionkey INT, r_name STRING, r_comment STRING"
+    base = FileTarget("b", sf_dir, format="csv", schemas={"region": ddl})
+    ids = {
+        p.cache_identity("region"),
+        base.cache_identity("region"),
+        FileTarget("c", sf_dir, format="json", schemas={"region": ddl}).cache_identity(
+            "region"
+        ),
+        FileTarget(
+            "d", sf_dir, format="csv", schemas={"region": ddl}, options={"sep": "|"}
+        ).cache_identity("region"),
+        FileTarget("e", sf_dir, format="csv").cache_identity("region"),
+        ParquetTarget("f", str(tmp_path)).cache_identity("region"),
+    }
+    assert len(ids) == 6
+    # same physical read -> same identity (the memoization contract)
+    assert p.cache_identity("region") == ParquetTarget("z", sf_dir).cache_identity(
+        "region"
+    )
+
+
 def test_row_diff_matches_oracle(spark, duck, sf_dir):
     target = ParquetTarget("t", sf_dir)
     schema = TESTDATA_TABLES["orders"]
