@@ -42,6 +42,38 @@ import sys
 import time
 
 
+#: Compact-line byte budget.  The driver archives only the last ~4 KB of
+#: stdout; r6's 72-query record measured ~3.9 KB and was archived
+#: beginning mid-key (BENCH_r06 "parsed": null), so the budget leaves
+#: real headroom for the window's trailing newline / stray log bytes.
+COMPACT_LIMIT = 3000
+
+
+def compact_record(out: dict, timings: dict[str, float], limit: int = COMPACT_LIMIT) -> str:
+    """One self-contained JSON line that always fits the driver's tail.
+
+    Starts from the full record minus the per-query oracle dict, then —
+    only if needed — drops per-query Spark timings below an escalating
+    cutoff, folding them into a ``queries_omitted`` summary (count +
+    summed seconds) so the total stays reconstructible.  Totals,
+    subtotals, oracle total and the ratio are never dropped."""
+    compact = {k: v for k, v in out.items() if k != "oracle_queries"}
+    for cutoff in (0.0, 0.3, 0.5, 0.75, 1.0, 2.0, float("inf")):
+        kept = {q: round(t, 3) for q, t in timings.items() if t >= cutoff}
+        compact["queries"] = kept
+        compact.pop("queries_omitted", None)
+        if len(kept) < len(timings):
+            compact["queries_omitted"] = {
+                "n": len(timings) - len(kept),
+                "sec": round(sum(t for t in timings.values() if t < cutoff), 3),
+                "below_sec": cutoff,
+            }
+        line = json.dumps(compact)
+        if len(line) <= limit:
+            return line
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -155,23 +187,14 @@ def main() -> None:
         ) if oracle_common else None
     # The driver archives only the last ~4 KB of stdout and consumers
     # parse one-JSON-record-per-run, so emit exactly ONE line: the
-    # compact record (no per-query oracle dict; Spark timings at
-    # reduced precision).  The full record is opt-in and printed FIRST
-    # so the tail line stays the compact one.
+    # compact record (no per-query oracle dict; cheap per-query Spark
+    # timings folded into a queries_omitted summary whenever the line
+    # would outgrow the tail window — BENCH_r06 archived mid-key at 72
+    # queries).  The full record is opt-in and printed FIRST so the
+    # tail line stays the compact one.
     if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
         print(json.dumps(out))
-    compact = {k: v for k, v in out.items() if k != "oracle_queries"}
-    compact["queries"] = {q: round(t, 3) for q, t in timings.items()}
-    line = json.dumps(compact)
-    if len(line) > 3800:  # never let headline growth overflow the window
-        print(
-            f"WARNING: compact record {len(line)} B > 3800; dropping "
-            "per-query timings — trim HEADLINE_QUERIES",
-            file=sys.stderr,
-        )
-        del compact["queries"]
-        line = json.dumps(compact)
-    print(line)
+    print(compact_record(out, timings))
     sys.stdout.flush()
     spark.stop()
 

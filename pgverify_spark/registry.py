@@ -2909,98 +2909,84 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: Names the driver's bounded CORRECTNESS window should certify FIRST.
 #: The driver compares roughly the first 50 ``queries()`` entries in
 #: insertion order per round, so this list rotates each round onto the
-#: queries whose evidence is weakest.  Everything not listed keeps
-#: registration order after the priority block — nothing is ever
-#: dropped, only reordered.
+#: queries whose certification evidence is weakest.  Everything not
+#: listed keeps registration order after the priority block — nothing
+#: is ever dropped, only reordered.
 #:
-#: INVARIANT (lint-enforced by tests/test_plan_audit.py): rows-only
-#: entries — registered queries whose ``oracle_sql()`` entry is absent
-#: by design (bpe_merges, streaming_stateful_bucket) — must NEVER
-#: appear in ``_DRIVER_PRIORITY``.  They can never hash-certify, so a
-#: window row spent on them is a row taken from a certifiable query.
+#: The order is no longer hand-reasoned prose: it is DERIVED from the
+#: recorded evidence by ``pgverify_spark.rotation.derived_priority``
+#: (never-driver-checked certifiable entries first in registration
+#: order, then last-green-round ascending, rows-only excluded, the
+#: 3-row parity smoke core pinned last) and ``tests/test_plan_audit.py``
+#: asserts this static tuple equals the derivation, so the rotation
+#: cannot silently drift from staleness reality.  To rotate for round
+#: N+1: rerun the derivation after the round-N CORRECTNESS file lands
+#: and paste (the test prints the expected tuple on mismatch).
 #:
-#: ROUND-6 ROTATION — certification STALENESS (r5 VERDICT item 1).
-#: After r5 every one of the 187 registered queries has a driver row
-#: and 185/187 are green, but 52 of those greens date from r1/r2 and
-#: the code under them (canonical expressions, registry plumbing,
-#: plans/verify.py) was refactored across r3-r5.  This round's window
-#: is ordered oldest-certification-first, verified locally green via
-#: tests/oracle_check.py before rotation: positions 1-8 the r1
-#: survivors (the similarity/ANN family), then the 44 r2 rows — the
-#: §2.1 #8-12 verify orchestrator chain first, then the fingerprint
-#: variants, then text/dedup.  ``full_fingerprint_part`` and
-#: ``full_fingerprint_embeddings`` sit at positions 51-52 (just past a
-#: 50-row window) deliberately: they exercise the operator already
-#: covered by the four in-window full_fingerprint tables, so they are
-#: the lowest-marginal-evidence rows if the window cuts at 50; they
-#: lead the r7 backlog otherwise.  The 3-row smoke core follows, then
-#: (via registration order) the r3-r5-certified remainder, freshest
-#: last.  Round-6 ADDITIONS (never driver-checked -> r7 backlog, list
-#: them first next round, after positions 51-52 if the r6 window cut
-#: at 50): curate_corpus_documents, bpe_apply_documents,
-#: bpe_token_counts_documents, bpe_pack_sequences_documents; then
-#: continue the staleness rotation onto the r3-certified rows.
+#: ROUND-7 WINDOW (derived from CORRECTNESS_r1..r6): positions 1-4 the
+#: never-driver-checked round-6 additions (judge-certified at sf0.01 in
+#: r6, zero driver rows); 5-6 the two parked r2 fingerprint rows; 7-48
+#: all 42 rows whose newest green is r3; 49-51 the smoke core.  The
+#: r4-green rows lead the r8 backlog.
+#:
+#: INVARIANT (lint-enforced): rows-only entries — registered queries
+#: whose ``oracle_sql()`` entry is absent by design (bpe_merges,
+#: streaming_stateful_bucket) — must NEVER appear here.  They can never
+#: hash-certify, so a window row spent on them is a row taken from a
+#: certifiable query.
 _DRIVER_PRIORITY = (
-    # last green r1: similarity / ANN family
-    "simhash_near_pairs_documents",
-    "embedding_near_dups",
-    "embedding_near_dups_lsh",
-    "cosine_topk_embeddings",
-    "hyperplane_buckets_embeddings",
-    "ann_lsh_topk_embeddings",
-    "ivf_assign_embeddings",
-    "ivf_topk_embeddings",
-    # last green r2: the §2.1 #8-12 verify orchestrator chain
-    "verify_report_two_targets",
-    "verify_report_parquet_vs_csv",
-    "row_diff_orders",
-    "partition_diff_events",
-    "drilldown_row_diff_events",
-    # last green r2: fingerprint modes + option variants
-    "full_fingerprint_orders",
-    "full_fingerprint_customer",
-    "full_fingerprint_events",
-    "full_fingerprint_documents",
-    "bookend_fingerprint_orders",
-    "sparse_fingerprint_orders",
-    "bucketed_fingerprint_events",
-    "rowcount_orders",
-    "additive_fingerprint_orders",
-    "full_fingerprint_orders_hashed_pk",
-    "full_fingerprint_orders_excl_cols",
-    "full_fingerprint_orders_secs_precision",
-    "full_fingerprint_events_hours_precision",
-    "full_fingerprint_events_json_props",
-    "partitioned_fingerprint_events",
-    "full_fingerprint_nation_csv_roundtrip",
-    "full_fingerprint_nation_json_roundtrip",
-    "full_fingerprint_orders_orc_roundtrip",
-    "full_fingerprint_type_matrix",
-    # last green r2: text analysis
-    "text_stats_documents",
-    "language_id_documents",
-    "token_counts_documents",
-    "rolling_fingerprint_documents",
-    "doc_fingerprints_documents",
-    # last green r2: dedup / contamination / profile
-    "exact_dup_groups_documents",
-    "minhash_lsh_pairs_documents",
-    "ngram_jaccard_pairs_documents",
-    "repetition_stats_documents",
-    "contamination_pairs_documents",
-    "bloom_decontaminate_documents",
-    "dup_clusters_documents",
-    "profile_orders",
-    "winnowing_pairs_documents",
-    "semantic_dup_pairs_documents",
-    "incremental_dedup_documents",
-    "near_dedup_filter_documents",
-    "exact_dedup_filter_documents",
-    # positions 51-52: same operator as the in-window full_fingerprint
-    # rows — least marginal evidence if the window cuts at exactly 50
-    "full_fingerprint_part",
+    # never driver-checked (round-6 additions)
+    "bpe_apply_documents",
+    "bpe_token_counts_documents",
+    "bpe_pack_sequences_documents",
+    "curate_corpus_documents",
+    # last green r2 (parked past the r6 window cut)
     "full_fingerprint_embeddings",
-    # thin smoke core (parity §2.1 keeps a current row)
+    "full_fingerprint_part",
+    # last green r3 (registration order)
+    "kmeans_assign_embeddings",
+    "quality_filter_documents",
+    "stratified_sample_documents",
+    "topk_ngrams_documents",
+    "event_transitions_events",
+    "chunk_documents",
+    "pack_sequences_documents",
+    "hash_split_documents",
+    "assign_shards_documents",
+    "mixture_sample_documents",
+    "equidepth_histogram_orders",
+    "salted_join_revenue",
+    "cohort_retention_events",
+    "moving_average_events",
+    "daily_anomalies_events",
+    "daily_trend_slope_events",
+    "funnel_events",
+    "asof_join_events",
+    "length_percentiles_documents",
+    "corpus_mix_report_documents",
+    "tfidf_top_terms_documents",
+    "vocab_coverage_documents",
+    "bigram_lm_scores_documents",
+    "scrub_pii_documents",
+    "length_histogram_documents",
+    "random_project_embeddings",
+    "label_outliers_embeddings",
+    "gramian_embeddings",
+    "quantize_int8_embeddings",
+    "quantized_topk_embeddings",
+    "fuzzy_join_pairs_part",
+    "kmv_distinct_documents",
+    "kmv_distinct_events",
+    "key_distribution_lineitem",
+    "heavy_hitters_lineitem",
+    "fk_integrity_report",
+    "streaming_dedup_documents",
+    "streaming_funnel_events",
+    "streaming_kmv_distinct_documents",
+    "streaming_bloom_decontaminate_documents",
+    "streaming_lm_scores_documents",
+    "streaming_lsh_ingest_dedup_documents",
+    # pinned smoke core (parity §2.1 keeps a current row)
     "full_fingerprint_lineitem",
     "rowcount_fingerprint_lineitem",
     "tpch_q1_pricing_summary",
@@ -3102,7 +3088,10 @@ def _release_prev_generation(
     return run
 
 
-def _entries() -> dict[str, tuple[Callable, str | None]]:
+def _merged_entries() -> dict[str, tuple[Callable, str | None]]:
+    """All registered entries in BASE registration order — the stable
+    order the staleness rotation ties break on (rotation.py reads this;
+    ``_entries`` applies ``_DRIVER_PRIORITY`` on top)."""
     merged = {
         **_fingerprint_entries(),
         **_file_roundtrip_entries(),
@@ -3116,10 +3105,14 @@ def _entries() -> dict[str, tuple[Callable, str | None]]:
     for name, cols in _DOUBLE_OUTPUT_COLS.items():
         if name in merged:
             merged[name] = _cast_output_double(merged[name], cols)
-    merged = {
+    return {
         name: (_release_prev_generation(name, fn), sql)
         for name, (fn, sql) in merged.items()
     }
+
+
+def _entries() -> dict[str, tuple[Callable, str | None]]:
+    merged = _merged_entries()
     out = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     out.update((name, v) for name, v in merged.items() if name not in out)
     return out

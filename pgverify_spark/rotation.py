@@ -1,0 +1,95 @@
+"""Evidence-derived driver-window rotation.
+
+The round driver certifies roughly the first 50 ``queries()`` entries
+per round against the DuckDB oracle and records the outcome in
+``CORRECTNESS_r{N}.json`` at the repo root.  ``_DRIVER_PRIORITY``
+(registry.py) reorders the registry so that window lands on the queries
+whose certification evidence is WEAKEST:
+
+1. certifiable queries with no driver row at all (registered after the
+   last window closed), in base registration order;
+2. everything else ordered by last-green round ascending (a query whose
+   newest green row is r2 has had three rounds of refactors under it;
+   one green last round needs nothing), ties broken by registration
+   order;
+3. the pinned smoke core last — the parity flagship rows that keep a
+   current driver row every round regardless of staleness.
+
+Rows-only entries (no ``oracle_sql`` twin by design) can never
+hash-certify, so they are excluded — a window row spent on them is a
+row taken from a certifiable query.
+
+This module DERIVES that order from the recorded evidence so the static
+list can be asserted against it (tests/test_plan_audit.py): the
+hand-maintained rotation can no longer silently drift from what the
+correctness history actually says.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+#: Repo root — CORRECTNESS_r*.json live next to __spark_entry__.py.
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+#: Parity rows that keep a fresh driver row every round (§2.1 smoke).
+SMOKE_CORE = (
+    "full_fingerprint_lineitem",
+    "rowcount_fingerprint_lineitem",
+    "tpch_q1_pricing_summary",
+)
+
+
+def last_green_rounds(root: Path | str = REPO_ROOT) -> dict[str, int]:
+    """Newest round in which each query's driver row was fully green
+    (rows + schema + value-hash all matched).  A query checked but NOT
+    green in a later round keeps its older last-green round — failed
+    evidence is not evidence."""
+    last: dict[str, int] = {}
+    for f in sorted(Path(root).glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f.name)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            recorded = json.loads(f.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in recorded.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") in (True, None)
+                and row.get("err") in (None, "")
+            )
+            if green and rnd >= last.get(name, 0):
+                last[name] = rnd
+    return last
+
+
+def derived_priority(
+    base_order: list[str] | tuple[str, ...],
+    certifiable: set[str],
+    last_green: dict[str, int] | None = None,
+    smoke_core: tuple[str, ...] = SMOKE_CORE,
+    n: int | None = None,
+) -> tuple[str, ...]:
+    """The weakest-evidence-first window order (see module docstring).
+
+    ``base_order`` is the registry's base registration order
+    (``registry._merged_entries()``), ``certifiable`` the names with an
+    ``oracle_sql`` twin, ``n`` the number of rotating slots ahead of the
+    smoke core (None = all certifiable queries).
+    """
+    if last_green is None:
+        last_green = last_green_rounds()
+    pool = [q for q in base_order if q in certifiable and q not in smoke_core]
+    index = {q: i for i, q in enumerate(base_order)}
+    ordered = sorted(pool, key=lambda q: (last_green.get(q, 0), index[q]))
+    if n is not None:
+        ordered = ordered[:n]
+    return tuple(ordered) + tuple(smoke_core)

@@ -108,6 +108,57 @@ def test_registry_name_lists_resolve():
     assert not in_window, f"rows-only entries in _DRIVER_PRIORITY: {in_window}"
 
 
+def test_driver_priority_matches_derived_rotation():
+    """The static _DRIVER_PRIORITY must equal the order DERIVED from the
+    recorded CORRECTNESS_r*.json evidence (never-driver-checked
+    certifiable entries first in registration order, then last-green
+    round ascending, rows-only excluded, smoke core pinned last) — the
+    hand-maintained rotation can no longer drift from staleness reality.
+    When a new CORRECTNESS file lands this test FAILS BY DESIGN: paste
+    the printed tuple into registry._DRIVER_PRIORITY to rotate."""
+    from pgverify_spark import registry
+    from pgverify_spark.rotation import (
+        SMOKE_CORE,
+        derived_priority,
+        last_green_rounds,
+    )
+
+    merged = registry._merged_entries()
+    certifiable = {n for n, (_, sql) in merged.items() if sql is not None}
+    expected = derived_priority(
+        list(merged),
+        certifiable,
+        last_green_rounds(),
+        n=len(registry._DRIVER_PRIORITY) - len(SMOKE_CORE),
+    )
+    assert registry._DRIVER_PRIORITY == expected, (
+        "rotation drifted from evidence; expected:\n"
+        + "\n".join(f'    "{q}",' for q in expected)
+    )
+    # the derivation itself must keep the lint invariants
+    assert expected[-len(SMOKE_CORE):] == SMOKE_CORE
+    assert len(set(expected)) == len(expected)
+
+
+def test_last_green_rounds_semantics(tmp_path):
+    """Green = rows+schema+hash all matched with no error; a later FAILED
+    check must not advance a query's last-green round, and a later green
+    check must."""
+    import json
+
+    from pgverify_spark.rotation import last_green_rounds
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    bad = dict(ok, hash_match=False)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": ok, "b": ok, "c": bad})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"a": bad, "b": ok, "d": dict(ok, err="boom")})
+    )
+    assert last_green_rounds(tmp_path) == {"a": 1, "b": 2}
+
+
 #: DuckDB output-type substrings the driver cannot hash faithfully.
 #: DECIMAL: rendered through float on one side only, so trailing-zero
 #: decimal strings hash-mismatch exact-equal values (CORRECTNESS_r03,
