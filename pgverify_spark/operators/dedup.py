@@ -445,7 +445,8 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     O(log n) rounds, identical output and oracle); the per-round cost
     is the same, only the contraction rule differs.
 
-    The per-round ``localCheckpoint(eager=True)`` is load-bearing and
+    The per-round ``localCheckpoint`` (lazy; the convergence count is
+    the action that materializes it) is load-bearing and
     does what a plain persist cannot: persist caches the *data* but the
     logical plan still accumulates one round's operators per iteration,
     so Catalyst re-analyzes an ever-deeper tree each round AND every
@@ -474,7 +475,14 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .selectExpr("doc_id", "doc_id AS cluster_id")
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    # Empty graph: skip the propagation loop outright.  The labels
+    # relation is already materialized (eager checkpoint), so take(1)
+    # is a block lookup, and the saved first round is 2 scheduled jobs
+    # — a real constant for compositions whose pair stream is empty by
+    # construction (e.g. pairs restricted to an already-deduped corpus).
+    if not labels.take(1):
+        return labels
+    for rnd in range(max_iterations):
         nbr_min = (
             edges.join(labels.selectExpr("doc_id AS dst", "cluster_id AS nl"), "dst")
             .groupBy("src")
@@ -493,8 +501,17 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = joined.selectExpr("sum(moved) AS m").first()[0] or 0
         labels = joined.select("doc_id", "cluster_id")
+        # Round 1 always moves on a non-empty graph (either endpoint of
+        # any edge with the larger initial label must take the smaller's),
+        # so its convergence check is a scheduled job that can never
+        # break the loop — skip it.  (A lazy checkpoint materialized by
+        # the convergence count was measured SLOWER here: the count then
+        # re-plans the full join tree instead of reading checkpointed
+        # blocks.)
+        if rnd == 0:
+            continue
+        changed = joined.selectExpr("sum(moved) AS m").first()[0] or 0
         if changed == 0:
             break
         # superseded round RDDs are unreferenced here; the context

@@ -192,6 +192,28 @@ def assign_shards_oracle_sql(table: str, n_shards: int = 8) -> str:
 DEFAULT_SPLITS = (("train", 900), ("val", 50), ("test", 50))
 
 
+def split_assign_exprs(
+    dialect: str,
+    key: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+) -> tuple[str, str]:
+    """(bucket_expr, case_expr) — the md5(key)-mod-1000 bucket and the
+    cumulative-weight CASE mapping buckets to split names.  The shared
+    core of :func:`hash_split` / :func:`leakage_safe_split` (both
+    dialects) and the curate-corpus cluster-pass elision (registry.py),
+    kept in ONE place so the Spark/DuckDB twins cannot drift.  The CASE
+    expects the bucket aliased as ``b`` in scope."""
+    if sum(wt for _, wt in splits) != 1000:
+        raise ValueError("split weights must sum to 1000 (per-mille)")
+    cast = "STRING" if dialect == DIALECT_SPARK else "VARCHAR"
+    h = hex_prefix_int_sql(f"md5(CAST({key} AS {cast}))", dialect, 12)
+    case, lo = [], 0
+    for name, wt in splits:
+        case.append(f"WHEN b < {lo + wt} THEN '{name}'")
+        lo += wt
+    return f"{h} % 1000", f"CASE {' '.join(case)} END"
+
+
 def hash_split(
     df: DataFrame, splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS
 ) -> DataFrame:
@@ -201,17 +223,10 @@ def hash_split(
     buckets to splits.  Assignment depends only on the doc's own id —
     stable under corpus growth and engine-independent.
     """
-    if sum(wt for _, wt in splits) != 1000:
-        raise ValueError("split weights must sum to 1000 (per-mille)")
-    h = hex_prefix_int_sql("md5(CAST(doc_id AS STRING))", DIALECT_SPARK, 12)
-    case, lo = [], 0
-    for name, wt in splits:
-        case.append(f"WHEN b < {lo + wt} THEN '{name}'")
-        lo += wt
-    expr = f"CASE {' '.join(case)} END"
+    bucket, expr = split_assign_exprs(DIALECT_SPARK)
     return (
         df.selectExpr(
-            f"{h} % 1000 AS b",
+            f"{bucket} AS b",
             "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens",
         )
         .selectExpr(f"{expr} AS split", "n_tokens")
@@ -223,14 +238,9 @@ def hash_split(
 def hash_split_oracle_sql(
     table: str, splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS
 ) -> str:
-    h = hex_prefix_int_sql("md5(CAST(doc_id AS VARCHAR))", DIALECT_DUCKDB, 12)
-    case, lo = [], 0
-    for name, wt in splits:
-        case.append(f"WHEN b < {lo + wt} THEN '{name}'")
-        lo += wt
-    expr = f"CASE {' '.join(case)} END"
+    bucket, expr = split_assign_exprs(DIALECT_DUCKDB)
     return (
-        f"WITH t AS (SELECT {h} % 1000 AS b, "
+        f"WITH t AS (SELECT {bucket} AS b, "
         "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens "
         f"FROM {table}) "
         f"SELECT {expr} AS split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens "
@@ -335,22 +345,16 @@ def leakage_safe_split(
     """
     from pgverify_spark.operators.dedup import dup_clusters
 
-    if sum(wt for _, wt in splits) != 1000:
-        raise ValueError("split weights must sum to 1000 (per-mille)")
     clusters = dup_clusters(pairs, max_iterations)
     keyed = (
         df.select("doc_id")
         .join(clusters, "doc_id", "left")
         .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS split_key")
     )
-    h = hex_prefix_int_sql("md5(CAST(split_key AS STRING))", DIALECT_SPARK, 12)
-    case, lo = [], 0
-    for name, wt in splits:
-        case.append(f"WHEN b < {lo + wt} THEN '{name}'")
-        lo += wt
-    return keyed.selectExpr(
-        "doc_id", "split_key", f"{h} % 1000 AS b"
-    ).selectExpr("doc_id", "split_key", f"CASE {' '.join(case)} END AS split")
+    bucket, case = split_assign_exprs(DIALECT_SPARK, key="split_key", splits=splits)
+    return keyed.selectExpr("doc_id", "split_key", f"{bucket} AS b").selectExpr(
+        "doc_id", "split_key", f"{case} AS split"
+    )
 
 
 def leakage_safe_split_oracle_sql(
@@ -361,15 +365,11 @@ def leakage_safe_split_oracle_sql(
     from pgverify_spark.operators.dedup import dup_clusters_oracle_sql
 
     clusters = dup_clusters_oracle_sql(pairs_sql)
-    h = hex_prefix_int_sql("md5(CAST(split_key AS VARCHAR))", DIALECT_DUCKDB, 12)
-    case, lo = [], 0
-    for name, wt in splits:
-        case.append(f"WHEN b < {lo + wt} THEN '{name}'")
-        lo += wt
+    bucket, case = split_assign_exprs(DIALECT_DUCKDB, key="split_key", splits=splits)
     return (
         f"WITH cl AS ({clusters}), "
         f"keyed AS (SELECT t.doc_id, coalesce(cl.cluster_id, t.doc_id) AS split_key "
         f"FROM {table} t LEFT JOIN cl ON t.doc_id = cl.doc_id), "
-        f"b AS (SELECT doc_id, split_key, {h} % 1000 AS b FROM keyed) "
-        f"SELECT doc_id, split_key, CASE {' '.join(case)} END AS split FROM b"
+        f"b AS (SELECT doc_id, split_key, {bucket} AS b FROM keyed) "
+        f"SELECT doc_id, split_key, {case} AS split FROM b"
     )

@@ -3074,3 +3074,62 @@ def test_dedup_savings_report(spark, docs, duck):
         assert ck + cs == ct
     total_kept = sum(r[3] for r in rows)
     assert total_kept == dedup.exact_dedup_filter(docs).count()
+
+
+def test_curate_corpus_cluster_elision_equivalent(spark, sf_dir):
+    """curate_corpus elides the leakage-split cluster pass by PROOF:
+    near_dedup_filter keeps only cluster representatives, so the pair
+    stream restricted to the decontaminated corpus is empty and the
+    split key is always the doc's own id.  Assert (a) the premise — no
+    pair survives — and (b) the elided registry plan equals the full
+    un-elided composition run the long way."""
+    from pgverify_spark import registry
+    from pgverify_spark.operators import contamination, dedup, prep, text
+    from pgverify_spark.sources.parquet import ParquetTarget
+
+    elided = sorted(
+        map(
+            tuple,
+            registry.spark_queries()["curate_corpus_documents"](
+                spark, sf_dir
+            ).collect(),
+        )
+    )
+
+    raw = ParquetTarget("t", sf_dir).read(spark, "documents")
+    pages = raw.selectExpr("doc_id", registry._WEB_WRAP_SPARK)
+    cleaned = text.normalize_unicode_light(
+        text.strip_html(pages).selectExpr("doc_id", "clean_text AS text")
+    ).selectExpr("doc_id", "norm_text AS text").persist()
+    gates = text.gopher_gate(
+        cleaned, min_tokens=20, max_tokens=10_000, min_stopword_ratio=0.01
+    ).persist()
+    gated = cleaned.join(gates.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    exactd = dedup.exact_dedup_filter(gated).persist()
+    pairs = dedup.minhash_lsh_pairs(exactd, 0.3).select("doc_a", "doc_b").persist()
+    neard = dedup.near_dedup_filter(exactd, pairs).persist()
+    flags = contamination.bloom_decontaminate(neard)
+    decon = neard.filter("doc_id % 10 <> 0").join(
+        flags.filter("contaminated = 1").select("doc_id"), "doc_id", "left_anti"
+    ).persist()
+    rpairs = pairs.join(
+        decon.selectExpr("doc_id AS doc_a"), "doc_a", "left_semi"
+    ).join(decon.selectExpr("doc_id AS doc_b"), "doc_b", "left_semi")
+    assert pairs.count() > 0, "fixture needs near-dup pairs for the proof to bite"
+    assert rpairs.count() == 0  # the premise
+
+    splits = prep.leakage_safe_split(decon, rpairs)
+    packed_in = decon.join(splits.select("doc_id", "split"), "doc_id").selectExpr(
+        "split AS source", "doc_id", "text"
+    )
+    full = sorted(
+        map(
+            tuple,
+            prep.pack_sequences(packed_in, 512)
+            .selectExpr("source AS split", "bin", "n_docs", "bin_tokens")
+            .collect(),
+        )
+    )
+    for df in (cleaned, gates, exactd, pairs, neard, decon):
+        df.unpersist()
+    assert elided == full and elided
