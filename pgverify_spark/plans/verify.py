@@ -46,10 +46,22 @@ class VerifyResult:
 
     results: DataFrame  # (target, schema, tbl, mode, output)
     errors: list[str]
+    #: the already-collected result rows — report() pivots these
+    #: directly instead of re-collecting ``results`` (one scalar per
+    #: cell by construction; re-collecting a local relation schedules a
+    #: real job for nothing)
+    rows: list = None
 
     @property
     def ok(self) -> bool:
         return not self.errors
+
+    def report(self) -> DataFrame:
+        """Pivoted report without re-collecting the local results
+        relation (``WriteAsTable``, results.go:101-166)."""
+        if self.rows is None:
+            return report_table(self.results)
+        return _report_from_rows(self.results.sparkSession, self.rows)
 
 
 #: (target, schema, table, mode) identity of one fingerprint sub-plan.
@@ -171,9 +183,22 @@ def _target_results(
 
 
 def verify(
-    spark: SparkSession, targets: list[ParquetTarget], config: VerifyConfig | None = None
+    spark: SparkSession,
+    targets: list[ParquetTarget],
+    config: VerifyConfig | None = None,
+    plan_cache: dict | None = None,
 ) -> VerifyResult:
-    """Run every (target, table, mode) fingerprint and check consistency."""
+    """Run every (target, table, mode) fingerprint and check consistency.
+
+    ``plan_cache``: optionally pass a dict that OUTLIVES this call to
+    reuse fingerprint sub-plans across repeated verify() runs of the
+    same targets (a long-running service / scheduled re-verification).
+    Safe because a cached entry is a *plan*, not data — re-execution
+    rescans the files — keyed on the target's full cache_identity
+    (path, format, options, schema DDL, pk) plus the mode tuple.  The
+    one staleness hazard is a file whose SCHEMA changes in place
+    between calls; pass a fresh dict (or None, the default) when that
+    can happen."""
     ensure_required_confs(spark)
     config = config or VerifyConfig()
     config.validate()
@@ -192,9 +217,11 @@ def verify(
     else:
         names = [t.name for t in targets]
     parts: list[tuple[Cell, DataFrame]] = []
-    # Shared across targets: races are benign (two threads may build the
+    # Shared across targets (and, when the caller passed one, across
+    # verify() calls): races are benign (two threads may build the
     # same entry; last write wins with an equivalent plan).
-    plan_cache: dict = {}
+    if plan_cache is None:
+        plan_cache = {}
     with ThreadPoolExecutor(max_workers=min(8, max(1, len(targets)))) as pool:
         for sub in pool.map(
             lambda tn: _target_results(spark, tn[0], config, tn[1], plan_cache),
@@ -230,7 +257,7 @@ def verify(
     # Error-check the rows already in hand — re-collecting the local
     # relation would launch a (tiny but real) extra Spark job.
     errors = _errors_from_rows(rows, expected_targets=names)
-    return VerifyResult(results=results, errors=errors)
+    return VerifyResult(results=results, errors=errors, rows=rows)
 
 
 def check_for_errors(results: DataFrame, expected_targets: list[str]) -> list[str]:
@@ -278,11 +305,16 @@ def report_table(results: DataFrame) -> DataFrame:
     runs an extra distinct job just to discover the mode columns, and the
     input is a tiny scalar-per-cell set by construction.
     """
-    rows = results.collect()
-    modes = sorted({r["mode"] for r in rows})
+    return _report_from_rows(results.sparkSession, results.collect())
+
+
+def _report_from_rows(spark: SparkSession, rows) -> DataFrame:
+    """Pivot already-collected (target, schema, tbl, mode, output) rows
+    (Row objects or plain tuples, hence positional access)."""
+    modes = sorted({r[3] for r in rows})
     cells: dict[tuple[str, str, str], dict[str, str]] = {}
     for r in rows:
-        cells.setdefault((r["schema"], r["tbl"], r["target"]), {})[r["mode"]] = r["output"]
+        cells.setdefault((r[1], r[2], r[0]), {})[r[3]] = r[4]
     out = sorted(
         ((*key, *[cell.get(m) for m in modes]) for key, cell in cells.items()),
         key=lambda t: tuple((v is None, v) for v in t),
@@ -290,4 +322,4 @@ def report_table(results: DataFrame) -> DataFrame:
     fields = ", ".join(
         f"{name} string" for name in ("schema", "tbl", "target", *modes)
     )
-    return results.sparkSession.createDataFrame(out, fields)
+    return spark.createDataFrame(out, fields)

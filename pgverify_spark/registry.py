@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from pgverify_spark.config import VerifyConfig
 from pgverify_spark.functions import timecol
+from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
 from pgverify_spark.operators import (
     contamination,
     dedup,
@@ -35,7 +36,7 @@ from pgverify_spark.operators.fingerprint import (
     FINGERPRINT_OPS,
     fingerprint_oracle_sql,
 )
-from pgverify_spark.plans.verify import report_table, verify
+from pgverify_spark.plans.verify import verify
 from pgverify_spark.session import ensure_required_confs
 from pgverify_spark.sources.parquet import ParquetTarget
 from pgverify_spark.sources.schemas import TESTDATA_TABLES
@@ -508,17 +509,30 @@ _REPORT_TABLES = ("nation", "region", "supplier")
 _REPORT_MODES = ("full", "rowcount")
 
 
-def _report_entry() -> dict[str, tuple[Callable, str]]:
-    """End-to-end verify: two targets, pivoted report (results.go:101-166)."""
-    cfg = VerifyConfig(test_modes=_REPORT_MODES, include_tables=_REPORT_TABLES)
+#: Cross-call fingerprint plan cache for the verify report entries,
+#: keyed per SparkSession id (bench and driver each use one session;
+#: entries are a handful of tiny logical plans).  Safe across calls:
+#: a cached entry is a plan, not data — see verify()'s docstring.
+_VERIFY_PLAN_CACHES: dict[int, dict] = {}
+
+
+def _verify_report_entry_factory(
+    name: str, tables: tuple[str, ...]
+) -> dict[str, tuple[Callable, str]]:
+    """A two-target verify report over ``tables`` (results.go:101-166).
+    The driver-side constants (canonical expression-tree build) are paid
+    once per session via _VERIFY_PLAN_CACHES; the collected rows pivot
+    without a re-collect job (VerifyResult.report)."""
+    cfg = VerifyConfig(test_modes=_REPORT_MODES, include_tables=tables)
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         targets = [ParquetTarget("a", sf_dir), ParquetTarget("b", sf_dir)]
-        return report_table(verify(spark, targets, cfg).results)
+        cache = _VERIFY_PLAN_CACHES.setdefault(id(spark), {})
+        return verify(spark, targets, cfg, plan_cache=cache).report()
 
     selects = []
     for tname in ("a", "b"):
-        for table in _REPORT_TABLES:
+        for table in tables:
             mode_cols = ", ".join(
                 f"(SELECT fp FROM ({fingerprint_oracle_sql(m, table, TESTDATA_TABLES[table], cfg)}) s) AS {m}"
                 for m in _REPORT_MODES
@@ -526,7 +540,22 @@ def _report_entry() -> dict[str, tuple[Callable, str]]:
             selects.append(
                 f"SELECT 'public' AS schema, '{table}' AS tbl, '{tname}' AS target, {mode_cols}"
             )
-    return {"verify_report_two_targets": (run, " UNION ALL ".join(selects))}
+    return {name: (run, " UNION ALL ".join(selects))}
+
+
+def _report_entry() -> dict[str, tuple[Callable, str]]:
+    """End-to-end verify twice over: the original 3-small-table report
+    (dominated by fixed costs at any SF — the honest small-verify
+    number) and a lineitem pair whose wall time is the SCAN, the regime
+    a real 100 TB verify lives in."""
+    return {
+        **_verify_report_entry_factory(
+            "verify_report_two_targets", _REPORT_TABLES
+        ),
+        **_verify_report_entry_factory(
+            "verify_report_lineitem_pair", ("lineitem",)
+        ),
+    }
 
 
 def _table_query(table: str, op: Callable[[DataFrame], DataFrame]) -> Callable:
@@ -938,26 +967,38 @@ def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exactd = dedup.exact_dedup_filter(gated).persist()
     pairs_raw = dedup.minhash_lsh_pairs(exactd, 0.3)
-    pairs = pairs_raw.select("doc_a", "doc_b").persist()
+    # No pairs.persist(): near_dedup_filter's dup_clusters eagerly
+    # localCheckpoints the pair stream as its first step, which IS the
+    # materialize-once — a persist on top would only add a cache pass.
+    pairs = pairs_raw.select("doc_a", "doc_b")
     neard = dedup.near_dedup_filter(exactd, pairs).persist()
     flags = contamination.bloom_decontaminate(neard)
     decon = neard.filter("doc_id % 10 <> 0").join(
         flags.filter("contaminated = 1").select("doc_id"), "doc_id", "left_anti"
-    ).persist()
-    ids_a = decon.selectExpr("doc_id AS doc_a")
-    ids_b = decon.selectExpr("doc_id AS doc_b")
-    rpairs = pairs.join(ids_a, "doc_a", "left_semi").join(
-        ids_b, "doc_b", "left_semi"
     )
-    splits = prep.leakage_safe_split(decon, rpairs)
-    packed_in = decon.join(splits.select("doc_id", "split"), "doc_id").selectExpr(
-        "split AS source", "doc_id", "text"
+    # Leakage-safe split with the cluster pass elided by PROOF instead
+    # of computed: near_dedup_filter keeps only cluster representatives
+    # (doc_id == cluster_id == component min), so for any near-dup pair
+    # the larger endpoint is gone — the pair stream restricted to decon
+    # is EMPTY by construction, every split_key coalesces to the doc's
+    # own id, and leakage_safe_split(decon, restricted_pairs) is exactly
+    # the own-id hash split.  Eliding it removes two semi-joins, the
+    # iterative cluster jobs (the dominant fixed cost of this flagship:
+    # driver-scheduled rounds over an empty graph), and the split
+    # join's full-row exchange; the same split_assign_exprs source
+    # feeds both twins, and tests/test_pipeline_ops.py asserts this
+    # plan equals the un-elided composition.  decon now has ONE
+    # consumer, so it is not persisted — it pipelines into the packing
+    # projection.
+    bucket, case = prep.split_assign_exprs(DIALECT_SPARK)
+    packed_in = decon.selectExpr("doc_id", "text", f"{bucket} AS b").selectExpr(
+        f"{case} AS source", "doc_id", "text"
     )
     out = prep.pack_sequences(packed_in, 512).selectExpr(
         "source AS split", "bin", "n_docs", "bin_tokens"
     )
     return tag_cached_deps(
-        out, cleaned, gates, exactd, pairs, neard, decon,
+        out, cleaned, gates, exactd, neard,
         *getattr(pairs_raw, "_pgvs_cached_deps", ()),
     )
 
@@ -972,6 +1013,7 @@ def _curate_corpus_oracle_sql() -> str:
     cleaned_inner = text.normalize_unicode_light_oracle_sql(
         "(SELECT doc_id, clean_text AS text FROM stripped) s"
     )
+    dbucket, dcase = prep.split_assign_exprs(DIALECT_DUCKDB)
     # AS MATERIALIZED on every multi-referenced stage: DuckDB inlines
     # single-use CTEs, and inlining a CTE referenced n times re-runs
     # its whole upstream chain n times — the nested stages compound
@@ -993,11 +1035,13 @@ def _curate_corpus_oracle_sql() -> str:
         f"bloom AS ({contamination.bloom_decontaminate_oracle_sql('neard')}), "
         "decon AS MATERIALIZED (SELECT * FROM neard WHERE doc_id % 10 <> 0 AND doc_id NOT IN "
         "(SELECT doc_id FROM bloom WHERE contaminated = 1)), "
-        "rpairs AS (SELECT doc_a, doc_b FROM pairs "
-        "WHERE doc_a IN (SELECT doc_id FROM decon) "
-        "AND doc_b IN (SELECT doc_id FROM decon)), "
-        f"splits AS ({prep.leakage_safe_split_oracle_sql('decon', 'SELECT doc_a, doc_b FROM rpairs')}), "
-        f"packed AS ({prep.pack_sequences_oracle_sql('(SELECT s.split AS source, d.doc_id, d.text FROM decon d JOIN splits s ON d.doc_id = s.doc_id) p', 512)}) "
+        # Cluster pass elided by the same proof as the Spark twin: after
+        # near-dedup no pair survives into decon, so the leakage-safe
+        # split key is the doc's own id (split_assign_exprs, shared
+        # source with the Spark side).
+        f"splitdoc AS (SELECT {dcase} AS source, doc_id, text FROM "
+        f"(SELECT doc_id, text, {dbucket} AS b FROM decon) k), "
+        f"packed AS ({prep.pack_sequences_oracle_sql('splitdoc', 512)}) "
         "SELECT source AS split, bin, n_docs, bin_tokens FROM packed"
     )
 
@@ -2891,7 +2935,9 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
             ParquetTarget("parquet", sf_dir),
             FileTarget("csv", tmp, format="csv", schemas=schemas),
         ]
-        return report_table(verify(spark, targets, cfg).results)
+        # no cross-call plan cache here: the csv side is written to a
+        # fresh tempdir each call, so cached plans could never hit
+        return verify(spark, targets, cfg).report()
 
     selects = []
     for tname in ("parquet", "csv"):
@@ -2935,7 +2981,8 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: hash-certify, so a window row spent on them is a row taken from a
 #: certifiable query.
 _DRIVER_PRIORITY = (
-    # never driver-checked (round-6 additions)
+    # never driver-checked (this round's addition, then the round-6 four)
+    "verify_report_lineitem_pair",
     "bpe_apply_documents",
     "bpe_token_counts_documents",
     "bpe_pack_sequences_documents",
@@ -3128,6 +3175,7 @@ HEADLINE_QUERIES = (
     "full_fingerprint_orders",
     "row_diff_orders",
     "verify_report_two_targets",
+    "verify_report_lineitem_pair",
     "minhash_lsh_pairs_documents",
     "ngram_jaccard_pairs_documents",
     "simhash_near_pairs_documents",
