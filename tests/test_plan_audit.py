@@ -300,3 +300,26 @@ def test_oracle_paired_except_documented():
         "bpe_merges_documents",
         "streaming_stateful_bucket_fingerprint_events",
     ]
+
+
+def test_grouped_topk_single_exchange(spark, sf_dir):
+    """grouped_topk_revenue shares ONE hash exchange between the
+    aggregate and the window (partitioning on l_suppkey satisfies both
+    distribution requirements) and keeps the map-side Partial
+    WindowGroupLimit — a refactor that reintroduces the second
+    exchange or breaks the row_number() <= k inference fails here."""
+    import re
+
+    plan = entry.queries()["grouped_topk_revenue_lineitem"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    ids = set()
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "BroadcastExchange" not in ln:
+            m = re.search(r"\[plan_id=(\d+)\]", ln)
+            ids.add(m.group(1) if m else ln.strip())
+    assert len(ids) == 1, f"expected 1 shuffle exchange, saw {len(ids)}"
+    # With no exchange between aggregate and window there is no map
+    # side to push a Partial limit to — the single Final
+    # WindowGroupLimit still bounds the rows entering the window sort.
+    assert "WindowGroupLimit" in plan
