@@ -56,9 +56,15 @@ def _contam_shingled(df: DataFrame, n: int) -> DataFrame:
     load-bearing there); separate function because contamination uses a
     wider n.
     """
+    if "tokens" in df.columns:
+        # caller-tokenized corpus (text.tokenize_prep contract)
+        toks = df.select("doc_id", "tokens")
+    else:
+        toks = _barrier(
+            df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens")
+        )
     return (
-        _barrier(df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens"))
-        .filter(f"size(tokens) >= {n}")
+        toks.filter(f"size(tokens) >= {n}")
         .selectExpr("doc_id", f"{ngrams_sql('tokens', n, DIALECT_SPARK)} AS grams")
         .selectExpr("doc_id", f"{shingle_ints_sql('grams', DIALECT_SPARK)} AS shingles")
         .persist()

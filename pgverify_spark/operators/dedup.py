@@ -111,9 +111,17 @@ def _shingled(df: DataFrame) -> DataFrame:
     besides.  The cached table is docs x ~52 int64s — the standard LSH
     working-set trade at any scale; MEMORY_AND_DISK spills past memory.
     """
+    if "tokens" in df.columns:
+        # caller-tokenized corpus (text.tokenize_prep contract: tokens
+        # is a stored column of a materialized relation) — skip the
+        # tokenize pass and its barrier
+        toks = df.select("doc_id", "tokens")
+    else:
+        toks = _barrier(
+            df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens")
+        )
     return (
-        _barrier(df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens"))
-        .filter(f"size(tokens) >= {NGRAM_N}")
+        toks.filter(f"size(tokens) >= {NGRAM_N}")
         .selectExpr("doc_id", f"{ngrams_sql('tokens', NGRAM_N, DIALECT_SPARK)} AS grams")
         .selectExpr("doc_id", f"{shingle_ints_sql('grams', DIALECT_SPARK)} AS shingles")
         .persist()

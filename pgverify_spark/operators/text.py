@@ -73,6 +73,22 @@ def text_stats(df: DataFrame) -> DataFrame:
     return prep.selectExpr(*metrics).selectExpr("*", quality)
 
 
+def tokenize_prep(df: DataFrame) -> DataFrame:
+    """The shared tokenization layer: (doc_id, text, norm, tokens).
+
+    A composed pipeline PERSISTS this once and feeds it to every
+    tokenizing stage — :func:`gopher_gate` and the dedup/contamination
+    shingle layers all skip their own tokenize pass when they see the
+    norm/tokens columns.  CONTRACT: the caller must materialize
+    (persist/checkpoint) the returned relation before fan-out; the
+    stored column is what makes the stages' repeated array references
+    cheap.  Trade at scale: the cached corpus carries text + tokens
+    (~2x bytes) in exchange for one regexp tokenization pass and one
+    barrier exchange instead of one per stage."""
+    exprs, _, _ = _stats_exprs(DIALECT_SPARK)
+    return _barrier(df.selectExpr("doc_id", "text", *exprs))
+
+
 def text_stats_oracle_sql(table: str) -> str:
     exprs, metrics, quality = _stats_exprs(DIALECT_DUCKDB)
     return (
@@ -470,7 +486,14 @@ def gopher_gate(
         min_stopword_ratio, min_distinct_frac, max_top_token_frac,
         max_top_bigram_frac,
     )
-    prep = _barrier(df.selectExpr("doc_id", "text", *exprs))
+    # Accept a caller-tokenized corpus (the tokenize_prep contract: the
+    # norm/tokens columns are backed by a MATERIALIZED relation) so a
+    # composed pipeline tokenizes once for gate + dedup + contamination
+    # instead of once per stage.
+    if {"norm", "tokens"}.issubset(df.columns):
+        prep = df
+    else:
+        prep = _barrier(df.selectExpr("doc_id", "text", *exprs))
     base = _barrier(
         prep.selectExpr(
             "doc_id", "text", "norm", "tokens",

@@ -952,7 +952,14 @@ def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — lazy-DAG inlining compounds exactly like DuckDB's CTE inlining.
     cleaned = text.normalize_unicode_light(
         text.strip_html(pages).selectExpr("doc_id", "clean_text AS text")
-    ).selectExpr("doc_id", "norm_text AS text").persist()
+    ).selectExpr("doc_id", "norm_text AS text")
+    # Tokenize ONCE: the persisted (doc_id, text, norm, tokens) relation
+    # feeds the Gopher gate AND rides through the dedup filters so the
+    # LSH and Bloom shingle layers skip their own tokenize pass + barrier
+    # exchange (text.tokenize_prep contract).  The downstream caches
+    # carry text + tokens (~2x bytes) — the trade for 3 regexp passes
+    # and 2 corpus exchanges removed.
+    toked = text.tokenize_prep(cleaned).persist()
     # gates must be persisted BEFORE the keep-filter: Catalyst pushes
     # the filter predicate below gopher_gate's barrier repartitions,
     # re-inlining the token/bigram pipeline once per reference inside
@@ -960,9 +967,9 @@ def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CollapseProject hazard util.barrier guards against, resurrected
     # through filter pushdown, which passes through repartitions).
     gates = text.gopher_gate(
-        cleaned, min_tokens=20, max_tokens=10_000, min_stopword_ratio=0.01
+        toked, min_tokens=20, max_tokens=10_000, min_stopword_ratio=0.01
     ).persist()
-    gated = cleaned.join(
+    gated = toked.select("doc_id", "text", "tokens").join(
         gates.filter("keep").select("doc_id"), "doc_id", "left_semi"
     )
     exactd = dedup.exact_dedup_filter(gated).persist()
@@ -998,7 +1005,7 @@ def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source AS split", "bin", "n_docs", "bin_tokens"
     )
     return tag_cached_deps(
-        out, cleaned, gates, exactd, neard,
+        out, toked, gates, exactd, neard,
         *getattr(pairs_raw, "_pgvs_cached_deps", ()),
     )
 

@@ -93,3 +93,28 @@ def derived_priority(
     if n is not None:
         ordered = ordered[:n]
     return tuple(ordered) + tuple(smoke_core)
+
+
+def main() -> None:
+    """Print the current derived priority as a paste-ready tuple body:
+    ``python -m pgverify_spark.rotation [n_rotating_slots]`` — run after
+    a new CORRECTNESS_r*.json lands, paste into
+    registry._DRIVER_PRIORITY (the drift test enforces the match)."""
+    import sys
+
+    from pgverify_spark import registry
+
+    merged = registry._merged_entries()
+    certifiable = {n for n, (_, sql) in merged.items() if sql is not None}
+    n = (
+        int(sys.argv[1])
+        if len(sys.argv) > 1
+        else len(registry._DRIVER_PRIORITY) - len(SMOKE_CORE)
+    )
+    lg = last_green_rounds()
+    for q in derived_priority(list(merged), certifiable, last_green_rounds(), n=n):
+        print(f'    "{q}",  # last green r{lg.get(q, "—never")}')
+
+
+if __name__ == "__main__":
+    main()

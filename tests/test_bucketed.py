@@ -219,15 +219,35 @@ def test_registry_reinvocation_holds_no_growing_storage(spark, sf_dir):
     def n_persisted() -> int:
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
+    def settled(limit: int, timeout_s: float = 15.0) -> int:
+        """Superseded localCheckpoint RDDs are released by the JVM
+        ContextCleaner off a weak-ref queue — asynchronous, so under
+        load the count can transiently exceed the steady state.  Nudge
+        both GCs and poll until it settles (or time out and return the
+        last reading)."""
+        import gc
+        import time
+
+        deadline = time.monotonic() + timeout_s
+        n = n_persisted()
+        while n > limit and time.monotonic() < deadline:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
+            n = n_persisted()
+        return n
+
     fn = registry.spark_queries()["dedup_agreement_report_documents"]
     fn(spark, sf_dir).collect()
-    after_first = n_persisted()
+    after_first = settled(0)
     for _ in range(2):
         fn(spark, sf_dir).collect()
     # each re-invocation releases the previous generation before
     # persisting its own, so the count must not grow run-over-run
     # (<=: the shared session's ContextCleaner may GC other blocks)
-    assert n_persisted() <= after_first, "re-invocation leaked persisted blocks"
+    assert settled(after_first) <= after_first, (
+        "re-invocation leaked persisted blocks"
+    )
 
 
 def test_semantic_dup_pairs_survives_missing_embedding(spark, sf_dir):
