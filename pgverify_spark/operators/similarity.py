@@ -875,7 +875,6 @@ def ivfpq_topk(
     and for the query vectors; the probe itself never touches a float
     vector — the property that makes IVF-PQ the 100 TB default.
     """
-    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
     ids = ", ".join(map(str, query_ids))
     # index side: :func:`ivfpq_cells` built ad hoc (cold benchmark) or
     # passed in pre-materialized (``cells`` — the deploy shape, probe
@@ -883,41 +882,13 @@ def ivfpq_topk(
     # (same reason as pq_topk: the explode would re-run the argmin +
     # centroid-rank expressions per element; plain projections and
     # repartitions get reordered away) — the checkpointed rows are
-    # (vec_id, cluster, 8 small ints) only.
+    # (vec_id, cluster, 8 small ints) only.  The probe itself is the
+    # same one-collect plan the stored-index path runs
+    # (:func:`_ivfpq_probe_plan`).
     if cells is None:
         cells = ivfpq_cells(df).localCheckpoint(eager=True)
-    corp = cells.selectExpr(
-        "vec_id", "cluster", "posexplode(codes) AS (m, code)"
-    )
-    cb = _pq_codebook(df)
-    qcells = df.filter(f"vec_id IN ({ids})").selectExpr(
-        "vec_id AS query_id",
-        f"explode(slice({ranked}, 1, {nprobe})) AS cluster",
-    )
-    d2s = [
-        f"{_pq_sub_d2_sql('q_emb', 'cvec', m, DIALECT_SPARK)} AS d{m}"
-        for m in range(PQ_M)
-    ]
-    lut = (
-        df.filter(f"vec_id IN ({ids})")
-        .selectExpr("vec_id AS query_id", "embedding AS q_emb")
-        .crossJoin(F.broadcast(cb))
-        .selectExpr("query_id", "code", *d2s)
-        .selectExpr(
-            "query_id",
-            "code",
-            "posexplode(array(" + ", ".join(f"d{m}" for m in range(PQ_M)) + ")) AS (m, d2)",
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_millionths"), F.asc("vec_id"))
-    return (
-        corp.join(F.broadcast(qcells), "cluster")
-        .filter("vec_id <> query_id")
-        .join(F.broadcast(lut), ["query_id", "m", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("d2").alias("adc_millionths"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(f"rank <= {k}")
+    return _ivfpq_probe_plan(
+        df.filter(f"vec_id IN ({ids})"), cells, _pq_codebook(df), k, nprobe
     )
 
 
@@ -1023,8 +994,22 @@ def probe_ivfpq_index(
     """
     from pgverify_spark.sources.bucketed import read_bucketed
 
-    cells = read_bucketed(spark, f"{name}_cells")
-    cb = read_bucketed(spark, f"{name}_cb")
+    return _ivfpq_probe_plan(
+        queries,
+        read_bucketed(spark, f"{name}_cells"),
+        read_bucketed(spark, f"{name}_cb"),
+        k,
+        nprobe,
+    )
+
+
+def _ivfpq_probe_plan(
+    queries: DataFrame, cells: DataFrame, cb: DataFrame, k: int, nprobe: int
+) -> DataFrame:
+    """The shared IVF-PQ probe: one plan for the ad-hoc
+    (:func:`ivfpq_topk`) and stored-index (:func:`probe_ivfpq_index`)
+    paths — ``cells``/``cb`` are a checkpointed build or bucketed reads
+    respectively; everything downstream is identical."""
     ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
     d2s = [
         f"{_pq_sub_d2_sql('q_emb', 'cvec', m, DIALECT_SPARK)} AS d{m}"
