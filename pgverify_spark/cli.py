@@ -3,13 +3,18 @@
 Reference: ``cmd/pgverify/cmd.go:22-44`` (targets as positional URIs,
 include/exclude schema/table/column, tests, bookend-limit, sparse-mod,
 aliases, timestamp-precision, hash-primary-keys).  Targets here are
-either directories of parquet files or ``jdbc:`` URLs; the report table
-always prints, pass or fail (``cmd.go:102-105``).
+directories of parquet files, ``<format>:<dir>`` URIs over Spark's
+other file sources (``csv:/data/export``, ``json:...``, ``orc:...``,
+with ``--schemas`` supplying explicit DDL for the text formats), or
+``jdbc:`` URLs; the report table always prints, pass or fail
+(``cmd.go:102-105``).
 
 Usage::
 
     python -m pgverify_spark.cli /data/copyA /data/copyB \
         --tests full,rowcount --bookend-limit 500 --aliases a,b
+    python -m pgverify_spark.cli /data/parquet csv:/data/export \
+        --schemas schemas.json --tests full,rowcount
 """
 
 from __future__ import annotations
@@ -18,7 +23,7 @@ import argparse
 import sys
 
 from pgverify_spark.config import VerifyConfig
-from pgverify_spark.plans.verify import report_table, verify
+from pgverify_spark.plans.verify import verify
 from pgverify_spark.session import get_spark
 from pgverify_spark.sources.jdbc import JDBCTarget
 from pgverify_spark.sources.parquet import ParquetTarget
@@ -87,6 +92,14 @@ def build_parser() -> argparse.ArgumentParser:
         "the declarative data-quality suite on every target and fail "
         "the run on any failing check (see operators/constraints.py)",
     )
+    p.add_argument(
+        "--schemas",
+        metavar="FILE",
+        help="JSON file {table: spark DDL} applied to csv:/json: file "
+        "targets (text formats have no authoritative schema; explicit "
+        "types are the verification contract — inference can type-drift "
+        "between exporters)",
+    )
     return p
 
 
@@ -114,10 +127,24 @@ def main(argv: list[str] | None = None) -> int:
     ]
     spark = get_spark("pgverify-spark-cli")
     spark.sparkContext.setLogLevel(args.level.upper())
+    schemas = {}
+    if args.schemas:
+        import json
+
+        with open(args.schemas) as fh:
+            schemas = json.load(fh)
     targets = []
     for alias, uri in zip(aliases, args.targets):
         if uri.startswith("jdbc:"):
             targets.append(JDBCTarget(alias, uri, use_pushdown=args.pushdown))
+        elif uri.split(":", 1)[0] in ("csv", "json", "orc"):
+            # <format>:<dir> — a directory of <table>.<format> files
+            # (the reference's heterogeneous-target comparison, mapped
+            # to Spark's file sources; sources/files.py)
+            from pgverify_spark.sources.files import FileTarget
+
+            fmt, path = uri.split(":", 1)
+            targets.append(FileTarget(alias, path, format=fmt, schemas=schemas))
         else:
             targets.append(ParquetTarget(alias, uri))
 
@@ -161,8 +188,9 @@ def main(argv: list[str] | None = None) -> int:
             return 1 if snapshot_failures else 0
 
     result = verify(spark, targets, config)
-    # report always prints, pass or fail (cmd.go:102-105)
-    report_table(result.results).show(1000, truncate=False)
+    # report always prints, pass or fail (cmd.go:102-105); report()
+    # pivots the already-collected rows without a re-collect job
+    result.report().show(1000, truncate=False)
     for err in result.errors:
         print(f"ERROR: {err}", file=sys.stderr)
 

@@ -87,6 +87,35 @@ def test_cli_detects_mismatch(spark, sf_dir, tmp_path):
     assert "outputs differ" in proc.stderr
 
 
+def test_cli_file_format_targets(spark, sf_dir, tmp_path):
+    """<format>:<dir> target URIs: a parquet directory verified against
+    its own csv export agrees (exit 0) with --schemas supplying the
+    explicit DDL, and a mutated csv export fails (exit 1) — the
+    heterogeneous-source comparison through the real CLI."""
+    import json
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    good, bad = tmp_path / "good", tmp_path / "bad"
+    for dest, df in ((good, region), (bad, region.filter("r_regionkey <> 2"))):
+        df.coalesce(1).write.option("header", "true").csv(str(dest / "region.csv"))
+    schemas = tmp_path / "schemas.json"
+    schemas.write_text(
+        json.dumps({"region": "r_regionkey INT, r_name STRING, r_comment STRING"})
+    )
+    ok = _run_cli(
+        [sf_dir, f"csv:{good}", "--tests", "full,rowcount",
+         "--include-tables", "region", "--schemas", str(schemas)]
+    )
+    assert ok.returncode == 0, ok.stderr[-2000:]
+    assert "region" in ok.stdout
+    mism = _run_cli(
+        [sf_dir, f"csv:{bad}", "--tests", "full,rowcount",
+         "--include-tables", "region", "--schemas", str(schemas)]
+    )
+    assert mism.returncode == 1
+    assert "outputs differ" in mism.stderr
+
+
 # ---------------------------------------------------------------------------
 # pushdown fingerprint SQL generation (golden-SQL, mirroring query_test.go)
 # ---------------------------------------------------------------------------
