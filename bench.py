@@ -58,16 +58,24 @@ def compact_record(out: dict, timings: dict[str, float], limit: int = COMPACT_LI
     summed seconds) so the total stays reconstructible.  Totals,
     subtotals, oracle total and the ratio are never dropped."""
     compact = {k: v for k, v in out.items() if k != "oracle_queries"}
-    for cutoff in (0.0, 0.3, 0.5, 0.75, 1.0, 2.0, float("inf")):
-        kept = {q: round(t, 3) for q, t in timings.items() if t >= cutoff}
+    for cutoff in (0.0, 0.3, 0.5, 0.75, 1.0, 2.0, None):
+        # cutoff None = the everything-dropped fallback: queries == {}
+        # and no float('inf') leaks into the record (json.dumps renders
+        # Infinity, which strict JSON parsers reject)
+        kept = (
+            {} if cutoff is None
+            else {q: round(t, 3) for q, t in timings.items() if t >= cutoff}
+        )
         compact["queries"] = kept
         compact.pop("queries_omitted", None)
         if len(kept) < len(timings):
+            omitted_sec = sum(t for q, t in timings.items() if q not in kept)
             compact["queries_omitted"] = {
                 "n": len(timings) - len(kept),
-                "sec": round(sum(t for t in timings.values() if t < cutoff), 3),
-                "below_sec": cutoff,
+                "sec": round(omitted_sec, 3),
             }
+            if cutoff is not None:
+                compact["queries_omitted"]["below_sec"] = cutoff
         line = json.dumps(compact)
         if len(line) <= limit:
             return line

@@ -137,7 +137,7 @@ def main(argv: list[str] | None = None) -> int:
     for alias, uri in zip(aliases, args.targets):
         if uri.startswith("jdbc:"):
             targets.append(JDBCTarget(alias, uri, use_pushdown=args.pushdown))
-        elif uri.split(":", 1)[0] in ("csv", "json", "orc"):
+        elif ":" in uri and uri.split(":", 1)[0] in ("csv", "json", "orc") and uri.split(":", 1)[1]:
             # <format>:<dir> — a directory of <table>.<format> files
             # (the reference's heterogeneous-target comparison, mapped
             # to Spark's file sources; sources/files.py)

@@ -56,9 +56,11 @@ def _contam_shingled(df: DataFrame, n: int) -> DataFrame:
     load-bearing there); separate function because contamination uses a
     wider n.
     """
-    if "tokens" in df.columns:
-        # caller-tokenized corpus (text.tokenize_prep contract)
-        toks = df.select("doc_id", "tokens")
+    if "pgvs_tokens" in df.columns:
+        # caller-tokenized corpus (text.tokenize_prep contract; the
+        # pgvs_ prefix is the opt-in — a user 'tokens' column never
+        # silently replaces this engine's tokenization)
+        toks = df.selectExpr("doc_id", "pgvs_tokens AS tokens")
     else:
         toks = _barrier(
             df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens")

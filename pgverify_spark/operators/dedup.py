@@ -111,11 +111,12 @@ def _shingled(df: DataFrame) -> DataFrame:
     besides.  The cached table is docs x ~52 int64s — the standard LSH
     working-set trade at any scale; MEMORY_AND_DISK spills past memory.
     """
-    if "tokens" in df.columns:
-        # caller-tokenized corpus (text.tokenize_prep contract: tokens
-        # is a stored column of a materialized relation) — skip the
-        # tokenize pass and its barrier
-        toks = df.select("doc_id", "tokens")
+    if "pgvs_tokens" in df.columns:
+        # caller-tokenized corpus (text.tokenize_prep contract: the
+        # pgvs_ prefix marks this engine's OWN tokenization, stored in
+        # a materialized relation — a user column merely named 'tokens'
+        # never triggers this) — skip the tokenize pass and its barrier
+        toks = df.selectExpr("doc_id", "pgvs_tokens AS tokens")
     else:
         toks = _barrier(
             df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens")
@@ -453,8 +454,7 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     O(log n) rounds, identical output and oracle); the per-round cost
     is the same, only the contraction rule differs.
 
-    The per-round ``localCheckpoint`` (lazy; the convergence count is
-    the action that materializes it) is load-bearing and
+    The per-round ``localCheckpoint(eager=True)`` is load-bearing and
     does what a plain persist cannot: persist caches the *data* but the
     logical plan still accumulates one round's operators per iteration,
     so Catalyst re-analyzes an ever-deeper tree each round AND every

@@ -345,13 +345,16 @@ def leakage_safe_split(
     """
     from pgverify_spark.operators.dedup import dup_clusters
 
+    # validate the weights BEFORE the iterative cluster pass — the
+    # expression builder raises on bad splits, and dup_clusters runs
+    # eager driver-side jobs that would all be wasted work
+    bucket, case = split_assign_exprs(DIALECT_SPARK, key="split_key", splits=splits)
     clusters = dup_clusters(pairs, max_iterations)
     keyed = (
         df.select("doc_id")
         .join(clusters, "doc_id", "left")
         .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS split_key")
     )
-    bucket, case = split_assign_exprs(DIALECT_SPARK, key="split_key", splits=splits)
     return keyed.selectExpr("doc_id", "split_key", f"{bucket} AS b").selectExpr(
         "doc_id", "split_key", f"{case} AS split"
     )

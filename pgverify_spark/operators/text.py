@@ -74,19 +74,26 @@ def text_stats(df: DataFrame) -> DataFrame:
 
 
 def tokenize_prep(df: DataFrame) -> DataFrame:
-    """The shared tokenization layer: (doc_id, text, norm, tokens).
+    """The shared tokenization layer:
+    (doc_id, text, pgvs_norm, pgvs_tokens).
 
     A composed pipeline PERSISTS this once and feeds it to every
     tokenizing stage — :func:`gopher_gate` and the dedup/contamination
     shingle layers all skip their own tokenize pass when they see the
-    norm/tokens columns.  CONTRACT: the caller must materialize
+    ``pgvs_``-prefixed columns.  The prefix is the opt-in: a USER corpus
+    that happens to carry its own ``tokens`` column (a different
+    tokenizer) must NOT silently replace this engine's tokenization —
+    that would diverge from the DuckDB oracle twins, which always
+    tokenize from ``text``.  CONTRACT: the caller must materialize
     (persist/checkpoint) the returned relation before fan-out; the
     stored column is what makes the stages' repeated array references
     cheap.  Trade at scale: the cached corpus carries text + tokens
     (~2x bytes) in exchange for one regexp tokenization pass and one
     barrier exchange instead of one per stage."""
     exprs, _, _ = _stats_exprs(DIALECT_SPARK)
-    return _barrier(df.selectExpr("doc_id", "text", *exprs))
+    return _barrier(df.selectExpr("doc_id", "text", *exprs)).selectExpr(
+        "doc_id", "text", "norm AS pgvs_norm", "tokens AS pgvs_tokens"
+    )
 
 
 def text_stats_oracle_sql(table: str) -> str:
@@ -487,11 +494,14 @@ def gopher_gate(
         max_top_bigram_frac,
     )
     # Accept a caller-tokenized corpus (the tokenize_prep contract: the
-    # norm/tokens columns are backed by a MATERIALIZED relation) so a
-    # composed pipeline tokenizes once for gate + dedup + contamination
-    # instead of once per stage.
-    if {"norm", "tokens"}.issubset(df.columns):
-        prep = df
+    # pgvs_-prefixed columns are this engine's own tokenization, backed
+    # by a MATERIALIZED relation) so a composed pipeline tokenizes once
+    # for gate + dedup + contamination instead of once per stage.  A
+    # user column merely NAMED norm/tokens never triggers this.
+    if {"pgvs_norm", "pgvs_tokens"}.issubset(df.columns):
+        prep = df.selectExpr(
+            "doc_id", "text", "pgvs_norm AS norm", "pgvs_tokens AS tokens"
+        )
     else:
         prep = _barrier(df.selectExpr("doc_id", "text", *exprs))
     base = _barrier(

@@ -930,14 +930,17 @@ def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (split, bin, n_docs, bin_tokens) — the packed-bin report of
     the training-ready corpus, per split.
 
-    Scale shape: one composition, one plan.  The corpus flows through
-    codegen'd projections (clean/gate) without shuffling; every
-    decision relation (gate keeps, dedup winners/losers, contamination
-    flags, cluster split keys) is ids-only and joins back semi/anti —
-    the only full-row exchanges are the final split join and the
-    per-split packing window.  The LSH pair stream is persisted once
-    and reused by BOTH consumers (near-dup filter + leakage split),
-    tagged for release via util.release_cached_deps.
+    Scale shape: one composition, one plan.  The corpus tokenizes ONCE
+    (text.tokenize_prep, persisted) and the tokens column rides through
+    the filters to the gate / LSH / Bloom stages; every decision
+    relation (gate keeps, dedup winners/losers, contamination flags) is
+    ids-only and joins back semi/anti — the only full-row exchange
+    after the tokenize barrier is the per-split packing window.  The
+    leakage-split cluster pass is elided by proof (see inline note);
+    the LSH pair stream feeds only near_dedup_filter, whose dup_clusters
+    materializes it once via its eager localCheckpoint.  Persisted
+    stages (toked, gates, exactd, neard + the shingle/signature caches)
+    are tagged for release via util.release_cached_deps.
     """
     from pgverify_spark.operators import contamination, dedup, prep, text
     from pgverify_spark.operators.util import tag_cached_deps
@@ -969,7 +972,7 @@ def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates = text.gopher_gate(
         toked, min_tokens=20, max_tokens=10_000, min_stopword_ratio=0.01
     ).persist()
-    gated = toked.select("doc_id", "text", "tokens").join(
+    gated = toked.select("doc_id", "text", "pgvs_tokens").join(
         gates.filter("keep").select("doc_id"), "doc_id", "left_semi"
     )
     exactd = dedup.exact_dedup_filter(gated).persist()
@@ -2976,11 +2979,12 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: N+1: rerun the derivation after the round-N CORRECTNESS file lands
 #: and paste (the test prints the expected tuple on mismatch).
 #:
-#: ROUND-7 WINDOW (derived from CORRECTNESS_r1..r6): positions 1-4 the
-#: never-driver-checked round-6 additions (judge-certified at sf0.01 in
-#: r6, zero driver rows); 5-6 the two parked r2 fingerprint rows; 7-48
-#: all 42 rows whose newest green is r3; 49-51 the smoke core.  The
-#: r4-green rows lead the r8 backlog.
+#: ROUND-7 WINDOW (derived from CORRECTNESS_r1..r6): positions 1-5 the
+#: never-driver-checked entries (this round's verify_report_lineitem_pair
+#: plus the four round-6 additions, judge-certified at sf0.01, zero
+#: driver rows); 6-7 the two parked r2 fingerprint rows; 8-49 all 42
+#: rows whose newest green is r3; 50-52 the smoke core.  The r4-green
+#: rows lead the r8 backlog.
 #:
 #: INVARIANT (lint-enforced): rows-only entries — registered queries
 #: whose ``oracle_sql()`` entry is absent by design (bpe_merges,

@@ -112,7 +112,7 @@ def main() -> None:
         else len(registry._DRIVER_PRIORITY) - len(SMOKE_CORE)
     )
     lg = last_green_rounds()
-    for q in derived_priority(list(merged), certifiable, last_green_rounds(), n=n):
+    for q in derived_priority(list(merged), certifiable, lg, n=n):
         print(f'    "{q}",  # last green r{lg.get(q, "—never")}')
 
 
