@@ -89,6 +89,16 @@ class VerifyConfig:
     #: small tables (a multi-target verify run is dominated by dimension
     #: tables' fixed per-stage overhead otherwise).
     small_input_bytes: int = 4 << 20
+    #: Extension: stream the full fingerprint's FINAL md5 through an
+    #: Arrow-batched incremental hash (O(largest partition) memory in
+    #: the last task) instead of the single JVM aggregate that
+    #: materializes the whole 32 B x rows concat (O(table)).  Same
+    #: digest byte-for-byte.  Default off: below ~10^7 rows the JVM
+    #: aggregate is faster (no Python stage); beyond ~10^8 rows x
+    #: targets the aggregate overruns a single task's heap — flip this
+    #: on (or use the `bucketed` mode, the real 100 TB path, which
+    #: needs no sequential reduce at all).
+    full_stream_hash: bool = False
 
     def validate(self) -> None:
         """Mode-name and precision validation (config.go:101-114)."""

@@ -122,6 +122,112 @@ def _exact_ordered_fp(kh: DataFrame) -> DataFrame:
     )
 
 
+def _exact_ordered_fp_streaming(kh: DataFrame) -> DataFrame:
+    """:func:`_exact_ordered_fp` with BOTH reduce stages memory-bounded.
+
+    The aggregate path's wall at scale is memory, twice over: the
+    map-side ``collect_list`` buffers one whole (AQE-coalesced) sorted
+    partition per task (~hundreds of MB each under the default
+    coalescing, the measured heap overrun at 6x10^7 rows x 2 targets on
+    an 8g JVM), and the final concat materializes the entire
+    32 B x rows stream in one task.  Here each sorted partition is
+    chunk-concatenated in an Arrow-batched Python stage — (p, i, chunk)
+    every ~10^4 rows, O(batch) memory — and ONE final task streams the
+    chunks in (p, i) order through an incremental hashlib md5, O(batch)
+    memory, spill-backed shuffle/sort in between.  Digest is
+    byte-identical: the same hex-char byte stream in the same (k, h)
+    order (property-tested against the aggregate path).
+
+    This is still an exact SEQUENTIAL hash — one task must see every
+    byte, ~32 B/row, which is why ``bucketed`` (mergeable partials, no
+    sequential reduce) is the real 100 TB mode; this path moves the
+    exact mode's limit from "heap-bound" to "stream-bound".
+    """
+
+    return _streamed_fused(kh, ("full",)).selectExpr("fp_full AS fp")
+
+
+def _streamed_fused(kh: DataFrame, modes: tuple[str, ...]) -> DataFrame:
+    """Memory-bounded fused reduce: (fp_<mode>, ...) in one row.
+
+    Each sorted partition is chunk-concatenated in an Arrow-batched
+    Python stage — (p, i, chunk, chunk-count, chunk-hash-sum) every
+    Arrow batch, O(batch) memory — and ONE final task streams the
+    chunks in (p, i) order through an incremental hashlib md5 while
+    folding the count/sum terms (Python integers: exact at any
+    magnitude, the JVM path needs DECIMAL(38) for the same sum).
+    Byte-identical outputs to the aggregate paths, including the
+    empty-input spellings ('no rows' / '0' / '0').
+    """
+
+    def concat_chunks(batches):
+        import pandas as pd
+
+        # one mapInPandas call = one sorted partition; batches arrive
+        # in row order, so (p, chunk_idx) reconstructs the stream
+        i = 0
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {
+                        "p": [int(pdf["p"].iloc[0])],
+                        "i": [i],
+                        "s": ["".join(pdf["h"])],
+                        "cnt": [len(pdf)],
+                        # object-sum: python ints, no int64 overflow at
+                        # large Arrow batch sizes (2^48 x rows/batch)
+                        "hsum": [str(int(pdf["hv"].astype(object).sum()))],
+                    }
+                )
+                i += 1
+
+    def stream_reduce(batches):
+        import hashlib
+
+        import pandas as pd
+
+        digest = hashlib.md5()
+        n = 0
+        hsum = 0
+        for pdf in batches:
+            for p, s, c, hv in zip(pdf["p"], pdf["s"], pdf["cnt"], pdf["hsum"]):
+                if p < 0:  # the empty-input seed row, not data
+                    continue
+                digest.update(s.encode("ascii"))
+                n += int(c)
+                hsum += int(hv)
+        out = {
+            "fp_full": [digest.hexdigest() if n else "no rows"],
+            "fp_rowcount": [str(n)],
+            # empty input: the JVM concat_ws skips the NULL sum -> '0'
+            "fp_additive": [f"{n}:{hsum % ADDITIVE_MOD}" if n else "0"],
+        }
+        yield pd.DataFrame(out)
+
+    h48 = hex_prefix_int_sql("h", DIALECT_SPARK)
+    chunks = (
+        kh.sort("k", "h")
+        .selectExpr("spark_partition_id() AS p", "h", f"{h48} AS hv")
+        .mapInPandas(concat_chunks, "p int, i long, s string, cnt long, hsum string")
+    )
+    # Seed row (p=-1): Spark elides the Python worker entirely on an
+    # empty partition, which would otherwise swallow the empty-input
+    # sentinels; the seed sorts first and contributes zero bytes.
+    seed = kh.sparkSession.createDataFrame(
+        [(-1, 0, "", 0, "0")], "p int, i long, s string, cnt long, hsum string"
+    )
+    fused = (
+        chunks.unionByName(seed)
+        .repartition(1)
+        .sortWithinPartitions("p", "i")
+        .mapInPandas(
+            stream_reduce,
+            "fp_full string, fp_rowcount string, fp_additive string",
+        )
+    )
+    return fused.selectExpr(*[f"fp_{m}" for m in modes])
+
+
 def full_fingerprint(df: DataFrame, schema: TableSchema, config: VerifyConfig | None = None) -> DataFrame:
     """Exact ordered fingerprint (parity mode; see ``_exact_ordered_fp``).
 
@@ -134,6 +240,8 @@ def full_fingerprint(df: DataFrame, schema: TableSchema, config: VerifyConfig | 
     kh = _kh(df, schema, config)
     if _small(df, config):
         return kh.selectExpr(_NO_ROWS_AGG)
+    if config.full_stream_hash:
+        return _exact_ordered_fp_streaming(kh)
     return _exact_ordered_fp(kh)
 
 
@@ -585,6 +693,10 @@ def fused_fingerprints(
             "additive": additive,
         }
         return kh.selectExpr(*[f"{aggs[m]} AS fp_{m}" for m in modes])
+    if config.full_stream_hash:
+        # memory-bounded variant (see _streamed_fused): same scan, same
+        # sort, chunked Python concat + one streaming reduce
+        return _streamed_fused(kh, modes)
     # distributed path: one range sort; per-partition ordered partials
     # carry (concat, count, hv-sum); the final reduce derives every mode
     partials = (

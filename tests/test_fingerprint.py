@@ -419,3 +419,46 @@ def test_snapshot_update_string_partitions(spark, sf_dir, tmp_path):
         map(tuple, partitioned_fingerprint(changed, schema, None, psql).collect())
     )
     assert sorted(map(tuple, updated.collect())) == want
+
+
+def test_full_stream_hash_matches_aggregate(spark, sf_dir):
+    """full_stream_hash streams the final md5 incrementally (O(largest
+    partition) memory in the last task vs the O(table) concat that
+    overruns a heap near 10^8 rows x targets) — the digest must be
+    byte-identical to the JVM aggregate path, including 'no rows'."""
+    import dataclasses
+
+    from pgverify_spark.config import VerifyConfig
+    from pgverify_spark.operators.fingerprint import full_fingerprint
+    from pgverify_spark.sources.parquet import ParquetTarget
+
+    # small_input_bytes=0 forces the distributed plan even at test SF,
+    # so both final-reduce variants actually execute
+    base = VerifyConfig(small_input_bytes=0)
+    streamed = dataclasses.replace(base, full_stream_hash=True)
+    tgt = ParquetTarget("t", sf_dir)
+    for table in ("orders", "events", "nation"):
+        df = tgt.read(spark, table)
+        schema = tgt.table_schema(spark, table)
+        agg = full_fingerprint(df, schema, base).collect()[0]["fp"]
+        stream = full_fingerprint(df, schema, streamed).collect()[0]["fp"]
+        assert agg == stream, table
+    # fused reduce: all three fusable modes must match the aggregate
+    # path byte-for-byte through the streaming variant too
+    from pgverify_spark.operators.fingerprint import fused_fingerprints
+
+    schema = tgt.table_schema(spark, "orders")
+    df = tgt.read(spark, "orders")
+    modes = ("full", "rowcount", "additive")
+    agg_row = fused_fingerprints(df, schema, base, modes).collect()[0]
+    stream_row = fused_fingerprints(df, schema, streamed, modes).collect()[0]
+    for m in modes:
+        assert agg_row[f"fp_{m}"] == stream_row[f"fp_{m}"], m
+    # empty input: identical sentinel spellings on every path
+    empty = tgt.read(spark, "orders").filter("o_orderkey < 0")
+    assert full_fingerprint(empty, schema, streamed).collect()[0]["fp"] == "no rows"
+    assert full_fingerprint(empty, schema, base).collect()[0]["fp"] == "no rows"
+    e_agg = fused_fingerprints(empty, schema, base, modes).collect()[0]
+    e_stream = fused_fingerprints(empty, schema, streamed, modes).collect()[0]
+    for m in modes:
+        assert e_agg[f"fp_{m}"] == e_stream[f"fp_{m}"], (m, dict(e_agg.asDict()), dict(e_stream.asDict()))
