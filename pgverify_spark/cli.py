@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="hash primary key values before comparing them (useful for TEXT primary keys)",
     )
     p.add_argument(
+        "--full-stream-hash", action="store_true",
+        help="stream the full fingerprint's final md5 incrementally "
+        "(memory-bounded; use when exact 'full' mode on ~10^8-row "
+        "tables overruns executor heap — or prefer --tests bucketed, "
+        "the mergeable scale mode)",
+    )
+    p.add_argument(
         "--level", default="info",
         help="logging level (spark log level: debug,info,warn,error)",
     )
@@ -116,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
         sparse_mod=args.sparse_mod,
         timestamp_precision=args.timestamp_precision,
         hash_primary_keys=args.hash_primary_keys,
+        full_stream_hash=args.full_stream_hash,
     )
     if args.tests:
         kwargs["test_modes"] = args.tests
