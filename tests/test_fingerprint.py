@@ -462,3 +462,26 @@ def test_full_stream_hash_matches_aggregate(spark, sf_dir):
     e_stream = fused_fingerprints(empty, schema, streamed, modes).collect()[0]
     for m in modes:
         assert e_agg[f"fp_{m}"] == e_stream[f"fp_{m}"], (m, dict(e_agg.asDict()), dict(e_stream.asDict()))
+
+
+def test_partitioned_stream_hash_matches_aggregate(spark, sf_dir):
+    """Per-partition streaming digests must equal the collect_list
+    aggregate's, row for row (the 100x scale check OOM'd the aggregate
+    at 10^6-row calendar partitions)."""
+    import dataclasses
+
+    from pgverify_spark.config import VerifyConfig
+    from pgverify_spark.operators.fingerprint import partitioned_fingerprint
+    from pgverify_spark.sources.parquet import ParquetTarget
+
+    base = VerifyConfig(small_input_bytes=0)
+    streamed = dataclasses.replace(base, full_stream_hash=True)
+    tgt = ParquetTarget("t", sf_dir)
+    df = tgt.read(spark, "events")
+    schema = tgt.table_schema(spark, "events")
+    agg = sorted(map(tuple, partitioned_fingerprint(df, schema, base).collect()))
+    stream = sorted(map(tuple, partitioned_fingerprint(df, schema, streamed).collect()))
+    assert agg == stream and len(agg) > 1
+    # empty input: both produce zero partition rows
+    empty = df.filter("event_id < 0")
+    assert partitioned_fingerprint(empty, schema, streamed).collect() == []
