@@ -42,11 +42,14 @@ import sys
 import time
 
 
-#: Compact-line byte budget.  The driver archives only the last ~4 KB of
-#: stdout; r6's 72-query record measured ~3.9 KB and was archived
-#: beginning mid-key (BENCH_r06 "parsed": null), so the budget leaves
-#: real headroom for the window's trailing newline / stray log bytes.
-COMPACT_LIMIT = 3000
+#: Compact-line byte budget.  The driver archives EXACTLY the last
+#: 2000 bytes of stdout (measured: BENCH_r06 and BENCH_r07 "tail"
+#: fields are both precisely 2000 bytes, decapitated mid-key — the
+#: earlier "~4 KB window" guess was wrong by 2x).  1800 leaves 200
+#: bytes of headroom for the trailing newline / stray log bytes so the
+#: archived record parses ("parsed" non-null) and per-query history
+#: survives in the round archive.
+COMPACT_LIMIT = 1800
 
 
 def compact_record(out: dict, timings: dict[str, float], limit: int = COMPACT_LIMIT) -> str:

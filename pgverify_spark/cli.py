@@ -20,6 +20,8 @@ Usage::
 from __future__ import annotations
 
 import argparse
+import os
+import re
 import sys
 
 from pgverify_spark.config import VerifyConfig
@@ -110,6 +112,56 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_targets(
+    aliases: list[str],
+    uris: list[str],
+    schemas: dict | None = None,
+    pushdown: bool = False,
+) -> list:
+    """Map target URIs to source objects.
+
+    ``jdbc:<url>`` -> JDBCTarget; ``csv:/json:/orc:<dir>`` -> FileTarget;
+    ``parquet:<dir>`` or a bare directory path -> ParquetTarget.  Any
+    OTHER scheme-looking prefix (a typo like ``cvs:/dir``, an unsupported
+    format) that is not an existing local path errors here with the valid
+    scheme list instead of falling through to ParquetTarget with the
+    literal string as a path and failing later with a confusing
+    directory-listing error (ADVICE r7).
+    """
+    schemas = schemas or {}
+    targets = []
+    for alias, uri in zip(aliases, uris):
+        head, _, rest = uri.partition(":")
+        if head == "jdbc" and rest:
+            targets.append(JDBCTarget(alias, uri, use_pushdown=pushdown))
+        elif head in ("csv", "json", "orc") and rest:
+            # <format>:<dir> — a directory of <table>.<format> files
+            # (the reference's heterogeneous-target comparison, mapped
+            # to Spark's file sources; sources/files.py)
+            from pgverify_spark.sources.files import FileTarget
+
+            targets.append(FileTarget(alias, rest, format=head, schemas=schemas))
+        elif head == "parquet" and rest:
+            # accepted explicitly for symmetry with csv:/json:/orc:
+            targets.append(ParquetTarget(alias, rest))
+        else:
+            # A scheme-less local path (which may legitimately contain
+            # ':' on some filesystems) is only treated as parquet if it
+            # exists or has no scheme shape.
+            if (
+                rest
+                and re.fullmatch(r"[A-Za-z][A-Za-z0-9+.-]*", head)
+                and not os.path.exists(uri)
+            ):
+                raise SystemExit(
+                    f"unrecognized target scheme {head!r} in {uri!r}; "
+                    "valid: jdbc:, parquet:, csv:, json:, orc:, or an "
+                    "existing parquet directory path"
+                )
+            targets.append(ParquetTarget(alias, uri))
+    return targets
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     kwargs = dict(
@@ -141,20 +193,7 @@ def main(argv: list[str] | None = None) -> int:
 
         with open(args.schemas) as fh:
             schemas = json.load(fh)
-    targets = []
-    for alias, uri in zip(aliases, args.targets):
-        if uri.startswith("jdbc:"):
-            targets.append(JDBCTarget(alias, uri, use_pushdown=args.pushdown))
-        elif ":" in uri and uri.split(":", 1)[0] in ("csv", "json", "orc") and uri.split(":", 1)[1]:
-            # <format>:<dir> — a directory of <table>.<format> files
-            # (the reference's heterogeneous-target comparison, mapped
-            # to Spark's file sources; sources/files.py)
-            from pgverify_spark.sources.files import FileTarget
-
-            fmt, path = uri.split(":", 1)
-            targets.append(FileTarget(alias, path, format=fmt, schemas=schemas))
-        else:
-            targets.append(ParquetTarget(alias, uri))
+    targets = build_targets(aliases, args.targets, schemas, args.pushdown)
 
     snapshot_failures = 0
     if args.snapshot_dir:

@@ -449,24 +449,35 @@ def _partitioned_fp_streaming(sorted_kh: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        cur = None
+        # Null partition keys arrive from Arrow as None/NaN/NaT depending
+        # on the part dtype, and NaN != NaN — naive `part != cur` would
+        # start a fresh group on EVERY null-key row (and a None init
+        # sentinel collides with a genuine null string part).  Normalize
+        # every null flavor to None and track "no group yet" with a
+        # unique object so all null-part rows fold into one group, same
+        # as the collect_list aggregate.
+        unset = object()
+        cur = unset
         digest = None
+
+        def norm(part):
+            return None if pd.isna(part) else part
+
         for pdf in batches:
             out_p, out_fp = [], []
             for part, h in zip(pdf["part"], pdf["h"]):
-                if part != cur:
-                    if cur is not None:
+                part = norm(part)
+                if cur is unset or part != cur:
+                    if cur is not unset:
                         out_p.append(cur)
                         out_fp.append(digest.hexdigest())
                     cur = part
                     digest = hashlib.md5()
                 digest.update(h.encode("ascii"))
             if out_p:
-                yield pd.DataFrame({"part": out_p, "fp": out_fp})
-        if cur is not None:
-            import pandas as pd
-
-            yield pd.DataFrame({"part": [cur], "fp": [digest.hexdigest()]})
+                yield pd.DataFrame({"part": out_p, "fp": out_fp}, dtype=object)
+        if cur is not unset:
+            yield pd.DataFrame({"part": [cur], "fp": [digest.hexdigest()]}, dtype=object)
 
     return sorted_kh.select("part", "h").mapInPandas(
         per_part_md5, f"part {part_dt}, fp string"

@@ -140,8 +140,15 @@ def _target_results(
                 if hasattr(target, "cache_identity")
                 else None
             )
+            # Key by the FULL plan-shaping config, not just test_modes:
+            # verify(plan_cache=...) lets a caller reuse one dict across
+            # calls, and two configs differing in e.g. hash_primary_keys
+            # or timestamp_precision produce different fingerprints for
+            # the same table identity.
             cache_key = (
-                None if identity is None else (identity, tuple(config.test_modes))
+                None
+                if identity is None
+                else (identity, config.plan_cache_key())
             )
             fps: dict[str, DataFrame] | None = None
             if plan_cache is not None and cache_key is not None:

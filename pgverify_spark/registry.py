@@ -510,10 +510,13 @@ _REPORT_MODES = ("full", "rowcount")
 
 
 #: Cross-call fingerprint plan cache for the verify report entries,
-#: keyed per SparkSession id (bench and driver each use one session;
-#: entries are a handful of tiny logical plans).  Safe across calls:
-#: a cached entry is a plan, not data — see verify()'s docstring.
-_VERIFY_PLAN_CACHES: dict[int, dict] = {}
+#: keyed per Spark applicationId — NOT id(spark): CPython can reuse a
+#: stopped session's id for a new one, which would resurrect cached
+#: DataFrames bound to the dead JVM context (ADVICE r7).  applicationId
+#: is unique per SparkContext lifetime; entries are a handful of tiny
+#: logical plans.  Safe across calls: a cached entry is a plan, not
+#: data — see verify()'s docstring.
+_VERIFY_PLAN_CACHES: dict[str, dict] = {}
 
 
 def _verify_report_entry_factory(
@@ -527,7 +530,12 @@ def _verify_report_entry_factory(
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         targets = [ParquetTarget("a", sf_dir), ParquetTarget("b", sf_dir)]
-        cache = _VERIFY_PLAN_CACHES.setdefault(id(spark), {})
+        app_id = spark.sparkContext.applicationId
+        if app_id not in _VERIFY_PLAN_CACHES:
+            # plans cached for any other (stopped) session are dead
+            # weight — evict them so the dict never grows across sessions
+            _VERIFY_PLAN_CACHES.clear()
+        cache = _VERIFY_PLAN_CACHES.setdefault(app_id, {})
         return verify(spark, targets, cfg, plan_cache=cache).report()
 
     selects = []

@@ -1,10 +1,19 @@
 """bench.py compact-record contract: the single JSON stdout line must
-always fit the driver's ~4 KB tail window and stay self-contained
-(BENCH_r06's archived tail began mid-key at 72 headline queries)."""
+always fit the driver's tail window — measured at EXACTLY 2000 bytes
+(BENCH_r06 and BENCH_r07 "tail" fields are both precisely 2000 bytes,
+archived mid-key) — and stay self-contained."""
 
 import json
 
 from bench import COMPACT_LIMIT, compact_record
+
+#: The real, measured driver archive window.  COMPACT_LIMIT must sit
+#: strictly below it with headroom for the trailing newline.
+DRIVER_TAIL_BYTES = 2000
+
+
+def test_compact_limit_fits_real_driver_tail():
+    assert COMPACT_LIMIT <= DRIVER_TAIL_BYTES - 100
 
 
 def _out(timings):

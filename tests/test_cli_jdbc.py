@@ -8,6 +8,37 @@ from pgverify_spark.config import VerifyConfig
 from pgverify_spark.sources.jdbc import build_columns_query, build_tables_query
 
 
+def test_build_targets_scheme_dispatch(tmp_path):
+    """URI sniffing: known schemes dispatch, unknown schemes error with
+    the valid list instead of silently becoming a ParquetTarget path
+    (ADVICE r7), and existing paths always win over scheme shape."""
+    import pytest
+
+    from pgverify_spark.cli import build_targets
+    from pgverify_spark.sources.files import FileTarget
+    from pgverify_spark.sources.jdbc import JDBCTarget
+    from pgverify_spark.sources.parquet import ParquetTarget
+
+    d = str(tmp_path)
+    got = build_targets(
+        ["a", "b", "c", "d"],
+        [f"parquet:{d}", f"csv:{d}", "jdbc:postgresql://h/db", d],
+    )
+    assert [type(t) for t in got] == [
+        ParquetTarget, FileTarget, JDBCTarget, ParquetTarget,
+    ]
+    assert got[0].path == got[3].path == d
+    # typo'd / unsupported scheme -> immediate, explicit error
+    for bad in ("cvs:/nope", "avro:/nope", "parquete:/nope"):
+        with pytest.raises(SystemExit, match="unrecognized target scheme"):
+            build_targets(["x"], [bad])
+    # a real local path containing ':' is NOT treated as a scheme
+    weird = tmp_path / "a:b"
+    weird.mkdir()
+    (one,) = build_targets(["x"], [str(weird)])
+    assert isinstance(one, ParquetTarget) and one.path == str(weird)
+
+
 def test_tables_query_filters():
     cfg = VerifyConfig(
         exclude_schemas=("pg_catalog", "information_schema"),

@@ -485,3 +485,25 @@ def test_partitioned_stream_hash_matches_aggregate(spark, sf_dir):
     # empty input: both produce zero partition rows
     empty = df.filter("event_id < 0")
     assert partitioned_fingerprint(empty, schema, streamed).collect() == []
+    # null partition keys: all null-key rows must fold into ONE group on
+    # the streamed path exactly like the group-by aggregate (nullable
+    # bigint parts arrive in pandas as NaN and NaN != NaN; a None init
+    # sentinel collides with null string parts).  Both a numeric and a
+    # string part type, with nulls interleaved across the key space.
+    for part_sql in (
+        "CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_id % 5 END",
+        "CASE WHEN event_id % 3 = 0 THEN NULL"
+        " ELSE CAST(event_id % 5 AS STRING) END",
+    ):
+        nullsafe = lambda r: (r[0] is None, str(r[0]), r[1])  # noqa: E731
+        agg_n = sorted(
+            map(tuple, partitioned_fingerprint(df, schema, base, part_sql).collect()),
+            key=nullsafe,
+        )
+        stream_n = sorted(
+            map(tuple, partitioned_fingerprint(df, schema, streamed, part_sql).collect()),
+            key=nullsafe,
+        )
+        assert agg_n == stream_n, part_sql
+        nulls = [r for r in stream_n if r[0] is None]
+        assert len(nulls) == 1, part_sql

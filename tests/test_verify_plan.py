@@ -208,6 +208,33 @@ def test_verify_plan_cache_distinguishes_formats(spark, sf_dir, tmp_path):
     assert any("outputs differ" in e for e in res.errors)
 
 
+def test_plan_cache_shared_across_configs(spark, sf_dir):
+    """One plan_cache dict reused across verify() calls with DIFFERENT
+    configs must not serve the first config's fingerprint plans to the
+    second (ADVICE r7: the key was (identity, test_modes) only)."""
+    import dataclasses
+
+    shared_cache: dict = {}
+    base = VerifyConfig(test_modes=("full",), include_tables=("orders",))
+    hashed = dataclasses.replace(base, hash_primary_keys=True)
+
+    def run(cfg):
+        res = verify(
+            spark, [ParquetTarget("a", sf_dir), ParquetTarget("b", sf_dir)],
+            cfg, plan_cache=shared_cache,
+        )
+        assert res.ok, res.errors
+        return {r.mode: r.output for r in res.results.collect() if r.target == "a"}
+
+    fp_base = run(base)["full"]
+    fp_hashed = run(hashed)["full"]
+    # hashed-pk canonicalization changes the sort key -> different digest;
+    # a stale cache hit would have replayed fp_base here
+    assert fp_base != fp_hashed
+    # and the key is config-wide, not per-field special-cased
+    assert len({k[1] for k in shared_cache}) == 2
+
+
 def test_cache_identity_components(sf_dir, tmp_path):
     """cache_identity must separate targets that read differently."""
     from pgverify_spark.sources.files import FileTarget
