@@ -391,14 +391,74 @@ def bpe_pack_sequences_oracle_sql(
 def bpe_merges_df(spark, df: DataFrame, n_merges: int = 10) -> DataFrame:
     """:func:`bpe_learn` as a DataFrame: (step, sym_a, sym_b, n_occurrences).
 
-    Iterative-argmax shape — no single-statement SQL twin exists, so the
-    registry records the weaker rows-only driver check; the merge
-    sequence itself is asserted against a pure-Python reference BPE in
-    tests/test_pipeline_ops.py.
+    Iterative-argmax shape — hash-certified against the recursive-CTE
+    DuckDB twin :func:`bpe_merges_oracle_sql`, and the merge sequence is
+    additionally asserted against a pure-Python reference BPE in
+    tests/test_pipeline_ops.py / tests/test_properties.py.
     """
     rows = [
         (i + 1, a, b, n) for i, (a, b, n) in enumerate(bpe_learn(df, n_merges))
     ]
     return spark.createDataFrame(
         rows, "step int, sym_a string, sym_b string, n_occurrences bigint"
+    )
+
+
+def bpe_merges_oracle_sql(
+    table: str, n_merges: int = 10, min_count: int = 2
+) -> str:
+    """DuckDB twin of :func:`bpe_merges_df`: the full iterative BPE
+    learner as ONE recursive CTE.
+
+    The iteration state (the whole boundary-delimited vocabulary, see
+    :func:`_rep_sql`) travels as a single row carrying a
+    ``list<struct(rep, cnt)>``; each recursive step unnests it, counts
+    adjacent symbol pairs, picks the argmax with :func:`bpe_learn`'s
+    exact tie order (count DESC, sym_a ASC, sym_b ASC — the (a, b)
+    tuple order of the pure-Python reference), and rewrites every rep
+    with one ``replace`` — the same greedy leftmost-merge string pass
+    :func:`bpe_apply_sql` uses, already proven equivalent to the
+    symbol-array fold.  Words of length 1 are dropped up front: they
+    contribute no pairs and no merge pattern (which always spans two
+    symbols) can ever match them.  The vocabulary is corpus-independent
+    in size, so 10 rounds over a single list-typed row is milliseconds.
+    """
+    b = "chr(31)"
+    tok = tokens_sql("text", DIALECT_DUCKDB)
+    return (
+        "WITH RECURSIVE "
+        f"tok AS (SELECT {tok} AS tokens FROM {table}), "
+        "w AS (SELECT unnest(tokens) AS word FROM tok), "
+        "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word), "
+        "base AS (SELECT array_to_string(list_transform(range(1, length(word) + 1), "
+        f"i -> {b} || substr(word, i, 1) || {b}), '') AS rep, cnt "
+        "FROM wc WHERE length(word) >= 2), "
+        "st AS ("
+        "SELECT 0 AS step, "
+        "(SELECT list(struct_pack(rep := rep, cnt := cnt)) FROM base) AS vocab, "
+        "CAST(NULL AS VARCHAR) AS sym_a, CAST(NULL AS VARCHAR) AS sym_b, "
+        "CAST(NULL AS BIGINT) AS n_occurrences "
+        "UNION ALL "
+        "SELECT step + 1, "
+        "list_transform(vocab, x -> struct_pack("
+        f"rep := replace(x.rep, {b} || a || {b} || {b} || b || {b}, "
+        f"{b} || a || b || {b}), cnt := x.cnt)), "
+        "a, b, n "
+        "FROM ("
+        "SELECT step, vocab, a, b, n FROM ("
+        "SELECT step, vocab, p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS n "
+        "FROM ("
+        "SELECT st.step, st.vocab, v.cnt AS cnt, "
+        "unnest(list_transform(range(1, len(s.syms)), "
+        "i -> struct_pack(a := s.syms[i], b := s.syms[i + 1]))) AS p "
+        "FROM st, unnest(st.vocab) AS t(v), "
+        f"LATERAL (SELECT str_split(substr(v.rep, 2, length(v.rep) - 2), "
+        f"{b} || {b}) AS syms) s "
+        f"WHERE st.step < {n_merges}"
+        ") GROUP BY step, vocab, a, b"
+        f") ORDER BY n DESC, a ASC, b ASC LIMIT 1"
+        f") WHERE n >= {min_count}"
+        ") "
+        "SELECT CAST(step AS INTEGER) AS step, sym_a, sym_b, n_occurrences "
+        "FROM st WHERE step >= 1"
     )

@@ -945,9 +945,14 @@ def semantic_dup_pairs(
         .filter("doc_a < doc_b")
         .select("doc_a", "doc_b")
     )
+    # persisted for the same reason as sig: the hyperplane-bucket
+    # expression (H 64-dim dot products per row) is the single most
+    # expensive projection in this operator, and the self-join below
+    # would evaluate it on BOTH sides (measured 1.4 s of the entry's
+    # 2.9 s at sf0.1); the cached relation is ids + one int per vector
     bk = embs.selectExpr(
         "vec_id", f"{emb_bucket_sql('embedding', DIALECT_SPARK)} AS bucket"
-    )
+    ).persist()
     emb_cands = (
         bk.selectExpr("vec_id AS doc_a", "bucket")
         .join(bk.selectExpr("vec_id AS doc_b", "bucket"), "bucket")
@@ -978,7 +983,7 @@ def semantic_dup_pairs(
             f"WHEN jaccard >= {j_thresh} THEN 'text' ELSE 'embedding' END AS signal",
         )
     )
-    return _tag_cached_deps(out, sh, sig)
+    return _tag_cached_deps(out, sh, sig, bk)
 
 
 def semantic_dedup_filter(

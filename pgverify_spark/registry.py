@@ -2132,13 +2132,15 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", text.dataset_card),
             text.dataset_card_oracle_sql("documents"),
         ),
-        # full BPE merge-table learning (iterative argmax: no
-        # single-statement SQL twin exists — rows-only driver check;
-        # merge sequence proven vs a pure-Python reference BPE in
-        # tests/test_pipeline_ops.py)
+        # full BPE merge-table learning (iterative argmax).  The Spark
+        # side stays the per-round collect loop; the twin expresses the
+        # WHOLE iteration as one DuckDB recursive CTE over a single
+        # list-typed vocabulary state row — so the formerly rows-only
+        # entry hash-certifies.  Merge sequence additionally proven vs
+        # a pure-Python reference BPE in tests/test_properties.py.
         "bpe_merges_documents": (
             _bpe_merges_spark,
-            None,
+            bpe.bpe_merges_oracle_sql("documents"),
         ),
         # multimodal plumbing (Arrow mapInPandas vs blob-SQL oracle)
         "multimodal_features_documents": (
@@ -2253,12 +2255,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
     }
 
 
-def _streaming_entry() -> dict[str, tuple[Callable, None]]:
+def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
     """Custom stateful streaming operator (applyInPandasWithState) driven
     to completion over a deterministic 4-chunk file stream of ``events``.
-    Not SQL-expressible — registered without an oracle twin (the driver
-    records the weaker rows-only check); equality with the batch
-    ``additive`` fingerprint is asserted in tests/test_streaming.py.
+    The operator is not SQL-expressible, but the registered drive's final
+    latest-state-per-bucket output is (see
+    stateful_bucket_fingerprint_oracle_sql) — so it carries a full hash
+    oracle; equality with the batch ``additive`` fingerprint is also
+    asserted in tests/test_streaming.py.
     """
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2272,13 +2276,19 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         df = src.read(spark, "events")
         tschema = src.table_schema(spark, "events")
         tmp = tempfile.mkdtemp(prefix="pgvs_stream_")
-        (
-            df.withColumn("chunk", (F.col("event_id") % 4).cast("int"))
-            .repartition(4, "chunk")
-            .drop("chunk")
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/src")
-        )
+        # One file per chunk — bijectively (sequential appends of
+        # single-partition writes), NOT repartition(4, "chunk"), whose
+        # hash can fold two chunk values into one file and leave another
+        # empty.  Bijective chunk->file makes the emitted per-bucket
+        # `updates` counter equal count(DISTINCT chunk) under
+        # maxFilesPerTrigger=1, which is what the SQL twin computes.
+        for c in range(4):
+            (
+                df.filter(F.col("event_id") % 4 == c)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(f"{tmp}/src")
+            )
         sdf = (
             spark.readStream.schema(df.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2903,8 +2913,22 @@ def _streaming_entry() -> dict[str, tuple[Callable, None]]:
         "FROM events GROUP BY 1, 2, 3"
     )
 
+    # The OPERATOR is not SQL-expressible (per-micro-batch state), but
+    # the registered query's FINAL latest-state-per-bucket output is:
+    # modular hsum folding is associative and `updates` equals
+    # count(DISTINCT chunk) under the bijective chunk->file write — so
+    # the last rows-only streaming entry now hash-certifies.
+    from pgverify_spark.streaming.incremental import (
+        stateful_bucket_fingerprint_oracle_sql,
+    )
+
+    stateful_oracle = stateful_bucket_fingerprint_oracle_sql(
+        "events", TESTDATA_TABLES["events"], _CFG, buckets=16,
+        chunk_sql="event_id % 4",
+    )
+
     return {
-        "streaming_stateful_bucket_fingerprint_events": (run, None),
+        "streaming_stateful_bucket_fingerprint_events": (run, stateful_oracle),
         "streaming_dedup_documents": (run_dedup, dedup_oracle),
         "streaming_session_rollup_events": (run_sessions, sessions_oracle),
         "streaming_funnel_events": (run_funnel, funnel_oracle),
@@ -2987,80 +3011,82 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: N+1: rerun the derivation after the round-N CORRECTNESS file lands
 #: and paste (the test prints the expected tuple on mismatch).
 #:
-#: ROUND-7 WINDOW (derived from CORRECTNESS_r1..r6): positions 1-5 the
-#: never-driver-checked entries (this round's verify_report_lineitem_pair
-#: plus the four round-6 additions, judge-certified at sf0.01, zero
-#: driver rows); 6-7 the two parked r2 fingerprint rows; 8-49 all 42
-#: rows whose newest green is r3; 50-52 the smoke core.  The r4-green
-#: rows lead the r8 backlog.
+#: ROUND-8 WINDOW (derived from CORRECTNESS_r1..r7): positions 1-2 the
+#: two formerly rows-only entries, hash-certifiable for the first time
+#: this round (bpe_merges via the recursive-CTE twin, the stateful
+#: streaming fingerprint via its deterministic final-state twin — zero
+#: hash evidence ever); 3-43 the 41 rows whose newest green is r4; the
+#: remainder the oldest r5 rows; the smoke core pinned last.  The
+#: r5-green tail leads the r9 backlog.
 #:
-#: INVARIANT (lint-enforced): rows-only entries — registered queries
-#: whose ``oracle_sql()`` entry is absent by design (bpe_merges,
-#: streaming_stateful_bucket) — must NEVER appear here.  They can never
-#: hash-certify, so a window row spent on them is a row taken from a
-#: certifiable query.
+#: INVARIANT (lint-enforced): every registered query now carries an
+#: oracle twin, so the whole registry is rotation-eligible; if a future
+#: entry is registered without a twin it must stay out of this window
+#: (a row spent on it is a row taken from a certifiable query).
 #: The round this rotation was built FOR: it orders the window from the
 #: evidence available at that round's start (CORRECTNESS_r1..r{N-1}).
 #: The drift test derives with exactly that evidence window, so the
 #: driver landing CORRECTNESS_r{N} mid-round cannot fail the suite
 #: retroactively — but a rotation left one full round stale (files
 #: newer than N present) does fail.  Bump when rotating.
-_DRIVER_PRIORITY_ROUND = 7
+_DRIVER_PRIORITY_ROUND = 8
 
 _DRIVER_PRIORITY = (
-    # never driver-checked (this round's addition, then the round-6 four)
-    "verify_report_lineitem_pair",
-    "bpe_apply_documents",
-    "bpe_token_counts_documents",
-    "bpe_pack_sequences_documents",
-    "curate_corpus_documents",
-    # last green r2 (parked past the r6 window cut)
-    "full_fingerprint_embeddings",
-    "full_fingerprint_part",
-    # last green r3 (registration order)
-    "kmeans_assign_embeddings",
-    "quality_filter_documents",
-    "stratified_sample_documents",
-    "topk_ngrams_documents",
-    "event_transitions_events",
-    "chunk_documents",
-    "pack_sequences_documents",
-    "hash_split_documents",
-    "assign_shards_documents",
-    "mixture_sample_documents",
-    "equidepth_histogram_orders",
-    "salted_join_revenue",
-    "cohort_retention_events",
-    "moving_average_events",
-    "daily_anomalies_events",
-    "daily_trend_slope_events",
-    "funnel_events",
-    "asof_join_events",
-    "length_percentiles_documents",
-    "corpus_mix_report_documents",
-    "tfidf_top_terms_documents",
-    "vocab_coverage_documents",
-    "bigram_lm_scores_documents",
-    "scrub_pii_documents",
-    "length_histogram_documents",
-    "random_project_embeddings",
-    "label_outliers_embeddings",
-    "gramian_embeddings",
-    "quantize_int8_embeddings",
-    "quantized_topk_embeddings",
-    "fuzzy_join_pairs_part",
-    "kmv_distinct_documents",
-    "kmv_distinct_events",
-    "key_distribution_lineitem",
-    "heavy_hitters_lineitem",
-    "fk_integrity_report",
-    "streaming_dedup_documents",
-    "streaming_funnel_events",
-    "streaming_kmv_distinct_documents",
-    "streaming_bloom_decontaminate_documents",
-    "streaming_lm_scores_documents",
-    "streaming_lsh_ingest_dedup_documents",
-    # pinned smoke core (parity §2.1 keeps a current row)
+    # never hash-certified: the two formerly rows-only entries,
+    # oracle-paired this round (recursive-CTE BPE twin, deterministic
+    # streaming final-state twin) — zero driver hash rows yet
+    "bpe_merges_documents",
+    "streaming_stateful_bucket_fingerprint_events",
+    # last green r4 (registration order)
+    "column_diff_orders",
+    "distribution_drift_orders",
+    "snapshot_verify_events",
+    "snapshot_update_events",
+    "dup_clusters_star_documents",
+    "benford_audit_orders",
+    "fd_check_orders",
+    "constraint_report_orders",
+    "dedup_lines_documents",
+    "corpus_dedup_lines_documents",
+    "lsh_recall_eval_documents",
+    "ann_recall_embeddings",
+    "semantic_dedup_filter_documents",
+    "near_dedup_filter_best_documents",
+    "embedding_ingest_dedup_embeddings",
+    "hashed_text_topk_documents",
+    "gopher_gate_documents",
+    "reservoir_sample_events",
+    "hourly_rollup_events",
+    "fill_gaps_hourly_events",
+    "debounce_events",
+    "daily_rollup_events",
+    "grouped_topk_revenue_lineitem",
+    "bpe_pair_counts_documents",
+    "strip_html_documents",
+    "normalize_unicode_documents",
+    "clean_web_corpus_documents",
+    "interval_join_rollup_events",
+    "sampled_quantiles_orders",
+    "sampled_quantiles_by_lang_documents",
+    "countmin_freq_events",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "multimodal_features_documents",
+    "streaming_session_rollup_events",
+    "streaming_countmin_events",
+    "streaming_constraint_report_orders",
+    "streaming_ivf_ingest_dedup_embeddings",
+    "streaming_debounce_events",
+    "streaming_windowed_counts_events",
+    "streaming_sampled_quantiles_orders",
+    # last green r5 (registration order)
+    "bookend_fingerprint_lineitem",
+    "sparse_fingerprint_lineitem",
+    "bucketed_fingerprint_lineitem",
+    "additive_fingerprint_lineitem",
+    "repair_plan_orders",
+    "hashed_vectors_documents",
+    # pinned smoke core (fresh parity row every round)
     "full_fingerprint_lineitem",
     "rowcount_fingerprint_lineitem",
     "tpch_q1_pricing_summary",

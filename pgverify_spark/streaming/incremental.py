@@ -132,6 +132,43 @@ def streaming_stateful_bucket_fingerprint(
     )
 
 
+def stateful_bucket_fingerprint_oracle_sql(
+    table: str,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+    buckets: int = 64,
+    chunk_sql: str = "event_id % 4",
+) -> str:
+    """DuckDB twin of the FINAL state of a chunk-file drive of
+    :func:`streaming_stateful_bucket_fingerprint`.
+
+    The operator itself is not SQL-expressible (per-micro-batch state
+    updates), but its final per-bucket state IS deterministic SQL when
+    each source chunk maps to exactly one micro-batch
+    (``maxFilesPerTrigger=1`` over one file per chunk): ``cnt`` is the
+    bucket's row count, ``hsum`` the 48-bit row-hash sum mod 2^61-1
+    (modular addition is associative, so the per-batch fold equals the
+    one-shot sum in any arrival order), and ``updates`` the number of
+    distinct chunks containing at least one row of the bucket — one
+    state update per micro-batch that touched it.
+    """
+    from pgverify_spark.functions.canonical import DIALECT_DUCKDB
+
+    config = config or VerifyConfig()
+    cols = config.typed_cols(schema.hashed_cols(config.valid_column))
+    h = row_hash_sql(cols, DIALECT_DUCKDB, config.trunc_unit)
+    h48 = hex_prefix_int_sql("hm", DIALECT_DUCKDB)
+    return (
+        f"WITH hm AS (SELECT {h} AS hm, {chunk_sql} AS chunk FROM {table}), "
+        f"v AS (SELECT CAST({h48} AS BIGINT) AS hv, chunk FROM hm), "
+        f"b AS (SELECT hv, CAST(hv % {buckets} AS INTEGER) AS bucket, chunk FROM v) "
+        "SELECT bucket, CAST(count(*) AS BIGINT) AS cnt, "
+        f"CAST(sum(hv) % {ADDITIVE_MOD} AS BIGINT) AS hsum, "
+        "CAST(count(DISTINCT chunk) AS INTEGER) AS updates "
+        "FROM b GROUP BY bucket ORDER BY bucket"
+    )
+
+
 def finalize_stateful_bucket_fingerprint(emitted: DataFrame) -> str:
     """Collapse emitted (bucket, cnt, hsum, updates) rows — keeping each
     bucket's latest update — to the scalar ``count:sum`` fingerprint,

@@ -307,14 +307,13 @@ def test_bench_probe_twins_match_full_oracles(sf_dir):
 
 
 def test_oracle_paired_except_documented():
-    """Exactly two registry entries are rows-only by nature (stateful
-    streaming fingerprint, iterative BPE learner); everything else must
-    carry a DuckDB oracle twin."""
+    """Every registry entry carries a DuckDB oracle twin — the two
+    formerly rows-only entries closed in r8: bpe_merges via a
+    recursive-CTE twin (bpe.py:bpe_merges_oracle_sql), the stateful
+    streaming fingerprint via its deterministic final-state twin
+    (incremental.py:stateful_bucket_fingerprint_oracle_sql)."""
     unpaired = sorted(set(entry.queries()) - set(entry.oracle_sql()))
-    assert unpaired == [
-        "bpe_merges_documents",
-        "streaming_stateful_bucket_fingerprint_events",
-    ]
+    assert unpaired == []
 
 
 def test_grouped_topk_single_exchange(spark, sf_dir):
