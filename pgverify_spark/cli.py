@@ -69,11 +69,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="hash primary key values before comparing them (useful for TEXT primary keys)",
     )
     p.add_argument(
-        "--full-stream-hash", action="store_true",
-        help="stream the full fingerprint's final md5 incrementally "
-        "(memory-bounded; use when exact 'full' mode on ~10^8-row "
-        "tables overruns executor heap — or prefer --tests bucketed, "
-        "the mergeable scale mode)",
+        "--full-stream-hash", action="store_const", const=True, default=None,
+        dest="full_stream_hash",
+        help="force the memory-bounded streamed reduce for exact 'full' "
+        "fingerprints (default: auto — every distributed-plan input "
+        "streams; measured faster than the JVM aggregate at sf0.1 and "
+        "immune to its single-task-concat heap wall; "
+        "--no-full-stream-hash forces the aggregate; or prefer "
+        "--tests bucketed, the mergeable scale mode)",
+    )
+    p.add_argument(
+        "--no-full-stream-hash", action="store_const", const=False,
+        dest="full_stream_hash", help=argparse.SUPPRESS,
     )
     p.add_argument(
         "--level", default="info",

@@ -93,12 +93,29 @@ class VerifyConfig:
     #: Arrow-batched incremental hash (O(largest partition) memory in
     #: the last task) instead of the single JVM aggregate that
     #: materializes the whole 32 B x rows concat (O(table)).  Same
-    #: digest byte-for-byte.  Default off: below ~10^7 rows the JVM
-    #: aggregate is faster (no Python stage); beyond ~10^8 rows x
-    #: targets the aggregate overruns a single task's heap — flip this
-    #: on (or use the `bucketed` mode, the real 100 TB path, which
-    #: needs no sequential reduce at all).
-    full_stream_hash: bool = False
+    #: digest byte-for-byte.  Below ~10^7 rows the JVM aggregate is
+    #: faster (no Python stage); beyond ~10^8 rows x targets the
+    #: aggregate overruns a single task's heap.  Default ``None`` =
+    #: AUTO: pick the streamed reduce when the optimizer's scan-size
+    #: estimate exceeds ``stream_hash_auto_bytes`` (statless sources
+    #: estimate effectively-infinite, so unknown sizes take the safe
+    #: path).  ``True``/``False`` force one side.  (The `bucketed` mode
+    #: remains the real 100 TB path — no sequential reduce at all.)
+    full_stream_hash: bool | None = None
+    #: AUTO threshold for ``full_stream_hash=None``: estimated input
+    #: bytes above which full/fused/partitioned fingerprints take the
+    #: memory-bounded streamed reduce.  Bytes are a weak proxy for the
+    #: aggregate path's real wall — the O(rows) concat in the FINAL
+    #: task (~72 B/row live incl. collect_list overhead): columnar
+    #: compression varies 20x+ (the 100x CLI probe OOM'd an 8 GiB heap
+    #: on a 129 MB/15M-row parquet AND on an 11 MB/15M-row RLE'd ORC of
+    #: the same rows).  So the bar is set at the small-input boundary:
+    #: measured at sf0.1 the streamed reduce is FASTER than the JVM
+    #: aggregate besides being memory-bounded (2.10 s vs 2.37 s on
+    #: lineitem full; 0.51 vs 0.65 on orders), so every distributed-
+    #: plan input streams and the aggregate survives only as the
+    #: explicit ``full_stream_hash=False`` opt-out.
+    stream_hash_auto_bytes: int = 4 << 20
 
     def validate(self) -> None:
         """Mode-name and precision validation (config.go:101-114)."""
@@ -136,6 +153,7 @@ class VerifyConfig:
             tuple(sorted(self.column_types.items())),
             self.small_input_bytes,
             self.full_stream_hash,
+            self.stream_hash_auto_bytes,
         )
 
     def typed_cols(self, cols: list[tuple[str, str]]) -> list[tuple[str, str]]:

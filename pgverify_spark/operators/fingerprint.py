@@ -82,6 +82,18 @@ def _small(df: DataFrame, config: VerifyConfig) -> bool:
     return plan_size_bytes(df) <= config.small_input_bytes
 
 
+def _stream_hash(df: DataFrame, config: VerifyConfig) -> bool:
+    """Whether a non-small full/fused/partitioned fingerprint should
+    take the memory-bounded streamed reduce.  Explicit config wins;
+    the ``None`` default auto-selects by the optimizer's size estimate
+    (``VerifyConfig.stream_hash_auto_bytes``) — statless sources
+    estimate effectively-infinite, so unknown inputs take the path that
+    cannot overrun a task heap.  Plan-pinned in tests/test_fingerprint."""
+    if config.full_stream_hash is not None:
+        return config.full_stream_hash
+    return plan_size_bytes(df) > config.stream_hash_auto_bytes
+
+
 def _kh(df: DataFrame, schema: TableSchema, config: VerifyConfig) -> DataFrame:
     k, h, _ = _exprs(schema, config)
     base = df if _small(df, config) else _parallelize(df)
@@ -240,7 +252,7 @@ def full_fingerprint(df: DataFrame, schema: TableSchema, config: VerifyConfig | 
     kh = _kh(df, schema, config)
     if _small(df, config):
         return kh.selectExpr(_NO_ROWS_AGG)
-    if config.full_stream_hash:
+    if _stream_hash(df, config):
         return _exact_ordered_fp_streaming(kh)
     return _exact_ordered_fp(kh)
 
@@ -424,7 +436,7 @@ def partitioned_fingerprint(
     base = df if small else _parallelize(df)
     kh = base.selectExpr(f"{partition_sql} AS part", f"{k} AS k", f"{h} AS h")
     sorted_kh = kh.repartition("part").sortWithinPartitions("part", "k", "h")
-    if config.full_stream_hash and not small:
+    if not small and _stream_hash(df, config):
         # Same heap wall as the exact full fingerprint, per PARTITION:
         # collect_list buffers one whole calendar partition per group
         # (measured OOM at 10^6 rows/day x 2 sides on an 8g JVM, 100x
@@ -747,7 +759,7 @@ def fused_fingerprints(
             "additive": additive,
         }
         return kh.selectExpr(*[f"{aggs[m]} AS fp_{m}" for m in modes])
-    if config.full_stream_hash:
+    if _stream_hash(df, config):
         # memory-bounded variant (see _streamed_fused): same scan, same
         # sort, chunked Python concat + one streaming reduce
         return _streamed_fused(kh, modes)

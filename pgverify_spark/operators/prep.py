@@ -111,8 +111,11 @@ def pack_sequences_oracle_sql(table: str, budget_tokens: int = 512) -> str:
     )
 
 
-#: Token-count expression shared by the packing/split/shard operators.
+#: Token-count expression shared by the packing/split/shard operators
+#: (and the curate-corpus funnel report, registry.py) — both dialects,
+#: one source so the twins cannot drift.
 _TOKENS = "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"
+_TOKENS_DUCK = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
 
 
 def assign_shards(df: DataFrame, n_shards: int = 8) -> DataFrame:

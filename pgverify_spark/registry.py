@@ -927,16 +927,19 @@ _WEB_WRAP_DUCK = (
 )
 
 
-def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-call corpus curation — the END-TO-END pipeline this engine
-    exists for, composed from the individually-certified stages:
+def _curate_pipeline(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared stage relations of the one-call corpus curation pipeline:
 
         raw pages -> strip_html -> normalize_unicode -> Gopher gate
         -> exact dedup -> MinHash-LSH near dedup -> Bloom
-        decontaminate -> leakage-safe split -> per-split packing
+        decontaminate -> leakage-safe split
 
-    Output: (split, bin, n_docs, bin_tokens) — the packed-bin report of
-    the training-ready corpus, per split.
+    Consumed by BOTH registered twins — ``curate_corpus_documents``
+    (per-split packing over ``splitdoc``) and
+    ``curate_corpus_report_documents`` (the stage funnel + per-split
+    accounting over the same persisted relations) — so the pipeline
+    exists in exactly one place.  Returns the named stage DataFrames
+    plus the persisted intermediates to release (``deps``).
 
     Scale shape: one composition, one plan.  The corpus tokenizes ONCE
     (text.tokenize_prep, persisted) and the tokens column rides through
@@ -1012,20 +1015,113 @@ def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed_in = decon.selectExpr("doc_id", "text", f"{bucket} AS b").selectExpr(
         f"{case} AS source", "doc_id", "text"
     )
-    out = prep.pack_sequences(packed_in, 512).selectExpr(
+    return {
+        "toked": toked,
+        "gated": gated,
+        "exactd": exactd,
+        "neard": neard,
+        "splitdoc": packed_in,
+        "deps": (
+            toked, gates, exactd, neard,
+            *getattr(pairs_raw, "_pgvs_cached_deps", ()),
+        ),
+    }
+
+
+def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus curation — the END-TO-END pipeline this engine
+    exists for (see :func:`_curate_pipeline` for the stage graph).
+
+    Output: (split, bin, n_docs, bin_tokens) — the packed-bin report of
+    the training-ready corpus, per split.
+    """
+    from pgverify_spark.operators import prep
+    from pgverify_spark.operators.util import tag_cached_deps
+
+    st = _curate_pipeline(spark, sf_dir)
+    out = prep.pack_sequences(st["splitdoc"], 512).selectExpr(
         "source AS split", "bin", "n_docs", "bin_tokens"
     )
-    return tag_cached_deps(
-        out, toked, gates, exactd, neard,
-        *getattr(pairs_raw, "_pgvs_cached_deps", ()),
+    return tag_cached_deps(out, *st["deps"])
+
+
+def _curate_corpus_report_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation accounting twin of :func:`_curate_corpus_run`: the
+    stage-by-stage funnel (docs and whitespace tokens surviving each
+    pipeline stage) plus per-split totals — the report a curation team
+    reads alongside the packed bins to see what each gate/dedup/decon
+    pass actually removed.
+
+    Output: (stage, stage_idx, n_docs, n_tokens); stages ``cleaned``
+    (1) -> ``gated`` (2) -> ``exact_dedup`` (3) -> ``near_dedup`` (4)
+    -> ``decontaminated`` (5), then one ``split_<name>`` row (6) per
+    split.  Token counts use the same whitespace measure as the
+    packing operators (prep._TOKENS, shared source both dialects).
+
+    Scale shape: every row is ONE ids-free aggregate over a relation
+    the flagship already persists — the report adds zero corpus-sized
+    exchanges; decontaminated totals derive from the persisted 3-row
+    per-split aggregate instead of re-deriving the decon relation.
+    """
+    from pgverify_spark.operators.prep import _TOKENS
+    from pgverify_spark.operators.util import tag_cached_deps
+
+    st = _curate_pipeline(spark, sf_dir)
+
+    def stage_row(df: DataFrame, stage: str, idx: int) -> DataFrame:
+        return (
+            df.selectExpr(f"{_TOKENS} AS t")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("t").cast("long").alias("n_tokens"),
+            )
+            .selectExpr(
+                f"'{stage}' AS stage",
+                f"CAST({idx} AS INT) AS stage_idx",
+                "n_docs",
+                "n_tokens",
+            )
+        )
+
+    splitagg = (
+        st["splitdoc"]
+        .selectExpr("source", f"{_TOKENS} AS t")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+        )
+        .persist()
     )
+    decon_row = splitagg.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    ).selectExpr(
+        "'decontaminated' AS stage", "CAST(5 AS INT) AS stage_idx",
+        "n_docs", "n_tokens",
+    )
+    split_rows = splitagg.selectExpr(
+        "concat('split_', source) AS stage", "CAST(6 AS INT) AS stage_idx",
+        "n_docs", "n_tokens",
+    )
+    out = (
+        stage_row(st["toked"], "cleaned", 1)
+        .unionByName(stage_row(st["gated"], "gated", 2))
+        .unionByName(stage_row(st["exactd"], "exact_dedup", 3))
+        .unionByName(stage_row(st["neard"], "near_dedup", 4))
+        .unionByName(decon_row)
+        .unionByName(split_rows)
+    )
+    return tag_cached_deps(out, *st["deps"], splitagg)
 
 
-def _curate_corpus_oracle_sql() -> str:
-    """The identical pipeline as ONE DuckDB statement: each stage's
-    oracle builder is given the previous stage's CTE NAME as its table,
-    so the statement chains by reference (no textual blow-up) and every
-    stage twin is exactly the one its standalone entry certifies."""
+def _curate_corpus_ctes() -> str:
+    """The pipeline's WITH-clause body (through ``splitdoc``) as ONE
+    DuckDB chain: each stage's oracle builder is given the previous
+    stage's CTE NAME as its table, so the statement chains by reference
+    (no textual blow-up) and every stage twin is exactly the one its
+    standalone entry certifies.  Shared by the packed-bin oracle and
+    the funnel-report oracle."""
     from pgverify_spark.operators import contamination, dedup, prep, text
 
     cleaned_inner = text.normalize_unicode_light_oracle_sql(
@@ -1058,9 +1154,52 @@ def _curate_corpus_oracle_sql() -> str:
         # split key is the doc's own id (split_assign_exprs, shared
         # source with the Spark side).
         f"splitdoc AS (SELECT {dcase} AS source, doc_id, text FROM "
-        f"(SELECT doc_id, text, {dbucket} AS b FROM decon) k), "
+        f"(SELECT doc_id, text, {dbucket} AS b FROM decon) k)"
+    )
+
+
+def _curate_corpus_oracle_sql() -> str:
+    """Packed-bin final over the shared pipeline CTEs."""
+    from pgverify_spark.operators import prep
+
+    return (
+        f"{_curate_corpus_ctes()}, "
         f"packed AS ({prep.pack_sequences_oracle_sql('splitdoc', 512)}) "
         "SELECT source AS split, bin, n_docs, bin_tokens FROM packed"
+    )
+
+
+def _curate_corpus_report_oracle_sql() -> str:
+    """Funnel-report final over the shared pipeline CTEs: one aggregate
+    per stage (same whitespace token measure as the packing twins,
+    prep._TOKENS_DUCK) plus the per-split rows; ``splitagg`` is
+    MATERIALIZED because it is referenced twice (decon rollup + split
+    rows) and DuckDB would otherwise re-run the whole upstream chain
+    per reference."""
+    from pgverify_spark.operators.prep import _TOKENS_DUCK as T
+
+    def stage(name: str, idx: int, cte: str) -> str:
+        return (
+            f"SELECT '{name}' AS stage, CAST({idx} AS INTEGER) AS stage_idx, "
+            f"CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(sum({T}) AS BIGINT) AS n_tokens FROM {cte}"
+        )
+
+    return (
+        f"{_curate_corpus_ctes()}, "
+        "splitagg AS MATERIALIZED (SELECT source, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum({T}) AS BIGINT) AS n_tokens FROM splitdoc GROUP BY source) "
+        + stage("cleaned", 1, "cleaned")
+        + " UNION ALL " + stage("gated", 2, "gated")
+        + " UNION ALL " + stage("exact_dedup", 3, "exactd")
+        + " UNION ALL " + stage("near_dedup", 4, "neard")
+        + " UNION ALL SELECT 'decontaminated' AS stage, "
+        "CAST(5 AS INTEGER) AS stage_idx, "
+        "CAST(sum(n_docs) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM splitagg"
+        " UNION ALL SELECT 'split_' || source AS stage, "
+        "CAST(6 AS INTEGER) AS stage_idx, n_docs, n_tokens FROM splitagg"
     )
 
 
@@ -1829,6 +1968,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "curate_corpus_documents": (
             _curate_corpus_run,
             _curate_corpus_oracle_sql(),
+        ),
+        # the flagship's accounting twin: stage funnel (docs/tokens
+        # surviving gate -> exact dedup -> near dedup -> decon) +
+        # per-split totals, every row one aggregate over a relation the
+        # pipeline already persists (zero extra corpus exchanges)
+        "curate_corpus_report_documents": (
+            _curate_corpus_report_run,
+            _curate_corpus_report_oracle_sql(),
         ),
         # the composed curation FRONT-END a web pipeline actually runs:
         # page -> strip_html -> normalize_unicode -> Gopher gate, one
@@ -3011,11 +3158,12 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: N+1: rerun the derivation after the round-N CORRECTNESS file lands
 #: and paste (the test prints the expected tuple on mismatch).
 #:
-#: ROUND-8 WINDOW (derived from CORRECTNESS_r1..r7): positions 1-2 the
-#: two formerly rows-only entries, hash-certifiable for the first time
-#: this round (bpe_merges via the recursive-CTE twin, the stateful
-#: streaming fingerprint via its deterministic final-state twin — zero
-#: hash evidence ever); 3-43 the 41 rows whose newest green is r4; the
+#: ROUND-8 WINDOW (derived from CORRECTNESS_r1..r7): positions 1-3 the
+#: never-hash-certified entries (this round's curate_corpus_report,
+#: then the two formerly rows-only entries: bpe_merges via the
+#: recursive-CTE twin, the stateful streaming fingerprint via its
+#: deterministic final-state twin); 4-44 the 41 rows whose newest
+#: green is r4; the
 #: remainder the oldest r5 rows; the smoke core pinned last.  The
 #: r5-green tail leads the r9 backlog.
 #:
@@ -3035,6 +3183,7 @@ _DRIVER_PRIORITY = (
     # never hash-certified: the two formerly rows-only entries,
     # oracle-paired this round (recursive-CTE BPE twin, deterministic
     # streaming final-state twin) — zero driver hash rows yet
+    "curate_corpus_report_documents",
     "bpe_merges_documents",
     "streaming_stateful_bucket_fingerprint_events",
     # last green r4 (registration order)
@@ -3085,7 +3234,6 @@ _DRIVER_PRIORITY = (
     "bucketed_fingerprint_lineitem",
     "additive_fingerprint_lineitem",
     "repair_plan_orders",
-    "hashed_vectors_documents",
     # pinned smoke core (fresh parity row every round)
     "full_fingerprint_lineitem",
     "rowcount_fingerprint_lineitem",

@@ -421,6 +421,47 @@ def test_snapshot_update_string_partitions(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, updated.collect())) == want
 
 
+def test_stream_hash_auto_selects_by_size(spark, sf_dir):
+    """full_stream_hash=None (the default) auto-picks the memory-bounded
+    streamed reduce for every distributed-plan input (the 100x CLI probe
+    OOM'd the un-flagged JVM aggregate on a 129 MB/15M-row parquet AND
+    an 11 MB RLE'd ORC of the same rows — byte estimates are a weak row
+    proxy, so the safe-and-measured-faster path is the default); an
+    explicit ``False`` or a raised ``stream_hash_auto_bytes`` restores
+    the aggregate, byte-identically."""
+    from pgverify_spark.config import VerifyConfig
+    from pgverify_spark.operators.fingerprint import full_fingerprint
+    from pgverify_spark.sources.parquet import ParquetTarget
+
+    tgt = ParquetTarget("t", sf_dir)
+    df = tgt.read(spark, "orders")
+    schema = tgt.table_schema(spark, "orders")
+
+    def plan(cfg):
+        fp = full_fingerprint(df, schema, cfg)
+        return fp._jdf.queryExecution().executedPlan().toString()
+
+    # policy pin: the auto bar sits AT the small-input boundary, so every
+    # input big enough for the distributed plan takes the streamed reduce
+    assert (
+        VerifyConfig().stream_hash_auto_bytes == VerifyConfig().small_input_bytes
+    )
+    auto_default = VerifyConfig(small_input_bytes=0, stream_hash_auto_bytes=1)
+    raised_bar = VerifyConfig(small_input_bytes=0, stream_hash_auto_bytes=1 << 40)
+    forced_off = VerifyConfig(
+        small_input_bytes=0, stream_hash_auto_bytes=1, full_stream_hash=False
+    )
+    assert "MapInPandas" in plan(auto_default)
+    assert "MapInPandas" not in plan(raised_bar)
+    assert "MapInPandas" not in plan(forced_off)
+    # all three produce the identical digest
+    digests = {
+        full_fingerprint(df, schema, cfg).collect()[0]["fp"]
+        for cfg in (auto_default, raised_bar, forced_off)
+    }
+    assert len(digests) == 1
+
+
 def test_full_stream_hash_matches_aggregate(spark, sf_dir):
     """full_stream_hash streams the final md5 incrementally (O(largest
     partition) memory in the last task vs the O(table) concat that
