@@ -992,11 +992,9 @@ def probe_ivfpq_index(
     stored data, so the explode re-reads 8 ints, not an expression.
     Output matches :func:`ivfpq_topk` exactly (asserted in tests).
     """
-    from pgverify_spark.sources.bucketed import read_bucketed
-
     return _ivfpq_probe_plan(
         queries,
-        read_bucketed(spark, f"{name}_cells"),
+        _cached_cells_frame(spark, name),
         _cached_cb_frame(spark, name),
         k,
         nprobe,
@@ -1025,42 +1023,105 @@ def _cached_cb_frame(spark, name: str) -> DataFrame:
     return got
 
 
+#: DataFrame HANDLES for stored cells tables, per (session, index) —
+#: unlike the codebook these are never collected (corpus-sized); the
+#: cache only skips the per-probe catalog resolve/analysis of
+#: ``spark.table``.  The handle stays valid because the bucketed index
+#: is immutable once written (write_ivfpq_index overwrites whole dirs).
+_CELLS_FRAME_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_cells_frame(spark, name: str) -> DataFrame:
+    from pgverify_spark.sources.bucketed import read_bucketed
+
+    key = (spark.sparkContext.applicationId, name)
+    got = _CELLS_FRAME_CACHE.get(key)
+    if got is None:
+        got = read_bucketed(spark, f"{name}_cells")
+        _CELLS_FRAME_CACHE[key] = got
+    return got
+
+
+def _dot_py(vec, plane: list[float]) -> float:
+    """Driver-side twin of :func:`_dot_literal_sql`: the identical
+    left-to-right float64 fold over the same non-zero plane weights —
+    bit-exact with the SQL expression (same IEEE-754 add/mul order on
+    the same doubles; FLOAT column values widen exactly)."""
+    acc = 0.0
+    for i, w in enumerate(plane):
+        if w != 0.0:
+            acc = acc + float(vec[i]) * w
+    return acc
+
+
+def _centroid_rank_py(vec) -> list[int]:
+    """Driver-side twin of :func:`_centroid_rank_sql` (full parity note
+    there): order centroid indices by (-dot, idx).  Spark's SQL double
+    ordering treats -0.0 == 0.0 (SQLOrderingUtil), exactly like Python
+    tuple comparison, so the tie behavior matches too."""
+    return sorted(
+        range(IVF_CENTROIDS_N),
+        key=lambda j: (-_dot_py(vec, IVF_CENTROIDS[j]), j),
+    )
+
+
+def _pq_sub_d2_py(a, b, m: int) -> int:
+    """Driver-side twin of :func:`_pq_sub_d2_sql`: same left-to-right
+    squared-difference fold, then Spark ``round``'s exact semantics —
+    BigDecimal(shortest-decimal-string) HALF_UP, reproduced via
+    ``Decimal(repr(x))`` (shortest round-trip digits are unique, so the
+    Java and Python strings denote the same decimal value)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    s = 0.0
+    for i in range(m * PQ_SUB, (m + 1) * PQ_SUB):
+        d = float(a[i]) - float(b[i])
+        s = s + d * d
+    return int(
+        Decimal(repr(s * 1000000)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+
+
 def _ivfpq_probe_plan(
     queries: DataFrame, cells: DataFrame, cb: DataFrame, k: int, nprobe: int
 ) -> DataFrame:
     """The shared IVF-PQ probe: one plan for the ad-hoc
     (:func:`ivfpq_topk`) and stored-index (:func:`probe_ivfpq_index`)
     paths — ``cells``/``cb`` are a checkpointed build or bucketed reads
-    respectively; everything downstream is identical."""
-    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
-    d2s = [
-        f"{_pq_sub_d2_sql('q_emb', 'cvec', m, DIALECT_SPARK)} AS d{m}"
-        for m in range(PQ_M)
-    ]
-    # The whole query side — probed cells AND the per-(query, code) ADC
-    # distance table — is |Q| x 16 rows, computed by the SAME Spark
-    # expressions as before but collected in ONE job (a probe serves a
-    # small query batch by contract; the cells literal IN below already
-    # assumes that).  The collected rows come back as local relations,
-    # whose broadcast needs no extra scan jobs — this cuts the per-probe
-    # action count from ~4 to 2 without touching a single computed value.
-    q_rows = (
-        queries.selectExpr(
-            "vec_id AS query_id",
-            "embedding AS q_emb",
-            f"slice({ranked}, 1, {nprobe}) AS probe_cells",
-        )
-        .crossJoin(F.broadcast(cb))
-        .selectExpr("query_id", "probe_cells", "code", *d2s)
-        .collect()
-    )
-    probed = sorted({int(c) for r in q_rows for c in r["probe_cells"]})
+    respectively; everything downstream is identical.
+
+    The query side — probed cells AND the per-(query, code) ADC
+    distance table — is |Q| x 16 rows by contract (a probe serves a
+    small batch; the cells literal IN below already assumes that), so
+    it is computed ON THE DRIVER from one narrow collect: the r7 plan
+    evaluated the same values through the centroid-rank/d2 SQL
+    expressions, whose 56 KB of centroid literals cost ~0.3 s of ANTLR
+    parse plus a scan+broadcast job PER PROBE — pure fixed overhead for
+    640 arithmetic results.  The Python twins (:func:`_dot_py`,
+    :func:`_centroid_rank_py`, :func:`_pq_sub_d2_py`) are bit-exact
+    with the SQL expressions (property-tested against them in
+    tests/test_properties.py), and the corpus-side plan is unchanged:
+    bucket-pruned cells scan, broadcast local relations, one shared
+    exchange.
+    """
+    raw = queries.select("vec_id", "embedding").collect()
+    cb_rows = cb.select("code", "cvec").collect()
+    probe_sets = {
+        int(r["vec_id"]): _centroid_rank_py(r["embedding"])[:nprobe] for r in raw
+    }
+    probed = sorted({c for cs in probe_sets.values() for c in cs})
     qcells = queries.sparkSession.createDataFrame(
-        sorted({(r["query_id"], int(c)) for r in q_rows for c in r["probe_cells"]}),
+        sorted((qid, c) for qid, cs in probe_sets.items() for c in cs),
         "query_id bigint, cluster int",
     )
     lut = queries.sparkSession.createDataFrame(
-        [(r["query_id"], r["code"], m, r[f"d{m}"]) for r in q_rows for m in range(PQ_M)],
+        [
+            (int(q["vec_id"]), int(c["code"]), m,
+             _pq_sub_d2_py(q["embedding"], c["cvec"], m))
+            for q in raw
+            for c in cb_rows
+            for m in range(PQ_M)
+        ],
         "query_id bigint, code int, m int, d2 bigint",
     )
     corp = (

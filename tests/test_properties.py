@@ -373,3 +373,50 @@ def test_pq_encode_matches_reference(spark, seed, n):
         if r["vec_id"] < 1000
     }
     assert again == dict(got)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(st.integers(0, 2**32 - 1), st.integers(4, 20))
+def test_ivfpq_driver_twins_match_sql_expressions(spark, seed, n):
+    """The driver-side query-math twins the IVF-PQ probe runs per batch
+    (_centroid_rank_py / _pq_sub_d2_py) must be BIT-EXACT with the SQL
+    expressions they replaced (_centroid_rank_sql / _pq_sub_d2_sql) on
+    random float32 vectors — the probe's correctness now rests on this
+    equivalence (same left-to-right IEEE-754 fold, same -0.0-equal tie
+    order, same BigDecimal-HALF_UP rounding)."""
+    from pgverify_spark.functions.canonical import DIALECT_SPARK
+    from pgverify_spark.operators.similarity import (
+        PQ_M,
+        _centroid_rank_py,
+        _centroid_rank_sql,
+        _pq_sub_d2_py,
+        _pq_sub_d2_sql,
+    )
+
+    vectors = _synth_vectors(seed, n)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id bigint, embedding array<float>",
+    )
+    ranked = _centroid_rank_sql("embedding", DIALECT_SPARK)
+    d2s = [
+        f"{_pq_sub_d2_sql('embedding', 'cvec', m, DIALECT_SPARK)} AS d{m}"
+        for m in range(PQ_M)
+    ]
+    # pair every vector with every other as a pseudo-codebook row so the
+    # d2 comparison covers arbitrary (a, b) pairs, not only vec-vs-cb
+    cb = df.selectExpr("vec_id AS code", "embedding AS cvec").limit(4)
+    got = (
+        df.selectExpr("vec_id", "embedding", f"{ranked} AS rank_sql")
+        .crossJoin(cb)
+        .selectExpr("vec_id", "embedding", "rank_sql", "code", "cvec", *d2s)
+        .collect()
+    )
+    for r in got:
+        assert list(r["rank_sql"]) == _centroid_rank_py(r["embedding"]), (
+            seed, r["vec_id"],
+        )
+        for m in range(PQ_M):
+            assert r[f"d{m}"] == _pq_sub_d2_py(r["embedding"], r["cvec"], m), (
+                seed, r["vec_id"], r["code"], m,
+            )
