@@ -38,8 +38,47 @@ from pgverify_spark.operators.fingerprint import (
 )
 from pgverify_spark.plans.verify import verify
 from pgverify_spark.session import ensure_required_confs
-from pgverify_spark.sources.parquet import ParquetTarget
+from pgverify_spark.sources.parquet import ParquetTarget as _ParquetTarget
 from pgverify_spark.sources.schemas import TESTDATA_TABLES
+
+
+class ParquetTarget(_ParquetTarget):
+    """Registry-scoped ParquetTarget over the driver's WRITE-ONCE
+    testdata, with a session-scoped read/schema memo.
+
+    ``spark.read.parquet`` lists files and reads footers on every call
+    (~0.1 s warm), and a bench/correctness pass issues hundreds of reads
+    of the same immutable tables — 15-25 s of pure listing overhead in a
+    ~60 s suite.  A cached DataFrame bakes its file listing at creation,
+    so this memo is ONLY safe for write-once data; the library
+    ``sources.parquet.ParquetTarget`` keeps fresh listings for mutable
+    targets, and every registry target points at the driver's testdata
+    (or a replication of it), which is regenerated only between rounds.
+    Keyed by applicationId so a stopped session's handles are never
+    resurrected; cleared lazily when the session changes."""
+
+    _frames: dict = {}
+    _schemas: dict = {}
+
+    def read(self, spark, table):
+        key = (spark.sparkContext.applicationId, self.path, table)
+        got = self._frames.get(key)
+        if got is None:
+            if any(k[0] != key[0] for k in self._frames):
+                self._frames.clear()
+                self._schemas.clear()
+            got = super().read(spark, table)
+            self._frames[key] = got
+        return got
+
+    def table_schema(self, spark, table):
+        key = (spark.sparkContext.applicationId, self.path, table)
+        got = self._schemas.get(key)
+        if got is None:
+            got = super().table_schema(spark, table)
+            self._schemas[key] = got
+        return got
+
 
 #: Config used by the registry's fingerprint queries (bookend limit and
 #: bucket count sized for the sf0.01 correctness gate; defaults elsewhere).
