@@ -3133,3 +3133,36 @@ def test_curate_corpus_cluster_elision_equivalent(spark, sf_dir):
     for df in (cleaned, gates, exactd, pairs, neard, decon):
         df.unpersist()
     assert elided == full and elided
+
+
+def test_bpe_merges_matches_recursive_cte_oracle(spark, duck, docs):
+    """The iterative Spark BPE learner (one argmax collect per round) ==
+    the single-statement DuckDB recursive-CTE twin carrying the whole
+    vocabulary as one list-typed state row — the r8 closure of the
+    formerly rows-only entry.  Ten merges, default min_count."""
+    from pgverify_spark.operators import bpe
+
+    rows = _cmp(
+        bpe.bpe_merges_df(spark, docs, 10),
+        duck,
+        bpe.bpe_merges_oracle_sql("documents"),
+    )
+    assert rows and rows[0][0] == 1  # step numbering starts at 1
+
+
+def test_curate_corpus_report_matches_oracle(spark, duck, sf_dir):
+    """The curation funnel report == its chained-CTE twin, and its
+    stage counts are internally consistent: monotone non-increasing
+    through the destructive stages, and the split rows sum to the
+    decontaminated row."""
+    import __spark_entry__ as entry
+
+    fn = entry.queries()["curate_corpus_report_documents"]
+    sql = entry.oracle_sql()["curate_corpus_report_documents"]
+    rows = _cmp(fn(spark, sf_dir), duck, sql)
+    by_stage = {r[0]: r for r in rows}
+    funnel = [by_stage[s][2] for s in
+              ("cleaned", "gated", "exact_dedup", "near_dedup", "decontaminated")]
+    assert funnel == sorted(funnel, reverse=True) and funnel[-1] > 0
+    split_docs = sum(r[2] for r in rows if r[0].startswith("split_"))
+    assert split_docs == by_stage["decontaminated"][2]

@@ -845,3 +845,21 @@ def test_streaming_sample_quantiles_match_batch(spark, sf_dir, tmp_path):
         map(tuple, spark.read.parquet(str(tmp_path / "sample")).collect())
     )
     assert twice == once, "replayed batch double-appended its sample"
+
+
+def test_stateful_bucket_registry_query_matches_oracle(spark, duck, sf_dir):
+    """The REGISTERED stateful-fingerprint drive (bijective chunk->file
+    write, latest state per bucket) == its deterministic final-state
+    DuckDB twin — the r8 closure of the formerly rows-only streaming
+    entry.  Pins both the oracle math (associative modular hsum,
+    updates == count(DISTINCT chunk)) and the bijective write the
+    `updates` equality depends on."""
+    import __spark_entry__ as entry
+
+    fn = entry.queries()["streaming_stateful_bucket_fingerprint_events"]
+    sql = entry.oracle_sql()["streaming_stateful_bucket_fingerprint_events"]
+    s = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    d = sorted(map(tuple, duck.execute(sql).fetchall()))
+    assert s == d and len(s) > 1
+    # every bucket saw at least one update and counted rows
+    assert all(r[1] > 0 and r[3] >= 1 for r in s)
