@@ -153,8 +153,15 @@ def bpe_learn(
     RDD leaf (superseded rounds' blocks are GC'd by the context
     cleaner).
     """
+    # Words containing the U+001F boundary sentinel are dropped, the
+    # same convention as bpe_apply (see _BOUND): tokens are whitespace-
+    # split so the sentinel never comes from tokenization, and dropping
+    # it on BOTH twins keeps the recursive-CTE oracle's rep-string pair
+    # extraction (bpe_merges_oracle_sql) exact — a sentinel inside a
+    # word would corrupt its boundary-delimited representation there.
     vocab = (
         word_counts(df)
+        .filter(f"NOT contains(word, '{_BOUND}')")
         .selectExpr(
             "transform(sequence(1, length(word)), i -> substr(word, i, 1)) AS syms",
             "cnt",
@@ -432,7 +439,9 @@ def bpe_merges_oracle_sql(
         "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word), "
         "base AS (SELECT array_to_string(list_transform(range(1, length(word) + 1), "
         f"i -> {b} || substr(word, i, 1) || {b}), '') AS rep, cnt "
-        "FROM wc WHERE length(word) >= 2), "
+        # sentinel-bearing words dropped on BOTH twins (see bpe_learn):
+        # one inside a word would corrupt its boundary-delimited rep
+        f"FROM wc WHERE length(word) >= 2 AND NOT contains(word, {b})), "
         "st AS ("
         "SELECT 0 AS step, "
         "(SELECT list(struct_pack(rep := rep, cnt := cnt)) FROM base) AS vocab, "

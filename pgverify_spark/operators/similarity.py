@@ -23,6 +23,8 @@ projection, and per-bucket candidate lists are bounded by corpus/2^bits.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1017,6 +1019,10 @@ def _cached_cb_frame(spark, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, name)
     got = _CB_FRAME_CACHE.get(key)
     if got is None:
+        # frames cached for any other (stopped) session are dead weight;
+        # evict on session change so the dict never grows across sessions
+        if any(k[0] != key[0] for k in _CB_FRAME_CACHE):
+            _CB_FRAME_CACHE.clear()
         stored = read_bucketed(spark, f"{name}_cb")
         got = spark.createDataFrame(stored.collect(), stored.schema)
         _CB_FRAME_CACHE[key] = got
@@ -1037,6 +1043,8 @@ def _cached_cells_frame(spark, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, name)
     got = _CELLS_FRAME_CACHE.get(key)
     if got is None:
+        if any(k[0] != key[0] for k in _CELLS_FRAME_CACHE):
+            _CELLS_FRAME_CACHE.clear()
         got = read_bucketed(spark, f"{name}_cells")
         _CELLS_FRAME_CACHE[key] = got
     return got
@@ -1058,11 +1066,14 @@ def _centroid_rank_py(vec) -> list[int]:
     """Driver-side twin of :func:`_centroid_rank_sql` (full parity note
     there): order centroid indices by (-dot, idx).  Spark's SQL double
     ordering treats -0.0 == 0.0 (SQLOrderingUtil), exactly like Python
-    tuple comparison, so the tie behavior matches too."""
-    return sorted(
-        range(IVF_CENTROIDS_N),
-        key=lambda j: (-_dot_py(vec, IVF_CENTROIDS[j]), j),
-    )
+    tuple comparison, so the tie behavior matches too.  Non-finite
+    inputs fail LOUDLY: the SQL twin would NaN-order them (NaN sorts
+    last) while Python tuples would raise mid-sort anyway — a NaN
+    embedding is corrupt input, not a rankable vector."""
+    dots = [_dot_py(vec, IVF_CENTROIDS[j]) for j in range(IVF_CENTROIDS_N)]
+    if not all(math.isfinite(d) for d in dots):
+        raise ValueError("non-finite query embedding in IVF-PQ probe")
+    return sorted(range(IVF_CENTROIDS_N), key=lambda j: (-dots[j], j))
 
 
 def _pq_sub_d2_py(a, b, m: int) -> int:
@@ -1077,6 +1088,10 @@ def _pq_sub_d2_py(a, b, m: int) -> int:
     for i in range(m * PQ_SUB, (m + 1) * PQ_SUB):
         d = float(a[i]) - float(b[i])
         s = s + d * d
+    if not math.isfinite(s):
+        # the SQL twin NaN-propagates into a null/implementation-defined
+        # cast; refuse corrupt input instead of silently diverging
+        raise ValueError("non-finite embedding in IVF-PQ distance table")
     return int(
         Decimal(repr(s * 1000000)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
     )

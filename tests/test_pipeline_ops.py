@@ -3166,3 +3166,26 @@ def test_curate_corpus_report_matches_oracle(spark, duck, sf_dir):
     assert funnel == sorted(funnel, reverse=True) and funnel[-1] > 0
     split_docs = sum(r[2] for r in rows if r[0].startswith("split_"))
     assert split_docs == by_stage["decontaminated"][2]
+
+
+def test_bpe_merges_sentinel_words_dropped_on_both_twins(spark, tmp_path):
+    """Words containing the U+001F boundary sentinel are dropped by BOTH
+    the Spark learner and the recursive-CTE twin (same convention as
+    bpe_apply): a sentinel inside a word would corrupt the oracle's
+    boundary-delimited representation and silently diverge."""
+    import duckdb
+
+    from pgverify_spark.operators import bpe
+
+    rows = [(1, "aaa bb\x1fcc aaa"), (2, "aaa banana banana aaa")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    s = sorted(map(tuple, bpe.bpe_merges_df(spark, df, 4).collect()))
+    d = sorted(map(tuple, con.execute(bpe.bpe_merges_oracle_sql("documents", 4)).fetchall()))
+    assert s == d and s  # non-trivial merges from the clean words
+    assert all("\x1f" not in (r[1] + r[2]) for r in s)
