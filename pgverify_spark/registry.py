@@ -38,6 +38,7 @@ from pgverify_spark.operators.fingerprint import (
 )
 from pgverify_spark.plans.verify import verify
 from pgverify_spark.session import ensure_required_confs
+from pgverify_spark.sources.jdbc import JDBCTarget
 from pgverify_spark.sources.parquet import ParquetTarget as _ParquetTarget
 from pgverify_spark.sources.schemas import TESTDATA_TABLES
 
@@ -590,6 +591,82 @@ def _verify_report_entry_factory(
     return {name: (run, " UNION ALL ".join(selects))}
 
 
+#: Memoized embedded-Derby database per sf_dir (same pattern as the
+#: IVF-PQ stored index): orders loaded ONCE through Spark's JDBC write
+#: path into a quoted-lowercase table; every later call pays probe cost
+#: only.  Derby ships inside Spark's own jars, so this runs everywhere
+#: Spark does — a LIVE database end for the JDBC verify path, not a
+#: golden-SQL stand-in.
+_DERBY_REG_DB: dict[str, str] = {}
+
+
+def derby_target(spark: SparkSession, sf_dir: str, table: str = "orders") -> JDBCTarget:
+    """A live JDBCTarget over an embedded Derby copy of ``table``.
+
+    Build: one Spark JDBC write (mode overwrite, quoted-lowercase
+    ``dbtable`` so the physical name matches the logical one — unquoted
+    Derby folds to upper case).  The target declares its catalog
+    (``tables``/``primary_keys``) because Derby has no
+    PostgreSQL-style information_schema, and reads in parallel via
+    ``partition_columns`` — exercising the bounds-pushdown path against
+    a real database."""
+    import tempfile
+
+    spark._jvm.System.setProperty("derby.system.home", tempfile.gettempdir())
+    db = _DERBY_REG_DB.get(sf_dir)
+    if db is None:
+        tmp = tempfile.mkdtemp(prefix="pgvs_derby_")
+        db = f"{tmp}/db"
+        df = ParquetTarget("t", sf_dir).read(spark, table)
+        (
+            df.write.format("jdbc")
+            .option("url", f"jdbc:derby:{db};create=true")
+            .option("dbtable", f'"{table}"')
+            .mode("overwrite")
+            .save()
+        )
+        _DERBY_REG_DB[sf_dir] = db
+    return JDBCTarget(
+        "derby",
+        f"jdbc:derby:{db}",
+        schema="public",
+        db_schema="APP",
+        tables=(table,),
+        primary_keys={table: TESTDATA_TABLES[table].pk},
+        partition_columns={table: TESTDATA_TABLES[table].pk[0]},
+    )
+
+
+def _jdbc_live_report_entry() -> dict[str, tuple[Callable, str]]:
+    """Two-target verify where one side is a LIVE JDBC database
+    (embedded Derby) — closes the reference's integration surface
+    (integration_test.go:87-292) inside this sandbox: real rows over
+    JDBC, real type mapping (BIGINT/DOUBLE/VARCHAR/TIMESTAMP), the
+    parallel partitionColumn read, and the same canonical fingerprints
+    byte-identical to the parquet side."""
+    cfg = VerifyConfig(test_modes=_REPORT_MODES, include_tables=("orders",))
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_required_confs(spark)
+        targets = [ParquetTarget("parquet", sf_dir), derby_target(spark, sf_dir)]
+        app_id = spark.sparkContext.applicationId
+        if app_id not in _VERIFY_PLAN_CACHES:
+            _VERIFY_PLAN_CACHES.clear()
+        cache = _VERIFY_PLAN_CACHES.setdefault(app_id, {})
+        return verify(spark, targets, cfg, plan_cache=cache).report()
+
+    selects = []
+    for tname in ("parquet", "derby"):
+        mode_cols = ", ".join(
+            f"(SELECT fp FROM ({fingerprint_oracle_sql(m, 'orders', TESTDATA_TABLES['orders'], cfg)}) s) AS {m}"
+            for m in _REPORT_MODES
+        )
+        selects.append(
+            f"SELECT 'public' AS schema, 'orders' AS tbl, '{tname}' AS target, {mode_cols}"
+        )
+    return {"verify_report_parquet_vs_jdbc": (run, " UNION ALL ".join(selects))}
+
+
 def _report_entry() -> dict[str, tuple[Callable, str]]:
     """End-to-end verify twice over: the original 3-small-table report
     (dominated by fixed costs at any SF — the honest small-verify
@@ -602,6 +679,7 @@ def _report_entry() -> dict[str, tuple[Callable, str]]:
         **_verify_report_entry_factory(
             "verify_report_lineitem_pair", ("lineitem",)
         ),
+        **_jdbc_live_report_entry(),
     }
 
 
@@ -3197,8 +3275,9 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 #: N+1: rerun the derivation after the round-N CORRECTNESS file lands
 #: and paste (the test prints the expected tuple on mismatch).
 #:
-#: ROUND-8 WINDOW (derived from CORRECTNESS_r1..r7): positions 1-3 the
-#: never-hash-certified entries (this round's curate_corpus_report,
+#: ROUND-8 WINDOW (derived from CORRECTNESS_r1..r7): positions 1-4 the
+#: never-hash-certified entries (this round's curate_corpus_report and
+#: live-Derby verify_report_parquet_vs_jdbc,
 #: then the two formerly rows-only entries: bpe_merges via the
 #: recursive-CTE twin, the stateful streaming fingerprint via its
 #: deterministic final-state twin); 4-44 the 41 rows whose newest
@@ -3222,6 +3301,7 @@ _DRIVER_PRIORITY = (
     # never hash-certified: the two formerly rows-only entries,
     # oracle-paired this round (recursive-CTE BPE twin, deterministic
     # streaming final-state twin) — zero driver hash rows yet
+    "verify_report_parquet_vs_jdbc",
     "curate_corpus_report_documents",
     "bpe_merges_documents",
     "streaming_stateful_bucket_fingerprint_events",
@@ -3272,7 +3352,6 @@ _DRIVER_PRIORITY = (
     "sparse_fingerprint_lineitem",
     "bucketed_fingerprint_lineitem",
     "additive_fingerprint_lineitem",
-    "repair_plan_orders",
     # pinned smoke core (fresh parity row every round)
     "full_fingerprint_lineitem",
     "rowcount_fingerprint_lineitem",

@@ -1,0 +1,145 @@
+"""LIVE JDBC integration tests against embedded Apache Derby.
+
+Derby ships inside Spark's own jars, so the JDBC verify path gets a
+real database end-to-end in any environment Spark runs in — real rows
+over JDBC, real driver type mapping, the parallel partitionColumn read
+— replacing golden-SQL stand-ins for everything except the
+PostgreSQL-specific information_schema introspection and pushdown SQL
+(Derby has neither; those remain covered by tests/test_cli_jdbc.py).
+
+Mirrors the reference's integration matrix (integration_test.go:87-292):
+same-data targets verify consistent; a mutated row flips full/additive
+but not rowcount.
+"""
+
+import pytest
+
+from pgverify_spark.config import VerifyConfig
+from pgverify_spark.plans.verify import verify
+from pgverify_spark.sources.jdbc import JDBCTarget
+from pgverify_spark.sources.parquet import ParquetTarget
+
+
+def _load_derby(spark, sf_dir, db_dir, tables):
+    """Copy ``tables`` from parquet into a fresh embedded Derby DB via
+    Spark's JDBC write path (quoted-lowercase dbtable: unquoted names
+    fold to upper case in Derby and would not match the logical name)."""
+    import tempfile
+
+    spark._jvm.System.setProperty("derby.system.home", tempfile.gettempdir())
+    url = f"jdbc:derby:{db_dir};create=true"
+    for t in tables:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", f'"{t}"')
+            .mode("overwrite")
+            .save()
+        )
+    return f"jdbc:derby:{db_dir}"
+
+
+def _target(url, tables, pks, partition_columns=None):
+    return JDBCTarget(
+        "derby",
+        url,
+        schema="public",
+        db_schema="APP",
+        tables=tables,
+        primary_keys=pks,
+        partition_columns=partition_columns or {},
+    )
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, sf_dir, tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "db"
+    return _load_derby(spark, sf_dir, db, ("orders", "region"))
+
+
+def test_live_jdbc_verify_consistent(spark, sf_dir, derby_url):
+    """Parquet and the live Derby copy produce byte-identical
+    fingerprints in every mode — through the real JDBC type mapping
+    (BIGINT/DOUBLE/VARCHAR/TIMESTAMP) and the parallel bounds-pushdown
+    read for orders."""
+    jt = _target(
+        derby_url,
+        ("orders", "region"),
+        {"orders": ("o_orderkey",), "region": ("r_regionkey",)},
+        partition_columns={"orders": "o_orderkey"},
+    )
+    pt = ParquetTarget("parquet", sf_dir)
+    cfg = VerifyConfig(
+        test_modes=("full", "rowcount", "additive"),
+        include_tables=("orders", "region"),
+    )
+    rows = verify(spark, [pt, jt], cfg).report().collect()
+    assert len(rows) == 4  # 2 tables x 2 targets
+    by_tbl = {}
+    for r in rows:
+        by_tbl.setdefault(r["tbl"], []).append(r)
+    for tbl, pair in by_tbl.items():
+        a, b = pair
+        for mode in ("full", "rowcount", "additive"):
+            assert a[mode] == b[mode] != "(err)", (tbl, mode)
+
+
+def test_live_jdbc_mutation_detected(spark, sf_dir, tmp_path):
+    """A one-row UPDATE inside the database flips full and additive but
+    not rowcount (integration_test.go:294-398's data-mutation case, on
+    a live end)."""
+    url = _load_derby(spark, sf_dir, tmp_path / "db", ("region",))
+    jt = _target(url, ("region",), {"region": ("r_regionkey",)})
+    pt = ParquetTarget("parquet", sf_dir)
+    cfg = VerifyConfig(
+        test_modes=("full", "rowcount", "additive"), include_tables=("region",)
+    )
+
+    def fp_pair():
+        rows = verify(spark, [pt, jt], cfg).report().collect()
+        return {r["target"]: r for r in rows}
+
+    before = fp_pair()
+    for mode in ("full", "rowcount", "additive"):
+        assert before["parquet"][mode] == before["derby"][mode]
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        n = st.executeUpdate(
+            'UPDATE "region" SET "r_name" = \'MUTATED\' WHERE "r_regionkey" = 2'
+        )
+        assert n == 1
+        st.close()
+    finally:
+        conn.close()
+    after = fp_pair()
+    assert after["parquet"]["rowcount"] == after["derby"]["rowcount"]
+    for mode in ("full", "additive"):
+        assert after["parquet"][mode] != after["derby"][mode], mode
+
+
+def test_partitioned_jdbc_read_matches_single_connection(spark, derby_url):
+    """The parallel partitionColumn read returns exactly the single-
+    connection relation (bounds computed in the database; stripe
+    boundaries must neither drop nor duplicate rows)."""
+    par = _target(
+        derby_url, ("orders",), {"orders": ("o_orderkey",)},
+        partition_columns={"orders": "o_orderkey"},
+    ).read(spark, "orders")
+    single = _target(
+        derby_url, ("orders",), {"orders": ("o_orderkey",)}
+    ).read(spark, "orders")
+    assert par.rdd.getNumPartitions() > 1
+    assert sorted(map(tuple, par.collect())) == sorted(map(tuple, single.collect()))
+
+
+def test_declared_catalog_filter_semantics(spark, derby_url):
+    """tables=... filtering mirrors the introspection SQL: inclusions
+    win over exclusions."""
+    jt = _target(derby_url, ("orders", "region"), {})
+    inc = VerifyConfig(include_tables=("region",), exclude_tables=("region",))
+    assert jt.list_tables(spark, inc) == ["region"]
+    exc = VerifyConfig(exclude_tables=("region",))
+    assert jt.list_tables(spark, exc) == ["orders"]
+    assert jt.list_tables(spark, VerifyConfig()) == ["orders", "region"]
