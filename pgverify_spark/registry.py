@@ -3565,6 +3565,12 @@ HEADLINE_QUERIES = (
     # round-6 additions: the composed curation flagship + BPE apply
     "curate_corpus_documents",
     "bpe_apply_documents",
+    # round-8 additions: the live-Derby verify (memoized DB load, so
+    # min-of-two times the probe), the curation funnel report, and the
+    # iterative BPE learner now that it has a recursive-CTE twin
+    "verify_report_parquet_vs_jdbc",
+    "curate_corpus_report_documents",
+    "bpe_merges_documents",
 )
 
 
