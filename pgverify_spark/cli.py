@@ -109,6 +109,16 @@ def build_parser() -> argparse.ArgumentParser:
         "the run on any failing check (see operators/constraints.py)",
     )
     p.add_argument(
+        "--jdbc-catalog",
+        metavar="FILE",
+        help="JSON catalog for jdbc: targets whose database lacks "
+        "PostgreSQL-style information_schema (embedded Derby/H2): "
+        '{"tables": {"orders": ["o_orderkey"], ...}, "db_schema": "APP"} '
+        "— declares the table list and per-table primary keys "
+        "(short-circuits introspection) and the physical schema to "
+        "qualify SQL with while the report stays labeled 'public'",
+    )
+    p.add_argument(
         "--schemas",
         metavar="FILE",
         help="JSON file {table: spark DDL} applied to csv:/json: file "
@@ -124,6 +134,7 @@ def build_targets(
     uris: list[str],
     schemas: dict | None = None,
     pushdown: bool = False,
+    jdbc_catalog: dict | None = None,
 ) -> list:
     """Map target URIs to source objects.
 
@@ -140,7 +151,19 @@ def build_targets(
     for alias, uri in zip(aliases, uris):
         head, _, rest = uri.partition(":")
         if head == "jdbc" and rest:
-            targets.append(JDBCTarget(alias, uri, use_pushdown=pushdown))
+            cat = jdbc_catalog or {}
+            targets.append(
+                JDBCTarget(
+                    alias,
+                    uri,
+                    use_pushdown=pushdown,
+                    tables=tuple(cat.get("tables", ())),
+                    primary_keys={
+                        t: tuple(pk) for t, pk in cat.get("tables", {}).items() if pk
+                    },
+                    db_schema=cat.get("db_schema"),
+                )
+            )
         elif head in ("csv", "json", "orc") and rest:
             # <format>:<dir> — a directory of <table>.<format> files
             # (the reference's heterogeneous-target comparison, mapped
@@ -200,7 +223,15 @@ def main(argv: list[str] | None = None) -> int:
 
         with open(args.schemas) as fh:
             schemas = json.load(fh)
-    targets = build_targets(aliases, args.targets, schemas, args.pushdown)
+    jdbc_catalog = None
+    if args.jdbc_catalog:
+        import json
+
+        with open(args.jdbc_catalog) as fh:
+            jdbc_catalog = json.load(fh)
+    targets = build_targets(
+        aliases, args.targets, schemas, args.pushdown, jdbc_catalog
+    )
 
     snapshot_failures = 0
     if args.snapshot_dir:

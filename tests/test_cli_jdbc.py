@@ -326,7 +326,13 @@ def _run_cli(argv, timeout=300):
         capture_output=True,
         text=True,
         timeout=timeout,
+        # PYSPARK_PYTHON must point at THIS interpreter: the stripped
+        # PATH would hand Python worker processes /usr/bin/python3,
+        # which lacks pyspark — any Arrow/mapInPandas stage (e.g. the
+        # streamed fingerprint reduce a statless JDBC source auto-
+        # selects) then dies with a PythonArrowOutput read error
         env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin", "HOME": "/root",
+             "PYSPARK_PYTHON": sys.executable,
              "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")},
         cwd="/root/repo",
     )
@@ -362,3 +368,48 @@ def test_cli_snapshot_incremental_verify(spark, sf_dir, tmp_path):
     assert drift.returncode == 1
     assert "changed partition(s) since snapshot" in drift.stderr
     assert "table=events changed_partitions=0" in drift.stdout
+
+
+def test_cli_live_jdbc_derby_catalog(sf_dir, tmp_path):
+    """End-to-end CLI against a LIVE jdbc: target (embedded Derby) via
+    --jdbc-catalog: a matching copy verifies rc 0; a copy missing one
+    row fails rc 1 with the mismatch report."""
+    import json
+
+    # load the two Derby copies in a SUBPROCESS that exits cleanly:
+    # embedded Derby's per-database boot lock is only reliably released
+    # at JVM exit, and the pytest session's JVM must not hold it when
+    # the CLI subprocess boots the databases
+    loader = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pgverify_spark.session import get_spark\n"
+        "import tempfile\n"
+        "spark = get_spark('derby-loader')\n"
+        "spark._jvm.System.setProperty('derby.system.home', tempfile.gettempdir())\n"
+        f"region = spark.read.parquet('{sf_dir}/region.parquet')\n"
+        "for label, df in (('good', region), ('bad', region.filter('r_regionkey <> 2'))):\n"
+        f"    (df.write.format('jdbc').option('url', f'jdbc:derby:{tmp_path}/{{label}};create=true')\n"
+        "     .option('dbtable', '\"region\"').mode('overwrite').save())\n"
+        "spark.stop()\n"
+    )
+    load = subprocess.run(
+        [sys.executable, "-c", loader], capture_output=True, text=True,
+        timeout=300, cwd="/root/repo",
+    )
+    assert load.returncode == 0, load.stderr[-2000:]
+    catalog = tmp_path / "catalog.json"
+    catalog.write_text(
+        json.dumps({"tables": {"region": ["r_regionkey"]}, "db_schema": "APP"})
+    )
+    ok = _run_cli(
+        [sf_dir, f"jdbc:derby:{tmp_path}/good", "--tests", "full,rowcount",
+         "--include-tables", "region", "--jdbc-catalog", str(catalog)]
+    )
+    assert ok.returncode == 0, ok.stderr[-2000:]
+    assert "region" in ok.stdout
+    mism = _run_cli(
+        [sf_dir, f"jdbc:derby:{tmp_path}/bad", "--tests", "full,rowcount",
+         "--include-tables", "region", "--jdbc-catalog", str(catalog)]
+    )
+    assert mism.returncode == 1
+    assert "outputs differ" in mism.stderr
