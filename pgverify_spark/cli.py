@@ -74,9 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="force the memory-bounded streamed reduce for exact 'full' "
         "fingerprints (default: auto — every distributed-plan input "
         "streams; measured faster than the JVM aggregate at sf0.1 and "
-        "immune to its single-task-concat heap wall; "
-        "--no-full-stream-hash forces the aggregate; or prefer "
-        "--tests bucketed, the mergeable scale mode)",
+        "immune to its single-task-concat heap wall). NOTE: the "
+        "streamed reduce is a Python (mapInPandas) stage, so the "
+        "default path requires a pyspark-capable Python on every "
+        "EXECUTOR; JVM-only executor deployments must pass "
+        "--no-full-stream-hash (forces the aggregate, byte-identical "
+        "digests) or prefer --tests bucketed, the mergeable scale mode",
     )
     p.add_argument(
         "--no-full-stream-hash", action="store_const", const=False,
@@ -127,6 +130,77 @@ def build_parser() -> argparse.ArgumentParser:
         "between exporters)",
     )
     return p
+
+
+#: Failure signatures of a cluster whose EXECUTORS lack a
+#: pyspark-capable Python.  Since the r8 AUTO default, every
+#: non-small full/fused/partitioned fingerprint routes through an
+#: Arrow-batched Python (mapInPandas) stage, so deployments that
+#: previously ran JVM-only now need Python on every executor (or the
+#: ``--no-full-stream-hash`` opt-out — digests are byte-identical
+#: either way).
+_PY_WORKER_MARKERS = (
+    "Cannot run program",          # executor exec of python3 failed
+    "Python worker",               # worker crashed / failed to connect
+    "PythonArrowOutput",           # the mapInPandas stage's writer
+    "PYSPARK_PYTHON",
+)
+
+
+def _rethrow_with_stream_hash_hint(exc: BaseException, config) -> None:
+    """Re-raise ``exc``; when it looks like a missing-executor-Python
+    failure AND the streamed reduce could have been auto-selected,
+    wrap it in a SystemExit explaining the fix (ADVICE r8) instead of
+    leaving the user a bare JVM stack trace."""
+    msg = f"{type(exc).__name__}: {exc}"
+    if config.full_stream_hash is not False and any(
+        m in msg for m in _PY_WORKER_MARKERS
+    ):
+        raise SystemExit(
+            "verify failed inside a Python (mapInPandas) stage — the "
+            "default streamed 'full' fingerprint reduce requires a "
+            "pyspark-capable Python on every EXECUTOR. Fix: install "
+            "Python on the executors / set spark.pyspark.python (or "
+            "PYSPARK_PYTHON), or pass --no-full-stream-hash to force "
+            "the JVM-only aggregate (byte-identical digests; "
+            "heap-bounded beyond ~10^8 rows). Underlying error: "
+            f"{msg}"
+        ) from exc
+    raise exc
+
+
+_JDBC_CATALOG_SHAPE = (
+    'expected {"tables": {"<table>": ["<pk_col>", ...], ...}, '
+    '"db_schema": "<physical schema>"} (db_schema optional; a table\'s '
+    "pk list may be [] or null to fall back to introspection)"
+)
+
+
+def _validate_jdbc_catalog(cat, path: str):
+    """Shape-check a --jdbc-catalog document after json.load (ADVICE
+    r8): a string PK value would otherwise silently splat into
+    per-character column names via ``tuple(pk)``, and a list-shaped
+    ``tables`` would crash later on ``.items()`` with an unhelpful
+    AttributeError.  Errors here match the scheme-error UX of
+    ``build_targets``."""
+
+    def bad(detail: str):
+        raise SystemExit(f"invalid --jdbc-catalog {path!r}: {detail}; {_JDBC_CATALOG_SHAPE}")
+
+    if not isinstance(cat, dict):
+        bad(f"top level must be a JSON object, got {type(cat).__name__}")
+    tables = cat.get("tables", {})
+    if not isinstance(tables, dict):
+        bad(f'"tables" must be an object of table -> list of PK columns, got {type(tables).__name__}')
+    for t, pk in tables.items():
+        if pk is None:
+            continue
+        if not isinstance(pk, list) or not all(isinstance(c, str) for c in pk):
+            bad(f'primary key for table {t!r} must be a list of column-name strings, got {pk!r}')
+    db_schema = cat.get("db_schema")
+    if db_schema is not None and not isinstance(db_schema, str):
+        bad(f'"db_schema" must be a string, got {type(db_schema).__name__}')
+    return cat
 
 
 def build_targets(
@@ -228,7 +302,7 @@ def main(argv: list[str] | None = None) -> int:
         import json
 
         with open(args.jdbc_catalog) as fh:
-            jdbc_catalog = json.load(fh)
+            jdbc_catalog = _validate_jdbc_catalog(json.load(fh), args.jdbc_catalog)
     targets = build_targets(
         aliases, args.targets, schemas, args.pushdown, jdbc_catalog
     )
@@ -272,7 +346,10 @@ def main(argv: list[str] | None = None) -> int:
         if len(targets) == 1:
             return 1 if snapshot_failures else 0
 
-    result = verify(spark, targets, config)
+    try:
+        result = verify(spark, targets, config)
+    except Exception as exc:  # noqa: BLE001 — rethrown unless hinted
+        _rethrow_with_stream_hash_hint(exc, config)
     # report always prints, pass or fail (cmd.go:102-105); report()
     # pivots the already-collected rows without a re-collect job
     result.report().show(1000, truncate=False)

@@ -980,6 +980,13 @@ def write_ivfpq_index(
         f"{path}/cells",
     )
     write_bucketed(_pq_codebook(corpus), f"{name}_cb", "code", 1, f"{path}/cb")
+    # Rewriting an index name invalidates any probe-side frames cached
+    # for it (ADVICE r8): the caches' write-once assumption is enforced
+    # here at the only write site, so a rebuilt index can never serve a
+    # stale collected codebook or a dropped-file listing.
+    for cache in (_CB_FRAME_CACHE, _CELLS_FRAME_CACHE):
+        for key in [k for k in cache if k[1] == name]:
+            del cache[key]
 
 
 def probe_ivfpq_index(

@@ -125,7 +125,17 @@ class JDBCTarget:
         config = config or VerifyConfig()
         if self.tables:
             # declared catalog: the introspection SQL's filter semantics
-            # (inclusions win over exclusions), applied client-side
+            # (inclusions win over exclusions), applied client-side —
+            # including the SCHEMA filters (ADVICE r8): all declared
+            # tables live in this target's physical schema, so a config
+            # whose include/exclude_schemas rejects it lists nothing,
+            # exactly as build_tables_query's table_schema predicate
+            # would.
+            if config.include_schemas:
+                if self._db() not in config.include_schemas:
+                    return []
+            elif config.exclude_schemas and self._db() in config.exclude_schemas:
+                return []
             names = self.tables
             if config.include_tables:
                 names = tuple(t for t in names if t in config.include_tables)

@@ -354,3 +354,49 @@ def test_ivf_ingest_probe_matches_recompute(spark, sf_dir, tmp_path, no_broadcas
         assert got  # non-trivial at sf0.001 too
     finally:
         spark.sql("DROP TABLE IF EXISTS ivfing_cells")
+
+
+def test_ivfpq_rewrite_invalidates_probe_caches(spark, sf_dir, tmp_path):
+    """write_ivfpq_index evicts any probe-side frames cached for that
+    index name (ADVICE r8): a rebuilt index can never serve a stale
+    collected codebook or a dropped-file listing; other indexes'
+    entries survive."""
+    from pgverify_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.write_ivfpq_index(embs, "ivfpqinv", str(tmp_path / "a"))
+    try:
+        # populate both caches through the probe path
+        queries = embs.filter("vec_id IN (0, 1)")
+        similarity.probe_ivfpq_index(spark, queries, "ivfpqinv", 5, 1).collect()
+        assert any(k[1] == "ivfpqinv" for k in similarity._CB_FRAME_CACHE)
+        assert any(k[1] == "ivfpqinv" for k in similarity._CELLS_FRAME_CACHE)
+        other = ("someapp", "otheridx")
+        similarity._CB_FRAME_CACHE[other] = "sentinel"
+        similarity._CELLS_FRAME_CACHE[other] = "sentinel"
+        # rewrite the same name: its entries must be gone, others kept
+        similarity.write_ivfpq_index(embs, "ivfpqinv", str(tmp_path / "b"))
+        assert not any(k[1] == "ivfpqinv" for k in similarity._CB_FRAME_CACHE)
+        assert not any(k[1] == "ivfpqinv" for k in similarity._CELLS_FRAME_CACHE)
+        assert similarity._CB_FRAME_CACHE.pop(other) == "sentinel"
+        assert similarity._CELLS_FRAME_CACHE.pop(other) == "sentinel"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivfpqinv_cells")
+        spark.sql("DROP TABLE IF EXISTS ivfpqinv_cb")
+
+
+def test_registry_parquet_target_invalidate(spark, sf_dir):
+    """ParquetTarget.invalidate drops memoized frames for a path (all
+    paths when None) so a rewrite site can enforce the write-once
+    assumption (ADVICE r8)."""
+    from pgverify_spark import registry
+
+    t = registry.ParquetTarget("t", sf_dir)
+    t.read(spark, "region")
+    t.table_schema(spark, "region")
+    assert any(k[1] == sf_dir for k in registry.ParquetTarget._frames)
+    registry.ParquetTarget.invalidate("/nonexistent")  # no-op for other paths
+    assert any(k[1] == sf_dir for k in registry.ParquetTarget._frames)
+    registry.ParquetTarget.invalidate(sf_dir)
+    assert not any(k[1] == sf_dir for k in registry.ParquetTarget._frames)
+    assert not any(k[1] == sf_dir for k in registry.ParquetTarget._schemas)

@@ -413,3 +413,46 @@ def test_cli_live_jdbc_derby_catalog(sf_dir, tmp_path):
     )
     assert mism.returncode == 1
     assert "outputs differ" in mism.stderr
+
+
+def test_jdbc_catalog_shape_validation():
+    """--jdbc-catalog documents are shape-checked after json.load
+    (ADVICE r8): a string PK would silently splat per-character via
+    tuple(pk); a list-shaped tables would crash later on .items()."""
+    import pytest
+
+    from pgverify_spark.cli import _validate_jdbc_catalog
+
+    ok = {"tables": {"orders": ["o_orderkey"]}, "db_schema": "APP"}
+    assert _validate_jdbc_catalog(ok, "cat.json") is ok
+    # null PK = fall back to introspection — allowed
+    assert _validate_jdbc_catalog({"tables": {"t": None}}, "c")["tables"] == {
+        "t": None
+    }
+    with pytest.raises(SystemExit, match="list of column-name strings"):
+        _validate_jdbc_catalog({"tables": {"orders": "o_orderkey"}}, "c")
+    with pytest.raises(SystemExit, match='"tables" must be an object'):
+        _validate_jdbc_catalog({"tables": ["orders"]}, "c")
+    with pytest.raises(SystemExit, match="top level"):
+        _validate_jdbc_catalog(["orders"], "c")
+    with pytest.raises(SystemExit, match="db_schema"):
+        _validate_jdbc_catalog({"db_schema": 7}, "c")
+
+
+def test_stream_hash_missing_worker_hint():
+    """A missing-executor-Python failure under the AUTO streamed
+    reduce is rethrown as a SystemExit naming --no-full-stream-hash
+    (ADVICE r8); opted-out configs and unrelated errors pass through
+    untouched."""
+    import pytest
+
+    from pgverify_spark.cli import _rethrow_with_stream_hash_hint
+    from pgverify_spark.config import VerifyConfig
+
+    err = RuntimeError('Job aborted: Cannot run program "python3"')
+    with pytest.raises(SystemExit, match="no-full-stream-hash"):
+        _rethrow_with_stream_hash_hint(err, VerifyConfig())
+    with pytest.raises(RuntimeError, match="Cannot run program"):
+        _rethrow_with_stream_hash_hint(err, VerifyConfig(full_stream_hash=False))
+    with pytest.raises(ValueError, match="boom"):
+        _rethrow_with_stream_hash_hint(ValueError("boom"), VerifyConfig())

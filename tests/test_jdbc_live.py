@@ -143,3 +143,39 @@ def test_declared_catalog_filter_semantics(spark, derby_url):
     exc = VerifyConfig(exclude_tables=("region",))
     assert jt.list_tables(spark, exc) == ["orders"]
     assert jt.list_tables(spark, VerifyConfig()) == ["orders", "region"]
+
+
+def test_declared_catalog_schema_filters(spark, derby_url):
+    """Schema include/exclude apply to the DECLARED path too (ADVICE
+    r8): the declared tables all live in the target's physical schema,
+    so a config rejecting that schema lists nothing — the same outcome
+    build_tables_query's table_schema predicate produces."""
+    jt = _target(derby_url, ("orders", "region"), {})
+    # physical schema is APP (db_schema); the introspection SQL filters
+    # on the physical table_schema, so that is what must match here
+    assert jt.list_tables(spark, VerifyConfig(include_schemas=("APP",))) == [
+        "orders",
+        "region",
+    ]
+    assert jt.list_tables(spark, VerifyConfig(include_schemas=("public",))) == []
+    assert jt.list_tables(spark, VerifyConfig(exclude_schemas=("APP",))) == []
+    # inclusions win over exclusions, as in the SQL
+    both = VerifyConfig(include_schemas=("APP",), exclude_schemas=("APP",))
+    assert jt.list_tables(spark, both) == ["orders", "region"]
+
+
+def test_derby_target_loads_second_table_on_demand(spark, sf_dir):
+    """The registry's memoized Derby DB is shared per sf_dir but loads
+    a newly-requested table on demand (ADVICE r8) instead of declaring
+    a table the database does not contain."""
+    from pgverify_spark import registry
+
+    t1 = registry.derby_target(spark, sf_dir, "orders")
+    t2 = registry.derby_target(spark, sf_dir, "region")
+    assert t1.url == t2.url  # one shared database per sf_dir
+    want = spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    assert t2.read(spark, "region").count() == want
+    # and the first table is still there
+    assert t1.read(spark, "orders").count() == spark.read.parquet(
+        f"{sf_dir}/orders.parquet"
+    ).count()

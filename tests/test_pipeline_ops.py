@@ -3189,3 +3189,48 @@ def test_bpe_merges_sentinel_words_dropped_on_both_twins(spark, tmp_path):
     d = sorted(map(tuple, con.execute(bpe.bpe_merges_oracle_sql("documents", 4)).fetchall()))
     assert s == d and s  # non-trivial merges from the clean words
     assert all("\x1f" not in (r[1] + r[2]) for r in s)
+
+
+def test_bpe_learn_distributed_path_matches_local(docs, monkeypatch):
+    """The large-vocabulary distributed fallback and the collected
+    driver-local loop produce the identical merge table (r9: the
+    driver-local fold is the default below _DRIVER_VOCAB_LIMIT)."""
+    from pgverify_spark.operators import bpe
+
+    local = bpe.bpe_learn(docs, 6)
+    assert local, "corpus should yield merges"
+    monkeypatch.setattr(bpe, "_DRIVER_VOCAB_LIMIT", 0)
+    assert bpe.bpe_learn(docs, 6) == local
+
+
+def test_curate_pipeline_session_memo(spark, sf_dir):
+    """The curation pipeline is memoized per (session, sf_dir): the
+    flagship and the report twin invoked back-to-back share ONE stage
+    graph (r8 VERDICT item 4); clearCache unregisters the persisted
+    stages, which the memo detects and rebuilds instead of serving a
+    stale graph that would re-derive the chain per consumer."""
+    from pgverify_spark import registry
+
+    registry.release_curate_pipeline()
+    st1 = registry._curate_pipeline(spark, sf_dir)
+    st2 = registry._curate_pipeline(spark, sf_dir)
+    assert st1 is st2, "back-to-back calls must share one pipeline"
+    assert registry._pipe_live(st1)
+    spark.catalog.clearCache()
+    assert not registry._pipe_live(st1)
+    st3 = registry._curate_pipeline(spark, sf_dir)
+    assert st3 is not st1, "cleared pipeline must be rebuilt"
+    assert registry._pipe_live(st3)
+    # the two registered twins produce their certified outputs off the
+    # shared graph (rows sanity; full hash parity is the driver's gate)
+    q = registry.spark_queries()
+    flag = q["curate_corpus_documents"](spark, sf_dir)
+    assert flag.count() > 0
+    st4 = registry._curate_pipeline(spark, sf_dir)
+    rep = q["curate_corpus_report_documents"](spark, sf_dir)
+    assert rep.count() == 8
+    assert registry._curate_pipeline(spark, sf_dir) is st4, (
+        "report twin must not have rebuilt the flagship's pipeline"
+    )
+    registry.release_curate_pipeline()
+    assert not registry._CURATE_PIPE_CACHE
