@@ -31,6 +31,20 @@ Output: exactly ONE JSON line (the driver archives only the stdout
 tail, and a second full record pushed the compact one out of the
 window in r4).  Set ``SPARK_GRAFT_BENCH_FULL=1`` to also print the
 full record with per-query oracle timings as a PRECEDING line.
+
+NOISE BAND (measured r9, closing the r8 "+14% r1_15 drift" question):
+a controlled A/B (suite with vs without the in-JVM embedded-Derby
+entry, plus a same-config replicate, idle host, oracle pass skipped)
+measured A=12.58 / B1=13.41 / B2=12.07 s on the r1_15 subtotal and
+53.7 / 57.6 / 50.4 s on the total — the IDENTICAL-config replicate
+pair (B1 vs B2) swings wider than the with/without-Derby delta, so
+the Derby build does NOT tax the suite and round-over-round subtotal
+moves within ~±11% are run noise.  The noise is concentrated in the
+three LSH/semantic-dedup entries (±2 s each, cache/GC-timing
+sensitive); single-query deltas under ~2x should not be read as
+regressions without a replicate.  ``SPARK_GRAFT_SKIP_QUERIES`` (comma-
+separated names) is the builder-side A/B control — never set in
+driver/recorded runs.
 """
 
 from __future__ import annotations
@@ -98,6 +112,17 @@ def main() -> None:
 
     queries = registry.spark_queries()
     headline = [name for name in registry.HEADLINE_QUERIES if name in queries]
+    # Builder-side A/B control (r8 VERDICT item 1: isolate whether the
+    # in-JVM embedded-Derby build taxes the rest of the suite).  NOT
+    # part of the frozen protocol — when unset (the driver's run, every
+    # recorded BENCH_r*.json) the suite is unchanged.
+    skip = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "").split(",")
+        if q.strip()
+    }
+    if skip:
+        headline = [name for name in headline if name not in skip]
 
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:

@@ -116,10 +116,13 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="FILE",
         help="JSON catalog for jdbc: targets whose database lacks "
         "PostgreSQL-style information_schema (embedded Derby/H2): "
-        '{"tables": {"orders": ["o_orderkey"], ...}, "db_schema": "APP"} '
+        '{"tables": {"orders": ["o_orderkey"], ...}, "db_schema": "APP", '
+        '"partition_columns": {"orders": "o_orderkey"}} '
         "— declares the table list and per-table primary keys "
-        "(short-circuits introspection) and the physical schema to "
-        "qualify SQL with while the report stays labeled 'public'",
+        "(short-circuits introspection), the physical schema to "
+        "qualify SQL with while the report stays labeled 'public', and "
+        "optionally a numeric column per table for the parallel "
+        "bounds-pushdown read (N concurrent JDBC connections)",
     )
     p.add_argument(
         "--schemas",
@@ -200,6 +203,14 @@ def _validate_jdbc_catalog(cat, path: str):
     db_schema = cat.get("db_schema")
     if db_schema is not None and not isinstance(db_schema, str):
         bad(f'"db_schema" must be a string, got {type(db_schema).__name__}')
+    pcols = cat.get("partition_columns", {})
+    if not isinstance(pcols, dict) or not all(
+        isinstance(t, str) and isinstance(c, str) for t, c in pcols.items()
+    ):
+        bad(
+            '"partition_columns" must be an object of table -> column-name '
+            f"string, got {pcols!r}"
+        )
     return cat
 
 
@@ -235,6 +246,7 @@ def build_targets(
                     primary_keys={
                         t: tuple(pk) for t, pk in cat.get("tables", {}).items() if pk
                     },
+                    partition_columns=dict(cat.get("partition_columns", {})),
                     db_schema=cat.get("db_schema"),
                 )
             )

@@ -399,7 +399,16 @@ def test_cli_live_jdbc_derby_catalog(sf_dir, tmp_path):
     assert load.returncode == 0, load.stderr[-2000:]
     catalog = tmp_path / "catalog.json"
     catalog.write_text(
-        json.dumps({"tables": {"region": ["r_regionkey"]}, "db_schema": "APP"})
+        json.dumps(
+            {
+                "tables": {"region": ["r_regionkey"]},
+                "db_schema": "APP",
+                # r9: the catalog can also declare the parallel-read
+                # column — the good-path run below exercises the
+                # bounds-pushdown partitioned read through the CLI
+                "partition_columns": {"region": "r_regionkey"},
+            }
+        )
     )
     ok = _run_cli(
         [sf_dir, f"jdbc:derby:{tmp_path}/good", "--tests", "full,rowcount",
@@ -456,3 +465,23 @@ def test_stream_hash_missing_worker_hint():
         _rethrow_with_stream_hash_hint(err, VerifyConfig(full_stream_hash=False))
     with pytest.raises(ValueError, match="boom"):
         _rethrow_with_stream_hash_hint(ValueError("boom"), VerifyConfig())
+
+
+def test_jdbc_catalog_partition_columns_passthrough(tmp_path):
+    """A catalog's partition_columns reaches the JDBCTarget (parallel
+    bounds-pushdown read) and is shape-validated."""
+    import pytest
+
+    from pgverify_spark.cli import _validate_jdbc_catalog, build_targets
+
+    cat = {
+        "tables": {"orders": ["o_orderkey"]},
+        "partition_columns": {"orders": "o_orderkey"},
+    }
+    assert _validate_jdbc_catalog(cat, "c") is cat
+    (jt,) = build_targets(["a"], ["jdbc:derby:/tmp/x"], jdbc_catalog=cat)
+    assert jt.partition_columns == {"orders": "o_orderkey"}
+    with pytest.raises(SystemExit, match="partition_columns"):
+        _validate_jdbc_catalog({"partition_columns": {"orders": ["o_orderkey"]}}, "c")
+    with pytest.raises(SystemExit, match="partition_columns"):
+        _validate_jdbc_catalog({"partition_columns": ["orders"]}, "c")

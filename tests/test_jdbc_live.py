@@ -70,10 +70,13 @@ def test_live_jdbc_verify_consistent(spark, sf_dir, derby_url):
         partition_columns={"orders": "o_orderkey"},
     )
     pt = ParquetTarget("parquet", sf_dir)
-    cfg = VerifyConfig(
-        test_modes=("full", "rowcount", "additive"),
-        include_tables=("orders", "region"),
-    )
+    # ALL five fingerprint modes over the live database (r8 VERDICT
+    # missing-item 1: bookend/sparse previously had parquet-only
+    # evidence) — bookend exercises ORDER BY + LIMIT over the JDBC
+    # rows, sparse the md5-prefix sampling, both through the real
+    # driver type mapping.
+    modes = ("full", "rowcount", "additive", "bookend", "sparse")
+    cfg = VerifyConfig(test_modes=modes, include_tables=("orders", "region"))
     rows = verify(spark, [pt, jt], cfg).report().collect()
     assert len(rows) == 4  # 2 tables x 2 targets
     by_tbl = {}
@@ -81,7 +84,7 @@ def test_live_jdbc_verify_consistent(spark, sf_dir, derby_url):
         by_tbl.setdefault(r["tbl"], []).append(r)
     for tbl, pair in by_tbl.items():
         a, b = pair
-        for mode in ("full", "rowcount", "additive"):
+        for mode in modes:
             assert a[mode] == b[mode] != "(err)", (tbl, mode)
 
 
