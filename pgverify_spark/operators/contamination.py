@@ -30,7 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
+from pgverify_spark.functions.canonical import (
+    DIALECT_DUCKDB,
+    DIALECT_SPARK,
+    hex_prefix_int_sql,
+)
 from pgverify_spark.operators.util import barrier as _barrier
 from pgverify_spark.functions.text_exprs import (
     MINHASH_P,
@@ -290,4 +294,154 @@ def bloom_decontaminate_oracle_sql(
         f"CAST(sum(CAST(bits = {BLOOM_K} AS INT)) AS BIGINT) AS bloom_hits, "
         f"CAST(sum(CAST(bits = {BLOOM_K} AS INT)) >= {min_hits} AS INT) AS contaminated "
         "FROM persh GROUP BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-run contamination (diagonal islands over positional n-grams)
+# ---------------------------------------------------------------------------
+
+#: Minimum shared positions for a (train, eval) pair to be reported —
+#: aligned with contamination_pairs' ``min_shared`` default.
+MIN_MATCHED = 2
+
+
+def contamination_spans(
+    df: DataFrame,
+    n: int = CONTAM_N,
+    eval_mod: int = 10,
+    min_matched: int = MIN_MATCHED,
+    max_eval_freq: int = MAX_EVAL_FREQ,
+) -> DataFrame:
+    """Exact *contiguous-overlap* detection between train and eval docs:
+    for each cross-split pair, the longest run of CONSECUTIVE shared
+    n-grams — i.e. the longest common token substring, in n-gram units.
+
+    :func:`contamination_pairs` counts shared n-grams as a *set*; two
+    docs can share 50 scattered 5-grams (common phrases) without any
+    copied passage.  Production decontamination (GPT-3 appendix C,
+    Lee et al. 2022) flags *substring* overlap above a length threshold
+    — a 200-token verbatim quote is qualitatively different from 200
+    scattered n-grams.  Suffix arrays (the single-machine tool for
+    this) don't distribute; this reformulates span-finding as a
+    gaps-and-islands problem that is pure SQL:
+
+    a shared n-gram at train position ``i`` and eval position ``j``
+    lies on alignment diagonal ``i - j``; a VERBATIM run of length L
+    produces L matches on ONE diagonal at consecutive ``i`` — so runs
+    are islands of consecutive ``i`` within (train, eval, diagonal),
+    found with one ``row_number`` window over the matches.
+
+    Output: (train_doc, eval_doc, n_matched, n_spans, max_run,
+    longest_span_tokens) — ``max_run`` in n-grams, ``longest_span_tokens
+    = max_run + n - 1`` in tokens; one row per cross-split pair with
+    >= ``min_matched`` positional matches.
+
+    Scale shape: the eval positional index is benchmark-sized and
+    broadcast (same asymmetry as :func:`contamination_pairs`); the
+    corpus is scanned once, never shuffled; only the matched hits
+    (O(contamination)) reach the window, which is partitioned by
+    (train, eval, diagonal) — thousands of tiny partitions, never a
+    single-reducer sort.  The hot-shingle cap bounds join fan-out
+    exactly as in contamination_pairs.
+    """
+    toks = _barrier(
+        df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens")
+    )
+    pos = (
+        toks.filter(f"size(tokens) >= {n}")
+        .selectExpr(
+            "doc_id", f"posexplode({ngrams_sql('tokens', n, DIALECT_SPARK)}) AS (p, g)"
+        )
+        .selectExpr(
+            "doc_id",
+            "p + 1 AS pos",  # 1-based, matching the oracle's range(1, ...)
+            f"{hex_prefix_int_sql('md5(g)', DIALECT_SPARK)} AS s",
+        )
+    )
+    ev = pos.filter(f"doc_id % {eval_mod} = 0").selectExpr(
+        "doc_id AS eval_doc", "pos AS epos", "s"
+    )
+    if max_eval_freq is not None:
+        hot = (
+            ev.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") > max_eval_freq)
+            .select("s")
+        )
+        ev = ev.join(hot, "s", "left_anti")
+    tr = pos.filter(f"doc_id % {eval_mod} <> 0").selectExpr(
+        "doc_id AS train_doc", "pos AS tpos", "s"
+    )
+    from pyspark.sql import Window
+
+    hits = tr.join(F.broadcast(ev), "s").selectExpr(
+        "train_doc", "eval_doc", "tpos - epos AS diag", "tpos"
+    )
+    w = Window.partitionBy("train_doc", "eval_doc", "diag").orderBy("tpos")
+    runs = (
+        hits.withColumn("isl", F.expr("tpos") - F.row_number().over(w))
+        .groupBy("train_doc", "eval_doc", "diag", "isl")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("train_doc", "eval_doc")
+        .agg(
+            F.sum("run_len").alias("n_matched"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("run_len").alias("max_run"),
+        )
+        .filter(f"n_matched >= {min_matched}")
+        .selectExpr(
+            "train_doc",
+            "eval_doc",
+            "CAST(n_matched AS BIGINT) AS n_matched",
+            "CAST(n_spans AS BIGINT) AS n_spans",
+            "CAST(max_run AS BIGINT) AS max_run",
+            f"CAST(max_run + {n - 1} AS BIGINT) AS longest_span_tokens",
+        )
+    )
+
+
+def contamination_spans_oracle_sql(
+    table: str,
+    n: int = CONTAM_N,
+    eval_mod: int = 10,
+    min_matched: int = MIN_MATCHED,
+    max_eval_freq: int = MAX_EVAL_FREQ,
+) -> str:
+    d = DIALECT_DUCKDB
+    hot_filter = ""
+    ev_src = "ev"
+    if max_eval_freq is not None:
+        hot_filter = (
+            f"hot AS (SELECT s FROM ev GROUP BY s HAVING count(*) > {max_eval_freq}), "
+            "evk AS (SELECT ev.* FROM ev ANTI JOIN hot USING (s)), "
+        )
+        ev_src = "evk"
+    g = hex_prefix_int_sql("md5(grams[i])", d)
+    return (
+        f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
+        f"tokn AS (SELECT * FROM tok WHERE len(tokens) >= {n}), "
+        f"gr AS (SELECT doc_id, {ngrams_sql('tokens', n, d)} AS grams FROM tokn), "
+        "pos AS MATERIALIZED (SELECT doc_id, i AS pos, "
+        f"{g} AS s FROM (SELECT doc_id, grams, "
+        "unnest(range(1, len(grams) + 1)) AS i FROM gr) t), "
+        f"ev AS (SELECT doc_id AS eval_doc, pos AS epos, s FROM pos "
+        f"WHERE doc_id % {eval_mod} = 0), "
+        f"{hot_filter}"
+        "tr AS (SELECT doc_id AS train_doc, pos AS tpos, s FROM pos "
+        f"WHERE doc_id % {eval_mod} <> 0), "
+        "hits AS (SELECT train_doc, eval_doc, tpos - epos AS diag, tpos "
+        f"FROM tr JOIN {ev_src} USING (s)), "
+        "runs AS (SELECT train_doc, eval_doc, diag, "
+        "tpos - row_number() OVER (PARTITION BY train_doc, eval_doc, diag "
+        "ORDER BY tpos) AS isl FROM hits), "
+        "rl AS (SELECT train_doc, eval_doc, diag, isl, count(*) AS run_len "
+        "FROM runs GROUP BY 1, 2, 3, 4) "
+        "SELECT train_doc, eval_doc, CAST(sum(run_len) AS BIGINT) AS n_matched, "
+        "CAST(count(*) AS BIGINT) AS n_spans, CAST(max(run_len) AS BIGINT) AS max_run, "
+        f"CAST(max(run_len) + {n - 1} AS BIGINT) AS longest_span_tokens "
+        "FROM rl GROUP BY 1, 2 "
+        f"HAVING sum(run_len) >= {min_matched}"
     )

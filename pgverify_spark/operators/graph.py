@@ -1,0 +1,196 @@
+"""Iterative graph analytics over document-pair graphs.
+
+Beyond-reference extension (the reference has no graph notion anywhere
+in its ~1,100 LoC — SURVEY.md §1.4): once a dedup pipeline has produced
+near-duplicate *pairs*, the pair graph carries more signal than
+connected components alone.  PageRank over it scores how "central" a
+document is inside its duplication neighbourhood — a standard
+quality/canonicality weight in web-corpus curation (highly-duplicated
+boilerplate scores high and can be down-weighted; a document only
+loosely attached to a dup cluster scores near the teleport floor).
+The same operator runs over any (doc_a, doc_b) edge relation — citation
+links, hyperlinks — which is where the 100 TB case lives.
+
+Scale shape — the classic iterative join-agg, same discipline as
+:func:`pgverify_spark.operators.dedup.dup_clusters`:
+
+- edges are symmetrized + deduped ONCE and checkpointed; every
+  iteration re-reads in-memory id-only blocks;
+- one iteration = one equi-join (ranks onto edge sources) + one
+  aggregation (contributions per destination), both hash shuffles on
+  bare ids with map-side combine — 2 shuffles/round, rows ∝ |E|;
+- per-round ``localCheckpoint(eager=True)`` truncates the logical plan
+  so Catalyst analysis cost stays constant per round (measured
+  load-bearing in dup_clusters, same mechanism here; on a dynamic
+  cluster swap for a reliable checkpoint dir);
+- out-degrees ride ON the edge relation (joined once, before the
+  loop), so the per-round join touches exactly two relations.
+
+Cross-engine exactness: ranks are integer PARTS-PER-MILLION and each
+contribution is ``(rank_ppm * damping_pm) DIV (1000 * degree)`` —
+pure BIGINT floor division, identical in Spark (``div``) and DuckDB
+(``//``) for the non-negative operands used here.  Sums of BIGINTs are
+order-independent, so the result is bit-identical across engines,
+partitionings, and runs — float PageRank would drift in the last ulps.
+The oracle unrolls the fixed iteration count into chained CTEs (no
+recursion needed; multi-referenced CTEs are MATERIALIZED).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Damping factor in parts-per-thousand (0.85 — Page et al. 1999).
+DAMPING_PM = 850
+
+#: Teleport floor in ppm: (1 - damping) * 1e6.
+_TELEPORT_PPM = (1000 - DAMPING_PM) * 1000
+
+#: Initial rank: 1.0 in ppm.
+_INIT_PPM = 1_000_000
+
+
+def pagerank(
+    pairs: DataFrame, iterations: int = 4, checkpoint_every: int = 8
+) -> DataFrame:
+    """Integer-exact PageRank over an undirected pair graph.
+
+    Input: (doc_a, doc_b) pairs — any BIGINT node ids (documents,
+    shingle-term nodes, URLs...); extra columns are ignored; edges are
+    symmetrized and deduplicated, so every endpoint has degree >= 1 and
+    there are no dangling nodes by construction.
+
+    Output: (node_id, rank_ppm BIGINT) for every node in a pair, after
+    exactly ``iterations`` synchronous update rounds of
+
+        rank'(v) = 150000 + sum over edges u->v of
+                   (rank(u) * 850) DIV (1000 * deg(u))
+
+    i.e. the standard damped update with all arithmetic in BIGINT ppm.
+    A fixed iteration count (not a convergence check) keeps the output
+    a pure function of the input — the oracle unrolls the same count.
+
+    Checkpoint cadence: the (edges ⋈ degrees) relation is checkpointed
+    ONCE and every round re-reads its in-memory blocks; the rank chain
+    itself stays LAZY and one action evaluates the whole unrolled tree
+    (per-round eager checkpoints were measured 2.5x slower at sf0.1 —
+    each one is a scheduled job + materialization barrier, pure
+    overhead at small round counts, and Catalyst re-plans a depth-4
+    tree in microseconds).  Plan growth only matters for LONG chains
+    (dup_clusters' measured 3s→8s per-round growth started past ~10
+    rounds), so ``checkpoint_every`` truncates the chain every N rounds
+    — the default only engages for deep runs."""
+    from pgverify_spark.operators.util import release_cached_deps
+
+    src = pairs.selectExpr("doc_a", "doc_b").localCheckpoint(eager=True)
+    # the eager checkpoint just materialized the caller's pair pipeline —
+    # any persisted intermediates tagged on it (doc_term_edges' shingle
+    # table) are no longer needed by anything downstream
+    release_cached_deps(pairs)
+    edges = (
+        src.selectExpr("doc_a AS s", "doc_b AS t")
+        .unionByName(src.selectExpr("doc_b AS s", "doc_a AS t"))
+        .distinct()
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(deg, "s").localCheckpoint(eager=True)
+    if not ed.take(1):  # empty graph: zero-row output, skip the loop
+        return ed.selectExpr("s AS node_id", "CAST(s AS BIGINT) AS rank_ppm")
+    ranks = (
+        ed.select("s")
+        .distinct()
+        .selectExpr("s AS node", f"CAST({_INIT_PPM} AS BIGINT) AS rank_ppm")
+    )
+    contrib = f"(rank_ppm * {DAMPING_PM}) div (1000 * d)"
+    for rnd in range(iterations):
+        ranks = (
+            ed.join(ranks, ed["s"] == ranks["node"])
+            .groupBy("t")
+            .agg(F.expr(f"sum({contrib})").alias("c"))
+            .selectExpr("t AS node", f"CAST({_TELEPORT_PPM} + c AS BIGINT) AS rank_ppm")
+        )
+        if checkpoint_every and (rnd + 1) % checkpoint_every == 0 and rnd + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.selectExpr("node AS node_id", "rank_ppm")
+
+
+def pagerank_oracle_sql(pairs_sql: str, iterations: int = 4) -> str:
+    """The identical computation with the iteration loop unrolled into
+    chained CTEs.  ``//`` is DuckDB's BIGINT floor division — equal to
+    Spark's ``div`` for the non-negative operands here; the per-round
+    HUGEINT sum is cast back to BIGINT before the teleport add."""
+    contrib = "(r.rank_ppm * 850) // (1000 * ed.d)"
+    parts = [
+        f"WITH pr AS MATERIALIZED ({pairs_sql})",
+        "edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM pr "
+        "UNION SELECT doc_b, doc_a FROM pr)",
+        "deg AS (SELECT s, count(*) AS d FROM edges GROUP BY s)",
+        "ed AS MATERIALIZED (SELECT edges.s, edges.t, deg.d FROM edges "
+        "JOIN deg USING (s))",
+        f"r0 AS (SELECT DISTINCT s AS node, CAST({_INIT_PPM} AS BIGINT) "
+        "AS rank_ppm FROM ed)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"r{i + 1} AS (SELECT ed.t AS node, "
+            f"CAST({_TELEPORT_PPM} + CAST(sum({contrib}) AS BIGINT) AS BIGINT) "
+            f"AS rank_ppm FROM ed JOIN r{i} r ON r.node = ed.s GROUP BY ed.t)"
+        )
+    return ", ".join(parts) + f" SELECT node AS node_id, rank_ppm FROM r{iterations}"
+
+
+# ---------------------------------------------------------------------------
+# Document-term bipartite graph (the registry's PageRank input)
+# ---------------------------------------------------------------------------
+
+#: Term nodes live at shingle_hash + this offset so they can never
+#: collide with document ids (48-bit shingle hashes < 2^48 ≈ 2.8e14;
+#: doc ids are corpus-sized) — one BIGINT node-id space for both.
+TERM_NODE_OFFSET = 10**15
+
+
+def doc_term_edges(df: DataFrame) -> DataFrame:
+    """(doc_a = doc_id, doc_b = term node) edges of the document-term
+    bipartite graph: one edge per distinct 3-token shingle per document
+    (``dedup._shingled`` — the dedup family's tokenize → n-gram →
+    48-bit-hash chain, persisted there because ``explode`` re-evaluates
+    its input chain per OUTPUT element: reusing it measured 13s → 1.5s
+    at sf0.1, the same pathology _shingled's own docstring records).
+    The persisted table is tagged on the result so registry callers
+    release it after materializing (``util.release_cached_deps``).
+
+    PageRank over this graph is the TextRank-family salience measure:
+    a term's rank grows with its document frequency, a document's rank
+    with how many high-traffic terms it touches — degree-irregular by
+    nature (unlike near-dup pair graphs, which are unions of
+    near-regular cliques where PageRank is provably uniform).
+    """
+    from pgverify_spark.operators.dedup import _shingled
+    from pgverify_spark.operators.util import tag_cached_deps
+
+    sh = _shingled(df)  # persisted (see _shingled)
+    out = (
+        sh.selectExpr("doc_id AS doc_a", "explode(shingles) AS s")
+        .selectExpr("doc_a", f"{TERM_NODE_OFFSET} + s AS doc_b")
+    )
+    return tag_cached_deps(out, sh)
+
+
+def doc_term_edges_oracle_sql(table: str) -> str:
+    from pgverify_spark.functions.canonical import DIALECT_DUCKDB
+    from pgverify_spark.functions.text_exprs import (
+        ngrams_sql,
+        shingle_ints_sql,
+        tokens_sql,
+    )
+    from pgverify_spark.operators.dedup import NGRAM_N
+
+    d = DIALECT_DUCKDB
+    return (
+        f"SELECT doc_id AS doc_a, {TERM_NODE_OFFSET} + unnest(shingles) AS doc_b FROM "
+        f"(SELECT doc_id, {shingle_ints_sql('grams', d)} AS shingles FROM "
+        f"(SELECT doc_id, {ngrams_sql('tokens', NGRAM_N, d)} AS grams FROM "
+        f"(SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}) tk "
+        f"WHERE len(tokens) >= {NGRAM_N}) gr) shn"
+    )

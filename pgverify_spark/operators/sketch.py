@@ -404,3 +404,105 @@ def grouped_sampled_quantiles_oracle_sql(
         "SELECT pr.grp, prob_ppm, n_sample, v AS est_value "
         "FROM rk JOIN pr ON rk.grp = pr.grp AND rk.rn = pr.r"
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations (union / intersection / Jaccard across two corpora)
+# ---------------------------------------------------------------------------
+
+def kmv_overlap(df: DataFrame, value_col: str, side_col: str, k: int = 256) -> DataFrame:
+    """KMV *set-operation* estimates between two value multisets — the
+    Beyer et al. 2007 extension of the distinct sketch: given rows
+    tagged with a boolean ``side_col`` (A membership; everything else
+    is B), estimate |A|, |B|, |A ∪ B|, |A ∩ B| and the Jaccard
+    similarity from three k-minimum-value sketches.
+
+    The key property: the k smallest hashes of A ∪ B are a UNIFORM
+    sample of the distinct union, so the fraction of that sample
+    present in both sides estimates Jaccard — and every quantity here
+    is a deterministic pure function of the data (explicit md5-derived
+    hashes, no engine RNG), so two engines' sketches are byte-identical
+    — same contract as :func:`kmv_sketch`.  Corpus-level use: measure
+    vocabulary/shingle overlap between two corpora (a crawl refresh vs
+    the standing corpus) without ever joining them.
+
+    Output: ONE row — (n_a, kth_a, est_a, n_b, kth_b, est_b, n_union,
+    kth_union, est_union, overlap_k, jaccard_ppm, est_intersection).
+    ``overlap_k`` = union-sketch entries present in BOTH sides; when
+    the union has fewer than k distinct hashes every estimate is exact.
+
+    Scale shape: ONE hash shuffle with map-side combine builds the
+    (hash, in_a, in_b) relation; the three top-k heads are
+    TakeOrdered (never a global sort or single-reducer window), the
+    grouped exchange is planned once and reused across all three
+    branches, and the three 1-row aggregates combine through broadcast
+    nested-loop joins.  Final state: <= 3k hashes regardless of input.
+    """
+    h = hex_prefix_int_sql(f"md5(CAST({value_col} AS STRING))", DIALECT_SPARK, 15)
+    sides = (
+        df.selectExpr(f"CAST({side_col} AS INT) AS a", f"{h} AS h")
+        .groupBy("h")
+        .agg(F.max("a").alias("in_a"), F.max(F.expr("1 - a")).alias("in_b"))
+    )
+    ta = (
+        sides.filter("in_a = 1").orderBy("h").limit(k)
+        .agg(F.count(F.lit(1)).alias("n_a"), F.max("h").alias("kth_a"))
+    )
+    tb = (
+        sides.filter("in_b = 1").orderBy("h").limit(k)
+        .agg(F.count(F.lit(1)).alias("n_b"), F.max("h").alias("kth_b"))
+    )
+    tu = sides.orderBy("h").limit(k).agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.max("h").alias("kth_union"),
+        F.expr("CAST(sum(in_a * in_b) AS BIGINT)").alias("overlap_k"),
+    )
+    from pgverify_spark.operators.util import tag_cached_deps
+
+    return tag_cached_deps(
+        ta.crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tu))
+        .selectExpr(
+            "n_a", "kth_a", f"{_est_sql(k, 'n_a', 'kth_a')} AS est_a",
+            "n_b", "kth_b", f"{_est_sql(k, 'n_b', 'kth_b')} AS est_b",
+            "n_union", "kth_union",
+            f"{_est_sql(k, 'n_union', 'kth_union')} AS est_union",
+            "overlap_k",
+            "CASE WHEN n_union = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST((overlap_k * 1000000) div n_union AS BIGINT) END AS jaccard_ppm",
+            "CASE WHEN n_union = 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE round(CAST(overlap_k AS DOUBLE) / n_union * "
+            f"({_est_sql(k, 'n_union', 'kth_union')}), 6) END AS est_intersection",
+        ),
+        *getattr(df, "_pgvs_cached_deps", ()),
+    )
+
+
+def kmv_overlap_oracle_sql(values_sql: str, value_col: str, side_col: str, k: int = 256) -> str:
+    """``values_sql`` is a relation producing (``side_col`` boolean,
+    ``value_col``); the sketch pipeline is reproduced hash-for-hash."""
+    h = hex_prefix_int_sql(f"md5(CAST({value_col} AS VARCHAR))", DIALECT_DUCKDB, 15)
+    div = "CASE WHEN n_union = 0 THEN CAST(0 AS BIGINT) " \
+          "ELSE CAST((overlap_k * 1000000) // n_union AS BIGINT) END"
+    inter = (
+        "CASE WHEN n_union = 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE round(CAST(overlap_k AS DOUBLE) / n_union * "
+        f"({_est_sql(k, 'n_union', 'kth_union')}), 6) END"
+    )
+    return (
+        f"WITH vals AS ({values_sql}), "
+        f"sides AS MATERIALIZED (SELECT h, max(a) AS in_a, max(1 - a) AS in_b FROM "
+        f"(SELECT CAST({side_col} AS INT) AS a, {h} AS h FROM vals) v GROUP BY h), "
+        "ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM sides WHERE in_a = 1), "
+        f"ta AS (SELECT count(*) AS n_a, max(h) AS kth_a FROM ra WHERE rn <= {k}), "
+        "rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM sides WHERE in_b = 1), "
+        f"tb AS (SELECT count(*) AS n_b, max(h) AS kth_b FROM rb WHERE rn <= {k}), "
+        "ru AS (SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn FROM sides), "
+        "tu AS (SELECT count(*) AS n_union, max(h) AS kth_union, "
+        f"CAST(sum(in_a * in_b) AS BIGINT) AS overlap_k FROM ru WHERE rn <= {k}) "
+        f"SELECT n_a, kth_a, {_est_sql(k, 'n_a', 'kth_a')} AS est_a, "
+        f"n_b, kth_b, {_est_sql(k, 'n_b', 'kth_b')} AS est_b, "
+        f"n_union, kth_union, {_est_sql(k, 'n_union', 'kth_union')} AS est_union, "
+        f"overlap_k, {div} AS jaccard_ppm, {inter} AS est_intersection "
+        "FROM ta, tb, tu"
+    )

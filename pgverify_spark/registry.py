@@ -19,6 +19,7 @@ from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK
 from pgverify_spark.operators import (
     contamination,
     dedup,
+    graph,
     multimodal,
     rollup,
     sample,
@@ -40,7 +41,7 @@ from pgverify_spark.plans.verify import verify
 from pgverify_spark.session import ensure_required_confs
 from pgverify_spark.sources.jdbc import JDBCTarget
 from pgverify_spark.sources.parquet import ParquetTarget as _ParquetTarget
-from pgverify_spark.sources.schemas import TESTDATA_TABLES
+from pgverify_spark.sources.schemas import TESTDATA_TABLES, TableSchema
 
 
 class ParquetTarget(_ParquetTarget):
@@ -552,6 +553,44 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
         run_drill,
         drilldown_row_diff_oracle_sql("events", right_sql, ev_schema),
     )
+
+    # incremental AGGREGATE maintenance — the continuous-aggregate twin
+    # of snapshot_update_events: roll up the original once, mutate two
+    # days, splice-update ONLY those days' rollup rows from a pruned
+    # delta scan; the updated state must equal a from-scratch hourly
+    # rollup of the mutated table (day 19724's hours drop out entirely,
+    # day 19723's sums shift)
+    def run_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        ensure_required_confs(spark)
+        left = ParquetTarget("t", sf_dir).read(spark, "events")
+        day = timecol.bucket_sql(left, timecol.US_PER_DAY)
+        changed = left.filter(f"{day} <> 19724").selectExpr(
+            "event_id", "ts", "user_id", "event_type",
+            f"CASE WHEN {day} = 19723 AND event_id % 11 = 0 "
+            "THEN value + 1 ELSE value END AS value",
+            "props",
+        )
+        # initial rollup state memoized per sf_dir (the deploy shape:
+        # state written once, every later run splices — exactly the
+        # _SNAPSHOT_STORE treatment snapshot_verify got); the splice is
+        # idempotent on re-runs (re-aggregating the same touched days
+        # from the same mutated table rewrites identical rows), so
+        # repeated calls time the UPDATE half only
+        state = _ROLLUP_IVM_STORE.get(sf_dir)
+        if state is None:
+            state = tempfile.mkdtemp(prefix="pgvs_ivm_") + "/state"
+            rollup.write_rollup_snapshot(left, state)
+            _ROLLUP_IVM_STORE[sf_dir] = state
+        return rollup.update_rollup_snapshot(
+            spark, changed, state, (19723, 19724)
+        )
+
+    out["rollup_ivm_events"] = (
+        run_rollup_ivm,
+        rollup.rollup_ivm_oracle_sql(f"{right_sql} r"),
+    )
     return out
 
 
@@ -978,6 +1017,10 @@ _PQ_STORE: dict[tuple[str, str], str] = {}
 #: sf_dir -> parquet path of the persisted events fingerprint snapshot
 #: (snapshot_verify_events state half, written once per sf_dir).
 _SNAPSHOT_STORE: dict[str, str] = {}
+
+#: Initial hourly-rollup state per sf_dir for rollup_ivm_events (same
+#: write-once-then-splice deploy shape as _SNAPSHOT_STORE).
+_ROLLUP_IVM_STORE: dict[str, str] = {}
 
 #: sf_dir -> parquet path of the stored bigram LM model (trained once
 #: per sf_dir; scoring joins against it — the "built offline once"
@@ -1557,6 +1600,30 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "bloom_decontaminate_documents": (
             _table_query("documents", contamination.bloom_decontaminate),
             contamination.bloom_decontaminate_oracle_sql("documents"),
+        ),
+        # contiguous-overlap decontamination: longest VERBATIM run of
+        # shared n-grams per cross-split pair (diagonal gaps-and-islands
+        # — the distributed reformulation of suffix-array span finding)
+        "contamination_spans_documents": (
+            _table_query("documents", contamination.contamination_spans),
+            contamination.contamination_spans_oracle_sql("documents"),
+        ),
+        # integer-exact PageRank over the document-term bipartite graph
+        # (TextRank-family salience).  The dup-PAIR graph was measured
+        # and rejected as the input: near-dup components in any corpus
+        # with injected exact copies are near-regular cliques, where
+        # PageRank is provably uniform — the term graph is
+        # degree-irregular by nature (7k distinct ranks at sf0.01).
+        # The same operator runs over any (doc_a, doc_b) edge relation
+        # (web links, citations) at 100 TB.
+        "pagerank_term_graph_documents": (
+            _table_query(
+                "documents",
+                lambda df: graph.pagerank(graph.doc_term_edges(df), 4),
+            ),
+            graph.pagerank_oracle_sql(
+                graph.doc_term_edges_oracle_sql("documents"), 4
+            ),
         ),
         # near-dup pairs -> connected components (cluster id = min doc_id)
         "dup_clusters_documents": (
@@ -2381,6 +2448,37 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "events", lambda df: sketch.kmv_sketch(df, "user_id", "event_type", 32)
             ),
             sketch.kmv_sketch_oracle_sql("events", "user_id", "event_type", 32),
+        ),
+        # KMV set operations: 3-gram shingle overlap between the two
+        # corpus halves (union/intersection/Jaccard estimated from
+        # three k-minimum-value sketches, never a join of the corpora).
+        # Shingles, not tokens: the synthetic generator's token
+        # VOCABULARY is a few dozen words (k would exceed it and every
+        # estimate would be trivially exact); the ~16k distinct 3-gram
+        # shingles at sf0.01 exercise the actual estimator.  The value
+        # fed to the sketch is the dedup family's 48-bit shingle INT —
+        # per-doc-distinct in-row before the explode, so the md5 count
+        # is cut by the in-document repetition factor (measured 10.9s
+        # -> ~1.5s at sf0.1 vs hashing every gram occurrence).
+        "kmv_shingle_overlap_documents": (
+            _table_query(
+                "documents",
+                lambda df: sketch.kmv_overlap(
+                    graph.doc_term_edges(df).selectExpr(
+                        "doc_a % 2 = 0 AS side_a", "doc_b AS v"
+                    ),
+                    "v",
+                    "side_a",
+                    256,
+                ),
+            ),
+            sketch.kmv_overlap_oracle_sql(
+                "SELECT doc_a % 2 = 0 AS side_a, doc_b AS v FROM "
+                f"({graph.doc_term_edges_oracle_sql('documents')}) dte",
+                "v",
+                "side_a",
+                256,
+            ),
         ),
         # deterministic hash-threshold sample quantiles (the scale path
         # beside the exact equidepth baseline; mergeable by construction)
@@ -3432,7 +3530,94 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
             selects.append(
                 f"SELECT 'public' AS schema, '{table}' AS tbl, '{tname}' AS target, {mode_cols}"
             )
-    return {"verify_report_parquet_vs_csv": (run, " UNION ALL ".join(selects))}
+    out = {"verify_report_parquet_vs_csv": (run, " UNION ALL ".join(selects))}
+    out.update(_derived_view_report_entry())
+    return out
+
+
+#: The derived relation verified across heterogeneous stores by
+#: verify_report_derived_view: per-nation order stats over the
+#: orders ⋈ customer join.  Deterministic by construction (counts and
+#: integer min/max only — no float sums), so equal base data must yield
+#: byte-identical view fingerprints on every engine.
+_DERIVED_VIEW_SQL = (
+    "SELECT c_nationkey, count(*) AS n_orders, min(o_orderkey) AS min_order, "
+    "max(o_orderkey) AS max_order FROM orders JOIN customer "
+    "ON o_custkey = c_custkey GROUP BY c_nationkey"
+)
+
+
+def _derived_view_report_entry() -> dict[str, tuple[Callable, str]]:
+    """Verify a DERIVED relation — not a base table — across two stores
+    (parquet vs a live CSV export), through the real orchestrator: the
+    reference stops at base tables (views excluded, query.go:21-100);
+    ETL outputs and materialized views need the same consistency check.
+    The view joins orders to customer and aggregates per nation, so the
+    fingerprint covers a join + groupBy pipeline, and column pruning
+    reaches through the view into both base scans (the CSV side only
+    parses the two key columns it needs)."""
+    view_name = "nation_order_stats"
+    cfg = VerifyConfig(test_modes=_REPORT_MODES, include_tables=(view_name,))
+
+    def build_view(spark: SparkSession, base) -> DataFrame:
+        o = base.read(spark, "orders").select("o_custkey", "o_orderkey")
+        c = base.read(spark, "customer").select("c_custkey", "c_nationkey")
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_order"),
+                F.max("o_orderkey").alias("max_order"),
+            )
+        )
+
+    views = {view_name: (build_view, ("c_nationkey",))}
+
+    def ddl(table: str) -> str:
+        return ", ".join(f"{c} {t}" for c, t in TESTDATA_TABLES[table].cols)
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.sources.files import FileTarget
+        from pgverify_spark.sources.views import ViewTarget
+
+        ensure_required_confs(spark)
+        tmp = tempfile.mkdtemp(prefix="pgvs_dview_")
+        schemas = {}
+        for t in ("orders", "customer"):
+            ParquetTarget("src", sf_dir).read(spark, t).write.format("csv").option(
+                "header", "true"
+            ).mode("overwrite").save(f"{tmp}/{t}.csv")
+            schemas[t] = ddl(t)
+        targets = [
+            ViewTarget("parquet", ParquetTarget("pq", sf_dir), views),
+            ViewTarget("csv", FileTarget("c", tmp, format="csv", schemas=schemas), views),
+        ]
+        return verify(spark, targets, cfg).report()
+
+    vschema = TableSchema(
+        view_name,
+        (
+            ("c_nationkey", "int"),
+            ("n_orders", "bigint"),
+            ("min_order", "bigint"),
+            ("max_order", "bigint"),
+        ),
+        ("c_nationkey",),
+    )
+    view_sql = f"({_DERIVED_VIEW_SQL}) v"
+    selects = []
+    for tname in ("csv", "parquet"):  # report sorts targets alphabetically
+        mode_cols = ", ".join(
+            f"(SELECT fp FROM ({fingerprint_oracle_sql(m, view_sql, vschema, cfg)}) s) AS {m}"
+            for m in _REPORT_MODES
+        )
+        selects.append(
+            f"SELECT 'public' AS schema, '{view_name}' AS tbl, '{tname}' AS target, {mode_cols}"
+        )
+    return {"verify_report_derived_view": (run, " UNION ALL ".join(selects))}
 
 
 #: Names the driver's bounded CORRECTNESS window should certify FIRST.
@@ -3475,8 +3660,15 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
 _DRIVER_PRIORITY_ROUND = 9
 
 _DRIVER_PRIORITY = (
-    # r9 rotation: weakest-evidence-first (45 r5 rows + oldest r6 rows),
-    # derived by `python -m pgverify_spark.rotation` from CORRECTNESS_r1-r8
+    # r9 rotation: never-certified entries first (this round's five new
+    # operators), then weakest-evidence-first (45 r5 rows + oldest r6
+    # rows), derived by `python -m pgverify_spark.rotation` from
+    # CORRECTNESS_r1-r8
+    "rollup_ivm_events",  # last green r—never
+    "verify_report_derived_view",  # last green r—never
+    "contamination_spans_documents",  # last green r—never
+    "pagerank_term_graph_documents",  # last green r—never
+    "kmv_shingle_overlap_documents",  # last green r—never
     "repair_plan_orders",  # last green r5
     "hashed_vectors_documents",  # last green r5
     "sessionize_events",  # last green r5
@@ -3521,12 +3713,6 @@ _DRIVER_PRIORITY = (
     "label_centroid_drift_embeddings",  # last green r5
     "dedup_savings_report_documents",  # last green r5
     "full_fingerprint_orders",  # last green r6
-    "full_fingerprint_customer",  # last green r6
-    "full_fingerprint_events",  # last green r6
-    "full_fingerprint_documents",  # last green r6
-    "bookend_fingerprint_orders",  # last green r6
-    "sparse_fingerprint_orders",  # last green r6
-    # pinned smoke core (fresh parity row every round)
     "full_fingerprint_lineitem",  # last green r8
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
@@ -3546,6 +3732,7 @@ _DRIVER_PRIORITY = (
 #: tests/test_plan_audit.py (no oracle may emit a DECIMAL column).
 _DOUBLE_OUTPUT_COLS: dict[str, tuple[str, ...]] = {
     "hourly_rollup_events": ("sum_value",),
+    "rollup_ivm_events": ("sum_value",),
     "daily_rollup_events": ("sum_value",),
     "sessionize_events": ("sum_value",),
     "sessionize_scalable_events": ("sum_value",),
@@ -3745,6 +3932,11 @@ HEADLINE_QUERIES = (
     "verify_report_parquet_vs_jdbc",
     "curate_corpus_report_documents",
     "bpe_merges_documents",
+    # round-9 additions
+    "rollup_ivm_events",
+    "contamination_spans_documents",
+    "pagerank_term_graph_documents",
+    "kmv_shingle_overlap_documents",
 )
 
 

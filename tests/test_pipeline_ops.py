@@ -3234,3 +3234,140 @@ def test_curate_pipeline_session_memo(spark, sf_dir):
     )
     registry.release_curate_pipeline()
     assert not registry._CURATE_PIPE_CACHE
+
+
+# ---------------------------------------------------------------------------
+# round 9: pagerank / contamination spans / kmv overlap / rollup IVM
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_term_graph_matches_oracle(docs, duck):
+    from pgverify_spark.operators import graph
+
+    rows = _cmp(
+        graph.pagerank(graph.doc_term_edges(docs), 4),
+        duck,
+        graph.pagerank_oracle_sql(graph.doc_term_edges_oracle_sql("documents"), 4),
+    )
+    assert rows
+    # every rank is at least the teleport floor and the graph is
+    # degree-irregular (the whole point of the term graph)
+    assert all(r[1] >= 150_000 for r in rows)
+    assert len({r[1] for r in rows}) > 10
+    # both node families present and disjoint
+    assert any(r[0] < graph.TERM_NODE_OFFSET for r in rows)
+    assert any(r[0] >= graph.TERM_NODE_OFFSET for r in rows)
+
+
+def test_pagerank_shapes(spark):
+    from pgverify_spark.operators import graph
+
+    # regular components (pair + triangle) stay EXACTLY uniform — the
+    # measured reason the registry entry uses the term graph, pinned
+    pairs = spark.createDataFrame(
+        [(1, 2), (10, 11), (11, 12), (10, 12)], "doc_a long, doc_b long"
+    )
+    out = {r["node_id"]: r["rank_ppm"] for r in graph.pagerank(pairs, 4).collect()}
+    assert set(out.values()) == {1_000_000} and len(out) == 5
+    # a star diverges: the hub accumulates rank, leaves sink to the floor
+    star = spark.createDataFrame([(0, i) for i in (1, 2, 3, 4)], "doc_a long, doc_b long")
+    s = {r["node_id"]: r["rank_ppm"] for r in graph.pagerank(star, 4).collect()}
+    assert s[0] > 1_000_000 > s[1] and s[1] == s[2] == s[3] == s[4]
+    # empty graph: empty output, no loop
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert graph.pagerank(empty, 4).collect() == []
+
+
+def test_contamination_spans_matches_oracle(docs, duck):
+    from pgverify_spark.operators import contamination
+
+    rows = _cmp(
+        contamination.contamination_spans(docs),
+        duck,
+        contamination.contamination_spans_oracle_sql("documents"),
+    )
+    for _, _, n_matched, n_spans, max_run, span_toks in rows:
+        assert n_matched >= n_spans >= 1
+        assert span_toks == max_run + contamination.CONTAM_N - 1
+
+
+def test_contamination_spans_verbatim_vs_scattered(spark):
+    """A copied passage produces ONE long run; the same n-grams scattered
+    produce many length-1 islands — the signal set-overlap cannot see."""
+    from pgverify_spark.operators import contamination
+
+    passage = " ".join(f"w{i}" for i in range(9))  # 9 tokens = 5 x 5-grams
+    filler = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    eval_doc = (0, f"{filler('e', 6)} {passage} {filler('f', 6)}")
+    verbatim = (1, f"{filler('a', 7)} {passage} {filler('b', 7)}")
+    # same 2 five-grams as the passage's first/last, but split apart
+    scattered = (
+        2,
+        " ".join(f"w{i}" for i in range(5))
+        + f" {filler('c', 9)} "
+        + " ".join(f"w{i}" for i in range(4, 9)),
+    )
+    df = spark.createDataFrame([eval_doc, verbatim, scattered], "doc_id long, text string")
+    out = {
+        (r["train_doc"], r["eval_doc"]): r
+        for r in contamination.contamination_spans(df, eval_mod=10).collect()
+    }
+    v = out[(1, 0)]
+    assert (v["n_spans"], v["max_run"], v["longest_span_tokens"]) == (1, 5, 9)
+    s = out[(2, 0)]
+    assert s["max_run"] == 1 and s["n_spans"] == 2 and s["longest_span_tokens"] == 5
+
+
+def test_kmv_overlap_exact_when_under_k(spark, duck):
+    from pgverify_spark.operators import sketch
+
+    rows = [(True, f"v{i}") for i in range(10)] + [(False, f"v{i}") for i in range(5, 15)]
+    df = spark.createDataFrame(rows, "side_a boolean, v string")
+    (r,) = sketch.kmv_overlap(df, "v", "side_a", k=64).collect()
+    assert (r["n_a"], r["n_b"], r["n_union"], r["overlap_k"]) == (10, 10, 15, 5)
+    assert (r["est_a"], r["est_b"], r["est_union"]) == (10.0, 10.0, 15.0)
+    assert r["jaccard_ppm"] == 5 * 1_000_000 // 15
+    assert r["est_intersection"] == 5.0
+
+
+def test_kmv_shingle_overlap_registry_twin(spark, duck, sf_dir):
+    from pgverify_spark import registry
+
+    name = "kmv_shingle_overlap_documents"
+    spark_rows = sorted(map(tuple, registry.spark_queries()[name](spark, sf_dir).collect()))
+    duck_rows = sorted(map(tuple, duck.execute(registry.oracle_queries()[name]).fetchall()))
+    assert spark_rows == duck_rows
+    (r,) = spark_rows
+    n_union, overlap_k = r[6], r[9]
+    assert 0 < overlap_k <= n_union
+    assert 0 <= r[10] <= 1_000_000  # jaccard_ppm bounded
+
+
+def test_rollup_ivm_equals_full_recompute(spark, sf_dir, tmp_path):
+    from pgverify_spark.functions.timecol import US_PER_DAY, bucket_sql
+    from pgverify_spark.operators import rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = bucket_sql(ev, US_PER_DAY)
+    changed = ev.filter(f"{day} <> 19724").selectExpr(
+        "event_id", "ts", "user_id", "event_type",
+        f"CASE WHEN {day} = 19723 AND event_id % 11 = 0 "
+        "THEN value + 1 ELSE value END AS value",
+        "props",
+    )
+    state = str(tmp_path / "state")
+    rollup.write_rollup_snapshot(ev, state)
+    # no-op update returns the stored state untouched
+    before = sorted(map(tuple, spark.read.parquet(state).collect()))
+    noop = sorted(map(tuple, rollup.update_rollup_snapshot(spark, changed, state, ()).collect()))
+    assert noop == before
+    spliced = sorted(
+        map(tuple, rollup.update_rollup_snapshot(spark, changed, state, (19723, 19724)).collect())
+    )
+    scratch = sorted(
+        map(tuple, rollup.hourly_rollup(changed, distinct_users=None).collect())
+    )
+    assert spliced == scratch
+    # the splice really dropped the deleted day and persisted on disk
+    assert not [t for t in spliced if t[0] // 24 == 19724]
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == spliced

@@ -323,3 +323,72 @@ def test_repair_plan(spark, duck, sf_dir):
     assert all(ni >= 1 and nd >= 1 for _, a, ni, nd in got if a == "update")
     assert all(nd == 0 for _, a, _, nd in got if a == "insert")
     assert all(ni == 0 for _, a, ni, _ in got if a == "delete")
+
+
+def test_view_target_verifies_derived_relations(spark, sf_dir, tmp_path):
+    """ViewTarget makes a derived relation a first-class verify subject:
+    a base mutation that changes the view flags, one the view doesn't
+    read does not — and column pruning reaches through the view."""
+    from pyspark.sql import functions as F
+
+    from pgverify_spark.config import VerifyConfig
+    from pgverify_spark.plans.verify import verify
+    from pgverify_spark.sources.parquet import ParquetTarget
+    from pgverify_spark.sources.views import ViewTarget
+
+    def build_view(spark, base):
+        o = base.read(spark, "orders").select("o_custkey", "o_orderkey")
+        c = base.read(spark, "customer").select("c_custkey", "c_nationkey")
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_order"),
+                F.max("o_orderkey").alias("max_order"),
+            )
+        )
+
+    views = {"nation_order_stats": (build_view, ("c_nationkey",))}
+    cfg = VerifyConfig(test_modes=("full", "rowcount"))
+    src = ParquetTarget("src", sf_dir)
+
+    def mutated_base(name, mutate):
+        d = tmp_path / name
+        mutate(src.read(spark, "orders")).write.parquet(f"{d}/orders.parquet")
+        src.read(spark, "customer").write.parquet(f"{d}/customer.parquet")
+        return ParquetTarget(name, str(d))
+
+    def fps(base_b):
+        res = verify(
+            spark,
+            [ViewTarget("a", src, dict(views)), ViewTarget("b", base_b, dict(views))],
+            cfg,
+        )
+        out = {}
+        for r in res.rows:
+            out.setdefault(r["target"], {})[r["mode"]] = r["output"]
+        return out["a"], out["b"]
+
+    # view-visible mutation: drop one order -> full fp differs (and the
+    # view ROWCOUNT may not — per-nation groups survive the deletion)
+    a, b = fps(mutated_base("dropped", lambda o: o.filter("o_orderkey <> 1")))
+    assert a["full"] != b["full"]
+    # view-invisible mutation: a column the view never reads
+    a, b = fps(
+        mutated_base(
+            "retagged",
+            lambda o: o.withColumn("o_orderstatus", F.lit("Z")),
+        )
+    )
+    assert a == b
+    # pruning reaches through the view into the base scan
+    vt = ViewTarget("a", src, dict(views))
+    plan = vt.read(spark, "nation_order_stats")._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    orders_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(
+        set(s.replace(" ", "").split(",")) == {"o_custkey:bigint", "o_orderkey:bigint"}
+        for s in orders_schemas
+    ), plan
