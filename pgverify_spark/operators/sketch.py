@@ -438,12 +438,30 @@ def kmv_overlap(df: DataFrame, value_col: str, side_col: str, k: int = 256) -> D
     branches, and the three 1-row aggregates combine through broadcast
     nested-loop joins.  Final state: <= 3k hashes regardless of input.
     """
+    from pgverify_spark.operators.util import tag_cached_deps
+
+    return tag_cached_deps(
+        overlap_from_sides(_overlap_sides(df, value_col, side_col), k),
+        *getattr(df, "_pgvs_cached_deps", ()),
+    )
+
+
+def _overlap_sides(df: DataFrame, value_col: str, side_col: str) -> DataFrame:
+    """The (h, in_a, in_b) relation all three sketches read — one hash
+    shuffle with map-side combine."""
     h = hex_prefix_int_sql(f"md5(CAST({value_col} AS STRING))", DIALECT_SPARK, 15)
-    sides = (
+    return (
         df.selectExpr(f"CAST({side_col} AS INT) AS a", f"{h} AS h")
         .groupBy("h")
         .agg(F.max("a").alias("in_a"), F.max(F.expr("1 - a")).alias("in_b"))
     )
+
+
+def overlap_from_sides(sides: DataFrame, k: int = 256) -> DataFrame:
+    """The report half of :func:`kmv_overlap` over an explicit
+    (h, in_a, in_b) relation — shared by the batch operator and the
+    streaming finalize (``streaming/sketch.streaming_kmv_overlap``),
+    so the two paths cannot drift."""
     ta = (
         sides.filter("in_a = 1").orderBy("h").limit(k)
         .agg(F.count(F.lit(1)).alias("n_a"), F.max("h").alias("kth_a"))
@@ -457,9 +475,7 @@ def kmv_overlap(df: DataFrame, value_col: str, side_col: str, k: int = 256) -> D
         F.max("h").alias("kth_union"),
         F.expr("CAST(sum(in_a * in_b) AS BIGINT)").alias("overlap_k"),
     )
-    from pgverify_spark.operators.util import tag_cached_deps
-
-    return tag_cached_deps(
+    return (
         ta.crossJoin(F.broadcast(tb))
         .crossJoin(F.broadcast(tu))
         .selectExpr(
@@ -473,9 +489,28 @@ def kmv_overlap(df: DataFrame, value_col: str, side_col: str, k: int = 256) -> D
             "CASE WHEN n_union = 0 THEN CAST(0 AS DOUBLE) "
             "ELSE round(CAST(overlap_k AS DOUBLE) / n_union * "
             f"({_est_sql(k, 'n_union', 'kth_union')}), 6) END AS est_intersection",
-        ),
-        *getattr(df, "_pgvs_cached_deps", ()),
+        )
     )
+
+
+def kmv_overlap_survivors(
+    df: DataFrame, value_col: str, side_col: str, k: int = 256
+) -> DataFrame:
+    """One batch's sketch SURVIVORS: the union of the three per-sketch
+    top-k heads of the batch's (h, in_a, in_b) relation — <= 3k rows.
+
+    Exactness of merge-then-trim: a hash among the k smallest of the
+    TOTAL union (or of total A / total B) is among the k smallest of
+    every batch's subset that contains it, so it survives that batch's
+    trim with its flags intact — union-of-survivors re-aggregated
+    through :func:`overlap_from_sides` equals the batch operator over
+    all rows (the streaming twin's correctness contract, shared
+    oracle)."""
+    sides = _overlap_sides(df, value_col, side_col)
+    ha = sides.filter("in_a = 1").orderBy("h").limit(k)
+    hb = sides.filter("in_b = 1").orderBy("h").limit(k)
+    hu = sides.orderBy("h").limit(k)
+    return ha.unionByName(hb).unionByName(hu).distinct()
 
 
 def kmv_overlap_oracle_sql(values_sql: str, value_col: str, side_col: str, k: int = 256) -> str:

@@ -3466,8 +3466,60 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
         chunk_sql="event_id % 4",
     )
 
+    def run_skmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.sketch import (
+            finalize_streaming_kmv_overlap,
+            streaming_kmv_overlap,
+        )
+
+        ensure_required_confs(spark)
+        docs = ParquetTarget("t", sf_dir).read(spark, "documents")
+        tmp = tempfile.mkdtemp(prefix="pgvs_skmvov_")
+        (
+            docs.withColumn("chunk", (F.col("doc_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+
+        def to_sides(batch_df: DataFrame) -> DataFrame:
+            return graph.doc_term_edges(batch_df).selectExpr(
+                "doc_a % 2 = 0 AS side_a", "doc_b AS v"
+            )
+
+        q = (
+            streaming_kmv_overlap(sdf, f"{tmp}/store", 256, to_sides)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return finalize_streaming_kmv_overlap(spark, f"{tmp}/store", 256)
+
+    # union-of-survivors re-aggregated == the batch operator over the
+    # whole corpus (subset argument in kmv_overlap_survivors) => the
+    # streaming twin shares the batch entry's oracle verbatim
+    skmv_overlap_oracle = sketch.kmv_overlap_oracle_sql(
+        "SELECT doc_a % 2 = 0 AS side_a, doc_b AS v FROM "
+        f"({graph.doc_term_edges_oracle_sql('documents')}) dte",
+        "v",
+        "side_a",
+        256,
+    )
+
     return {
         "streaming_stateful_bucket_fingerprint_events": (run, stateful_oracle),
+        "streaming_kmv_overlap_documents": (run_skmv_overlap, skmv_overlap_oracle),
         "streaming_dedup_documents": (run_dedup, dedup_oracle),
         "streaming_session_rollup_events": (run_sessions, sessions_oracle),
         "streaming_funnel_events": (run_funnel, funnel_oracle),
@@ -3660,8 +3712,8 @@ def _derived_view_report_entry() -> dict[str, tuple[Callable, str]]:
 _DRIVER_PRIORITY_ROUND = 9
 
 _DRIVER_PRIORITY = (
-    # r9 rotation: never-certified entries first (this round's five new
-    # operators), then weakest-evidence-first (45 r5 rows + oldest r6
+    # r9 rotation: never-certified entries first (this round's six new
+    # operators), then weakest-evidence-first (r5 rows, then oldest r6
     # rows), derived by `python -m pgverify_spark.rotation` from
     # CORRECTNESS_r1-r8
     "rollup_ivm_events",  # last green r—never
@@ -3669,6 +3721,7 @@ _DRIVER_PRIORITY = (
     "contamination_spans_documents",  # last green r—never
     "pagerank_term_graph_documents",  # last green r—never
     "kmv_shingle_overlap_documents",  # last green r—never
+    "streaming_kmv_overlap_documents",  # last green r—never
     "repair_plan_orders",  # last green r5
     "hashed_vectors_documents",  # last green r5
     "sessionize_events",  # last green r5
@@ -3712,7 +3765,6 @@ _DRIVER_PRIORITY = (
     "filtered_cosine_topk_embeddings",  # last green r5
     "label_centroid_drift_embeddings",  # last green r5
     "dedup_savings_report_documents",  # last green r5
-    "full_fingerprint_orders",  # last green r6
     "full_fingerprint_lineitem",  # last green r8
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
@@ -4017,7 +4069,31 @@ def bench_oracle_setup() -> dict[str, tuple[tuple[str, ...], str]]:
         f"({_prep.pack_sequences_oracle_sql('splitdoc', 512)}) packed"
     )
     curate_report_probe = f"WITH {_curate_report_body_sql()}"
+    # r9: the Spark rollup_ivm entry memoizes the initial rollup state
+    # per sf_dir (_ROLLUP_IVM_STORE) and its min-of-two times the SPLICE
+    # only; the fair twin therefore materializes the base state once
+    # untimed and times the same incremental work — keep the untouched
+    # days + re-aggregate the touched days from the delta (the full
+    # self-contained oracle_sql() stays the from-scratch recompute the
+    # correctness driver hash-compares).
+    setup = setup + (
+        "CREATE TEMP TABLE IF NOT EXISTS bench_rollup_ivm_state AS "
+        + rollup.rollup_ivm_oracle_sql("events"),
+    )
+    ivm_delta = (
+        f"SELECT * FROM {right_sql} r2 "
+        f"WHERE {day_duck} IN (19723, 19724)"
+    )
+    ivm_probe = (
+        # same terminal DOUBLE cast _cast_output_double applies to the
+        # registered twin (sum_value is DECIMAL internally)
+        "SELECT * REPLACE (CAST(sum_value AS DOUBLE) AS sum_value) FROM ("
+        "SELECT * FROM bench_rollup_ivm_state "
+        "WHERE CAST(hour_bucket // 24 AS BIGINT) NOT IN (19723, 19724) "
+        "UNION ALL " + rollup.rollup_ivm_oracle_sql(f"({ivm_delta}) d") + ") u"
+    )
     return {
+        "rollup_ivm_events": (setup, ivm_probe),
         "pq_topk_embeddings": (setup, pq_probe),
         "ivfpq_topk_embeddings": (setup, ivfpq_probe),
         "ivfpq_probe_index_embeddings": (setup, ivfpq_probe),

@@ -198,3 +198,77 @@ def finalize_streaming_quantiles(
     return quantiles_from_sample(
         spark.read.parquet(sample_path).select("v", "hk"), probs_ppm
     )
+
+
+def streaming_kmv_overlap(
+    sdf: DataFrame,
+    store_path: str,
+    k: int = 256,
+    to_sides=None,
+):
+    """Streaming KMV set-operation maintenance: each micro-batch reduces
+    to its <= 3k sketch SURVIVORS (``operators.sketch.kmv_overlap_survivors``
+    — the union of the batch's three per-sketch top-k heads) and writes
+    them to the persisted store — the same store-is-the-state shape as
+    :func:`streaming_sample_quantiles`, because survivor membership
+    needs no per-key streaming state.
+
+    Exactness (shares the BATCH operator's oracle): a hash among the k
+    smallest of the total union / total A / total B is among the k
+    smallest of every batch subset containing it, so it survives that
+    batch's trim with its side flags intact; re-aggregating the union
+    of survivors through ``overlap_from_sides`` therefore equals the
+    batch operator over all arrived rows.  State: <= 3k rows per batch
+    in storage, the finalize reads batches-count x 3k rows — both
+    constant in stream VOLUME.
+
+    Replay-idempotent exactly as streaming_sample_quantiles: per-batch
+    ``batch_id`` partition with dynamic overwrite.
+
+    ``to_sides``: optional callable mapping the raw micro-batch to the
+    (side_a, v) relation (e.g. tokenize + shingle); default expects the
+    stream to already carry those columns.  Returns a configured
+    ``writeStream`` (caller sets checkpoint and calls ``start()``).
+    """
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        _write_kmv_overlap_batch(batch_df, batch_id, store_path, k, to_sides)
+
+    return sdf.writeStream.foreachBatch(append).outputMode("append")
+
+
+def _write_kmv_overlap_batch(
+    batch_df: DataFrame, batch_id: int, store_path: str, k: int, to_sides
+) -> None:
+    from pyspark.sql import functions as F
+
+    from pgverify_spark.operators.sketch import kmv_overlap_survivors
+    from pgverify_spark.operators.util import release_cached_deps
+
+    rel = batch_df if to_sides is None else to_sides(batch_df)
+    surv = kmv_overlap_survivors(rel, "v", "side_a", k)
+    (
+        surv.withColumn("batch_id", F.lit(batch_id))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+    # a to_sides pipeline may persist intermediates (doc_term_edges'
+    # shingle table) — the write above materialized everything
+    release_cached_deps(rel)
+
+
+def finalize_streaming_kmv_overlap(spark, store_path: str, k: int = 256) -> DataFrame:
+    """The overlap report from the persisted survivor store: merge
+    survivor flags per hash (max — a side seen in ANY batch counts),
+    then the SAME report code path as the batch operator."""
+    from pyspark.sql import functions as F
+
+    from pgverify_spark.operators.sketch import overlap_from_sides
+
+    merged = (
+        spark.read.parquet(store_path)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    return overlap_from_sides(merged, k)

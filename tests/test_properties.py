@@ -420,3 +420,75 @@ def test_ivfpq_driver_twins_match_sql_expressions(spark, seed, n):
             assert r[f"d{m}"] == _pq_sub_d2_py(r["embedding"], r["cvec"], m), (
                 seed, r["vec_id"], r["code"], m,
             )
+
+
+# ---------------------------------------------------------------------------
+# round 9: PageRank + KMV set operations vs pure-Python references
+# ---------------------------------------------------------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(_edges, st.integers(1, 4))
+def test_pagerank_matches_reference(spark, pairs, iterations):
+    """Spark PageRank == a dict-based reference of the same integer
+    recurrence, on arbitrary small graphs (self-loops excluded — the
+    operator contract), plus the mass bounds floor-division implies."""
+    from pgverify_spark.operators.graph import pagerank
+
+    sym = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    deg: dict[int, int] = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {n: 1_000_000 for n in deg}
+    for _ in range(iterations):
+        nxt = {n: 150_000 for n in deg}
+        for s, t in sym:
+            nxt[t] += (ranks[s] * 850) // (1000 * deg[s])
+        ranks = nxt
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["node_id"]: r["rank_ppm"] for r in pagerank(df, iterations).collect()}
+    assert got == ranks
+    n = len(deg)
+    # floor division only ever LOSES mass; teleport floor is exact
+    assert n * 150_000 <= sum(got.values()) <= n * 1_000_000
+
+
+_kmv_vals = st.lists(
+    st.tuples(st.booleans(), st.integers(0, 40)), min_size=1, max_size=60
+)
+
+
+@SETTINGS
+@given(_kmv_vals, st.sampled_from([4, 16, 64]))
+def test_kmv_overlap_matches_reference(spark, rows, k):
+    """Spark kmv_overlap == a pure-Python KMV over the same explicit
+    hash, including the under-k exactness guarantee."""
+    from pgverify_spark.operators.sketch import kmv_overlap
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    a = {h(v) for s, v in rows if s}
+    b = {h(v) for s, v in rows if not s}
+    union = sorted(a | b)[:k]
+    ka = sorted(a)[:k]
+    kb = sorted(b)[:k]
+    df = spark.createDataFrame(rows, "side_a boolean, v int")
+    (r,) = kmv_overlap(df, "v", "side_a", k=k).collect()
+    assert (r["n_a"], r["n_b"], r["n_union"]) == (len(ka), len(kb), len(union))
+    assert r["overlap_k"] == sum(1 for x in union if x in a and x in b)
+    if ka:
+        assert r["kth_a"] == ka[-1]
+    if union:
+        assert r["kth_union"] == union[-1]
+    if len(a | b) < k:  # under-filled sketch: everything exact
+        assert r["est_union"] == float(len(a | b))
+        assert r["est_intersection"] == float(len(a & b))
+        if len(a | b):
+            assert r["jaccard_ppm"] == len(a & b) * 1_000_000 // len(a | b)

@@ -863,3 +863,56 @@ def test_stateful_bucket_registry_query_matches_oracle(spark, duck, sf_dir):
     assert s == d and len(s) > 1
     # every bucket saw at least one update and counted rows
     assert all(r[1] > 0 and r[3] >= 1 for r in s)
+
+
+def test_streaming_kmv_overlap_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming KMV set-ops: survivors merged across micro-batches and
+    re-aggregated == the one-shot batch operator (the merge-then-trim
+    subset argument), and batch replay is idempotent."""
+    from pyspark.sql import functions as F
+
+    from pgverify_spark.operators import graph, sketch
+    from pgverify_spark.streaming.sketch import (
+        _write_kmv_overlap_batch,
+        finalize_streaming_kmv_overlap,
+        streaming_kmv_overlap,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def to_sides(df):
+        return graph.doc_term_edges(df).selectExpr(
+            "doc_a % 2 = 0 AS side_a", "doc_b AS v"
+        )
+
+    (
+        docs.withColumn("chunk", (F.col("doc_id") % 3).cast("int"))
+        .repartition(3, "chunk")
+        .drop("chunk")
+        .write.parquet(str(tmp_path / "src"))
+    )
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        streaming_kmv_overlap(sdf, str(tmp_path / "store"), 64, to_sides)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = finalize_streaming_kmv_overlap(spark, str(tmp_path / "store"), 64).collect()
+    want = sketch.kmv_overlap(to_sides(docs), "v", "side_a", 64).collect()
+    assert list(map(tuple, got)) == list(map(tuple, want))
+
+    # replay idempotency: same batch_id re-fired replaces its partition
+    replay = spark.read.parquet(str(tmp_path / "src")).filter("doc_id % 3 = 1")
+    _write_kmv_overlap_batch(replay, 1, str(tmp_path / "store"), 64, to_sides)
+    once = sorted(map(tuple, spark.read.parquet(str(tmp_path / "store")).collect()))
+    _write_kmv_overlap_batch(replay, 1, str(tmp_path / "store"), 64, to_sides)
+    twice = sorted(map(tuple, spark.read.parquet(str(tmp_path / "store")).collect()))
+    assert twice == once
