@@ -94,8 +94,21 @@ def pagerank(
         .distinct()
     )
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    ed = edges.join(deg, "s").localCheckpoint(eager=True)
+    # persist (not checkpoint) the source-partitioned edge relation: an
+    # InMemoryRelation PRESERVES outputPartitioning (a checkpoint's RDD
+    # leaf loses it), so a round's join on `s` can consume the cache
+    # co-partitioned whenever the ranks side is too big to broadcast —
+    # the 100 TB regime, where this saves one E-sized exchange PER
+    # ROUND.  At sf0.1 the planner broadcasts the nodes-sized ranks
+    # instead (plan-checked), so the measured local gain is just the
+    # build-side exchange: 2.97s -> 2.71s warm.
+    ed = (
+        edges.join(deg, "s")
+        .repartition(pairs.sparkSession.sparkContext.defaultParallelism, "s")
+        .persist()
+    )
     if not ed.take(1):  # empty graph: zero-row output, skip the loop
+        ed.unpersist()
         return ed.selectExpr("s AS node_id", "CAST(s AS BIGINT) AS rank_ppm")
     ranks = (
         ed.select("s")
@@ -112,7 +125,11 @@ def pagerank(
         )
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0 and rnd + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.selectExpr("node AS node_id", "rank_ppm")
+    from pgverify_spark.operators.util import tag_cached_deps
+
+    return tag_cached_deps(
+        ranks.selectExpr("node AS node_id", "rank_ppm"), ed
+    )
 
 
 def pagerank_oracle_sql(pairs_sql: str, iterations: int = 4) -> str:

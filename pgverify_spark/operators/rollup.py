@@ -491,7 +491,10 @@ def update_rollup_snapshot(spark, df: DataFrame, path: str, days: tuple) -> Data
     rows = kept.unionByName(fresh).collect()
     new_state = spark.createDataFrame(rows, kept.schema)
     new_state.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    # the rows are already driver-local — return them as a local
+    # relation instead of re-reading the parquet just written (saves a
+    # listing + scan job per update; content identical by construction)
+    return new_state
 
 
 def rollup_ivm_oracle_sql(table: str) -> str:

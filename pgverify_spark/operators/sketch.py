@@ -414,8 +414,10 @@ def kmv_overlap(df: DataFrame, value_col: str, side_col: str, k: int = 256) -> D
     """KMV *set-operation* estimates between two value multisets — the
     Beyer et al. 2007 extension of the distinct sketch: given rows
     tagged with a boolean ``side_col`` (A membership; everything else
-    is B), estimate |A|, |B|, |A ∪ B|, |A ∩ B| and the Jaccard
-    similarity from three k-minimum-value sketches.
+    is B — the expression must be NON-NULL: a NULL side would silently
+    drop the row from both sketches), estimate |A|, |B|, |A ∪ B|,
+    |A ∩ B| and the Jaccard similarity from three k-minimum-value
+    sketches.
 
     The key property: the k smallest hashes of A ∪ B are a UNIFORM
     sample of the distinct union, so the fraction of that sample

@@ -1615,7 +1615,11 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         # PageRank is provably uniform — the term graph is
         # degree-irregular by nature (7k distinct ranks at sf0.01).
         # The same operator runs over any (doc_a, doc_b) edge relation
-        # (web links, citations) at 100 TB.
+        # (web links, citations) at 100 TB.  Perf note: ~3.5s at sf0.1
+        # vs DuckDB 0.6s is the iterative harness floor (4 rounds x
+        # [broadcast + E-sized agg exchange] + 2 materialization
+        # barriers); the gap is fixed-cost, not data-cost — 1.3x at the
+        # 10x probe (SCALE_CHECK "Round-9 operators at 10x").
         "pagerank_term_graph_documents": (
             _table_query(
                 "documents",
