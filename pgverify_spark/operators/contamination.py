@@ -427,7 +427,9 @@ def contamination_spans_oracle_sql(
         "pos AS MATERIALIZED (SELECT doc_id, i AS pos, "
         f"{g} AS s FROM (SELECT doc_id, grams, "
         "unnest(range(1, len(grams) + 1)) AS i FROM gr) t), "
-        f"ev AS (SELECT doc_id AS eval_doc, pos AS epos, s FROM pos "
+        # ev feeds both the hot aggregate and the anti-join: MATERIALIZED
+        # or DuckDB re-inlines it per reference (doubled pos scan)
+        f"ev AS MATERIALIZED (SELECT doc_id AS eval_doc, pos AS epos, s FROM pos "
         f"WHERE doc_id % {eval_mod} = 0), "
         f"{hot_filter}"
         "tr AS (SELECT doc_id AS train_doc, pos AS tpos, s FROM pos "

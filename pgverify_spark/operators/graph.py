@@ -71,6 +71,14 @@ def pagerank(
     A fixed iteration count (not a convergence check) keeps the output
     a pure function of the input — the oracle unrolls the same count.
 
+    Arithmetic bound: total rank mass is conserved at ~|V| x 1e6 ppm,
+    so a single node's incoming sum stays under 2^63 for any graph
+    with fewer than ~9e12 nodes; only a hub receiving edges from more
+    than ~1.1e10 DISTINCT neighbors could overflow the per-node
+    contribution sum — past web-graph scale.  (Spark's non-ANSI BIGINT
+    sum would wrap silently there while the DuckDB twin's
+    HUGEINT->BIGINT cast errors; inside the bound both are exact.)
+
     Checkpoint cadence: the (edges ⋈ degrees) relation is checkpointed
     ONCE and every round re-reads its in-memory blocks; the rank chain
     itself stays LAZY and one action evaluates the whole unrolled tree

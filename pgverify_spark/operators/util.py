@@ -80,3 +80,12 @@ def barrier(df: DataFrame) -> DataFrame:
     CPU-heavy hashing across all cores.  Cost: one shuffle of (id, array)
     rows — linear in data size, the right trade at any scale."""
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def carry_cached_deps(src: DataFrame, out: DataFrame) -> DataFrame:
+    """Re-tag ``out`` with ``src``'s cached deps.  The deps tag is a
+    plain Python attribute, so ANY DataFrame transformation drops it —
+    a projection between an operator that tags (``graph.doc_term_edges``)
+    and a consumer that forwards (``sketch.kmv_overlap``) silently
+    orphans the persisted intermediates unless re-tagged."""
+    return tag_cached_deps(out, *getattr(src, "_pgvs_cached_deps", ()))

@@ -200,13 +200,6 @@ def _file_roundtrip_entries() -> dict[str, tuple[Callable, str]]:
     from pgverify_spark.operators.fingerprint import FINGERPRINT_OPS, fingerprint_oracle_sql
     from pgverify_spark.sources.files import FileTarget
 
-    def ddl(table: str) -> str:
-        spark_types = {"int": "int", "bigint": "bigint", "string": "string",
-                       "double": "double", "timestamp": "timestamp"}
-        return ", ".join(
-            f"{c} {spark_types[t]}" for c, t in TESTDATA_TABLES[table].cols
-        )
-
     def roundtrip(table: str, fmt: str) -> Callable[[SparkSession, str], DataFrame]:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             import tempfile
@@ -220,7 +213,7 @@ def _file_roundtrip_entries() -> dict[str, tuple[Callable, str]]:
             writer.save(f"{tmp}/{table}.{fmt}")
             # explicit schemas only for text formats; orc/parquet are
             # self-describing (an LTZ/NTZ override would conflict)
-            schemas = {table: ddl(table)} if fmt in ("csv", "json") else {}
+            schemas = {table: _csv_ddl(table)} if fmt in ("csv", "json") else {}
             tgt = FileTarget("rt", tmp, format=fmt, schemas=schemas)
             return FINGERPRINT_OPS["full"](
                 tgt.read(spark, table), tgt.table_schema(spark, table), _CFG
@@ -1530,6 +1523,20 @@ def _curate_corpus_report_oracle_sql() -> str:
     return f"{_curate_corpus_ctes()}, {_curate_report_body_sql()}"
 
 
+def _shingle_overlap_sides(df: DataFrame) -> DataFrame:
+    """(side_a, v) relation for the KMV shingle-overlap entries — the
+    doc-term edges projected to (corpus half, shingle id), with the
+    cached-deps tag CARRIED through the projection (a bare selectExpr
+    drops the Python attribute and the per-call shingle persist would
+    leak — r9 self-review finding)."""
+    from pgverify_spark.operators.util import carry_cached_deps
+
+    edges = graph.doc_term_edges(df)
+    return carry_cached_deps(
+        edges, edges.selectExpr("doc_a % 2 = 0 AS side_a", "doc_b AS v")
+    )
+
+
 def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
     """LLM-data-pipeline operators: dedup, similarity, text analysis,
     multimodal plumbing (thresholds chosen to be non-trivial at sf0.01)."""
@@ -2465,17 +2472,9 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         # is cut by the in-document repetition factor (measured 10.9s
         # -> ~1.5s at sf0.1 vs hashing every gram occurrence).
         "kmv_shingle_overlap_documents": (
-            _table_query(
-                "documents",
-                lambda df: sketch.kmv_overlap(
-                    graph.doc_term_edges(df).selectExpr(
-                        "doc_a % 2 = 0 AS side_a", "doc_b AS v"
-                    ),
-                    "v",
-                    "side_a",
-                    256,
-                ),
-            ),
+            _table_query("documents", lambda df: sketch.kmv_overlap(
+                _shingle_overlap_sides(df), "v", "side_a", 256
+            )),
             sketch.kmv_overlap_oracle_sql(
                 "SELECT doc_a % 2 = 0 AS side_a, doc_b AS v FROM "
                 f"({graph.doc_term_edges_oracle_sql('documents')}) dte",
@@ -3494,10 +3493,9 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
             .parquet(f"{tmp}/src")
         )
 
-        def to_sides(batch_df: DataFrame) -> DataFrame:
-            return graph.doc_term_edges(batch_df).selectExpr(
-                "doc_a % 2 = 0 AS side_a", "doc_b AS v"
-            )
+        # carries the shingle persist's deps tag so the foreachBatch
+        # writer's release_cached_deps actually releases it per batch
+        to_sides = _shingle_overlap_sides
 
         q = (
             streaming_kmv_overlap(sdf, f"{tmp}/store", 256, to_sides)
@@ -3540,19 +3538,26 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
     }
 
 
+#: Explicit Spark DDL map for CSV exports of testdata tables — one
+#: copy (three entries previously each carried a near-duplicate; the
+#: map exists so a logical type whose NAME is not valid Spark DDL can
+#: never silently reach a text-format schema string).
+_CSV_SPARK_TYPES = {"int": "int", "bigint": "bigint", "string": "string",
+                    "double": "double", "timestamp": "timestamp"}
+
+
+def _csv_ddl(table: str) -> str:
+    return ", ".join(
+        f"{c} {_CSV_SPARK_TYPES[t]}" for c, t in TESTDATA_TABLES[table].cols
+    )
+
+
 def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
     """Cross-format verify: a parquet target against a live CSV export of
     the same tables, through the real ``verify()`` orchestrator — the
     heterogeneous-source comparison the tool exists for (every cell must
     agree iff the CSV round-trip is lossless)."""
     cfg = VerifyConfig(test_modes=_REPORT_MODES, include_tables=_REPORT_TABLES)
-
-    def ddl(table: str) -> str:
-        spark_types = {"int": "int", "bigint": "bigint", "string": "string",
-                       "double": "double", "timestamp": "timestamp"}
-        return ", ".join(
-            f"{c} {spark_types[t]}" for c, t in TESTDATA_TABLES[table].cols
-        )
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
@@ -3567,7 +3572,7 @@ def _multiformat_report_entry() -> dict[str, tuple[Callable, str]]:
             df.write.format("csv").option("header", "true").mode("overwrite").save(
                 f"{tmp}/{t}.csv"
             )
-            schemas[t] = ddl(t)
+            schemas[t] = _csv_ddl(t)
         targets = [
             ParquetTarget("parquet", sf_dir),
             FileTarget("csv", tmp, format="csv", schemas=schemas),
@@ -3630,9 +3635,6 @@ def _derived_view_report_entry() -> dict[str, tuple[Callable, str]]:
 
     views = {view_name: (build_view, ("c_nationkey",))}
 
-    def ddl(table: str) -> str:
-        return ", ".join(f"{c} {t}" for c, t in TESTDATA_TABLES[table].cols)
-
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
@@ -3646,7 +3648,7 @@ def _derived_view_report_entry() -> dict[str, tuple[Callable, str]]:
             ParquetTarget("src", sf_dir).read(spark, t).write.format("csv").option(
                 "header", "true"
             ).mode("overwrite").save(f"{tmp}/{t}.csv")
-            schemas[t] = ddl(t)
+            schemas[t] = _csv_ddl(t)
         targets = [
             ViewTarget("parquet", ParquetTarget("pq", sf_dir), views),
             ViewTarget("csv", FileTarget("c", tmp, format="csv", schemas=schemas), views),
@@ -3717,9 +3719,9 @@ _DRIVER_PRIORITY_ROUND = 9
 
 _DRIVER_PRIORITY = (
     # r9 rotation: never-certified entries first (this round's six new
-    # operators), then weakest-evidence-first (r5 rows, then oldest r6
-    # rows), derived by `python -m pgverify_spark.rotation` from
-    # CORRECTNESS_r1-r8
+    # operators), then weakest-evidence-first (the 45 remaining r5 rows
+    # fill the window; the r6 tail rotated out), derived by
+    # `python -m pgverify_spark.rotation` from CORRECTNESS_r1-r8
     "rollup_ivm_events",  # last green r—never
     "verify_report_derived_view",  # last green r—never
     "contamination_spans_documents",  # last green r—never

@@ -3371,3 +3371,24 @@ def test_rollup_ivm_equals_full_recompute(spark, sf_dir, tmp_path):
     # the splice really dropped the deleted day and persisted on disk
     assert not [t for t in spliced if t[0] // 24 == 19724]
     assert sorted(map(tuple, spark.read.parquet(state).collect())) == spliced
+
+
+def test_kmv_overlap_entry_carries_release_tag(spark, sf_dir):
+    """The shingle persist behind the KMV overlap entries must ride the
+    cached-deps tag through the (side, v) projection to the result, or
+    _release_prev_generation / the streaming batch release silently
+    leak one cached table per invocation (r9 self-review finding)."""
+    from pgverify_spark.registry import _shingle_overlap_sides
+    from pgverify_spark.operators import sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sides = _shingle_overlap_sides(docs)
+    deps = getattr(sides, "_pgvs_cached_deps", ())
+    assert deps, "projection dropped the cached-deps tag"
+    out = sketch.kmv_overlap(sides, "v", "side_a", 64)
+    assert getattr(out, "_pgvs_cached_deps", ()) == deps
+    out.collect()
+    from pgverify_spark.operators.util import release_cached_deps
+
+    release_cached_deps(out)
+    assert all(not d.is_cached for d in deps)

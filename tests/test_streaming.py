@@ -881,8 +881,11 @@ def test_streaming_kmv_overlap_equals_batch(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def to_sides(df):
-        return graph.doc_term_edges(df).selectExpr(
-            "doc_a % 2 = 0 AS side_a", "doc_b AS v"
+        from pgverify_spark.operators.util import carry_cached_deps
+
+        edges = graph.doc_term_edges(df)
+        return carry_cached_deps(
+            edges, edges.selectExpr("doc_a % 2 = 0 AS side_a", "doc_b AS v")
         )
 
     (
