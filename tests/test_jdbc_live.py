@@ -182,3 +182,48 @@ def test_derby_target_loads_second_table_on_demand(spark, sf_dir):
     assert t1.read(spark, "orders").count() == spark.read.parquet(
         f"{sf_dir}/orders.parquet"
     ).count()
+
+
+def test_live_jdbc_derived_view_verify(spark, sf_dir, derby_url):
+    """Derived-relation verify across heterogeneous STORES including a
+    real database: the same view definition built over the parquet base
+    and over the live Derby base fingerprints byte-identical — ETL-
+    output consistency between a lake and a warehouse, end-to-end."""
+    from pyspark.sql import functions as F
+
+    from pgverify_spark.sources.views import ViewTarget
+
+    def build_view(spark, base):
+        o = base.read(spark, "orders").select(
+            "o_orderstatus", "o_orderkey", "o_orderpriority"
+        )
+        return (
+            o.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_order"),
+                F.max("o_orderkey").alias("max_order"),
+            )
+        )
+
+    views = {
+        "status_priority_stats": (build_view, ("o_orderstatus", "o_orderpriority"))
+    }
+    jt = _target(derby_url, ("orders",), {"orders": ("o_orderkey",)})
+    modes = ("full", "rowcount", "additive", "bookend", "sparse")
+    cfg = VerifyConfig(test_modes=modes)
+    res = verify(
+        spark,
+        [
+            ViewTarget("pq", ParquetTarget("p", sf_dir), dict(views)),
+            ViewTarget("db", jt, dict(views)),
+        ],
+        cfg,
+    )
+    assert res.ok, res.errors
+    by_target = {}
+    for r in res.rows:
+        by_target.setdefault(r["target"], {})[r["mode"]] = r["output"]
+    assert set(by_target) == {"pq", "db"}
+    for mode in modes:
+        assert by_target["pq"][mode] == by_target["db"][mode] != "(err)", mode
