@@ -1287,6 +1287,51 @@ def _build_curate_pipeline(spark: SparkSession, sf_dir: str) -> dict:
     }
 
 
+def _curation_audit_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dropped_by) for every document the curation pipeline
+    removed — first-dropping-stage attribution over the memoized stage
+    relations (see the registry entry comment)."""
+    st = _curate_pipeline(spark, sf_dir)
+
+    def ids(name: str) -> DataFrame:
+        return st[name].select("doc_id")
+
+    drops = [
+        ids("toked").join(ids("gated"), "doc_id", "left_anti")
+        .selectExpr("doc_id", "'gate' AS dropped_by"),
+        ids("gated").join(ids("exactd"), "doc_id", "left_anti")
+        .selectExpr("doc_id", "'exact_dedup' AS dropped_by"),
+        ids("exactd").join(ids("neard"), "doc_id", "left_anti")
+        .selectExpr("doc_id", "'near_dedup' AS dropped_by"),
+        ids("neard").filter("doc_id % 10 = 0")
+        .selectExpr("doc_id", "'eval_split' AS dropped_by"),
+        ids("neard").filter("doc_id % 10 <> 0")
+        .join(ids("splitdoc"), "doc_id", "left_anti")
+        .selectExpr("doc_id", "'decontaminated' AS dropped_by"),
+    ]
+    return reduce(DataFrame.unionByName, drops)
+
+
+def _curation_audit_oracle_sql() -> str:
+    """The identical attribution over the shared pipeline CTE chain —
+    each membership test is against exactly the stage its standalone
+    entry certifies."""
+    return (
+        f"{_curate_corpus_ctes()} "
+        "SELECT doc_id, 'gate' AS dropped_by FROM cleaned "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM gated) "
+        "UNION ALL SELECT doc_id, 'exact_dedup' FROM gated "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM exactd) "
+        "UNION ALL SELECT doc_id, 'near_dedup' FROM exactd "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM neard) "
+        "UNION ALL SELECT doc_id, 'eval_split' FROM neard "
+        "WHERE doc_id % 10 = 0 "
+        "UNION ALL SELECT doc_id, 'decontaminated' FROM neard "
+        "WHERE doc_id % 10 <> 0 "
+        "AND doc_id NOT IN (SELECT doc_id FROM decon)"
+    )
+
+
 def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call corpus curation — the END-TO-END pipeline this engine
     exists for (see :func:`_curate_pipeline` for the stage graph).
@@ -2348,6 +2393,17 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "curate_corpus_report_documents": (
             _curate_corpus_report_run,
             _curate_corpus_report_oracle_sql(),
+        ),
+        # per-DOCUMENT drop attribution — the row-level companion of
+        # the funnel report: every document the pipeline removed, with
+        # the FIRST stage that dropped it (gate / exact_dedup /
+        # near_dedup / eval_split / decontaminated) — the audit trail a
+        # pipeline debugger asks for ("why is doc X missing?").  Pure
+        # ids-only anti-joins between stages the session-memoized
+        # pipeline already persists — zero extra corpus exchanges.
+        "curation_audit_documents": (
+            _curation_audit_run,
+            _curation_audit_oracle_sql(),
         ),
         # the composed curation FRONT-END a web pipeline actually runs:
         # page -> strip_html -> normalize_unicode -> Gopher gate, one
@@ -3718,14 +3774,15 @@ def _derived_view_report_entry() -> dict[str, tuple[Callable, str]]:
 _DRIVER_PRIORITY_ROUND = 9
 
 _DRIVER_PRIORITY = (
-    # r9 rotation: never-certified entries first (this round's six new
-    # operators), then weakest-evidence-first (the 45 remaining r5 rows
-    # fill the window; the r6 tail rotated out), derived by
-    # `python -m pgverify_spark.rotation` from CORRECTNESS_r1-r8
+    # r9 rotation: never-certified entries first (this round's seven new
+    # operators), then weakest-evidence-first (the oldest r5 rows fill
+    # the window), derived by `python -m pgverify_spark.rotation` from
+    # CORRECTNESS_r1-r8
     "rollup_ivm_events",  # last green r—never
     "verify_report_derived_view",  # last green r—never
     "contamination_spans_documents",  # last green r—never
     "pagerank_term_graph_documents",  # last green r—never
+    "curation_audit_documents",  # last green r—never
     "kmv_shingle_overlap_documents",  # last green r—never
     "streaming_kmv_overlap_documents",  # last green r—never
     "repair_plan_orders",  # last green r5
@@ -3770,7 +3827,6 @@ _DRIVER_PRIORITY = (
     "ivfpq_probe_index_embeddings",  # last green r5
     "filtered_cosine_topk_embeddings",  # last green r5
     "label_centroid_drift_embeddings",  # last green r5
-    "dedup_savings_report_documents",  # last green r5
     "full_fingerprint_lineitem",  # last green r8
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

@@ -3392,3 +3392,25 @@ def test_kmv_overlap_entry_carries_release_tag(spark, sf_dir):
 
     release_cached_deps(out)
     assert all(not d.is_cached for d in deps)
+
+
+def test_curation_audit_partitions_the_dropped_set(spark, sf_dir, duck):
+    """Audit rows = exactly the documents the pipeline dropped, each
+    attributed once (disjoint + complete vs the stage relations)."""
+    from pgverify_spark import registry
+
+    st = registry._curate_pipeline(spark, sf_dir)
+    audit = registry._curation_audit_run(spark, sf_dir).collect()
+    dropped = {r["doc_id"] for r in audit}
+    assert len(dropped) == len(audit), "a document attributed twice"
+    all_ids = {r["doc_id"] for r in st["toked"].select("doc_id").collect()}
+    kept = {r["doc_id"] for r in st["splitdoc"].select("doc_id").collect()}
+    assert dropped == all_ids - kept
+    by_stage = {}
+    for r in audit:
+        by_stage[r["dropped_by"]] = by_stage.get(r["dropped_by"], 0) + 1
+    assert by_stage.get("gate", 0) > 0 and by_stage.get("eval_split", 0) > 0
+    # the oracle twin agrees row-for-row
+    got = sorted((r["doc_id"], r["dropped_by"]) for r in audit)
+    want = sorted(map(tuple, duck.execute(registry._curation_audit_oracle_sql()).fetchall()))
+    assert got == want
