@@ -39,6 +39,7 @@ from pgverify_spark.operators.fingerprint import (
 )
 from pgverify_spark.plans.verify import verify
 from pgverify_spark.session import ensure_required_confs
+from pgverify_spark.sources import zorder
 from pgverify_spark.sources.jdbc import JDBCTarget
 from pgverify_spark.sources.parquet import ParquetTarget as _ParquetTarget
 from pgverify_spark.sources.schemas import TESTDATA_TABLES, TableSchema
@@ -2070,6 +2071,34 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", rollup.fill_gaps_hourly),
             rollup.fill_gaps_hourly_oracle_sql("events"),
         ),
+        # Morton / Z-order clustering key over (user_id, value) — the
+        # layout primitive behind write_zordered (sources/zorder.py):
+        # sorting on this key gives parquet footer min/max pruning on
+        # BOTH columns at once (Delta OPTIMIZE ZORDER semantics).  The
+        # key itself is the certified part: quantize (IEEE double +
+        # floor) then a 24-term BIGINT shift/mask interleave, identical
+        # in both engines; pruning effectiveness is measured from real
+        # row-group stats in tests/test_zorder.py.
+        "zorder_key_events": (
+            _table_query(
+                "events",
+                lambda df: zorder.with_zorder_key(df, ["user_id", "value"], 12)
+                .select("event_id", "zkey"),
+            ),
+            "SELECT event_id, "
+            + zorder.zorder_key_sql(
+                ["user_id", "value"],
+                {"user_id": ("zmin_user_id", "zmax_user_id"),
+                 "value": ("zmin_value", "zmax_value")},
+                12,
+                DIALECT_DUCKDB,
+            )
+            + " AS zkey FROM events CROSS JOIN "
+            "(SELECT CAST(min(user_id) AS DOUBLE) AS zmin_user_id, "
+            "CAST(max(user_id) AS DOUBLE) AS zmax_user_id, "
+            "CAST(min(value) AS DOUBLE) AS zmin_value, "
+            "CAST(max(value) AS DOUBLE) AS zmax_value FROM events) b",
+        ),
         # retry-burst collapse (4 h window: ~2 % of testdata gaps)
         "debounce_events": (
             _table_query(
@@ -2527,6 +2556,34 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         # per-doc-distinct in-row before the explode, so the md5 count
         # is cut by the in-document repetition factor (measured 10.9s
         # -> ~1.5s at sf0.1 vs hashing every gram occurrence).
+        # the same sketch machinery as a JOIN-PLANNING statistic:
+        # estimate two tables' key overlap (FK hit rate, join output
+        # cardinality bounds) WITHOUT joining them — at 100 TB the
+        # sketches are two independent scans reduced to 3k hashes,
+        # where an exact distinct-join costs a full shuffle of both key
+        # sets.  est_intersection / est_a ~ the fraction of orders
+        # customers that exist in customer.
+        "kmv_join_overlap_orders_customer": (
+            _two_table_query(
+                "orders",
+                "customer",
+                lambda o, c: sketch.kmv_overlap(
+                    o.selectExpr("TRUE AS side_a", "o_custkey AS v").unionByName(
+                        c.selectExpr("FALSE AS side_a", "c_custkey AS v")
+                    ),
+                    "v",
+                    "side_a",
+                    256,
+                ),
+            ),
+            sketch.kmv_overlap_oracle_sql(
+                "SELECT TRUE AS side_a, o_custkey AS v FROM orders "
+                "UNION ALL SELECT FALSE AS side_a, c_custkey AS v FROM customer",
+                "v",
+                "side_a",
+                256,
+            ),
+        ),
         "kmv_shingle_overlap_documents": (
             _table_query("documents", lambda df: sketch.kmv_overlap(
                 _shingle_overlap_sides(df), "v", "side_a", 256
@@ -3774,7 +3831,7 @@ def _derived_view_report_entry() -> dict[str, tuple[Callable, str]]:
 _DRIVER_PRIORITY_ROUND = 9
 
 _DRIVER_PRIORITY = (
-    # r9 rotation: never-certified entries first (this round's seven new
+    # r9 rotation: never-certified entries first (this round's nine new
     # operators), then weakest-evidence-first (the oldest r5 rows fill
     # the window), derived by `python -m pgverify_spark.rotation` from
     # CORRECTNESS_r1-r8
@@ -3782,7 +3839,9 @@ _DRIVER_PRIORITY = (
     "verify_report_derived_view",  # last green r—never
     "contamination_spans_documents",  # last green r—never
     "pagerank_term_graph_documents",  # last green r—never
+    "zorder_key_events",  # last green r—never
     "curation_audit_documents",  # last green r—never
+    "kmv_join_overlap_orders_customer",  # last green r—never
     "kmv_shingle_overlap_documents",  # last green r—never
     "streaming_kmv_overlap_documents",  # last green r—never
     "repair_plan_orders",  # last green r5
@@ -3825,8 +3884,6 @@ _DRIVER_PRIORITY = (
     "pq_recall_eval_embeddings",  # last green r5
     "ivfpq_topk_embeddings",  # last green r5
     "ivfpq_probe_index_embeddings",  # last green r5
-    "filtered_cosine_topk_embeddings",  # last green r5
-    "label_centroid_drift_embeddings",  # last green r5
     "full_fingerprint_lineitem",  # last green r8
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
