@@ -36,19 +36,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pgverify_spark.functions.canonical import DIALECT_SPARK
+from pgverify_spark.functions.text_exprs import _shr
 
 
 def _shl(x: str, n: int, dialect: str) -> str:
+    """Dialect twin of text_exprs._shr (which is shared, not duplicated
+    here) for the left shift text_exprs does not need."""
     return f"shiftleft({x}, {n})" if dialect == DIALECT_SPARK else f"({x} << {n})"
 
 
-def _shr(x: str, n: int, dialect: str) -> str:
-    return f"shiftright({x}, {n})" if dialect == DIALECT_SPARK else f"({x} >> {n})"
-
-
-def quantize_sql(
-    col: str, min_ref: str, max_ref: str, bits: int, dialect: str
-) -> str:
+def quantize_sql(col: str, min_ref: str, max_ref: str, bits: int) -> str:
     """``floor((col - min) * (2^bits - 1) / (max - min))`` clamped to
     [0, 2^bits - 1]; a constant column (min == max) quantizes to 0.
     All-double arithmetic then one floor — identical bits cross-engine.
@@ -83,7 +80,7 @@ def zorder_key_sql(
     the (min_ref, max_ref) SQL references (literals, or columns of a
     broadcast 1-row bounds relation)."""
     qs = [
-        quantize_sql(c, bounds[c][0], bounds[c][1], bits, dialect) for c in cols
+        quantize_sql(c, bounds[c][0], bounds[c][1], bits) for c in cols
     ]
     return interleave_sql(qs, bits, dialect)
 
@@ -132,7 +129,11 @@ def equidepth_quantize_exprs(df: DataFrame, cols: list[str], bits: int) -> list[
     ).first()
     out = []
     for i, c in enumerate(cols):
-        arr = "array(" + ", ".join(repr(float(x)) for x in row[f"b_{i}"]) + ")"
+        bnd = row[f"b_{i}"]
+        if bnd is None:  # empty input / all-NULL column: constant level,
+            out.append("CAST(0 AS BIGINT)")  # matching the linear guard
+            continue
+        arr = "array(" + ", ".join(repr(float(x)) for x in bnd) + ")"
         out.append(
             f"aggregate({arr}, CAST(0 AS BIGINT), (acc, x) -> "
             f"acc + IF(CAST({c} AS DOUBLE) > x, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"
@@ -159,8 +160,18 @@ def write_zordered(
     (the certified-twin form; fine for uniform keys)."""
     if quantize == "equidepth":
         qs = equidepth_quantize_exprs(df, cols, bits)
-        keyed = df.selectExpr(
-            "*", f"{interleave_sql(qs, bits, DIALECT_SPARK)} AS zkey"
+        # project each quantize fold ONCE, interleave over the column
+        # references: aggregate() is a CodegenFallback higher-order
+        # function, so inlining the (2^bits - 1)-element fold into all
+        # `bits` bit terms would evaluate it bits x per row (~8x wasted
+        # CPU at bits=8, and the SQL text grows as bits x 2^bits)
+        qcols = [f"_zq{i}" for i in range(len(cols))]
+        keyed = (
+            df.selectExpr("*", *(f"{q} AS {n}" for q, n in zip(qs, qcols)))
+            .selectExpr(
+                "*", f"{interleave_sql(qcols, bits, DIALECT_SPARK)} AS zkey"
+            )
+            .drop(*qcols)
         )
     elif quantize == "linear":
         keyed = with_zorder_key(df, cols, bits)

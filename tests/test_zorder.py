@@ -43,10 +43,16 @@ def test_zorder_key_matches_reference(spark):
     bounds = [(min(a_vals), max(a_vals)), (min(b_vals), max(b_vals))]
     for i, a, b in rows:
         assert got[i] == _morton_ref((a, b), bounds, 8), (i, a, b)
-    # constant column quantizes to 0 instead of dividing by zero
+    # constant column quantizes to EXACTLY level 0 (not clamped 0/0
+    # garbage): with a frozen, b spanning [1, 2], the key must equal
+    # the reference with a's level pinned to 0
     cdf = spark.createDataFrame([(1, 5, 1.0), (2, 5, 2.0)], "id long, a long, b double")
-    ks = zorder.with_zorder_key(cdf, ["a", "b"], 8).select("zkey").collect()
-    assert all(r["zkey"] >= 0 for r in ks)
+    ks = {
+        r["id"]: r["zkey"]
+        for r in zorder.with_zorder_key(cdf, ["a", "b"], 8).select("id", "zkey").collect()
+    }
+    assert ks[1] == _morton_ref((0, 1.0), [(0, 0), (1.0, 2.0)], 8)
+    assert ks[2] == _morton_ref((0, 2.0), [(0, 0), (1.0, 2.0)], 8)
 
 
 def _matching_files(path, preds):
@@ -82,7 +88,12 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     property needs more rows per file than the sf0.001 test default
     provides (measured: at 375 rows/file the curve is too sparse to
     cluster; at ~3.7k rows/file the effect is unambiguous)."""
-    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+    import conftest
+
+    sf01 = os.path.join(os.path.dirname(conftest.SF_DIR.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf01):
+        pytest.skip(f"no sf0.01 testdata next to {conftest.SF_DIR}")
+    ev = spark.read.parquet(f"{sf01}/events.parquet").select(
         "event_id", "user_id", "value"
     )
     zpath = str(tmp_path / "zordered")
@@ -124,3 +135,17 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         == ev.count()
         == spark.read.parquet(lpath).count()
     )
+
+
+def test_write_zordered_empty_and_null_inputs(spark, tmp_path):
+    """Equi-depth quantization degrades to constant level 0 on empty
+    input / all-NULL columns instead of crashing (r9 review finding:
+    approx_percentile returns NULL boundaries there)."""
+    empty = spark.createDataFrame([], "id long, a long, b double")
+    zorder.write_zordered(empty, ["a", "b"], str(tmp_path / "e"), bits=4, files=2)
+    assert spark.read.parquet(str(tmp_path / "e")).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None, 2.0), (2, None, 1.0)], "id long, a long, b double"
+    )
+    zorder.write_zordered(nulls, ["a", "b"], str(tmp_path / "n"), bits=4, files=2)
+    assert spark.read.parquet(str(tmp_path / "n")).count() == 2
