@@ -1313,12 +1313,11 @@ def _curation_audit_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionByName, drops)
 
 
-def _curation_audit_oracle_sql() -> str:
-    """The identical attribution over the shared pipeline CTE chain —
-    each membership test is against exactly the stage its standalone
-    entry certifies."""
+def _curation_audit_body_sql() -> str:
+    """The attribution SELECT, referencing pipeline stages BY NAME —
+    assembled under the certified CTE chain by the registered oracle
+    and over the bench's memoized temp tables by its probe twin."""
     return (
-        f"{_curate_corpus_ctes()} "
         "SELECT doc_id, 'gate' AS dropped_by FROM cleaned "
         "WHERE doc_id NOT IN (SELECT doc_id FROM gated) "
         "UNION ALL SELECT doc_id, 'exact_dedup' FROM gated "
@@ -1331,6 +1330,13 @@ def _curation_audit_oracle_sql() -> str:
         "WHERE doc_id % 10 <> 0 "
         "AND doc_id NOT IN (SELECT doc_id FROM decon)"
     )
+
+
+def _curation_audit_oracle_sql() -> str:
+    """The identical attribution over the shared pipeline CTE chain —
+    each membership test is against exactly the stage its standalone
+    entry certifies."""
+    return f"{_curate_corpus_ctes()} {_curation_audit_body_sql()}"
 
 
 def _curate_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4103,11 +4109,16 @@ HEADLINE_QUERIES = (
     "verify_report_parquet_vs_jdbc",
     "curate_corpus_report_documents",
     "bpe_merges_documents",
-    # round-9 additions
+    # round-9 additions (verify_report_derived_view stays out like its
+    # sibling verify_report_parquet_vs_csv: per-call CSV export vs a
+    # scalar-only twin is not a comparable timing)
     "rollup_ivm_events",
     "contamination_spans_documents",
     "pagerank_term_graph_documents",
     "kmv_shingle_overlap_documents",
+    "kmv_join_overlap_orders_customer",
+    "zorder_key_events",
+    "curation_audit_documents",
 )
 
 
@@ -4213,6 +4224,7 @@ def bench_oracle_setup() -> dict[str, tuple[tuple[str, ...], str]]:
     )
     return {
         "rollup_ivm_events": (setup, ivm_probe),
+        "curation_audit_documents": (setup, _curation_audit_body_sql()),
         "pq_topk_embeddings": (setup, pq_probe),
         "ivfpq_topk_embeddings": (setup, ivfpq_probe),
         "ivfpq_probe_index_embeddings": (setup, ivfpq_probe),
