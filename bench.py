@@ -45,6 +45,13 @@ sensitive); single-query deltas under ~2x should not be read as
 regressions without a replicate.  ``SPARK_GRAFT_SKIP_QUERIES`` (comma-
 separated names) is the builder-side A/B control — never set in
 driver/recorded runs.
+
+Same-code spread, late-r9 (four full clean runs of the identical
+83-query suite over one afternoon, idle host, full protocol):
+spark_vs_oracle_ratio 0.68 / 0.75 / 0.81 / 0.88, r1_15 subtotal
+11.0-15.2 s.  The single-run ratio is a coarse instrument; judge
+round-over-round movement against this band, and per-query claims
+against SCALE_CHECK's replicated probes.
 """
 
 from __future__ import annotations
