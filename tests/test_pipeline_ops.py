@@ -3358,19 +3358,35 @@ def test_rollup_ivm_equals_full_recompute(spark, sf_dir, tmp_path):
     state = str(tmp_path / "state")
     rollup.write_rollup_snapshot(ev, state)
     # no-op update returns the stored state untouched
-    before = sorted(map(tuple, spark.read.parquet(state).collect()))
+    before = sorted(map(tuple, rollup.read_rollup_snapshot(spark, state).collect()))
     noop = sorted(map(tuple, rollup.update_rollup_snapshot(spark, changed, state, ()).collect()))
     assert noop == before
-    spliced = sorted(
-        map(tuple, rollup.update_rollup_snapshot(spark, changed, state, (19723, 19724)).collect())
-    )
+    # the splice path is fully distributed — nothing may cross the
+    # driver while it runs, at ANY state size (r9 VERDICT item 1)
+    from unittest import mock
+
+    from pyspark.sql import DataFrame as _DF
+
+    def _no_driver(*a, **k):
+        raise AssertionError("splice path must not collect to the driver")
+
+    with mock.patch.object(_DF, "collect", _no_driver), \
+            mock.patch.object(_DF, "toPandas", _no_driver), \
+            mock.patch.object(_DF, "toLocalIterator", _no_driver):
+        spliced_df = rollup.update_rollup_snapshot(
+            spark, changed, state, (19723, 19724)
+        )
+    spliced = sorted(map(tuple, spliced_df.collect()))
     scratch = sorted(
         map(tuple, rollup.hourly_rollup(changed, distinct_users=None).collect())
     )
     assert spliced == scratch
-    # the splice really dropped the deleted day and persisted on disk
+    # the splice really dropped the deleted day and persisted on disk —
+    # day=19724's partition directory is gone, not just filtered
     assert not [t for t in spliced if t[0] // 24 == 19724]
-    assert sorted(map(tuple, spark.read.parquet(state).collect())) == spliced
+    assert not (tmp_path / "state" / "day=19724").exists()
+    assert (tmp_path / "state" / "day=19723").exists()
+    assert sorted(map(tuple, rollup.read_rollup_snapshot(spark, state).collect())) == spliced
 
 
 def test_kmv_overlap_entry_carries_release_tag(spark, sf_dir):
