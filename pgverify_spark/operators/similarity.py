@@ -1197,7 +1197,20 @@ def exact_l2_topk(
     both engines agree bit-for-bit.  (query_id, vec_id, d2_millionths,
     rank); broadcast queries, corpus never shuffles before the
     per-query rank.
+
+    Cost is O(n·|Q|), not O(n²) — the corpus streams once against the
+    broadcast query set — but |Q| is a multiplier on a FULL corpus
+    scan, so the query-set size is guarded: recall truth needs tens of
+    queries, and a thousand-query "truth" run is an accident (r9
+    VERDICT item 2's audit applied to this harness).
     """
+    if len(query_ids) > 1000:
+        raise ValueError(
+            f"exact_l2_topk is the ground-truth harness: {len(query_ids)} "
+            "query ids means that many full-corpus distance scans fused "
+            "into one pass — sample the query set (recall estimates "
+            "stabilize by ~100 queries) or use ivfpq_topk for bulk lookups"
+        )
     ids = ", ".join(map(str, query_ids))
     q = df.filter(f"vec_id IN ({ids})").selectExpr(
         "vec_id AS query_id", "embedding AS q_emb"

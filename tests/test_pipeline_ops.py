@@ -163,6 +163,29 @@ def test_embedding_near_dups(embs, duck):
     )
 
 
+def test_embedding_near_dups_scale_guard(embs):
+    """The registered exact O(n²) baseline refuses corpus-scale inputs,
+    naming the LSH scale path; max_rows=None bypasses for deliberate
+    ground-truth runs (r9 VERDICT item 2)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="embedding_near_dups_lsh"):
+        dedup.embedding_near_dups(embs, 0.4, max_rows=2)
+    # bypass works and the default ceiling admits the test corpus
+    assert dedup.embedding_near_dups(embs, 0.4, max_rows=None).columns == [
+        "vec_a", "vec_b", "cosine",
+    ]
+
+
+def test_exact_l2_topk_query_set_guard(embs):
+    """The exact-truth ANN harness bounds its query-set multiplier on
+    the full-corpus scan."""
+    import pytest
+
+    with pytest.raises(ValueError, match="sample the query set"):
+        similarity.exact_l2_topk(embs, tuple(range(1001)), 10)
+
+
 def test_embedding_near_dups_lsh(embs, duck):
     rows = _cmp(
         dedup.embedding_near_dups_lsh(embs, 0.4),
