@@ -74,31 +74,81 @@ def equidepth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame
     (bucket, n, lo, hi) — the bucket boundaries a range-partitioner or
     a BI tool's quantile axis would use.
 
-    ``ntile`` assigns rows to ``buckets`` rank-ordered, equal-count
-    bins.  Tied values may straddle a boundary differently per engine,
-    but the *output* is still deterministic: bucket sizes are fixed by
-    ntile's definition, and a straddling value appears as one bucket's
-    ``hi`` and the next's ``lo`` either way.
+    Exact ntile semantics, computed WITHOUT the single-reducer global
+    window (r9 VERDICT item 4) — the classic distributed ranking:
 
-    Scale note: this is the **exact baseline** — a global ntile is a
-    single-reducer sort, fine for the dimension-sized relations it is
-    registered on, wrong for a 100 TB fact table.  The scale path is
-    the same two-liner with boundaries from ``approx_percentile``
-    (mergeable KLL sketch) and a join-free bucket assignment; kept
-    exact here because the correctness gate hashes values (same
-    exact/approx pairing policy as ``dedup.embedding_near_dups`` vs its
-    LSH twin).
+    1. range-repartition on ``col`` + in-partition sort (boundaries
+       from Spark's range sampler, balanced under skew);
+    2. per-partition row counts → cumulative offsets — an
+       O(#partitions) driver step, independent of data size;
+    3. global rank = partition offset + in-partition ``row_number``
+       (a window PARTITIONED by spark_partition_id, never global);
+    4. ntile's bucket from the rank in closed form: with
+       ``N = q·buckets + rem``, the first ``rem`` buckets take ``q+1``
+       rows — pure integer arithmetic, so the result is exactly what
+       ``ntile(buckets) OVER (ORDER BY col)`` produces.
+
+    Ties may straddle a partition boundary, but range partitioning
+    keeps equal values in adjacent partitions with everything smaller
+    before and larger after, so offset+row_number is a valid total
+    order — and the OUTPUT is tie-invariant anyway: bucket sizes are
+    fixed by ntile's definition, and a straddling value appears as one
+    bucket's ``hi`` and the next's ``lo`` whichever side each tied row
+    lands on.  The oracle twin stays DuckDB's literal ``ntile``.
+
+    The range-sorted relation is persisted (the offsets pass and the
+    rank pass must see the SAME sampled partitioning) and tagged on the
+    result for ``util.release_cached_deps``.
     """
-    w = Window.orderBy(F.asc(col))
-    binned = df.select(col).withColumn("bucket", F.ntile(buckets).over(w))
-    return (
-        binned.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(col).alias("lo"),
-            F.max(col).alias("hi"),
-        )
+    from pgverify_spark.operators.util import tag_cached_deps
+
+    spark = df.sparkSession
+    vals = df.select(col)
+    n_total = vals.count()
+    if n_total == 0:
+        return vals.selectExpr(
+            "CAST(NULL AS INT) AS bucket",
+            f"CAST(count(1) AS BIGINT) AS n",
+            f"min({col}) AS lo",
+            f"max({col}) AS hi",
+        ).filter("bucket IS NOT NULL")
+    p = spark.sparkContext.defaultParallelism
+    ranged = (
+        vals.repartitionByRange(p, F.asc(col))
+        .sortWithinPartitions(F.asc(col))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offs, acc = [], 0
+    for i in sorted(counts):
+        offs.append((i, acc))
+        acc += counts[i]
+    off_df = spark.createDataFrame(offs, "pid INT, off BIGINT")
+    w = Window.partitionBy("pid").orderBy(F.asc(col))
+    q, rem = divmod(n_total, buckets)
+    cut = rem * (q + 1)
+    # q == 0 ⇒ cut == N and the ELSE branch is unreachable (divisor
+    # clamped to keep the expression well-formed)
+    bucket = (
+        f"CASE WHEN rank <= {cut} THEN CAST((rank - 1) div {q + 1} AS INT) + 1 "
+        f"ELSE {rem} + CAST((rank - {cut} - 1) div {max(q, 1)} AS INT) + 1 END"
+    )
+    binned = (
+        ranged.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "pid")
+        .selectExpr(col, "off + rn AS rank")
+        .selectExpr(col, f"{bucket} AS bucket")
+    )
+    out = binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+    )
+    return tag_cached_deps(out, ranged)
 
 
 def equidepth_histogram_oracle_sql(table: str, col: str, buckets: int = 10) -> str:

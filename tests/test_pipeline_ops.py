@@ -1546,6 +1546,50 @@ def test_grouped_topk_and_histogram(spark, sf_dir, duck):
     assert all(hist[i][3] <= hist[i + 1][2] for i in range(len(hist) - 1))
 
 
+def test_equidepth_histogram_closed_form_matches_ntile(spark, sf_dir, duck):
+    """The distributed rank→bucket closed form must equal literal ntile
+    for awkward shapes: N not divisible by buckets (first rem buckets
+    take one extra row), buckets > N (one row per bucket, trailing
+    buckets empty), and heavy ties."""
+    from pyspark.sql import functions as F
+
+    from pgverify_spark.operators import topk
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    # N = 4999 rows, 7 buckets -> q=714, rem=1
+    odd = od.filter("o_orderkey % 12 <> 0")
+    _cmp(
+        topk.equidepth_histogram(odd, "o_totalprice", 7),
+        duck,
+        topk.equidepth_histogram_oracle_sql(
+            "(SELECT * FROM orders WHERE o_orderkey % 12 <> 0) t", "o_totalprice", 7
+        ),
+    )
+    # buckets > N: q=0 path
+    tiny = od.filter("o_orderkey <= 64")  # a handful of rows
+    _cmp(
+        topk.equidepth_histogram(tiny, "o_totalprice", 10),
+        duck,
+        topk.equidepth_histogram_oracle_sql(
+            "(SELECT * FROM orders WHERE o_orderkey <= 64) t", "o_totalprice", 10
+        ),
+    )
+    # heavy ties straddling bucket boundaries: quantized values
+    tied = od.select((F.col("o_orderkey") % 5).alias("v"))
+    _cmp(
+        topk.equidepth_histogram(tied, "v", 4),
+        duck,
+        topk.equidepth_histogram_oracle_sql(
+            "(SELECT o_orderkey % 5 AS v FROM orders) t", "v", 4
+        ),
+    )
+    # empty input: empty result, stable schema
+    empty = topk.equidepth_histogram(od.filter("1 = 0"), "o_totalprice", 10)
+    assert empty.columns == ["bucket", "n", "lo", "hi"]
+    assert empty.count() == 0
+
+
 def test_prep_operators(docs, duck):
     from pgverify_spark.operators import prep
 

@@ -29,9 +29,6 @@ WINDOW_SINGLE_OK = {
     "mixture_sample_documents": "window over #sources-row aggregate",
     # same shape with n = per-source token sums
     "token_mixture_sample_documents": "window over #sources-row aggregate",
-    # exact ntile baseline kept next to the approx_percentile scale
-    # path documented in topk.py.
-    "equidepth_histogram_orders": "exact ntile baseline",
     # sum(n) OVER () runs over the first-digit counts relation:
     # ≤ 9 rows by construction (digits 1-9), never the corpus.
     "benford_audit_orders": "window over ≤9-row digit-count aggregate",
