@@ -152,6 +152,104 @@ def pagerank(
     )
 
 
+def pagerank_weighted(
+    pairs: DataFrame, iterations: int = 4, checkpoint_every: int = 8
+) -> DataFrame:
+    """Integer-exact PageRank over a WEIGHTED undirected pair graph —
+    the salience-weighted twin of :func:`pagerank` (r9 VERDICT item 5):
+    a term that occurs 40 times in a document should pull 40× the rank
+    mass of a hapax, which the unweighted walk cannot express.
+
+    Input: (doc_a, doc_b, w) with BIGINT weight ``w > 0``; edges are
+    symmetrized carrying their weight both ways and parallel edges
+    merge by weight-sum, so each endpoint's out-strength
+    ``W(u) = sum of w over u's edges`` is >= 1.  Update rule per round:
+
+        rank'(v) = 150000 + sum over edges u->v of
+                   (rank(u) * 850 * w(u,v)) DIV (1000 * W(u))
+
+    — the standard weighted damped walk, all in BIGINT floor division
+    (identical in Spark ``div`` and DuckDB ``//`` for the non-negative
+    operands here), so results are bit-identical across engines and
+    partitionings.  Arithmetic bound: the numerator is
+    ``rank * 850 * w``; total mass is conserved at ~|V| x 1e6 ppm, so
+    with per-edge weights up to ~10^4 the product stays under 2^63 for
+    graphs up to ~10^9 nodes — document-corpus scale.  (Outside the
+    bound Spark's non-ANSI BIGINT wraps while DuckDB's HUGEINT->BIGINT
+    cast errors; inside it both are exact.)
+
+    Physical shape is :func:`pagerank`'s verbatim: the
+    (edges ⋈ strengths) relation is persisted hash-partitioned on
+    ``s`` once; each round is one ranks-side shuffle-hash join + one
+    map-side-combined aggregation — 1 node-sized exchange and 0
+    edge-sized exchanges per round.
+    """
+    from pgverify_spark.operators.util import release_cached_deps
+
+    src = pairs.selectExpr("doc_a", "doc_b", "w").localCheckpoint(eager=True)
+    release_cached_deps(pairs)
+    edges = (
+        src.selectExpr("doc_a AS s", "doc_b AS t", "w")
+        .unionByName(src.selectExpr("doc_b AS s", "doc_a AS t", "w"))
+        .groupBy("s", "t")
+        .agg(F.expr("sum(w)").alias("w"))
+    )
+    strength = edges.groupBy("s").agg(F.expr("sum(w)").alias("d"))
+    ed = (
+        edges.join(strength, "s")
+        .repartition(pairs.sparkSession.sparkContext.defaultParallelism, "s")
+        .persist()
+    )
+    if not ed.take(1):
+        ed.unpersist()
+        return ed.selectExpr("s AS node_id", "CAST(s AS BIGINT) AS rank_ppm")
+    ranks = (
+        ed.select("s")
+        .distinct()
+        .selectExpr("s AS node", f"CAST({_INIT_PPM} AS BIGINT) AS rank_ppm")
+    )
+    contrib = f"(rank_ppm * {DAMPING_PM} * w) div (1000 * d)"
+    for rnd in range(iterations):
+        r = ranks.hint("shuffle_hash")
+        ranks = (
+            ed.join(r, ed["s"] == r["node"])
+            .groupBy("t")
+            .agg(F.expr(f"sum({contrib})").alias("c"))
+            .selectExpr("t AS node", f"CAST({_TELEPORT_PPM} + c AS BIGINT) AS rank_ppm")
+        )
+        if checkpoint_every and (rnd + 1) % checkpoint_every == 0 and rnd + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    from pgverify_spark.operators.util import tag_cached_deps
+
+    return tag_cached_deps(
+        ranks.selectExpr("node AS node_id", "rank_ppm"), ed
+    )
+
+
+def pagerank_weighted_oracle_sql(pairs_sql: str, iterations: int = 4) -> str:
+    """:func:`pagerank_oracle_sql`'s unrolled-CTE form with the weight
+    carried through symmetrize → merge → strength → contribution."""
+    contrib = "(r.rank_ppm * 850 * ed.w) // (1000 * ed.d)"
+    parts = [
+        f"WITH pr AS MATERIALIZED ({pairs_sql})",
+        "edges AS MATERIALIZED (SELECT s, t, CAST(sum(w) AS BIGINT) AS w FROM ("
+        "SELECT doc_a AS s, doc_b AS t, w FROM pr "
+        "UNION ALL SELECT doc_b, doc_a, w FROM pr) u GROUP BY s, t)",
+        "str AS (SELECT s, CAST(sum(w) AS BIGINT) AS d FROM edges GROUP BY s)",
+        "ed AS MATERIALIZED (SELECT edges.s, edges.t, edges.w, str.d FROM edges "
+        "JOIN str USING (s))",
+        f"r0 AS (SELECT DISTINCT s AS node, CAST({_INIT_PPM} AS BIGINT) "
+        "AS rank_ppm FROM ed)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"r{i + 1} AS (SELECT ed.t AS node, "
+            f"CAST({_TELEPORT_PPM} + CAST(sum({contrib}) AS BIGINT) AS BIGINT) "
+            f"AS rank_ppm FROM ed JOIN r{i} r ON r.node = ed.s GROUP BY ed.t)"
+        )
+    return ", ".join(parts) + f" SELECT node AS node_id, rank_ppm FROM r{iterations}"
+
+
 def pagerank_oracle_sql(pairs_sql: str, iterations: int = 4) -> str:
     """The identical computation with the iteration loop unrolled into
     chained CTEs.  ``//`` is DuckDB's BIGINT floor division — equal to
@@ -212,6 +310,74 @@ def doc_term_edges(df: DataFrame) -> DataFrame:
         .selectExpr("doc_a", f"{TERM_NODE_OFFSET} + s AS doc_b")
     )
     return tag_cached_deps(out, sh)
+
+
+def doc_term_edges_weighted(df: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, w) weighted doc-term edges: ``w`` is the shingle's
+    OCCURRENCE count in the document — the TextRank weighting, where a
+    repeated phrase pulls proportionally more rank mass.
+
+    ``dedup._shingled`` dedupes shingles per doc (correct for set
+    semantics, lossy here), so this builds from the gram level: count
+    occurrences per (doc, gram string) FIRST, hash each distinct gram
+    ONCE after — multiplicity survives while the md5 count stays at
+    |distinct grams|, the same economy ``shingle_ints_sql`` documents.
+    Two grams md5-colliding into one 48-bit term yield parallel edges;
+    :func:`pagerank_weighted` merges them by weight-sum (and the oracle
+    twin counts per gram before hashing identically, so both engines
+    see the same multiset).  The (doc, grams) relation is persisted —
+    ``explode`` re-evaluates its input chain per OUTPUT element (the
+    measured 13s-vs-0.3s pathology ``_shingled`` records) — and tagged
+    for ``util.release_cached_deps``.
+    """
+    from pgverify_spark.functions.canonical import DIALECT_SPARK
+    from pgverify_spark.functions.text_exprs import (
+        hex_prefix_int_sql,
+        ngrams_sql,
+        tokens_sql,
+    )
+    from pgverify_spark.operators.dedup import NGRAM_N
+    from pgverify_spark.operators.util import barrier, tag_cached_deps
+
+    d = DIALECT_SPARK
+    grams = (
+        barrier(df.selectExpr("doc_id", f"{tokens_sql('text', d)} AS tokens"))
+        .filter(f"size(tokens) >= {NGRAM_N}")
+        .selectExpr("doc_id", f"{ngrams_sql('tokens', NGRAM_N, d)} AS grams")
+        .persist()
+    )
+    out = (
+        grams.selectExpr("doc_id", "explode(grams) AS g")
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .selectExpr(
+            "doc_id AS doc_a",
+            f"{TERM_NODE_OFFSET} + {hex_prefix_int_sql('md5(g)', d)} AS doc_b",
+            "w",
+        )
+    )
+    return tag_cached_deps(out, grams)
+
+
+def doc_term_edges_weighted_oracle_sql(table: str) -> str:
+    from pgverify_spark.functions.canonical import DIALECT_DUCKDB
+    from pgverify_spark.functions.text_exprs import (
+        hex_prefix_int_sql,
+        ngrams_sql,
+        tokens_sql,
+    )
+    from pgverify_spark.operators.dedup import NGRAM_N
+
+    d = DIALECT_DUCKDB
+    return (
+        f"SELECT doc_id AS doc_a, "
+        f"{TERM_NODE_OFFSET} + {hex_prefix_int_sql('md5(g)', d)} AS doc_b, w FROM "
+        "(SELECT doc_id, g, CAST(count(*) AS BIGINT) AS w FROM "
+        f"(SELECT doc_id, unnest(grams) AS g FROM "
+        f"(SELECT doc_id, {ngrams_sql('tokens', NGRAM_N, d)} AS grams FROM "
+        f"(SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}) tk "
+        f"WHERE len(tokens) >= {NGRAM_N}) gr) oc GROUP BY doc_id, g) cw"
+    )
 
 
 def doc_term_edges_oracle_sql(table: str) -> str:

@@ -1688,6 +1688,21 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 graph.doc_term_edges_oracle_sql("documents"), 4
             ),
         ),
+        # weighted twin: edge weight = shingle occurrence count in the
+        # doc (TextRank's salience weighting — a repeated phrase pulls
+        # proportionally more rank mass); same BIGINT-ppm discipline,
+        # same per-round 1-node-sized-exchange physical shape
+        "pagerank_weighted_term_graph_documents": (
+            _table_query(
+                "documents",
+                lambda df: graph.pagerank_weighted(
+                    graph.doc_term_edges_weighted(df), 4
+                ),
+            ),
+            graph.pagerank_weighted_oracle_sql(
+                graph.doc_term_edges_weighted_oracle_sql("documents"), 4
+            ),
+        ),
         # near-dup pairs -> connected components (cluster id = min doc_id)
         "dup_clusters_documents": (
             _table_query(
@@ -3834,63 +3849,63 @@ def _derived_view_report_entry() -> dict[str, tuple[Callable, str]]:
 #: driver landing CORRECTNESS_r{N} mid-round cannot fail the suite
 #: retroactively — but a rotation left one full round stale (files
 #: newer than N present) does fail.  Bump when rotating.
-_DRIVER_PRIORITY_ROUND = 9
+_DRIVER_PRIORITY_ROUND = 10
 
 _DRIVER_PRIORITY = (
-    # r9 rotation: never-certified entries first (this round's nine new
-    # operators), then weakest-evidence-first (the oldest r5 rows fill
-    # the window), derived by `python -m pgverify_spark.rotation` from
-    # CORRECTNESS_r1-r8
-    "rollup_ivm_events",  # last green r—never
-    "verify_report_derived_view",  # last green r—never
-    "contamination_spans_documents",  # last green r—never
-    "pagerank_term_graph_documents",  # last green r—never
-    "zorder_key_events",  # last green r—never
-    "curation_audit_documents",  # last green r—never
-    "kmv_join_overlap_orders_customer",  # last green r—never
-    "kmv_shingle_overlap_documents",  # last green r—never
-    "streaming_kmv_overlap_documents",  # last green r—never
-    "repair_plan_orders",  # last green r5
-    "hashed_vectors_documents",  # last green r5
-    "sessionize_events",  # last green r5
-    "sessionize_scalable_events",  # last green r5
-    "debounce_scalable_events",  # last green r5
-    "curriculum_pack_documents",  # last green r5
-    "dedup_agreement_report_documents",  # last green r5
-    "leakage_safe_split_documents",  # last green r5
-    "token_mixture_sample_documents",  # last green r5
-    "tpch_q18_large_volume_customer",  # last green r5
-    "tpch_q6_forecast_revenue",  # last green r5
-    "tpch_q4_order_priority",  # last green r5
-    "tpch_q10_returned_items",  # last green r5
-    "tpch_q14_promo_revenue",  # last green r5
-    "tpch_q16_unsold_parts",  # last green r5
-    "tpch_q19_special_revenue",  # last green r5
-    "tpch_q13_customer_distribution",  # last green r5
-    "tpch_q2_min_cost_supplier",  # last green r5
-    "tpch_q7_volume_shipping",  # last green r5
-    "tpch_q8_market_share",  # last green r5
-    "tpch_q9_product_profit",  # last green r5
-    "tpch_q11_important_parts",  # last green r5
-    "tpch_q12_shipping_delay",  # last green r5
-    "tpch_q15_top_supplier",  # last green r5
-    "tpch_q17_small_qty_revenue",  # last green r5
-    "tpch_q20_excess_suppliers",  # last green r5
-    "tpch_q21_waiting_suppliers",  # last green r5
-    "tpch_q22_sales_opportunity",  # last green r5
-    "corpus_mix_rollup_documents",  # last green r5
-    "dataset_card_documents",  # last green r5
-    "multimodal_resize_documents",  # last green r5
-    "multimodal_frame_sample_documents",  # last green r5
-    "multimodal_image_ahash_documents",  # last green r5
-    "multimodal_image_dup_groups_documents",  # last green r5
-    "multimodal_audio_fingerprint_documents",  # last green r5
-    "pq_encode_embeddings",  # last green r5
-    "pq_topk_embeddings",  # last green r5
-    "pq_recall_eval_embeddings",  # last green r5
-    "ivfpq_topk_embeddings",  # last green r5
-    "ivfpq_probe_index_embeddings",  # last green r5
-    "full_fingerprint_lineitem",  # last green r8
+    # r10 rotation: never-certified entries first, then the 3
+    # remaining r5 rows, then the oldest r6 tail fills the window;
+    # derived by `python -m pgverify_spark.rotation` from
+    # CORRECTNESS_r1-r9
+    "pagerank_weighted_term_graph_documents",  # last green r—never
+    "filtered_cosine_topk_embeddings",  # last green r5
+    "label_centroid_drift_embeddings",  # last green r5
+    "dedup_savings_report_documents",  # last green r5
+    "full_fingerprint_orders",  # last green r6
+    "full_fingerprint_customer",  # last green r6
+    "full_fingerprint_events",  # last green r6
+    "full_fingerprint_documents",  # last green r6
+    "bookend_fingerprint_orders",  # last green r6
+    "sparse_fingerprint_orders",  # last green r6
+    "bucketed_fingerprint_events",  # last green r6
+    "rowcount_orders",  # last green r6
+    "additive_fingerprint_orders",  # last green r6
+    "full_fingerprint_orders_hashed_pk",  # last green r6
+    "full_fingerprint_orders_excl_cols",  # last green r6
+    "full_fingerprint_orders_secs_precision",  # last green r6
+    "full_fingerprint_events_hours_precision",  # last green r6
+    "full_fingerprint_events_json_props",  # last green r6
+    "partitioned_fingerprint_events",  # last green r6
+    "full_fingerprint_nation_csv_roundtrip",  # last green r6
+    "full_fingerprint_nation_json_roundtrip",  # last green r6
+    "full_fingerprint_orders_orc_roundtrip",  # last green r6
+    "full_fingerprint_type_matrix",  # last green r6
+    "row_diff_orders",  # last green r6
+    "partition_diff_events",  # last green r6
+    "drilldown_row_diff_events",  # last green r6
+    "verify_report_two_targets",  # last green r6
+    "verify_report_parquet_vs_csv",  # last green r6
+    "text_stats_documents",  # last green r6
+    "language_id_documents",  # last green r6
+    "token_counts_documents",  # last green r6
+    "rolling_fingerprint_documents",  # last green r6
+    "doc_fingerprints_documents",  # last green r6
+    "exact_dup_groups_documents",  # last green r6
+    "minhash_lsh_pairs_documents",  # last green r6
+    "ngram_jaccard_pairs_documents",  # last green r6
+    "repetition_stats_documents",  # last green r6
+    "contamination_pairs_documents",  # last green r6
+    "bloom_decontaminate_documents",  # last green r6
+    "dup_clusters_documents",  # last green r6
+    "profile_orders",  # last green r6
+    "winnowing_pairs_documents",  # last green r6
+    "semantic_dup_pairs_documents",  # last green r6
+    "incremental_dedup_documents",  # last green r6
+    "near_dedup_filter_documents",  # last green r6
+    "exact_dedup_filter_documents",  # last green r6
+    "simhash_near_pairs_documents",  # last green r6
+    "embedding_near_dups",  # last green r6
+    "embedding_near_dups_lsh",  # last green r6
+    "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
 )

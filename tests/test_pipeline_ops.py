@@ -3345,6 +3345,58 @@ def test_pagerank_shapes(spark):
     assert graph.pagerank(empty, 4).collect() == []
 
 
+def test_pagerank_weighted_matches_oracle(docs, duck):
+    from pgverify_spark.operators import graph
+
+    rows = _cmp(
+        graph.pagerank_weighted(graph.doc_term_edges_weighted(docs), 3),
+        duck,
+        graph.pagerank_weighted_oracle_sql(
+            graph.doc_term_edges_weighted_oracle_sql("documents"), 3
+        ),
+    )
+    assert rows and all(r[1] >= 150_000 for r in rows)
+
+
+def test_pagerank_weighted_shapes(spark):
+    from pgverify_spark.operators import graph
+
+    # uniform weights reduce to the unweighted walk exactly
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "doc_a long, doc_b long"
+    )
+    uni = {r["node_id"]: r["rank_ppm"] for r in graph.pagerank(pairs, 4).collect()}
+    wpairs = pairs.selectExpr("doc_a", "doc_b", "CAST(7 AS BIGINT) AS w")
+    w = {
+        r["node_id"]: r["rank_ppm"]
+        for r in graph.pagerank_weighted(wpairs, 4).collect()
+    }
+    assert w == uni
+    # unequal weights break the leaf symmetry: the heavy leaf receives
+    # more of the hub's mass than the light ones
+    skew = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (0, 3, 1)], "doc_a long, doc_b long, w long"
+    )
+    s = {
+        r["node_id"]: r["rank_ppm"]
+        for r in graph.pagerank_weighted(skew, 4).collect()
+    }
+    assert s[1] > s[2] == s[3]
+    # parallel edges merge by weight-sum: (0,1,3)+(0,1,7) == (0,1,10)
+    dup = spark.createDataFrame(
+        [(0, 1, 3), (0, 1, 7), (0, 2, 1), (0, 3, 1)],
+        "doc_a long, doc_b long, w long",
+    )
+    d = {
+        r["node_id"]: r["rank_ppm"]
+        for r in graph.pagerank_weighted(dup, 4).collect()
+    }
+    assert d == s
+    # empty graph: empty output, no loop
+    empty = spark.createDataFrame([], "doc_a long, doc_b long, w long")
+    assert graph.pagerank_weighted(empty, 4).collect() == []
+
+
 def test_contamination_spans_matches_oracle(docs, duck):
     from pgverify_spark.operators import contamination
 
