@@ -125,6 +125,36 @@ def build_parser() -> argparse.ArgumentParser:
         "bounds-pushdown read (N concurrent JDBC connections)",
     )
     p.add_argument(
+        "--zorder",
+        type=_csv,
+        metavar="COL1,COL2[,...]",
+        help="LAYOUT MODE: instead of verifying, rewrite each table of "
+        "the (first) target clustered on the Morton curve of these "
+        "columns and exit — multi-dimensional row-group skipping for "
+        "conjunctive box predicates (sources/zorder.py). Requires "
+        "--zorder-out; honors --include-tables/--exclude-tables",
+    )
+    p.add_argument(
+        "--zorder-out",
+        metavar="DIR",
+        help="output directory for --zorder (one parquet dir per table)",
+    )
+    p.add_argument(
+        "--zorder-bits", type=int, default=8,
+        help="quantization bits per z-ordered column (default 8: 256 "
+        "levels per dimension)",
+    )
+    p.add_argument(
+        "--zorder-quantize", choices=("equidepth", "linear"), default="equidepth",
+        help="quantization: equidepth (percentile boundaries — robust "
+        "to heavy-tailed columns, the default) or linear (min/max)",
+    )
+    p.add_argument(
+        "--zorder-files", type=int, default=None,
+        help="output file count for --zorder (default: cluster "
+        "parallelism)",
+    )
+    p.add_argument(
         "--schemas",
         metavar="FILE",
         help="JSON file {table: spark DDL} applied to csv:/json: file "
@@ -319,10 +349,47 @@ def main(argv: list[str] | None = None) -> int:
         aliases, args.targets, schemas, args.pushdown, jdbc_catalog
     )
 
+    if args.zorder:
+        # layout mode: rewrite, report, exit — no verify pass
+        if not args.zorder_out:
+            raise SystemExit("--zorder requires --zorder-out DIR")
+        from pgverify_spark.sources.zorder import write_zordered
+
+        target = targets[0]
+        n_written = 0
+        for table in target.list_tables(spark, config):
+            df = target.read(spark, table)
+            missing = [c for c in args.zorder if c not in df.columns]
+            if missing:
+                print(
+                    f"-- zorder: skip table={table} "
+                    f"(missing columns: {', '.join(missing)})"
+                )
+                continue
+            out = os.path.join(args.zorder_out, table)
+            write_zordered(
+                df,
+                list(args.zorder),
+                out,
+                bits=args.zorder_bits,
+                files=args.zorder_files,
+                quantize=args.zorder_quantize,
+            )
+            print(
+                f"-- zorder: wrote table={table} cols={','.join(args.zorder)} "
+                f"bits={args.zorder_bits} quantize={args.zorder_quantize} dir={out}"
+            )
+            n_written += 1
+        if not n_written:
+            print(
+                "ERROR: --zorder wrote no tables (no table has all the "
+                "named columns)",
+                file=sys.stderr,
+            )
+        return 0 if n_written else 1
+
     snapshot_failures = 0
     if args.snapshot_dir:
-        import os
-
         from pgverify_spark.operators.fingerprint import (
             content_bucket_sql,
             verify_against_snapshot,
