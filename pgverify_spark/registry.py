@@ -3809,7 +3809,79 @@ def _derived_view_report_entry() -> dict[str, tuple[Callable, str]]:
         selects.append(
             f"SELECT 'public' AS schema, '{view_name}' AS tbl, '{tname}' AS target, {mode_cols}"
         )
-    return {"verify_report_derived_view": (run, " UNION ALL ".join(selects))}
+    out = {"verify_report_derived_view": (run, " UNION ALL ".join(selects))}
+    out.update(_derived_view_orc_entry())
+    return out
+
+
+def _derived_view_orc_entry() -> dict[str, tuple[Callable, str]]:
+    """The ETL-consistency story end-to-end (r9 VERDICT item 8): BOTH
+    verify sides are ViewTargets over *different physical formats* —
+    the same derived relation computed from a parquet store and from a
+    live ORC export of it.  verify_report_derived_view proves a view
+    verifies across parquet/csv; this proves the view definition is
+    truly storage-agnostic on a second columnar format whose reader
+    (vectorized ORC) shares nothing with the CSV text parser — the
+    "two warehouses, one transformation" deployment.  Column pruning
+    reaches through the view into BOTH columnar scans (each side reads
+    2 of orders' 9 columns)."""
+    view_name = "nation_order_stats"
+    cfg = VerifyConfig(test_modes=_REPORT_MODES, include_tables=(view_name,))
+
+    def build_view(spark: SparkSession, base) -> DataFrame:
+        o = base.read(spark, "orders").select("o_custkey", "o_orderkey")
+        c = base.read(spark, "customer").select("c_custkey", "c_nationkey")
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderkey").alias("min_order"),
+                F.max("o_orderkey").alias("max_order"),
+            )
+        )
+
+    views = {view_name: (build_view, ("c_nationkey",))}
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.sources.files import FileTarget
+        from pgverify_spark.sources.views import ViewTarget
+
+        ensure_required_confs(spark)
+        tmp = tempfile.mkdtemp(prefix="pgvs_dvorc_")
+        for t in ("orders", "customer"):
+            ParquetTarget("src", sf_dir).read(spark, t).write.format("orc").mode(
+                "overwrite"
+            ).save(f"{tmp}/{t}.orc")
+        targets = [
+            ViewTarget("parquet", ParquetTarget("pq", sf_dir), views),
+            ViewTarget("orc", FileTarget("o", tmp, format="orc"), views),
+        ]
+        return verify(spark, targets, cfg).report()
+
+    vschema = TableSchema(
+        view_name,
+        (
+            ("c_nationkey", "int"),
+            ("n_orders", "bigint"),
+            ("min_order", "bigint"),
+            ("max_order", "bigint"),
+        ),
+        ("c_nationkey",),
+    )
+    view_sql = f"({_DERIVED_VIEW_SQL}) v"
+    selects = []
+    for tname in ("orc", "parquet"):  # report sorts targets alphabetically
+        mode_cols = ", ".join(
+            f"(SELECT fp FROM ({fingerprint_oracle_sql(m, view_sql, vschema, cfg)}) s) AS {m}"
+            for m in _REPORT_MODES
+        )
+        selects.append(
+            f"SELECT 'public' AS schema, '{view_name}' AS tbl, '{tname}' AS target, {mode_cols}"
+        )
+    return {"verify_report_view_parquet_vs_orc": (run, " UNION ALL ".join(selects))}
 
 
 #: Names the driver's bounded CORRECTNESS window should certify FIRST.
@@ -3856,6 +3928,7 @@ _DRIVER_PRIORITY = (
     # remaining r5 rows, then the oldest r6 tail fills the window;
     # derived by `python -m pgverify_spark.rotation` from
     # CORRECTNESS_r1-r9
+    "verify_report_view_parquet_vs_orc",  # last green r—never
     "pagerank_weighted_term_graph_documents",  # last green r—never
     "filtered_cosine_topk_embeddings",  # last green r5
     "label_centroid_drift_embeddings",  # last green r5
@@ -3904,7 +3977,6 @@ _DRIVER_PRIORITY = (
     "exact_dedup_filter_documents",  # last green r6
     "simhash_near_pairs_documents",  # last green r6
     "embedding_near_dups",  # last green r6
-    "embedding_near_dups_lsh",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
