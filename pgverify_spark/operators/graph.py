@@ -226,6 +226,134 @@ def pagerank_weighted(
     )
 
 
+def pagerank_personalized(
+    pairs: DataFrame,
+    seed_sql: str,
+    iterations: int = 4,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass lands ONLY on the seed set
+    — rank becomes "importance *as seen from* the seeds" instead of
+    global centrality (Haveliwala 2002, topic-sensitive PageRank; the
+    curation use: salience of terms relative to a trusted document
+    subset rather than the whole corpus).
+
+    ``seed_sql`` is a Spark/DuckDB-portable boolean expression over the
+    column literally named ``node`` (e.g. ``node < 10**15`` = document
+    nodes of the doc-term graph).  With ``nv`` nodes and ``ns`` seeds,
+    each round is
+
+        rank'(v) = tele(v) + sum over u->v of (rank(u)*850) DIV (1000*deg(u))
+        tele(v)  = (150000 * nv) DIV ns   if v is a seed, else 0
+
+    and ranks start at the teleport distribution scaled to full mass
+    (``(1e6 * nv) DIV ns`` on seeds, 0 elsewhere) — total mass stays
+    ~nv×1e6 ppm like the global walk, so ranks are comparable across
+    the two operators.  The integer floor division sheds < ns ppm of
+    mass per round — deterministic, identical in both engines.
+
+    Physical shape: :func:`pagerank`'s per-round ranks-side
+    shuffle-hash join + map-side-combined aggregate, plus ONE extra
+    node-sized join per round to add the teleport column (the ``tele``
+    relation is persisted once; the planner broadcasts it while nodes
+    fit, shuffle-hash co-partitions past that).  Raises on an empty
+    seed set — a personalized walk with no seeds has no definition.
+    """
+    from pgverify_spark.operators.util import release_cached_deps, tag_cached_deps
+
+    src = pairs.selectExpr("doc_a", "doc_b").localCheckpoint(eager=True)
+    release_cached_deps(pairs)
+    edges = (
+        src.selectExpr("doc_a AS s", "doc_b AS t")
+        .unionByName(src.selectExpr("doc_b AS s", "doc_a AS t"))
+        .distinct()
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    ed = (
+        edges.join(deg, "s")
+        .repartition(pairs.sparkSession.sparkContext.defaultParallelism, "s")
+        .persist()
+    )
+    if not ed.take(1):
+        ed.unpersist()
+        return ed.selectExpr("s AS node_id", "CAST(s AS BIGINT) AS rank_ppm")
+    nodes = ed.selectExpr("s AS node").distinct()
+    cnt = nodes.selectExpr(
+        "CAST(count(1) AS BIGINT) AS nv",
+        f"CAST(sum(CASE WHEN {seed_sql} THEN 1 ELSE 0 END) AS BIGINT) AS ns",
+    )
+    tele = (
+        nodes.crossJoin(F.broadcast(cnt))
+        .selectExpr(
+            "node",
+            f"CASE WHEN {seed_sql} THEN ({_TELEPORT_PPM} * nv) div ns "
+            "ELSE CAST(0 AS BIGINT) END AS tele_ppm",
+            f"CASE WHEN {seed_sql} THEN ({_INIT_PPM} * nv) div ns "
+            "ELSE CAST(0 AS BIGINT) END AS rank_ppm",
+        )
+        .persist()
+    )
+    if not tele.filter("tele_ppm > 0").take(1):
+        ed.unpersist()
+        tele.unpersist()
+        raise ValueError(
+            f"personalized PageRank needs a non-empty seed set: "
+            f"{seed_sql!r} matched no node"
+        )
+    ranks = tele.select("node", "rank_ppm")
+    contrib = f"(rank_ppm * {DAMPING_PM}) div (1000 * d)"
+    for rnd in range(iterations):
+        r = ranks.hint("shuffle_hash")
+        contribs = (
+            ed.join(r, ed["s"] == r["node"])
+            .groupBy("t")
+            .agg(F.expr(f"sum({contrib})").alias("c"))
+        )
+        ranks = (
+            contribs.join(tele.select("node", "tele_ppm"), contribs["t"] == tele["node"])
+            .selectExpr("t AS node", "CAST(tele_ppm + c AS BIGINT) AS rank_ppm")
+        )
+        if checkpoint_every and (rnd + 1) % checkpoint_every == 0 and rnd + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return tag_cached_deps(
+        ranks.selectExpr("node AS node_id", "rank_ppm"), ed, tele
+    )
+
+
+def pagerank_personalized_oracle_sql(
+    pairs_sql: str, seed_sql: str, iterations: int = 4
+) -> str:
+    """Unrolled-CTE twin of :func:`pagerank_personalized` (same CTE
+    chain as the global walk plus the materialized teleport vector)."""
+    contrib = "(r.rank_ppm * 850) // (1000 * ed.d)"
+    parts = [
+        f"WITH pr AS MATERIALIZED ({pairs_sql})",
+        "edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM pr "
+        "UNION SELECT doc_b, doc_a FROM pr)",
+        "deg AS (SELECT s, count(*) AS d FROM edges GROUP BY s)",
+        "ed AS MATERIALIZED (SELECT edges.s, edges.t, deg.d FROM edges "
+        "JOIN deg USING (s))",
+        "nodes AS (SELECT DISTINCT s AS node FROM ed)",
+        "cnt AS (SELECT CAST(count(*) AS BIGINT) AS nv, "
+        f"CAST(sum(CASE WHEN {seed_sql} THEN 1 ELSE 0 END) AS BIGINT) AS ns "
+        "FROM nodes)",
+        "tele AS MATERIALIZED (SELECT node, "
+        f"CASE WHEN {seed_sql} THEN CAST(({_TELEPORT_PPM} * nv) // ns AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS tele_ppm FROM nodes, cnt)",
+        f"r0 AS (SELECT node, CASE WHEN {seed_sql} "
+        f"THEN CAST(({_INIT_PPM} * nv) // ns AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS rank_ppm FROM nodes, cnt)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"r{i + 1} AS (SELECT ed.t AS node, "
+            f"CAST(any_value(tele.tele_ppm) + CAST(sum({contrib}) AS BIGINT) AS BIGINT) "
+            f"AS rank_ppm FROM ed JOIN r{i} r ON r.node = ed.s "
+            "JOIN tele ON tele.node = ed.t GROUP BY ed.t)"
+        )
+    return ", ".join(parts) + f" SELECT node AS node_id, rank_ppm FROM r{iterations}"
+
+
 def pagerank_weighted_oracle_sql(pairs_sql: str, iterations: int = 4) -> str:
     """:func:`pagerank_oracle_sql`'s unrolled-CTE form with the weight
     carried through symmetrize → merge → strength → contribution."""

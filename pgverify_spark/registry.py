@@ -1703,6 +1703,26 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 graph.doc_term_edges_weighted_oracle_sql("documents"), 4
             ),
         ),
+        # personalized twin: teleport mass lands only on DOCUMENT nodes
+        # (node < 10^15), so term ranks measure salience as seen from
+        # the documents rather than global graph centrality —
+        # topic-sensitive PageRank (Haveliwala 2002) with the doc set
+        # as the topic
+        "pagerank_personalized_term_graph_documents": (
+            _table_query(
+                "documents",
+                lambda df: graph.pagerank_personalized(
+                    graph.doc_term_edges(df),
+                    f"node < {graph.TERM_NODE_OFFSET}",
+                    3,
+                ),
+            ),
+            graph.pagerank_personalized_oracle_sql(
+                graph.doc_term_edges_oracle_sql("documents"),
+                f"node < {graph.TERM_NODE_OFFSET}",
+                3,
+            ),
+        ),
         # near-dup pairs -> connected components (cluster id = min doc_id)
         "dup_clusters_documents": (
             _table_query(
@@ -3930,6 +3950,7 @@ _DRIVER_PRIORITY = (
     # CORRECTNESS_r1-r9
     "verify_report_view_parquet_vs_orc",  # last green r—never
     "pagerank_weighted_term_graph_documents",  # last green r—never
+    "pagerank_personalized_term_graph_documents",  # last green r—never
     "filtered_cosine_topk_embeddings",  # last green r5
     "label_centroid_drift_embeddings",  # last green r5
     "dedup_savings_report_documents",  # last green r5
@@ -3976,7 +3997,6 @@ _DRIVER_PRIORITY = (
     "near_dedup_filter_documents",  # last green r6
     "exact_dedup_filter_documents",  # last green r6
     "simhash_near_pairs_documents",  # last green r6
-    "embedding_near_dups",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

@@ -3397,6 +3397,46 @@ def test_pagerank_weighted_shapes(spark):
     assert graph.pagerank_weighted(empty, 4).collect() == []
 
 
+def test_pagerank_personalized_matches_oracle(docs, duck):
+    from pgverify_spark.operators import graph
+
+    seed = f"node < {graph.TERM_NODE_OFFSET}"
+    rows = _cmp(
+        graph.pagerank_personalized(graph.doc_term_edges(docs), seed, 3),
+        duck,
+        graph.pagerank_personalized_oracle_sql(
+            graph.doc_term_edges_oracle_sql("documents"), seed, 3
+        ),
+    )
+    assert rows
+    by_id = {r[0]: r[1] for r in rows}
+    # seeds (documents) carry the teleport floor; total mass is in the
+    # right ballpark (integer floor division sheds < ns ppm per round)
+    n = len(by_id)
+    assert abs(sum(by_id.values()) - n * 1_000_000) < n * 10
+
+
+def test_pagerank_personalized_shapes(spark):
+    from pgverify_spark.operators import graph
+
+    # a path 1-2-3 personalized on node 1: rank decays with distance
+    # from the seed, and a non-seed leaf gets NO teleport floor
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    out = {
+        r["node_id"]: r["rank_ppm"]
+        for r in graph.pagerank_personalized(pairs, "node = 1", 8).collect()
+    }
+    assert out[1] > out[2] > out[3] > 0
+    # empty seed set is a definition error, not a silent zero vector
+    import pytest
+
+    with pytest.raises(ValueError, match="seed"):
+        graph.pagerank_personalized(pairs, "node = 99", 4)
+    # empty graph short-circuits before the seed check
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert graph.pagerank_personalized(empty, "node = 1", 4).collect() == []
+
+
 def test_contamination_spans_matches_oracle(docs, duck):
     from pgverify_spark.operators import contamination
 
