@@ -36,6 +36,7 @@ from pgverify_spark.operators.diff import row_diff, row_diff_oracle_sql
 from pgverify_spark.operators.fingerprint import (
     FINGERPRINT_OPS,
     fingerprint_oracle_sql,
+    partitioned_fingerprint_oracle_sql,
 )
 from pgverify_spark.plans.verify import verify
 from pgverify_spark.session import ensure_required_confs
@@ -1060,6 +1061,79 @@ def _targeted_delete_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+
+
+#: verified_delete_orders parameters: delete the key block [1, 400]
+#: from a copy clustered in 2000-key partitions — the takedown shape
+#: (one tenant/source block), so exactly ONE file and ONE fingerprint
+#: partition are touched.
+_VDEL_LO, _VDEL_HI, _VDEL_PART_W = 1, 400, 2000
+
+
+def _verified_delete_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten WITH an audit trail — the composition the
+    maintenance + incremental-verify layers exist for:
+
+    1. fingerprint-snapshot the table per 2000-key partition (once);
+    2. ``targeted_delete`` the key block (footer stats -> 1 file
+       rewritten);
+    3. ``update_fingerprint_snapshot`` for ONLY the touched partition
+       (pruned rescan);
+    4. ``verify_against_snapshot`` proves every OTHER partition is
+       bit-unchanged — the delete demonstrably removed the block and
+       nothing else.
+
+    Returned relation = the updated (part, fp) state; the oracle
+    recomputes it from scratch over orders-minus-block, so the hash
+    certifies the whole protocol end-to-end.  A non-empty verify diff
+    raises (recorded as ``err`` by the driver — the audit failing IS
+    the signal)."""
+    import tempfile
+
+    from pgverify_spark.operators.fingerprint import (
+        update_fingerprint_snapshot,
+        verify_against_snapshot,
+        write_fingerprint_snapshot,
+    )
+    from pgverify_spark.sources.maintain import targeted_delete
+
+    ensure_required_confs(spark)
+    schema = TESTDATA_TABLES["orders"]
+    psql = f"o_orderkey div {_VDEL_PART_W}"
+    store = _MAINTAIN_STORE.get((sf_dir, "vdel"))
+    if store is None:
+        tmp = tempfile.mkdtemp(prefix="pgvs_vdel_")
+        path, state = f"{tmp}/orders", f"{tmp}/state"
+        src = ParquetTarget("t", sf_dir).read(spark, "orders")
+        (
+            src.repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.parquet(path)
+        )
+        write_fingerprint_snapshot(
+            spark.read.parquet(path), schema, state, partition_sql=psql
+        )
+        _MAINTAIN_STORE[(sf_dir, "vdel")] = (path, state)
+    else:
+        path, state = store
+    cur = spark.read.parquet(path)
+    ids = [
+        r[0]
+        for r in cur.filter(
+            f"o_orderkey BETWEEN {_VDEL_LO} AND {_VDEL_HI}"
+        ).select("o_orderkey").collect()
+    ]
+    if ids:  # second run onward the block is already gone (idempotent)
+        targeted_delete(spark, path, ids, "o_orderkey")
+    parts = sorted({k // _VDEL_PART_W for k in range(_VDEL_LO, _VDEL_HI + 1)})
+    cur = spark.read.parquet(path)
+    new_state = update_fingerprint_snapshot(
+        spark, cur, schema, state, tuple(parts), partition_sql=psql
+    )
+    bad = verify_against_snapshot(spark, cur, schema, state, None, psql).collect()
+    if bad:
+        raise AssertionError(f"verified delete audit failed: {bad[:5]}")
+    return new_state
 
 
 def _compact_files_run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2217,6 +2291,19 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "compact_files_events": (
             _compact_files_run,
             "SELECT event_id, user_id, event_type, value FROM events",
+        ),
+        # the full deletion protocol with audit: footer-pruned delete of
+        # a key block + snapshot splice of only the touched partition +
+        # verify-against-snapshot proving everything else bit-unchanged;
+        # the certified relation is the updated (part, fp) state itself
+        "verified_delete_orders": (
+            _verified_delete_run,
+            partitioned_fingerprint_oracle_sql(
+                "(SELECT * FROM orders WHERE o_orderkey NOT BETWEEN "
+                f"{_VDEL_LO} AND {_VDEL_HI}) t",
+                TESTDATA_TABLES["orders"],
+                partition_sql=f"o_orderkey // {_VDEL_PART_W}",
+            ),
         ),
         # retry-burst collapse (4 h window: ~2 % of testdata gaps)
         "debounce_events": (
@@ -4031,6 +4118,7 @@ _DRIVER_PRIORITY = (
     "pagerank_personalized_term_graph_documents",  # last green r—never
     "targeted_delete_orders",  # last green r—never
     "compact_files_events",  # last green r—never
+    "verified_delete_orders",  # last green r—never
     "filtered_cosine_topk_embeddings",  # last green r5
     "label_centroid_drift_embeddings",  # last green r5
     "dedup_savings_report_documents",  # last green r5
@@ -4074,7 +4162,6 @@ _DRIVER_PRIORITY = (
     "winnowing_pairs_documents",  # last green r6
     "semantic_dup_pairs_documents",  # last green r6
     "incremental_dedup_documents",  # last green r6
-    "near_dedup_filter_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
