@@ -1063,6 +1063,57 @@ def _targeted_delete_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INGEST_COMPACT_ORACLE = (
+    "SELECT event_id, user_id, event_type, value FROM events"
+)
+
+
+def _run_streaming_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming sink-hygiene loop end-to-end: 4 micro-batches land
+    in replay-idempotent ``batch_id=N`` partitions, then every sealed
+    batch (all of them — the stopped stream committed everything) is
+    compacted into one generation directory; the logical table must
+    equal the source through the whole dance."""
+    import tempfile
+
+    from pgverify_spark.streaming.ingest import (
+        _batch_dirs,
+        read_ingested,
+        seal_and_compact,
+        streaming_ingest,
+    )
+
+    ensure_required_confs(spark)
+    ev = ParquetTarget("t", sf_dir).read(spark, "events")
+    tmp = tempfile.mkdtemp(prefix="pgvs_singest_")
+    for c in range(4):
+        (
+            ev.filter(F.col("event_id") % 4 == c)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(f"{tmp}/src")
+        )
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src")
+    )
+    store = f"{tmp}/store"
+    q = (
+        streaming_ingest(sdf, store)
+        .option("checkpointLocation", f"{tmp}/ck")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seal_and_compact(spark, store, max(_batch_dirs(store)) + 1)
+    return read_ingested(spark, store).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 #: verified_delete_orders parameters: delete the key block [1, 400]
 #: from a copy clustered in 2000-key partitions — the takedown shape
 #: (one tenant/source block), so exactly ONE file and ONE fingerprint
@@ -3840,6 +3891,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
 
     return {
         "streaming_stateful_bucket_fingerprint_events": (run, stateful_oracle),
+        "streaming_ingest_compact_events": (_run_streaming_ingest_compact, _INGEST_COMPACT_ORACLE),
         "streaming_kmv_overlap_documents": (run_skmv_overlap, skmv_overlap_oracle),
         "streaming_dedup_documents": (run_dedup, dedup_oracle),
         "streaming_session_rollup_events": (run_sessions, sessions_oracle),
@@ -4119,6 +4171,7 @@ _DRIVER_PRIORITY = (
     "targeted_delete_orders",  # last green r—never
     "compact_files_events",  # last green r—never
     "verified_delete_orders",  # last green r—never
+    "streaming_ingest_compact_events",  # last green r—never
     "filtered_cosine_topk_embeddings",  # last green r5
     "label_centroid_drift_embeddings",  # last green r5
     "dedup_savings_report_documents",  # last green r5
@@ -4161,7 +4214,6 @@ _DRIVER_PRIORITY = (
     "profile_orders",  # last green r6
     "winnowing_pairs_documents",  # last green r6
     "semantic_dup_pairs_documents",  # last green r6
-    "incremental_dedup_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

@@ -1,0 +1,118 @@
+"""Streaming parquet ingest with replay-idempotent batches and
+sealed-batch compaction — the sink-hygiene loop.
+
+Beyond-reference extension (the reference is batch-only and never
+writes; SURVEY.md §1.4): a continuously-ingesting table accretes one
+parquet file per task per trigger, and within days a 100 TB table's
+scan cost is dominated by file-open/footer overhead instead of bytes.
+Table formats (Delta/Iceberg) solve this with a transaction log +
+OPTIMIZE; this module is the plain-parquet construction of the same
+two guarantees:
+
+1. **Replay idempotence** (:func:`streaming_ingest`): each micro-batch
+   lands in its own ``batch_id=<N>`` partition directory via dynamic
+   partition overwrite, so a foreachBatch replay after a failure
+   overwrites the same directory instead of appending duplicates —
+   the standard exactly-once-by-idempotence recipe.
+2. **Compaction that cannot race replay** (:func:`seal_and_compact`):
+   Structured Streaming never re-runs a batch id that is committed to
+   the checkpoint, so any batch directory with id strictly below the
+   newest committed id is SEALED — immutable forever.  Compaction
+   merges only sealed directories into a negative-id generation
+   directory (``batch_id=-<G>``, a namespace no real batch can ever
+   collide with) and removes them; a replay of the one possibly
+   -uncommitted batch still lands in its own positive-id directory.
+   Run it from the foreachBatch hook (every K batches) or as a
+   side-car maintenance job — both safe under the sealed rule.
+
+Readers see one logical table the whole time:
+:func:`read_ingested` = ``spark.read.parquet(store)`` minus the layout
+column, whatever mix of raw and compacted generations exists.
+
+Scale shape: ingest writes only the trigger's own rows; compaction
+reads only sealed small files (``maintain``-style size planning) and
+never touches a generation that is already right-sized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgverify_spark.sources.maintain import list_data_files
+
+
+def streaming_ingest(sdf: DataFrame, store_path: str):
+    """foreachBatch sink writing each micro-batch to its own
+    ``batch_id=<N>`` partition with dynamic overwrite (replay-
+    idempotent).  Returns a configured ``writeStream`` — caller sets
+    the checkpoint and calls ``start()``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(store_path)
+        )
+
+    return sdf.writeStream.foreachBatch(sink).outputMode("append")
+
+
+def read_ingested(spark: SparkSession, store_path: str) -> DataFrame:
+    """The ingested table, generation layout hidden."""
+    return spark.read.parquet(store_path).drop("batch_id")
+
+
+def _batch_dirs(store_path: str) -> dict[int, str]:
+    out = {}
+    for d in os.listdir(store_path):
+        if d.startswith("batch_id=") and os.path.isdir(os.path.join(store_path, d)):
+            out[int(d.split("=", 1)[1])] = os.path.join(store_path, d)
+    return out
+
+
+def seal_and_compact(
+    spark: SparkSession,
+    store_path: str,
+    upto_exclusive: int,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Merge every SEALED batch directory (``0 <= batch_id <
+    upto_exclusive`` — pass the newest checkpoint-committed id; those
+    can never replay) into one new ``batch_id=-<G>`` generation, then
+    drop the sealed directories.  Existing negative generations are
+    left alone (they are already compacted; re-compacting generations
+    into each other is a separate, equally-safe invocation with the
+    same rule — they are immutable too).
+
+    Returns ``{"batches_sealed", "files_before", "files_after"}``; a
+    no-op when fewer than two sealed directories exist.
+    """
+    dirs = _batch_dirs(store_path)
+    sealed = {n: d for n, d in dirs.items() if 0 <= n < upto_exclusive}
+    if len(sealed) < 2:
+        return {"batches_sealed": 0, "files_before": 0, "files_after": 0}
+    gen = min([0] + [n for n in dirs if n < 0]) - 1
+    files_before = sum(len(list_data_files(d)) for d in sealed.values())
+    total_bytes = sum(
+        sz for d in sealed.values() for _, sz in list_data_files(d)
+    )
+    n_out = max(1, -(-total_bytes // target_bytes))
+    merged = spark.read.parquet(*sealed.values())
+    out_dir = os.path.join(store_path, f"batch_id={gen}")
+    merged.coalesce(n_out).write.mode("overwrite").parquet(out_dir)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(store_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for d in sealed.values():
+        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+    return {
+        "batches_sealed": len(sealed),
+        "files_before": files_before,
+        "files_after": len(list_data_files(out_dir)),
+    }

@@ -85,6 +85,68 @@ def test_targeted_delete_missing_column_errors(spark, sf_dir, tmp_path):
         maintain.targeted_delete(spark, path, [1], "nope")
 
 
+def test_streaming_ingest_replay_idempotent_and_compacts(spark, sf_dir, tmp_path):
+    """streaming/ingest.py: batch partitions are replay-idempotent
+    (re-running a batch's sink overwrites, never duplicates); sealed
+    batches compact into one generation; unsealed batches survive."""
+    from pgverify_spark.streaming.ingest import (
+        _batch_dirs,
+        read_ingested,
+        seal_and_compact,
+        streaming_ingest,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "src")
+    for c in range(4):
+        ev.filter(f"event_id % 4 = {c}").coalesce(1).write.mode("append").parquet(src)
+    store = str(tmp_path / "store")
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_ingest(sdf, store)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n = ev.count()
+    assert sorted(_batch_dirs(store)) == [0, 1, 2, 3]
+    assert read_ingested(spark, store).count() == n
+    # replay of batch 2 (the foreachBatch failure contract): same rows
+    # land in the same partition via dynamic overwrite -> no duplicates
+    from pyspark.sql import functions as F
+
+    replay = spark.read.parquet(str(_batch_dirs(store)[2])).withColumn(
+        "batch_id", F.lit(2)
+    )
+    (
+        replay.write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(store)
+    )
+    assert read_ingested(spark, store).count() == n
+    # seal batches 0-2 only (3 is the possibly-uncommitted newest)
+    stats = seal_and_compact(spark, store, 3)
+    assert stats["batches_sealed"] == 3
+    assert stats["files_after"] <= stats["files_before"]
+    dirs = _batch_dirs(store)
+    assert sorted(dirs) == [-1, 3]  # generation + the unsealed batch
+    assert read_ingested(spark, store).count() == n
+    assert read_ingested(spark, store).exceptAll(ev).count() == 0
+    # a second pass has <2 sealed dirs left below 4 -> no-op on them
+    assert seal_and_compact(spark, store, 4)["batches_sealed"] == 0
+    # generations are immutable and themselves compactable by the same
+    # rule — but a single one stays put
+    assert sorted(_batch_dirs(store)) == [-1, 3]
+
+
 def test_compact_small_files_leaves_big_alone(spark, sf_dir, tmp_path):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     path = str(tmp_path / "events")
