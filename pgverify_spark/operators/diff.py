@@ -448,6 +448,42 @@ def repair_plan(
     )
 
 
+def apply_repair(
+    left: DataFrame,
+    right: DataFrame,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+) -> DataFrame:
+    """Execute the anti-entropy repair: ``right`` with every key the
+    plan names replaced by ``left``'s rows for that key — the final
+    link of the verify → diff → plan chain, closing the loop the
+    reference's mismatch report leaves open (results.go:101-166).
+
+    One expression handles all three actions: plan keys' rows are
+    dropped from the right (covers 'delete' and the delete half of
+    'update') and left's rows for plan keys are appended (covers
+    'insert' and the insert half; a key missing on the left contributes
+    nothing).  Multiset semantics fall out for free — taking ALL of
+    left's rows for a key is exactly ``n_insert`` copies.  The repaired
+    relation's multiset equals ``left``'s (up to the canonical-hash
+    equality the whole engine rests on), which the registry entry
+    hash-certifies.
+
+    Scale shape: one :func:`row_diff` (the dominant cost, O(distinct
+    rows) shuffle — or compose with the partition-gated drill-down at
+    100 TB) plus two joins against the DIFF-sized key list, which the
+    planner broadcasts.
+    """
+    config = config or VerifyConfig()
+    k = pk_key_sql(schema.pk_cols(), DIALECT_SPARK, config.trunc_unit)
+    bad = repair_plan(left, right, schema, config).select("k")
+    r_k = right.selectExpr("*", f"{k} AS _pgvs_k")
+    l_k = left.selectExpr("*", f"{k} AS _pgvs_k")
+    kept = r_k.join(bad, r_k["_pgvs_k"] == bad["k"], "left_anti")
+    fixed = l_k.join(bad, l_k["_pgvs_k"] == bad["k"], "left_semi")
+    return kept.drop("_pgvs_k").unionByName(fixed.drop("_pgvs_k"))
+
+
 def repair_plan_oracle_sql(
     left_table: str,
     right_table: str,

@@ -361,6 +361,23 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
         repair_plan_oracle_sql("orders", f"({_RP_RIGHT_SPARK})", schema),
     )
 
+    # ...and the plan EXECUTED: the corrupted right (all three repair
+    # classes) repaired back to bit-equality with the left — the
+    # certified relation is the repaired content itself
+    from pgverify_spark.operators.diff import apply_repair
+
+    def run_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+        left = ParquetTarget("t", sf_dir).read(spark, "orders")
+        left.createOrReplaceTempView("orders")
+        return apply_repair(left, spark.sql(_RP_RIGHT_SPARK), schema).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+
+    out["repair_apply_orders"] = (
+        run_apply,
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
+    )
+
     # per-column attribution: two drifted columns with known key sets
     from pgverify_spark.operators.diff import (
         column_diff_report,
@@ -4165,6 +4182,7 @@ _DRIVER_PRIORITY = (
     # remaining r5 rows, then the oldest r6 tail fills the window;
     # derived by `python -m pgverify_spark.rotation` from
     # CORRECTNESS_r1-r9
+    "repair_apply_orders",  # last green r—never
     "verify_report_view_parquet_vs_orc",  # last green r—never
     "pagerank_weighted_term_graph_documents",  # last green r—never
     "pagerank_personalized_term_graph_documents",  # last green r—never
@@ -4213,7 +4231,6 @@ _DRIVER_PRIORITY = (
     "dup_clusters_documents",  # last green r6
     "profile_orders",  # last green r6
     "winnowing_pairs_documents",  # last green r6
-    "semantic_dup_pairs_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

@@ -325,6 +325,37 @@ def test_repair_plan(spark, duck, sf_dir):
     assert all(ni == 0 for _, a, ni, _ in got if a == "delete")
 
 
+def test_apply_repair_restores_left_exactly(spark, sf_dir):
+    """Executing the repair plan turns the corrupted right into a
+    multiset equal to the left — all three action classes at once, plus
+    a duplicated-row count mismatch (the multiset case)."""
+    from pgverify_spark.operators.diff import apply_repair, row_diff
+
+    target = ParquetTarget("t", sf_dir)
+    schema = TESTDATA_TABLES["orders"]
+    left = target.read(spark, "orders")
+    left.createOrReplaceTempView("orders_ar")
+    right = spark.sql(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice, "
+        "o_orderdate, o_orderpriority FROM orders_ar WHERE o_orderkey % 97 <> 0 "
+        "UNION ALL SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, "
+        "o_totalprice, o_orderdate, o_orderpriority FROM orders_ar WHERE o_orderkey % 101 = 0 "
+        # same-content duplicate rows: count mismatch, repaired by copies
+        "UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        "o_orderdate, o_orderpriority FROM orders_ar WHERE o_orderkey % 113 = 0"
+    )
+    repaired = apply_repair(left, right, schema)
+    assert repaired.columns == left.columns
+    assert repaired.count() == left.count()
+    assert repaired.exceptAll(left).count() == 0
+    assert left.exceptAll(repaired).count() == 0
+    # and the verify layer agrees: no residual diff
+    assert row_diff(left, repaired, schema).count() == 0
+    # repairing an already-equal right is the identity
+    assert apply_repair(left, left, schema).exceptAll(left).count() == 0
+
+
 def test_view_target_verifies_derived_relations(spark, sf_dir, tmp_path):
     """ViewTarget makes a derived relation a first-class verify subject:
     a base mutation that changes the view flags, one the view doesn't
