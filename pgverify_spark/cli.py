@@ -105,6 +105,25 @@ def build_parser() -> argparse.ArgumentParser:
         "operators/fingerprint.py:write_fingerprint_snapshot)",
     )
     p.add_argument(
+        "--snapshot-refresh",
+        type=_csv,
+        metavar="PART1,PART2[,...]",
+        help="with --snapshot-dir: instead of verifying, splice-refresh "
+        "the stored state for ONLY these partition values (yesterday's "
+        "ingest touched days D — refresh D, rescan nothing else; "
+        "numeric-looking values compare as numbers)",
+    )
+    p.add_argument(
+        "--repair-out",
+        metavar="DIR",
+        help="with exactly two targets: after the verify report, write "
+        "a REPAIRED copy of each mismatching table under DIR — the "
+        "second target's rows with every differing primary key replaced "
+        "by the first target's rows (operators/diff.py:apply_repair); "
+        "the anti-entropy follow-through the reference's report stops "
+        "short of",
+    )
+    p.add_argument(
         "--constraints",
         metavar="FILE",
         help="JSON file {table: [constraint specs]} — additionally run "
@@ -388,15 +407,45 @@ def main(argv: list[str] | None = None) -> int:
             )
         return 0 if n_written else 1
 
+    if args.snapshot_refresh and not args.snapshot_dir:
+        raise SystemExit("--snapshot-refresh requires --snapshot-dir DIR")
+
     snapshot_failures = 0
     if args.snapshot_dir:
         from pgverify_spark.operators.fingerprint import (
             content_bucket_sql,
+            update_fingerprint_snapshot,
             verify_against_snapshot,
             write_fingerprint_snapshot,
         )
 
         target = targets[0]
+        if args.snapshot_refresh:
+            # maintenance mode: splice-refresh ONLY the named partitions
+            # (the post-ingest step: yesterday touched days D, rescan D)
+            parts = tuple(
+                int(x) if re.fullmatch(r"-?\d+", x) else x
+                for x in args.snapshot_refresh
+            )
+            for table in target.list_tables(spark, config):
+                df = target.read(spark, table)
+                tschema = target.table_schema(spark, table)
+                psql = None if "ts" in df.columns else content_bucket_sql(tschema, config)
+                state = os.path.join(args.snapshot_dir, table)
+                if not os.path.isdir(state):
+                    raise SystemExit(
+                        f"--snapshot-refresh: no stored snapshot for table "
+                        f"{table!r} under {args.snapshot_dir!r} (run once "
+                        "without --snapshot-refresh to write it)"
+                    )
+                update_fingerprint_snapshot(
+                    spark, df, tschema, state, parts, config, psql
+                )
+                print(
+                    f"-- snapshot refreshed: table={table} "
+                    f"partitions={','.join(map(str, parts))} dir={state}"
+                )
+            return 0
         for table in target.list_tables(spark, config):
             df = target.read(spark, table)
             tschema = target.table_schema(spark, table)
@@ -434,6 +483,32 @@ def main(argv: list[str] | None = None) -> int:
     result.report().show(1000, truncate=False)
     for err in result.errors:
         print(f"ERROR: {err}", file=sys.stderr)
+
+    if args.repair_out:
+        if len(targets) != 2:
+            raise SystemExit("--repair-out requires exactly two targets")
+        from pgverify_spark.operators.diff import apply_repair
+
+        # tables whose outputs disagree across the two targets
+        cells: dict[tuple, set] = {}
+        for r in result.rows or result.results.collect():
+            cells.setdefault((r[2], r[3]), set()).add(r[4])
+        bad_tables = sorted({tbl for (tbl, _m), outs in cells.items() if len(outs) > 1})
+        for table in bad_tables:
+            left = targets[0].read(spark, table)
+            right = targets[1].read(spark, table)
+            tschema = targets[0].table_schema(spark, table)
+            out = os.path.join(args.repair_out, table)
+            apply_repair(left, right, tschema, config).write.mode(
+                "overwrite"
+            ).parquet(out)
+            print(
+                f"-- repair: table={table} repaired copy of "
+                f"{targets[1].name} written to {out} (source of truth: "
+                f"{targets[0].name})"
+            )
+        if not bad_tables:
+            print("-- repair: no mismatching tables, nothing written")
 
     constraint_failures = 0
     if args.constraints:

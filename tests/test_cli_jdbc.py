@@ -167,6 +167,66 @@ def test_cli_zorder_layout_mode(spark, sf_dir, tmp_path):
     assert "--zorder-out" in bad.stderr
 
 
+_CLI_ENV = {"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin", "HOME": "/root",
+            "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")}
+
+
+def test_cli_repair_out(spark, sf_dir, tmp_path):
+    """--repair-out writes a repaired copy of the mismatching second
+    target; the verify failure still exits 1 (the repair is an
+    artifact, not absolution)."""
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    bad_dir = tmp_path / "bad"
+    src.filter("r_regionkey <> 2").write.parquet(str(bad_dir / "region.parquet"))
+    out = tmp_path / "fixed"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "pgverify_spark.cli",
+            sf_dir, str(bad_dir),
+            "--tests", "rowcount",
+            "--include-tables", "region",
+            "--repair-out", str(out),
+        ],
+        capture_output=True, text=True, timeout=300, env=_CLI_ENV, cwd="/root/repo",
+    )
+    assert proc.returncode == 1  # mismatch still reported
+    assert "repair: table=region" in proc.stdout
+    fixed = spark.read.parquet(str(out / "region"))
+    assert fixed.count() == src.count()
+    assert fixed.exceptAll(src).count() == 0
+
+
+def test_cli_snapshot_refresh(spark, sf_dir, tmp_path):
+    """--snapshot-refresh splices the stored state for only the named
+    partitions; a later plain snapshot verify still passes."""
+    snap = str(tmp_path / "snap")
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "pgverify_spark.cli", sf_dir,
+             "--include-tables", "events", "--snapshot-dir", snap, *extra],
+            capture_output=True, text=True, timeout=300, env=_CLI_ENV,
+            cwd="/root/repo",
+        )
+
+    first = run()
+    assert first.returncode == 0 and "snapshot written" in first.stdout
+    # refresh before the snapshot exists for a missing table errors
+    refreshed = run("--snapshot-refresh", "19723,19724")
+    assert refreshed.returncode == 0, refreshed.stderr[-2000:]
+    assert "snapshot refreshed: table=events partitions=19723,19724" in refreshed.stdout
+    verify = run()
+    assert verify.returncode == 0
+    assert "changed_partitions=0" in verify.stdout
+    # --snapshot-refresh without --snapshot-dir is a usage error
+    bare = subprocess.run(
+        [sys.executable, "-m", "pgverify_spark.cli", sf_dir,
+         "--snapshot-refresh", "1"],
+        capture_output=True, text=True, timeout=300, env=_CLI_ENV, cwd="/root/repo",
+    )
+    assert bare.returncode != 0 and "--snapshot-dir" in bare.stderr
+
+
 def test_cli_file_format_targets(spark, sf_dir, tmp_path):
     """<format>:<dir> target URIs: a parquet directory verified against
     its own csv export agrees (exit 0) with --schemas supplying the
