@@ -184,6 +184,110 @@ def daily_anomalies_oracle_sql(table: str, z_threshold: float = 2.0) -> str:
     )
 
 
+def cusum_changepoints(
+    df: DataFrame, k_ppm: int = 50_000, h_ppm: int = 4_000_000
+) -> DataFrame:
+    """Two-sided CUSUM drift monitor over each event type's daily count
+    series (Page 1954) — the sequential changepoint statistic behind
+    "did this stream's level shift" monitoring, which a z-score per day
+    (:func:`daily_anomalies`) cannot answer: CUSUM accumulates SMALL
+    persistent shifts that never individually cross a z threshold.
+
+    Output: (event_type, day_bucket, n, cusum_up, cusum_dn, alarm) for
+    EVERY day — the full statistic trajectory, not just alarms, so the
+    oracle certifies the whole computation.
+
+    The textbook recursion ``S_i = max(0, S_{i-1} + d_i)`` is not a
+    window function, but it has a closed form AS one:
+    ``S_i = P_i - min(0, min_{j<=i} P_j)`` with ``P`` the prefix sum of
+    the deviations — so the whole monitor is two ordinary windows
+    (running sum + running min) per direction, partitioned by type,
+    never a single-reducer (the relation is the tiny daily rollup
+    anyway).  Deviations, slack and threshold are all BIGINT:
+    ``d_up = n - mean - slack``, ``slack = mean*k_ppm div 1e6``,
+    ``alarm when cusum > mean*h_ppm div 1e6`` — bit-identical
+    cross-engine, no floats anywhere.
+    """
+    daily = (
+        df.selectExpr(
+            f"{bucket_sql(df, _US_PER_DAY)} AS day_bucket", "event_type"
+        )
+        .groupBy("event_type", "day_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.expr("CAST(sum(n) AS BIGINT) div count(1)").alias("mean_n")
+    )
+    dev = daily.join(stats, "event_type").selectExpr(
+        "event_type",
+        "day_bucket",
+        "n",
+        f"(mean_n * {h_ppm}) div 1000000 AS h",
+        f"n - mean_n - (mean_n * {k_ppm}) div 1000000 AS d_up",
+        f"mean_n - n - (mean_n * {k_ppm}) div 1000000 AS d_dn",
+    )
+    w = (
+        "PARTITION BY event_type ORDER BY day_bucket "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    prefix = dev.selectExpr(
+        "event_type",
+        "day_bucket",
+        "n",
+        "h",
+        f"sum(d_up) OVER ({w}) AS p_up",
+        f"sum(d_dn) OVER ({w}) AS p_dn",
+    )
+    return prefix.selectExpr(
+        "event_type",
+        "day_bucket",
+        "n",
+        f"p_up - least(CAST(0 AS BIGINT), min(p_up) OVER ({w})) AS cusum_up",
+        f"p_dn - least(CAST(0 AS BIGINT), min(p_dn) OVER ({w})) AS cusum_dn",
+        "h",
+    ).selectExpr(
+        "event_type",
+        "day_bucket",
+        "n",
+        "cusum_up",
+        "cusum_dn",
+        "CASE WHEN cusum_up > h AND cusum_dn > h THEN 'both' "
+        "WHEN cusum_up > h THEN 'up' WHEN cusum_dn > h THEN 'down' "
+        "ELSE 'none' END AS alarm",
+    )
+
+
+def cusum_changepoints_oracle_sql(
+    table: str, k_ppm: int = 50_000, h_ppm: int = 4_000_000
+) -> str:
+    w = (
+        "PARTITION BY event_type ORDER BY day_bucket "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    return (
+        f"WITH d AS (SELECT event_type, {_DUCK_DAY} AS day_bucket, "
+        f"CAST(count(*) AS BIGINT) AS n FROM {table} "
+        f"GROUP BY event_type, {_DUCK_DAY}), "
+        "m AS (SELECT event_type, CAST(sum(n) AS BIGINT) // count(*) AS mean_n "
+        "FROM d GROUP BY event_type), "
+        "dev AS (SELECT d.event_type, day_bucket, n, "
+        f"(mean_n * {h_ppm}) // 1000000 AS h, "
+        f"n - mean_n - (mean_n * {k_ppm}) // 1000000 AS d_up, "
+        f"mean_n - n - (mean_n * {k_ppm}) // 1000000 AS d_dn "
+        "FROM d JOIN m ON d.event_type = m.event_type), "
+        "pfx AS (SELECT event_type, day_bucket, n, h, "
+        f"sum(d_up) OVER ({w}) AS p_up, sum(d_dn) OVER ({w}) AS p_dn FROM dev), "
+        "cs AS (SELECT event_type, day_bucket, n, h, "
+        f"CAST(p_up - least(0, min(p_up) OVER ({w})) AS BIGINT) AS cusum_up, "
+        f"CAST(p_dn - least(0, min(p_dn) OVER ({w})) AS BIGINT) AS cusum_dn "
+        "FROM pfx) "
+        "SELECT event_type, day_bucket, n, cusum_up, cusum_dn, "
+        "CASE WHEN cusum_up > h AND cusum_dn > h THEN 'both' "
+        "WHEN cusum_up > h THEN 'up' WHEN cusum_dn > h THEN 'down' "
+        "ELSE 'none' END AS alarm FROM cs"
+    )
+
+
 def daily_trend_slope(df: DataFrame) -> DataFrame:
     """Per-type least-squares slope of the daily value-sum series:
     (event_type, n_days, slope) — trending up or down, and how fast.

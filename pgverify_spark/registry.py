@@ -2518,6 +2518,13 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", trend.daily_trend_slope),
             trend.daily_trend_slope_oracle_sql("events"),
         ),
+        # two-sided CUSUM drift monitor (Page 1954): the clamped
+        # recursion expressed as prefix-sum minus running-min, all
+        # BIGINT; full trajectory certified, not just alarms
+        "cusum_changepoints_events": (
+            _table_query("events", trend.cusum_changepoints),
+            trend.cusum_changepoints_oracle_sql("events"),
+        ),
         # ordered-step funnel, 24h max gap between steps (discriminating
         # at sf0.01: 150 -> 60 -> 25 users)
         "funnel_events": (
@@ -4189,6 +4196,7 @@ _DRIVER_PRIORITY = (
     "targeted_delete_orders",  # last green r—never
     "compact_files_events",  # last green r—never
     "verified_delete_orders",  # last green r—never
+    "cusum_changepoints_events",  # last green r—never
     "streaming_ingest_compact_events",  # last green r—never
     "filtered_cosine_topk_embeddings",  # last green r5
     "label_centroid_drift_embeddings",  # last green r5
@@ -4230,7 +4238,6 @@ _DRIVER_PRIORITY = (
     "bloom_decontaminate_documents",  # last green r6
     "dup_clusters_documents",  # last green r6
     "profile_orders",  # last green r6
-    "winnowing_pairs_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

@@ -3397,6 +3397,55 @@ def test_pagerank_weighted_shapes(spark):
     assert graph.pagerank_weighted(empty, 4).collect() == []
 
 
+def test_cusum_changepoints_matches_oracle(spark, sf_dir, duck):
+    from pgverify_spark.operators import trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = _cmp(
+        trend.cusum_changepoints(ev),
+        duck,
+        trend.cusum_changepoints_oracle_sql("events"),
+    )
+    assert rows and all(r[3] >= 0 and r[4] >= 0 for r in rows)  # clamped
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    """The window-function closed form equals Page's clamped recursion
+    S_i = max(0, S_{i-1} + d_i), and a persistent level shift alarms."""
+    import datetime
+
+    from pgverify_spark.operators import trend
+
+    counts = [100] * 20 + [115] * 10  # +15% shift at day 20
+    rows = []
+    for day, n in enumerate(counts):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day)
+        rows += [(ts, "a")] * n
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {
+        r["day_bucket"]: r
+        for r in trend.cusum_changepoints(df, k_ppm=50_000, h_ppm=200_000).collect()
+    }
+    days = sorted(out)
+    assert len(days) == 30
+    # textbook recursion with the operator's integer parameters
+    mean = sum(counts) // len(counts)
+    slack, h = (mean * 50_000) // 10**6, (mean * 200_000) // 10**6
+    s_up = s_dn = 0
+    for day, n in zip(days, counts):
+        s_up = max(0, s_up + (n - mean - slack))
+        s_dn = max(0, s_dn + (mean - n - slack))
+        assert (out[day]["cusum_up"], out[day]["cusum_dn"]) == (s_up, s_dn)
+        assert out[day]["alarm"] == (
+            "both" if s_up > h and s_dn > h
+            else "up" if s_up > h else "down" if s_dn > h else "none"
+        )
+    # the shift is caught: an up alarm exists at/after the change, and
+    # none before it
+    alarm_days = [d for d in days if out[d]["alarm"] == "up"]
+    assert alarm_days and min(alarm_days) >= days[20]
+
+
 def test_pagerank_personalized_matches_oracle(docs, duck):
     from pgverify_spark.operators import graph
 
