@@ -492,3 +492,109 @@ def test_kmv_overlap_matches_reference(spark, rows, k):
         assert r["est_intersection"] == float(len(a & b))
         if len(a | b):
             assert r["jaccard_ppm"] == len(a & b) * 1_000_000 // len(a | b)
+
+
+# ---------------------------------------------------------------------------
+# round 10: weighted PageRank / distributed equidepth / repair execution
+# ---------------------------------------------------------------------------
+
+_wedges = st.lists(
+    st.tuples(
+        st.integers(0, 9), st.integers(0, 9), st.integers(1, 9)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SETTINGS
+@given(_wedges, st.integers(1, 3))
+def test_pagerank_weighted_matches_reference(spark, pairs, iterations):
+    """Weighted walk == dict reference: parallel edges merge by
+    weight-sum, contributions split by out-strength share."""
+    from pgverify_spark.operators.graph import pagerank_weighted
+
+    wsum: dict[tuple, int] = {}
+    for a, b, w in pairs:
+        wsum[(a, b)] = wsum.get((a, b), 0) + w
+        wsum[(b, a)] = wsum.get((b, a), 0) + w
+    strength: dict[int, int] = {}
+    for (s, _), w in wsum.items():
+        strength[s] = strength.get(s, 0) + w
+    ranks = {n: 1_000_000 for n in strength}
+    for _ in range(iterations):
+        nxt = {n: 150_000 for n in strength}
+        for (s, t), w in wsum.items():
+            nxt[t] += (ranks[s] * 850 * w) // (1000 * strength[s])
+        ranks = nxt
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long, w long")
+    got = {
+        r["node_id"]: r["rank_ppm"]
+        for r in pagerank_weighted(df, iterations).collect()
+    }
+    assert got == ranks
+
+
+_ed_values = st.lists(st.integers(0, 50), min_size=0, max_size=45)
+
+
+@SETTINGS
+@given(_ed_values, st.sampled_from([1, 3, 7, 10]))
+def test_equidepth_matches_sorted_slice_reference(spark, values, buckets):
+    """The distributed closed-form ntile == slicing the sorted list into
+    ntile-sized runs (first N%B buckets one row larger)."""
+    from pgverify_spark.operators.topk import equidepth_histogram
+
+    df = spark.createDataFrame([(v,) for v in values], "v bigint")
+    got = sorted(map(tuple, equidepth_histogram(df, "v", buckets).collect()))
+    s = sorted(values)
+    n = len(s)
+    q, rem = divmod(n, buckets)
+    expect, pos = [], 0
+    for b in range(1, buckets + 1):
+        size = q + 1 if b <= rem else q
+        if size == 0:
+            continue
+        chunk = s[pos:pos + size]
+        pos += size
+        expect.append((b, size, chunk[0], chunk[-1]))
+    assert got == sorted(expect)
+
+
+_repair_muts = st.lists(
+    st.tuples(
+        st.integers(0, 14),            # key
+        st.sampled_from(["del", "mut", "dup", "extra"]),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@SETTINGS
+@given(_repair_muts)
+def test_apply_repair_restores_left_under_random_damage(spark, muts):
+    """apply_repair(left, damaged) == left as a multiset, for arbitrary
+    combinations of deletions, value mutations, duplications, and
+    foreign extra keys."""
+    from pgverify_spark.operators.diff import apply_repair, row_diff
+    from pgverify_spark.sources.schemas import TableSchema
+
+    schema = TableSchema("t", (("id", "bigint"), ("v", "bigint")), ("id",))
+    left_rows = [(k, k * 10) for k in range(15)]
+    right = {k: [(k, k * 10)] for k in range(15)}
+    for key, kind in muts:
+        if kind == "del":
+            right[key] = []
+        elif kind == "mut":
+            right[key] = [(key, key * 10 + 1)]
+        elif kind == "dup":
+            right[key] = right[key] + right[key][:1]
+        else:
+            right[key + 100] = [(key + 100, 5)]
+    right_rows = [r for rows in right.values() for r in rows]
+    ldf = spark.createDataFrame(left_rows, "id bigint, v bigint")
+    rdf = spark.createDataFrame(right_rows, "id bigint, v bigint") if right_rows else ldf.filter("1=0")
+    repaired = apply_repair(ldf, rdf, schema)
+    assert sorted(map(tuple, repaired.collect())) == sorted(left_rows)
+    assert row_diff(ldf, repaired, schema).count() == 0
