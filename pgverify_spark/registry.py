@@ -4467,12 +4467,19 @@ HEADLINE_QUERIES = (
     "kmv_join_overlap_orders_customer",
     "zorder_key_events",
     "curation_audit_documents",
-    # round-10 additions: the weighted/personalized walks and the
-    # rewritten distributed-exact equidepth (verify_report_view_
-    # parquet_vs_orc stays out like its per-call-export siblings)
+    # round-10 additions: the weighted/personalized walks, the
+    # rewritten distributed-exact equidepth, the repair execution, the
+    # CUSUM monitor, and the verified-delete protocol (asymmetric twin
+    # like rollup_ivm: the oracle states the correct end state, Spark
+    # runs the real delete+splice+verify; verify_report_view_
+    # parquet_vs_orc and streaming_ingest_compact stay out like their
+    # per-call-export / streaming-machinery siblings)
     "pagerank_weighted_term_graph_documents",
     "pagerank_personalized_term_graph_documents",
     "equidepth_histogram_orders",
+    "repair_apply_orders",
+    "cusum_changepoints_events",
+    "verified_delete_orders",
 )
 
 
