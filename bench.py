@@ -52,6 +52,14 @@ spark_vs_oracle_ratio 0.68 / 0.75 / 0.81 / 0.88, r1_15 subtotal
 11.0-15.2 s.  The single-run ratio is a coarse instrument; judge
 round-over-round movement against this band, and per-query claims
 against SCALE_CHECK's replicated probes.
+
+r10 re-measurement of the spread (three clean runs of the grown
+86/89-query suite in one day): 0.81 / 1.08 / 0.92 — wider than the r9
+band, and the DuckDB oracle total itself moved 85.1 -> 91.0 s between
+runs, i.e. the HOST drifted, not the code (the flagged per-query moves
+were all in the documented noise-sensitive LSH/iterative entries, and
+no move survived a replicate).  Same conclusion, stronger: single-run
+ratios are weather; cross-run deltas under ~1.35x are not evidence.
 """
 
 from __future__ import annotations
