@@ -226,6 +226,82 @@ def pagerank_weighted(
     )
 
 
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle participation count over an undirected pair
+    graph — the local clustering signal: near-dup CLUSTERS are triangle
+    -dense (mutual near-dups), while chain-shaped false-positive paths
+    (A~B~C without A~C) have none, so the count separates "real dup
+    community" from "LSH banding accident" before a destructive dedup
+    keeps one winner per component.
+
+    Output: (node_id, triangles BIGINT), nodes with zero triangles
+    included.  Standard oriented enumeration: orient each edge low->high
+    so every triangle a<b<c is found exactly once as e(a,b) ⋈ e(b,c) ⋈
+    e(a,c) — two equi-joins, never the naive 3-way self-join with its
+    6x duplication.  Scale shape: joins shuffle on bare node ids;
+    fan-out is sum over nodes of deg² in the worst case (the classic
+    bound) — on near-dup graphs, bounded by clique sizes, and the LSH
+    band cap upstream already bounds those.  All counts are exact
+    BIGINTs; the oracle is the same oriented enumeration in SQL.
+    """
+    src = pairs.selectExpr("doc_a", "doc_b").localCheckpoint(eager=True)
+    from pgverify_spark.operators.util import release_cached_deps
+
+    release_cached_deps(pairs)
+    e = (
+        src.selectExpr(
+            "least(doc_a, doc_b) AS lo", "greatest(doc_a, doc_b) AS hi"
+        )
+        .filter("lo <> hi")
+        .distinct()
+        .persist()
+    )
+    # wedges b: (a<b<c) from e(a,b) ⋈ e(b,c), closed by e(a,c)
+    ab = e.selectExpr("lo AS a", "hi AS b")
+    bc = e.selectExpr("lo AS b", "hi AS c")
+    ac = e.selectExpr("lo AS a", "hi AS c")
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_node = (
+        tri.selectExpr("a AS node_id")
+        .unionAll(tri.selectExpr("b AS node_id"))
+        .unionAll(tri.selectExpr("c AS node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = (
+        e.selectExpr("lo AS node_id")
+        .unionAll(e.selectExpr("hi AS node_id"))
+        .distinct()
+    )
+    out = (
+        nodes.join(per_node, "node_id", "left")
+        .selectExpr(
+            "node_id", "CAST(coalesce(triangles, 0) AS BIGINT) AS triangles"
+        )
+    )
+    from pgverify_spark.operators.util import tag_cached_deps
+
+    return tag_cached_deps(out, e)
+
+
+def triangle_counts_oracle_sql(pairs_sql: str) -> str:
+    return (
+        f"WITH pr AS MATERIALIZED ({pairs_sql}), "
+        "e AS MATERIALIZED (SELECT DISTINCT least(doc_a, doc_b) AS lo, "
+        "greatest(doc_a, doc_b) AS hi FROM pr WHERE doc_a <> doc_b), "
+        "tri AS MATERIALIZED (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c "
+        "FROM e ab JOIN e bc ON ab.hi = bc.lo "
+        "JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi), "
+        "pn AS (SELECT node_id, CAST(count(*) AS BIGINT) AS triangles FROM ("
+        "SELECT a AS node_id FROM tri UNION ALL SELECT b FROM tri "
+        "UNION ALL SELECT c FROM tri) u GROUP BY node_id), "
+        "nodes AS (SELECT DISTINCT lo AS node_id FROM e "
+        "UNION SELECT hi FROM e) "
+        "SELECT nodes.node_id, CAST(coalesce(pn.triangles, 0) AS BIGINT) "
+        "AS triangles FROM nodes LEFT JOIN pn ON nodes.node_id = pn.node_id"
+    )
+
+
 def pagerank_personalized(
     pairs: DataFrame,
     seed_sql: str,

@@ -1939,6 +1939,23 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 + ") mp"
             ),
         ),
+        # per-node triangle counts over the same near-dup pair graph:
+        # the local clustering signal that separates real dup cliques
+        # (triangle-dense) from LSH-banding chain accidents (none) —
+        # the pre-dedup QA reading beside the component ids above
+        "triangle_counts_documents": (
+            _table_query(
+                "documents",
+                lambda df: graph.triangle_counts(
+                    dedup.minhash_lsh_pairs(df, 0.3).select("doc_a", "doc_b")
+                ),
+            ),
+            graph.triangle_counts_oracle_sql(
+                "SELECT doc_a, doc_b FROM ("
+                + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+                + ") mp"
+            ),
+        ),
         # O(log n)-round star-contraction twin: identical output and
         # oracle, shape-robust (a 10^6-link chain converges in ~20
         # rounds where propagation needs 10^6)
@@ -4193,6 +4210,7 @@ _DRIVER_PRIORITY = (
     "verify_report_view_parquet_vs_orc",  # last green r—never
     "pagerank_weighted_term_graph_documents",  # last green r—never
     "pagerank_personalized_term_graph_documents",  # last green r—never
+    "triangle_counts_documents",  # last green r—never
     "targeted_delete_orders",  # last green r—never
     "compact_files_events",  # last green r—never
     "verified_delete_orders",  # last green r—never
@@ -4237,7 +4255,6 @@ _DRIVER_PRIORITY = (
     "contamination_pairs_documents",  # last green r6
     "bloom_decontaminate_documents",  # last green r6
     "dup_clusters_documents",  # last green r6
-    "profile_orders",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

@@ -3397,6 +3397,36 @@ def test_pagerank_weighted_shapes(spark):
     assert graph.pagerank_weighted(empty, 4).collect() == []
 
 
+def test_triangle_counts_shapes_and_oracle(spark, docs, duck):
+    from pgverify_spark.operators import dedup, graph
+
+    # shapes: a triangle + a pendant chain — the discriminating case
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {r["node_id"]: r["triangles"] for r in graph.triangle_counts(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
+    # K4: every node in C(3,2)=3 triangles; duplicate/reversed edges fold
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b],
+        "doc_a long, doc_b long",
+    )
+    got4 = {r["node_id"]: r["triangles"] for r in graph.triangle_counts(k4).collect()}
+    assert got4 == {0: 3, 1: 3, 2: 3, 3: 3}
+    # oracle parity over the real near-dup pair graph
+    _cmp(
+        graph.triangle_counts(
+            dedup.minhash_lsh_pairs(docs, 0.3).select("doc_a", "doc_b")
+        ),
+        duck,
+        graph.triangle_counts_oracle_sql(
+            "SELECT doc_a, doc_b FROM ("
+            + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+            + ") mp"
+        ),
+    )
+
+
 def test_cusum_changepoints_matches_oracle(spark, sf_dir, duck):
     from pgverify_spark.operators import trend
 
