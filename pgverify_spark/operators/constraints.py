@@ -203,3 +203,71 @@ def constraint_report_oracle_sql(table: str, constraints: list[Constraint]) -> s
         for i, c in enumerate(constraints)
     ]
     return f"WITH a AS (SELECT {agg} FROM {table}) " + " UNION ALL ".join(selects)
+
+
+def _reason_exprs(
+    constraints: list[Constraint], dialect: str
+) -> tuple[list[str], str]:
+    """Per-check reason terms + the joined ``reasons`` expression.
+
+    Row-predicate checks contribute ``CASE WHEN <violation> THEN
+    '<name>' END``; ``unique`` checks contribute the same over a
+    per-value count window (``count(col) OVER (PARTITION BY col) > 1``
+    — nulls never duplicate and the window is value-partitioned, never
+    single-reducer).  Reason order is suite order, so the joined string
+    is deterministic."""
+    terms = []
+    for c in constraints:
+        if c.distinct_col is not None:
+            col = c.distinct_col
+            viol = (
+                f"{col} IS NOT NULL AND "
+                f"count({col}) OVER (PARTITION BY {col}) > 1"
+            )
+        else:
+            viol = c.violation_spark if dialect == "spark" else c.violation_duckdb
+        terms.append(f"CASE WHEN {viol} THEN '{c.name}' END")
+    arr = ", ".join(terms)
+    if dialect == "spark":
+        joined = (
+            f"concat_ws(',', filter(array({arr}), x -> x IS NOT NULL))"
+        )
+    else:
+        joined = (
+            f"array_to_string(list_filter([{arr}], x -> x IS NOT NULL), ',')"
+        )
+    return terms, joined
+
+
+def quarantine_rows(
+    df: DataFrame, constraints: list[Constraint], id_cols: list[str]
+) -> DataFrame:
+    """The dead-letter split: (id_cols..., reasons) for every row that
+    violates at least one check, ``reasons`` the comma-joined names of
+    every check it fails (suite order) — the row-level companion of
+    :func:`constraint_report`, for routing bad records to a quarantine
+    sink instead of failing the whole batch.
+
+    Scale shape: all row-predicate checks fuse into ONE projection pass
+    (a CASE per check inside a single array build, codegen'd); each
+    ``unique`` check adds one value-partitioned count window — a hash
+    exchange on that column, the unavoidable cost of duplicate
+    *attribution* (the aggregate report only needs the distinct count).
+    Suites without unique checks stay exchange-free.
+    """
+    _, joined = _reason_exprs(constraints, "spark")
+    return (
+        df.selectExpr(*id_cols, f"{joined} AS reasons")
+        .filter("reasons <> ''")
+    )
+
+
+def quarantine_rows_oracle_sql(
+    table: str, constraints: list[Constraint], id_cols: list[str]
+) -> str:
+    _, joined = _reason_exprs(constraints, "duckdb")
+    ids = ", ".join(id_cols)
+    return (
+        f"SELECT * FROM (SELECT {ids}, {joined} AS reasons FROM {table}) q "
+        "WHERE reasons <> ''"
+    )

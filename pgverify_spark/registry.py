@@ -2006,6 +2006,22 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             constraints.constraint_report_oracle_sql("orders", _ORDERS_SUITE),
         ),
+        # the report's row-level companion: the dead-letter split —
+        # (pk, comma-joined failed checks) per violating row, for
+        # routing bad records to a quarantine sink instead of failing
+        # the batch; row checks fuse into one projection, unique checks
+        # attribute duplicates via value-partitioned count windows
+        "quarantine_rows_orders": (
+            _table_query(
+                "orders",
+                lambda df: constraints.quarantine_rows(
+                    df, _ORDERS_SUITE, ["o_orderkey"]
+                ),
+            ),
+            constraints.quarantine_rows_oracle_sql(
+                "orders", _ORDERS_SUITE, ["o_orderkey"]
+            ),
+        ),
         # character-level partial-overlap pairs (winnowing/MOSS shape:
         # catches a copied paragraph inside otherwise-different docs)
         "winnowing_pairs_documents": (
@@ -4211,6 +4227,7 @@ _DRIVER_PRIORITY = (
     "pagerank_weighted_term_graph_documents",  # last green r—never
     "pagerank_personalized_term_graph_documents",  # last green r—never
     "triangle_counts_documents",  # last green r—never
+    "quarantine_rows_orders",  # last green r—never
     "targeted_delete_orders",  # last green r—never
     "compact_files_events",  # last green r—never
     "verified_delete_orders",  # last green r—never
@@ -4254,7 +4271,6 @@ _DRIVER_PRIORITY = (
     "repetition_stats_documents",  # last green r6
     "contamination_pairs_documents",  # last green r6
     "bloom_decontaminate_documents",  # last green r6
-    "dup_clusters_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

@@ -2600,6 +2600,58 @@ def test_constraint_report(spark, sf_dir, duck):
     assert by_name["orderdate_in_epoch"][2] == "pass"
 
 
+def test_quarantine_rows_attribution(spark):
+    """Dead-letter split semantics on a constructed table: multi-check
+    reasons join in suite order, NULL values never count as duplicates,
+    clean rows are absent."""
+    from pgverify_spark.operators import constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "O"),     # clean
+            (2, None, "O"),   # not_null fails
+            (3, 20, "X"),     # accepted_values fails
+            (4, 20, "X"),     # accepted_values + unique(v) both fail
+            (5, None, "Z"),   # not_null + accepted_values (null no dup)
+        ],
+        "id bigint, v bigint, s string",
+    )
+    suite = [
+        constraints.not_null("v"),
+        constraints.unique("v"),
+        constraints.accepted_values("s", ("O", "F")),
+    ]
+    got = {
+        r["id"]: r["reasons"]
+        for r in constraints.quarantine_rows(df, suite, ["id"]).collect()
+    }
+    # rows 3 and 4 share v=20, so BOTH carry unique_v; reasons join in
+    # suite order; row 1 (clean) is absent
+    assert got == {
+        2: "not_null_v",
+        3: "unique_v,accepted_values_s",
+        4: "unique_v,accepted_values_s",
+        5: "not_null_v,accepted_values_s",
+    }
+
+
+def test_quarantine_rows_unique_window_both_dups(spark):
+    from pgverify_spark.operators import constraints
+
+    df = spark.createDataFrame(
+        [(1, 20), (2, 20), (3, 30), (4, None), (5, None)],
+        "id bigint, v bigint",
+    )
+    got = {
+        r["id"]: r["reasons"]
+        for r in constraints.quarantine_rows(
+            df, [constraints.unique("v")], ["id"]
+        ).collect()
+    }
+    # both copies of v=20 are flagged; NULLs never duplicate
+    assert got == {1: "unique_v", 2: "unique_v"}
+
+
 def test_constraint_report_single_pass_plan(spark, sf_dir):
     """All row-predicate checks must fuse into one scan: the physical
     plan reads the parquet exactly once (unique-checks add Expand but
