@@ -3571,6 +3571,47 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
         "orders", row_suite
     )
 
+    def run_squarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Score-at-ingest dead-letter split: quarantine_rows over a
+        row-predicate-only suite is a pure projection+filter — stateless,
+        so it streams in append mode with NO state at any volume (unique
+        checks need per-value state and are excluded exactly as the
+        streaming constraint monitor excludes them)."""
+        import tempfile
+
+        ensure_required_confs(spark)
+        orders = ParquetTarget("t", sf_dir).read(spark, "orders")
+        tmp = tempfile.mkdtemp(prefix="pgvs_squar_")
+        (
+            orders.withColumn("chunk", (F.col("o_orderkey") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            constraints.quarantine_rows(sdf, row_suite, ["o_orderkey"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("registry_squar")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table("registry_squar")
+
+    squarantine_oracle = constraints.quarantine_rows_oracle_sql(
+        "orders", row_suite, ["o_orderkey"]
+    )
+
     def run_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
@@ -3956,6 +3997,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
         "streaming_kmv_distinct_documents": (run_kmv, kmv_oracle),
         "streaming_countmin_events": (run_countmin, countmin_oracle),
         "streaming_constraint_report_orders": (run_constraints, constraints_stream_oracle),
+        "streaming_quarantine_rows_orders": (run_squarantine, squarantine_oracle),
         "streaming_ivf_ingest_dedup_embeddings": (run_ivf_ingest, ivf_ingest_oracle),
         "streaming_debounce_events": (run_debounce, debounce_stream_oracle),
         "streaming_bloom_decontaminate_documents": (run_bloom, bloom_oracle),
@@ -4233,6 +4275,7 @@ _DRIVER_PRIORITY = (
     "verified_delete_orders",  # last green r—never
     "cusum_changepoints_events",  # last green r—never
     "streaming_ingest_compact_events",  # last green r—never
+    "streaming_quarantine_rows_orders",  # last green r—never
     "filtered_cosine_topk_embeddings",  # last green r5
     "label_centroid_drift_embeddings",  # last green r5
     "dedup_savings_report_documents",  # last green r5
@@ -4270,7 +4313,6 @@ _DRIVER_PRIORITY = (
     "ngram_jaccard_pairs_documents",  # last green r6
     "repetition_stats_documents",  # last green r6
     "contamination_pairs_documents",  # last green r6
-    "bloom_decontaminate_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
