@@ -253,7 +253,14 @@ def quarantine_rows(
     ``unique`` check adds one value-partitioned count window — a hash
     exchange on that column, the unavoidable cost of duplicate
     *attribution* (the aggregate report only needs the distinct count).
-    Suites without unique checks stay exchange-free.
+    Suites without unique checks stay exchange-free — and a
+    row-predicate-only suite is STATELESS, so this operator streams
+    as-is in append mode (the registered streaming twin).  Skew note: a
+    ``unique`` check on a low-cardinality column concentrates its
+    window partitions on the hot values; such a column fails the check
+    on nearly every row anyway — use :func:`constraint_report`'s
+    distinct-count accounting there and quarantine on the keys that are
+    plausibly unique.
     """
     _, joined = _reason_exprs(constraints, "spark")
     return (
