@@ -4260,10 +4260,9 @@ def _derived_view_orc_entry() -> dict[str, tuple[Callable, str]]:
 _DRIVER_PRIORITY_ROUND = 10
 
 _DRIVER_PRIORITY = (
-    # r10 rotation: never-certified entries first, then the 3
-    # remaining r5 rows, then the oldest r6 tail fills the window;
-    # derived by `python -m pgverify_spark.rotation` from
-    # CORRECTNESS_r1-r9
+    # Derived rotation (see module docstring): regenerate with
+    # `python -m pgverify_spark.rotation --write` after a new
+    # CORRECTNESS file lands or a new entry is registered.
     "repair_apply_orders",  # last green r—never
     "verify_report_view_parquet_vs_orc",  # last green r—never
     "pagerank_weighted_term_graph_documents",  # last green r—never

@@ -112,25 +112,54 @@ def derived_priority(
     return tuple(ordered) + tuple(smoke_core)
 
 
+def splice_into_registry(body: str, registry_path: Path | None = None) -> None:
+    """Rewrite ``registry._DRIVER_PRIORITY``'s tuple body in place (the
+    ``--write`` mode): the hand-paste step automated, so a rotation
+    refresh after adding entries is one command and the drift test can
+    never be left failing by a forgotten paste."""
+    p = registry_path or REPO_ROOT / "pgverify_spark" / "registry.py"
+    src = p.read_text()
+    header = (
+        "_DRIVER_PRIORITY = (\n"
+        "    # Derived rotation (see module docstring): regenerate with\n"
+        "    # `python -m pgverify_spark.rotation --write` after a new\n"
+        "    # CORRECTNESS file lands or a new entry is registered.\n"
+    )
+    start = src.index("_DRIVER_PRIORITY = (")
+    end = src.index("\n)\n", start) + len("\n)\n")
+    p.write_text(src[:start] + header + body + "\n)\n" + src[end:])
+
+
 def main() -> None:
-    """Print the current derived priority as a paste-ready tuple body:
-    ``python -m pgverify_spark.rotation [n_rotating_slots]`` — run after
-    a new CORRECTNESS_r*.json lands, paste into
-    registry._DRIVER_PRIORITY (the drift test enforces the match)."""
+    """``python -m pgverify_spark.rotation [n_rotating_slots] [--write]``
+    — run after a new CORRECTNESS_r*.json lands (or a new entry is
+    registered).  Prints the derived priority as a paste-ready tuple
+    body; with ``--write`` it splices the body into
+    registry._DRIVER_PRIORITY directly (the drift test enforces the
+    match either way)."""
     import sys
 
     from pgverify_spark import registry
 
+    args = [a for a in sys.argv[1:] if a != "--write"]
+    write = "--write" in sys.argv[1:]
     merged = registry._merged_entries()
     certifiable = {n for n, (_, sql) in merged.items() if sql is not None}
     n = (
-        int(sys.argv[1])
-        if len(sys.argv) > 1
+        int(args[0])
+        if args
         else len(registry._DRIVER_PRIORITY) - len(SMOKE_CORE)
     )
     lg = last_green_rounds()
-    for q in derived_priority(list(merged), certifiable, lg, n=n):
-        print(f'    "{q}",  # last green r{lg.get(q, "—never")}')
+    lines = [
+        f'    "{q}",  # last green r{lg.get(q, "—never")}'
+        for q in derived_priority(list(merged), certifiable, lg, n=n)
+    ]
+    body = "\n".join(lines)
+    print(body)
+    if write:
+        splice_into_registry(body)
+        print(f"# spliced into registry._DRIVER_PRIORITY ({len(lines)} rows)")
 
 
 if __name__ == "__main__":
