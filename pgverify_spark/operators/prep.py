@@ -191,6 +191,107 @@ def assign_shards_oracle_sql(table: str, n_shards: int = 8) -> str:
     )
 
 
+def shard_manifest(df: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Per-shard delivery manifest: (shard, n_docs, n_tokens, fp) over
+    :func:`assign_shards`' token-balanced assignment — the contract a
+    training-data CONSUMER verifies before trusting a shard set (the
+    verify-engine DNA applied to the prep output: a manifest row is a
+    per-shard additive fingerprint, so a dropped/duplicated/corrupted
+    document in any shard changes that shard's ``fp``).
+
+    ``fp`` is the additive ``count:sum(h48) mod 2^61-1`` form over the
+    48-bit md5 prefix of each document's text — order-insensitive, so
+    the consumer can recompute it with any read parallelism
+    (:func:`verify_shard_manifest`).  Scale shape: assign_shards' two-
+    pass rank + ONE doc_id equi-join carrying (id, hv) pairs only + a
+    map-side-combined shard aggregate; the text is hashed in the scan
+    projection and never shuffled.
+    """
+    from pgverify_spark.operators.fingerprint import ADDITIVE_MOD
+
+    shards = assign_shards(df, n_shards)
+    h48 = hex_prefix_int_sql("md5(text)", DIALECT_SPARK)
+    hashed = df.selectExpr("doc_id", f"CAST({h48} AS DECIMAL(38,0)) AS hv")
+    return (
+        shards.join(hashed, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(sum(n_tokens) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                "concat_ws(':', CAST(count(1) AS STRING), "
+                f"CAST(CAST(sum(hv) % {ADDITIVE_MOD} AS DECIMAL(38,0)) AS STRING))"
+            ).alias("fp"),
+        )
+    )
+
+
+def shard_manifest_oracle_sql(table: str, n_shards: int = 8) -> str:
+    from pgverify_spark.functions.canonical import DIALECT_DUCKDB
+    from pgverify_spark.operators.fingerprint import ADDITIVE_MOD
+
+    h48 = hex_prefix_int_sql("md5(text)", DIALECT_DUCKDB)
+    return (
+        f"WITH s AS ({assign_shards_oracle_sql(table, n_shards)}), "
+        f"h AS (SELECT doc_id, CAST({h48} AS DECIMAL(38,0)) AS hv FROM {table}) "
+        "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+        "concat_ws(':', CAST(count(*) AS STRING), "
+        f"CAST(CAST(sum(hv) % {ADDITIVE_MOD} AS DECIMAL(38,0)) AS STRING)) AS fp "
+        "FROM s JOIN h USING (doc_id) GROUP BY shard"
+    )
+
+
+def write_shards(df: DataFrame, path: str, n_shards: int = 8) -> DataFrame:
+    """Materialize the corpus as ``shard=<k>`` parquet directories plus
+    the manifest at ``<path>/_manifest`` — the delivery artifact pair.
+    Returns the manifest."""
+    shards = assign_shards(df, n_shards).select("doc_id", "shard")
+    (
+        df.join(shards, "doc_id")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    manifest = shard_manifest(df, n_shards)
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest
+
+
+def verify_shard_manifest(spark, path: str) -> DataFrame:
+    """Consumer-side check of a :func:`write_shards` artifact: recompute
+    each shard's (n_docs, fp) from the shard files and diff against the
+    stored manifest.  Returns the mismatching shards (empty = the
+    delivery is intact); the additive form makes the recompute one
+    shuffle-free aggregate pass at any read parallelism."""
+    from pgverify_spark.operators.fingerprint import ADDITIVE_MOD
+
+    h48 = hex_prefix_int_sql("md5(text)", DIALECT_SPARK)
+    got = (
+        spark.read.parquet(path)
+        .selectExpr("shard", f"CAST({h48} AS DECIMAL(38,0)) AS hv")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("got_docs"),
+            F.expr(
+                "concat_ws(':', CAST(count(1) AS STRING), "
+                f"CAST(CAST(sum(hv) % {ADDITIVE_MOD} AS DECIMAL(38,0)) AS STRING))"
+            ).alias("got_fp"),
+        )
+    )
+    want = spark.read.parquet(f"{path}/_manifest").select(
+        "shard", F.col("n_docs").alias("want_docs"), F.col("fp").alias("want_fp")
+    )
+    return (
+        want.join(got, "shard", "full_outer")
+        .filter(
+            "got_fp IS NULL OR want_fp IS NULL OR got_fp <> want_fp "
+            "OR got_docs <> want_docs"
+        )
+        .select("shard", "want_docs", "got_docs", "want_fp", "got_fp")
+    )
+
+
 #: (split name, per-mille weight) — weights must sum to 1000.
 DEFAULT_SPLITS = (("train", 900), ("val", 50), ("test", 50))
 

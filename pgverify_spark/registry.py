@@ -2503,6 +2503,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", lambda df: prep.assign_shards(df, 8)),
             prep.assign_shards_oracle_sql("documents", 8),
         ),
+        # per-shard delivery manifest: (shard, n_docs, n_tokens,
+        # additive fp) — the contract a training-data consumer verifies
+        # before trusting a shard set (verify_shard_manifest is the
+        # consumer side; tests corrupt a shard and watch it flag)
+        "shard_manifest_documents": (
+            _table_query("documents", lambda df: prep.shard_manifest(df, 8)),
+            prep.shard_manifest_oracle_sql("documents", 8),
+        ),
         # target-mixture corpus sampling (rates derived from counts)
         "mixture_sample_documents": (
             _table_query(
@@ -4272,6 +4280,7 @@ _DRIVER_PRIORITY = (
     "targeted_delete_orders",  # last green r—never
     "compact_files_events",  # last green r—never
     "verified_delete_orders",  # last green r—never
+    "shard_manifest_documents",  # last green r—never
     "cusum_changepoints_events",  # last green r—never
     "streaming_ingest_compact_events",  # last green r—never
     "streaming_quarantine_rows_orders",  # last green r—never
@@ -4311,7 +4320,6 @@ _DRIVER_PRIORITY = (
     "minhash_lsh_pairs_documents",  # last green r6
     "ngram_jaccard_pairs_documents",  # last green r6
     "repetition_stats_documents",  # last green r6
-    "contamination_pairs_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

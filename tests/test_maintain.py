@@ -147,6 +147,34 @@ def test_streaming_ingest_replay_idempotent_and_compacts(spark, sf_dir, tmp_path
     assert sorted(_batch_dirs(store)) == [-1, 3]
 
 
+def test_shard_manifest_roundtrip_and_corruption(spark, sf_dir, tmp_path):
+    """write_shards -> verify_shard_manifest is clean on an intact
+    delivery; dropping one document from one shard flags exactly that
+    shard (with doc counts and both fingerprints in the diff row)."""
+    from pgverify_spark.operators import prep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "delivery")
+    manifest = prep.write_shards(docs, path, n_shards=4)
+    assert manifest.count() == 4
+    assert prep.verify_shard_manifest(spark, path).count() == 0
+    # corrupt shard 2: rewrite it minus one document
+    sdir = f"{path}/shard=2"
+    s2 = spark.read.parquet(sdir)
+    victim = s2.selectExpr("min(doc_id)").first()[0]
+    fixed = s2.filter(f"doc_id <> {victim}")
+    staging = str(tmp_path / "s2fix")
+    fixed.write.parquet(staging)
+    import shutil
+
+    shutil.rmtree(sdir)
+    shutil.move(staging, sdir)
+    bad = prep.verify_shard_manifest(spark, path).collect()
+    assert [r["shard"] for r in bad] == [2]
+    assert bad[0]["got_docs"] == bad[0]["want_docs"] - 1
+    assert bad[0]["got_fp"] != bad[0]["want_fp"]
+
+
 def test_compact_small_files_leaves_big_alone(spark, sf_dir, tmp_path):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     path = str(tmp_path / "events")
