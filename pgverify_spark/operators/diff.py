@@ -448,6 +448,91 @@ def repair_plan(
     )
 
 
+def incident_report(
+    left: DataFrame,
+    right: DataFrame,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+    partition_sql: str | None = None,
+) -> DataFrame:
+    """The whole drill-down runbook in one call: (stage, item, detail)
+    rows covering every escalation level of a verify incident —
+
+    - ``rowcount``: total counts per side;
+    - ``partition``: the partitions whose fingerprints disagree;
+    - ``row``: the differing (key, status) multiset entries;
+    - ``repair``: per-key action (insert/update/delete) to reconcile.
+
+    Short-circuit: when the two sides' additive fingerprints already
+    agree, only the single clean ``rowcount`` row returns and NO
+    partition/row/repair stage is planned — the cheap-first escalation
+    an operator runs by hand, encoded (the additive pre-check is the
+    cheapest whole-table comparison: one shuffle-free aggregate per
+    side).  On mismatch, all stages report; partition/row stages scan
+    per the underlying operators' documented shapes (compose with the
+    partition-gated drill-down upstream when diff rates are tiny).
+    """
+    config = config or VerifyConfig()
+    from pgverify_spark.operators.fingerprint import additive_fingerprint
+
+    spark = left.sparkSession
+    l_fp = additive_fingerprint(left, schema, config).first()["fp"]
+    r_fp = additive_fingerprint(right, schema, config).first()["fp"]
+    n_l, n_r = int(l_fp.split(":")[0]), int(r_fp.split(":")[0])
+    rc = spark.createDataFrame(
+        [("rowcount", "total", f"{n_l}:{n_r}")], "stage string, item string, detail string"
+    )
+    if l_fp == r_fp:
+        return rc
+    parts = partition_diff(left, right, schema, config, partition_sql).selectExpr(
+        "'partition' AS stage", "CAST(part AS STRING) AS item", "status AS detail"
+    )
+    rows = row_diff(left, right, schema, config).selectExpr(
+        "'row' AS stage", "k AS item", "status AS detail"
+    )
+    plan = repair_plan(left, right, schema, config).selectExpr(
+        "'repair' AS stage", "k AS item", "action AS detail"
+    )
+    return rc.unionByName(parts).unionByName(rows).unionByName(plan)
+
+
+def incident_report_oracle_sql(
+    left_table: str,
+    right_table: str,
+    schema: TableSchema,
+    config: VerifyConfig | None = None,
+    partition_sql: str = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)",
+) -> str:
+    """The all-stages-fire twin (pair it with a faulted right side; the
+    clean-input short-circuit is pinned in unit tests instead)."""
+    from pgverify_spark.operators.fingerprint import partition_diff_oracle_sql
+
+    rc = (
+        f"SELECT 'rowcount' AS stage, 'total' AS item, "
+        f"concat(CAST((SELECT count(*) FROM {left_table}) AS VARCHAR), ':', "
+        f"CAST((SELECT count(*) FROM {right_table}) AS VARCHAR)) AS detail"
+    )
+    parts = (
+        "SELECT 'partition' AS stage, CAST(part AS VARCHAR) AS item, "
+        "status AS detail FROM ("
+        + partition_diff_oracle_sql(
+            left_table, right_table, schema, config, partition_sql
+        )
+        + ") p"
+    )
+    rows = (
+        "SELECT 'row' AS stage, k AS item, status AS detail FROM ("
+        + row_diff_oracle_sql(left_table, right_table, schema, config)
+        + ") r"
+    )
+    plan = (
+        "SELECT 'repair' AS stage, k AS item, action AS detail FROM ("
+        + repair_plan_oracle_sql(left_table, right_table, schema, config)
+        + ") a"
+    )
+    return " UNION ALL ".join((rc, parts, rows, plan))
+
+
 def apply_repair(
     left: DataFrame,
     right: DataFrame,

@@ -469,6 +469,32 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
         partition_diff_oracle_sql("events", right_sql, ev_schema),
     )
 
+    # the whole runbook in one call: rowcount -> mismatched partitions
+    # -> differing rows -> repair actions over the same two-day fault
+    # (the additive pre-check short-circuit is pinned in unit tests;
+    # here the fault fires every stage, which is what the oracle states)
+    from pgverify_spark.operators.diff import (
+        incident_report,
+        incident_report_oracle_sql,
+    )
+
+    def run_incident(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_required_confs(spark)
+        left = ParquetTarget("t", sf_dir).read(spark, "events")
+        day = timecol.bucket_sql(left, timecol.US_PER_DAY)
+        right = left.filter(f"{day} <> 19724").selectExpr(
+            "event_id", "ts", "user_id", "event_type",
+            f"CASE WHEN {day} = 19723 AND event_id % 11 = 0 "
+            "THEN value + 1 ELSE value END AS value",
+            "props",
+        )
+        return incident_report(left, right, ev_schema)
+
+    out["incident_report_events"] = (
+        run_incident,
+        incident_report_oracle_sql("events", right_sql, ev_schema),
+    )
+
     # cross-run incremental verify: snapshot the original to parquet
     # state, verify the mutated current data against it — same expected
     # diff as partition_diff_events, but the left side round-trips
@@ -4272,6 +4298,7 @@ _DRIVER_PRIORITY = (
     # `python -m pgverify_spark.rotation --write` after a new
     # CORRECTNESS file lands or a new entry is registered.
     "repair_apply_orders",  # last green r—never
+    "incident_report_events",  # last green r—never
     "verify_report_view_parquet_vs_orc",  # last green r—never
     "pagerank_weighted_term_graph_documents",  # last green r—never
     "pagerank_personalized_term_graph_documents",  # last green r—never
@@ -4319,7 +4346,6 @@ _DRIVER_PRIORITY = (
     "exact_dup_groups_documents",  # last green r6
     "minhash_lsh_pairs_documents",  # last green r6
     "ngram_jaccard_pairs_documents",  # last green r6
-    "repetition_stats_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

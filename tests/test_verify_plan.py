@@ -356,6 +356,27 @@ def test_apply_repair_restores_left_exactly(spark, sf_dir):
     assert apply_repair(left, left, schema).exceptAll(left).count() == 0
 
 
+def test_incident_report_short_circuits_when_clean(spark, sf_dir):
+    """Identical sides: ONE clean rowcount row and no partition/row/
+    repair stage in the output (the cheap-first escalation encoded);
+    a faulted side fires all four stages."""
+    from pgverify_spark.operators.diff import incident_report
+
+    target = ParquetTarget("t", sf_dir)
+    schema = TESTDATA_TABLES["events"]
+    left = target.read(spark, "events")
+    clean = incident_report(left, left, schema).collect()
+    assert [(r["stage"], r["item"]) for r in clean] == [("rowcount", "total")]
+    n = left.count()
+    assert clean[0]["detail"] == f"{n}:{n}"
+    right = left.filter("event_id % 101 <> 0")
+    rows = incident_report(left, right, schema).collect()
+    stages = {r["stage"] for r in rows}
+    assert stages == {"rowcount", "partition", "row", "repair"}
+    assert all(r["detail"] == "only_left" for r in rows if r["stage"] == "row")
+    assert all(r["detail"] == "insert" for r in rows if r["stage"] == "repair")
+
+
 def test_view_target_verifies_derived_relations(spark, sf_dir, tmp_path):
     """ViewTarget makes a derived relation a first-class verify subject:
     a base mutation that changes the view flags, one the view doesn't
