@@ -4588,6 +4588,10 @@ HEADLINE_QUERIES = (
     "repair_apply_orders",
     "cusum_changepoints_events",
     "verified_delete_orders",
+    "triangle_counts_documents",
+    "quarantine_rows_orders",
+    "shard_manifest_documents",
+    "incident_report_events",
 )
 
 
