@@ -194,8 +194,11 @@ def cusum_changepoints(
     persistent shifts that never individually cross a z threshold.
 
     Output: (event_type, day_bucket, n, cusum_up, cusum_dn, alarm) for
-    EVERY day — the full statistic trajectory, not just alarms, so the
-    oracle certifies the whole computation.
+    EVERY day of the global observation window — the series is
+    densified first (a day with no events is a ZERO count, not a
+    missing sample), so a stream that silently stops drives its
+    ``cusum_dn`` up and alarms; the full trajectory is certified, not
+    just alarms.
 
     The textbook recursion ``S_i = max(0, S_{i-1} + d_i)`` is not a
     window function, but it has a closed form AS one:
@@ -208,12 +211,31 @@ def cusum_changepoints(
     ``alarm when cusum > mean*h_ppm div 1e6`` — bit-identical
     cross-engine, no floats anywhere.
     """
-    daily = (
+    sparse = (
         df.selectExpr(
             f"{bucket_sql(df, _US_PER_DAY)} AS day_bucket", "event_type"
         )
         .groupBy("event_type", "day_bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # densify over the GLOBAL observation window: a day with no events
+    # is a count of ZERO, not a missing sample — without this a stream
+    # that silently STOPS never alarms (no rows, no statistic), which is
+    # the single most important change a monitor exists to catch.  The
+    # spine is |types| x |days| rows from a broadcast 1-row bounds agg —
+    # never corpus-sized.
+    bounds = sparse.groupBy().agg(
+        F.expr("min(day_bucket)").alias("d0"), F.expr("max(day_bucket)").alias("d1")
+    )
+    daily = (
+        sparse.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr("event_type", "explode(sequence(d0, d1)) AS day_bucket")
+        .join(sparse, ["event_type", "day_bucket"], "left")
+        .selectExpr(
+            "event_type", "day_bucket", "coalesce(n, CAST(0 AS BIGINT)) AS n"
+        )
     )
     stats = daily.groupBy("event_type").agg(
         F.expr("CAST(sum(n) AS BIGINT) div count(1)").alias("mean_n")
@@ -265,9 +287,16 @@ def cusum_changepoints_oracle_sql(
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     return (
-        f"WITH d AS (SELECT event_type, {_DUCK_DAY} AS day_bucket, "
+        f"WITH sp AS (SELECT event_type, {_DUCK_DAY} AS day_bucket, "
         f"CAST(count(*) AS BIGINT) AS n FROM {table} "
         f"GROUP BY event_type, {_DUCK_DAY}), "
+        "bounds AS (SELECT min(day_bucket) AS d0, max(day_bucket) AS d1 FROM sp), "
+        "d AS (SELECT t.event_type, s.day_bucket, "
+        "coalesce(sp.n, CAST(0 AS BIGINT)) AS n FROM "
+        "(SELECT DISTINCT event_type FROM sp) t "
+        "CROSS JOIN (SELECT unnest(range(d0, d1 + 1)) AS day_bucket FROM bounds) s "
+        "LEFT JOIN sp ON sp.event_type = t.event_type "
+        "AND sp.day_bucket = s.day_bucket), "
         "m AS (SELECT event_type, CAST(sum(n) AS BIGINT) // count(*) AS mean_n "
         "FROM d GROUP BY event_type), "
         "dev AS (SELECT d.event_type, day_bucket, n, "

@@ -3528,6 +3528,33 @@ def test_cusum_matches_textbook_recursion(spark):
     assert alarm_days and min(alarm_days) >= days[20]
 
 
+def test_cusum_sees_silent_stream_stop(spark):
+    """A type whose events STOP produces no daily rows — the densified
+    series turns the silence into zero counts and the down-side CUSUM
+    alarms; a type healthy through the whole window never does."""
+    import datetime
+
+    from pgverify_spark.operators import trend
+
+    rows = []
+    for day in range(30):
+        ts = datetime.datetime(2024, 3, 1) + datetime.timedelta(days=day)
+        rows += [(ts, "healthy")] * 50
+        if day < 15:  # 'stopped' goes silent at day 15
+            rows += [(ts, "stopped")] * 50
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = trend.cusum_changepoints(df, k_ppm=50_000, h_ppm=2_000_000).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    # densified: BOTH types report all 30 days of the global window
+    assert {len(v) for v in by_type.values()} == {30}
+    stopped_zero_days = [r for r in by_type["stopped"] if r["n"] == 0]
+    assert len(stopped_zero_days) == 15
+    assert any(r["alarm"] == "down" for r in by_type["stopped"])
+    assert all(r["alarm"] == "none" for r in by_type["healthy"])
+
+
 def test_pagerank_personalized_matches_oracle(docs, duck):
     from pgverify_spark.operators import graph
 
