@@ -284,6 +284,90 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     return tag_cached_deps(out, e)
 
 
+def clustering_coefficient(pairs: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient in integer ppm:
+    (node_id, degree, triangles, coeff_ppm) with
+    ``coeff_ppm = (2·10⁶·triangles) div (degree·(degree−1))`` — the
+    normalized form of :func:`triangle_counts` (a 50-replica clique
+    node and a 3-copy clique node both read ~10⁶; raw triangle counts
+    scale with clique size).  1e6 ≈ clique member, 0 ≈ bridge/accident;
+    degree-1 nodes emit 0 by convention.
+
+    One edge relation feeds BOTH statistics: degrees are a groupBy over
+    the persisted oriented edges (counted on both endpoints), triangles
+    the same two-join enumeration as :func:`triangle_counts`.  The
+    division is BIGINT floor — bit-identical cross-engine; overflow
+    needs triangles > ~4.6e12, i.e. a clique of ~2 million mutual
+    near-dups, far past any band cap.
+    """
+    from pgverify_spark.operators.util import release_cached_deps, tag_cached_deps
+
+    src = pairs.selectExpr("doc_a", "doc_b").localCheckpoint(eager=True)
+    release_cached_deps(pairs)
+    e = (
+        src.selectExpr(
+            "least(doc_a, doc_b) AS lo", "greatest(doc_a, doc_b) AS hi"
+        )
+        .filter("lo <> hi")
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.selectExpr("lo AS node_id")
+        .unionAll(e.selectExpr("hi AS node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ab = e.selectExpr("lo AS a", "hi AS b")
+    bc = e.selectExpr("lo AS b", "hi AS c")
+    ac = e.selectExpr("lo AS a", "hi AS c")
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_node = (
+        tri.selectExpr("a AS node_id")
+        .unionAll(tri.selectExpr("b AS node_id"))
+        .unionAll(tri.selectExpr("c AS node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = (
+        deg.join(per_node, "node_id", "left")
+        .selectExpr(
+            "node_id",
+            "degree",
+            "CAST(coalesce(triangles, 0) AS BIGINT) AS triangles",
+            "CASE WHEN degree >= 2 THEN "
+            "(2000000 * CAST(coalesce(triangles, 0) AS BIGINT)) "
+            "div (degree * (degree - 1)) "
+            "ELSE CAST(0 AS BIGINT) END AS coeff_ppm",
+        )
+    )
+    return tag_cached_deps(out, e)
+
+
+def clustering_coefficient_oracle_sql(pairs_sql: str) -> str:
+    return (
+        f"WITH pr AS MATERIALIZED ({pairs_sql}), "
+        "e AS MATERIALIZED (SELECT DISTINCT least(doc_a, doc_b) AS lo, "
+        "greatest(doc_a, doc_b) AS hi FROM pr WHERE doc_a <> doc_b), "
+        "deg AS (SELECT node_id, CAST(count(*) AS BIGINT) AS degree FROM ("
+        "SELECT lo AS node_id FROM e UNION ALL SELECT hi FROM e) u "
+        "GROUP BY node_id), "
+        "tri AS MATERIALIZED (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c "
+        "FROM e ab JOIN e bc ON ab.hi = bc.lo "
+        "JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi), "
+        "pn AS (SELECT node_id, CAST(count(*) AS BIGINT) AS triangles FROM ("
+        "SELECT a AS node_id FROM tri UNION ALL SELECT b FROM tri "
+        "UNION ALL SELECT c FROM tri) u GROUP BY node_id) "
+        "SELECT deg.node_id, deg.degree, "
+        "CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles, "
+        "CASE WHEN deg.degree >= 2 THEN "
+        "(2000000 * CAST(coalesce(pn.triangles, 0) AS BIGINT)) "
+        "// (deg.degree * (deg.degree - 1)) "
+        "ELSE CAST(0 AS BIGINT) END AS coeff_ppm "
+        "FROM deg LEFT JOIN pn ON deg.node_id = pn.node_id"
+    )
+
+
 def triangle_counts_oracle_sql(pairs_sql: str) -> str:
     return (
         f"WITH pr AS MATERIALIZED ({pairs_sql}), "

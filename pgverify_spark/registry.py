@@ -1982,6 +1982,21 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 + ") mp"
             ),
         ),
+        # normalized form: the local clustering coefficient in ppm —
+        # 1e6 ≈ clique member at ANY clique size, 0 ≈ bridge/accident
+        "clustering_coefficient_documents": (
+            _table_query(
+                "documents",
+                lambda df: graph.clustering_coefficient(
+                    dedup.minhash_lsh_pairs(df, 0.3).select("doc_a", "doc_b")
+                ),
+            ),
+            graph.clustering_coefficient_oracle_sql(
+                "SELECT doc_a, doc_b FROM ("
+                + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+                + ") mp"
+            ),
+        ),
         # O(log n)-round star-contraction twin: identical output and
         # oracle, shape-robust (a 10^6-link chain converges in ~20
         # rounds where propagation needs 10^6)
@@ -4303,6 +4318,7 @@ _DRIVER_PRIORITY = (
     "pagerank_weighted_term_graph_documents",  # last green r—never
     "pagerank_personalized_term_graph_documents",  # last green r—never
     "triangle_counts_documents",  # last green r—never
+    "clustering_coefficient_documents",  # last green r—never
     "quarantine_rows_orders",  # last green r—never
     "targeted_delete_orders",  # last green r—never
     "compact_files_events",  # last green r—never
@@ -4345,7 +4361,6 @@ _DRIVER_PRIORITY = (
     "doc_fingerprints_documents",  # last green r6
     "exact_dup_groups_documents",  # last green r6
     "minhash_lsh_pairs_documents",  # last green r6
-    "ngram_jaccard_pairs_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

@@ -3479,6 +3479,46 @@ def test_triangle_counts_shapes_and_oracle(spark, docs, duck):
     )
 
 
+def test_clustering_coefficient_shapes_and_oracle(spark, docs, duck):
+    from pgverify_spark.operators import dedup, graph
+
+    # triangle(1,2,3) + pendant chain 3-4-5: clique nodes score 1e6
+    # (deg-2 node) or 333333 (the 3-degree junction), chain nodes 0
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node_id"]: (r["degree"], r["triangles"], r["coeff_ppm"])
+        for r in graph.clustering_coefficient(pairs).collect()
+    }
+    assert got == {
+        1: (2, 1, 1_000_000),
+        2: (2, 1, 1_000_000),
+        3: (3, 1, 333_333),
+        4: (2, 0, 0),
+        5: (1, 0, 0),
+    }
+    # scale-invariance: K4 members read 1e6 exactly like K3 members
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "doc_a long, doc_b long",
+    )
+    assert {
+        r["coeff_ppm"] for r in graph.clustering_coefficient(k4).collect()
+    } == {1_000_000}
+    _cmp(
+        graph.clustering_coefficient(
+            dedup.minhash_lsh_pairs(docs, 0.3).select("doc_a", "doc_b")
+        ),
+        duck,
+        graph.clustering_coefficient_oracle_sql(
+            "SELECT doc_a, doc_b FROM ("
+            + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+            + ") mp"
+        ),
+    )
+
+
 def test_cusum_changepoints_matches_oracle(spark, sf_dir, duck):
     from pgverify_spark.operators import trend
 
