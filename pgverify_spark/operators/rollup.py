@@ -423,6 +423,69 @@ def event_transitions(df: DataFrame, gap_us: int = _DEFAULT_GAP_US) -> DataFrame
     )
 
 
+def scd2_intervals(df: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log: per
+    user, collapse consecutive same-``event_type`` runs into validity
+    intervals — (user_id, event_type, valid_from_us, valid_to_us, n) —
+    where ``valid_to_us`` is the next run's start (NULL = current/open)
+    and ``n`` the events inside the run.  The warehouse step that turns
+    "what happened" into "what was true when", joinable point-in-time
+    via :mod:`pgverify_spark.operators.asof`.
+
+    Gaps-and-islands with ONE user_id exchange (sessionize's shape):
+    a lag flags run starts, a running sum numbers runs, the run
+    aggregate collapses them, and a lead over the RUN-LEVEL relation
+    (rows = #runs, not #events) supplies each interval's end.  Integer
+    microseconds end-to-end; ties broken by event_id so both engines
+    see one run order.
+    """
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    base = df.selectExpr(
+        "user_id", "event_id", f"{epoch_us_sql(df)} AS us", "event_type"
+    )
+    runs = (
+        base.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "new_run",
+            F.expr(
+                "CASE WHEN prev_type IS NULL OR prev_type <> event_type "
+                "THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn("run_id", F.expr("sum(new_run)").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(F.expr("min(us)").alias("valid_from_us"), F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.partitionBy("user_id").orderBy("valid_from_us", "run_id")
+    return runs.withColumn(
+        "valid_to_us", F.lead("valid_from_us").over(wr)
+    ).select("user_id", "event_type", "valid_from_us", "valid_to_us", "n")
+
+
+def scd2_intervals_oracle_sql(table: str) -> str:
+    us = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+    return (
+        f"WITH base AS (SELECT user_id, event_id, {us} AS us, event_type "
+        f"FROM {table}), "
+        "flagged AS (SELECT user_id, us, event_id, event_type, "
+        "CASE WHEN lag(event_type) OVER w IS NULL "
+        "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS new_run "
+        "FROM base WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+        "numbered AS (SELECT user_id, us, event_type, "
+        "sum(new_run) OVER (PARTITION BY user_id ORDER BY us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id "
+        "FROM flagged), "
+        "runs AS (SELECT user_id, run_id, event_type, "
+        "min(us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n "
+        "FROM numbered GROUP BY user_id, run_id, event_type) "
+        "SELECT user_id, event_type, valid_from_us, "
+        "lead(valid_from_us) OVER (PARTITION BY user_id "
+        "ORDER BY valid_from_us, run_id) AS valid_to_us, n FROM runs"
+    )
+
+
 def event_transitions_oracle_sql(table: str, gap_us: int = _DEFAULT_GAP_US) -> str:
     us = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)"
     return (

@@ -2462,6 +2462,13 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", rollup.sessionize),
             rollup.sessionize_oracle_sql("events"),
         ),
+        # SCD2 build from the change log: per-user consecutive-type runs
+        # as validity intervals (valid_to = next run's start, NULL open)
+        # — "what was true when", as-of-joinable; one user_id exchange
+        "scd2_intervals_events": (
+            _table_query("events", rollup.scd2_intervals),
+            rollup.scd2_intervals_oracle_sql("events"),
+        ),
         # the 100 TB skew variants: per-(user, week-block) pre-split +
         # boundary merge — output proven IDENTICAL by sharing the
         # single-pass operator's oracle (3-day blocks so boundary merges
@@ -4323,6 +4330,7 @@ _DRIVER_PRIORITY = (
     "targeted_delete_orders",  # last green r—never
     "compact_files_events",  # last green r—never
     "verified_delete_orders",  # last green r—never
+    "scd2_intervals_events",  # last green r—never
     "shard_manifest_documents",  # last green r—never
     "cusum_changepoints_events",  # last green r—never
     "streaming_ingest_compact_events",  # last green r—never
@@ -4360,7 +4368,6 @@ _DRIVER_PRIORITY = (
     "rolling_fingerprint_documents",  # last green r6
     "doc_fingerprints_documents",  # last green r6
     "exact_dup_groups_documents",  # last green r6
-    "minhash_lsh_pairs_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

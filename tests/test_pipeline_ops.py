@@ -3479,6 +3479,49 @@ def test_triangle_counts_shapes_and_oracle(spark, docs, duck):
     )
 
 
+def test_scd2_intervals_semantics(spark, sf_dir, duck):
+    """Run collapse + interval chaining on a constructed log, then
+    oracle parity on events: every user's intervals tile the timeline
+    (each valid_to == next valid_from, exactly one open interval)."""
+    import datetime
+
+    from pgverify_spark.operators import rollup
+
+    t0 = datetime.datetime(2024, 5, 1)
+    rows = [
+        (1, 1, t0, "a"),                                      # run 1: a
+        (2, 1, t0 + datetime.timedelta(hours=1), "a"),
+        (3, 1, t0 + datetime.timedelta(hours=2), "b"),        # run 2: b
+        (4, 1, t0 + datetime.timedelta(hours=3), "a"),        # run 3: a again
+        (5, 2, t0, "x"),                                      # user 2: one run
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = sorted(
+        map(tuple, rollup.scd2_intervals(df).collect()),
+        key=lambda r: (r[0], r[2]),
+    )
+    us = lambda h: int((t0 + datetime.timedelta(hours=h)).timestamp() * 1_000_000)
+    assert got == [
+        (1, "a", us(0), us(2), 2),
+        (1, "b", us(2), us(3), 1),
+        (1, "a", us(3), None, 1),
+        (2, "x", us(0), None, 1),
+    ]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = _cmp(
+        rollup.scd2_intervals(ev), duck, rollup.scd2_intervals_oracle_sql("events")
+    )
+    per_user = {}
+    for u, _t, vf, vt, _n in out:
+        per_user.setdefault(u, []).append((vf, vt))
+    for ivs in per_user.values():
+        ivs.sort()
+        assert sum(1 for _, vt in ivs if vt is None) == 1  # one open interval
+        assert all(a[1] == b[0] for a, b in zip(ivs, ivs[1:]))  # tiling
+
+
 def test_clustering_coefficient_shapes_and_oracle(spark, docs, duck):
     from pgverify_spark.operators import dedup, graph
 
