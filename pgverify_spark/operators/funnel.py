@@ -147,3 +147,124 @@ def funnel_oracle_sql(
             f"CAST(n{i + 1} AS BIGINT) AS n_users, {conv} AS conversion FROM c"
         )
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def _fold_times_expr(steps: tuple[str, ...], max_gap_us: int | None) -> str:
+    """Fold variant carrying each reached step's timestamp: final value
+    is a struct (stage, t1..tn) — t_k = the anchored time step k was
+    reached, MIN_LONG when never reached."""
+    n = len(steps)
+
+    def t_fields(advance_to: int) -> str:
+        return ", ".join(
+            f"'t{j}', " + ("e.us" if j == advance_to else f"acc.t{j}")
+            for j in range(1, n + 1)
+        )
+
+    body = "acc"
+    for i in range(n - 1, -1, -1):
+        et = steps[i].replace("'", "''")
+        gap = "" if max_gap_us is None or i == 0 else f" AND e.us - acc.ts <= {max_gap_us}"
+        body = (
+            f"IF(acc.stage = {i} AND e.et = '{et}' AND e.us > acc.ts{gap}, "
+            f"named_struct('stage', {i + 1}, 'ts', e.us, {t_fields(i + 1)}), {body})"
+        )
+    init_ts = ", ".join(f"'t{j}', CAST({_MIN_LONG} AS BIGINT)" for j in range(1, n + 1))
+    return (
+        "aggregate(array_sort(evs), "
+        f"named_struct('stage', 0, 'ts', CAST({_MIN_LONG} AS BIGINT), {init_ts}), "
+        f"(acc, e) -> {body}, "
+        "acc -> named_struct('stage', acc.stage, "
+        + ", ".join(f"'t{j}', acc.t{j}" for j in range(1, n + 1))
+        + "))"
+    )
+
+
+def funnel_latency(
+    df: DataFrame,
+    steps: tuple[str, ...] = DEFAULT_STEPS,
+    max_gap_us: int | None = None,
+) -> DataFrame:
+    """Conversion LATENCY per funnel transition: for users who reached
+    step k+1, how long after step k — (step_from, step_to, transition,
+    n_users, min_us, mean_us, max_us), integer microseconds with
+    ``mean = sum div n`` (BIGINT floor, order-independent).  The timing
+    companion of :func:`funnel` (counts say WHETHER users convert; a
+    product decision also needs HOW LONG conversion takes), under the
+    identical anchored-at-earliest semantics — the fold is the same one
+    carrying each reached step's timestamp, so the oracle's chained
+    min-joins state the same numbers.
+
+    Scale shape unchanged from :func:`funnel`: scan-pruned type filter,
+    ONE user_id shuffle, per-user fold, then a single all-transitions
+    conditional aggregate (map-side combined, 1-row shuffle).
+    """
+    n = len(steps)
+    quoted = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    per_user = (
+        df.filter(f"event_type IN ({quoted})")
+        .selectExpr("user_id", f"{epoch_us_sql(df)} AS us", "event_type AS et")
+        .groupBy("user_id")
+        .agg(F.expr("collect_list(struct(us, et))").alias("evs"))
+        .selectExpr(f"{_fold_times_expr(steps, max_gap_us)} AS r")
+        .selectExpr("r.stage AS stage", *[f"r.t{j} AS t{j}" for j in range(1, n + 1)])
+    )
+    aggs = []
+    for k in range(1, n):
+        hit = f"stage >= {k + 1}"
+        d = f"t{k + 1} - t{k}"
+        aggs += [
+            f"CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT) AS n_{k}",
+            f"min(CASE WHEN {hit} THEN {d} END) AS mn_{k}",
+            f"CAST(sum(CASE WHEN {hit} THEN {d} END) AS BIGINT) AS sm_{k}",
+            f"max(CASE WHEN {hit} THEN {d} END) AS mx_{k}",
+        ]
+    wide = per_user.selectExpr(*aggs).selectExpr(
+        "*", *[f"sm_{k} div nullif(n_{k}, 0) AS mean_{k}" for k in range(1, n)]
+    )
+    rows = []
+    for k in range(1, n):
+        name = f"{steps[k - 1]}->{steps[k]}".replace("'", "''")
+        rows.append(
+            f"named_struct('step_from', {k}, 'step_to', {k + 1}, "
+            f"'transition', '{name}', 'n_users', n_{k}, 'min_us', mn_{k}, "
+            f"'mean_us', mean_{k}, 'max_us', mx_{k})"
+        )
+    return wide.selectExpr(f"inline(array({', '.join(rows)}))")
+
+
+def funnel_latency_oracle_sql(
+    table: str,
+    steps: tuple[str, ...] = DEFAULT_STEPS,
+    max_gap_us: int | None = None,
+) -> str:
+    """Chained min-join twin: s_k carries (user_id, t_k); transition
+    stats join s_{k+1} back to s_k."""
+    ctes = [
+        f"s1 AS (SELECT user_id, min(CAST(epoch_us(ts) AS BIGINT)) AS t1 "
+        f"FROM {table} WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i in range(1, len(steps)):
+        gap = (
+            ""
+            if max_gap_us is None
+            else f"AND CAST(epoch_us(e.ts) AS BIGINT) - s{i}.t{i} <= {max_gap_us} "
+        )
+        ctes.append(
+            f"s{i + 1} AS (SELECT e.user_id, min(CAST(epoch_us(e.ts) AS BIGINT)) AS t{i + 1} "
+            f"FROM {table} e JOIN s{i} ON e.user_id = s{i}.user_id "
+            f"WHERE e.event_type = '{steps[i]}' AND CAST(epoch_us(e.ts) AS BIGINT) > s{i}.t{i} {gap}"
+            f"GROUP BY e.user_id)"
+        )
+    selects = []
+    for k in range(1, len(steps)):
+        name = f"{steps[k - 1]}->{steps[k]}".replace("'", "''")
+        selects.append(
+            f"SELECT {k} AS step_from, {k + 1} AS step_to, '{name}' AS transition, "
+            f"CAST(count(*) AS BIGINT) AS n_users, "
+            f"min(b.t{k + 1} - a.t{k}) AS min_us, "
+            f"CAST(sum(b.t{k + 1} - a.t{k}) AS BIGINT) // nullif(count(*), 0) AS mean_us, "
+            f"max(b.t{k + 1} - a.t{k}) AS max_us "
+            f"FROM s{k + 1} b JOIN s{k} a ON b.user_id = a.user_id"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)

@@ -2622,6 +2622,17 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             funnel_mod.funnel_oracle_sql("events", max_gap_us=86_400_000_000),
         ),
+        # the funnel's timing companion: per-transition conversion
+        # latency (n, min/mean/max us, mean = BIGINT floor) for users
+        # who reached the next step — same anchored fold, now carrying
+        # each reached step's timestamp
+        "funnel_latency_events": (
+            _table_query(
+                "events",
+                lambda df: funnel_mod.funnel_latency(df, max_gap_us=86_400_000_000),
+            ),
+            funnel_mod.funnel_latency_oracle_sql("events", max_gap_us=86_400_000_000),
+        ),
         # as-of join: probe = every 7th event's own timestamp; output in
         # epoch-us (ts is bigint nanos in Spark, TIMESTAMP_NS in DuckDB)
         "asof_join_events": (
@@ -4333,6 +4344,7 @@ _DRIVER_PRIORITY = (
     "scd2_intervals_events",  # last green r—never
     "shard_manifest_documents",  # last green r—never
     "cusum_changepoints_events",  # last green r—never
+    "funnel_latency_events",  # last green r—never
     "streaming_ingest_compact_events",  # last green r—never
     "streaming_quarantine_rows_orders",  # last green r—never
     "filtered_cosine_topk_embeddings",  # last green r5
@@ -4367,7 +4379,6 @@ _DRIVER_PRIORITY = (
     "token_counts_documents",  # last green r6
     "rolling_fingerprint_documents",  # last green r6
     "doc_fingerprints_documents",  # last green r6
-    "exact_dup_groups_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

@@ -3479,6 +3479,51 @@ def test_triangle_counts_shapes_and_oracle(spark, docs, duck):
     )
 
 
+def test_funnel_latency_semantics(spark):
+    """Latency uses the ANCHORED step times (first qualifying event):
+    a user with view@0h, click@2h, view@3h, purchase@5h contributes
+    view->click 2h and click->purchase 3h; a non-converting user
+    contributes nothing; the gap cap disqualifies late conversions."""
+    import datetime
+
+    from pgverify_spark.operators import funnel as funnel_mod
+
+    t0 = datetime.datetime(2024, 6, 1)
+    H = 3_600_000_000  # one hour in microseconds
+
+    def ev(eid, uid, hours, et):
+        return (eid, uid, t0 + datetime.timedelta(hours=hours), et)
+
+    rows = [
+        ev(1, 1, 0, "view"), ev(2, 1, 2, "click"), ev(3, 1, 3, "view"),
+        ev(4, 1, 5, "purchase"),
+        ev(5, 2, 0, "view"), ev(6, 2, 1, "click"),        # no purchase
+        ev(7, 3, 0, "view"),                                # view only
+        ev(8, 4, 0, "view"), ev(9, 4, 40, "click"),         # > 24h gap
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r["step_from"], r["step_to"]): r
+        for r in funnel_mod.funnel_latency(df, max_gap_us=24 * H).collect()
+    }
+    vc = out[(1, 2)]
+    assert vc["transition"] == "view->click"
+    assert vc["n_users"] == 2  # users 1 and 2; user 4 blocked by the cap
+    assert (vc["min_us"], vc["max_us"]) == (1 * H, 2 * H)
+    assert vc["mean_us"] == (1 * H + 2 * H) // 2
+    cp = out[(2, 3)]
+    assert (cp["n_users"], cp["min_us"], cp["mean_us"], cp["max_us"]) == (
+        1, 3 * H, 3 * H, 3 * H,
+    )
+    # empty transition: stable 1-row-per-transition output with NULLs
+    none = funnel_mod.funnel_latency(
+        df.filter("event_type = 'view'"), max_gap_us=24 * H
+    ).collect()
+    assert [(r["n_users"], r["mean_us"]) for r in none] == [(0, None), (0, None)]
+
+
 def test_scd2_intervals_semantics(spark, sf_dir, duck):
     """Run collapse + interval chaining on a constructed log, then
     oracle parity on events: every user's intervals tile the timeline
