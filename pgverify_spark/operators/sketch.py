@@ -543,3 +543,147 @@ def kmv_overlap_oracle_sql(values_sql: str, value_col: str, side_col: str, k: in
         f"overlap_k, {div} AS jaccard_ppm, {inter} AS est_intersection "
         "FROM ta, tb, tu"
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with an engine-independent register contract
+# ---------------------------------------------------------------------------
+#
+# Why a second distinct sketch beside KMV: KMV's state is k *hashes*
+# per group (k=64 -> 512 B); HLL's is m fixed REGISTERS per group
+# (m=256 single-byte maxima), merges by element-wise max (KMV must
+# re-sort the union), and its error is ~1.04/sqrt(m) irrespective of
+# cardinality.  Spark's own approx_count_distinct and DuckDB's HLL use
+# different hashes and register encodings, so their outputs can never
+# be cross-verified — same reason kmv_sketch exists (module docstring):
+# this HLL pins the hash (md5 60-bit prefix) and the register map
+# (bucket = h mod m, rho over the remaining 60-p bits), making the
+# REGISTERS THEMSELVES byte-identical across engines, not just the
+# estimate.  Flajolet et al. 2007 estimator with the standard
+# linear-counting small-range branch.
+
+#: Default precision: m = 2^8 registers -> ~6.5% relative error.
+HLL_P = 8
+
+
+def _hll_parts(p: int) -> tuple[int, int]:
+    if not 4 <= p <= 14:
+        raise ValueError("p must be in 4..14 (m = 2^p registers)")
+    m = 1 << p
+    wp1 = 60 - p + 1  # rho range: 1..wp1 (value bits + 1 for v=0)
+    return m, wp1
+
+
+def _hll_register_sql(value_col: str, group_col: str, p: int, dialect: str) -> tuple[str, str, str]:
+    """(grp_sql, bucket_sql, rho_sql) for one dialect.  ``rho`` is the
+    1-based position of the highest set bit counted from the top of the
+    60-p value bits — computed exactly from ``length(bin(v))`` (integer
+    log2), never a floating log."""
+    m, wp1 = _hll_parts(p)
+    cast = "STRING" if dialect == DIALECT_SPARK else "VARCHAR"
+    h = hex_prefix_int_sql(f"md5(CAST({value_col} AS {cast}))", dialect, 15)
+    div = "div" if dialect == DIALECT_SPARK else "//"
+    bucket = f"({h}) % {m}"
+    v = f"(({h}) {div} {m})"
+    rho = f"CASE WHEN {v} = 0 THEN {wp1} ELSE {wp1} - length(bin({v})) END"
+    return f"{group_col} AS grp", f"{bucket} AS bucket", f"{rho} AS r"
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Per-group HLL register relation: (grp, bucket, r) with r =
+    max rho observed in that bucket — the sketch's mergeable wire form
+    (persist it between incremental runs; :func:`hll_merge` folds).
+
+    Scale shape: ONE hash shuffle keyed (grp, bucket) with map-side
+    combine — executors pre-max their local registers, so at most
+    m rows per (group x executor) cross the wire regardless of input
+    rows; final state is <= m rows per group forever.  NULL values are
+    excluded (COUNT DISTINCT semantics).
+    """
+    grp, bucket, rho = _hll_register_sql(value_col, group_col, p, DIALECT_SPARK)
+    return (
+        df.filter(f"{value_col} IS NOT NULL")
+        .selectExpr(grp, bucket, rho)
+        .groupBy("grp", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_merge(registers: DataFrame) -> DataFrame:
+    """Merge register relations from any number of partial sketches:
+    element-wise max per (grp, bucket) — associative, commutative,
+    idempotent (the union of two runs' registers re-maxed).  Tests
+    assert merge(halves) == sketch(whole) exactly."""
+    return registers.groupBy("grp", "bucket").agg(F.max("r").alias("r"))
+
+
+def _hll_summary_exprs(p: int) -> tuple[str, str]:
+    """(register_sum_sql, est_sql) — IDENTICAL text in both dialects so
+    the floating-point steps are the same ops in the same order.
+
+    The denominator sum(2^-M_j) is kept EXACT by scaling with 2^wp1:
+    every term 2^(wp1 - r) (and 2^wp1 for each empty bucket) is an
+    integer, and the total is <= m * 2^wp1 = 2^61 < 2^63, so
+    ``register_sum`` is a plain BIGINT both engines agree on
+    bit-for-bit — the sketch identity the hash compare certifies.
+    Only the final estimate division (and the linear-counting ln)
+    touch doubles, rounded to 6 decimals like every estimate column
+    in this module."""
+    m, wp1 = _hll_parts(p)
+    scale = 1 << wp1
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    numer = float(m * m * scale)  # power of two: exactly representable
+    raw = f"({alpha} * {numer!r} / CAST(register_sum AS DOUBLE))"
+    lc = f"round({m}.0 * ln({m}.0 / CAST({m} - n_filled AS DOUBLE)), 6)"
+    est = (
+        f"CASE WHEN n_filled < {m} AND {raw} <= {2.5 * m!r} "
+        f"THEN {lc} ELSE round({raw}, 6) END"
+    )
+    reg_sum = f"CAST(sum(term) + ({m} - count(*)) * {scale} AS BIGINT)"
+    return reg_sum, est
+
+
+def hll_summary(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+    """(grp, n_filled, register_sum, est_distinct) from a register
+    relation — the report half, shared by batch and merged-partial
+    paths so they cannot drift."""
+    m, wp1 = _hll_parts(p)
+    reg_sum, est = _hll_summary_exprs(p)
+    return (
+        registers.selectExpr("grp", f"shiftleft(CAST(1 AS BIGINT), {wp1} - r) AS term")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_filled"),
+            F.expr(reg_sum).alias("register_sum"),
+        )
+        .selectExpr("grp", "n_filled", "register_sum", f"{est} AS est_distinct")
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, group_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Per-group HLL distinct-count: (grp, n_filled, register_sum,
+    est_distinct).  ``register_sum`` is the exact integer register
+    identity (see :func:`_hll_summary_exprs`); two targets with equal
+    data MUST produce equal register_sums — the verification use."""
+    return hll_summary(hll_registers(df, value_col, group_col, p), p)
+
+
+def hll_distinct_oracle_sql(
+    table: str, value_col: str, group_col: str, p: int = HLL_P
+) -> str:
+    m, wp1 = _hll_parts(p)
+    grp, bucket, rho = _hll_register_sql(value_col, group_col, p, DIALECT_DUCKDB)
+    reg_sum, est = _hll_summary_exprs(p)
+    return (
+        f"WITH vals AS (SELECT {grp}, {bucket}, {rho} FROM {table} "
+        f"WHERE {value_col} IS NOT NULL), "
+        "regs AS (SELECT grp, bucket, max(r) AS r FROM vals GROUP BY grp, bucket), "
+        f"terms AS (SELECT grp, (CAST(1 AS BIGINT) << ({wp1} - r)) AS term FROM regs), "
+        f"summed AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_filled, {reg_sum} AS register_sum "
+        "FROM terms GROUP BY grp) "
+        f"SELECT grp, n_filled, register_sum, {est} AS est_distinct FROM summed"
+    )

@@ -2915,7 +2915,9 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 where="p_partkey % 10 = 0",
             ),
         ),
-        # mergeable KMV distinct sketches (cross-engine exact, unlike HLL)
+        # mergeable KMV distinct sketches (cross-engine exact, unlike the
+        # engines' BUILT-IN HLLs — see hll_distinct below, which pins the
+        # hash/register map to get the same property out of HyperLogLog)
         "kmv_distinct_documents": (
             _table_query("documents", lambda df: sketch.kmv_sketch(df, "text", "lang", 64)),
             sketch.kmv_sketch_oracle_sql("documents", "text", "lang", 64),
@@ -2925,6 +2927,32 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "events", lambda df: sketch.kmv_sketch(df, "user_id", "event_type", 32)
             ),
             sketch.kmv_sketch_oracle_sql("events", "user_id", "event_type", 32),
+        ),
+        # HyperLogLog with a pinned hash + register map: fixed m-register
+        # state per group (vs KMV's k hashes), element-wise-max merge,
+        # and an exact BIGINT register_sum identity both engines agree
+        # on bit-for-bit (operators/sketch.py docstring).  Two entries
+        # exercise BOTH estimator branches at sf0.01: orders' ~1k
+        # distinct custkeys per priority take the raw-HLL arm; the
+        # by-day user counts (~tens per day, most registers empty) take
+        # the linear-counting arm.
+        "hll_distinct_orders": (
+            _table_query(
+                "orders",
+                lambda df: sketch.hll_distinct(df, "o_custkey", "o_orderpriority"),
+            ),
+            sketch.hll_distinct_oracle_sql("orders", "o_custkey", "o_orderpriority"),
+        ),
+        "hll_distinct_daily_events": (
+            _table_query(
+                "events",
+                lambda df: sketch.hll_distinct(
+                    df, "user_id", timecol.bucket_sql(df, timecol.US_PER_DAY)
+                ),
+            ),
+            sketch.hll_distinct_oracle_sql(
+                "events", "user_id", timecol.duck_bucket_sql(timecol.US_PER_DAY)
+            ),
         ),
         # KMV set operations: 3-gram shingle overlap between the two
         # corpus halves (union/intersection/Jaccard estimated from
@@ -4345,6 +4373,8 @@ _DRIVER_PRIORITY = (
     "shard_manifest_documents",  # last green r—never
     "cusum_changepoints_events",  # last green r—never
     "funnel_latency_events",  # last green r—never
+    "hll_distinct_orders",  # last green r—never
+    "hll_distinct_daily_events",  # last green r—never
     "streaming_ingest_compact_events",  # last green r—never
     "streaming_quarantine_rows_orders",  # last green r—never
     "filtered_cosine_topk_embeddings",  # last green r5
@@ -4377,8 +4407,6 @@ _DRIVER_PRIORITY = (
     "text_stats_documents",  # last green r6
     "language_id_documents",  # last green r6
     "token_counts_documents",  # last green r6
-    "rolling_fingerprint_documents",  # last green r6
-    "doc_fingerprints_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
@@ -4539,6 +4567,8 @@ HEADLINE_QUERIES = (
     "semantic_dup_pairs_documents",
     "funnel_events",
     "kmv_distinct_documents",
+    "hll_distinct_orders",
+    "hll_distinct_daily_events",
     "heavy_hitters_lineitem",
     "fuzzy_join_pairs_part",
     "quantized_topk_embeddings",

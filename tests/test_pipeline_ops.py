@@ -1323,6 +1323,53 @@ def test_kmv_sketch(docs, duck):
     assert merged == rows
 
 
+def test_hll_sketch(spark, sf_dir, duck):
+    from pgverify_spark.operators.sketch import (
+        hll_distinct,
+        hll_distinct_oracle_sql,
+        hll_merge,
+        hll_registers,
+        hll_summary,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = _cmp(
+        hll_distinct(orders, "o_custkey", "o_orderpriority"),
+        duck,
+        hll_distinct_oracle_sql("orders", "o_custkey", "o_orderpriority"),
+    )
+    exact = dict(
+        duck.execute(
+            "SELECT o_orderpriority, count(DISTINCT o_custkey) "
+            "FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    # HLL error ~1.04/sqrt(256) = 6.5%; assert a loose 4-sigma band
+    for grp, n_filled, reg_sum, est in rows:
+        assert 1 <= n_filled <= 256
+        assert abs(est - exact[grp]) / exact[grp] < 0.26
+    # mergeability: max-merge of half-registers == whole sketch
+    h1 = hll_registers(orders.filter("o_orderkey % 2 = 0"), "o_custkey", "o_orderpriority")
+    h2 = hll_registers(orders.filter("o_orderkey % 2 = 1"), "o_custkey", "o_orderpriority")
+    merged = sorted(map(tuple, hll_summary(hll_merge(h1.unionByName(h2))).collect()))
+    assert merged == rows
+
+
+def test_hll_branches_and_nulls(spark):
+    """Tiny groups take the linear-counting arm exactly; NULL values
+    are excluded (COUNT DISTINCT semantics)."""
+    import math
+
+    from pgverify_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g", str(i)) for i in range(3)] + [("g", None)], "grp_in string, v string"
+    )
+    (r,) = hll_distinct(df, "v", "grp_in").collect()
+    assert r["n_filled"] == 3  # the NULL row contributed no register
+    assert r["est_distinct"] == round(256.0 * math.log(256.0 / 253.0), 6)
+
+
 def test_countmin_estimate(spark, sf_dir, duck):
     from pgverify_spark.operators.sketch import (
         countmin_estimate,
