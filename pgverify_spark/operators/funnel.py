@@ -268,3 +268,102 @@ def funnel_latency_oracle_sql(
             f"FROM s{k + 1} b JOIN s{k} a ON b.user_id = a.user_id"
         )
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Touch attribution
+# ---------------------------------------------------------------------------
+
+#: Default touchpoint types and lookback for attribution.
+DEFAULT_TOUCHES = ("view", "click")
+DEFAULT_LOOKBACK_US = 7 * 86_400_000_000
+
+
+def attribute_conversions(
+    df: DataFrame,
+    touches: tuple[str, ...] = DEFAULT_TOUCHES,
+    conversion: str = "purchase",
+    lookback_us: int = DEFAULT_LOOKBACK_US,
+) -> DataFrame:
+    """Last-touch attribution: for every conversion event, the most
+    recent preceding touchpoint by the same user within the lookback
+    window — the marketing-analytics primitive behind "which campaign
+    gets credit for this purchase".  Output one row per conversion:
+    (conv_event_id, user_id, conv_us, touch_event_id, touch_type,
+    latency_us); a conversion with no in-window touch keeps NULL touch
+    columns (the "direct" bucket every attribution report needs).
+
+    Scale shape: the scan is pre-filtered to touch ∪ conversion types
+    (predicate pushdown — at 100 TB the irrelevant event types never
+    leave the parquet reader), then ONE hash shuffle on ``user_id``
+    feeds a running ``last(..., ignorenulls=True)`` window ordered by
+    (us, event_id) — no self-join, no second exchange; per-row state in
+    the window frame is O(1).  The three carried touch columns resolve
+    against the same total order (event_id is unique), so they always
+    describe the SAME touch row.  A touch sharing the conversion's
+    exact microsecond attributes (deterministic tie order: event_id);
+    both engines state identical window semantics, so the pairing is
+    bit-reproducible.
+    """
+    from pyspark.sql import Window
+
+    all_types = ", ".join(f"'{t}'" for t in (*touches, conversion))
+    touch_in = ", ".join(f"'{t}'" for t in touches)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.filter(f"event_type IN ({all_types})").selectExpr(
+        "event_id", "user_id", f"{epoch_us_sql(df)} AS us", "event_type"
+    )
+    carried = (
+        base.withColumn(
+            "t_us",
+            F.last(F.expr(f"CASE WHEN event_type IN ({touch_in}) THEN us END"), True).over(w),
+        )
+        .withColumn(
+            "t_id",
+            F.last(F.expr(f"CASE WHEN event_type IN ({touch_in}) THEN event_id END"), True).over(w),
+        )
+        .withColumn(
+            "t_type",
+            F.last(F.expr(f"CASE WHEN event_type IN ({touch_in}) THEN event_type END"), True).over(w),
+        )
+    )
+    in_window = f"t_us IS NOT NULL AND us - t_us <= {lookback_us}"
+    return carried.filter(f"event_type = '{conversion}'").selectExpr(
+        "event_id AS conv_event_id",
+        "user_id",
+        "us AS conv_us",
+        f"CASE WHEN {in_window} THEN t_id END AS touch_event_id",
+        f"CASE WHEN {in_window} THEN t_type END AS touch_type",
+        f"CASE WHEN {in_window} THEN us - t_us END AS latency_us",
+    )
+
+
+def attribute_conversions_oracle_sql(
+    table: str,
+    touches: tuple[str, ...] = DEFAULT_TOUCHES,
+    conversion: str = "purchase",
+    lookback_us: int = DEFAULT_LOOKBACK_US,
+) -> str:
+    all_types = ", ".join(f"'{t}'" for t in (*touches, conversion))
+    touch_in = ", ".join(f"'{t}'" for t in touches)
+    us = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+    in_window = f"t_us IS NOT NULL AND us - t_us <= {lookback_us}"
+    return (
+        f"WITH base AS (SELECT event_id, user_id, {us} AS us, event_type "
+        f"FROM {table} WHERE event_type IN ({all_types})), "
+        "c AS (SELECT event_id, user_id, us, event_type, "
+        f"last_value(CASE WHEN event_type IN ({touch_in}) THEN us END IGNORE NULLS) OVER w AS t_us, "
+        f"last_value(CASE WHEN event_type IN ({touch_in}) THEN event_id END IGNORE NULLS) OVER w AS t_id, "
+        f"last_value(CASE WHEN event_type IN ({touch_in}) THEN event_type END IGNORE NULLS) OVER w AS t_type "
+        "FROM base WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+        "SELECT event_id AS conv_event_id, user_id, us AS conv_us, "
+        f"CASE WHEN {in_window} THEN t_id END AS touch_event_id, "
+        f"CASE WHEN {in_window} THEN t_type END AS touch_type, "
+        f"CASE WHEN {in_window} THEN us - t_us END AS latency_us "
+        f"FROM c WHERE event_type = '{conversion}'"
+    )

@@ -685,3 +685,92 @@ def doc_term_edges_oracle_sql(table: str) -> str:
         f"(SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}) tk "
         f"WHERE len(tokens) >= {NGRAM_N}) gr) shn"
     )
+
+
+def k_core(pairs: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
+    """k-core peel over an undirected pair graph: ``rounds``
+    applications of "drop every node with degree < k (and its edges),
+    recompute degrees" — the standard density filter that separates
+    genuinely dense duplication communities (spam farms, template
+    mills: every member stays) from stars and chains the LSH banding
+    strings together (peeled away, because removing the low-degree rim
+    cascades).  Triangle counts score LOCAL density;
+    the k-core is the GLOBAL fixed point — a node survives only if k
+    neighbours survive, recursively.
+
+    Output: (node_id, degree) of the subgraph after ``rounds`` peels —
+    degree is within the surviving subgraph.  The peel reaches its
+    fixed point when no round removes a node; ``rounds`` bounds work
+    (each round strictly shrinks or the loop exits early), and the
+    oracle unrolls the SAME count so both engines state identical
+    semantics even on inputs where ``rounds`` hasn't converged.
+
+    Scale shape: everything after the one-time edge dedup is id-only —
+    per round one degree aggregation (hash shuffle with map-side
+    combine, rows ∝ surviving |E|) and two semi-joins back onto the
+    edges; per-round ``localCheckpoint(eager=True)`` keeps the plan
+    flat (module docstring).  A converged-early graph short-circuits:
+    the driver sees the survivor count per round (an O(1) scalar, not
+    a collect of rows) and stops peeling when it stops changing.
+    """
+    from pgverify_spark.operators.util import release_cached_deps
+
+    src = pairs.selectExpr("doc_a", "doc_b").localCheckpoint(eager=True)
+    release_cached_deps(pairs)
+    e = (
+        src.selectExpr("least(doc_a, doc_b) AS lo", "greatest(doc_a, doc_b) AS hi")
+        .filter("lo <> hi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(rounds):
+        deg = (
+            e.selectExpr("lo AS node_id")
+            .unionAll(e.selectExpr("hi AS node_id"))
+            .groupBy("node_id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(f"degree >= {k}").select("node_id")
+        e = (
+            e.join(keep, e.lo == keep.node_id, "left_semi")
+            .join(keep, e.hi == keep.node_id, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = e.count()
+        if n_now == n_edges:  # fixed point: a further peel is identity
+            break
+        n_edges = n_now
+    return (
+        e.selectExpr("lo AS node_id")
+        .unionAll(e.selectExpr("hi AS node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def k_core_oracle_sql(pairs_sql: str, k: int = 3, rounds: int = 6) -> str:
+    """Unrolled peel: e0 = deduped oriented edges, then ``rounds``
+    (keep_i = degree>=k nodes of e_{i-1}; e_i = e_{i-1} restricted)
+    levels.  The early-exit in :func:`k_core` only skips identity
+    rounds, so the unrolled form is equivalent."""
+    parts = [
+        f"WITH pr AS MATERIALIZED ({pairs_sql}), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(doc_a, doc_b) AS lo, "
+        "greatest(doc_a, doc_b) AS hi FROM pr WHERE doc_a <> doc_b)"
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f", n{i} AS (SELECT node_id FROM (SELECT lo AS node_id FROM e{p} "
+            f"UNION ALL SELECT hi FROM e{p}) u GROUP BY node_id "
+            f"HAVING count(*) >= {k})"
+            f", e{i} AS MATERIALIZED (SELECT e.lo, e.hi FROM e{p} e "
+            f"JOIN n{i} a ON e.lo = a.node_id JOIN n{i} b ON e.hi = b.node_id)"
+        )
+    parts.append(
+        f" SELECT node_id, CAST(count(*) AS BIGINT) AS degree FROM "
+        f"(SELECT lo AS node_id FROM e{rounds} UNION ALL SELECT hi FROM e{rounds}) u "
+        "GROUP BY node_id"
+    )
+    return "".join(parts)

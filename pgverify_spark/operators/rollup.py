@@ -606,3 +606,79 @@ def rollup_ivm_oracle_sql(table: str) -> str:
         "min(value) AS min_value, max(value) AS max_value "
         f"FROM {table} GROUP BY 1, 2"
     )
+
+
+def scd2_point_in_time(
+    df: DataFrame,
+    state_types: tuple[str, ...] = ("signup", "error"),
+    probe_type: str = "purchase",
+) -> DataFrame:
+    """Point-in-time enrichment against the Type-2 dimension: build the
+    SCD2 validity intervals from the state-change events (``state_types``
+    — here "account state" transitions) and answer, for every
+    ``probe_type`` event, *what state was this user in at that moment* —
+    the warehouse join every feature-backfill and training-cutoff
+    pipeline needs stated correctly (using today's state for last
+    year's purchase is label leakage).
+
+    Output: (probe_event_id, user_id, probe_us, state_type,
+    valid_from_us, state_n); probes before the user's first recorded
+    state keep NULL state columns (the "unknown" bucket).
+
+    Scale shape: the dimension is :func:`scd2_intervals`' single
+    user_id exchange over ONLY the state-change rows (pre-filtered at
+    the scan); the probe side shuffles once on the same key, and the
+    interval containment is a join residual on the co-partitioned
+    pairs — per user the intervals partition time, so each probe
+    matches at most one row and the join output is exactly |probes|.
+    """
+    dim = scd2_intervals(df.filter(
+        "event_type IN (" + ", ".join(f"'{t}'" for t in state_types) + ")"
+    )).selectExpr(
+        "user_id",
+        "event_type AS state_type",
+        "valid_from_us",
+        "valid_to_us",
+        "n AS state_n",
+    )
+    probe = df.filter(f"event_type = '{probe_type}'").selectExpr(
+        "event_id AS probe_event_id",
+        "user_id",
+        f"{epoch_us_sql(df)} AS probe_us",
+    )
+    cond = (
+        (probe.user_id == dim.user_id)
+        & (probe.probe_us >= dim.valid_from_us)
+        & (dim.valid_to_us.isNull() | (probe.probe_us < dim.valid_to_us))
+    )
+    return probe.join(dim, cond, "left").select(
+        probe.probe_event_id,
+        probe.user_id,
+        probe.probe_us,
+        dim.state_type,
+        dim.valid_from_us,
+        dim.state_n,
+    )
+
+
+def scd2_point_in_time_oracle_sql(
+    table: str,
+    state_types: tuple[str, ...] = ("signup", "error"),
+    probe_type: str = "purchase",
+) -> str:
+    states = ", ".join(f"'{t}'" for t in state_types)
+    us = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+    dim_sql = scd2_intervals_oracle_sql(
+        f"(SELECT * FROM {table} WHERE event_type IN ({states})) st"
+    )
+    return (
+        f"WITH dim AS (SELECT user_id, event_type AS state_type, "
+        f"valid_from_us, valid_to_us, n AS state_n FROM ({dim_sql}) d), "
+        f"probe AS (SELECT event_id AS probe_event_id, user_id, {us} AS probe_us "
+        f"FROM {table} WHERE event_type = '{probe_type}') "
+        "SELECT p.probe_event_id, p.user_id, p.probe_us, d.state_type, "
+        "d.valid_from_us, d.state_n "
+        "FROM probe p LEFT JOIN dim d ON p.user_id = d.user_id "
+        "AND p.probe_us >= d.valid_from_us "
+        "AND (d.valid_to_us IS NULL OR p.probe_us < d.valid_to_us)"
+    )

@@ -1982,6 +1982,27 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 + ") mp"
             ),
         ),
+        # the GLOBAL density fixed point beside those local signals:
+        # 3-core peel — a node survives only if 3 neighbours survive,
+        # recursively, so chains/stars the banding strings together
+        # cascade away and true dup communities (cliques >= 4) remain
+        "k_core_documents": (
+            _table_query(
+                "documents",
+                lambda df: graph.k_core(
+                    dedup.minhash_lsh_pairs(df, 0.3).select("doc_a", "doc_b"),
+                    k=3,
+                    rounds=6,
+                ),
+            ),
+            graph.k_core_oracle_sql(
+                "SELECT doc_a, doc_b FROM ("
+                + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
+                + ") mp",
+                k=3,
+                rounds=6,
+            ),
+        ),
         # normalized form: the local clustering coefficient in ppm —
         # 1e6 ≈ clique member at ANY clique size, 0 ≈ bridge/accident
         "clustering_coefficient_documents": (
@@ -2469,6 +2490,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", rollup.scd2_intervals),
             rollup.scd2_intervals_oracle_sql("events"),
         ),
+        # point-in-time enrichment against that Type-2 dimension: what
+        # account state (signup/error run) was each purchasing user in
+        # at purchase time — the leakage-free feature-backfill join;
+        # probes before any state keep NULL columns
+        "scd2_point_in_time_events": (
+            _table_query("events", rollup.scd2_point_in_time),
+            rollup.scd2_point_in_time_oracle_sql("events"),
+        ),
         # the 100 TB skew variants: per-(user, week-block) pre-split +
         # boundary merge — output proven IDENTICAL by sharing the
         # single-pass operator's oracle (3-day blocks so boundary merges
@@ -2632,6 +2661,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 lambda df: funnel_mod.funnel_latency(df, max_gap_us=86_400_000_000),
             ),
             funnel_mod.funnel_latency_oracle_sql("events", max_gap_us=86_400_000_000),
+        ),
+        # last-touch attribution: every purchase credited to the most
+        # recent preceding view/click by the same user within 7 days
+        # (NULL touch columns = the "direct" bucket) — one user_id
+        # exchange, running ignore-nulls last over (us, event_id)
+        "attribution_events": (
+            _table_query("events", funnel_mod.attribute_conversions),
+            funnel_mod.attribute_conversions_oracle_sql("events"),
         ),
         # as-of join: probe = every 7th event's own timestamp; output in
         # epoch-us (ts is bigint nanos in Spark, TIMESTAMP_NS in DuckDB)
@@ -4364,15 +4401,18 @@ _DRIVER_PRIORITY = (
     "pagerank_weighted_term_graph_documents",  # last green r—never
     "pagerank_personalized_term_graph_documents",  # last green r—never
     "triangle_counts_documents",  # last green r—never
+    "k_core_documents",  # last green r—never
     "clustering_coefficient_documents",  # last green r—never
     "quarantine_rows_orders",  # last green r—never
     "targeted_delete_orders",  # last green r—never
     "compact_files_events",  # last green r—never
     "verified_delete_orders",  # last green r—never
     "scd2_intervals_events",  # last green r—never
+    "scd2_point_in_time_events",  # last green r—never
     "shard_manifest_documents",  # last green r—never
     "cusum_changepoints_events",  # last green r—never
     "funnel_latency_events",  # last green r—never
+    "attribution_events",  # last green r—never
     "hll_distinct_orders",  # last green r—never
     "hll_distinct_daily_events",  # last green r—never
     "streaming_ingest_compact_events",  # last green r—never
@@ -4404,9 +4444,6 @@ _DRIVER_PRIORITY = (
     "drilldown_row_diff_events",  # last green r6
     "verify_report_two_targets",  # last green r6
     "verify_report_parquet_vs_csv",  # last green r6
-    "text_stats_documents",  # last green r6
-    "language_id_documents",  # last green r6
-    "token_counts_documents",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

@@ -3922,3 +3922,94 @@ def test_curation_audit_partitions_the_dropped_set(spark, sf_dir, duck):
     got = sorted((r["doc_id"], r["dropped_by"]) for r in audit)
     want = sorted(map(tuple, duck.execute(registry._curation_audit_oracle_sql()).fetchall()))
     assert got == want
+
+
+def test_attribution_semantics(spark):
+    """Last-touch rules: most recent in-window touch wins; a touch
+    AFTER the conversion never credits; out-of-window -> direct
+    (NULL touch columns); a touch at the conversion's exact
+    microsecond (earlier event_id) credits."""
+    import datetime
+
+    from pgverify_spark.operators import funnel as funnel_mod
+
+    t0 = datetime.datetime(2024, 6, 1)
+    H = 3_600_000_000
+
+    def ev(eid, uid, hours, et):
+        return (eid, uid, t0 + datetime.timedelta(hours=hours), et)
+
+    rows = [
+        # user 1: view@0, click@2, purchase@5 -> click credited, 3h
+        ev(1, 1, 0, "view"), ev(2, 1, 2, "click"), ev(3, 1, 5, "purchase"),
+        # user 2: touch only after the conversion -> direct
+        ev(4, 2, 1, "purchase"), ev(5, 2, 2, "click"),
+        # user 3: touch 8 days before -> out of 7d window -> direct
+        ev(6, 3, 0, "view"), ev(7, 3, 8 * 24, "purchase"),
+        # user 4: touch at the same microsecond -> credited, latency 0
+        ev(8, 4, 1, "click"), ev(9, 4, 1, "purchase"),
+        # user 5: two purchases share one touch -> both credited to it
+        ev(10, 5, 0, "view"), ev(11, 5, 1, "purchase"), ev(12, 5, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["conv_event_id"]: r
+        for r in funnel_mod.attribute_conversions(df).collect()
+    }
+    assert len(out) == 6  # one row per purchase, always
+    assert out[3]["touch_event_id"] == 2 and out[3]["latency_us"] == 3 * H
+    assert out[4]["touch_event_id"] is None and out[4]["latency_us"] is None
+    assert out[7]["touch_event_id"] is None  # out of window -> direct
+    assert out[9]["touch_event_id"] == 8 and out[9]["latency_us"] == 0
+    assert out[11]["touch_event_id"] == 10 and out[12]["touch_event_id"] == 10
+
+
+def test_scd2_point_in_time_semantics(spark):
+    """Each probe matches AT MOST the one interval containing it;
+    probes before the first state land in the NULL 'unknown' bucket;
+    the open (current) interval catches everything after the last
+    change."""
+    import datetime
+
+    from pgverify_spark.operators import rollup
+
+    t0 = datetime.datetime(2024, 6, 1)
+
+    def ev(eid, uid, hours, et):
+        return (eid, uid, t0 + datetime.timedelta(hours=hours), et)
+
+    rows = [
+        ev(1, 1, 10, "signup"), ev(2, 1, 20, "error"), ev(3, 1, 30, "signup"),
+        ev(4, 1, 5, "purchase"),    # before any state -> unknown
+        ev(5, 1, 15, "purchase"),   # inside the signup run [10, 20)
+        ev(6, 1, 20, "purchase"),   # boundary: belongs to [20, 30)
+        ev(7, 1, 99, "purchase"),   # open interval [30, NULL)
+        ev(8, 2, 1, "purchase"),    # user with no states at all
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["probe_event_id"]: r for r in rollup.scd2_point_in_time(df).collect()}
+    assert len(out) == 5  # exactly one output row per probe
+    assert out[4]["state_type"] is None and out[8]["state_type"] is None
+    assert out[5]["state_type"] == "signup" and out[5]["state_n"] == 1
+    assert out[6]["state_type"] == "error"
+    assert out[7]["state_type"] == "signup"  # open current interval
+
+
+def test_k_core_peel_cascade(spark):
+    """A chain hanging off a clique peels away over MULTIPLE rounds
+    (each removal re-exposes the next node); the clique survives; a
+    star vanishes entirely (hub loses its leaves, then itself)."""
+    from pgverify_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    star = [(100, leaf) for leaf in range(101, 106)]
+    df = spark.createDataFrame(clique + chain + star, "doc_a long, doc_b long")
+    out = {r["node_id"]: r["degree"] for r in k_core(df, k=2, rounds=10).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # K4 only, chain + star gone
+    # k above the clique's degree empties the graph
+    assert k_core(df, k=4, rounds=10).count() == 0
