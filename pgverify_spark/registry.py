@@ -3617,6 +3617,48 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
     # sketch exactly, so it shares the batch operator's oracle SQL
     kmv_oracle = sketch.kmv_sketch_oracle_sql("documents", "text", "lang", 64)
 
+    def run_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.sketch import (
+            finalize_streaming_hll,
+            streaming_hll_state,
+        )
+
+        ensure_required_confs(spark)
+        events = ParquetTarget("t", sf_dir).read(spark, "events")
+        tmp = tempfile.mkdtemp(prefix="pgvs_shll_")
+        (
+            events.withColumn("chunk", (F.col("event_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_hll_state(sdf, "user_id", "event_type")
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("registry_shll")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return finalize_streaming_hll(spark.table("registry_shll"))
+
+    # element-wise-max registers are order-insensitive too, and the
+    # finalize feeds them through the BATCH hll_summary — one estimator
+    # code path — so this also shares the batch oracle verbatim
+    hll_oracle = sketch.hll_distinct_oracle_sql("events", "user_id", "event_type")
+
     def run_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
@@ -4127,6 +4169,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
         "streaming_session_rollup_events": (run_sessions, sessions_oracle),
         "streaming_funnel_events": (run_funnel, funnel_oracle),
         "streaming_kmv_distinct_documents": (run_kmv, kmv_oracle),
+        "streaming_hll_distinct_events": (run_hll, hll_oracle),
         "streaming_countmin_events": (run_countmin, countmin_oracle),
         "streaming_constraint_report_orders": (run_constraints, constraints_stream_oracle),
         "streaming_quarantine_rows_orders": (run_squarantine, squarantine_oracle),
@@ -4416,6 +4459,7 @@ _DRIVER_PRIORITY = (
     "hll_distinct_orders",  # last green r—never
     "hll_distinct_daily_events",  # last green r—never
     "streaming_ingest_compact_events",  # last green r—never
+    "streaming_hll_distinct_events",  # last green r—never
     "streaming_quarantine_rows_orders",  # last green r—never
     "filtered_cosine_topk_embeddings",  # last green r5
     "label_centroid_drift_embeddings",  # last green r5
@@ -4443,7 +4487,6 @@ _DRIVER_PRIORITY = (
     "partition_diff_events",  # last green r6
     "drilldown_row_diff_events",  # last green r6
     "verify_report_two_targets",  # last green r6
-    "verify_report_parquet_vs_csv",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
@@ -4692,6 +4735,10 @@ HEADLINE_QUERIES = (
     "quarantine_rows_orders",
     "shard_manifest_documents",
     "incident_report_events",
+    # late-round-10 additions (the HLL twins are earlier, beside KMV)
+    "attribution_events",
+    "scd2_point_in_time_events",
+    "k_core_documents",
 )
 
 

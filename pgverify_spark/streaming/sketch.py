@@ -272,3 +272,88 @@ def finalize_streaming_kmv_overlap(spark, store_path: str, k: int = 256) -> Data
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
     return overlap_from_sides(merged, k)
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog
+# ---------------------------------------------------------------------------
+
+_HLL_OUT_SCHEMA = "grp string, updates int, regs array<int>"
+_HLL_STATE_SCHEMA = "regs array<int>, updates int"
+
+
+def streaming_hll_state(
+    sdf: DataFrame, value_col: str, group_col: str, p: int = 8
+) -> DataFrame:
+    """Streaming twin of ``operators.sketch.hll_distinct``: per-group
+    HLL registers folded across micro-batches.  State per group is the
+    m-register vector itself — FIXED size forever, the property HLL is
+    chosen for in monitoring systems; absorbing a batch is element-wise
+    max, so arrival order and chunking are irrelevant (any feed
+    converges to exactly the batch registers, asserted by sharing the
+    batch oracle).
+
+    The (bucket, rho) mapping runs as a stateless Spark SQL projection
+    BEFORE the stateful operator — the same ``_hll_register_sql``
+    expressions as batch, so the hash math never re-implements in
+    Python.  The stateful fold is pure integer max; emitted rows carry
+    the raw register vector and the ESTIMATE IS NOT COMPUTED HERE —
+    :func:`finalize_streaming_hll` feeds the final registers through
+    the batch ``hll_summary``, so the floating-point estimator is one
+    code path for both modes and cannot drift.
+    """
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pgverify_spark.operators.sketch import _hll_parts, _hll_register_sql
+
+    m, _ = _hll_parts(p)
+    grp, bucket, rho = _hll_register_sql(value_col, group_col, p, DIALECT_SPARK)
+    rows = sdf.filter(f"{value_col} IS NOT NULL").selectExpr(
+        f"CAST({group_col} AS STRING) AS grp", bucket, rho
+    )
+
+    def update_fn(key: tuple, pdfs, state: GroupState):
+        regs, updates = state.get if state.exists else ([0] * m, 0)
+        regs = list(regs)
+        changed = False
+        for pdf in pdfs:
+            for b, r in zip(pdf["bucket"], pdf["r"]):
+                b, r = int(b), int(r)
+                if r > regs[b]:
+                    regs[b] = r
+                    changed = True
+        if changed or updates == 0:
+            updates += 1
+            state.update((regs, updates))
+            yield pd.DataFrame(
+                {"grp": [key[0]], "updates": [updates], "regs": [regs]}
+            )
+        else:
+            state.update((regs, updates))
+
+    return rows.groupBy("grp").applyInPandasWithState(
+        update_fn,
+        outputStructType=_HLL_OUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_streaming_hll(emitted: DataFrame, p: int = 8) -> DataFrame:
+    """Last emitted register vector per group -> the batch summary.
+    (grp, n_filled, register_sum, est_distinct) — byte-identical to
+    ``hll_distinct`` over the same data because the estimator IS the
+    batch ``hll_summary`` run on the final registers."""
+    from pyspark.sql import functions as F
+
+    from pgverify_spark.operators.sketch import hll_summary
+
+    latest = emitted.groupBy("grp").agg(
+        F.expr("max_by(regs, updates)").alias("regs")
+    )
+    registers = latest.selectExpr(
+        "grp", "posexplode(regs) AS (bucket, r)"
+    ).filter("r > 0")
+    return hll_summary(registers, p)

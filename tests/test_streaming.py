@@ -518,6 +518,46 @@ def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
     assert all(r["count"] <= 4 for r in em)
 
 
+def test_streaming_hll_matches_batch(spark, sf_dir, tmp_path):
+    """HLL registers fold by element-wise max (order-insensitive), and
+    the finalize runs the BATCH summary over the final registers — so
+    an arbitrary chunking equals hll_distinct bit-for-bit."""
+    from pgverify_spark.operators.sketch import hll_distinct
+    from pgverify_spark.streaming.sketch import (
+        finalize_streaming_hll,
+        streaming_hll_state,
+    )
+
+    events = ParquetTarget("t", sf_dir).read(spark, "events")
+    out = str(tmp_path / "hll_src")
+    events.withColumn("chunk", (events.event_id % 4).cast("int")).repartition(
+        4, "chunk"
+    ).drop("chunk").write.mode("overwrite").parquet(out)
+    sdf = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q = (
+        streaming_hll_state(sdf, "user_id", "event_type")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hll_state")
+        .option("checkpointLocation", str(tmp_path / "ckh"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(map(tuple, finalize_streaming_hll(spark.table("hll_state")).collect()))
+    batch = sorted(map(tuple, hll_distinct(events, "user_id", "event_type").collect()))
+    assert streamed == batch
+    # bounded emission: a group re-emits only when a register grew
+    em = spark.table("hll_state").groupBy("grp").count().collect()
+    assert all(r["count"] <= 4 for r in em)
+
+
 def test_streaming_debounce_matches_batch(spark, sf_dir, tmp_path):
     """Per-key last-seen left fold: streamed kept events equal the batch
     debounce under time-ordered weekly replay."""
