@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pgverify_spark.functions.timecol import US_PER_HOUR as _US_PER_HOUR
+from pgverify_spark.functions.timecol import US_PER_DAY, US_PER_HOUR as _US_PER_HOUR
 from pgverify_spark.functions.timecol import bucket_sql, epoch_us_sql
 
 
@@ -682,3 +682,87 @@ def scd2_point_in_time_oracle_sql(
         "AND p.probe_us >= d.valid_from_us "
         "AND (d.valid_to_us IS NULL OR p.probe_us < d.valid_to_us)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental DISTINCT-count maintenance (HLL register-state splice)
+# ---------------------------------------------------------------------------
+#
+# :func:`daily_rollup` documents why ``distinct_users`` is excluded from
+# the IVM-maintainable stats: per-day exact distincts don't re-aggregate
+# (sum of daily distincts ≠ range distinct).  HLL registers CLOSE that
+# gap — they are the mergeable form of a distinct count (element-wise
+# max), so per-day register state supports both the day-splice update
+# (same O(delta) partition swap as :func:`update_rollup_snapshot`) and
+# arbitrary day-range distinct estimates by merging state, never
+# re-reading events.  The registers are engine-independent
+# (operators/sketch.py), so the spliced state remains hash-certifiable
+# against a from-scratch DuckDB HLL of the mutated table.
+
+
+def write_hll_snapshot(
+    df: DataFrame, path: str, value_col: str = "user_id"
+) -> None:
+    """Materialize per-day HLL registers (day, bucket, r), laid out
+    partitioned by day so the splice swaps exactly the touched days'
+    directories — update I/O is O(delta registers), never O(state)."""
+    from pgverify_spark.operators.sketch import hll_registers
+
+    day = bucket_sql(df, US_PER_DAY)
+    (
+        hll_registers(df, value_col, day)
+        .selectExpr("grp AS day", "bucket", "r")
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_hll_snapshot(spark, path: str) -> DataFrame:
+    """Stored per-day registers; the partition-directory ``day`` comes
+    back as the state's BIGINT key."""
+    return spark.read.parquet(path).selectExpr(
+        "CAST(day AS BIGINT) AS day", "bucket", "r"
+    )
+
+
+def update_hll_snapshot(
+    spark, df: DataFrame, path: str, days: tuple, value_col: str = "user_id"
+) -> DataFrame:
+    """Splice-update the per-day register state for ONLY the named
+    days (same contract as :func:`update_rollup_snapshot`: pruned
+    delta scan, partition-directory swap, nothing crosses the driver)
+    and return the per-day distinct summary, which must equal a
+    from-scratch per-day HLL of the current table — the registry's
+    oracle pairing proves exactly that."""
+    from pgverify_spark.operators.sketch import hll_registers, hll_summary
+
+    if days:
+        day = bucket_sql(df, US_PER_DAY)
+        in_list = ", ".join(str(int(d)) for d in days)
+        fresh = hll_registers(
+            df.filter(f"({day}) IN ({in_list})"), value_col, day
+        ).selectExpr("grp AS day", "bucket", "r")
+        _delete_day_partitions(spark, path, days)
+        fresh.write.mode("append").partitionBy("day").parquet(path)
+    return hll_summary(
+        read_hll_snapshot(spark, path).selectExpr("day AS grp", "bucket", "r")
+    )
+
+
+def hll_range_distinct(spark, path: str, day_lo: int, day_hi: int) -> DataFrame:
+    """Distinct estimate over an arbitrary day RANGE from stored state:
+    merge the range's registers (element-wise max — the exact operation
+    per-day EXACT distinct counts cannot support) and summarize.  The
+    day filter prunes to the range's partition directories; events are
+    never re-read.  Output one row, grp = 'range'."""
+    from pgverify_spark.operators.sketch import hll_summary
+
+    merged = (
+        read_hll_snapshot(spark, path)
+        .filter(f"day BETWEEN {day_lo} AND {day_hi}")
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .selectExpr("'range' AS grp", "bucket", "r")
+    )
+    return hll_summary(merged)

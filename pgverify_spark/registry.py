@@ -629,6 +629,75 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
         run_rollup_ivm,
         rollup.rollup_ivm_oracle_sql(f"{right_sql} r"),
     )
+
+    # incremental DISTINCT-count maintenance — the stat rollup_ivm
+    # cannot carry (daily_rollup's documented exclusion: per-day exact
+    # distincts don't merge).  Per-day HLL REGISTER state closes it:
+    # same write-once-then-splice deploy shape, and the fault here
+    # changes the distinct sets themselves (day 19724 drops out; a
+    # seventh of day 19723's events get NEW user ids, so that day's
+    # registers must actually move through the splice)
+    def run_hll_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        ensure_required_confs(spark)
+        left = ParquetTarget("t", sf_dir).read(spark, "events")
+        day = timecol.bucket_sql(left, timecol.US_PER_DAY)
+        changed = left.filter(f"{day} <> 19724").selectExpr(
+            "event_id", "ts",
+            f"CASE WHEN {day} = 19723 AND event_id % 7 = 0 "
+            "THEN user_id + 100000 ELSE user_id END AS user_id",
+            "event_type", "value", "props",
+        )
+        state = _HLL_IVM_STORE.get(sf_dir)
+        if state is None:
+            state = tempfile.mkdtemp(prefix="pgvs_hllivm_") + "/state"
+            rollup.write_hll_snapshot(left, state)
+            _HLL_IVM_STORE[sf_dir] = state
+        return rollup.update_hll_snapshot(
+            spark, changed, state, (19723, 19724)
+        )
+
+    hll_right_sql = (
+        "(SELECT event_id, ts, "
+        f"CASE WHEN {day_duck} = 19723 AND event_id % 7 = 0 "
+        "THEN user_id + 100000 ELSE user_id END AS user_id, "
+        f"event_type, value, props FROM events WHERE {day_duck} <> 19724)"
+    )
+    out["hll_ivm_events"] = (
+        run_hll_ivm,
+        sketch.hll_distinct_oracle_sql(
+            f"{hll_right_sql} r", "user_id", timecol.duck_bucket_sql(timecol.US_PER_DAY)
+        ),
+    )
+
+    # the payoff query of mergeable state: distinct users over an
+    # arbitrary day RANGE answered by max-merging stored registers —
+    # partition-pruned state read, events never re-read; the oracle
+    # recomputes the range from the raw table, proving merge == whole
+    # cross-engine (days 19730-19760: outside run_hll_ivm's fault, so
+    # the shared snapshot serves both entries in either order)
+    def run_hll_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        ensure_required_confs(spark)
+        state = _HLL_IVM_STORE.get(sf_dir)
+        if state is None:
+            left = ParquetTarget("t", sf_dir).read(spark, "events")
+            state = tempfile.mkdtemp(prefix="pgvs_hllivm_") + "/state"
+            rollup.write_hll_snapshot(left, state)
+            _HLL_IVM_STORE[sf_dir] = state
+        return rollup.hll_range_distinct(spark, state, 19730, 19760)
+
+    out["hll_range_rollup_events"] = (
+        run_hll_range,
+        sketch.hll_distinct_oracle_sql(
+            "(SELECT * FROM events WHERE "
+            f"{day_duck} BETWEEN 19730 AND 19760) r",
+            "user_id",
+            "'range'",
+        ),
+    )
     return out
 
 
@@ -1059,6 +1128,11 @@ _SNAPSHOT_STORE: dict[str, str] = {}
 #: Initial hourly-rollup state per sf_dir for rollup_ivm_events (same
 #: write-once-then-splice deploy shape as _SNAPSHOT_STORE).
 _ROLLUP_IVM_STORE: dict[str, str] = {}
+
+#: Initial per-day HLL register state per sf_dir, shared by
+#: hll_ivm_events (splices the fault days) and hll_range_rollup_events
+#: (merges days outside the fault) — write-once-then-splice shape.
+_HLL_IVM_STORE: dict[str, str] = {}
 
 #: sf_dir -> parquet path of the stored bigram LM model (trained once
 #: per sf_dir; scoring joins against it — the "built offline once"
@@ -4440,6 +4514,8 @@ _DRIVER_PRIORITY = (
     # CORRECTNESS file lands or a new entry is registered.
     "repair_apply_orders",  # last green r—never
     "incident_report_events",  # last green r—never
+    "hll_ivm_events",  # last green r—never
+    "hll_range_rollup_events",  # last green r—never
     "verify_report_view_parquet_vs_orc",  # last green r—never
     "pagerank_weighted_term_graph_documents",  # last green r—never
     "pagerank_personalized_term_graph_documents",  # last green r—never
@@ -4485,8 +4561,6 @@ _DRIVER_PRIORITY = (
     "full_fingerprint_type_matrix",  # last green r6
     "row_diff_orders",  # last green r6
     "partition_diff_events",  # last green r6
-    "drilldown_row_diff_events",  # last green r6
-    "verify_report_two_targets",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
@@ -4739,6 +4813,8 @@ HEADLINE_QUERIES = (
     "attribution_events",
     "scd2_point_in_time_events",
     "k_core_documents",
+    "hll_ivm_events",
+    "hll_range_rollup_events",
 )
 
 

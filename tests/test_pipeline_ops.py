@@ -4013,3 +4013,45 @@ def test_k_core_peel_cascade(spark):
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # K4 only, chain + star gone
     # k above the clique's degree empties the graph
     assert k_core(df, k=4, rounds=10).count() == 0
+
+
+def test_hll_snapshot_splice(spark, sf_dir, tmp_path):
+    """Register-state splice == from-scratch per-day HLL of the mutated
+    table; a deleted day's directory drops out; re-splicing the same
+    days is idempotent; a range merge over stored state equals the HLL
+    of the range's raw rows (merge == whole)."""
+    from pgverify_spark.functions import timecol
+    from pgverify_spark.operators import rollup
+    from pgverify_spark.operators.sketch import hll_distinct
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = timecol.bucket_sql(events, timecol.US_PER_DAY)
+    state = str(tmp_path / "hll_state")
+    rollup.write_hll_snapshot(events, state)
+
+    mutated = events.filter(f"{day} <> 19724").selectExpr(
+        "event_id", "ts",
+        f"CASE WHEN {day} = 19723 AND event_id % 7 = 0 "
+        "THEN user_id + 100000 ELSE user_id END AS user_id",
+        "event_type", "value", "props",
+    )
+    spliced = sorted(map(tuple, rollup.update_hll_snapshot(
+        spark, mutated, state, (19723, 19724)
+    ).collect()))
+    scratch = sorted(map(tuple, hll_distinct(
+        mutated, "user_id", timecol.bucket_sql(mutated, timecol.US_PER_DAY)
+    ).collect()))
+    assert spliced == scratch
+    assert not any(g == 19724 for g, *_ in spliced)  # day dropped out
+    respliced = sorted(map(tuple, rollup.update_hll_snapshot(
+        spark, mutated, state, (19723, 19724)
+    ).collect()))
+    assert respliced == spliced  # idempotent
+
+    merged = sorted(map(tuple, rollup.hll_range_distinct(
+        spark, state, 19730, 19760
+    ).collect()))
+    whole = sorted(map(tuple, hll_distinct(
+        events.filter(f"({day}) BETWEEN 19730 AND 19760"), "user_id", "'range'"
+    ).collect()))
+    assert merged == whole
