@@ -367,3 +367,92 @@ def attribute_conversions_oracle_sql(
         f"CASE WHEN {in_window} THEN us - t_us END AS latency_us "
         f"FROM c WHERE event_type = '{conversion}'"
     )
+
+
+def attribute_multi_touch(
+    df: DataFrame,
+    touches: tuple[str, ...] = DEFAULT_TOUCHES,
+    conversion: str = "purchase",
+    lookback_us: int = DEFAULT_LOOKBACK_US,
+) -> DataFrame:
+    """Linear multi-touch attribution: every in-window touch preceding
+    a conversion shares the credit equally — the report marketers put
+    beside last-touch (:func:`attribute_conversions`) to see the whole
+    path instead of its final step.  Output one row per
+    (conversion, touch) pair: (conv_event_id, user_id, conv_us,
+    touch_event_id, touch_type, latency_us, weight_ppm) with
+    ``weight_ppm = 1_000_000 div n_touches`` — integer floor so credit
+    is bit-identical cross-engine (the lost remainder ppm is the
+    documented floor convention, same discipline as the graph family).
+    Conversions with NO in-window touch emit nothing here — the direct
+    bucket is :func:`attribute_conversions`' NULL row.
+
+    Scale shape: conversions and touches are two slices of ONE
+    pre-filtered scan, equi-joined on ``user_id`` with the time window
+    as a join residual on the co-partitioned pairs — the fan-out is
+    exactly the real (conversion × in-window touch) credit relation a
+    multi-touch report must materialize anyway.  The per-conversion
+    touch count rides on a window over the pair relation (same
+    partitioning as the join output, no extra exchange).
+    """
+    from pyspark.sql import Window
+
+    touch_in = ", ".join(f"'{t}'" for t in touches)
+    base = df.filter(
+        f"event_type IN ({touch_in}, '{conversion}')"
+    ).selectExpr("event_id", "user_id", f"{epoch_us_sql(df)} AS us", "event_type")
+    conv = base.filter(f"event_type = '{conversion}'").selectExpr(
+        "event_id AS conv_event_id", "user_id", "us AS conv_us"
+    )
+    touch = base.filter(f"event_type IN ({touch_in})").selectExpr(
+        "event_id AS touch_event_id",
+        "user_id AS t_user_id",
+        "us AS touch_us",
+        "event_type AS touch_type",
+    )
+    pairs = conv.join(
+        touch,
+        (conv.user_id == touch.t_user_id)
+        & (touch.touch_us <= conv.conv_us)
+        & (conv.conv_us - touch.touch_us <= lookback_us),
+    )
+    w = Window.partitionBy("conv_event_id")
+    return (
+        pairs.withColumn("n_touches", F.count(F.lit(1)).over(w))
+        .selectExpr(
+            "conv_event_id",
+            "user_id",
+            "conv_us",
+            "touch_event_id",
+            "touch_type",
+            "conv_us - touch_us AS latency_us",
+            "CAST(1000000 div n_touches AS BIGINT) AS weight_ppm",
+        )
+    )
+
+
+def attribute_multi_touch_oracle_sql(
+    table: str,
+    touches: tuple[str, ...] = DEFAULT_TOUCHES,
+    conversion: str = "purchase",
+    lookback_us: int = DEFAULT_LOOKBACK_US,
+) -> str:
+    touch_in = ", ".join(f"'{t}'" for t in touches)
+    us = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+    return (
+        f"WITH base AS (SELECT event_id, user_id, {us} AS us, event_type "
+        f"FROM {table} WHERE event_type IN ({touch_in}, '{conversion}')), "
+        f"conv AS (SELECT event_id AS conv_event_id, user_id, us AS conv_us "
+        f"FROM base WHERE event_type = '{conversion}'), "
+        "touch AS (SELECT event_id AS touch_event_id, user_id AS t_user_id, "
+        f"us AS touch_us, event_type AS touch_type FROM base "
+        f"WHERE event_type IN ({touch_in})), "
+        "pairs AS (SELECT c.*, t.touch_event_id, t.touch_type, t.touch_us "
+        "FROM conv c JOIN touch t ON c.user_id = t.t_user_id "
+        "AND t.touch_us <= c.conv_us "
+        f"AND c.conv_us - t.touch_us <= {lookback_us}) "
+        "SELECT conv_event_id, user_id, conv_us, touch_event_id, touch_type, "
+        "conv_us - touch_us AS latency_us, "
+        "CAST(1000000 // (count(*) OVER (PARTITION BY conv_event_id)) AS BIGINT) "
+        "AS weight_ppm FROM pairs"
+    )

@@ -2744,6 +2744,15 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", funnel_mod.attribute_conversions),
             funnel_mod.attribute_conversions_oracle_sql("events"),
         ),
+        # linear multi-touch companion: every in-window touch shares
+        # the conversion's credit (weight_ppm = 1e6 div n_touches,
+        # integer floor) — user_id equi-join with the time window as a
+        # co-partitioned residual, touch count riding a same-partition
+        # window over the pair relation
+        "attribution_multi_touch_events": (
+            _table_query("events", funnel_mod.attribute_multi_touch),
+            funnel_mod.attribute_multi_touch_oracle_sql("events"),
+        ),
         # as-of join: probe = every 7th event's own timestamp; output in
         # epoch-us (ts is bigint nanos in Spark, TIMESTAMP_NS in DuckDB)
         "asof_join_events": (
@@ -4532,6 +4541,7 @@ _DRIVER_PRIORITY = (
     "cusum_changepoints_events",  # last green r—never
     "funnel_latency_events",  # last green r—never
     "attribution_events",  # last green r—never
+    "attribution_multi_touch_events",  # last green r—never
     "hll_distinct_orders",  # last green r—never
     "hll_distinct_daily_events",  # last green r—never
     "streaming_ingest_compact_events",  # last green r—never
@@ -4560,7 +4570,6 @@ _DRIVER_PRIORITY = (
     "full_fingerprint_orders_orc_roundtrip",  # last green r6
     "full_fingerprint_type_matrix",  # last green r6
     "row_diff_orders",  # last green r6
-    "partition_diff_events",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
@@ -4815,6 +4824,7 @@ HEADLINE_QUERIES = (
     "k_core_documents",
     "hll_ivm_events",
     "hll_range_rollup_events",
+    "attribution_multi_touch_events",
 )
 
 

@@ -4055,3 +4055,40 @@ def test_hll_snapshot_splice(spark, sf_dir, tmp_path):
         events.filter(f"({day}) BETWEEN 19730 AND 19760"), "user_id", "'range'"
     ).collect()))
     assert merged == whole
+
+
+def test_multi_touch_attribution_semantics(spark):
+    """Every in-window touch shares credit (floor ppm); post-conversion
+    and out-of-window touches never pair; a touch credits EVERY later
+    in-window conversion independently."""
+    import datetime
+
+    from pgverify_spark.operators import funnel as funnel_mod
+
+    t0 = datetime.datetime(2024, 6, 1)
+
+    def ev(eid, uid, hours, et):
+        return (eid, uid, t0 + datetime.timedelta(hours=hours), et)
+
+    rows = [
+        # user 1: 3 touches then purchase -> 3 rows at 333333 ppm each
+        ev(1, 1, 0, "view"), ev(2, 1, 1, "click"), ev(3, 1, 2, "view"),
+        ev(4, 1, 3, "purchase"),
+        # user 2: touch after purchase, and one 8 days before -> no rows
+        ev(5, 2, 0, "view"), ev(6, 2, 8 * 24, "purchase"), ev(7, 2, 9 * 24, "click"),
+        # user 3: one touch, two purchases -> credited to both
+        ev(8, 3, 0, "click"), ev(9, 3, 1, "purchase"), ev(10, 3, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = funnel_mod.attribute_multi_touch(df).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conv_event_id"], []).append(r)
+    assert set(by_conv) == {4, 9, 10}  # user 2's purchase pairs nothing
+    assert sorted(r["touch_event_id"] for r in by_conv[4]) == [1, 2, 3]
+    assert all(r["weight_ppm"] == 333333 for r in by_conv[4])
+    assert [r["touch_event_id"] for r in by_conv[9]] == [8]
+    assert by_conv[9][0]["weight_ppm"] == 1000000
+    assert [r["touch_event_id"] for r in by_conv[10]] == [8]
