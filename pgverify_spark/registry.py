@@ -4129,6 +4129,56 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
     # append-mode kept events == the batch debounce over the same data
     debounce_stream_oracle = rollup.debounce_oracle_sql("events", 4 * 3600 * 1_000_000)
 
+    def run_sattrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import glob
+        import os as _os
+        import shutil
+        import tempfile
+
+        from pgverify_spark.streaming.funnel import streaming_attribution
+
+        ensure_required_confs(spark)
+        df = ParquetTarget("t", sf_dir).read(spark, "events")
+        tmp = tempfile.mkdtemp(prefix="pgvs_sattr_")
+        # weekly time-ordered replay: last-touch state is exact when
+        # micro-batches respect event-time order (same contract as
+        # streaming_debounce above)
+        (
+            df.withColumn(
+                "wk", F.expr(timecol.bucket_sql(df, timecol.US_PER_WEEK)).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("wk")
+            .parquet(f"{tmp}/weeks")
+        )
+        stream_in = f"{tmp}/in"
+        _os.makedirs(stream_in)
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_in)
+        )
+        q = (
+            streaming_attribution(sdf)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("registry_sattrib")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            for i, wd in enumerate(sorted(glob.glob(f"{tmp}/weeks/wk=*"))):
+                for j, f in enumerate(sorted(glob.glob(f"{wd}/*.parquet"))):
+                    shutil.copy(f, f"{stream_in}/wk{i}_{j}.parquet")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table("registry_sattrib")
+
+    # append-mode credit rows == the batch last-touch attribution (the
+    # direct NULL bucket included), so it shares the batch oracle
+    sattrib_oracle = funnel_mod.attribute_conversions_oracle_sql("events")
+
     def run_squant(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
@@ -4258,6 +4308,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
         "streaming_quarantine_rows_orders": (run_squarantine, squarantine_oracle),
         "streaming_ivf_ingest_dedup_embeddings": (run_ivf_ingest, ivf_ingest_oracle),
         "streaming_debounce_events": (run_debounce, debounce_stream_oracle),
+        "streaming_attribution_events": (run_sattrib, sattrib_oracle),
         "streaming_bloom_decontaminate_documents": (run_bloom, bloom_oracle),
         "streaming_windowed_counts_events": (run_windowed, windowed_oracle),
         "streaming_lm_scores_documents": (run_lm, lm_stream_oracle),
@@ -4547,6 +4598,7 @@ _DRIVER_PRIORITY = (
     "streaming_ingest_compact_events",  # last green r—never
     "streaming_hll_distinct_events",  # last green r—never
     "streaming_quarantine_rows_orders",  # last green r—never
+    "streaming_attribution_events",  # last green r—never
     "filtered_cosine_topk_embeddings",  # last green r5
     "label_centroid_drift_embeddings",  # last green r5
     "dedup_savings_report_documents",  # last green r5
@@ -4569,7 +4621,6 @@ _DRIVER_PRIORITY = (
     "full_fingerprint_nation_json_roundtrip",  # last green r6
     "full_fingerprint_orders_orc_roundtrip",  # last green r6
     "full_fingerprint_type_matrix",  # last green r6
-    "row_diff_orders",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

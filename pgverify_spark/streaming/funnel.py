@@ -109,3 +109,80 @@ def finalize_streaming_funnel(
         out.append((i + 1, name, n, conv))
         prev = n
     return out
+
+
+def streaming_attribution(
+    sdf: DataFrame,
+    touches: tuple[str, ...] = None,
+    conversion: str = "purchase",
+    lookback_us: int = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.attribute_conversions``:
+    last-touch attribution at ingest time.  State per user is ONE
+    (touch_us, touch_event_id, touch_type) triple — O(1) forever, no
+    watermark needed — and each conversion's credit row is FINAL on
+    emission (append mode): last-touch needs no retraction because
+    later events can't change an earlier conversion's most recent
+    preceding touch.
+
+    Delivery contract: event-time-ordered per user across micro-batches
+    (the same contract streaming_debounce and the streaming funnel
+    document); within a batch events fold in (us, event_id) order — the
+    identical total order the batch operator's window uses, so a
+    replayed feed equals the batch output row-for-row, NULL direct
+    bucket included.
+    """
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pgverify_spark.functions.timecol import epoch_us_sql
+    from pgverify_spark.operators.funnel import (
+        DEFAULT_LOOKBACK_US,
+        DEFAULT_TOUCHES,
+    )
+
+    touches = DEFAULT_TOUCHES if touches is None else touches
+    lookback_us = DEFAULT_LOOKBACK_US if lookback_us is None else lookback_us
+    touch_set = set(touches)
+    all_types = ", ".join(f"'{t}'" for t in (*touches, conversion))
+    rows = sdf.filter(f"event_type IN ({all_types})").selectExpr(
+        "user_id", "event_id", f"{epoch_us_sql(sdf)} AS us", "event_type"
+    )
+
+    def update_fn(key: tuple, pdfs, state: GroupState):
+        t_us, t_id, t_type = state.get if state.exists else (None, None, None)
+        out = {"conv_event_id": [], "conv_us": [], "touch_event_id": [],
+               "touch_type": [], "latency_us": []}
+        for pdf in pdfs:
+            for us, eid, et in sorted(
+                zip(map(int, pdf["us"]), map(int, pdf["event_id"]), pdf["event_type"])
+            ):
+                if et in touch_set:
+                    t_us, t_id, t_type = us, eid, et
+                else:  # conversion
+                    hit = t_us is not None and us - t_us <= lookback_us
+                    out["conv_event_id"].append(eid)
+                    out["conv_us"].append(us)
+                    out["touch_event_id"].append(t_id if hit else None)
+                    out["touch_type"].append(t_type if hit else None)
+                    out["latency_us"].append(us - t_us if hit else None)
+        state.update((t_us, t_id, t_type))
+        if out["conv_event_id"]:
+            n = len(out["conv_event_id"])
+            yield pd.DataFrame({
+                "conv_event_id": out["conv_event_id"],
+                "user_id": [key[0]] * n,
+                "conv_us": out["conv_us"],
+                "touch_event_id": pd.array(out["touch_event_id"], dtype="Int64"),
+                "touch_type": out["touch_type"],
+                "latency_us": pd.array(out["latency_us"], dtype="Int64"),
+            })
+
+    return rows.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType="conv_event_id bigint, user_id bigint, conv_us bigint, "
+        "touch_event_id bigint, touch_type string, latency_us bigint",
+        stateStructType="t_us bigint, t_id bigint, t_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

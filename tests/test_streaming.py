@@ -959,3 +959,47 @@ def test_streaming_kmv_overlap_equals_batch(spark, sf_dir, tmp_path):
     _write_kmv_overlap_batch(replay, 1, str(tmp_path / "store"), 64, to_sides)
     twice = sorted(map(tuple, spark.read.parquet(str(tmp_path / "store")).collect()))
     assert twice == once
+
+
+def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """Per-user last-touch state replayed in weekly event-time order
+    equals the batch attribution row-for-row, direct bucket included;
+    credit rows are append-mode final."""
+    import glob
+    import os
+    import shutil
+
+    from pgverify_spark.functions import timecol
+    from pgverify_spark.operators.funnel import attribute_conversions
+    from pgverify_spark.streaming.funnel import streaming_attribution
+
+    df = ParquetTarget("t", sf_dir).read(spark, "events")
+    weeks = str(tmp_path / "weeks")
+    df.withColumn(
+        "wk", F.expr(timecol.bucket_sql(df, timecol.US_PER_WEEK)).cast("int")
+    ).write.mode("overwrite").partitionBy("wk").parquet(weeks)
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_in)
+    )
+    q = (
+        streaming_attribution(sdf)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sattr_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        for i, wd in enumerate(sorted(glob.glob(f"{weeks}/wk=*"))):
+            for j, f in enumerate(sorted(glob.glob(f"{wd}/*.parquet"))):
+                shutil.copy(f, f"{stream_in}/wk{i}_{j}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(map(tuple, spark.table("sattr_test").collect()))
+    batch = sorted(map(tuple, attribute_conversions(df).collect()))
+    assert streamed == batch
