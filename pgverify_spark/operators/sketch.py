@@ -687,3 +687,79 @@ def hll_distinct_oracle_sql(
         "FROM terms GROUP BY grp) "
         f"SELECT grp, n_filled, register_sum, {est} AS est_distinct FROM summed"
     )
+
+
+def _hll_overlap_exprs(p: int) -> tuple[list, list]:
+    """(pivot aggregate exprs, outer select exprs) — IDENTICAL text in
+    both dialects (same reasoning as :func:`_hll_summary_exprs`).
+    Inclusion-exclusion over the three sketches; ``est_intersection``
+    may come out slightly negative on near-disjoint sides (estimator
+    noise) — reported as-is, with the clamped form feeding jaccard."""
+    pivots = [
+        f"max(CASE WHEN grp = '{g}' THEN {c} END) AS {c}_{g}"
+        for g in ("a", "b", "u")
+        for c in ("n_filled", "register_sum", "est_distinct")
+    ]
+    inter = "(est_distinct_a + est_distinct_b - est_distinct_u)"
+    outer = [
+        "n_filled_a", "register_sum_a", "est_distinct_a",
+        "n_filled_b", "register_sum_b", "est_distinct_b",
+        "n_filled_u", "register_sum_u", "est_distinct_u",
+        f"round({inter}, 6) AS est_intersection",
+        f"CAST(CASE WHEN est_distinct_u > 0 THEN greatest({inter}, 0.0) "
+        "/ est_distinct_u * 1000000 ELSE 0.0 END AS BIGINT) AS jaccard_ppm",
+    ]
+    return pivots, outer
+
+
+def hll_overlap(
+    df: DataFrame, value_col: str, side_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Audience-overlap estimate from HLL registers: rows tagged by
+    ``side_col`` ('a'/'b', must be NON-NULL) produce per-side register
+    sets; the UNION's registers are their element-wise max — the merge
+    property doing real work: |A∪B| comes from state, no re-scan — and
+    |A∩B| follows by inclusion-exclusion.  One row out: per-sketch
+    (n_filled, register_sum, est) for a/b/union plus est_intersection
+    and jaccard_ppm.
+
+    vs :func:`kmv_overlap`: KMV estimates the intersection DIRECTLY
+    (its union sample is inspectable per element) so its Jaccard is
+    tighter; the HLL form needs only each side's m registers — which a
+    deployment is already storing per day/segment for
+    :func:`~pgverify_spark.operators.rollup.hll_range_distinct`-style
+    rollups, so ANY pair of stored segments can be intersected after
+    the fact without planning for it.  Scale shape: one (grp, bucket)
+    shuffle with map-side pre-max; everything after is register-sized.
+    """
+    regs = hll_registers(df, value_col, side_col, p)
+    union = (
+        regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .selectExpr("'u' AS grp", "bucket", "r")
+    )
+    summ = hll_summary(regs.unionByName(union), p)
+    pivots, outer = _hll_overlap_exprs(p)
+    return summ.groupBy().agg(*[F.expr(e) for e in pivots]).selectExpr(*outer)
+
+
+def hll_overlap_oracle_sql(
+    table: str, value_col: str, side_col: str, p: int = HLL_P
+) -> str:
+    m, wp1 = _hll_parts(p)
+    grp, bucket, rho = _hll_register_sql(value_col, side_col, p, DIALECT_DUCKDB)
+    reg_sum, est = _hll_summary_exprs(p)
+    pivots, outer = _hll_overlap_exprs(p)
+    return (
+        f"WITH vals AS (SELECT {grp}, {bucket}, {rho} FROM {table} "
+        f"WHERE {value_col} IS NOT NULL), "
+        "regs AS (SELECT grp, bucket, max(r) AS r FROM vals GROUP BY grp, bucket), "
+        "uregs AS (SELECT 'u' AS grp, bucket, max(r) AS r FROM regs GROUP BY bucket), "
+        "allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM uregs), "
+        f"terms AS (SELECT grp, (CAST(1 AS BIGINT) << ({wp1} - r)) AS term FROM allregs), "
+        f"summ AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_filled, {reg_sum} AS register_sum "
+        "FROM terms GROUP BY grp), "
+        f"est AS (SELECT grp, n_filled, register_sum, {est} AS est_distinct FROM summ), "
+        f"piv AS (SELECT {', '.join(pivots)} FROM est) "
+        f"SELECT {', '.join(outer)} FROM piv"
+    )

@@ -3063,6 +3063,25 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             sketch.hll_distinct_oracle_sql("orders", "o_custkey", "o_orderpriority"),
         ),
+        # register-only audience overlap: clicking vs purchasing users
+        # intersected by inclusion-exclusion over max-merged registers
+        # — any two STORED segments intersect after the fact (no
+        # re-scan), the trade vs kmv_overlap's tighter direct estimate
+        "hll_overlap_events": (
+            _table_query(
+                "events",
+                lambda df: sketch.hll_overlap(
+                    df.filter("event_type IN ('click', 'purchase')"),
+                    "user_id",
+                    "CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END",
+                ),
+            ),
+            sketch.hll_overlap_oracle_sql(
+                "(SELECT * FROM events WHERE event_type IN ('click', 'purchase')) e",
+                "user_id",
+                "CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END",
+            ),
+        ),
         "hll_distinct_daily_events": (
             _table_query(
                 "events",
@@ -4594,6 +4613,7 @@ _DRIVER_PRIORITY = (
     "attribution_events",  # last green r—never
     "attribution_multi_touch_events",  # last green r—never
     "hll_distinct_orders",  # last green r—never
+    "hll_overlap_events",  # last green r—never
     "hll_distinct_daily_events",  # last green r—never
     "streaming_ingest_compact_events",  # last green r—never
     "streaming_hll_distinct_events",  # last green r—never
@@ -4620,7 +4640,6 @@ _DRIVER_PRIORITY = (
     "full_fingerprint_nation_csv_roundtrip",  # last green r6
     "full_fingerprint_nation_json_roundtrip",  # last green r6
     "full_fingerprint_orders_orc_roundtrip",  # last green r6
-    "full_fingerprint_type_matrix",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
@@ -4876,6 +4895,7 @@ HEADLINE_QUERIES = (
     "hll_ivm_events",
     "hll_range_rollup_events",
     "attribution_multi_touch_events",
+    "hll_overlap_events",
 )
 
 

@@ -4092,3 +4092,43 @@ def test_multi_touch_attribution_semantics(spark):
     assert [r["touch_event_id"] for r in by_conv[9]] == [8]
     assert by_conv[9][0]["weight_ppm"] == 1000000
     assert [r["touch_event_id"] for r in by_conv[10]] == [8]
+
+
+def test_hll_overlap_sanity(spark, sf_dir, duck):
+    """Union register_sum equals the sketch of A∪B computed directly;
+    inclusion-exclusion lands near the exact intersection; disjoint
+    sides give jaccard 0."""
+    from pgverify_spark.operators.sketch import (
+        hll_distinct,
+        hll_overlap,
+        hll_overlap_oracle_sql,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "event_type IN ('click', 'purchase')"
+    )
+    side = "CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END"
+    (row,) = _cmp(
+        hll_overlap(ev, "user_id", side),
+        duck,
+        hll_overlap_oracle_sql(
+            "(SELECT * FROM events WHERE event_type IN ('click', 'purchase')) e",
+            "user_id", side,
+        ),
+    )
+    # union registers == registers of the union set, by construction
+    (direct,) = hll_distinct(ev, "user_id", "'u'").collect()
+    assert row[7] == direct["register_sum"] and row[8] == direct["est_distinct"]
+    exact = duck.execute(
+        "SELECT count(DISTINCT CASE WHEN a.user_id = b.user_id THEN a.user_id END) "
+        "FROM (SELECT DISTINCT user_id FROM events WHERE event_type='click') a, "
+        "(SELECT DISTINCT user_id FROM events WHERE event_type='purchase') b "
+        "WHERE a.user_id = b.user_id"
+    ).fetchone()[0]
+    assert abs(row[9] - exact) / max(exact, 1) < 0.30  # 4-sigma-ish at m=256
+    # disjoint sides -> clamped jaccard 0
+    dj = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4)], "s string, v long"
+    )
+    (d,) = hll_overlap(dj, "v", "s").collect()
+    assert d["jaccard_ppm"] == 0
