@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("targets", nargs="+", help="parquet directories or jdbc: URLs")
     p.add_argument("--aliases", type=_csv, default=(), help="display names, comma-separated")
-    p.add_argument("--tests", type=_csv, default=(), help="full,bookend,sparse,rowcount,bucketed,additive")
+    p.add_argument("--tests", type=_csv, default=(), help="full,bookend,sparse,rowcount,bucketed,additive,cardinality")
     p.add_argument("--include-tables", type=_csv, default=())
     p.add_argument("--exclude-tables", type=_csv, default=())
     p.add_argument("--include-schemas", type=_csv, default=())

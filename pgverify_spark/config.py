@@ -18,6 +18,7 @@ TEST_MODE_ROWCOUNT = "rowcount"
 #: not in the reference's closed mode enum (config.go:9-33).
 TEST_MODE_BUCKETED = "bucketed"
 TEST_MODE_ADDITIVE = "additive"
+TEST_MODE_CARDINALITY = "cardinality"
 
 ALL_TEST_MODES = (
     TEST_MODE_FULL,
@@ -26,6 +27,7 @@ ALL_TEST_MODES = (
     TEST_MODE_ROWCOUNT,
     TEST_MODE_BUCKETED,
     TEST_MODE_ADDITIVE,
+    TEST_MODE_CARDINALITY,
 )
 
 #: Reference default modes: all four (config.go:88).

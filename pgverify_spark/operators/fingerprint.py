@@ -50,6 +50,7 @@ from pgverify_spark.config import VerifyConfig
 from pgverify_spark.functions.canonical import (
     DIALECT_DUCKDB,
     DIALECT_SPARK,
+    canon_sql,
     hex_prefix_int_sql,
     pk_key_sql,
     row_concat_sql,
@@ -723,6 +724,71 @@ def partition_diff_oracle_sql(
     )
 
 
+#: HLL precision of the cardinality mode: m = 2^12 registers per column
+#: (~1.6% relative error); state is |columns| x 4096 single-byte maxima.
+CARDINALITY_P = 12
+
+
+def cardinality_fingerprint(
+    df: DataFrame, schema: TableSchema, config: VerifyConfig | None = None
+) -> DataFrame:
+    """Distinct-shape fingerprint: per-column HLL register identity.
+
+    Extension beyond the reference (SURVEY.md §7.3): a verify MODE that
+    compares each column's **distinct value set** instead of the row
+    multiset.  Needs no primary key and no sort; one scan feeds a
+    (column, bucket) register aggregate (map-side pre-max, shuffle =
+    |columns| x 4096 rows per executor regardless of input), and the
+    fingerprint is the readable per-column string
+    ``col:n_filled:register_sum,...`` — so a MISMATCH NAMES THE COLUMN
+    whose value set drifted, where full/additive say only "something
+    differs".  Deliberately weaker than additive (multiplicities are
+    invisible: duplicated rows compare equal) — the two modes compose:
+    additive answers "same rows?", cardinality answers "which column's
+    value DOMAIN moved?" (rescaled ids, re-coded enums, truncated text).
+
+    Registers hash each column's CANONICAL text form (the §1.3 type
+    table), so the same value set fingerprints identically across
+    engines and physical types; NULLs are excluded per COUNT DISTINCT
+    semantics.  Each segment digests the FULL ordered (bucket, rho)
+    register list — not a bucket-blind scalar like the estimate's
+    register sum, whose rho histogram two different small domains
+    collide on routinely (most rhos are 1-2; measured: region's five
+    names re-coded with a suffix kept the identical rho multiset) —
+    so drift detection degrades with the sketch's 2^-128 digest, not
+    with the estimator.  Integer/string-only math end-to-end:
+    cross-engine equality is bit-for-bit (operators/sketch.py's
+    pinned-hash HLL discipline).
+    """
+    from pgverify_spark.operators.sketch import _hll_register_sql, hll_summary
+
+    config = config or VerifyConfig()
+    cols = sorted(config.typed_cols(schema.hashed_cols(config.valid_column)))
+    args = ", ".join(
+        f"'{c}', {canon_sql(c, t, DIALECT_SPARK, config.trunc_unit)}"
+        for c, t in cols
+    )
+    pairs = df.selectExpr(f"stack({len(cols)}, {args}) AS (col, v)").filter(
+        "v IS NOT NULL"
+    )
+    grp, bucket, rho = _hll_register_sql("v", "col", CARDINALITY_P, DIALECT_SPARK)
+    regs = (
+        pairs.selectExpr(grp, bucket, rho)
+        .groupBy("grp", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    percol = regs.groupBy("grp").agg(
+        F.expr(
+            "concat(grp, ':', count(1), ':', md5(array_join(transform("
+            "array_sort(collect_list(struct(bucket, r))), "
+            "x -> concat(x.bucket, ':', x.r)), ','))) "
+        ).alias("s")
+    )
+    return percol.agg(
+        F.expr("concat_ws(',', sort_array(collect_list(s)))").alias("fp")
+    ).selectExpr("COALESCE(NULLIF(fp, ''), 'no rows') AS fp")
+
+
 FINGERPRINT_OPS = {
     "full": full_fingerprint,
     "bookend": bookend_fingerprint,
@@ -730,6 +796,7 @@ FINGERPRINT_OPS = {
     "rowcount": rowcount,
     "bucketed": bucketed_fingerprint,
     "additive": additive_fingerprint,
+    "cardinality": cardinality_fingerprint,
 }
 
 #: Modes computable from ONE (k, h) scan in a single aggregate pass.
@@ -851,6 +918,24 @@ def fingerprint_oracle_sql(
             f"SELECT COALESCE({agg}, 'no rows') AS fp FROM "
             f"(SELECT k, h FROM (SELECT {k} AS k, {h} AS h, md5({k_plain}) AS hk FROM {table}) t "
             f"WHERE ({sel} % {config.sparse_mod}) = 0) t2"
+        )
+    if mode == "cardinality":
+        from pgverify_spark.operators.sketch import _hll_register_sql
+
+        union = " UNION ALL ".join(
+            f"SELECT '{c}' AS grp, "
+            f"{canon_sql(c, t, DIALECT_DUCKDB, config.trunc_unit)} AS v FROM {table}"
+            for c, t in sorted(cols)
+        )
+        grp, bucket, rho = _hll_register_sql("v", "grp", CARDINALITY_P, DIALECT_DUCKDB)
+        return (
+            f"WITH u AS ({union}), "
+            f"vals AS (SELECT grp, {bucket}, {rho} FROM u WHERE v IS NOT NULL), "
+            "regs AS (SELECT grp, bucket, max(r) AS r FROM vals GROUP BY grp, bucket), "
+            "s AS (SELECT grp || ':' || CAST(count(*) AS VARCHAR) || ':' || "
+            "md5(string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(r AS VARCHAR), "
+            "',' ORDER BY bucket)) AS s FROM regs GROUP BY grp) "
+            "SELECT COALESCE(NULLIF(string_agg(s, ',' ORDER BY s), ''), 'no rows') AS fp FROM s"
         )
     if mode == "bucketed":
         b = config.fingerprint_buckets

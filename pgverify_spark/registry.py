@@ -4591,6 +4591,7 @@ _DRIVER_PRIORITY = (
     # Derived rotation (see module docstring): regenerate with
     # `python -m pgverify_spark.rotation --write` after a new
     # CORRECTNESS file lands or a new entry is registered.
+    "cardinality_fingerprint_lineitem",  # last green r—never
     "repair_apply_orders",  # last green r—never
     "incident_report_events",  # last green r—never
     "hll_ivm_events",  # last green r—never
@@ -4639,7 +4640,6 @@ _DRIVER_PRIORITY = (
     "partitioned_fingerprint_events",  # last green r6
     "full_fingerprint_nation_csv_roundtrip",  # last green r6
     "full_fingerprint_nation_json_roundtrip",  # last green r6
-    "full_fingerprint_orders_orc_roundtrip",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

@@ -21,7 +21,7 @@ from pgverify_spark.operators.fingerprint import (
 from pgverify_spark.sources.parquet import ParquetTarget
 from pgverify_spark.sources.schemas import TESTDATA_TABLES
 
-MODES = ["full", "bookend", "sparse", "rowcount", "bucketed", "additive"]
+MODES = ["full", "bookend", "sparse", "rowcount", "bucketed", "additive", "cardinality"]
 TABLES = ["lineitem", "orders", "customer", "events", "documents", "embeddings", "region"]
 
 CFG = VerifyConfig(bookend_limit=100, sparse_mod=10, fingerprint_buckets=64)
@@ -562,3 +562,50 @@ def test_partitioned_stream_hash_matches_aggregate(spark, sf_dir):
         assert agg_n == stream_n, part_sql
         nulls = [r for r in stream_n if r[0] is None]
         assert len(nulls) == 1, part_sql
+
+
+def test_cardinality_mode_semantics(spark, sf_dir):
+    """The distinct-shape mode: invariant to row DUPLICATION (the
+    documented trade vs additive), attributes a drift to the column
+    that moved (readable fp segments), and excludes NULLs."""
+    from pgverify_spark.operators.fingerprint import cardinality_fingerprint
+
+    target = ParquetTarget("t", sf_dir)
+    df = target.read(spark, "region")
+    schema = target.table_schema(spark, "region")
+    base = cardinality_fingerprint(df, schema, CFG).collect()[0].fp
+    # duplication invariance: additive flips, cardinality must not
+    doubled = df.unionByName(df)
+    assert cardinality_fingerprint(doubled, schema, CFG).collect()[0].fp == base
+    # column attribution: re-code one column -> ONLY its segment moves
+    recoded = df.selectExpr("r_regionkey", "concat(r_name, '!') AS r_name")
+    drifted = cardinality_fingerprint(recoded, schema, CFG).collect()[0].fp
+    segs_a = dict(s.split(":", 1) for s in base.split(","))
+    segs_b = dict(s.split(":", 1) for s in drifted.split(","))
+    assert segs_a["r_regionkey"] == segs_b["r_regionkey"]
+    assert segs_a["r_name"] != segs_b["r_name"]
+    # NULL exclusion: nulling a value = removing it from the domain
+    nulled = df.selectExpr(
+        "r_regionkey",
+        "CASE WHEN r_regionkey = 2 THEN NULL ELSE r_name END AS r_name",
+    )
+    fp_nulled = cardinality_fingerprint(nulled, schema, CFG).collect()[0].fp
+    segs_n = dict(s.split(":", 1) for s in fp_nulled.split(","))
+    assert segs_n["r_name"] != segs_a["r_name"]
+    assert segs_n["r_regionkey"] == segs_a["r_regionkey"]
+
+
+def test_cardinality_mode_in_verify_report(spark, sf_dir):
+    """The new mode flows through the verify orchestrator: matching
+    targets agree; a value-domain drift in one target is flagged."""
+    from pgverify_spark.config import VerifyConfig as VC
+    from pgverify_spark.plans.verify import verify
+
+    cfg = VC(test_modes=("cardinality",), include_tables=("region",))
+    targets = [ParquetTarget("a", sf_dir), ParquetTarget("b", sf_dir)]
+    res = verify(spark, targets, cfg)
+    assert res.ok
+    rows = res.report().collect()
+    fps = {r["target"]: r["cardinality"] for r in rows}
+    assert set(fps) == {"a", "b"} and fps["a"] == fps["b"]
+    assert ":" in fps["a"] and "," in fps["a"]  # readable per-column segments
