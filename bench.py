@@ -60,6 +60,10 @@ runs, i.e. the HOST drifted, not the code (the flagged per-query moves
 were all in the documented noise-sensitive LSH/iterative entries, and
 no move survived a replicate).  Same conclusion, stronger: single-run
 ratios are weather; cross-run deltas under ~1.35x are not evidence.
+
+Late-r10 point after the suite grew to 102 entries (sketch family,
+attribution family, HLL-IVM, the cardinality mode): one clean run
+88.8 s vs 108.0 s oracle -> 0.82 — band unchanged.
 """
 
 from __future__ import annotations
