@@ -489,11 +489,30 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("--repair-out requires exactly two targets")
         from pgverify_spark.operators.diff import apply_repair
 
-        # tables whose outputs disagree across the two targets
+        # tables whose FINGERPRINTS disagree across the two targets —
+        # keyed by (schema, tbl, mode) so same-named tables in different
+        # schemas never merge, and error-sentinel cells are excluded: a
+        # table that failed to READ on one side is a reported error
+        # (printed above, nonzero exit), not a repairable fp mismatch —
+        # re-reading it in apply_repair would just re-raise mid-run
+        from pgverify_spark.config import ERROR_OUTPUT
+
         cells: dict[tuple, set] = {}
+        errored: set = set()
         for r in result.rows or result.results.collect():
-            cells.setdefault((r[2], r[3]), set()).add(r[4])
-        bad_tables = sorted({tbl for (tbl, _m), outs in cells.items() if len(outs) > 1})
+            if r[4] == ERROR_OUTPUT:
+                errored.add(r[2])
+            else:
+                cells.setdefault((r[1], r[2], r[3]), set()).add(r[4])
+        bad_tables = sorted(
+            {tbl for (_s, tbl, _m), outs in cells.items() if len(outs) > 1}
+            - errored
+        )
+        for table in sorted(errored):
+            print(
+                f"-- repair: table={table} skipped (a target errored; "
+                "fix the read error first)", file=sys.stderr
+            )
         for table in bad_tables:
             left = targets[0].read(spark, table)
             right = targets[1].read(spark, table)

@@ -668,9 +668,12 @@ def update_fingerprint_snapshot(
     caller-typed (strings, md5 buckets, day numbers...) and a
     partition-directory round-trip would re-infer their type, while the
     state is O(partitions) (a 10-year daily table is ~3.7k rows — the
-    rewrite is noise next to the pruned fingerprint scan).  The swap is
-    two metadata ops, not atomic together: a reader racing the splice
-    can observe the gap (same ``INSERT OVERWRITE`` caveat as the rollup
+    rewrite is noise next to the pruned fingerprint scan).  The swap
+    renames the live state ASIDE (``<path>.old``) before renaming
+    staging in, so a crash at any point leaves a recoverable copy —
+    never a destroyed baseline — and every rename's return value is
+    checked; the window where a racing reader sees no state at
+    ``path`` remains (same ``INSERT OVERWRITE`` caveat as the rollup
     splice; a transactional table format is the deployment answer).
     """
     from pgverify_spark.functions import timecol
@@ -687,14 +690,23 @@ def update_fingerprint_snapshot(
     kept = spark.read.parquet(path).filter(~F.col("part").isin(list(parts)))
     staging = path.rstrip("/") + ".staging"
     kept.unionByName(fresh).write.mode("overwrite").parquet(staging)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    old = jvm.org.apache.hadoop.fs.Path(path)
-    new = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = old.getFileSystem(hconf)
-    fs.delete(old, True)
-    if not fs.rename(new, old):
-        raise IOError(f"snapshot swap failed: rename({staging!r} -> {path!r})")
+    from pgverify_spark.sources.maintain import _hadoop
+
+    jvm, fs = _hadoop(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    live, new, aside = P(path), P(staging), P(path.rstrip("/") + ".old")
+    # rename the live state ASIDE first: a crash between the two
+    # renames leaves the previous baseline recoverable at <path>.old
+    # instead of destroyed (delete-then-rename's failure mode)
+    fs.delete(aside, True)
+    if not fs.rename(live, aside):
+        raise IOError(f"snapshot swap failed: rename({path!r} -> .old)")
+    if not fs.rename(new, live):
+        raise IOError(
+            f"snapshot swap failed: rename({staging!r} -> {path!r}); "
+            f"previous state preserved at {path!r}.old"
+        )
+    fs.delete(aside, True)
     return spark.read.parquet(path)
 
 

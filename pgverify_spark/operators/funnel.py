@@ -214,7 +214,10 @@ def funnel_latency(
         hit = f"stage >= {k + 1}"
         d = f"t{k + 1} - t{k}"
         aggs += [
-            f"CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT) AS n_{k}",
+            # coalesce: an input with NO funnel-type events reaches this
+            # global aggregate with zero rows, where sum() is NULL but
+            # the oracle's count(*) is 0 (same convention as funnel())
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_{k}",
             f"min(CASE WHEN {hit} THEN {d} END) AS mn_{k}",
             f"CAST(sum(CASE WHEN {hit} THEN {d} END) AS BIGINT) AS sm_{k}",
             f"max(CASE WHEN {hit} THEN {d} END) AS mx_{k}",

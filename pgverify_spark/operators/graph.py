@@ -226,6 +226,45 @@ def pagerank_weighted(
     )
 
 
+def _oriented_edges(pairs: DataFrame) -> DataFrame:
+    """Deduped low->high oriented edge relation from a (doc_a, doc_b)
+    pair stream, checkpointed + persisted — the shared base both
+    triangle statistics (and the peel) read.  Releases the caller's
+    cached deps once materialized."""
+    from pgverify_spark.operators.util import release_cached_deps
+
+    src = pairs.selectExpr("doc_a", "doc_b").localCheckpoint(eager=True)
+    release_cached_deps(pairs)
+    return (
+        src.selectExpr(
+            "least(doc_a, doc_b) AS lo", "greatest(doc_a, doc_b) AS hi"
+        )
+        .filter("lo <> hi")
+        .distinct()
+        .persist()
+    )
+
+
+def _per_node_triangles(e: DataFrame) -> DataFrame:
+    """(node_id, triangles) for nodes in >=1 triangle, by the standard
+    oriented enumeration: every triangle a<b<c is found exactly once as
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two equi-joins, never the naive 3-way
+    self-join with its 6x duplication.  Fan-out is bounded by the
+    classic sum-of-deg² and, on near-dup graphs, by clique sizes the
+    LSH band cap upstream already bounds."""
+    ab = e.selectExpr("lo AS a", "hi AS b")
+    bc = e.selectExpr("lo AS b", "hi AS c")
+    ac = e.selectExpr("lo AS a", "hi AS c")
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return (
+        tri.selectExpr("a AS node_id")
+        .unionAll(tri.selectExpr("b AS node_id"))
+        .unionAll(tri.selectExpr("c AS node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
 def triangle_counts(pairs: DataFrame) -> DataFrame:
     """Per-node triangle participation count over an undirected pair
     graph — the local clustering signal: near-dup CLUSTERS are triangle
@@ -235,52 +274,23 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     keeps one winner per component.
 
     Output: (node_id, triangles BIGINT), nodes with zero triangles
-    included.  Standard oriented enumeration: orient each edge low->high
-    so every triangle a<b<c is found exactly once as e(a,b) ⋈ e(b,c) ⋈
-    e(a,c) — two equi-joins, never the naive 3-way self-join with its
-    6x duplication.  Scale shape: joins shuffle on bare node ids;
-    fan-out is sum over nodes of deg² in the worst case (the classic
-    bound) — on near-dup graphs, bounded by clique sizes, and the LSH
-    band cap upstream already bounds those.  All counts are exact
-    BIGINTs; the oracle is the same oriented enumeration in SQL.
+    included.  Scale shape: one shared oriented edge relation
+    (:func:`_oriented_edges`), joins shuffle on bare node ids.  All
+    counts are exact BIGINTs; the oracle is the same oriented
+    enumeration in SQL.
     """
-    src = pairs.selectExpr("doc_a", "doc_b").localCheckpoint(eager=True)
-    from pgverify_spark.operators.util import release_cached_deps
+    from pgverify_spark.operators.util import tag_cached_deps
 
-    release_cached_deps(pairs)
-    e = (
-        src.selectExpr(
-            "least(doc_a, doc_b) AS lo", "greatest(doc_a, doc_b) AS hi"
-        )
-        .filter("lo <> hi")
-        .distinct()
-        .persist()
-    )
-    # wedges b: (a<b<c) from e(a,b) ⋈ e(b,c), closed by e(a,c)
-    ab = e.selectExpr("lo AS a", "hi AS b")
-    bc = e.selectExpr("lo AS b", "hi AS c")
-    ac = e.selectExpr("lo AS a", "hi AS c")
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    per_node = (
-        tri.selectExpr("a AS node_id")
-        .unionAll(tri.selectExpr("b AS node_id"))
-        .unionAll(tri.selectExpr("c AS node_id"))
-        .groupBy("node_id")
-        .agg(F.count(F.lit(1)).alias("triangles"))
-    )
+    e = _oriented_edges(pairs)
+    per_node = _per_node_triangles(e)
     nodes = (
         e.selectExpr("lo AS node_id")
         .unionAll(e.selectExpr("hi AS node_id"))
         .distinct()
     )
-    out = (
-        nodes.join(per_node, "node_id", "left")
-        .selectExpr(
-            "node_id", "CAST(coalesce(triangles, 0) AS BIGINT) AS triangles"
-        )
+    out = nodes.join(per_node, "node_id", "left").selectExpr(
+        "node_id", "CAST(coalesce(triangles, 0) AS BIGINT) AS triangles"
     )
-    from pgverify_spark.operators.util import tag_cached_deps
-
     return tag_cached_deps(out, e)
 
 
@@ -293,71 +303,58 @@ def clustering_coefficient(pairs: DataFrame) -> DataFrame:
     scale with clique size).  1e6 ≈ clique member, 0 ≈ bridge/accident;
     degree-1 nodes emit 0 by convention.
 
-    One edge relation feeds BOTH statistics: degrees are a groupBy over
-    the persisted oriented edges (counted on both endpoints), triangles
-    the same two-join enumeration as :func:`triangle_counts`.  The
-    division is BIGINT floor — bit-identical cross-engine; overflow
+    The SAME :func:`_oriented_edges` relation feeds degrees (a groupBy
+    over both endpoints) and :func:`_per_node_triangles` — one
+    enumeration code path for both statistics, so they cannot diverge.
+    The division is BIGINT floor — bit-identical cross-engine; overflow
     needs triangles > ~4.6e12, i.e. a clique of ~2 million mutual
     near-dups, far past any band cap.
     """
-    from pgverify_spark.operators.util import release_cached_deps, tag_cached_deps
+    from pgverify_spark.operators.util import tag_cached_deps
 
-    src = pairs.selectExpr("doc_a", "doc_b").localCheckpoint(eager=True)
-    release_cached_deps(pairs)
-    e = (
-        src.selectExpr(
-            "least(doc_a, doc_b) AS lo", "greatest(doc_a, doc_b) AS hi"
-        )
-        .filter("lo <> hi")
-        .distinct()
-        .persist()
-    )
+    e = _oriented_edges(pairs)
     deg = (
         e.selectExpr("lo AS node_id")
         .unionAll(e.selectExpr("hi AS node_id"))
         .groupBy("node_id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    ab = e.selectExpr("lo AS a", "hi AS b")
-    bc = e.selectExpr("lo AS b", "hi AS c")
-    ac = e.selectExpr("lo AS a", "hi AS c")
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    per_node = (
-        tri.selectExpr("a AS node_id")
-        .unionAll(tri.selectExpr("b AS node_id"))
-        .unionAll(tri.selectExpr("c AS node_id"))
-        .groupBy("node_id")
-        .agg(F.count(F.lit(1)).alias("triangles"))
-    )
-    out = (
-        deg.join(per_node, "node_id", "left")
-        .selectExpr(
-            "node_id",
-            "degree",
-            "CAST(coalesce(triangles, 0) AS BIGINT) AS triangles",
-            "CASE WHEN degree >= 2 THEN "
-            "(2000000 * CAST(coalesce(triangles, 0) AS BIGINT)) "
-            "div (degree * (degree - 1)) "
-            "ELSE CAST(0 AS BIGINT) END AS coeff_ppm",
-        )
+    per_node = _per_node_triangles(e)
+    out = deg.join(per_node, "node_id", "left").selectExpr(
+        "node_id",
+        "degree",
+        "CAST(coalesce(triangles, 0) AS BIGINT) AS triangles",
+        "CASE WHEN degree >= 2 THEN "
+        "(2000000 * CAST(coalesce(triangles, 0) AS BIGINT)) "
+        "div (degree * (degree - 1)) "
+        "ELSE CAST(0 AS BIGINT) END AS coeff_ppm",
     )
     return tag_cached_deps(out, e)
 
 
-def clustering_coefficient_oracle_sql(pairs_sql: str) -> str:
+def _tri_ctes_sql(pairs_sql: str) -> str:
+    """Shared oracle CTE chain (pr -> e -> tri -> pn) both triangle
+    statistics build on — one SQL code path, mirroring the shared
+    Spark helpers."""
     return (
         f"WITH pr AS MATERIALIZED ({pairs_sql}), "
         "e AS MATERIALIZED (SELECT DISTINCT least(doc_a, doc_b) AS lo, "
         "greatest(doc_a, doc_b) AS hi FROM pr WHERE doc_a <> doc_b), "
-        "deg AS (SELECT node_id, CAST(count(*) AS BIGINT) AS degree FROM ("
-        "SELECT lo AS node_id FROM e UNION ALL SELECT hi FROM e) u "
-        "GROUP BY node_id), "
         "tri AS MATERIALIZED (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c "
         "FROM e ab JOIN e bc ON ab.hi = bc.lo "
         "JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi), "
         "pn AS (SELECT node_id, CAST(count(*) AS BIGINT) AS triangles FROM ("
         "SELECT a AS node_id FROM tri UNION ALL SELECT b FROM tri "
-        "UNION ALL SELECT c FROM tri) u GROUP BY node_id) "
+        "UNION ALL SELECT c FROM tri) u GROUP BY node_id)"
+    )
+
+
+def clustering_coefficient_oracle_sql(pairs_sql: str) -> str:
+    return (
+        _tri_ctes_sql(pairs_sql) + ", "
+        "deg AS (SELECT node_id, CAST(count(*) AS BIGINT) AS degree FROM ("
+        "SELECT lo AS node_id FROM e UNION ALL SELECT hi FROM e) u "
+        "GROUP BY node_id) "
         "SELECT deg.node_id, deg.degree, "
         "CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles, "
         "CASE WHEN deg.degree >= 2 THEN "
@@ -370,15 +367,7 @@ def clustering_coefficient_oracle_sql(pairs_sql: str) -> str:
 
 def triangle_counts_oracle_sql(pairs_sql: str) -> str:
     return (
-        f"WITH pr AS MATERIALIZED ({pairs_sql}), "
-        "e AS MATERIALIZED (SELECT DISTINCT least(doc_a, doc_b) AS lo, "
-        "greatest(doc_a, doc_b) AS hi FROM pr WHERE doc_a <> doc_b), "
-        "tri AS MATERIALIZED (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c "
-        "FROM e ab JOIN e bc ON ab.hi = bc.lo "
-        "JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi), "
-        "pn AS (SELECT node_id, CAST(count(*) AS BIGINT) AS triangles FROM ("
-        "SELECT a AS node_id FROM tri UNION ALL SELECT b FROM tri "
-        "UNION ALL SELECT c FROM tri) u GROUP BY node_id), "
+        _tri_ctes_sql(pairs_sql) + ", "
         "nodes AS (SELECT DISTINCT lo AS node_id FROM e "
         "UNION SELECT hi FROM e) "
         "SELECT nodes.node_id, CAST(coalesce(pn.triangles, 0) AS BIGINT) "

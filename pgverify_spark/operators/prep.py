@@ -191,7 +191,9 @@ def assign_shards_oracle_sql(table: str, n_shards: int = 8) -> str:
     )
 
 
-def shard_manifest(df: DataFrame, n_shards: int = 8) -> DataFrame:
+def shard_manifest(
+    df: DataFrame, n_shards: int = 8, assignment: DataFrame | None = None
+) -> DataFrame:
     """Per-shard delivery manifest: (shard, n_docs, n_tokens, fp) over
     :func:`assign_shards`' token-balanced assignment — the contract a
     training-data CONSUMER verifies before trusting a shard set (the
@@ -209,7 +211,7 @@ def shard_manifest(df: DataFrame, n_shards: int = 8) -> DataFrame:
     """
     from pgverify_spark.operators.fingerprint import ADDITIVE_MOD
 
-    shards = assign_shards(df, n_shards)
+    shards = assign_shards(df, n_shards) if assignment is None else assignment
     h48 = hex_prefix_int_sql("md5(text)", DIALECT_SPARK)
     hashed = df.selectExpr("doc_id", f"CAST({h48} AS DECIMAL(38,0)) AS hv")
     return (
@@ -246,15 +248,19 @@ def write_shards(df: DataFrame, path: str, n_shards: int = 8) -> DataFrame:
     """Materialize the corpus as ``shard=<k>`` parquet directories plus
     the manifest at ``<path>/_manifest`` — the delivery artifact pair.
     Returns the manifest."""
-    shards = assign_shards(df, n_shards).select("doc_id", "shard")
+    shards = assign_shards(df, n_shards).persist()
     (
-        df.join(shards, "doc_id")
+        df.join(shards.select("doc_id", "shard"), "doc_id")
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(path)
     )
-    manifest = shard_manifest(df, n_shards)
+    # reuse the SAME materialized assignment for the manifest: one
+    # token-rank pass total, and the manifest provably describes the
+    # assignment the data write used
+    manifest = shard_manifest(df, n_shards, assignment=shards)
     manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    shards.unpersist()
     return manifest
 
 

@@ -549,11 +549,11 @@ def _delete_day_partitions(spark, path: str, days) -> None:
     """Drop ``<path>/day=<d>`` for each named day through the Hadoop
     FileSystem API — works on any Spark-supported filesystem (local,
     HDFS, S3A), not just the driver's local disk."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
+    from pgverify_spark.sources.maintain import _hadoop
+
+    jvm, fs = _hadoop(spark, path)
     for d in days:
-        p = jvm.org.apache.hadoop.fs.Path(f"{path}/day={int(d)}")
-        p.getFileSystem(hconf).delete(p, True)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/day={int(d)}"), True)
 
 
 def update_rollup_snapshot(spark, df: DataFrame, path: str, days: tuple) -> DataFrame:

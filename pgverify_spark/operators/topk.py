@@ -104,14 +104,6 @@ def equidepth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame
 
     spark = df.sparkSession
     vals = df.select(col)
-    n_total = vals.count()
-    if n_total == 0:
-        return vals.selectExpr(
-            "CAST(NULL AS INT) AS bucket",
-            f"CAST(count(1) AS BIGINT) AS n",
-            f"min({col}) AS lo",
-            f"max({col}) AS hi",
-        ).filter("bucket IS NOT NULL")
     p = spark.sparkContext.defaultParallelism
     ranged = (
         vals.repartitionByRange(p, F.asc(col))
@@ -123,6 +115,16 @@ def equidepth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame
         r["pid"]: r["cnt"]
         for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+    # n_total from the per-pid counts — no separate full scan
+    n_total = sum(counts.values())
+    if n_total == 0:
+        ranged.unpersist()
+        return vals.selectExpr(
+            "CAST(NULL AS INT) AS bucket",
+            f"CAST(count(1) AS BIGINT) AS n",
+            f"min({col}) AS lo",
+            f"max({col}) AS hi",
+        ).filter("bucket IS NOT NULL")
     offs, acc = [], 0
     for i in sorted(counts):
         offs.append((i, acc))

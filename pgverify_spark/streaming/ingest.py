@@ -75,6 +75,44 @@ def _batch_dirs(store_path: str) -> dict[int, str]:
     return out
 
 
+def _covers_upto(spark: SparkSession, gen_dir: str) -> int:
+    """The ``_covers_upto_<N>`` marker inside a generation directory
+    (0 when absent — pre-marker generations recover nothing)."""
+    from pgverify_spark.sources.maintain import _hadoop
+
+    jvm, fs = _hadoop(spark, gen_dir)
+    best = 0
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(gen_dir)):
+        name = st.getPath().getName()
+        if name.startswith("_covers_upto_"):
+            best = max(best, int(name.rsplit("_", 1)[1]))
+    return best
+
+
+def _recover_interrupted_compaction(spark: SparkSession, store_path: str) -> int:
+    """Finish the delete half of any compaction that crashed between
+    the generation rename and the sealed-directory drops: each
+    generation carries a ``_covers_upto_<N>`` marker (underscore files
+    are invisible to parquet readers), asserting that every positive
+    batch id below N existed at compaction time and was absorbed —
+    batch ids are monotone and never reused, so a positive directory
+    with id < N can only be a not-yet-deleted duplicate.  Delete it.
+    Returns directories removed."""
+    from pgverify_spark.sources.maintain import _hadoop
+
+    jvm, fs = _hadoop(spark, store_path)
+    dirs = _batch_dirs(store_path)
+    threshold = max(
+        [0] + [_covers_upto(spark, d) for n, d in dirs.items() if n < 0]
+    )
+    removed = 0
+    for n, d in dirs.items():
+        if 0 <= n < threshold:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+            removed += 1
+    return removed
+
+
 def seal_and_compact(
     spark: SparkSession,
     store_path: str,
@@ -89,13 +127,33 @@ def seal_and_compact(
     into each other is a separate, equally-safe invocation with the
     same rule — they are immutable too).
 
-    Returns ``{"batches_sealed", "files_before", "files_after"}``; a
-    no-op when fewer than two sealed directories exist.
+    Crash discipline: the generation is built in a STAGING directory
+    beside the store (readers never see a half-written generation) and
+    renamed in with a ``_covers_upto_<N>`` marker recording the seal
+    horizon; every entry first runs recovery, which deletes any sealed dir
+    still present but covered by an existing generation.  So a crash
+    at ANY point leaves either (a) no visible change (staging orphan,
+    cleaned by the next overwrite), or (b) transient duplicates that
+    the next invocation removes BEFORE compacting further — never
+    permanent duplication.  The rename→deletes window itself is the
+    same reader-visible non-atomicity every plain-parquet INSERT
+    OVERWRITE has; a transactional format is the answer where readers
+    race maintenance.
+
+    Returns ``{"batches_sealed", "files_before", "files_after",
+    "recovered_dirs"}``; a no-op when fewer than two sealed
+    directories exist.
     """
+    from pgverify_spark.sources.maintain import _hadoop
+
+    recovered = _recover_interrupted_compaction(spark, store_path)
     dirs = _batch_dirs(store_path)
     sealed = {n: d for n, d in dirs.items() if 0 <= n < upto_exclusive}
     if len(sealed) < 2:
-        return {"batches_sealed": 0, "files_before": 0, "files_after": 0}
+        return {
+            "batches_sealed": 0, "files_before": 0, "files_after": 0,
+            "recovered_dirs": recovered,
+        }
     gen = min([0] + [n for n in dirs if n < 0]) - 1
     files_before = sum(len(list_data_files(d)) for d in sealed.values())
     total_bytes = sum(
@@ -103,16 +161,25 @@ def seal_and_compact(
     )
     n_out = max(1, -(-total_bytes // target_bytes))
     merged = spark.read.parquet(*sealed.values())
-    out_dir = os.path.join(store_path, f"batch_id={gen}")
-    merged.coalesce(n_out).write.mode("overwrite").parquet(out_dir)
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(store_path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
+    staging = store_path.rstrip("/") + f".compact-{gen}"
+    merged.coalesce(n_out).write.mode("overwrite").parquet(staging)
+    jvm, fs = _hadoop(spark, store_path)
+    covers = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(staging, f"_covers_upto_{int(upto_exclusive)}")
     )
+    fs.create(covers, True).close()
+    out_dir = os.path.join(store_path, f"batch_id={gen}")
+    if not fs.rename(
+        jvm.org.apache.hadoop.fs.Path(staging),
+        jvm.org.apache.hadoop.fs.Path(out_dir),
+    ):
+        raise IOError(f"compaction rename failed: {staging} -> {out_dir}")
     for d in sealed.values():
+        # best-effort: a failed delete is exactly what recovery handles
         fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
     return {
         "batches_sealed": len(sealed),
         "files_before": files_before,
         "files_after": len(list_data_files(out_dir)),
+        "recovered_dirs": recovered,
     }

@@ -1003,3 +1003,42 @@ def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
     streamed = sorted(map(tuple, spark.table("sattr_test").collect()))
     batch = sorted(map(tuple, attribute_conversions(df).collect()))
     assert streamed == batch
+
+
+def test_seal_and_compact_crash_recovery(spark, tmp_path):
+    """A compaction that crashed between the generation rename and the
+    sealed-dir deletes leaves duplicates; the next invocation's
+    recovery removes them BEFORE compacting further (the _covers_upto
+    marker), and rows are never lost."""
+    from pgverify_spark.streaming.ingest import (
+        _recover_interrupted_compaction,
+        read_ingested,
+        seal_and_compact,
+    )
+
+    store = str(tmp_path / "store")
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10 + i,) for i in range(5)], "v long"
+        ).coalesce(1).write.parquet(f"{store}/batch_id={b}")
+    stats = seal_and_compact(spark, store, upto_exclusive=3)
+    assert stats["batches_sealed"] == 3 and stats["recovered_dirs"] == 0
+    want = sorted(r.v for r in read_ingested(spark, store).collect())
+    assert want == sorted(list(range(0, 5)) + list(range(10, 15))
+                          + list(range(20, 25)) + list(range(30, 35)))
+    # simulate the crash: resurrect a sealed dir AFTER the generation
+    # landed (exactly the state a kill between rename and delete leaves)
+    spark.createDataFrame(
+        [(10 + i,) for i in range(5)], "v long"
+    ).coalesce(1).write.parquet(f"{store}/batch_id=1")
+    assert read_ingested(spark, store).count() == len(want) + 5  # dup visible
+    removed = _recover_interrupted_compaction(spark, store)
+    assert removed == 1
+    assert sorted(r.v for r in read_ingested(spark, store).collect()) == want
+    # a full seal_and_compact call also self-heals (recovery runs first)
+    spark.createDataFrame(
+        [(20 + i,) for i in range(5)], "v long"
+    ).coalesce(1).write.parquet(f"{store}/batch_id=2")
+    stats2 = seal_and_compact(spark, store, upto_exclusive=4)
+    assert stats2["recovered_dirs"] == 1
+    assert sorted(r.v for r in read_ingested(spark, store).collect()) == want
