@@ -459,3 +459,116 @@ def attribute_multi_touch_oracle_sql(
         "CAST(1000000 // (count(*) OVER (PARTITION BY conv_event_id)) AS BIGINT) "
         "AS weight_ppm FROM pairs"
     )
+
+
+def attribute_position(
+    df: DataFrame,
+    touches: tuple[str, ...] = DEFAULT_TOUCHES,
+    conversion: str = "purchase",
+    lookback_us: int = DEFAULT_LOOKBACK_US,
+) -> DataFrame:
+    """Position-based (U-shaped) attribution: the FIRST and LAST
+    in-window touches take 40% of the credit each, the middles share
+    the remaining 20% — the model marketers run beside last-touch
+    (discovery and closing both matter; the middle is supporting).
+    Conventions: one touch takes 100%; two touches split 50/50; all
+    weights are integer ppm with BIGINT floor on the middle share
+    (``200000 div (n-2)``), so credit is bit-identical cross-engine.
+
+    Output matches :func:`attribute_multi_touch` plus ``position``
+    ('first'/'last'/'middle').  Scale shape identical: the same
+    user-equi/time-residual pair join; the position ranks are two
+    window functions over the SAME conv-partitioned relation the
+    count already uses — no extra exchange.
+    """
+    from pyspark.sql import Window
+
+    touch_in = ", ".join(f"'{t}'" for t in touches)
+    base = df.filter(
+        f"event_type IN ({touch_in}, '{conversion}')"
+    ).selectExpr("event_id", "user_id", f"{epoch_us_sql(df)} AS us", "event_type")
+    conv = base.filter(f"event_type = '{conversion}'").selectExpr(
+        "event_id AS conv_event_id", "user_id", "us AS conv_us"
+    )
+    touch = base.filter(f"event_type IN ({touch_in})").selectExpr(
+        "event_id AS touch_event_id",
+        "user_id AS t_user_id",
+        "us AS touch_us",
+        "event_type AS touch_type",
+    )
+    pairs = conv.join(
+        touch,
+        (conv.user_id == touch.t_user_id)
+        & (touch.touch_us <= conv.conv_us)
+        & (conv.conv_us - touch.touch_us <= lookback_us),
+    )
+    w = Window.partitionBy("conv_event_id")
+    wa = w.orderBy("touch_us", "touch_event_id")
+    wd = w.orderBy(F.desc("touch_us"), F.desc("touch_event_id"))
+    weight = (
+        "CASE WHEN n_touches = 1 THEN 1000000 "
+        "WHEN n_touches = 2 THEN 500000 "
+        "WHEN ra = 1 OR rd = 1 THEN 400000 "
+        "ELSE 200000 div (n_touches - 2) END"
+    )
+    pos = (
+        "CASE WHEN ra = 1 THEN 'first' WHEN rd = 1 THEN 'last' "
+        "ELSE 'middle' END"
+    )
+    return (
+        pairs.withColumn("n_touches", F.count(F.lit(1)).over(w))
+        .withColumn("ra", F.row_number().over(wa))
+        .withColumn("rd", F.row_number().over(wd))
+        .selectExpr(
+            "conv_event_id",
+            "user_id",
+            "conv_us",
+            "touch_event_id",
+            "touch_type",
+            "conv_us - touch_us AS latency_us",
+            f"{pos} AS position",
+            f"CAST({weight} AS BIGINT) AS weight_ppm",
+        )
+    )
+
+
+def attribute_position_oracle_sql(
+    table: str,
+    touches: tuple[str, ...] = DEFAULT_TOUCHES,
+    conversion: str = "purchase",
+    lookback_us: int = DEFAULT_LOOKBACK_US,
+) -> str:
+    touch_in = ", ".join(f"'{t}'" for t in touches)
+    us = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+    weight = (
+        "CASE WHEN n_touches = 1 THEN 1000000 "
+        "WHEN n_touches = 2 THEN 500000 "
+        "WHEN ra = 1 OR rd = 1 THEN 400000 "
+        "ELSE 200000 // (n_touches - 2) END"
+    )
+    pos = (
+        "CASE WHEN ra = 1 THEN 'first' WHEN rd = 1 THEN 'last' "
+        "ELSE 'middle' END"
+    )
+    return (
+        f"WITH base AS (SELECT event_id, user_id, {us} AS us, event_type "
+        f"FROM {table} WHERE event_type IN ({touch_in}, '{conversion}')), "
+        f"conv AS (SELECT event_id AS conv_event_id, user_id, us AS conv_us "
+        f"FROM base WHERE event_type = '{conversion}'), "
+        "touch AS (SELECT event_id AS touch_event_id, user_id AS t_user_id, "
+        f"us AS touch_us, event_type AS touch_type FROM base "
+        f"WHERE event_type IN ({touch_in})), "
+        "pairs AS (SELECT c.*, t.touch_event_id, t.touch_type, t.touch_us, "
+        "count(*) OVER w AS n_touches, "
+        "row_number() OVER (PARTITION BY c.conv_event_id "
+        "ORDER BY t.touch_us, t.touch_event_id) AS ra, "
+        "row_number() OVER (PARTITION BY c.conv_event_id "
+        "ORDER BY t.touch_us DESC, t.touch_event_id DESC) AS rd "
+        "FROM conv c JOIN touch t ON c.user_id = t.t_user_id "
+        "AND t.touch_us <= c.conv_us "
+        f"AND c.conv_us - t.touch_us <= {lookback_us} "
+        "WINDOW w AS (PARTITION BY c.conv_event_id)) "
+        "SELECT conv_event_id, user_id, conv_us, touch_event_id, touch_type, "
+        "conv_us - touch_us AS latency_us, "
+        f"{pos} AS position, CAST({weight} AS BIGINT) AS weight_ppm FROM pairs"
+    )

@@ -766,3 +766,69 @@ def hll_range_distinct(spark, path: str, day_lo: int, day_hi: int) -> DataFrame:
         .selectExpr("'range' AS grp", "bucket", "r")
     )
     return hll_summary(merged)
+
+
+def hll_trailing_distinct(
+    df: DataFrame, window_days: int = 7, value_col: str = "user_id"
+) -> DataFrame:
+    """Rolling-window distinct count per day — the DAU/WAU/MAU family:
+    for every day present in the data, the estimated distinct
+    ``value_col`` over the trailing ``window_days`` — THE metric exact
+    per-day rollups cannot produce (daily distincts don't re-aggregate;
+    every analytics stack recomputes W/MAU from raw events for exactly
+    this reason).  HLL registers make it a state-sized computation:
+    per-day registers, then each register row fans out to the
+    ``window_days`` windows it belongs to (an explode — LINEAR in
+    register count, deliberately not a day x register range join whose
+    pair count grows quadratically on long histories), max-merged per
+    (window day, bucket).
+
+    Output: (grp = day, n_filled, register_sum, est_distinct), one row
+    per day that has at least one event of its own.
+    """
+    from pgverify_spark.operators.sketch import hll_registers, hll_summary
+
+    regs = hll_registers(df, value_col, bucket_sql(df, US_PER_DAY))
+    win = regs.selectExpr(
+        f"explode(sequence(grp, grp + {window_days - 1})) AS day",
+        "bucket",
+        "r",
+    )
+    days = regs.select(F.col("grp").alias("day")).distinct()
+    merged = (
+        win.join(days, "day")
+        .groupBy("day", "bucket")
+        .agg(F.max("r").alias("r"))
+        .selectExpr("day AS grp", "bucket", "r")
+    )
+    return hll_summary(merged)
+
+
+def hll_trailing_distinct_oracle_sql(
+    table: str, window_days: int = 7, value_col: str = "user_id"
+) -> str:
+    from pgverify_spark.operators.sketch import (
+        _hll_register_sql,
+        _hll_summary_exprs,
+        _hll_parts,
+        HLL_P,
+    )
+
+    _, wp1 = _hll_parts(HLL_P)
+    day = f"CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT)"
+    grp, bucket, rho = _hll_register_sql(value_col, day, HLL_P, "duckdb")
+    reg_sum, est = _hll_summary_exprs(HLL_P)
+    return (
+        f"WITH vals AS (SELECT {grp}, {bucket}, {rho} FROM {table} "
+        f"WHERE {value_col} IS NOT NULL), "
+        "regs AS (SELECT grp, bucket, max(r) AS r FROM vals GROUP BY grp, bucket), "
+        "win AS (SELECT unnest(generate_series(grp, grp + "
+        f"{window_days - 1})) AS day, bucket, r FROM regs), "
+        "days AS (SELECT DISTINCT grp AS day FROM regs), "
+        "merged AS (SELECT w.day AS grp, w.bucket, max(w.r) AS r "
+        "FROM win w JOIN days d ON w.day = d.day GROUP BY w.day, w.bucket), "
+        f"terms AS (SELECT grp, (CAST(1 AS BIGINT) << ({wp1} - r)) AS term FROM merged), "
+        f"summed AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_filled, {reg_sum} AS register_sum "
+        "FROM terms GROUP BY grp) "
+        f"SELECT grp, n_filled, register_sum, {est} AS est_distinct FROM summed"
+    )

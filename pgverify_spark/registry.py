@@ -2753,6 +2753,13 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", funnel_mod.attribute_multi_touch),
             funnel_mod.attribute_multi_touch_oracle_sql("events"),
         ),
+        # position-based (U-shaped) third model: first/last 40% each,
+        # middles share 20% (floor ppm); ranks ride two windows over
+        # the SAME conv-partitioned pair relation — no extra exchange
+        "attribution_position_events": (
+            _table_query("events", funnel_mod.attribute_position),
+            funnel_mod.attribute_position_oracle_sql("events"),
+        ),
         # as-of join: probe = every 7th event's own timestamp; output in
         # epoch-us (ts is bigint nanos in Spark, TIMESTAMP_NS in DuckDB)
         "asof_join_events": (
@@ -3092,6 +3099,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             sketch.hll_distinct_oracle_sql(
                 "events", "user_id", timecol.duck_bucket_sql(timecol.US_PER_DAY)
             ),
+        ),
+        # the metric exact daily rollups CANNOT produce: trailing 7-day
+        # distinct users per day (WAU) — per-day registers fan out via
+        # explode (LINEAR in registers, not a quadratic day x register
+        # range join) and max-merge per window day
+        "hll_trailing_wau_events": (
+            _table_query("events", rollup.hll_trailing_distinct),
+            rollup.hll_trailing_distinct_oracle_sql("events"),
         ),
         # KMV set operations: 3-gram shingle overlap between the two
         # corpus halves (union/intersection/Jaccard estimated from
@@ -4613,9 +4628,11 @@ _DRIVER_PRIORITY = (
     "funnel_latency_events",  # last green r—never
     "attribution_events",  # last green r—never
     "attribution_multi_touch_events",  # last green r—never
+    "attribution_position_events",  # last green r—never
     "hll_distinct_orders",  # last green r—never
     "hll_overlap_events",  # last green r—never
     "hll_distinct_daily_events",  # last green r—never
+    "hll_trailing_wau_events",  # last green r—never
     "streaming_ingest_compact_events",  # last green r—never
     "streaming_hll_distinct_events",  # last green r—never
     "streaming_quarantine_rows_orders",  # last green r—never
@@ -4638,8 +4655,6 @@ _DRIVER_PRIORITY = (
     "full_fingerprint_events_hours_precision",  # last green r6
     "full_fingerprint_events_json_props",  # last green r6
     "partitioned_fingerprint_events",  # last green r6
-    "full_fingerprint_nation_csv_roundtrip",  # last green r6
-    "full_fingerprint_nation_json_roundtrip",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
@@ -4896,6 +4911,8 @@ HEADLINE_QUERIES = (
     "hll_range_rollup_events",
     "attribution_multi_touch_events",
     "hll_overlap_events",
+    "attribution_position_events",
+    "hll_trailing_wau_events",
 )
 
 

@@ -4132,3 +4132,65 @@ def test_hll_overlap_sanity(spark, sf_dir, duck):
     )
     (d,) = hll_overlap(dj, "v", "s").collect()
     assert d["jaccard_ppm"] == 0
+
+
+def test_position_attribution_weights(spark):
+    """U-shaped weights: 1 touch -> 1e6; 2 -> 500k each; n>=3 ->
+    first/last 400k, middles floor-share 200k; positions labeled."""
+    import datetime
+
+    from pgverify_spark.operators import funnel as funnel_mod
+
+    t0 = datetime.datetime(2024, 6, 1)
+
+    def ev(eid, uid, hours, et):
+        return (eid, uid, t0 + datetime.timedelta(hours=hours), et)
+
+    rows = [
+        ev(1, 1, 0, "view"), ev(2, 1, 1, "click"), ev(3, 1, 2, "view"),
+        ev(4, 1, 3, "click"), ev(5, 1, 4, "purchase"),   # 4 touches
+        ev(6, 2, 0, "view"), ev(7, 2, 1, "purchase"),    # 1 touch
+        ev(8, 3, 0, "view"), ev(9, 3, 1, "click"), ev(10, 3, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {}
+    for r in funnel_mod.attribute_position(df).collect():
+        out.setdefault(r["conv_event_id"], {})[r["touch_event_id"]] = r
+    four = out[5]
+    assert four[1]["position"] == "first" and four[1]["weight_ppm"] == 400000
+    assert four[4]["position"] == "last" and four[4]["weight_ppm"] == 400000
+    assert four[2]["weight_ppm"] == four[3]["weight_ppm"] == 100000  # 200k div 2
+    assert out[7][6]["weight_ppm"] == 1000000 and out[7][6]["position"] == "first"
+    assert {r["weight_ppm"] for r in out[10].values()} == {500000}
+
+
+def test_hll_trailing_wau_semantics(spark, duck):
+    """Each day's row equals the direct HLL over that day's trailing
+    window; a user active only on day d counts in days d..d+6 windows
+    (and no further)."""
+    import datetime
+
+    from pgverify_spark.operators.rollup import hll_trailing_distinct
+    from pgverify_spark.operators.sketch import hll_distinct
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day, users in [(0, [1, 2]), (3, [2, 3]), (10, [4])]:
+        for u in users:
+            rows.append((eid, u, t0 + datetime.timedelta(days=day), "view"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["grp"]: r for r in hll_trailing_distinct(df).collect()}
+    base_day = 19723  # 2024-01-01
+    assert set(out) == {base_day, base_day + 3, base_day + 10}
+    # day 3's window covers days -3..3 -> users {1,2,3}; day 10 -> {4}
+    (d3_direct,) = hll_distinct(
+        df.filter(f"event_id < 4"), "user_id", f"{base_day + 3}"
+    ).collect()
+    assert tuple(out[base_day + 3]) == tuple(d3_direct)
+    assert out[base_day + 10]["n_filled"] == 1
