@@ -789,19 +789,26 @@ def hll_trailing_distinct(
     from pgverify_spark.operators.sketch import hll_registers, hll_summary
 
     regs = hll_registers(df, value_col, bucket_sql(df, US_PER_DAY))
+    return hll_summary(trailing_merge_registers(regs, window_days))
+
+
+def trailing_merge_registers(regs: DataFrame, window_days: int) -> DataFrame:
+    """The window-merge half of :func:`hll_trailing_distinct` over any
+    per-day register relation (grp = BIGINT day, bucket, r) — shared by
+    the batch operator and the streamed-registers composition, so the
+    two paths cannot drift.  Explode fan-out: LINEAR in registers."""
     win = regs.selectExpr(
         f"explode(sequence(grp, grp + {window_days - 1})) AS day",
         "bucket",
         "r",
     )
     days = regs.select(F.col("grp").alias("day")).distinct()
-    merged = (
+    return (
         win.join(days, "day")
         .groupBy("day", "bucket")
         .agg(F.max("r").alias("r"))
         .selectExpr("day AS grp", "bucket", "r")
     )
-    return hll_summary(merged)
 
 
 def hll_trailing_distinct_oracle_sql(

@@ -3776,6 +3776,55 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
     # code path — so this also shares the batch oracle verbatim
     hll_oracle = sketch.hll_distinct_oracle_sql("events", "user_id", "event_type")
 
+    def run_swau(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.sketch import (
+            finalize_streaming_hll_registers,
+            streaming_hll_state,
+        )
+
+        ensure_required_confs(spark)
+        events = ParquetTarget("t", sf_dir).read(spark, "events")
+        tmp = tempfile.mkdtemp(prefix="pgvs_swau_")
+        (
+            events.withColumn("chunk", (F.col("event_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        # group key = the DAY bucket: streamed per-day registers; the
+        # trailing-WAU merge then runs UNCHANGED on the streamed state
+        day = timecol.bucket_sql(events, timecol.US_PER_DAY)
+        q = (
+            streaming_hll_state(sdf, "user_id", day)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("registry_swau")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        from pgverify_spark.operators.sketch import hll_summary
+
+        regs = finalize_streaming_hll_registers(
+            spark.table("registry_swau")
+        ).selectExpr("CAST(grp AS BIGINT) AS grp", "bucket", "r")
+        return hll_summary(rollup.trailing_merge_registers(regs, 7))
+
+    # streamed per-day registers + the batch window merge = the batch
+    # trailing-WAU operator exactly, so it shares that oracle verbatim
+    swau_oracle = rollup.hll_trailing_distinct_oracle_sql("events")
+
     def run_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
@@ -4337,6 +4386,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
         "streaming_funnel_events": (run_funnel, funnel_oracle),
         "streaming_kmv_distinct_documents": (run_kmv, kmv_oracle),
         "streaming_hll_distinct_events": (run_hll, hll_oracle),
+        "streaming_hll_wau_events": (run_swau, swau_oracle),
         "streaming_countmin_events": (run_countmin, countmin_oracle),
         "streaming_constraint_report_orders": (run_constraints, constraints_stream_oracle),
         "streaming_quarantine_rows_orders": (run_squarantine, squarantine_oracle),
@@ -4635,6 +4685,7 @@ _DRIVER_PRIORITY = (
     "hll_trailing_wau_events",  # last green r—never
     "streaming_ingest_compact_events",  # last green r—never
     "streaming_hll_distinct_events",  # last green r—never
+    "streaming_hll_wau_events",  # last green r—never
     "streaming_quarantine_rows_orders",  # last green r—never
     "streaming_attribution_events",  # last green r—never
     "filtered_cosine_topk_embeddings",  # last green r5
@@ -4654,7 +4705,6 @@ _DRIVER_PRIORITY = (
     "full_fingerprint_orders_secs_precision",  # last green r6
     "full_fingerprint_events_hours_precision",  # last green r6
     "full_fingerprint_events_json_props",  # last green r6
-    "partitioned_fingerprint_events",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5

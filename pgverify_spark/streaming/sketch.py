@@ -346,14 +346,21 @@ def finalize_streaming_hll(emitted: DataFrame, p: int = 8) -> DataFrame:
     (grp, n_filled, register_sum, est_distinct) — byte-identical to
     ``hll_distinct`` over the same data because the estimator IS the
     batch ``hll_summary`` run on the final registers."""
-    from pyspark.sql import functions as F
-
     from pgverify_spark.operators.sketch import hll_summary
+
+    return hll_summary(finalize_streaming_hll_registers(emitted), p)
+
+
+def finalize_streaming_hll_registers(emitted: DataFrame) -> DataFrame:
+    """Last emitted register vector per group as a (grp, bucket, r)
+    relation — the composition point: any batch register consumer
+    (trailing-window WAU merge, range rollup, overlap) runs unchanged
+    on streamed state."""
+    from pyspark.sql import functions as F
 
     latest = emitted.groupBy("grp").agg(
         F.expr("max_by(regs, updates)").alias("regs")
     )
-    registers = latest.selectExpr(
+    return latest.selectExpr(
         "grp", "posexplode(regs) AS (bucket, r)"
     ).filter("r > 0")
-    return hll_summary(registers, p)
