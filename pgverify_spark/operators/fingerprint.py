@@ -780,7 +780,12 @@ def cardinality_fingerprint(
         f"'{c}', {canon_sql(c, t, DIALECT_SPARK, config.trunc_unit)}"
         for c, t in cols
     )
-    pairs = df.selectExpr(f"stack({len(cols)}, {args}) AS (col, v)").filter(
+    # _parallelize: the stack+md5 projection is CPU-bound; a few-file
+    # input would otherwise pin to a handful of cores (measured: the
+    # sf0.1 lineitem probe ran SLOWER than its rep10 10x twin purely on
+    # split count).  No-op at scale, same gate as _kh.
+    base = df if _small(df, config) else _parallelize(df)
+    pairs = base.selectExpr(f"stack({len(cols)}, {args}) AS (col, v)").filter(
         "v IS NOT NULL"
     )
     grp, bucket, rho = _hll_register_sql("v", "col", CARDINALITY_P, DIALECT_SPARK)
