@@ -718,13 +718,13 @@ _VERIFY_PLAN_CACHES: dict[str, dict] = {}
 
 
 def _verify_report_entry_factory(
-    name: str, tables: tuple[str, ...]
+    name: str, tables: tuple[str, ...], modes: tuple[str, ...] = _REPORT_MODES
 ) -> dict[str, tuple[Callable, str]]:
     """A two-target verify report over ``tables`` (results.go:101-166).
     The driver-side constants (canonical expression-tree build) are paid
     once per session via _VERIFY_PLAN_CACHES; the collected rows pivot
     without a re-collect job (VerifyResult.report)."""
-    cfg = VerifyConfig(test_modes=_REPORT_MODES, include_tables=tables)
+    cfg = VerifyConfig(test_modes=modes, include_tables=tables)
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         targets = [ParquetTarget("a", sf_dir), ParquetTarget("b", sf_dir)]
@@ -741,7 +741,7 @@ def _verify_report_entry_factory(
         for table in tables:
             mode_cols = ", ".join(
                 f"(SELECT fp FROM ({fingerprint_oracle_sql(m, table, TESTDATA_TABLES[table], cfg)}) s) AS {m}"
-                for m in _REPORT_MODES
+                for m in modes
             )
             selects.append(
                 f"SELECT 'public' AS schema, '{table}' AS tbl, '{tname}' AS target, {mode_cols}"
@@ -844,6 +844,13 @@ def _report_entry() -> dict[str, tuple[Callable, str]]:
         ),
         **_verify_report_entry_factory(
             "verify_report_lineitem_pair", ("lineitem",)
+        ),
+        # the composed drift diagnosis through the REAL orchestrator:
+        # additive answers "same rows?", cardinality names the drifted
+        # column — the two-mode report a value-domain incident starts
+        # from (both modes PK-free, both single-scan-able)
+        **_verify_report_entry_factory(
+            "verify_report_cardinality", ("orders",), ("additive", "cardinality")
         ),
         **_jdbc_live_report_entry(),
     }
@@ -4661,6 +4668,7 @@ _DRIVER_PRIORITY = (
     "incident_report_events",  # last green r—never
     "hll_ivm_events",  # last green r—never
     "hll_range_rollup_events",  # last green r—never
+    "verify_report_cardinality",  # last green r—never
     "verify_report_view_parquet_vs_orc",  # last green r—never
     "pagerank_weighted_term_graph_documents",  # last green r—never
     "pagerank_personalized_term_graph_documents",  # last green r—never
@@ -4704,7 +4712,6 @@ _DRIVER_PRIORITY = (
     "full_fingerprint_orders_excl_cols",  # last green r6
     "full_fingerprint_orders_secs_precision",  # last green r6
     "full_fingerprint_events_hours_precision",  # last green r6
-    "full_fingerprint_events_json_props",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
