@@ -61,9 +61,9 @@ were all in the documented noise-sensitive LSH/iterative entries, and
 no move survived a replicate).  Same conclusion, stronger: single-run
 ratios are weather; cross-run deltas under ~1.35x are not evidence.
 
-Late-r10 point after the suite grew to 102 entries (sketch family,
-attribution family, HLL-IVM, the cardinality mode): one clean run
-88.8 s vs 108.0 s oracle -> 0.82 — band unchanged.
+Late-r10 points after the suite grew to 102-104 entries (sketch
+family, attribution family, HLL-IVM, the cardinality mode): two clean
+runs 88.8/108.0 -> 0.82 and 94.1/107.5 -> 0.88 — band unchanged.
 """
 
 from __future__ import annotations
