@@ -598,3 +598,43 @@ def test_apply_repair_restores_left_under_random_damage(spark, muts):
     repaired = apply_repair(ldf, rdf, schema)
     assert sorted(map(tuple, repaired.collect())) == sorted(left_rows)
     assert row_diff(ldf, repaired, schema).count() == 0
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+@SETTINGS
+@given(st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                          st.text(min_size=0, max_size=6)),
+                min_size=1, max_size=40))
+def test_hll_matches_reference_model(spark, rows):
+    """Spark hll_distinct == a pure-Python HLL over the same pinned
+    hash/register map: bucket = h % m, rho from the bit length of the
+    remaining 60-p bits, register_sum = sum 2^(wp1-r) + empties·2^wp1,
+    estimate = raw-or-linear-counting branch.  Exercises arbitrary
+    unicode values and both estimator arms."""
+    import math
+
+    from pgverify_spark.operators.sketch import HLL_P, hll_distinct
+
+    m, wp1 = 1 << HLL_P, 60 - HLL_P + 1
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = sorted(map(tuple, hll_distinct(df, "v", "grp").collect()))
+    ref = []
+    for g in sorted({g for g, _ in rows}):
+        regs: dict = {}
+        for gg, v in rows:
+            if gg != g:
+                continue
+            h = _h15(v)
+            b, rest = h % m, h // m
+            rho = wp1 if rest == 0 else wp1 - rest.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        s = sum(1 << (wp1 - r) for r in regs.values()) + (m - len(regs)) * (1 << wp1)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        raw = alpha * float(m * m * (1 << wp1)) / float(s)
+        if len(regs) < m and raw <= 2.5 * m:
+            est = round(m * math.log(m / float(m - len(regs))), 6)
+        else:
+            est = round(raw, 6)
+        ref.append((g, len(regs), s, est))
+    assert got == ref
