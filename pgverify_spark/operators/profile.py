@@ -26,6 +26,7 @@ aggregated row.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pgverify_spark.functions.canonical import DIALECT_DUCKDB, DIALECT_SPARK, canon_sql
 from pgverify_spark.sources.schemas import TableSchema
@@ -196,4 +197,48 @@ def fd_violations_oracle_sql(table: str, det: str, dep: str) -> str:
         "CAST(coalesce(sum(CASE WHEN variants > 1 THEN n ELSE 0 END), 0) AS BIGINT) "
         "AS n_rows_in_violation "
         "FROM pd JOIN rp USING (det)"
+    )
+
+
+def json_profile(df: DataFrame, col: str = "props") -> DataFrame:
+    """Schema profile of a semi-structured JSON column: one row per
+    top-level key — (key, n, n_null, n_distinct, min_v, max_v) with
+    values compared in their string rendering — the drift monitor for
+    the part of the table that has NO schema: a producer that starts
+    emitting a new key, nulling one out, or re-typing values shows up
+    as a new/changed row here while the relational profile stays blind.
+
+    Scale shape: one scan, ``from_json`` to ``map<string,string>`` and
+    a map explode (fan-out = keys per row, the data's own size), then
+    ONE hash aggregate on key with map-side combine; distinct counts
+    ride the same aggregate (Spark plans count(DISTINCT) as a two-level
+    expand — still key-partitioned, no extra scan).  Rows whose JSON
+    fails to parse contribute nothing (both engines' semantics).
+
+    Oracle: DuckDB ``json_keys`` + ``unnest`` + dynamic-path
+    ``json_extract_string`` — keys containing double quotes would break
+    that path spelling; the contract assumes sane key names.
+    """
+    pairs = df.selectExpr(
+        f"explode(from_json({col}, 'map<string,string>')) AS (key, v)"
+    )
+    return pairs.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)").alias("n_null"),
+        F.expr("CAST(count(DISTINCT v) AS BIGINT)").alias("n_distinct"),
+        F.expr("min(v)").alias("min_v"),
+        F.expr("max(v)").alias("max_v"),
+    )
+
+
+def json_profile_oracle_sql(table: str, col: str = "props") -> str:
+    return (
+        f"WITH pairs AS (SELECT key, json_extract_string({col}, "
+        "'$.\"' || key || '\"') AS v FROM ("
+        f"SELECT {col}, unnest(json_keys({col})) AS key FROM {table}) u) "
+        "SELECT key, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct, "
+        "min(v) AS min_v, max(v) AS max_v "
+        "FROM pairs GROUP BY key"
     )

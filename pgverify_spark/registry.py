@@ -2116,6 +2116,12 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
         ),
         # exact per-column profile: nulls / distincts / canonical extremes
+        # the profile for the SCHEMALESS part of the table: per-JSON-key
+        # drift stats over events.props (new/nulled/re-typed keys)
+        "json_profile_events": (
+            _table_query("events", lambda df: profile_mod.json_profile(df)),
+            profile_mod.json_profile_oracle_sql("events"),
+        ),
         "profile_orders": (
             _table_query(
                 "orders",
@@ -4675,6 +4681,7 @@ _DRIVER_PRIORITY = (
     "triangle_counts_documents",  # last green r—never
     "k_core_documents",  # last green r—never
     "clustering_coefficient_documents",  # last green r—never
+    "json_profile_events",  # last green r—never
     "quarantine_rows_orders",  # last green r—never
     "targeted_delete_orders",  # last green r—never
     "compact_files_events",  # last green r—never
@@ -4711,7 +4718,6 @@ _DRIVER_PRIORITY = (
     "full_fingerprint_orders_hashed_pk",  # last green r6
     "full_fingerprint_orders_excl_cols",  # last green r6
     "full_fingerprint_orders_secs_precision",  # last green r6
-    "full_fingerprint_events_hours_precision",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
@@ -4970,6 +4976,7 @@ HEADLINE_QUERIES = (
     "hll_overlap_events",
     "attribution_position_events",
     "hll_trailing_wau_events",
+    "json_profile_events",
 )
 
 

@@ -4194,3 +4194,26 @@ def test_hll_trailing_wau_semantics(spark, duck):
     ).collect()
     assert tuple(out[base_day + 3]) == tuple(d3_direct)
     assert out[base_day + 10]["n_filled"] == 1
+
+
+def test_json_profile_semantics(spark):
+    """New keys, JSON-null values, and unparseable rows: a key appears
+    with per-key counts; explicit nulls count in n AND n_null; invalid
+    JSON contributes nothing."""
+    from pgverify_spark.operators.profile import json_profile
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": 1, "b": "x"}',),
+            ('{"a": 2}',),
+            ('{"a": null}',),
+            ("not json",),
+            (None,),
+        ],
+        "props string",
+    )
+    out = {r["key"]: r for r in json_profile(df).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n"] == 3 and out["a"]["n_null"] == 1
+    assert out["a"]["n_distinct"] == 2  # "1", "2" (null excluded)
+    assert out["b"]["n"] == 1 and out["b"]["min_v"] == "x"
