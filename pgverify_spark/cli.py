@@ -501,17 +501,17 @@ def main(argv: list[str] | None = None) -> int:
         errored: set = set()
         for r in result.rows or result.results.collect():
             if r[4] == ERROR_OUTPUT:
-                errored.add(r[2])
+                errored.add((r[1], r[2]))
             else:
                 cells.setdefault((r[1], r[2], r[3]), set()).add(r[4])
-        bad_tables = sorted(
-            {tbl for (_s, tbl, _m), outs in cells.items() if len(outs) > 1}
-            - errored
-        )
-        for table in sorted(errored):
+        bad_tables = sorted({
+            tbl for (s, tbl, _m), outs in cells.items()
+            if len(outs) > 1 and (s, tbl) not in errored
+        })
+        for s_, table in sorted(errored):
             print(
-                f"-- repair: table={table} skipped (a target errored; "
-                "fix the read error first)", file=sys.stderr
+                f"-- repair: table={s_}.{table} skipped (a target "
+                "errored; fix the read error first)", file=sys.stderr
             )
         for table in bad_tables:
             left = targets[0].read(spark, table)

@@ -261,7 +261,10 @@ def write_shards(df: DataFrame, path: str, n_shards: int = 8) -> DataFrame:
     manifest = shard_manifest(df, n_shards, assignment=shards)
     manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
     shards.unpersist()
-    return manifest
+    # hand back the artifact just written: a caller action on the
+    # return value reads parquet instead of re-running the unpersisted
+    # rank+join plan from scratch
+    return df.sparkSession.read.parquet(f"{path}/_manifest")
 
 
 def verify_shard_manifest(spark, path: str) -> DataFrame:

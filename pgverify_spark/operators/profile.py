@@ -235,7 +235,10 @@ def json_profile_oracle_sql(table: str, col: str = "props") -> str:
     return (
         f"WITH pairs AS (SELECT key, json_extract_string({col}, "
         "'$.\"' || key || '\"') AS v FROM ("
-        f"SELECT {col}, unnest(json_keys({col})) AS key FROM {table}) u) "
+        f"SELECT {col}, unnest(json_keys({col})) AS key FROM {table} "
+        # json_valid guard = Spark's from_json-returns-NULL semantics:
+        # a malformed row contributes nothing instead of erroring
+        f"WHERE json_valid({col})) u) "
         "SELECT key, CAST(count(*) AS BIGINT) AS n, "
         "CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
         "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct, "

@@ -633,10 +633,20 @@ def _hll_summary_exprs(p: int) -> tuple[str, str]:
     in this module."""
     m, wp1 = _hll_parts(p)
     scale = 1 << wp1
-    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    # every literal is CAST(... AS DOUBLE): Spark types a bare decimal
+    # literal as DECIMAL and computes the division in decimal
+    # arithmetic, diverging from DuckDB's double at the ~9th digit
+    # (0.718272595931... vs ...5932...) — invisible under the driver's
+    # %.6g hash but a real violation of the byte-identical register
+    # contract (caught by exact-tuple review at sf0.1)
+    md = f"CAST({m} AS DOUBLE)"
+    alpha = (
+        f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) "
+        f"+ CAST(1.079 AS DOUBLE) / {md}))"
+    )
     numer = float(m * m * scale)  # power of two: exactly representable
     raw = f"({alpha} * {numer!r} / CAST(register_sum AS DOUBLE))"
-    lc = f"round({m}.0 * ln({m}.0 / CAST({m} - n_filled AS DOUBLE)), 6)"
+    lc = f"round({md} * ln({md} / CAST({m} - n_filled AS DOUBLE)), 6)"
     est = (
         f"CASE WHEN n_filled < {m} AND {raw} <= {2.5 * m!r} "
         f"THEN {lc} ELSE round({raw}, 6) END"

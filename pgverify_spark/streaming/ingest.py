@@ -164,8 +164,13 @@ def seal_and_compact(
     staging = store_path.rstrip("/") + f".compact-{gen}"
     merged.coalesce(n_out).write.mode("overwrite").parquet(staging)
     jvm, fs = _hadoop(spark, store_path)
+    # record only the horizon actually ABSORBED (max sealed id + 1),
+    # never the caller's bound: an overstated upto_exclusive (e.g.
+    # "seal everything" = a huge number) would otherwise turn the next
+    # recovery pass into deletion of legitimate NEW batches below it
+    absorbed_upto = min(int(upto_exclusive), max(sealed) + 1)
     covers = jvm.org.apache.hadoop.fs.Path(
-        os.path.join(staging, f"_covers_upto_{int(upto_exclusive)}")
+        os.path.join(staging, f"_covers_upto_{absorbed_upto}")
     )
     fs.create(covers, True).close()
     out_dir = os.path.join(store_path, f"batch_id={gen}")

@@ -605,20 +605,24 @@ def test_apply_repair_restores_left_under_random_damage(spark, muts):
 @SETTINGS
 @given(st.lists(st.tuples(st.sampled_from(["a", "b"]),
                           st.text(min_size=0, max_size=6)),
-                min_size=1, max_size=40))
-def test_hll_matches_reference_model(spark, rows):
+                min_size=1, max_size=40),
+       st.sampled_from([4, 8]))
+def test_hll_matches_reference_model(spark, rows, p):
     """Spark hll_distinct == a pure-Python HLL over the same pinned
     hash/register map: bucket = h % m, rho from the bit length of the
     remaining 60-p bits, register_sum = sum 2^(wp1-r) + empties·2^wp1,
     estimate = raw-or-linear-counting branch.  Exercises arbitrary
-    unicode values and both estimator arms."""
+    unicode values; p=4 (m=16) makes the RAW estimator arm reachable
+    under small inputs (at p=8, 40 values can only ever take linear
+    counting — the arm whose decimal-literal typing bug the review
+    caught would sail through a p=8-only test)."""
     import math
 
-    from pgverify_spark.operators.sketch import HLL_P, hll_distinct
+    from pgverify_spark.operators.sketch import hll_distinct
 
-    m, wp1 = 1 << HLL_P, 60 - HLL_P + 1
+    m, wp1 = 1 << p, 60 - p + 1
     df = spark.createDataFrame(rows, "grp string, v string")
-    got = sorted(map(tuple, hll_distinct(df, "v", "grp").collect()))
+    got = sorted(map(tuple, hll_distinct(df, "v", "grp", p).collect()))
     ref = []
     for g in sorted({g for g, _ in rows}):
         regs: dict = {}

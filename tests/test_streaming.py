@@ -1042,3 +1042,19 @@ def test_seal_and_compact_crash_recovery(spark, tmp_path):
     stats2 = seal_and_compact(spark, store, upto_exclusive=4)
     assert stats2["recovered_dirs"] == 1
     assert sorted(r.v for r in read_ingested(spark, store).collect()) == want
+    # overstated bound must not poison recovery: seal with a huge
+    # upto_exclusive, then ingest NEW batches — the marker records the
+    # absorbed horizon (max sealed + 1), so recovery leaves them alone
+    for b in (7, 8):
+        spark.createDataFrame(
+            [(b * 10 + i,) for i in range(3)], "v long"
+        ).coalesce(1).write.parquet(f"{store}/batch_id={b}")
+    seal_and_compact(spark, store, upto_exclusive=10**9)
+    after = sorted(r.v for r in read_ingested(spark, store).collect())
+    spark.createDataFrame([(999,)], "v long").coalesce(1).write.parquet(
+        f"{store}/batch_id=9"
+    )
+    assert seal_and_compact(spark, store, upto_exclusive=10**9)[
+        "recovered_dirs"
+    ] == 0  # batch 9 > absorbed horizon: recovery must not delete it
+    assert sorted(r.v for r in read_ingested(spark, store).collect()) == after + [999]
