@@ -572,3 +572,76 @@ def attribute_position_oracle_sql(
         "conv_us - touch_us AS latency_us, "
         f"{pos} AS position, CAST({weight} AS BIGINT) AS weight_ppm FROM pairs"
     )
+
+
+def attribution_report(
+    df: DataFrame,
+    touches: tuple[str, ...] = DEFAULT_TOUCHES,
+    conversion: str = "purchase",
+    lookback_us: int = DEFAULT_LOOKBACK_US,
+) -> DataFrame:
+    """The channel dashboard all three credit models feed: one row per
+    touch type (plus the 'direct' bucket) — conversions won under
+    last-touch, total credit under the linear and U-shaped models
+    (integer ppm sums: 1e6 ≈ one fully-credited conversion), and the
+    last-touch latency profile (n, mean = BIGINT floor).  Reading the
+    three models side by side is the point: a channel with high
+    last-touch wins but low U-credit is a closer, not a discoverer.
+
+    Scale shape: three aggregates over the SAME pre-filtered event
+    slices the component operators define (each keyed by touch_type —
+    a handful of groups, map-side combined to almost nothing), full-
+    outer-joined on the tiny key set.  Everything integer.
+    """
+    lt = attribute_conversions(df, touches, conversion, lookback_us).selectExpr(
+        "coalesce(touch_type, 'direct') AS touch_type", "latency_us"
+    ).groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_last"),
+        F.expr("CAST(sum(latency_us) div nullif(count(latency_us), 0) AS BIGINT)")
+        .alias("mean_latency_us"),
+    )
+    mt = attribute_multi_touch(df, touches, conversion, lookback_us).groupBy(
+        "touch_type"
+    ).agg(F.expr("CAST(sum(weight_ppm) AS BIGINT)").alias("credit_linear_ppm"))
+    pt = attribute_position(df, touches, conversion, lookback_us).groupBy(
+        "touch_type"
+    ).agg(F.expr("CAST(sum(weight_ppm) AS BIGINT)").alias("credit_position_ppm"))
+    return (
+        lt.join(mt, "touch_type", "full_outer")
+        .join(pt, "touch_type", "full_outer")
+        .selectExpr(
+            "touch_type",
+            "CAST(coalesce(n_last, 0) AS BIGINT) AS n_last",
+            "mean_latency_us",
+            "CAST(coalesce(credit_linear_ppm, 0) AS BIGINT) AS credit_linear_ppm",
+            "CAST(coalesce(credit_position_ppm, 0) AS BIGINT) AS credit_position_ppm",
+        )
+    )
+
+
+def attribution_report_oracle_sql(
+    table: str,
+    touches: tuple[str, ...] = DEFAULT_TOUCHES,
+    conversion: str = "purchase",
+    lookback_us: int = DEFAULT_LOOKBACK_US,
+) -> str:
+    lt_sql = attribute_conversions_oracle_sql(table, touches, conversion, lookback_us)
+    mt_sql = attribute_multi_touch_oracle_sql(table, touches, conversion, lookback_us)
+    pt_sql = attribute_position_oracle_sql(table, touches, conversion, lookback_us)
+    return (
+        f"WITH lt_rows AS ({lt_sql}), mt_rows AS ({mt_sql}), pt_rows AS ({pt_sql}), "
+        "lt AS (SELECT coalesce(touch_type, 'direct') AS touch_type, "
+        "CAST(count(*) AS BIGINT) AS n_last, "
+        "CAST(sum(latency_us) // nullif(count(latency_us), 0) AS BIGINT) "
+        "AS mean_latency_us FROM lt_rows GROUP BY 1), "
+        "mt AS (SELECT touch_type, CAST(sum(weight_ppm) AS BIGINT) "
+        "AS credit_linear_ppm FROM mt_rows GROUP BY 1), "
+        "pt AS (SELECT touch_type, CAST(sum(weight_ppm) AS BIGINT) "
+        "AS credit_position_ppm FROM pt_rows GROUP BY 1) "
+        "SELECT coalesce(lt.touch_type, mt.touch_type, pt.touch_type) AS touch_type, "
+        "CAST(coalesce(lt.n_last, 0) AS BIGINT) AS n_last, lt.mean_latency_us, "
+        "CAST(coalesce(mt.credit_linear_ppm, 0) AS BIGINT) AS credit_linear_ppm, "
+        "CAST(coalesce(pt.credit_position_ppm, 0) AS BIGINT) AS credit_position_ppm "
+        "FROM lt FULL OUTER JOIN mt ON lt.touch_type = mt.touch_type "
+        "FULL OUTER JOIN pt ON coalesce(lt.touch_type, mt.touch_type) = pt.touch_type"
+    )

@@ -2773,6 +2773,12 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", funnel_mod.attribute_position),
             funnel_mod.attribute_position_oracle_sql("events"),
         ),
+        # the channel dashboard composing all three models: last-touch
+        # wins + linear/U credit sums + latency profile per touch type
+        "attribution_report_events": (
+            _table_query("events", funnel_mod.attribution_report),
+            funnel_mod.attribution_report_oracle_sql("events"),
+        ),
         # as-of join: probe = every 7th event's own timestamp; output in
         # epoch-us (ts is bigint nanos in Spark, TIMESTAMP_NS in DuckDB)
         "asof_join_events": (
@@ -4694,6 +4700,7 @@ _DRIVER_PRIORITY = (
     "attribution_events",  # last green r—never
     "attribution_multi_touch_events",  # last green r—never
     "attribution_position_events",  # last green r—never
+    "attribution_report_events",  # last green r—never
     "hll_distinct_orders",  # last green r—never
     "hll_overlap_events",  # last green r—never
     "hll_distinct_daily_events",  # last green r—never
@@ -4717,7 +4724,6 @@ _DRIVER_PRIORITY = (
     "additive_fingerprint_orders",  # last green r6
     "full_fingerprint_orders_hashed_pk",  # last green r6
     "full_fingerprint_orders_excl_cols",  # last green r6
-    "full_fingerprint_orders_secs_precision",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
@@ -4977,6 +4983,7 @@ HEADLINE_QUERIES = (
     "attribution_position_events",
     "hll_trailing_wau_events",
     "json_profile_events",
+    "attribution_report_events",
 )
 
 

@@ -4217,3 +4217,24 @@ def test_json_profile_semantics(spark):
     assert out["a"]["n"] == 3 and out["a"]["n_null"] == 1
     assert out["a"]["n_distinct"] == 2  # "1", "2" (null excluded)
     assert out["b"]["n"] == 1 and out["b"]["min_v"] == "x"
+
+
+def test_attribution_report_composition(spark):
+    """The report's totals reconcile with its component models: linear
+    and U credit both sum to exactly 1e6 per ATTRIBUTED conversion;
+    last-touch rows partition all conversions incl. the direct bucket."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from pgverify_spark.operators import funnel as funnel_mod
+
+    rep = funnel_mod.attribution_report(events).collect()
+    n_conv = events.filter("event_type = 'purchase'").count()
+    assert sum(r["n_last"] for r in rep) == n_conv
+    n_attr = sum(r["n_last"] for r in rep if r["touch_type"] != "direct")
+    lin = sum(r["credit_linear_ppm"] for r in rep)
+    pos = sum(r["credit_position_ppm"] for r in rep)
+    # floor division loses < n_touches ppm per conversion; bound loosely
+    assert n_attr * 1000000 - lin < n_attr * 64
+    assert n_attr * 1000000 - pos < n_attr * 64
+    assert lin <= n_attr * 1000000 and pos <= n_attr * 1000000
+    direct = [r for r in rep if r["touch_type"] == "direct"]
+    assert all(r["mean_latency_us"] is None for r in direct)
