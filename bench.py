@@ -61,9 +61,12 @@ were all in the documented noise-sensitive LSH/iterative entries, and
 no move survived a replicate).  Same conclusion, stronger: single-run
 ratios are weather; cross-run deltas under ~1.35x are not evidence.
 
-Late-r10 points after the suite grew to 102-104 entries (sketch
-family, attribution family, HLL-IVM, the cardinality mode): two clean
-runs 88.8/108.0 -> 0.82 and 94.1/107.5 -> 0.88 — band unchanged.
+Late-r10 points after the suite grew to 102-106 entries (sketch
+family, attribution family, HLL-IVM, the cardinality mode): three
+clean runs 88.8/108.0 -> 0.82, 94.1/107.5 -> 0.88, 99.0/105.5 -> 0.94
+— inside the published band; the Spark total creeps with suite growth
+(the third run includes attribution_report and json_profile rows) while
+the oracle total holds, the expected composed-entry constant.
 """
 
 from __future__ import annotations
