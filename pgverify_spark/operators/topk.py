@@ -160,3 +160,54 @@ def equidepth_histogram_oracle_sql(table: str, col: str, buckets: int = 10) -> s
         f"SELECT bucket, count(*) AS n, min({col}) AS lo, max({col}) AS hi "
         "FROM b GROUP BY bucket"
     )
+
+
+def _equiwidth_bucket_sql(col: str, buckets: int) -> str:
+    """Bucket expression shared VERBATIM by both engines: all-double
+    arithmetic (identical op order = identical IEEE results), LEAST
+    clamp puts the max value in the last bucket instead of its own."""
+    v, mn, mx = f"CAST({col} AS DOUBLE)", "CAST(mn AS DOUBLE)", "CAST(mx AS DOUBLE)"
+    # coalesce: an all-equal column (mx == mn -> NULL width) lands in
+    # bucket 0 by convention, not in whatever LEAST's null-skipping
+    # would pick
+    return (
+        f"CAST(LEAST({buckets} - 1, coalesce(CAST(floor(({v} - {mn}) * {buckets} "
+        f"/ nullif({mx} - {mn}, 0.0)) AS INT), 0)) AS INT)"
+    )
+
+
+def equiwidth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame:
+    """Equi-WIDTH histogram: ``buckets`` equal value-range bins between
+    the column's min and max — (bucket, n, lo, hi) with lo/hi the
+    bucket's observed extremes.  The shape profile beside
+    :func:`equidepth_histogram`'s quantile view: equi-depth shows
+    WHERE the mass is, equi-width shows HOW it is distributed (a
+    heavy tail is ONE overfull first bin here and compressed top
+    buckets there).  Degenerate all-equal columns land in bucket 0.
+
+    Scale shape: one min/max aggregate (two scalars), broadcast onto
+    the scan (1-row broadcast nested-loop — never a shuffle), then ONE
+    hash aggregate on the bucket id with map-side combine.  The bucket
+    arithmetic is the same all-double expression text in both engines.
+    """
+    stats = df.selectExpr(f"min({col}) AS mn", f"max({col}) AS mx")
+    return (
+        df.join(F.broadcast(stats))
+        .selectExpr(f"{_equiwidth_bucket_sql(col, buckets)} AS bucket", col)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"min({col})").alias("lo"),
+            F.expr(f"max({col})").alias("hi"),
+        )
+    )
+
+
+def equiwidth_histogram_oracle_sql(table: str, col: str, buckets: int = 10) -> str:
+    return (
+        f"WITH stats AS (SELECT min({col}) AS mn, max({col}) AS mx FROM {table}), "
+        f"binned AS (SELECT {_equiwidth_bucket_sql(col, buckets)} AS bucket, {col} "
+        f"FROM {table}, stats) "
+        f"SELECT bucket, CAST(count(*) AS BIGINT) AS n, "
+        f"min({col}) AS lo, max({col}) AS hi FROM binned GROUP BY bucket"
+    )

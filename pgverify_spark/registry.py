@@ -2693,6 +2693,16 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             topk_mod.grouped_topk_revenue_oracle_sql("lineitem", 3),
         ),
         # equi-depth histogram of order totals (exact ntile baseline)
+        # equi-WIDTH companion: equal value-range bins (shape view —
+        # a heavy tail is one overfull first bin) beside equi-depth's
+        # quantile view; min/max broadcast, one bucket-keyed aggregate
+        "equiwidth_histogram_orders": (
+            _table_query(
+                "orders",
+                lambda df: topk_mod.equiwidth_histogram(df, "o_totalprice", 16),
+            ),
+            topk_mod.equiwidth_histogram_oracle_sql("orders", "o_totalprice", 16),
+        ),
         "equidepth_histogram_orders": (
             _table_query("orders", lambda df: topk_mod.equidepth_histogram(df, "o_totalprice", 10)),
             topk_mod.equidepth_histogram_oracle_sql("orders", "o_totalprice", 10),
@@ -4695,6 +4705,7 @@ _DRIVER_PRIORITY = (
     "scd2_intervals_events",  # last green r—never
     "scd2_point_in_time_events",  # last green r—never
     "shard_manifest_documents",  # last green r—never
+    "equiwidth_histogram_orders",  # last green r—never
     "cusum_changepoints_events",  # last green r—never
     "funnel_latency_events",  # last green r—never
     "attribution_events",  # last green r—never
@@ -4723,7 +4734,6 @@ _DRIVER_PRIORITY = (
     "rowcount_orders",  # last green r6
     "additive_fingerprint_orders",  # last green r6
     "full_fingerprint_orders_hashed_pk",  # last green r6
-    "full_fingerprint_orders_excl_cols",  # last green r6
     "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
@@ -4984,6 +4994,7 @@ HEADLINE_QUERIES = (
     "hll_trailing_wau_events",
     "json_profile_events",
     "attribution_report_events",
+    "equiwidth_histogram_orders",
 )
 
 

@@ -4238,3 +4238,21 @@ def test_attribution_report_composition(spark):
     assert lin <= n_attr * 1000000 and pos <= n_attr * 1000000
     direct = [r for r in rep if r["touch_type"] == "direct"]
     assert all(r["mean_latency_us"] is None for r in direct)
+
+
+def test_equiwidth_histogram_semantics(spark):
+    """Bucket widths are equal in VALUE space (heavy tail -> overfull
+    low bins); the max value clamps into the last bucket; counts
+    conserve; an all-equal column degenerates to bucket 0."""
+    from pgverify_spark.operators.topk import equiwidth_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in
+                                [0, 1, 2, 3, 10, 100]], "v double")
+    out = {r["bucket"]: r for r in equiwidth_histogram(df, "v", 10).collect()}
+    assert sum(r["n"] for r in out.values()) == 6
+    assert out[0]["n"] == 4 and out[0]["lo"] == 0.0 and out[0]["hi"] == 3.0
+    assert out[1]["n"] == 1  # 10 in [10, 20)
+    assert out[9]["n"] == 1 and out[9]["hi"] == 100.0  # max clamped
+    const = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    (only,) = equiwidth_histogram(const, "v", 10).collect()
+    assert only["bucket"] == 0 and only["n"] == 2
