@@ -218,10 +218,27 @@ def json_profile(df: DataFrame, col: str = "props") -> DataFrame:
     Oracle: DuckDB ``json_keys`` + ``unnest`` + dynamic-path
     ``json_extract_string`` — keys containing double quotes would break
     that path spelling; the contract assumes sane key names.
+
+    Duplicate-key convention (FIRST WINS, both engines): a
+    (pathological but valid) object like ``{"a":1,"a":2}`` counts the
+    key ONCE per row and contributes its FIRST value.  Spark 4's
+    ``from_json(map<...>)`` silently RETAINS duplicate entries (the
+    ``mapKeyDedupPolicy`` conf does not apply to the JSON parser), so
+    a bare explode double-counted the key and saw both values while
+    DuckDB's ``json_extract_string`` returns only the first — the
+    keep-first fold below dedups per row JVM-side (higher-order
+    ``aggregate``/``exists`` over ``map_entries`` — per-row, O(k²) in
+    keys-per-row, NO shuffle added), and the oracle's rid+DISTINCT
+    mirrors the count-once half.
     """
-    pairs = df.selectExpr(
-        f"explode(from_json({col}, 'map<string,string>')) AS (key, v)"
+    entry_t = "ARRAY<STRUCT<key: STRING, value: STRING>>"
+    dedup_first = (
+        f"aggregate(map_entries(from_json({col}, 'map<string,string>')), "
+        f"CAST(array() AS {entry_t}), "
+        "(acc, e) -> CASE WHEN exists(acc, x -> x.key = e.key) "
+        "THEN acc ELSE array_append(acc, e) END)"
     )
+    pairs = df.selectExpr(f"inline({dedup_first}) AS (key, v)")
     return pairs.groupBy("key").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)").alias("n_null"),
@@ -233,12 +250,17 @@ def json_profile(df: DataFrame, col: str = "props") -> DataFrame:
 
 def json_profile_oracle_sql(table: str, col: str = "props") -> str:
     return (
-        f"WITH pairs AS (SELECT key, json_extract_string({col}, "
-        "'$.\"' || key || '\"') AS v FROM ("
-        f"SELECT {col}, unnest(json_keys({col})) AS key FROM {table} "
-        # json_valid guard = Spark's from_json-returns-NULL semantics:
-        # a malformed row contributes nothing instead of erroring
-        f"WHERE json_valid({col})) u) "
+        # json_valid guard = Spark's from_json-returns-NULL semantics
+        # (malformed rows contribute nothing); rid + DISTINCT makes
+        # duplicate top-level keys count once PER ROW — matching the
+        # Spark side's keep-first fold — without collapsing distinct
+        # rows that happen to carry identical JSON text
+        f"WITH rows_ AS (SELECT row_number() OVER () AS rid, {col} "
+        f"FROM {table} WHERE json_valid({col})), "
+        f"keyed AS (SELECT DISTINCT rid, {col}, unnest(json_keys({col})) AS key "
+        "FROM rows_), "
+        f"pairs AS (SELECT key, json_extract_string({col}, "
+        "'$.\"' || key || '\"') AS v FROM keyed) "
         "SELECT key, CAST(count(*) AS BIGINT) AS n, "
         "CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
         "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct, "

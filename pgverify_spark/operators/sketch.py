@@ -716,8 +716,13 @@ def _hll_overlap_exprs(p: int) -> tuple[list, list]:
         "n_filled_b", "register_sum_b", "est_distinct_b",
         "n_filled_u", "register_sum_u", "est_distinct_u",
         f"round({inter}, 6) AS est_intersection",
-        f"CAST(CASE WHEN est_distinct_u > 0 THEN greatest({inter}, 0.0) "
-        "/ est_distinct_u * 1000000 ELSE 0.0 END AS BIGINT) AS jaccard_ppm",
+        # floor() before the CAST: Spark's double->BIGINT cast truncates
+        # toward zero while DuckDB's rounds half-up, so a bare CAST
+        # diverges whenever the fractional ppm >= 0.5.  The clamped
+        # value is non-negative, so floor == truncation in both engines
+        # (same reasoning as kmv_overlap's integer `div`).
+        f"CAST(floor(CASE WHEN est_distinct_u > 0 THEN greatest({inter}, 0.0) "
+        "/ est_distinct_u * 1000000 ELSE 0.0 END) AS BIGINT) AS jaccard_ppm",
     ]
     return pivots, outer
 

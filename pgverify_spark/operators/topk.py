@@ -189,10 +189,16 @@ def equiwidth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame
     the scan (1-row broadcast nested-loop — never a shuffle), then ONE
     hash aggregate on the bucket id with map-side combine.  The bucket
     arithmetic is the same all-double expression text in both engines.
+
+    NULL values are EXCLUDED (matching the rest of the profile/sketch
+    family) — without the filter, the degenerate-case coalesce(...,0)
+    in the bucket expression would silently count NULL rows into
+    bucket 0 while lo/hi ignored them.
     """
     stats = df.selectExpr(f"min({col}) AS mn", f"max({col}) AS mx")
     return (
-        df.join(F.broadcast(stats))
+        df.where(F.col(col).isNotNull())
+        .join(F.broadcast(stats))
         .selectExpr(f"{_equiwidth_bucket_sql(col, buckets)} AS bucket", col)
         .groupBy("bucket")
         .agg(
@@ -207,7 +213,7 @@ def equiwidth_histogram_oracle_sql(table: str, col: str, buckets: int = 10) -> s
     return (
         f"WITH stats AS (SELECT min({col}) AS mn, max({col}) AS mx FROM {table}), "
         f"binned AS (SELECT {_equiwidth_bucket_sql(col, buckets)} AS bucket, {col} "
-        f"FROM {table}, stats) "
+        f"FROM {table}, stats WHERE {col} IS NOT NULL) "
         f"SELECT bucket, CAST(count(*) AS BIGINT) AS n, "
         f"min({col}) AS lo, max({col}) AS hi FROM binned GROUP BY bucket"
     )

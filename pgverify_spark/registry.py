@@ -2064,15 +2064,20 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
         ),
         # the GLOBAL density fixed point beside those local signals:
-        # 3-core peel — a node survives only if 3 neighbours survive,
+        # k-core peel — a node survives only if k neighbours survive,
         # recursively, so chains/stars the banding strings together
-        # cascade away and true dup communities (cliques >= 4) remain
+        # cascade away and dup communities (cliques > k) remain.
+        # k=2 here (cycles survive, trees peel away entirely): the
+        # sf0.01 LSH pair graph has NO 3-core, which certified the
+        # k=3 form vacuously (0 rows on both engines, r10 advice) —
+        # k=2 keeps 3 survivors at test scale so the cross-engine
+        # comparison exercises non-empty peel rounds
         "k_core_documents": (
             _table_query(
                 "documents",
                 lambda df: graph.k_core(
                     dedup.minhash_lsh_pairs(df, 0.3).select("doc_a", "doc_b"),
-                    k=3,
+                    k=2,
                     rounds=6,
                 ),
             ),
@@ -2080,7 +2085,7 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "SELECT doc_a, doc_b FROM ("
                 + dedup.minhash_lsh_pairs_oracle_sql("documents", 0.3)
                 + ") mp",
-                k=3,
+                k=2,
                 rounds=6,
             ),
         ),

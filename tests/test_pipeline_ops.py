@@ -4219,6 +4219,28 @@ def test_json_profile_semantics(spark):
     assert out["b"]["n"] == 1 and out["b"]["min_v"] == "x"
 
 
+def test_json_profile_duplicate_keys(spark, duck):
+    """A valid object with DUPLICATE top-level keys counts the key ONCE
+    per row with its FIRST value, on BOTH engines (r10 advice): Spark
+    4's from_json silently retains duplicate map entries, so a bare
+    explode double-counted and saw the second value while DuckDB's
+    json_extract_string returns the first; the keep-first fold + the
+    oracle's rid+DISTINCT pin the shared convention — without
+    collapsing distinct rows that carry identical JSON text."""
+    from pgverify_spark.operators.profile import json_profile, json_profile_oracle_sql
+
+    rows = ['{"a":1,"a":2}', '{"a":7}', '{"a":7}', "not json", None]
+    df = spark.createDataFrame([(v,) for v in rows], "props string")
+    (sp,) = json_profile(df).collect()
+    assert sp["key"] == "a" and sp["n"] == 3  # once per row, rows not collapsed
+    assert sp["n_distinct"] == 2 and sp["min_v"] == "1"  # first value wins
+    duck.execute("CREATE OR REPLACE TABLE _jp_dup(props VARCHAR)")
+    duck.executemany("INSERT INTO _jp_dup VALUES (?)", [(v,) for v in rows])
+    (orc,) = duck.execute(json_profile_oracle_sql("_jp_dup")).fetchall()
+    assert tuple(sp) == tuple(orc)
+    duck.execute("DROP TABLE _jp_dup")
+
+
 def test_attribution_report_composition(spark):
     """The report's totals reconcile with its component models: linear
     and U credit both sum to exactly 1e6 per ATTRIBUTED conversion;
@@ -4256,3 +4278,55 @@ def test_equiwidth_histogram_semantics(spark):
     const = spark.createDataFrame([(5.0,), (5.0,)], "v double")
     (only,) = equiwidth_histogram(const, "v", 10).collect()
     assert only["bucket"] == 0 and only["n"] == 2
+
+
+def test_equiwidth_histogram_excludes_nulls(spark, duck):
+    """NULL values are excluded on BOTH engines (family convention) —
+    previously the degenerate-case coalesce silently counted NULL rows
+    into bucket 0 while lo/hi ignored them."""
+    from pgverify_spark.operators.topk import (
+        equiwidth_histogram,
+        equiwidth_histogram_oracle_sql,
+    )
+
+    vals = [0.0, 1.0, None, None, 9.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r["bucket"]: r for r in equiwidth_histogram(df, "v", 3).collect()}
+    assert sum(r["n"] for r in out.values()) == 3  # NULLs not counted
+    assert out[0]["n"] == 2 and out[0]["lo"] == 0.0
+    duck.execute("CREATE OR REPLACE TABLE _ew_null(v DOUBLE)")
+    duck.executemany("INSERT INTO _ew_null VALUES (?)", [(v,) for v in vals])
+    orc = dict(
+        (r[0], r)
+        for r in duck.execute(
+            equiwidth_histogram_oracle_sql("_ew_null", "v", 3)
+        ).fetchall()
+    )
+    assert {b: (r["n"], r["lo"], r["hi"]) for b, r in out.items()} == {
+        b: (r[1], r[2], r[3]) for b, r in orc.items()
+    }
+    duck.execute("DROP TABLE _ew_null")
+
+
+def test_hll_overlap_ppm_floor_matches_duckdb(spark, duck):
+    """jaccard_ppm floors before the BIGINT cast: Spark's double cast
+    truncates toward zero while DuckDB's rounds half-up, so a bare
+    CAST diverged whenever the fractional ppm >= .5 (r10 advice).
+    Construct sides whose ppm has a large fractional part and assert
+    the two engines emit the SAME integer."""
+    from pgverify_spark.operators.sketch import hll_overlap, hll_overlap_oracle_sql
+
+    rows = [("a", i) for i in range(200)] + [("b", i) for i in range(100, 400)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    (sp,) = hll_overlap(df, "v", "s").collect()
+    duck.execute("CREATE OR REPLACE TABLE _hov(s VARCHAR, v BIGINT)")
+    duck.executemany("INSERT INTO _hov VALUES (?, ?)", rows)
+    (orc,) = duck.execute(hll_overlap_oracle_sql("_hov", "v", "s")).fetchall()
+    assert sp["jaccard_ppm"] == orc[10]
+    # floor semantics: ppm == floor(clamped_intersection / union * 1e6)
+    # (±1 absorbs est_intersection's 6-decimal display rounding)
+    import math
+
+    expect = math.floor(max(sp["est_intersection"], 0.0) / sp["est_distinct_u"] * 1e6)
+    assert abs(sp["jaccard_ppm"] - expect) <= 1
+    duck.execute("DROP TABLE _hov")
