@@ -4658,7 +4658,10 @@ def _derived_view_orc_entry() -> dict[str, tuple[Callable, str]]:
 #: recorded evidence by ``pgverify_spark.rotation.derived_priority``
 #: (never-driver-checked certifiable entries first in registration
 #: order, then last-green-round ascending, rows-only excluded, the
-#: 3-row parity smoke core pinned last) and ``tests/test_plan_audit.py``
+#: 3-row parity smoke core staleness-sorted WITH the pool but always
+#: granted a slot — pinning it last let it fall off the driver's
+#: actual ~50-row window and go stale, the r10 verdict's two r5 rows)
+#: and ``tests/test_plan_audit.py``
 #: asserts this static tuple equals the derivation, so the rotation
 #: cannot silently drift from staleness reality.  To rotate for round
 #: N+1: rerun the derivation after the round-N CORRECTNESS file lands
@@ -4684,64 +4687,64 @@ def _derived_view_orc_entry() -> dict[str, tuple[Callable, str]]:
 #: driver landing CORRECTNESS_r{N} mid-round cannot fail the suite
 #: retroactively — but a rotation left one full round stale (files
 #: newer than N present) does fail.  Bump when rotating.
-_DRIVER_PRIORITY_ROUND = 10
+_DRIVER_PRIORITY_ROUND = 11
 
 _DRIVER_PRIORITY = (
     # Derived rotation (see module docstring): regenerate with
     # `python -m pgverify_spark.rotation --write` after a new
     # CORRECTNESS file lands or a new entry is registered.
-    "cardinality_fingerprint_lineitem",  # last green r—never
-    "repair_apply_orders",  # last green r—never
-    "incident_report_events",  # last green r—never
-    "hll_ivm_events",  # last green r—never
-    "hll_range_rollup_events",  # last green r—never
-    "verify_report_cardinality",  # last green r—never
-    "verify_report_view_parquet_vs_orc",  # last green r—never
-    "pagerank_weighted_term_graph_documents",  # last green r—never
-    "pagerank_personalized_term_graph_documents",  # last green r—never
-    "triangle_counts_documents",  # last green r—never
-    "k_core_documents",  # last green r—never
-    "clustering_coefficient_documents",  # last green r—never
-    "json_profile_events",  # last green r—never
-    "quarantine_rows_orders",  # last green r—never
-    "targeted_delete_orders",  # last green r—never
-    "compact_files_events",  # last green r—never
-    "verified_delete_orders",  # last green r—never
-    "scd2_intervals_events",  # last green r—never
-    "scd2_point_in_time_events",  # last green r—never
-    "shard_manifest_documents",  # last green r—never
-    "equiwidth_histogram_orders",  # last green r—never
-    "cusum_changepoints_events",  # last green r—never
-    "funnel_latency_events",  # last green r—never
-    "attribution_events",  # last green r—never
-    "attribution_multi_touch_events",  # last green r—never
-    "attribution_position_events",  # last green r—never
-    "attribution_report_events",  # last green r—never
-    "hll_distinct_orders",  # last green r—never
-    "hll_overlap_events",  # last green r—never
-    "hll_distinct_daily_events",  # last green r—never
-    "hll_trailing_wau_events",  # last green r—never
-    "streaming_ingest_compact_events",  # last green r—never
-    "streaming_hll_distinct_events",  # last green r—never
-    "streaming_hll_wau_events",  # last green r—never
-    "streaming_quarantine_rows_orders",  # last green r—never
-    "streaming_attribution_events",  # last green r—never
-    "filtered_cosine_topk_embeddings",  # last green r5
-    "label_centroid_drift_embeddings",  # last green r5
-    "dedup_savings_report_documents",  # last green r5
-    "full_fingerprint_orders",  # last green r6
-    "full_fingerprint_customer",  # last green r6
-    "full_fingerprint_events",  # last green r6
-    "full_fingerprint_documents",  # last green r6
-    "bookend_fingerprint_orders",  # last green r6
-    "sparse_fingerprint_orders",  # last green r6
-    "bucketed_fingerprint_events",  # last green r6
-    "rowcount_orders",  # last green r6
-    "additive_fingerprint_orders",  # last green r6
-    "full_fingerprint_orders_hashed_pk",  # last green r6
-    "full_fingerprint_lineitem",  # last green r9
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
+    "full_fingerprint_orders_excl_cols",  # last green r6
+    "full_fingerprint_orders_secs_precision",  # last green r6
+    "full_fingerprint_events_hours_precision",  # last green r6
+    "full_fingerprint_events_json_props",  # last green r6
+    "partitioned_fingerprint_events",  # last green r6
+    "full_fingerprint_nation_csv_roundtrip",  # last green r6
+    "full_fingerprint_nation_json_roundtrip",  # last green r6
+    "full_fingerprint_orders_orc_roundtrip",  # last green r6
+    "full_fingerprint_type_matrix",  # last green r6
+    "row_diff_orders",  # last green r6
+    "partition_diff_events",  # last green r6
+    "drilldown_row_diff_events",  # last green r6
+    "verify_report_two_targets",  # last green r6
+    "verify_report_parquet_vs_csv",  # last green r6
+    "text_stats_documents",  # last green r6
+    "language_id_documents",  # last green r6
+    "token_counts_documents",  # last green r6
+    "rolling_fingerprint_documents",  # last green r6
+    "doc_fingerprints_documents",  # last green r6
+    "exact_dup_groups_documents",  # last green r6
+    "minhash_lsh_pairs_documents",  # last green r6
+    "ngram_jaccard_pairs_documents",  # last green r6
+    "repetition_stats_documents",  # last green r6
+    "contamination_pairs_documents",  # last green r6
+    "bloom_decontaminate_documents",  # last green r6
+    "dup_clusters_documents",  # last green r6
+    "profile_orders",  # last green r6
+    "winnowing_pairs_documents",  # last green r6
+    "semantic_dup_pairs_documents",  # last green r6
+    "incremental_dedup_documents",  # last green r6
+    "near_dedup_filter_documents",  # last green r6
+    "exact_dedup_filter_documents",  # last green r6
+    "simhash_near_pairs_documents",  # last green r6
+    "embedding_near_dups",  # last green r6
+    "embedding_near_dups_lsh",  # last green r6
+    "cosine_topk_embeddings",  # last green r6
+    "hyperplane_buckets_embeddings",  # last green r6
+    "ann_lsh_topk_embeddings",  # last green r6
+    "ivf_assign_embeddings",  # last green r6
+    "ivf_topk_embeddings",  # last green r6
+    "full_fingerprint_embeddings",  # last green r7
+    "full_fingerprint_part",  # last green r7
+    "verify_report_lineitem_pair",  # last green r7
+    "kmeans_assign_embeddings",  # last green r7
+    "quality_filter_documents",  # last green r7
+    "stratified_sample_documents",  # last green r7
+    "topk_ngrams_documents",  # last green r7
+    "event_transitions_events",  # last green r7
+    "chunk_documents",  # last green r7
+    "full_fingerprint_lineitem",  # last green r10
 )
 
 

@@ -12,8 +12,12 @@ whose certification evidence is WEAKEST:
    newest green row is r2 has had three rounds of refactors under it;
    one green last round needs nothing), ties broken by registration
    order;
-3. the pinned smoke core last — the parity flagship rows that keep a
-   current driver row every round regardless of staleness.
+3. the smoke core — the parity flagship rows — sorts by the SAME
+   staleness key but is GUARANTEED a slot inside the window.  (It used
+   to be pinned last, which silently broke the "fresh row every round"
+   promise whenever the driver's actual window was shorter than the
+   tuple: the two r5-stale rows the r10 verdict flagged were exactly
+   the pinned-last smoke rows at positions 51-52 of a ~50-row window.)
 
 Rows-only entries (no ``oracle_sql`` twin by design) can never
 hash-certify, so they are excluded — a window row spent on them is a
@@ -99,17 +103,22 @@ def derived_priority(
 
     ``base_order`` is the registry's base registration order
     (``registry._merged_entries()``), ``certifiable`` the names with an
-    ``oracle_sql`` twin, ``n`` the number of rotating slots ahead of the
-    smoke core (None = all certifiable queries).
+    ``oracle_sql`` twin, ``n`` the number of rotating slots besides the
+    smoke core (None = all certifiable queries).  The returned tuple has
+    ``n + len(smoke_core)`` rows, globally staleness-ordered, with every
+    smoke-core row inside it — a stale flagship lands at the FRONT, not
+    past the driver's actual window.
     """
     if last_green is None:
         last_green = last_green_rounds()
-    pool = [q for q in base_order if q in certifiable and q not in smoke_core]
     index = {q: i for i, q in enumerate(base_order)}
-    ordered = sorted(pool, key=lambda q: (last_green.get(q, 0), index[q]))
+    key = lambda q: (last_green.get(q, 0), index[q])  # noqa: E731
+    pool = [q for q in base_order if q in certifiable and q not in smoke_core]
+    rest = sorted(pool, key=key)
     if n is not None:
-        ordered = ordered[:n]
-    return tuple(ordered) + tuple(smoke_core)
+        rest = rest[:n]
+    smoke = sorted((q for q in smoke_core if q in certifiable), key=key)
+    return tuple(sorted(rest + smoke, key=key))
 
 
 def splice_into_registry(body: str, registry_path: Path | None = None) -> None:

@@ -109,8 +109,9 @@ def test_driver_priority_matches_derived_rotation():
     """The static _DRIVER_PRIORITY must equal the order DERIVED from the
     recorded CORRECTNESS_r*.json evidence (never-driver-checked
     certifiable entries first in registration order, then last-green
-    round ascending, rows-only excluded, smoke core pinned last) — the
-    hand-maintained rotation can no longer drift from staleness reality.
+    round ascending, rows-only excluded, smoke core staleness-sorted
+    with the pool but always granted a slot) — the hand-maintained
+    rotation can no longer drift from staleness reality.
 
     The derivation anchors on _DRIVER_PRIORITY_ROUND's evidence window
     (files r1..r{N-1}) so the DRIVER landing this round's CORRECTNESS
@@ -147,8 +148,11 @@ def test_driver_priority_matches_derived_rotation():
         "rerun `python -m pgverify_spark.rotation`, paste, and bump "
         "_DRIVER_PRIORITY_ROUND"
     )
-    # the derivation itself must keep the lint invariants
-    assert expected[-len(SMOKE_CORE):] == SMOKE_CORE
+    # the derivation itself must keep the lint invariants: every
+    # smoke-core flagship holds a slot INSIDE the window (pinned-last
+    # let them fall off the driver's actual ~50-row window and go
+    # stale — the r10 verdict's two r5 rows)
+    assert set(SMOKE_CORE) <= set(expected)
     assert len(set(expected)) == len(expected)
 
 
