@@ -427,7 +427,12 @@ def repair_plan(
     DIFF-sized, not table-sized; compose with the drill-down chain
     (partition-gated diff) when the diff rate is tiny.
     """
-    d = row_diff(left, right, schema, config)
+    return _plan_from_diff(row_diff(left, right, schema, config))
+
+
+def _plan_from_diff(d: DataFrame) -> DataFrame:
+    """The aggregate half of :func:`repair_plan`, split out so
+    :func:`incident_report` can feed it an already-persisted diff."""
     return (
         d.groupBy("k")
         .agg(
@@ -471,9 +476,15 @@ def incident_report(
     side).  On mismatch, all stages report; partition/row stages scan
     per the underlying operators' documented shapes (compose with the
     partition-gated drill-down upstream when diff rates are tiny).
+
+    The row and repair stages share ONE :func:`row_diff` — its
+    DIFF-sized output is persisted per call (released by the registry
+    wrapper on the next invocation), so the two table-sized hash
+    aggregates behind it run once instead of once per stage.
     """
     config = config or VerifyConfig()
     from pgverify_spark.operators.fingerprint import additive_fingerprint
+    from pgverify_spark.operators.util import tag_cached_deps
 
     spark = left.sparkSession
     l_fp = additive_fingerprint(left, schema, config).first()["fp"]
@@ -487,13 +498,15 @@ def incident_report(
     parts = partition_diff(left, right, schema, config, partition_sql).selectExpr(
         "'partition' AS stage", "CAST(part AS STRING) AS item", "status AS detail"
     )
-    rows = row_diff(left, right, schema, config).selectExpr(
+    d = row_diff(left, right, schema, config).persist()
+    rows = d.selectExpr(
         "'row' AS stage", "k AS item", "status AS detail"
     )
-    plan = repair_plan(left, right, schema, config).selectExpr(
+    plan = _plan_from_diff(d).selectExpr(
         "'repair' AS stage", "k AS item", "action AS detail"
     )
-    return rc.unionByName(parts).unionByName(rows).unionByName(plan)
+    out = rc.unionByName(parts).unionByName(rows).unionByName(plan)
+    return tag_cached_deps(out, d)
 
 
 def incident_report_oracle_sql(

@@ -372,32 +372,21 @@ def attribute_conversions_oracle_sql(
     )
 
 
-def attribute_multi_touch(
+def _credit_pairs(
     df: DataFrame,
-    touches: tuple[str, ...] = DEFAULT_TOUCHES,
-    conversion: str = "purchase",
-    lookback_us: int = DEFAULT_LOOKBACK_US,
+    touches: tuple[str, ...],
+    conversion: str,
+    lookback_us: int,
+    ranks: bool = False,
 ) -> DataFrame:
-    """Linear multi-touch attribution: every in-window touch preceding
-    a conversion shares the credit equally — the report marketers put
-    beside last-touch (:func:`attribute_conversions`) to see the whole
-    path instead of its final step.  Output one row per
-    (conversion, touch) pair: (conv_event_id, user_id, conv_us,
-    touch_event_id, touch_type, latency_us, weight_ppm) with
-    ``weight_ppm = 1_000_000 div n_touches`` — integer floor so credit
-    is bit-identical cross-engine (the lost remainder ppm is the
-    documented floor convention, same discipline as the graph family).
-    Conversions with NO in-window touch emit nothing here — the direct
-    bucket is :func:`attribute_conversions`' NULL row.
-
-    Scale shape: conversions and touches are two slices of ONE
-    pre-filtered scan, equi-joined on ``user_id`` with the time window
-    as a join residual on the co-partitioned pairs — the fan-out is
-    exactly the real (conversion × in-window touch) credit relation a
-    multi-touch report must materialize anyway.  The per-conversion
-    touch count rides on a window over the pair relation (same
-    partitioning as the join output, no extra exchange).
-    """
+    """The (conversion × in-window touch) credit relation both
+    multi-touch models share: conversions and touches are two slices of
+    ONE pre-filtered scan, equi-joined on ``user_id`` with the time
+    window as a join residual on the co-partitioned pairs.  Decorated
+    with ``n_touches`` (and, when ``ranks``, the ascending/descending
+    time ranks ``ra``/``rd`` the U-shaped model needs) via windows over
+    the SAME conv-partitioned relation — no extra exchange beyond the
+    pair join's own."""
     from pyspark.sql import Window
 
     touch_in = ", ".join(f"'{t}'" for t in touches)
@@ -420,17 +409,63 @@ def attribute_multi_touch(
         & (conv.conv_us - touch.touch_us <= lookback_us),
     )
     w = Window.partitionBy("conv_event_id")
-    return (
-        pairs.withColumn("n_touches", F.count(F.lit(1)).over(w))
-        .selectExpr(
-            "conv_event_id",
-            "user_id",
-            "conv_us",
-            "touch_event_id",
-            "touch_type",
-            "conv_us - touch_us AS latency_us",
-            "CAST(1000000 div n_touches AS BIGINT) AS weight_ppm",
+    out = pairs.withColumn("n_touches", F.count(F.lit(1)).over(w))
+    if ranks:
+        wa = w.orderBy("touch_us", "touch_event_id")
+        wd = w.orderBy(F.desc("touch_us"), F.desc("touch_event_id"))
+        out = out.withColumn("ra", F.row_number().over(wa)).withColumn(
+            "rd", F.row_number().over(wd)
         )
+    return out
+
+
+#: U-shaped weight + position over a rank-decorated credit-pair row —
+#: shared by attribute_position and attribution_report.
+_POSITION_WEIGHT = (
+    "CASE WHEN n_touches = 1 THEN 1000000 "
+    "WHEN n_touches = 2 THEN 500000 "
+    "WHEN ra = 1 OR rd = 1 THEN 400000 "
+    "ELSE 200000 div (n_touches - 2) END"
+)
+_POSITION_LABEL = (
+    "CASE WHEN ra = 1 THEN 'first' WHEN rd = 1 THEN 'last' "
+    "ELSE 'middle' END"
+)
+
+
+def attribute_multi_touch(
+    df: DataFrame,
+    touches: tuple[str, ...] = DEFAULT_TOUCHES,
+    conversion: str = "purchase",
+    lookback_us: int = DEFAULT_LOOKBACK_US,
+) -> DataFrame:
+    """Linear multi-touch attribution: every in-window touch preceding
+    a conversion shares the credit equally — the report marketers put
+    beside last-touch (:func:`attribute_conversions`) to see the whole
+    path instead of its final step.  Output one row per
+    (conversion, touch) pair: (conv_event_id, user_id, conv_us,
+    touch_event_id, touch_type, latency_us, weight_ppm) with
+    ``weight_ppm = 1_000_000 div n_touches`` — integer floor so credit
+    is bit-identical cross-engine (the lost remainder ppm is the
+    documented floor convention, same discipline as the graph family).
+    Conversions with NO in-window touch emit nothing here — the direct
+    bucket is :func:`attribute_conversions`' NULL row.
+
+    Scale shape: the shared :func:`_credit_pairs` relation — the
+    fan-out is exactly the real (conversion × in-window touch) credit
+    relation a multi-touch report must materialize anyway; the
+    per-conversion touch count rides on a window over the pair
+    relation (same partitioning as the join output, no extra
+    exchange).
+    """
+    return _credit_pairs(df, touches, conversion, lookback_us).selectExpr(
+        "conv_event_id",
+        "user_id",
+        "conv_us",
+        "touch_event_id",
+        "touch_type",
+        "conv_us - touch_us AS latency_us",
+        "CAST(1000000 div n_touches AS BIGINT) AS weight_ppm",
     )
 
 
@@ -476,59 +511,20 @@ def attribute_position(
     (``200000 div (n-2)``), so credit is bit-identical cross-engine.
 
     Output matches :func:`attribute_multi_touch` plus ``position``
-    ('first'/'last'/'middle').  Scale shape identical: the same
-    user-equi/time-residual pair join; the position ranks are two
-    window functions over the SAME conv-partitioned relation the
-    count already uses — no extra exchange.
+    ('first'/'last'/'middle').  Scale shape identical: the shared
+    :func:`_credit_pairs` relation; the position ranks are two window
+    functions over the SAME conv-partitioned relation the count
+    already uses — no extra exchange.
     """
-    from pyspark.sql import Window
-
-    touch_in = ", ".join(f"'{t}'" for t in touches)
-    base = df.filter(
-        f"event_type IN ({touch_in}, '{conversion}')"
-    ).selectExpr("event_id", "user_id", f"{epoch_us_sql(df)} AS us", "event_type")
-    conv = base.filter(f"event_type = '{conversion}'").selectExpr(
-        "event_id AS conv_event_id", "user_id", "us AS conv_us"
-    )
-    touch = base.filter(f"event_type IN ({touch_in})").selectExpr(
-        "event_id AS touch_event_id",
-        "user_id AS t_user_id",
-        "us AS touch_us",
-        "event_type AS touch_type",
-    )
-    pairs = conv.join(
-        touch,
-        (conv.user_id == touch.t_user_id)
-        & (touch.touch_us <= conv.conv_us)
-        & (conv.conv_us - touch.touch_us <= lookback_us),
-    )
-    w = Window.partitionBy("conv_event_id")
-    wa = w.orderBy("touch_us", "touch_event_id")
-    wd = w.orderBy(F.desc("touch_us"), F.desc("touch_event_id"))
-    weight = (
-        "CASE WHEN n_touches = 1 THEN 1000000 "
-        "WHEN n_touches = 2 THEN 500000 "
-        "WHEN ra = 1 OR rd = 1 THEN 400000 "
-        "ELSE 200000 div (n_touches - 2) END"
-    )
-    pos = (
-        "CASE WHEN ra = 1 THEN 'first' WHEN rd = 1 THEN 'last' "
-        "ELSE 'middle' END"
-    )
-    return (
-        pairs.withColumn("n_touches", F.count(F.lit(1)).over(w))
-        .withColumn("ra", F.row_number().over(wa))
-        .withColumn("rd", F.row_number().over(wd))
-        .selectExpr(
-            "conv_event_id",
-            "user_id",
-            "conv_us",
-            "touch_event_id",
-            "touch_type",
-            "conv_us - touch_us AS latency_us",
-            f"{pos} AS position",
-            f"CAST({weight} AS BIGINT) AS weight_ppm",
-        )
+    return _credit_pairs(df, touches, conversion, lookback_us, ranks=True).selectExpr(
+        "conv_event_id",
+        "user_id",
+        "conv_us",
+        "touch_event_id",
+        "touch_type",
+        "conv_us - touch_us AS latency_us",
+        f"{_POSITION_LABEL} AS position",
+        f"CAST({_POSITION_WEIGHT} AS BIGINT) AS weight_ppm",
     )
 
 
@@ -588,11 +584,19 @@ def attribution_report(
     three models side by side is the point: a channel with high
     last-touch wins but low U-credit is a closer, not a discoverer.
 
-    Scale shape: three aggregates over the SAME pre-filtered event
-    slices the component operators define (each keyed by touch_type —
-    a handful of groups, map-side combined to almost nothing), full-
-    outer-joined on the tiny key set.  Everything integer.
+    Scale shape: the linear and U-shaped models aggregate the SAME
+    rank-decorated :func:`_credit_pairs` relation, persisted ONCE per
+    call (the ``_shingled``-style generation pattern — the registry
+    wrapper releases it on the next invocation), so the pair join +
+    its conv-partition windows run a single time instead of once per
+    model; last-touch keeps its own running-window subtree (a
+    different shape — no pair fan-out).  Each aggregate is keyed by
+    touch_type — a handful of groups, map-side combined to almost
+    nothing — then full-outer-joined on the tiny key set.  Everything
+    integer.
     """
+    from pgverify_spark.operators.util import tag_cached_deps
+
     lt = attribute_conversions(df, touches, conversion, lookback_us).selectExpr(
         "coalesce(touch_type, 'direct') AS touch_type", "latency_us"
     ).groupBy("touch_type").agg(
@@ -600,13 +604,16 @@ def attribution_report(
         F.expr("CAST(sum(latency_us) div nullif(count(latency_us), 0) AS BIGINT)")
         .alias("mean_latency_us"),
     )
-    mt = attribute_multi_touch(df, touches, conversion, lookback_us).groupBy(
-        "touch_type"
-    ).agg(F.expr("CAST(sum(weight_ppm) AS BIGINT)").alias("credit_linear_ppm"))
-    pt = attribute_position(df, touches, conversion, lookback_us).groupBy(
-        "touch_type"
-    ).agg(F.expr("CAST(sum(weight_ppm) AS BIGINT)").alias("credit_position_ppm"))
-    return (
+    pairs = _credit_pairs(df, touches, conversion, lookback_us, ranks=True).persist()
+    mt = pairs.groupBy("touch_type").agg(
+        F.expr("CAST(sum(CAST(1000000 div n_touches AS BIGINT)) AS BIGINT)")
+        .alias("credit_linear_ppm")
+    )
+    pt = pairs.groupBy("touch_type").agg(
+        F.expr(f"CAST(sum(CAST({_POSITION_WEIGHT} AS BIGINT)) AS BIGINT)")
+        .alias("credit_position_ppm")
+    )
+    out = (
         lt.join(mt, "touch_type", "full_outer")
         .join(pt, "touch_type", "full_outer")
         .selectExpr(
@@ -617,6 +624,7 @@ def attribution_report(
             "CAST(coalesce(credit_position_ppm, 0) AS BIGINT) AS credit_position_ppm",
         )
     )
+    return tag_cached_deps(out, pairs)
 
 
 def attribution_report_oracle_sql(
