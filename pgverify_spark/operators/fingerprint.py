@@ -592,9 +592,17 @@ def write_fingerprint_snapshot(
     transfer of the previous run's data, O(partitions) storage.  The
     reference re-runs its full in-database hash on every verify
     (``query.go:122-158`` keeps no state between runs).
+
+    Generation-dir write + manifest commit
+    (:mod:`pgverify_spark.sources.manifest`): readers resolving through
+    the manifest never race a later :func:`update_fingerprint_snapshot`.
     """
+    from pgverify_spark.sources import manifest
+
     out = partitioned_fingerprint(df, schema, config, partition_sql)
-    out.write.mode("overwrite").parquet(path)
+    gen = manifest.new_generation()
+    out.write.parquet(f"{path}/{gen}")
+    manifest.commit(df.sparkSession, path, [gen])
 
 
 def verify_against_snapshot(
@@ -614,7 +622,9 @@ def verify_against_snapshot(
     to a partition-filtered scan + :func:`~pgverify_spark.operators.diff.row_diff`
     for row detail, touching only changed partitions.
     """
-    prev = spark.read.parquet(path).withColumnRenamed("fp", "left_fp")
+    from pgverify_spark.sources import manifest
+
+    prev = manifest.read_state(spark, path).withColumnRenamed("fp", "left_fp")
     cur = partitioned_fingerprint(df, schema, config, partition_sql).withColumnRenamed(
         "fp", "right_fp"
     )
@@ -658,28 +668,25 @@ def update_fingerprint_snapshot(
     flat layout the predicate evaluates after the scan; the compute
     (sort + hash) is still restricted to the touched partitions.
 
-    The splice is a distributed stage-and-swap (r9 VERDICT item 1 —
-    nothing crosses the driver at any state size): the kept ∪ fresh
-    union is written to ``<path>.staging`` as a cluster job, then the
-    directories are swapped through the Hadoop FileSystem API (any
-    Spark filesystem, not just local disk).  Unlike the day-partitioned
-    splice in ``rollup.update_rollup_snapshot`` this rewrites the whole
-    state — the right trade here because ``part`` values are
-    caller-typed (strings, md5 buckets, day numbers...) and a
-    partition-directory round-trip would re-infer their type, while the
-    state is O(partitions) (a 10-year daily table is ~3.7k rows — the
-    rewrite is noise next to the pruned fingerprint scan).  The swap
-    renames the live state ASIDE (``<path>.old``) before renaming
-    staging in, so a crash at any point leaves a recoverable copy —
-    never a destroyed baseline — and every rename's return value is
-    checked; the window where a racing reader sees no state at
-    ``path`` remains (same ``INSERT OVERWRITE`` caveat as the rollup
-    splice; a transactional table format is the deployment answer).
+    The splice is distributed (r9 VERDICT item 1 — nothing crosses the
+    driver at any state size): the kept ∪ fresh union is written to a
+    fresh generation directory as a cluster job.  Unlike the
+    day-partitioned splice in ``rollup.update_rollup_snapshot`` this
+    rewrites the whole state — the right trade here because ``part``
+    values are caller-typed (strings, md5 buckets, day numbers...) and
+    a partition-directory round-trip would re-infer their type, while
+    the state is O(partitions) (a 10-year daily table is ~3.7k rows —
+    the rewrite is noise next to the pruned fingerprint scan).  The
+    publish is a manifest commit (r10 VERDICT item 3 — atomic to
+    readers, superseded generations survive one further commit before
+    GC), replacing the old rename-aside/rename-in swap whose window a
+    racing reader could hit.
     """
     from pgverify_spark.functions import timecol
+    from pgverify_spark.sources import manifest
 
     if not parts:  # 'refresh nothing' is a no-op, not 'IN ()' (a parse error)
-        return spark.read.parquet(path)
+        return manifest.read_state(spark, path)
     psql = partition_sql
     if psql is None:
         psql = timecol.bucket_sql(df, timecol.US_PER_DAY)
@@ -687,27 +694,17 @@ def update_fingerprint_snapshot(
     fresh = partitioned_fingerprint(
         df.filter(f"({psql}) IN ({in_list})"), schema, config, psql
     )
-    kept = spark.read.parquet(path).filter(~F.col("part").isin(list(parts)))
-    staging = path.rstrip("/") + ".staging"
-    kept.unionByName(fresh).write.mode("overwrite").parquet(staging)
-    from pgverify_spark.sources.maintain import _hadoop
-
-    jvm, fs = _hadoop(spark, path)
-    P = jvm.org.apache.hadoop.fs.Path
-    live, new, aside = P(path), P(staging), P(path.rstrip("/") + ".old")
-    # rename the live state ASIDE first: a crash between the two
-    # renames leaves the previous baseline recoverable at <path>.old
-    # instead of destroyed (delete-then-rename's failure mode)
-    fs.delete(aside, True)
-    if not fs.rename(live, aside):
-        raise IOError(f"snapshot swap failed: rename({path!r} -> .old)")
-    if not fs.rename(new, live):
-        raise IOError(
-            f"snapshot swap failed: rename({staging!r} -> {path!r}); "
-            f"previous state preserved at {path!r}.old"
-        )
-    fs.delete(aside, True)
-    return spark.read.parquet(path)
+    if manifest.current_entries(spark, path) is None:
+        # legacy flat snapshot: absorb it into the grace-window
+        # lifecycle so its files are GC'd two commits from now
+        manifest.commit(spark, path, manifest.bootstrap_entries(spark, path))
+    kept = manifest.read_state(spark, path).filter(
+        ~F.col("part").isin(list(parts))
+    )
+    gen = manifest.new_generation()
+    kept.unionByName(fresh).write.parquet(f"{path}/{gen}")
+    manifest.commit(spark, path, [gen])
+    return manifest.read_state(spark, path)
 
 
 def partition_diff_oracle_sql(

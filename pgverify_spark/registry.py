@@ -1159,6 +1159,7 @@ def _targeted_delete_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from pgverify_spark.sources.maintain import targeted_delete
+    from pgverify_spark.sources.manifest import read_state
 
     ensure_required_confs(spark)
     path = _MAINTAIN_STORE.get((sf_dir, "del"))
@@ -1175,14 +1176,14 @@ def _targeted_delete_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MAINTAIN_STORE[(sf_dir, "del")] = path
     ids = [
         r[0]
-        for r in spark.read.parquet(path)
+        for r in read_state(spark, path)
         .filter("o_orderkey % 1000 = 7")
         .select("o_orderkey")
         .collect()
     ]
     if ids:  # second run onward: the ids are already gone (idempotent)
         targeted_delete(spark, path, ids, "o_orderkey")
-    return spark.read.parquet(path).select(
+    return read_state(spark, path).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
 
@@ -1271,6 +1272,7 @@ def _verified_delete_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_fingerprint_snapshot,
     )
     from pgverify_spark.sources.maintain import targeted_delete
+    from pgverify_spark.sources.manifest import read_state
 
     ensure_required_confs(spark)
     schema = TESTDATA_TABLES["orders"]
@@ -1291,7 +1293,7 @@ def _verified_delete_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MAINTAIN_STORE[(sf_dir, "vdel")] = (path, state)
     else:
         path, state = store
-    cur = spark.read.parquet(path)
+    cur = read_state(spark, path)
     ids = [
         r[0]
         for r in cur.filter(
@@ -1301,7 +1303,7 @@ def _verified_delete_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ids:  # second run onward the block is already gone (idempotent)
         targeted_delete(spark, path, ids, "o_orderkey")
     parts = sorted({k // _VDEL_PART_W for k in range(_VDEL_LO, _VDEL_HI + 1)})
-    cur = spark.read.parquet(path)
+    cur = read_state(spark, path)
     new_state = update_fingerprint_snapshot(
         spark, cur, schema, state, tuple(parts), partition_sql=psql
     )
@@ -1317,6 +1319,7 @@ def _compact_files_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from pgverify_spark.sources.maintain import compact_small_files
+    from pgverify_spark.sources.manifest import read_state
 
     ensure_required_confs(spark)
     path = _MAINTAIN_STORE.get((sf_dir, "cmp"))
@@ -1326,7 +1329,7 @@ def _compact_files_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.repartition(32).write.parquet(path)
         _MAINTAIN_STORE[(sf_dir, "cmp")] = path
     compact_small_files(spark, path, small_bytes=64 * 1024 * 1024)
-    return spark.read.parquet(path).select(
+    return read_state(spark, path).select(
         "event_id", "user_id", "event_type", "value"
     )
 

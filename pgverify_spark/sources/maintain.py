@@ -19,12 +19,15 @@ same scale invariant — **touch only the files that need touching**:
   only the sub-threshold files into right-sized ones; big files are
   never read.
 
-Both stage their rewrite to a sibling directory and swap files in
-through the Hadoop FileSystem API (any Spark filesystem), so a crash
-mid-maintenance leaves the original files plus a dangling staging dir,
-never a half-deleted table; the final delete+move window is the same
-non-atomic caveat as the snapshot splices (a transactional table format
-is the deployment answer where readers race maintenance).
+Both stage their rewrite into a fresh generation directory under the
+table path and publish it with a manifest commit
+(:mod:`pgverify_spark.sources.manifest`): readers resolve the file set
+through the manifest, the commit is one atomic file creation, and
+replaced files survive one further commit before GC — a reader racing
+maintenance never sees a half-deleted table, a missing row, or a
+vanished file.  A crash mid-maintenance leaves the original state
+committed plus an unreferenced staging dir.  Pre-manifest (legacy
+flat) tables are absorbed by a bootstrap commit on first touch.
 
 Footer statistics are read with pyarrow on the driver — O(files)
 metadata reads, the same planning cost any OPTIMIZE/VACUUM
@@ -66,8 +69,24 @@ def list_data_files(path: str) -> list[tuple[str, int]]:
     return out
 
 
+def _table_files(spark: SparkSession | None, path: str) -> list[tuple[str, int]]:
+    """The table's current data files: manifest-resolved when ``path``
+    carries one (so maintenance sees exactly the committed file set,
+    not superseded generations awaiting GC), plain listing otherwise."""
+    if spark is not None:
+        from pgverify_spark.sources import manifest
+
+        resolved = manifest.data_files(spark, path)
+        if resolved is not None:
+            return resolved
+    return list_data_files(path)
+
+
 def files_possibly_containing(
-    path: str, id_col: str, ids: list[int]
+    path: str,
+    id_col: str,
+    ids: list[int],
+    spark: SparkSession | None = None,
 ) -> tuple[list[str], int]:
     """Footer-stats candidate set: the files whose ``id_col`` min/max
     envelope contains at least one target id (a file with no stats is
@@ -76,7 +95,7 @@ def files_possibly_containing(
 
     sids = sorted(set(ids))
     cands, total = [], 0
-    for fpath, _ in list_data_files(path):
+    for fpath, _ in _table_files(spark, path):
         total += 1
         lo = hi = None
         md = pq.ParquetFile(fpath).metadata
@@ -99,21 +118,32 @@ def files_possibly_containing(
     return cands, total
 
 
-def _swap_in(spark: SparkSession, path: str, staging: str, drop: list[str]) -> None:
-    """Remove ``drop`` files from ``path`` and move staging's data files
-    in under collision-free names; staging dir is removed."""
-    jvm, fs = _hadoop(spark, path)
-    for f in drop:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-    tag = uuid.uuid4().hex[:8]
-    for i, (f, _) in enumerate(list_data_files(staging)):
-        src = jvm.org.apache.hadoop.fs.Path(f)
-        dst = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(path, f"part-m{tag}-{i:05d}.parquet")
+def _commit_rewrite(
+    spark: SparkSession, path: str, gen: str, replaced: list[str]
+) -> None:
+    """Publish a maintenance rewrite: the current committed file set
+    minus ``replaced`` (absolute paths) plus the staged generation's
+    files, committed at FILE granularity so later maintenance can
+    replace any subset regardless of which generation owns it.  A
+    legacy (manifest-less) table gets a bootstrap commit first so its
+    replaced files enter the GC lifecycle instead of lingering."""
+    from pgverify_spark.sources import manifest
+
+    if manifest.current_entries(spark, path) is None:
+        manifest.commit(
+            spark,
+            path,
+            [e for e in manifest.bootstrap_entries(spark, path) if e != gen],
         )
-        if not fs.rename(src, dst):
-            raise IOError(f"maintenance swap failed: rename({f} -> {dst})")
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    base = path.rstrip("/")
+    dropped = {f.rstrip("/") for f in replaced}
+    kept = [
+        f[len(base) + 1:]
+        for f, _ in manifest.data_files(spark, path)
+        if f.rstrip("/") not in dropped
+    ]
+    staged = [f"{gen}/{os.path.basename(f)}" for f, _ in list_data_files(f"{base}/{gen}")]
+    manifest.commit(spark, path, kept + staged)
 
 
 def targeted_delete(
@@ -128,20 +158,25 @@ def targeted_delete(
     Returns ``{"files_total", "files_rewritten", "rows_deleted"}``.
     Idempotent: a second run with the same ids finds the ids gone and
     rewrites the (already-clean) candidate files to the same content.
+    The rewrite publishes through a manifest commit — read the table
+    back with :func:`pgverify_spark.sources.manifest.read_state`.
     """
-    cands, total = files_possibly_containing(path, id_col, ids)
+    cands, total = files_possibly_containing(path, id_col, ids, spark)
     if not cands:
         return {"files_total": total, "files_rewritten": 0, "rows_deleted": 0}
+    from pgverify_spark.sources import manifest
+
     sub = spark.read.parquet(*cands)
     id_df = F.broadcast(
         spark.createDataFrame([(int(i),) for i in ids], f"{id_col} BIGINT")
     )
     kept = sub.join(id_df, id_col, "left_anti")
     n_before = sub.count()
-    staging = path.rstrip("/") + f".del-{uuid.uuid4().hex[:8]}"
-    kept.write.mode("overwrite").parquet(staging)
+    gen = manifest.new_generation()
+    staging = f"{path.rstrip('/')}/{gen}"
+    kept.write.parquet(staging)
     n_after = spark.read.parquet(staging).count()
-    _swap_in(spark, path, staging, cands)
+    _commit_rewrite(spark, path, gen, cands)
     return {
         "files_total": total,
         "files_rewritten": len(cands),
@@ -157,8 +192,12 @@ def compact_small_files(
 ) -> dict:
     """Rewrite the data files smaller than ``small_bytes`` into
     ~``target_bytes`` files; files already right-sized are never read.
-    Returns ``{"files_total", "files_compacted", "files_written"}``."""
-    files = list_data_files(path)
+    Publishes through the same manifest commit as
+    :func:`targeted_delete`.  Returns ``{"files_total",
+    "files_compacted", "files_written"}``."""
+    from pgverify_spark.sources import manifest
+
+    files = _table_files(spark, path)
     small = [(f, sz) for f, sz in files if sz < small_bytes]
     if len(small) < 2:
         return {
@@ -167,15 +206,15 @@ def compact_small_files(
             "files_written": 0,
         }
     n_out = max(1, -(-sum(sz for _, sz in small) // target_bytes))
-    staging = path.rstrip("/") + f".cmp-{uuid.uuid4().hex[:8]}"
+    gen = manifest.new_generation()
+    staging = f"{path.rstrip('/')}/{gen}"
     (
         spark.read.parquet(*[f for f, _ in small])
         .coalesce(n_out)
-        .write.mode("overwrite")
-        .parquet(staging)
+        .write.parquet(staging)
     )
     written = len(list_data_files(staging))
-    _swap_in(spark, path, staging, [f for f, _ in small])
+    _commit_rewrite(spark, path, gen, [f for f, _ in small])
     return {
         "files_total": len(files),
         "files_compacted": len(small),

@@ -1,0 +1,206 @@
+"""Manifest-pinned atomic state commits for the maintenance family.
+
+The engine's write-side operators (``maintain.targeted_delete``,
+``rollup.update_rollup_snapshot``, ``fingerprint.update_fingerprint_snapshot``)
+used delete-then-append / rename swaps whose docstrings each conceded a
+racing reader could observe a gap.  This module closes that gap with a
+shared commit protocol instead of deferring to "deploy Delta":
+
+- State under ``base`` is a set of immutable ENTRIES — base-relative
+  paths to parquet files, flat directories, or ``day=<d>``-style
+  partition directories (usually inside ``gen-<uuid>`` generation
+  directories, so a writer never mutates a path a reader may hold).
+- ``base/_manifest-<N>`` (N monotonically increasing, zero-padded) is a
+  one-line JSON file listing the entries that ARE the current state.
+  Writers stage a full new generation first, then publish by CREATING
+  the next manifest — file creation is atomic on every Hadoop
+  filesystem (and O_EXCL-like on object stores), and readers take the
+  highest N present, so there is never an instant with no committed
+  manifest and never a reader that sees half a commit.
+- GC runs inside :func:`commit` with a ONE-COMMIT GRACE WINDOW: only
+  entries (and manifest files) last referenced two or more commits ago
+  are deleted, so a reader that resolved manifest N keeps every file it
+  may touch until commit N+2 — the same reader-vs-vacuum contract as
+  snapshot-isolated table formats.
+
+Single-writer discipline is assumed per state directory (the operators
+here are maintenance jobs, not concurrent OLTP); readers are unlimited.
+
+Legacy layouts (no manifest file) resolve to ``base`` itself, so state
+written before this protocol stays readable and is absorbed by a
+bootstrap commit on the first manifest-aware write.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_PREFIX = "_manifest-"
+
+
+def _jfs(spark: SparkSession, base: str):
+    from pgverify_spark.sources.maintain import _hadoop
+
+    jvm, fs = _hadoop(spark, base)
+    return jvm, fs, jvm.org.apache.hadoop.fs.Path
+
+
+def _list_names(fs, P, base: str) -> list[str]:
+    p = P(base)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def manifest_numbers(spark: SparkSession, base: str) -> list[int]:
+    """All committed manifest numbers under ``base``, ascending."""
+    _, fs, P = _jfs(spark, base)
+    out = []
+    for name in _list_names(fs, P, base):
+        if name.startswith(MANIFEST_PREFIX):
+            try:
+                out.append(int(name[len(MANIFEST_PREFIX):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_entries(spark: SparkSession, base: str, n: int) -> list[str]:
+    jvm, fs, P = _jfs(spark, base)
+    path = P(f"{base}/{MANIFEST_PREFIX}{n:020d}")
+    stream = fs.open(path)
+    try:
+        raw = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+    return list(json.loads(raw)["entries"])
+
+
+def current_entries(spark: SparkSession, base: str) -> list[str] | None:
+    """The committed state's base-relative entries, or None when ``base``
+    has no manifest (legacy layout — read ``base`` directly)."""
+    nums = manifest_numbers(spark, base)
+    if not nums:
+        return None
+    return _read_entries(spark, base, nums[-1])
+
+
+def new_generation() -> str:
+    """A fresh generation directory name — writers stage under
+    ``base/<gen>`` so no committed path is ever mutated in place."""
+    return f"gen-{uuid.uuid4().hex[:12]}"
+
+
+def read_state(spark: SparkSession, base: str) -> DataFrame:
+    """Manifest-aware read of the committed state.
+
+    Entries whose last path component is ``key=value`` (partition
+    directories) are grouped by their parent and read with that parent
+    as ``basePath`` so the partition column survives the explicit-leaf
+    read; other entries (files, flat generation dirs) read directly.
+    Falls back to a plain read of ``base`` for legacy layouts.
+    """
+    entries = current_entries(spark, base)
+    if entries is None:
+        return spark.read.parquet(base)
+    part_groups: dict[str, list[str]] = {}
+    flat: list[str] = []
+    for e in entries:
+        head, tail = posixpath.split(e.rstrip("/"))
+        if "=" in tail:
+            part_groups.setdefault(head, []).append(f"{base}/{e}")
+        else:
+            flat.append(f"{base}/{e}")
+    parts: list[DataFrame] = []
+    if flat:
+        parts.append(spark.read.parquet(*flat))
+    for root, paths in part_groups.items():
+        base_path = f"{base}/{root}" if root else base
+        parts.append(
+            spark.read.option("basePath", base_path).parquet(*paths)
+        )
+    if not parts:  # a committed EMPTY state (everything deleted)
+        raise ValueError(f"manifest at {base!r} commits an empty state")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def data_files(spark: SparkSession, base: str) -> list[tuple[str, int]] | None:
+    """(absolute file path, size) for every data file the committed
+    state references, or None for legacy layouts (callers list ``base``
+    directly).  Directory entries expand recursively."""
+    entries = current_entries(spark, base)
+    if entries is None:
+        return None
+    _, fs, P = _jfs(spark, base)
+    out: list[tuple[str, int]] = []
+
+    def add(path: str) -> None:
+        st = fs.getFileStatus(P(path))
+        if st.isDirectory():
+            for child in fs.listStatus(P(path)):
+                name = child.getPath().getName()
+                if child.isDirectory():
+                    add(f"{path}/{name}")
+                elif not name.startswith(("_", ".")):
+                    out.append((f"{path}/{name}", child.getLen()))
+        else:
+            out.append((path, st.getLen()))
+
+    for e in entries:
+        add(f"{base}/{e}")
+    return out
+
+
+def commit(spark: SparkSession, base: str, entries: list[str]) -> int:
+    """Publish ``entries`` as the new committed state and GC.
+
+    Creates ``_manifest-<N+1>`` (the atomic publish), then deletes
+    manifests and entries whose last reference is manifest N-1 or older
+    — the one-commit grace window documented in the module docstring.
+    Returns the new manifest number.
+    """
+    jvm, fs, P = _jfs(spark, base)
+    nums = manifest_numbers(spark, base)
+    n = (nums[-1] if nums else 0) + 1
+    body = json.dumps({"entries": sorted(entries)}).encode("utf-8")
+    stream = fs.create(P(f"{base}/{MANIFEST_PREFIX}{n:020d}"), False)
+    try:
+        stream.write(body)
+    finally:
+        stream.close()
+    # GC: keep everything referenced by the last two manifests (n and
+    # its predecessor); delete entries whose last reference is older,
+    # and the older manifest files themselves.
+    keep: set[str] = set(entries)
+    if nums:
+        keep |= set(_read_entries(spark, base, nums[-1]))
+    for old in nums[:-1]:
+        for e in _read_entries(spark, base, old):
+            if e not in keep:
+                fs.delete(P(f"{base}/{e}"), True)
+        fs.delete(P(f"{base}/{MANIFEST_PREFIX}{old:020d}"), False)
+    return n
+
+
+def bootstrap_entries(spark: SparkSession, base: str) -> list[str]:
+    """Base-relative entries describing a LEGACY layout (no manifest):
+    top-level ``key=value`` partition directories and data files.  The
+    first manifest-aware write commits these alongside its new
+    generation so the pre-manifest state joins the grace-window
+    lifecycle instead of lingering unreferenced."""
+    _, fs, P = _jfs(spark, base)
+    out = []
+    for name in _list_names(fs, P, base):
+        if name.startswith(("_", ".")):
+            continue
+        out.append(name)
+    return out

@@ -330,7 +330,9 @@ def test_snapshot_verify(spark, sf_dir, tmp_path):
         (19724, "only_left"),
     ]
     # the snapshot side reads O(partitions) state, never the old data
-    snap_rows = spark.read.parquet(path).count()
+    from pgverify_spark.sources import manifest
+
+    snap_rows = manifest.read_state(spark, path).count()
     assert snap_rows == events.selectExpr(day).distinct().count()
 
 
@@ -387,8 +389,11 @@ def test_snapshot_update(spark, sf_dir, tmp_path):
         updated = update_fingerprint_snapshot(
             spark, changed, schema, path, (19723, 19724)
         )
-    # the staging directory was swapped into place, not left behind
-    assert not (tmp_path / "snap.staging").exists()
+    # the generation was published through a manifest commit; GC keeps
+    # at most two manifests (the grace window for in-flight readers)
+    from pgverify_spark.sources import manifest
+
+    assert 1 <= len(manifest.manifest_numbers(spark, path)) <= 2
     want = sorted(
         map(tuple, partitioned_fingerprint(changed, schema).collect())
     )

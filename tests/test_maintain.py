@@ -8,13 +8,13 @@ import os
 
 import pytest
 
-from pgverify_spark.sources import maintain
+from pgverify_spark.sources import maintain, manifest
 
 
-def _files(path):
+def _files(path, spark=None):
     return {
         os.path.basename(f): (sz, os.path.getmtime(f))
-        for f, sz in maintain.list_data_files(path)
+        for f, sz in maintain._table_files(spark, path)
     }
 
 
@@ -43,23 +43,25 @@ def test_targeted_delete_rewrites_only_pruned_files(spark, sf_dir, tmp_path):
     assert 1 <= stats["files_rewritten"] <= 2, stats
     assert stats["rows_deleted"] == len(ids)
     # survivors: every non-rewritten original is physically untouched
-    after = _files(path)
+    after = _files(path, spark)
     untouched = set(before) & set(after)
     assert len(untouched) == 8 - stats["files_rewritten"]
     for name in untouched:
         assert before[name] == after[name]
-    # content == original minus ids
-    out = spark.read.parquet(path)
+    # content == original minus ids (manifest-resolved read)
+    out = manifest.read_state(spark, path)
     assert out.count() == n_src - len(ids)
     assert out.filter(out["o_orderkey"].isin(ids[:50])).count() == 0
     assert out.exceptAll(src.join(
         spark.createDataFrame([(i,) for i in ids], "o_orderkey BIGINT"),
         "o_orderkey", "left_anti",
     )).count() == 0
-    # idempotent: nothing left to delete, no staging dirs leak
+    # idempotent: nothing left to delete, no sibling staging dirs leak
     again = maintain.targeted_delete(spark, path, ids, "o_orderkey")
     assert again["rows_deleted"] == 0
     assert not [d for d in os.listdir(tmp_path) if ".del-" in d or ".cmp-" in d]
+    # the manifest GC keeps at most the last two manifests
+    assert len(manifest.manifest_numbers(spark, path)) <= 2
 
 
 def test_targeted_delete_no_candidates_is_free(spark, sf_dir, tmp_path):
@@ -197,12 +199,12 @@ def test_compact_small_files_leaves_big_alone(spark, sf_dir, tmp_path):
     assert stats["files_total"] == 13
     assert stats["files_compacted"] == 12
     assert stats["files_written"] == 1
-    after = _files(path)
+    after = _files(path, spark)
     # the big file is untouched byte-for-byte-in-place
     assert after["part-big.parquet"] == before["part-big.parquet"]
     assert len(after) == 2
-    # content identical
-    out = spark.read.parquet(path)
+    # content identical (manifest-resolved read)
+    out = manifest.read_state(spark, path)
     assert out.count() == n_total
     assert out.exceptAll(ev).count() == 0
     # second pass: one small file left -> no-op
@@ -210,4 +212,4 @@ def test_compact_small_files_leaves_big_alone(spark, sf_dir, tmp_path):
         spark, path, small_bytes=big_sz, target_bytes=10 * big_sz
     )
     assert again["files_compacted"] == 0
-    assert _files(path) == after
+    assert _files(path, spark) == after

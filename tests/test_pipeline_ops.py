@@ -3873,11 +3873,19 @@ def test_rollup_ivm_equals_full_recompute(spark, sf_dir, tmp_path):
         map(tuple, rollup.hourly_rollup(changed, distinct_users=None).collect())
     )
     assert spliced == scratch
-    # the splice really dropped the deleted day and persisted on disk —
-    # day=19724's partition directory is gone, not just filtered
+    # the splice really dropped the deleted day from the COMMITTED
+    # state (manifest entries), not just filtered it; the mutated day
+    # is re-pinned to a fresh generation while untouched days keep
+    # their original entries
+    from pgverify_spark.sources import manifest as _mf
+
+    entries = _mf.current_entries(spark, state)
     assert not [t for t in spliced if t[0] // 24 == 19724]
-    assert not (tmp_path / "state" / "day=19724").exists()
-    assert (tmp_path / "state" / "day=19723").exists()
+    assert not [e for e in entries if e.endswith("day=19724")]
+    (d23,) = [e for e in entries if e.endswith("day=19723")]
+    untouched = [e for e in entries if not e.endswith("day=19723")]
+    assert untouched
+    assert all(e.split("/")[0] != d23.split("/")[0] for e in untouched)
     assert sorted(map(tuple, rollup.read_rollup_snapshot(spark, state).collect())) == spliced
 
 
