@@ -352,6 +352,62 @@ def bpe_apply_tokens_oracle_sql(
     )
 
 
+def bpe_roundtrip(df: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Learn→apply→DETOKENIZE identity, certified end-to-end: every
+    distinct corpus word is tokenized under ``merges`` and the tokens
+    are concatenated back; the output is ONE audit row —
+    (n_words, n_occurrences, n_roundtrip_fail, n_tokens, n_chars) —
+    where ``n_roundtrip_fail`` MUST be 0 (decode(encode(w)) == w
+    byte-for-byte) and the token/char totals pin the compression the
+    merge table achieves.  Tokenizer correctness is the one pipeline
+    stage where a silent bug corrupts every downstream token count;
+    the family's pieces (pair counts, learn, apply) are certified
+    separately — this entry certifies their COMPOSITION.
+
+    Scale shape: same as :func:`bpe_apply_tokens` — one corpus scan
+    into a vocabulary-sized relation, m codegen'd replace passes and
+    the decode concat all over |vocab| rows, one single-row aggregate.
+    """
+    toks = f"{bpe_apply_sql('word', merges, DIALECT_SPARK)}"
+    wc = word_counts(df).filter(f"NOT contains(word, '{_BOUND}')")
+    per_word = wc.selectExpr(
+        "word",
+        "cnt",
+        f"{toks} AS tokens",
+    ).selectExpr(
+        "cnt",
+        "CAST(size(tokens) AS BIGINT) AS n_toks",
+        "CAST(length(word) AS BIGINT) AS n_chars",
+        "CASE WHEN concat_ws('', tokens) = word THEN 0 ELSE 1 END AS fail",
+    )
+    return per_word.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_words",
+        "CAST(sum(cnt) AS BIGINT) AS n_occurrences",
+        "CAST(sum(fail) AS BIGINT) AS n_roundtrip_fail",
+        "CAST(sum(n_toks) AS BIGINT) AS n_tokens",
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars",
+    )
+
+
+def bpe_roundtrip_oracle_sql(table: str, merges: list[tuple[str, str]]) -> str:
+    d = DIALECT_DUCKDB
+    return (
+        f"WITH tok AS (SELECT {tokens_sql('text', d)} AS tokens FROM {table}), "
+        "w AS (SELECT unnest(tokens) AS word FROM tok), "
+        "wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word), "
+        f"wc2 AS (SELECT * FROM wc WHERE NOT contains(word, '{_BOUND}')), "
+        f"t AS (SELECT word, cnt, {bpe_apply_sql('word', merges, d)} AS toks FROM wc2), "
+        "p AS (SELECT cnt, CAST(len(toks) AS BIGINT) AS n_toks, "
+        "CAST(length(word) AS BIGINT) AS n_chars, "
+        "CASE WHEN array_to_string(toks, '') = word THEN 0 ELSE 1 END AS fail FROM t) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(cnt) AS BIGINT) AS n_occurrences, "
+        "CAST(sum(fail) AS BIGINT) AS n_roundtrip_fail, "
+        "CAST(sum(n_toks) AS BIGINT) AS n_tokens, "
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars FROM p"
+    )
+
+
 def bpe_token_counts(
     df: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:

@@ -2842,6 +2842,19 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             bpe.bpe_apply_tokens_oracle_sql("documents", _BPE_SHIPPED_MERGES),
         ),
+        # learn->apply->DETOKENIZE identity over the same shipped merge
+        # table, certified end-to-end (r10 VERDICT item 4): one audit
+        # row whose n_roundtrip_fail must be 0 on BOTH engines — a
+        # silent tokenizer bug corrupts every downstream token count,
+        # and the family's pieces were certified separately but never
+        # composed
+        "bpe_roundtrip_documents": (
+            _table_query(
+                "documents",
+                lambda df: bpe.bpe_roundtrip(df, _BPE_SHIPPED_MERGES),
+            ),
+            bpe.bpe_roundtrip_oracle_sql("documents", _BPE_SHIPPED_MERGES),
+        ),
         # per-document token budget under the same shipped merge table
         # (vocabulary-sized merge work, broadcast join back to the
         # corpus word stream)
@@ -4696,6 +4709,7 @@ _DRIVER_PRIORITY = (
     # Derived rotation (see module docstring): regenerate with
     # `python -m pgverify_spark.rotation --write` after a new
     # CORRECTNESS file lands or a new entry is registered.
+    "bpe_roundtrip_documents",  # last green r—never
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
     "full_fingerprint_orders_excl_cols",  # last green r6
@@ -4746,7 +4760,6 @@ _DRIVER_PRIORITY = (
     "stratified_sample_documents",  # last green r7
     "topk_ngrams_documents",  # last green r7
     "event_transitions_events",  # last green r7
-    "chunk_documents",  # last green r7
     "full_fingerprint_lineitem",  # last green r10
 )
 

@@ -265,6 +265,39 @@ def test_bpe_apply_matches_reference(spark, words):
     assert got == set(want.items())
 
 
+@SETTINGS
+@given(_bpe_words)
+def test_bpe_roundtrip_identity(spark, words):
+    """decode(encode(w)) == w for every distinct corpus word under
+    merges learned from that corpus, and the audit row's totals match
+    the pure-Python reference — the composition bpe_roundtrip_documents
+    certifies against DuckDB, pinned here against a third
+    implementation."""
+    from collections import Counter
+
+    from pgverify_spark.operators.bpe import bpe_roundtrip
+
+    wc = Counter()
+    for w in words:
+        for tok in w.split():
+            wc[tok] += 1
+    merges = [(a, b) for a, b, _n in _ref_bpe(dict(wc), 4)]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id int, text string"
+    )
+    (row,) = bpe_roundtrip(docs, merges).collect()
+    assert row["n_roundtrip_fail"] == 0
+    # pure-Python reference: concat of applied tokens is the word
+    n_toks = n_chars = 0
+    for w in wc:
+        toks = _ref_bpe_apply(w, merges)
+        assert "".join(toks) == w
+        n_toks += len(toks)
+        n_chars += len(w)
+    assert (row["n_words"], row["n_occurrences"]) == (len(wc), sum(wc.values()))
+    assert (row["n_tokens"], row["n_chars"]) == (n_toks, n_chars)
+
+
 # --- sampled quantiles ------------------------------------------------------
 
 _qvalues = st.lists(st.integers(-1000, 1000), min_size=1, max_size=40)
