@@ -4312,6 +4312,59 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
     # direct NULL bucket included), so it shares the batch oracle
     sattrib_oracle = funnel_mod.attribute_conversions_oracle_sql("events")
 
+    def run_sscd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import glob
+        import os as _os
+        import shutil
+        import tempfile
+
+        from pgverify_spark.streaming.scd2 import (
+            finalize_streaming_scd2,
+            streaming_scd2,
+        )
+
+        ensure_required_confs(spark)
+        df = ParquetTarget("t", sf_dir).read(spark, "events")
+        tmp = tempfile.mkdtemp(prefix="pgvs_sscd2_")
+        # weekly time-ordered replay: interval chaining is exact when
+        # micro-batches respect event-time order (the same contract as
+        # streaming_attribution above)
+        (
+            df.withColumn(
+                "wk", F.expr(timecol.bucket_sql(df, timecol.US_PER_WEEK)).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("wk")
+            .parquet(f"{tmp}/weeks")
+        )
+        stream_in = f"{tmp}/in"
+        _os.makedirs(stream_in)
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_in)
+        )
+        q = (
+            streaming_scd2(sdf)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("registry_sscd2")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            for i, wd in enumerate(sorted(glob.glob(f"{tmp}/weeks/wk=*"))):
+                for j, f in enumerate(sorted(glob.glob(f"{wd}/*.parquet"))):
+                    shutil.copy(f, f"{stream_in}/wk{i}_{j}.parquet")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return finalize_streaming_scd2(spark.table("registry_sscd2"))
+
+    # closed intervals + latest open snapshot == the batch SCD2 build,
+    # so the streaming twin shares the batch oracle verbatim
+    sscd2_oracle = rollup.scd2_intervals_oracle_sql("events")
+
     def run_squant(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
@@ -4443,6 +4496,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
         "streaming_ivf_ingest_dedup_embeddings": (run_ivf_ingest, ivf_ingest_oracle),
         "streaming_debounce_events": (run_debounce, debounce_stream_oracle),
         "streaming_attribution_events": (run_sattrib, sattrib_oracle),
+        "streaming_scd2_intervals_events": (run_sscd2, sscd2_oracle),
         "streaming_bloom_decontaminate_documents": (run_bloom, bloom_oracle),
         "streaming_windowed_counts_events": (run_windowed, windowed_oracle),
         "streaming_lm_scores_documents": (run_lm, lm_stream_oracle),
@@ -4710,6 +4764,7 @@ _DRIVER_PRIORITY = (
     # `python -m pgverify_spark.rotation --write` after a new
     # CORRECTNESS file lands or a new entry is registered.
     "bpe_roundtrip_documents",  # last green r—never
+    "streaming_scd2_intervals_events",  # last green r—never
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
     "full_fingerprint_orders_excl_cols",  # last green r6
@@ -4759,7 +4814,6 @@ _DRIVER_PRIORITY = (
     "quality_filter_documents",  # last green r7
     "stratified_sample_documents",  # last green r7
     "topk_ngrams_documents",  # last green r7
-    "event_transitions_events",  # last green r7
     "full_fingerprint_lineitem",  # last green r10
 )
 

@@ -1005,6 +1005,67 @@ def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
     assert streamed == batch
 
 
+def test_streaming_scd2_matches_batch(spark, sf_dir, tmp_path):
+    """Interval chaining replayed in weekly event-time order equals the
+    batch SCD2 build row-for-row: closed intervals are emitted exactly
+    once (final), and a user whose run spans several micro-batches
+    leaves ONE latest open snapshot after finalize — superseded
+    snapshots from earlier batches drop out."""
+    import glob
+    import os
+    import shutil
+
+    from pgverify_spark.functions import timecol
+    from pgverify_spark.operators.rollup import scd2_intervals
+    from pgverify_spark.streaming.scd2 import (
+        finalize_streaming_scd2,
+        streaming_scd2,
+    )
+
+    df = ParquetTarget("t", sf_dir).read(spark, "events")
+    weeks = str(tmp_path / "weeks")
+    df.withColumn(
+        "wk", F.expr(timecol.bucket_sql(df, timecol.US_PER_WEEK)).cast("int")
+    ).write.mode("overwrite").partitionBy("wk").parquet(weeks)
+    stream_in = str(tmp_path / "in")
+    os.makedirs(stream_in)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_in)
+    )
+    q = (
+        streaming_scd2(sdf)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sscd2_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        for i, wd in enumerate(sorted(glob.glob(f"{weeks}/wk=*"))):
+            for j, f in enumerate(sorted(glob.glob(f"{wd}/*.parquet"))):
+                shutil.copy(f, f"{stream_in}/wk{i}_{j}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.table("sscd2_test")
+    streamed = sorted(
+        map(tuple, finalize_streaming_scd2(emitted).collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    batch = sorted(
+        map(tuple, scd2_intervals(df).collect()), key=lambda t: (t[0], t[2])
+    )
+    assert streamed == batch
+    # exactly one open interval per user survives finalize, and closed
+    # rows were emitted exactly once (append-final discipline)
+    n_users = df.select("user_id").distinct().count()
+    assert sum(1 for t in streamed if t[3] is None) == n_users
+    closed = emitted.filter("closed = 1")
+    assert closed.count() == closed.distinct().count()
+
+
 def test_seal_and_compact_crash_recovery(spark, tmp_path):
     """A compaction that crashed between the generation rename and the
     sealed-dir deletes leaves duplicates; the next invocation's
