@@ -414,6 +414,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.snapshot_dir:
         from pgverify_spark.operators.fingerprint import (
             content_bucket_sql,
+            snapshot_catalog_unchanged,
             update_fingerprint_snapshot,
             verify_against_snapshot,
             write_fingerprint_snapshot,
@@ -447,12 +448,31 @@ def main(argv: list[str] | None = None) -> int:
                 )
             return 0
         for table in target.list_tables(spark, config):
+            state = os.path.join(args.snapshot_dir, table)
+            # DEFAULT fast path (before the DataFrame is even built):
+            # when the stored file catalog (path+size+mtime) matches
+            # the target's current files, the table is byte-unchanged
+            # and the verify reports zero drift from METADATA ALONE —
+            # no data file is opened, not even a schema footer (the
+            # 100 TB no-op verify costs one directory listing).  Any
+            # difference falls through to the real scan.
+            from pgverify_spark.sources.parquet import ParquetTarget as _PT
+
+            if isinstance(target, _PT) and os.path.isdir(state):
+                if snapshot_catalog_unchanged(
+                    spark, os.path.join(target.path, f"{table}.parquet"), state
+                ):
+                    print(
+                        f"-- snapshot diff: table={table} "
+                        "changed_partitions=0 (file catalog unchanged; "
+                        "0 data files read)"
+                    )
+                    continue
             df = target.read(spark, table)
             tschema = target.table_schema(spark, table)
             # time tables partition by day; dimension tables by a
             # content-derived md5 bucket of the PK (stable across runs)
             psql = None if "ts" in df.columns else content_bucket_sql(tschema, config)
-            state = os.path.join(args.snapshot_dir, table)
             if os.path.isdir(state):
                 diff = verify_against_snapshot(spark, df, tschema, state, config, psql)
                 rows = diff.collect()

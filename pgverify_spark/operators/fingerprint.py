@@ -596,13 +596,126 @@ def write_fingerprint_snapshot(
     Generation-dir write + manifest commit
     (:mod:`pgverify_spark.sources.manifest`): readers resolving through
     the manifest never race a later :func:`update_fingerprint_snapshot`.
+    The generation also carries a FILE CATALOG of the verified target
+    (``_filecat.json``: path/size/mtime per data file) so later verify
+    runs can prove the table byte-unchanged from metadata alone — see
+    :func:`snapshot_catalog_unchanged`.
     """
     from pgverify_spark.sources import manifest
 
     out = partitioned_fingerprint(df, schema, config, partition_sql)
     gen = manifest.new_generation()
     out.write.parquet(f"{path}/{gen}")
+    _write_file_catalog(df, f"{path}/{gen}")
     manifest.commit(df.sparkSession, path, [gen])
+
+
+#: Catalog sidecar name — underscore prefix keeps it invisible to
+#: parquet readers and the manifest's data-file expansion alike.
+_FILECAT = "_filecat.json"
+
+
+def _target_file_catalog(spark, files) -> list[list]:
+    """(path, size, mtime_ms) for the given data files — O(files)
+    namenode metadata, zero data bytes.  Paths are normalized through
+    ``Path.toUri().getPath()`` so ``file:/x`` and ``/x`` spellings
+    (df.inputFiles vs a directory listing) compare equal."""
+    from pgverify_spark.sources.maintain import _hadoop
+
+    out = []
+    for f in files:
+        jvm, fs = _hadoop(spark, f)
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        st = fs.getFileStatus(p)
+        out.append(
+            [p.toUri().getPath(), int(st.getLen()), int(st.getModificationTime())]
+        )
+    return sorted(out)
+
+
+def _list_table_files(spark, table_path: str) -> list[str]:
+    """Recursive data-file listing of a table path — a directory of
+    part files OR a single parquet file (the testdata layout); skips
+    ``_``/``.``-prefixed bookkeeping files.  Pure namenode metadata,
+    no file is opened."""
+    from pgverify_spark.sources.maintain import _hadoop
+
+    jvm, fs = _hadoop(spark, table_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    root = table_path.rstrip("/")
+    if not fs.getFileStatus(P(root)).isDirectory():
+        return [root]
+    out: list[str] = []
+
+    def walk(d: str) -> None:
+        for st in fs.listStatus(P(d)):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if st.isDirectory():
+                walk(f"{d}/{name}")
+            else:
+                out.append(f"{d}/{name}")
+
+    walk(root)
+    return out
+
+
+def _write_file_catalog(df, gen_dir: str) -> None:
+    import json as _json
+
+    from pgverify_spark.sources.maintain import _hadoop
+
+    spark = df.sparkSession
+    cat = _target_file_catalog(spark, sorted(df.inputFiles()))
+    jvm, fs = _hadoop(spark, gen_dir)
+    stream = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{gen_dir}/{_FILECAT}"), True
+    )
+    try:
+        stream.write(_json.dumps({"files": cat}).encode())
+    finally:
+        stream.close()
+
+
+def snapshot_catalog_unchanged(spark, table_dir: str, path: str) -> bool | None:
+    """Metadata-only incremental-verify fast path: True when the
+    target table directory's CURRENT data files (path + size + mtime)
+    are identical to the catalog stored with the snapshot — the table
+    is byte-unchanged, so re-fingerprinting would reproduce the stored
+    state and the verify can report zero drift WITHOUT opening a
+    single data file, not even a schema footer (the check runs before
+    the DataFrame is constructed; cost = one directory listing).
+    False = something moved, run the real scan; None = no catalog
+    stored (legacy snapshot).
+
+    An mtime-preserving in-place byte flip defeats any metadata check —
+    that adversarial case is what the full fingerprint scan (and the
+    scheduled full re-verify every deployment keeps) exists for; the
+    fast path targets the overwhelmingly common no-op verify.
+    """
+    import json as _json
+
+    from pgverify_spark.sources import manifest
+    from pgverify_spark.sources.maintain import _hadoop
+
+    entries = manifest.current_entries(spark, path)
+    if not entries:
+        return None
+    jvm, fs = _hadoop(spark, path)
+    cat_path = jvm.org.apache.hadoop.fs.Path(f"{path}/{entries[0]}/{_FILECAT}")
+    if not fs.exists(cat_path):
+        return None
+    stream = fs.open(cat_path)
+    try:
+        raw = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+    stored = [tuple(x) for x in _json.loads(raw)["files"]]
+    current = _target_file_catalog(spark, _list_table_files(spark, table_dir))
+    return stored == [tuple(x) for x in current]
 
 
 def verify_against_snapshot(
@@ -703,6 +816,9 @@ def update_fingerprint_snapshot(
     )
     gen = manifest.new_generation()
     kept.unionByName(fresh).write.parquet(f"{path}/{gen}")
+    # refresh the target file catalog: the splice re-baselines the
+    # incremental-verify fast path to the table's current files
+    _write_file_catalog(df, f"{path}/{gen}")
     manifest.commit(spark, path, [gen])
     return manifest.read_state(spark, path)
 

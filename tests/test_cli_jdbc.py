@@ -227,6 +227,62 @@ def test_cli_snapshot_refresh(spark, sf_dir, tmp_path):
     assert bare.returncode != 0 and "--snapshot-dir" in bare.stderr
 
 
+def test_cli_snapshot_verify_zero_read_fast_path(spark, sf_dir, tmp_path):
+    """The default incremental-verify fast path: on an unchanged table
+    the CLI proves zero-drift from the stored file catalog WITHOUT
+    opening any data file — demonstrated by replacing every data
+    file's bytes with same-size garbage (mtime restored): any read,
+    even a schema-footer read, would explode, yet the verify passes.
+    Bumping one mtime falls back to the real scan."""
+    import glob
+    import os
+    import shutil
+
+    # private copy of the region table (we are about to vandalize it);
+    # testdata tables are single parquet FILES, the fast path handles
+    # both that layout and part-file directories
+    src_dir = str(tmp_path / "data")
+    os.makedirs(src_dir)
+    tbl = f"{src_dir}/region.parquet"
+    shutil.copy(f"{sf_dir}/region.parquet", tbl)
+    snap = str(tmp_path / "snap")
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "-m", "pgverify_spark.cli", src_dir,
+             "--include-tables", "region", "--snapshot-dir", snap],
+            capture_output=True, text=True, timeout=300, env=_CLI_ENV,
+            cwd="/root/repo",
+        )
+
+    first = run()
+    assert first.returncode == 0 and "snapshot written" in first.stdout
+    # vandalize: same size, same mtime, garbage bytes
+    datafiles = [tbl]
+    assert glob.glob(tbl)
+    saved = {}
+    for f in datafiles:
+        st = os.stat(f)
+        saved[f] = (open(f, "rb").read(), st.st_atime, st.st_mtime)
+        with open(f, "wb") as fh:
+            fh.write(b"\x00" * st.st_size)
+        os.utime(f, (st.st_atime, st.st_mtime))
+    fast = run()
+    assert fast.returncode == 0, fast.stderr[-2000:]
+    assert "0 data files read" in fast.stdout and "changed_partitions=0" in fast.stdout
+    # restore content, then bump ONE mtime: the fast path must refuse
+    # and the real scan must run (and find no drift on real content)
+    for f, (content, at, mt) in saved.items():
+        with open(f, "wb") as fh:
+            fh.write(content)
+        os.utime(f, (at, mt))
+    os.utime(datafiles[0], None)  # now
+    slow = run()
+    assert slow.returncode == 0, slow.stderr[-2000:]
+    assert "0 data files read" not in slow.stdout
+    assert "changed_partitions=0" in slow.stdout
+
+
 def test_cli_file_format_targets(spark, sf_dir, tmp_path):
     """<format>:<dir> target URIs: a parquet directory verified against
     its own csv export agrees (exit 0) with --schemas supplying the
