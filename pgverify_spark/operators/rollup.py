@@ -823,6 +823,131 @@ def hll_range_distinct(spark, path: str, day_lo: int, day_hi: int) -> DataFrame:
     return hll_summary(merged)
 
 
+def write_sample_snapshot(
+    df: DataFrame,
+    path: str,
+    value_col: str = "value",
+    key_col: str = "event_id",
+    rate_ppm: int = 50_000,
+) -> None:
+    """Materialize the per-day deterministic hash-threshold sample
+    (day, v, hk) — the QUANTILE analog of :func:`write_hll_snapshot`:
+    where HLL registers answer "how many distinct" over any day range
+    from state, the stored sample answers "what is p50/p99" over any
+    day range from state, because membership is a pure row predicate
+    (``md5(key) < rate``) — the union of day samples IS the sample of
+    the day union, no re-read, no re-weighting.  Laid out partitioned
+    by day; generation-dir write + manifest commit (same
+    atomic-to-readers contract as the other snapshot writers)."""
+    from pgverify_spark.sources import manifest
+
+    spark = df.sparkSession
+    gen = manifest.new_generation()
+    (
+        _day_sample(df, value_col, key_col, rate_ppm)
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(f"{path}/{gen}")
+    )
+    manifest.commit(spark, path, _gen_day_entries(spark, path, gen))
+
+
+def _day_sample(
+    df: DataFrame, value_col: str, key_col: str, rate_ppm: int
+) -> DataFrame:
+    """(day, v, hk) hash-threshold sample — ``sketch.sample_select``'s
+    predicate with the day key carried through for the partition
+    layout."""
+    from pgverify_spark.operators.sketch import _ht_hash
+
+    thresh = rate_ppm * (1 << 60) // 1_000_000
+    day = bucket_sql(df, US_PER_DAY)
+    h = _ht_hash(key_col, "spark")
+    return df.selectExpr(
+        f"CAST({day} AS BIGINT) AS day", f"{value_col} AS v", f"{h} AS hk"
+    ).filter(F.col("hk") < thresh)
+
+
+def read_sample_snapshot(spark, path: str) -> DataFrame:
+    """Stored per-day sample rows (day, v, hk); manifest-resolved."""
+    from pgverify_spark.sources import manifest
+
+    return manifest.read_state(spark, path).selectExpr(
+        "CAST(day AS BIGINT) AS day", "v", "hk"
+    )
+
+
+def update_sample_snapshot(
+    spark,
+    df: DataFrame,
+    path: str,
+    days: tuple,
+    value_col: str = "value",
+    key_col: str = "event_id",
+    rate_ppm: int = 50_000,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> DataFrame:
+    """Splice-update the per-day sample state for ONLY the named days
+    (pruned delta scan, manifest-pinned generation swap — same contract
+    as :func:`update_hll_snapshot`) and return the whole-state
+    quantiles, which must equal from-scratch
+    :func:`~pgverify_spark.operators.sketch.sampled_quantiles` of the
+    current table — the registry's oracle pairing proves exactly that.
+
+    This is the mergeable-quantile IVM no exact-percentile rollup can
+    support (per-day exact percentiles don't merge): the state holds
+    O(rate × rows) sample rows per day, the splice touches only the
+    named days' directories, and any later range/whole query ranks the
+    state, never the events."""
+    from pgverify_spark.operators.sketch import quantiles_from_sample
+    from pgverify_spark.sources import manifest
+
+    if days:
+        day = bucket_sql(df, US_PER_DAY)
+        in_list = ", ".join(str(int(d)) for d in days)
+        fresh = _day_sample(
+            df.filter(f"({day}) IN ({in_list})"), value_col, key_col, rate_ppm
+        )
+        prev = manifest.current_entries(spark, path)
+        if prev is None:
+            prev = [
+                e for e in manifest.bootstrap_entries(spark, path)
+                if e.startswith("day=")
+            ]
+            manifest.commit(spark, path, prev)
+        gen = manifest.new_generation()
+        fresh.write.partitionBy("day").parquet(f"{path}/{gen}")
+        dropped = {f"day={int(d)}" for d in days}
+        kept = [e for e in prev if e.rsplit("/", 1)[-1] not in dropped]
+        manifest.commit(spark, path, kept + _gen_day_entries(spark, path, gen))
+    return quantiles_from_sample(
+        read_sample_snapshot(spark, path).select("v", "hk"), probs_ppm
+    )
+
+
+def sample_range_quantiles(
+    spark,
+    path: str,
+    day_lo: int,
+    day_hi: int,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> DataFrame:
+    """Quantiles over an arbitrary day RANGE from stored sample state:
+    the range's day samples union into the range's sample (pure
+    predicate membership — the property exact percentiles lack), rank,
+    select.  The day filter prunes to the range's partition
+    directories; events are never re-read.  Output matches
+    :func:`~pgverify_spark.operators.sketch.sampled_quantiles`."""
+    from pgverify_spark.operators.sketch import quantiles_from_sample
+
+    return quantiles_from_sample(
+        read_sample_snapshot(spark, path)
+        .filter(f"day BETWEEN {day_lo} AND {day_hi}")
+        .select("v", "hk"),
+        probs_ppm,
+    )
+
+
 def hll_trailing_distinct(
     df: DataFrame, window_days: int = 7, value_col: str = "user_id"
 ) -> DataFrame:

@@ -698,6 +698,73 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
             "'range'",
         ),
     )
+
+    # mergeable-QUANTILE IVM — the stat neither rollup_ivm (no
+    # percentiles) nor hll_ivm (distincts only) can carry: per-day
+    # hash-threshold sample state supports both the day-splice update
+    # and arbitrary-range quantiles because membership is a pure row
+    # predicate (union of day samples == sample of the union).  Fault:
+    # day 19724 drops out and a seventh of day 19723's values shift, so
+    # that day's sampled VALUES must actually move through the splice.
+    def run_qsample_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        ensure_required_confs(spark)
+        left = ParquetTarget("t", sf_dir).read(spark, "events")
+        day = timecol.bucket_sql(left, timecol.US_PER_DAY)
+        changed = left.filter(f"{day} <> 19724").selectExpr(
+            "event_id", "ts", "user_id", "event_type",
+            f"CASE WHEN {day} = 19723 AND event_id % 7 = 0 "
+            "THEN value + 50 ELSE value END AS value",
+            "props",
+        )
+        state = _QSAMPLE_IVM_STORE.get(sf_dir)
+        if state is None:
+            state = tempfile.mkdtemp(prefix="pgvs_qsivm_") + "/state"
+            rollup.write_sample_snapshot(left, state)
+            _QSAMPLE_IVM_STORE[sf_dir] = state
+        return rollup.update_sample_snapshot(
+            spark, changed, state, (19723, 19724)
+        )
+
+    qs_right_sql = (
+        "(SELECT event_id, ts, user_id, event_type, "
+        f"CASE WHEN {day_duck} = 19723 AND event_id % 7 = 0 "
+        "THEN value + 50 ELSE value END AS value, props "
+        f"FROM events WHERE {day_duck} <> 19724)"
+    )
+    out["quantile_ivm_events"] = (
+        run_qsample_ivm,
+        sketch.sampled_quantiles_oracle_sql(f"{qs_right_sql} r", "value", "event_id"),
+    )
+
+    # the payoff query of mergeable sample state: p50..p99 over an
+    # arbitrary day RANGE from pruned state directories, events never
+    # re-read; the oracle recomputes the range's sample from the raw
+    # table, proving union-of-samples == sample-of-union cross-engine
+    # (range outside run_qsample_ivm's fault, so the shared snapshot
+    # serves both entries in either order)
+    def run_qsample_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        ensure_required_confs(spark)
+        state = _QSAMPLE_IVM_STORE.get(sf_dir)
+        if state is None:
+            left = ParquetTarget("t", sf_dir).read(spark, "events")
+            state = tempfile.mkdtemp(prefix="pgvs_qsivm_") + "/state"
+            rollup.write_sample_snapshot(left, state)
+            _QSAMPLE_IVM_STORE[sf_dir] = state
+        return rollup.sample_range_quantiles(spark, state, 19730, 19760)
+
+    out["quantile_range_rollup_events"] = (
+        run_qsample_range,
+        sketch.sampled_quantiles_oracle_sql(
+            "(SELECT * FROM events WHERE "
+            f"{day_duck} BETWEEN 19730 AND 19760) r",
+            "value",
+            "event_id",
+        ),
+    )
     return out
 
 
@@ -1140,6 +1207,10 @@ _ROLLUP_IVM_STORE: dict[str, str] = {}
 #: hll_ivm_events (splices the fault days) and hll_range_rollup_events
 #: (merges days outside the fault) — write-once-then-splice shape.
 _HLL_IVM_STORE: dict[str, str] = {}
+
+#: sf_dir -> persisted per-day quantile-sample state (quantile_ivm /
+#: quantile_range_rollup share it, either order).
+_QSAMPLE_IVM_STORE: dict[str, str] = {}
 
 #: sf_dir -> parquet path of the stored bigram LM model (trained once
 #: per sf_dir; scoring joins against it — the "built offline once"
@@ -4763,6 +4834,8 @@ _DRIVER_PRIORITY = (
     # Derived rotation (see module docstring): regenerate with
     # `python -m pgverify_spark.rotation --write` after a new
     # CORRECTNESS file lands or a new entry is registered.
+    "quantile_ivm_events",  # last green r—never
+    "quantile_range_rollup_events",  # last green r—never
     "bpe_roundtrip_documents",  # last green r—never
     "streaming_scd2_intervals_events",  # last green r—never
     "rowcount_fingerprint_lineitem",  # last green r5
@@ -4812,8 +4885,6 @@ _DRIVER_PRIORITY = (
     "verify_report_lineitem_pair",  # last green r7
     "kmeans_assign_embeddings",  # last green r7
     "quality_filter_documents",  # last green r7
-    "stratified_sample_documents",  # last green r7
-    "topk_ngrams_documents",  # last green r7
     "full_fingerprint_lineitem",  # last green r10
 )
 

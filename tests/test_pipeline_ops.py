@@ -4065,6 +4065,46 @@ def test_hll_snapshot_splice(spark, sf_dir, tmp_path):
     assert merged == whole
 
 
+def test_sample_snapshot_splice(spark, sf_dir, tmp_path):
+    """Quantile-sample state splice == from-scratch sampled quantiles of
+    the mutated table (the mergeable-quantile IVM); a deleted day drops
+    out; the range merge equals quantiles of the range's raw rows —
+    union of day samples IS the sample of the union."""
+    from pgverify_spark.functions import timecol
+    from pgverify_spark.operators import rollup
+    from pgverify_spark.operators.sketch import sampled_quantiles
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = timecol.bucket_sql(events, timecol.US_PER_DAY)
+    state = str(tmp_path / "qs_state")
+    rollup.write_sample_snapshot(events, state)
+
+    mutated = events.filter(f"{day} <> 19724").selectExpr(
+        "event_id", "ts", "user_id", "event_type",
+        f"CASE WHEN {day} = 19723 AND event_id % 7 = 0 "
+        "THEN value + 50 ELSE value END AS value",
+        "props",
+    )
+    spliced = sorted(map(tuple, rollup.update_sample_snapshot(
+        spark, mutated, state, (19723, 19724)
+    ).collect()))
+    scratch = sorted(map(tuple, sampled_quantiles(
+        mutated, "value", "event_id"
+    ).collect()))
+    assert spliced == scratch
+    # the dropped day's rows left the state entirely
+    assert rollup.read_sample_snapshot(spark, state).filter(
+        "day = 19724"
+    ).count() == 0
+    merged = sorted(map(tuple, rollup.sample_range_quantiles(
+        spark, state, 19730, 19760
+    ).collect()))
+    whole = sorted(map(tuple, sampled_quantiles(
+        events.filter(f"({day}) BETWEEN 19730 AND 19760"), "value", "event_id"
+    ).collect()))
+    assert merged == whole
+
+
 def test_multi_touch_attribution_semantics(spark):
     """Every in-window touch shares credit (floor ppm); post-conversion
     and out-of-window touches never pair; a touch credits EVERY later

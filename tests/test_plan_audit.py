@@ -40,6 +40,10 @@ WINDOW_SINGLE_OK = {
     "sampled_quantiles_orders": "window over rate-bounded deterministic sample",
     # same rank window, reading the persisted rate-bounded sample store
     "streaming_sampled_quantiles_orders": "window over rate-bounded sample store",
+    # same rank window over the persisted per-day sample STATE (rate ×
+    # touched-days rows), never the events
+    "quantile_ivm_events": "window over rate-bounded per-day sample state",
+    "quantile_range_rollup_events": "window over rate-bounded per-day sample state",
 }
 
 
