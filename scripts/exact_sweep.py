@@ -10,7 +10,11 @@ EXACT equality (None-safe ordering for CUBE/rollup NULL keys).
 
     python scripts/exact_sweep.py [sf_dir] [key_filter...]
 
-Late-r10 state: 237/237 EXACT at sf0.01.
+Round-11 state: full-registry run (after the r10-advice fixes, the
+manifest rewrite, the attribution/incident caching, k_core k=2, BPE
+round-trip and streaming SCD2) printed **241 exact, 0 inexact, 0 err**
+at sf0.01; the two quantile-IVM entries registered after that run
+swept 2/2 EXACT separately — 243/243 total.
 """
 from __future__ import annotations
 
