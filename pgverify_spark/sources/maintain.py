@@ -43,7 +43,6 @@ every other partition bit-unchanged — deletion with an audit trail.
 from __future__ import annotations
 
 import os
-import uuid
 from bisect import bisect_left
 
 from pyspark.sql import DataFrame, SparkSession
