@@ -5144,6 +5144,15 @@ HEADLINE_QUERIES = (
     "json_profile_events",
     "attribution_report_events",
     "equiwidth_histogram_orders",
+    # round-11 additions: the tokenizer round-trip audit, the
+    # mergeable-quantile IVM pair (asymmetric twins like rollup_ivm:
+    # Spark times the memoized-state UPDATE/merge, the oracle a
+    # from-scratch sample), and the streaming SCD2 twin stays out like
+    # the other streaming-machinery entries (micro-batch replay is not
+    # a comparable timing)
+    "bpe_roundtrip_documents",
+    "quantile_ivm_events",
+    "quantile_range_rollup_events",
 )
 
 
