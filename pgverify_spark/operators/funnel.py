@@ -585,18 +585,23 @@ def attribution_report(
     last-touch wins but low U-credit is a closer, not a discoverer.
 
     Scale shape: the linear and U-shaped models aggregate the SAME
-    rank-decorated :func:`_credit_pairs` relation, persisted ONCE per
-    call (the ``_shingled``-style generation pattern — the registry
-    wrapper releases it on the next invocation), so the pair join +
-    its conv-partition windows run a single time instead of once per
-    model; last-touch keeps its own running-window subtree (a
-    different shape — no pair fan-out).  Each aggregate is keyed by
-    touch_type — a handful of groups, map-side combined to almost
-    nothing — then full-outer-joined on the tiny key set.  Everything
+    lazily-shared :func:`_credit_pairs` relation definition (linear
+    without the rank windows it doesn't need), each reduced to a
+    touch_type-keyed aggregate — a handful of groups, map-side
+    combined to almost nothing — then full-outer-joined on the tiny
+    key set with last-touch's own running-window subtree.  Everything
     integer.
-    """
-    from pgverify_spark.operators.util import tag_cached_deps
 
+    Deliberately NOT persisted (r11 A/B at sf0.1, min-of-3 each):
+    persisting the rank-decorated pair relation cost 4.45 s vs 1.89 s
+    recomputing it per aggregate — the cache materialization of the
+    fan-out relation dwarfs the duplicated join work, and at 100x
+    events-per-user (SCALE_CHECK r11) the persisted form still
+    finished while the DuckDB twin OOM'd, so the lazy form only
+    improves from there.  Contrast ``diff.incident_report``, where the
+    shared relation is table-sized to COMPUTE but diff-sized to STORE
+    — there the persist wins the same A/B.
+    """
     lt = attribute_conversions(df, touches, conversion, lookback_us).selectExpr(
         "coalesce(touch_type, 'direct') AS touch_type", "latency_us"
     ).groupBy("touch_type").agg(
@@ -604,16 +609,19 @@ def attribution_report(
         F.expr("CAST(sum(latency_us) div nullif(count(latency_us), 0) AS BIGINT)")
         .alias("mean_latency_us"),
     )
-    pairs = _credit_pairs(df, touches, conversion, lookback_us, ranks=True).persist()
-    mt = pairs.groupBy("touch_type").agg(
+    mt = _credit_pairs(df, touches, conversion, lookback_us).groupBy(
+        "touch_type"
+    ).agg(
         F.expr("CAST(sum(CAST(1000000 div n_touches AS BIGINT)) AS BIGINT)")
         .alias("credit_linear_ppm")
     )
-    pt = pairs.groupBy("touch_type").agg(
+    pt = _credit_pairs(df, touches, conversion, lookback_us, ranks=True).groupBy(
+        "touch_type"
+    ).agg(
         F.expr(f"CAST(sum(CAST({_POSITION_WEIGHT} AS BIGINT)) AS BIGINT)")
         .alias("credit_position_ppm")
     )
-    out = (
+    return (
         lt.join(mt, "touch_type", "full_outer")
         .join(pt, "touch_type", "full_outer")
         .selectExpr(
@@ -624,7 +632,6 @@ def attribution_report(
             "CAST(coalesce(credit_position_ppm, 0) AS BIGINT) AS credit_position_ppm",
         )
     )
-    return tag_cached_deps(out, pairs)
 
 
 def attribution_report_oracle_sql(
