@@ -68,6 +68,15 @@ clean runs 88.8/108.0 -> 0.82, 94.1/107.5 -> 0.88, 99.0/105.5 -> 0.94
 (the third run includes attribution_report and json_profile rows) while
 the oracle total holds, the expected composed-entry constant.
 
+Round-11 builder point (first run under the replicate protocol, idle
+host, suite grown 107 -> 110): Spark 94.4 s vs DuckDB 103.7 s ->
+ratio 0.91, band [0.906, 1.073] from the two passes.  The r10 flagged
+rows all resolved: sparse_fingerprint 1.05 s (the 1.70 "regression"
+was weather, as the replicate predicted), equidepth_histogram and
+attribution_report both under the 1.0 s compact cutoff (the latter
+after the lazy-sharing A/B — see funnel.attribution_report),
+incident_report 3.29 s with its shared-diff persist.
+
 AMENDMENT (round 11, r10 VERDICT item 6): REPLICATES.  Single-run
 ratios are weather (see the spread notes above), so the recorded run
 now repeats the whole frozen per-pass protocol ``SPARK_GRAFT_BENCH_REPS``
