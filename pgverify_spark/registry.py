@@ -1259,6 +1259,41 @@ def _targeted_delete_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _generation_diff_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the last maintenance commit with NO pre-write snapshot:
+    run the same key-block takedown as targeted_delete_orders on its
+    own copy, then diff the previous committed generation against the
+    current one through the manifest's grace window — the result must
+    be exactly the deleted rows, status only_left."""
+    from pgverify_spark.sources.maintain import generation_diff, targeted_delete
+    from pgverify_spark.sources.manifest import read_state
+
+    ensure_required_confs(spark)
+    schema = TESTDATA_TABLES["orders"]
+    path = _MAINTAIN_STORE.get((sf_dir, "gdiff"))
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="pgvs_gdiff_") + "/orders"
+        src = ParquetTarget("t", sf_dir).read(spark, "orders")
+        (
+            src.repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.parquet(path)
+        )
+        _MAINTAIN_STORE[(sf_dir, "gdiff")] = path
+    ids = [
+        r[0]
+        for r in read_state(spark, path)
+        .filter("o_orderkey % 1000 = 7")
+        .select("o_orderkey")
+        .collect()
+    ]
+    if ids:  # first call commits bootstrap + delete; later calls no-op
+        targeted_delete(spark, path, ids, "o_orderkey")
+    return generation_diff(spark, path, schema)
+
+
 _INGEST_COMPACT_ORACLE = (
     "SELECT event_id, user_id, event_type, value FROM events"
 )
@@ -2614,6 +2649,19 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _targeted_delete_run,
             "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
             "FROM orders WHERE o_orderkey % 1000 <> 7",
+        ),
+        # the manifest-native audit of that takedown: diff the previous
+        # committed generation against the current one (grace-window
+        # time travel — no pre-write snapshot anywhere) and get exactly
+        # the removed rows; a content-preserving commit (compaction)
+        # audits to zero rows, pinned in tests/test_maintain.py
+        "generation_diff_orders": (
+            _generation_diff_run,
+            row_diff_oracle_sql(
+                "orders",
+                "(SELECT * FROM orders WHERE o_orderkey % 1000 <> 7) gd",
+                TESTDATA_TABLES["orders"],
+            ),
         ),
         # small-file compaction: 32 ingest-sized files -> right-sized
         # ones, content-identical; files already big are never read
@@ -4836,6 +4884,7 @@ _DRIVER_PRIORITY = (
     # CORRECTNESS file lands or a new entry is registered.
     "quantile_ivm_events",  # last green r—never
     "quantile_range_rollup_events",  # last green r—never
+    "generation_diff_orders",  # last green r—never
     "bpe_roundtrip_documents",  # last green r—never
     "streaming_scd2_intervals_events",  # last green r—never
     "rowcount_fingerprint_lineitem",  # last green r5
@@ -4884,7 +4933,6 @@ _DRIVER_PRIORITY = (
     "full_fingerprint_part",  # last green r7
     "verify_report_lineitem_pair",  # last green r7
     "kmeans_assign_embeddings",  # last green r7
-    "quality_filter_documents",  # last green r7
     "full_fingerprint_lineitem",  # last green r10
 )
 
@@ -5153,6 +5201,7 @@ HEADLINE_QUERIES = (
     "bpe_roundtrip_documents",
     "quantile_ivm_events",
     "quantile_range_rollup_events",
+    "generation_diff_orders",
 )
 
 

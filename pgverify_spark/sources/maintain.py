@@ -183,6 +183,36 @@ def targeted_delete(
     }
 
 
+def generation_diff(
+    spark: SparkSession, path: str, schema, config=None
+) -> "DataFrame":
+    """Audit the LAST maintenance commit: the multiset row diff between
+    the previous committed state and the current one — for a
+    ``targeted_delete`` exactly the removed rows (status ``only_left``),
+    for :func:`compact_small_files` exactly EMPTY (content-preserving
+    by contract), with no pre-write snapshot needed: the manifest's GC
+    grace window guarantees the previous generation's files survive
+    until the commit after next, so the audit is always possible for
+    one window after any write.
+
+    Scale shape: one :func:`~pgverify_spark.operators.diff.row_diff`
+    between the two states — O(distinct rows) shuffle of (key, hash)
+    pairs, DIFF-sized output.  Raises ``ValueError`` when ``path`` has
+    fewer than two commits (nothing to audit)."""
+    from pgverify_spark.operators.diff import row_diff
+    from pgverify_spark.sources import manifest
+
+    nums = manifest.manifest_numbers(spark, path)
+    if len(nums) < 2:
+        raise ValueError(
+            f"generation_diff: {path!r} has {len(nums)} manifest commit(s); "
+            "need two (the previous generation to audit against)"
+        )
+    prev = manifest.read_state(spark, path, nums[-2])
+    cur = manifest.read_state(spark, path, nums[-1])
+    return row_diff(prev, cur, schema, config)
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,

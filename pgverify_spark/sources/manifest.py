@@ -97,7 +97,9 @@ def new_generation() -> str:
     return f"gen-{uuid.uuid4().hex[:12]}"
 
 
-def read_state(spark: SparkSession, base: str) -> DataFrame:
+def read_state(
+    spark: SparkSession, base: str, manifest_no: int | None = None
+) -> DataFrame:
     """Manifest-aware read of the committed state.
 
     Entries whose last path component is ``key=value`` (partition
@@ -105,8 +107,19 @@ def read_state(spark: SparkSession, base: str) -> DataFrame:
     as ``basePath`` so the partition column survives the explicit-leaf
     read; other entries (files, flat generation dirs) read directly.
     Falls back to a plain read of ``base`` for legacy layouts.
+
+    ``manifest_no`` reads a HISTORICAL commit instead of the latest —
+    within the GC grace window only the previous commit is guaranteed
+    readable (its files survive until the commit after next); that one
+    generation of time travel is exactly what
+    :func:`~pgverify_spark.sources.maintain.generation_diff` needs to
+    audit the last maintenance write.
     """
-    entries = current_entries(spark, base)
+    entries = (
+        _read_entries(spark, base, manifest_no)
+        if manifest_no is not None
+        else current_entries(spark, base)
+    )
     if entries is None:
         return spark.read.parquet(base)
     part_groups: dict[str, list[str]] = {}

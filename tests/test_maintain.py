@@ -213,3 +213,42 @@ def test_compact_small_files_leaves_big_alone(spark, sf_dir, tmp_path):
     )
     assert again["files_compacted"] == 0
     assert _files(path, spark) == after
+    # the manifest-native audit: a content-preserving commit diffs to
+    # ZERO rows between the previous and current generations
+    from pgverify_spark.registry import TESTDATA_TABLES
+
+    assert (
+        maintain.generation_diff(spark, path, TESTDATA_TABLES["events"]).count()
+        == 0
+    )
+
+
+def test_generation_diff_names_deleted_rows(spark, sf_dir, tmp_path):
+    """After a targeted delete, generation_diff between the previous
+    and current committed states is exactly the removed rows (status
+    only_left) — the takedown audit with no pre-write snapshot; a
+    single-commit table refuses (nothing to audit against)."""
+    import pytest as _pytest
+
+    from pgverify_spark.registry import TESTDATA_TABLES
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders")
+    (
+        src.repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(path)
+    )
+    schema = TESTDATA_TABLES["orders"]
+    with _pytest.raises(ValueError, match="manifest commit"):
+        maintain.generation_diff(spark, path, schema)
+    ids = [
+        r[0]
+        for r in src.filter("o_orderkey % 500 = 3").select("o_orderkey").collect()
+    ]
+    maintain.targeted_delete(spark, path, ids, "o_orderkey")
+    d = maintain.generation_diff(spark, path, schema)
+    rows = d.collect()
+    assert len(rows) == len(ids)
+    assert all(r["status"] == "only_left" for r in rows)
+    assert sorted(int(r["k"]) for r in rows) == sorted(ids)
