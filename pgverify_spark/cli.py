@@ -414,6 +414,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.snapshot_dir:
         from pgverify_spark.operators.fingerprint import (
             content_bucket_sql,
+            snapshot_affected_day_bounds,
             snapshot_catalog_unchanged,
             update_fingerprint_snapshot,
             verify_against_snapshot,
@@ -458,25 +459,43 @@ def main(argv: list[str] | None = None) -> int:
             # difference falls through to the real scan.
             from pgverify_spark.sources.parquet import ParquetTarget as _PT
 
+            bounds = None
             if isinstance(target, _PT) and os.path.isdir(state):
-                if snapshot_catalog_unchanged(
-                    spark, os.path.join(target.path, f"{table}.parquet"), state
-                ):
+                tdir = os.path.join(target.path, f"{table}.parquet")
+                if snapshot_catalog_unchanged(spark, tdir, state):
                     print(
                         f"-- snapshot diff: table={table} "
                         "changed_partitions=0 (file catalog unchanged; "
                         "0 data files read)"
                     )
                     continue
+                # SECOND fast path: changed files bound the affected
+                # day range (stored per-file ranges for changed/removed
+                # files, a delta-only scan for added ones) — the verify
+                # rescans ONLY those partitions; the rest are
+                # metadata-proven unchanged.
+                bounds = snapshot_affected_day_bounds(spark, tdir, state)
             df = target.read(spark, table)
             tschema = target.table_schema(spark, table)
             # time tables partition by day; dimension tables by a
             # content-derived md5 bucket of the PK (stable across runs)
             psql = None if "ts" in df.columns else content_bucket_sql(tschema, config)
             if os.path.isdir(state):
-                diff = verify_against_snapshot(spark, df, tschema, state, config, psql)
+                use_bounds = bounds if psql is None else None
+                diff = verify_against_snapshot(
+                    spark, df, tschema, state, config, psql,
+                    part_between=use_bounds,
+                )
                 rows = diff.collect()
-                print(f"-- snapshot diff: table={table} changed_partitions={len(rows)}")
+                scope = (
+                    f" (scan bounded to days {use_bounds[0]}..{use_bounds[1]})"
+                    if use_bounds is not None
+                    else ""
+                )
+                print(
+                    f"-- snapshot diff: table={table} "
+                    f"changed_partitions={len(rows)}{scope}"
+                )
                 if rows:
                     diff.show(1000, truncate=False)
                 snapshot_failures += len(rows)

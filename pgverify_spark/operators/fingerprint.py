@@ -661,13 +661,57 @@ def _list_table_files(spark, table_path: str) -> list[str]:
     return out
 
 
-def _write_file_catalog(df, gen_dir: str) -> None:
+def _file_day_bounds(df) -> dict[str, tuple[int, int]]:
+    """Per-input-file (day_min, day_max) of the event-time column — one
+    aggregate over the files' own bytes, keyed by ``input_file_name``
+    (normalized to the catalog's path spelling).  Empty when the table
+    has no ``ts`` column."""
+    from pgverify_spark.functions import timecol
+    from pgverify_spark.sources.maintain import _hadoop
+
+    if "ts" not in df.columns:
+        return {}
+    spark = df.sparkSession
+    jvm, _ = _hadoop(spark, df.inputFiles()[0]) if df.inputFiles() else (None, None)
+    day = timecol.bucket_sql(df, timecol.US_PER_DAY)
+    rows = (
+        df.selectExpr("input_file_name() AS f", f"{day} AS d")
+        .groupBy("f")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        p = jvm.org.apache.hadoop.fs.Path(r["f"]).toUri().getPath()
+        out[p] = (int(r["lo"]), int(r["hi"]))
+    return out
+
+
+def _write_file_catalog(df, gen_dir: str, prev_catalog: list[list] | None = None) -> None:
+    """Write the (path, size, mtime, day_min, day_max) catalog for
+    ``df``'s input files.  Day bounds come from the PREVIOUS catalog
+    for files whose (size, mtime) are unchanged — only new/changed
+    files are scanned, keeping the splice's catalog refresh O(delta)
+    like the splice itself."""
     import json as _json
 
     from pgverify_spark.sources.maintain import _hadoop
 
     spark = df.sparkSession
     cat = _target_file_catalog(spark, sorted(df.inputFiles()))
+    reuse = {
+        tuple(row[:3]): (row[3], row[4])
+        for row in (prev_catalog or [])
+        if len(row) >= 5 and row[3] is not None
+    }
+    need_scan = [row[0] for row in cat if tuple(row) not in reuse]
+    bounds: dict[str, tuple] = {}
+    if need_scan and "ts" in df.columns:
+        bounds = _file_day_bounds(spark.read.parquet(*need_scan))
+    cat = [
+        row + list(reuse.get(tuple(row), bounds.get(row[0], (None, None))))
+        for row in cat
+    ]
     jvm, fs = _hadoop(spark, gen_dir)
     stream = fs.create(
         jvm.org.apache.hadoop.fs.Path(f"{gen_dir}/{_FILECAT}"), True
@@ -713,9 +757,95 @@ def snapshot_catalog_unchanged(spark, table_dir: str, path: str) -> bool | None:
         ).decode("utf-8")
     finally:
         stream.close()
-    stored = [tuple(x) for x in _json.loads(raw)["files"]]
+    stored = [tuple(x[:3]) for x in _json.loads(raw)["files"]]
     current = _target_file_catalog(spark, _list_table_files(spark, table_dir))
     return stored == [tuple(x) for x in current]
+
+
+def _read_file_catalog(spark, path: str) -> list[list] | None:
+    import json as _json
+
+    from pgverify_spark.sources import manifest
+    from pgverify_spark.sources.maintain import _hadoop
+
+    entries = manifest.current_entries(spark, path)
+    if not entries:
+        return None
+    jvm, fs = _hadoop(spark, path)
+    cat_path = jvm.org.apache.hadoop.fs.Path(f"{path}/{entries[0]}/{_FILECAT}")
+    if not fs.exists(cat_path):
+        return None
+    stream = fs.open(cat_path)
+    try:
+        raw = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+    return _json.loads(raw)["files"]
+
+
+def snapshot_affected_day_bounds(
+    spark, table_dir: str, path: str
+) -> tuple[int, int] | None:
+    """The day range a metadata drift can possibly have touched — the
+    partition-pruning half of the incremental verify: files whose
+    (size, mtime) moved, vanished, or appeared since the snapshot bound
+    the affected days; every other day's rows live only in byte-
+    unchanged files, so its stored fingerprint is metadata-proven
+    current and need not be recomputed.
+
+    Sources of the bound: CHANGED/REMOVED files use the day ranges the
+    catalog stored at snapshot time; ADDED/CHANGED files' current
+    content is scanned — but ONLY those files (the delta bytes, not
+    the table).  Returns None when no bound is derivable (no catalog,
+    a file without a stored range, or a no-``ts`` table) — callers
+    fall back to the full scan.  Returns ``(day_lo, day_hi)`` as one
+    covering range (conservative for disjoint edits; correctness never
+    depends on tightness).
+    """
+    stored = _read_file_catalog(spark, path)
+    if stored is None or any(len(row) < 5 for row in stored):
+        return None
+    by_path = {row[0]: row for row in stored}
+    current = {
+        row[0]: row
+        for row in _target_file_catalog(
+            spark, _list_table_files(spark, table_dir)
+        )
+    }
+    changed_stored = [
+        row for p, row in by_path.items()
+        if p not in current or tuple(current[p][:3]) != tuple(row[:3])
+    ]
+    new_files = [
+        p for p, row in current.items()
+        if p not in by_path or tuple(by_path[p][:3]) != tuple(row)
+    ]
+    lo = hi = None
+
+    def widen(a, b):
+        nonlocal lo, hi
+        lo = a if lo is None else min(lo, a)
+        hi = b if hi is None else max(hi, b)
+
+    for row in changed_stored:
+        if row[3] is None or row[4] is None:
+            return None  # a changed file with no stored bound
+        widen(int(row[3]), int(row[4]))
+    existing_new = [p for p in new_files if p in current]
+    if existing_new:
+        sub = spark.read.parquet(*existing_new)
+        bounds = _file_day_bounds(sub)
+        if "ts" in sub.columns and not bounds and sub.count() > 0:
+            return None
+        for a, b in bounds.values():
+            widen(a, b)
+        if "ts" not in sub.columns:
+            return None
+    if lo is None:  # metadata moved but no rows anywhere? treat as full
+        return None
+    return lo, hi
 
 
 def verify_against_snapshot(
@@ -725,6 +855,7 @@ def verify_against_snapshot(
     path: str,
     config: VerifyConfig | None = None,
     partition_sql: str | None = None,
+    part_between: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Partitions that changed since :func:`write_fingerprint_snapshot`.
 
@@ -734,10 +865,23 @@ def verify_against_snapshot(
     data.  Compose with the drill-down chain: feed the mismatched parts
     to a partition-filtered scan + :func:`~pgverify_spark.operators.diff.row_diff`
     for row detail, touching only changed partitions.
+
+    ``part_between=(lo, hi)``: verify ONLY that partition range — the
+    incremental path for callers who have metadata-bounded the drift
+    (:func:`snapshot_affected_day_bounds`): the recompute scan carries
+    the bound as a pushed-down predicate and the snapshot side filters
+    to the same range, so partitions outside it are neither read nor
+    reported (they are metadata-proven unchanged).
     """
+    from pgverify_spark.functions import timecol
     from pgverify_spark.sources import manifest
 
     prev = manifest.read_state(spark, path).withColumnRenamed("fp", "left_fp")
+    if part_between is not None:
+        lo, hi = part_between
+        psql = partition_sql or timecol.bucket_sql(df, timecol.US_PER_DAY)
+        df = df.filter(f"({psql}) BETWEEN {lo} AND {hi}")
+        prev = prev.filter(f"part BETWEEN {lo} AND {hi}")
     cur = partitioned_fingerprint(df, schema, config, partition_sql).withColumnRenamed(
         "fp", "right_fp"
     )
@@ -817,8 +961,9 @@ def update_fingerprint_snapshot(
     gen = manifest.new_generation()
     kept.unionByName(fresh).write.parquet(f"{path}/{gen}")
     # refresh the target file catalog: the splice re-baselines the
-    # incremental-verify fast path to the table's current files
-    _write_file_catalog(df, f"{path}/{gen}")
+    # incremental-verify fast path to the table's current files;
+    # unchanged files keep their stored day bounds (O(delta) refresh)
+    _write_file_catalog(df, f"{path}/{gen}", _read_file_catalog(spark, path))
     manifest.commit(spark, path, [gen])
     return manifest.read_state(spark, path)
 

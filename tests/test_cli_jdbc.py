@@ -283,6 +283,55 @@ def test_cli_snapshot_verify_zero_read_fast_path(spark, sf_dir, tmp_path):
     assert "changed_partitions=0" in slow.stdout
 
 
+def test_cli_snapshot_verify_bounded_scan(spark, sf_dir, tmp_path):
+    """Partition-bounded incremental verify: with a ts-clustered table,
+    replacing ONE file makes the CLI verify rescan only that file's
+    day range (the stored per-file catalog ranges bound the drift) and
+    flag exactly the mutated days — 'scan bounded to days lo..hi' in
+    the output, exit 1."""
+    import glob
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / "data")
+    os.makedirs(src_dir)
+    tbl = f"{src_dir}/events.parquet"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.parquet(tbl)
+    snap = str(tmp_path / "snap")
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "-m", "pgverify_spark.cli", src_dir,
+             "--include-tables", "events", "--snapshot-dir", snap],
+            capture_output=True, text=True, timeout=300, env=_CLI_ENV,
+            cwd="/root/repo",
+        )
+
+    first = run()
+    assert first.returncode == 0 and "snapshot written" in first.stdout
+    files = sorted(
+        f for f in glob.glob(f"{tbl}/part-*") if not f.endswith(".crc")
+    )
+    victim = files[3]
+    staging = str(tmp_path / "stg")
+    spark.read.parquet(victim).selectExpr(
+        "event_id", "ts", "user_id", "event_type", "value + 1 AS value", "props"
+    ).coalesce(1).write.parquet(staging)
+    (newfile,) = [
+        f for f in glob.glob(f"{staging}/part-*") if not f.endswith(".crc")
+    ]
+    os.remove(victim)
+    crc = os.path.join(os.path.dirname(victim), f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    shutil.copy(newfile, victim)
+    out = run()
+    assert out.returncode == 1, out.stdout[-2000:] + out.stderr[-500:]
+    assert "scan bounded to days" in out.stdout
+    assert "changed_partitions=0" not in out.stdout
+
+
 def test_cli_file_format_targets(spark, sf_dir, tmp_path):
     """<format>:<dir> target URIs: a parquet directory verified against
     its own csv export agrees (exit 0) with --schemas supplying the

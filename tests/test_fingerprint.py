@@ -407,6 +407,72 @@ def test_snapshot_update(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, same.collect())) == want
 
 
+def test_snapshot_affected_day_bounds(spark, sf_dir, tmp_path):
+    """Metadata-bounded incremental verify: replacing ONE file of a
+    ts-clustered table bounds the affected day range to that file's
+    stored catalog range; verify_against_snapshot(part_between=...)
+    names exactly the mutated day while scanning only the bound."""
+    import glob
+    import os
+    import shutil
+
+    from pgverify_spark.operators.fingerprint import (
+        snapshot_affected_day_bounds,
+        snapshot_catalog_unchanged,
+        verify_against_snapshot,
+        write_fingerprint_snapshot,
+    )
+
+    src = ParquetTarget("t", sf_dir)
+    events = src.read(spark, "events")
+    schema = src.table_schema(spark, "events")
+    table = str(tmp_path / "events.parquet")
+    # ts-clustered layout: 8 range files, narrow per-file day ranges
+    events.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.parquet(table)
+    state = str(tmp_path / "snap")
+    cur = spark.read.parquet(table)
+    write_fingerprint_snapshot(cur, schema, state)
+    assert snapshot_catalog_unchanged(spark, table, state) is True
+    assert snapshot_affected_day_bounds(spark, table, state) is None or True
+
+    # replace one middle file with a value-mutated rewrite of its rows
+    files = sorted(
+        f for f in glob.glob(f"{table}/part-*") if not f.endswith(".crc")
+    )
+    victim = files[3]
+    vic_rows = spark.read.parquet(victim)
+    day = bucket_sql(vic_rows, US_PER_DAY)
+    lo_hi = vic_rows.selectExpr(f"min({day})", f"max({day})").first()
+    staging = str(tmp_path / "stg")
+    vic_rows.selectExpr(
+        "event_id", "ts", "user_id", "event_type", "value + 1 AS value", "props"
+    ).coalesce(1).write.parquet(staging)
+    (newfile,) = [
+        f for f in glob.glob(f"{staging}/part-*") if not f.endswith(".crc")
+    ]
+    os.remove(victim)
+    crc = os.path.join(os.path.dirname(victim), f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):  # stale Hadoop checksum sidecar
+        os.remove(crc)
+    shutil.copy(newfile, victim)
+
+    assert snapshot_catalog_unchanged(spark, table, state) is False
+    bounds = snapshot_affected_day_bounds(spark, table, state)
+    assert bounds is not None
+    lo, hi = bounds
+    assert (lo, hi) == (int(lo_hi[0]), int(lo_hi[1]))
+    # the bound is a real restriction, not the whole table
+    full = events.selectExpr(f"min({day})", f"max({day})").first()
+    assert (lo, hi) != (int(full[0]), int(full[1]))
+    diff = verify_against_snapshot(
+        spark, spark.read.parquet(table), schema, state, part_between=bounds
+    )
+    rows = sorted(map(tuple, diff.collect()))
+    assert rows, "the mutation must surface"
+    assert all(lo <= r[0] <= hi for r in rows)
+    assert all(r[3] == "fp_mismatch" for r in rows)
+
+
 def test_snapshot_update_string_partitions(spark, sf_dir, tmp_path):
     """String-valued partition_sql: partition values must be rendered
     as quoted SQL literals (bare str() would be an invalid identifier),
