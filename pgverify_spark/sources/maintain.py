@@ -125,15 +125,19 @@ def _commit_rewrite(
     files, committed at FILE granularity so later maintenance can
     replace any subset regardless of which generation owns it.  A
     legacy (manifest-less) table gets a bootstrap commit first so its
-    replaced files enter the GC lifecycle instead of lingering."""
+    replaced files enter the GC lifecycle instead of lingering.
+
+    FLAT-LAYOUT tables only (the corpus shape both callers target):
+    file-level entries carry no partition-directory component, so a
+    hive-partitioned table maintained here would lose its partition
+    column on read — the day-partitioned snapshot states keep their
+    own directory-level committers in ``operators/rollup.py``."""
     from pgverify_spark.sources import manifest
 
     if manifest.current_entries(spark, path) is None:
-        manifest.commit(
-            spark,
-            path,
-            [e for e in manifest.bootstrap_entries(spark, path) if e != gen],
-        )
+        # bootstrap_entries excludes ALL generation dirs — both `gen`
+        # (just staged, committed below) and any crash debris
+        manifest.commit(spark, path, manifest.bootstrap_entries(spark, path))
     base = path.rstrip("/")
     dropped = {f.rstrip("/") for f in replaced}
     kept = [

@@ -204,16 +204,33 @@ def commit(spark: SparkSession, base: str, entries: list[str]) -> int:
     return n
 
 
+_GEN_RE = None
+
+
+def is_generation_name(name: str) -> bool:
+    global _GEN_RE
+    if _GEN_RE is None:
+        import re
+
+        _GEN_RE = re.compile(r"^gen-[0-9a-f]{12}$")
+    return _GEN_RE.match(name) is not None
+
+
 def bootstrap_entries(spark: SparkSession, base: str) -> list[str]:
     """Base-relative entries describing a LEGACY layout (no manifest):
     top-level ``key=value`` partition directories and data files.  The
     first manifest-aware write commits these alongside its new
     generation so the pre-manifest state joins the grace-window
-    lifecycle instead of lingering unreferenced."""
+    lifecycle instead of lingering unreferenced.
+
+    Generation directories are EXCLUDED: they are writer-owned, and an
+    unreferenced one is by definition the debris of a write that
+    crashed before its commit — sweeping it into the bootstrap would
+    resurrect its staged rows as duplicates."""
     _, fs, P = _jfs(spark, base)
     out = []
     for name in _list_names(fs, P, base):
-        if name.startswith(("_", ".")):
+        if name.startswith(("_", ".")) or is_generation_name(name):
             continue
         out.append(name)
     return out

@@ -77,6 +77,35 @@ def test_double_publish_same_number_fails(spark, tmp_path):
         )
 
 
+def test_crashed_write_debris_never_resurrects(spark, sf_dir, tmp_path):
+    """A generation dir staged by a write that crashed BEFORE its
+    commit must stay invisible forever: the bootstrap commit of a later
+    write excludes generation-named dirs, so the orphan's staged rows
+    never duplicate the table."""
+    from pgverify_spark.sources import maintain
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders")
+    (
+        src.repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(path)
+    )
+    n = src.count()
+    # simulate the crash: a staged-but-never-committed generation
+    # holding a copy of some rows
+    orphan = manifest.new_generation()
+    assert manifest.is_generation_name(orphan)
+    src.limit(100).write.parquet(f"{path}/{orphan}")
+    # a later delete bootstraps + commits; the orphan must not be swept in
+    ids = [r[0] for r in src.limit(5).select("o_orderkey").collect()]
+    maintain.targeted_delete(spark, path, ids, "o_orderkey")
+    assert manifest.read_state(spark, path).count() == n - len(ids)
+    assert not any(
+        orphan in e for e in manifest.current_entries(spark, path)
+    )
+
+
 def test_concurrent_reader_never_sees_partial_splice(spark, sf_dir, tmp_path):
     """The r10 VERDICT item-3 contract, demonstrated live: readers
     hammer the rollup state while splices rewrite one day's content
