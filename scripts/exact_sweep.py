@@ -10,11 +10,13 @@ EXACT equality (None-safe ordering for CUBE/rollup NULL keys).
 
     python scripts/exact_sweep.py [sf_dir] [key_filter...]
 
-Round-11 state: full-registry run (after the r10-advice fixes, the
-manifest rewrite, the attribution/incident caching, k_core k=2, BPE
-round-trip and streaming SCD2) printed **241 exact, 0 inexact, 0 err**
-at sf0.01; the two quantile-IVM entries registered after that run
-swept 2/2 EXACT separately — 243/243 total.
+Round-11 final state: the end-of-round full-registry run — after the
+r10-advice fixes, the manifest protocol, the incident caching +
+attribution A/B, k_core k=2, BPE round-trip, streaming SCD2, the
+quantile IVM family, generation_diff and the bounded incremental
+verify — printed **244 exact, 0 inexact, 0 err** at sf0.01.  (An
+earlier mid-round full run was 241/241 before the last three entries
+registered.)
 """
 from __future__ import annotations
 
