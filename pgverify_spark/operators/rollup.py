@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pgverify_spark.functions.timecol import US_PER_DAY, US_PER_HOUR as _US_PER_HOUR
-from pgverify_spark.functions.timecol import bucket_sql, epoch_us_sql
+from pgverify_spark.functions.timecol import bucket_sql, duck_bucket_sql, epoch_us_sql
 
 
 def hourly_rollup(df: DataFrame, distinct_users: str | None = "exact") -> DataFrame:
@@ -945,6 +945,69 @@ def sample_range_quantiles(
         .filter(f"day BETWEEN {day_lo} AND {day_hi}")
         .select("v", "hk"),
         probs_ppm,
+    )
+
+
+def sample_trailing_quantiles(
+    df: DataFrame,
+    window_days: int = 7,
+    value_col: str = "value",
+    key_col: str = "event_id",
+    rate_ppm: int = 50_000,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> DataFrame:
+    """Rolling-window quantiles per day — the p50/p99 sibling of
+    :func:`hll_trailing_distinct`'s W/MAU: for every day present in the
+    data, the estimated quantiles of ``value_col`` over the trailing
+    ``window_days`` — THE latency/SLO reading exact per-day percentiles
+    cannot produce (daily percentiles don't re-aggregate).  Because
+    hash-threshold sample membership is a pure row predicate, each
+    register-cheap day sample fans out to the ``window_days`` windows
+    it belongs to (an explode — LINEAR in sample rows) and the union
+    per window IS the window's sample; ranks run per window day.
+
+    Output: (grp = day, prob_ppm, n_sample, est_value), rows only for
+    days with at least one event of their own (matching the WAU
+    convention).
+    """
+    from pgverify_spark.operators.sketch import grouped_quantiles_from_sample
+
+    sample = _day_sample(df, value_col, key_col, rate_ppm)
+    win = sample.selectExpr(
+        f"explode(sequence(day, day + {window_days - 1})) AS grp", "v", "hk"
+    )
+    days = sample.select(F.col("day").alias("grp")).distinct()
+    return grouped_quantiles_from_sample(win.join(days, "grp"), probs_ppm)
+
+
+def sample_trailing_quantiles_oracle_sql(
+    table: str,
+    window_days: int = 7,
+    value_col: str = "value",
+    key_col: str = "event_id",
+    rate_ppm: int = 50_000,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> str:
+    from pgverify_spark.operators.sketch import _ht_hash
+
+    thresh = rate_ppm * (1 << 60) // 1_000_000
+    h = _ht_hash(key_col, "duckdb")
+    day = duck_bucket_sql(US_PER_DAY)
+    probs_arr = ", ".join(str(p) for p in probs_ppm)
+    return (
+        f"WITH s AS (SELECT {day} AS day, {value_col} AS v, {h} AS hk "
+        f"FROM {table} WHERE {h} < {thresh}), "
+        f"w AS (SELECT unnest(range(day, day + {window_days})) AS grp, v, hk FROM s), "
+        "d AS (SELECT DISTINCT day AS grp FROM s), "
+        "ws AS (SELECT w.grp, v, hk FROM w JOIN d USING (grp)), "
+        "rk AS (SELECT grp, v, row_number() OVER "
+        "(PARTITION BY grp ORDER BY v, hk) AS rn FROM ws), "
+        "n AS (SELECT grp, count(*) AS n_sample FROM ws GROUP BY grp), "
+        f"p AS (SELECT unnest([{probs_arr}]) AS prob_ppm), "
+        "pr AS (SELECT grp, prob_ppm, n_sample, "
+        "CAST((prob_ppm * n_sample + 999999) // 1000000 AS BIGINT) AS r FROM n, p) "
+        "SELECT pr.grp, prob_ppm, n_sample, v AS est_value "
+        "FROM rk JOIN pr ON rk.grp = pr.grp AND rk.rn = pr.r"
     )
 
 

@@ -350,13 +350,27 @@ def grouped_sampled_quantiles(
     sample is empty produce no rows (raise ``rate_ppm`` for fine-grained
     groupings).
     """
-    from pyspark.sql import Window
-
     thresh = rate_ppm * (1 << 60) // 1_000_000
     h = _ht_hash(key_col, DIALECT_SPARK)
     s = df.selectExpr(
         f"{group_col} AS grp", f"{value_col} AS v", f"{h} AS hk"
     ).filter(F.col("hk") < thresh)
+    return grouped_quantiles_from_sample(s, probs_ppm)
+
+
+def grouped_quantiles_from_sample(
+    s: DataFrame,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> DataFrame:
+    """Rank-select quantiles per group from any (grp, v, hk) sample
+    relation — the shared back half of :func:`grouped_sampled_quantiles`
+    and the trailing-window quantiles
+    (``rollup.sample_trailing_quantiles``), so the two paths cannot
+    drift.  The rank window is PARTITIONED by grp (never a single
+    reducer); the probe join broadcasts the |groups|x|probs| rank
+    table."""
+    from pyspark.sql import Window
+
     ranked = s.withColumn(
         "rn", F.row_number().over(Window.partitionBy("grp").orderBy("v", "hk"))
     )

@@ -3277,6 +3277,16 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", rollup.hll_trailing_distinct),
             rollup.hll_trailing_distinct_oracle_sql("events"),
         ),
+        # the p50/p99 sibling of that WAU: trailing 7-day quantiles of
+        # value per day from the same pure-predicate day samples —
+        # union of day samples IS the window's sample, so the rolling
+        # SLO reading exact per-day percentiles cannot re-aggregate
+        # comes from sample-sized state, events never re-scanned per
+        # window
+        "quantile_trailing_events": (
+            _table_query("events", rollup.sample_trailing_quantiles),
+            rollup.sample_trailing_quantiles_oracle_sql("events"),
+        ),
         # KMV set operations: 3-gram shingle overlap between the two
         # corpus halves (union/intersection/Jaccard estimated from
         # three k-minimum-value sketches, never a join of the corpora).
@@ -4886,6 +4896,7 @@ _DRIVER_PRIORITY = (
     "quantile_range_rollup_events",  # last green r—never
     "generation_diff_orders",  # last green r—never
     "bpe_roundtrip_documents",  # last green r—never
+    "quantile_trailing_events",  # last green r—never
     "streaming_scd2_intervals_events",  # last green r—never
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
@@ -4932,7 +4943,6 @@ _DRIVER_PRIORITY = (
     "full_fingerprint_embeddings",  # last green r7
     "full_fingerprint_part",  # last green r7
     "verify_report_lineitem_pair",  # last green r7
-    "kmeans_assign_embeddings",  # last green r7
     "full_fingerprint_lineitem",  # last green r10
 )
 
@@ -5202,6 +5212,7 @@ HEADLINE_QUERIES = (
     "quantile_ivm_events",
     "quantile_range_rollup_events",
     "generation_diff_orders",
+    "quantile_trailing_events",
 )
 
 

@@ -4065,6 +4065,40 @@ def test_hll_snapshot_splice(spark, sf_dir, tmp_path):
     assert merged == whole
 
 
+def test_sample_trailing_quantiles_semantics(spark):
+    """Each day's trailing quantiles rank the UNION of the window's day
+    samples: with a 100% rate, day D's p50 is the median of days
+    (D-w+1..D)'s values; days without their own events emit nothing."""
+    import datetime
+
+    from pgverify_spark.operators import rollup
+
+    t0 = datetime.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    # day 0: values 1..4; day 1: 11..14; day 3: 21..24 (day 2 silent)
+    for d, base in ((0, 0), (1, 10), (3, 20)):
+        for i in range(1, 5):
+            eid += 1
+            rows.append((eid, t0 + datetime.timedelta(days=d), base + i))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value long")
+    out = {
+        (r["grp"], r["prob_ppm"]): r
+        for r in rollup.sample_trailing_quantiles(
+            df, window_days=2, rate_ppm=1_000_000, probs_ppm=(500_000,)
+        ).collect()
+    }
+    d0 = int((t0 - datetime.datetime(1970, 1, 1)).days)
+    assert set(g for g, _ in out) == {d0, d0 + 1, d0 + 3}  # silent day absent
+    # day 0's window is its own 4 values: ceil(.5*4)=2nd -> 2
+    assert out[(d0, 500_000)]["est_value"] == 2
+    # day 1's window is days 0-1 (8 values 1..4,11..14): 4th -> 4
+    assert out[(d0 + 1, 500_000)]["est_value"] == 4
+    assert out[(d0 + 1, 500_000)]["n_sample"] == 8
+    # day 3's window is days 2-3 = its own values only (day 2 silent)
+    assert out[(d0 + 3, 500_000)]["est_value"] == 22
+
+
 def test_sample_snapshot_splice(spark, sf_dir, tmp_path):
     """Quantile-sample state splice == from-scratch sampled quantiles of
     the mutated table (the mergeable-quantile IVM); a deleted day drops
