@@ -970,9 +970,22 @@ def sample_trailing_quantiles(
     days with at least one event of their own (matching the WAU
     convention).
     """
+    return trailing_quantiles_from_day_sample(
+        _day_sample(df, value_col, key_col, rate_ppm), window_days, probs_ppm
+    )
+
+
+def trailing_quantiles_from_day_sample(
+    sample: DataFrame,
+    window_days: int,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> DataFrame:
+    """The window-fanout + rank half of :func:`sample_trailing_quantiles`
+    over any (day, v, hk) sample relation — shared by the batch operator
+    and the streaming day-sample store, so the two paths cannot drift
+    (the ``trailing_merge_registers`` pattern)."""
     from pgverify_spark.operators.sketch import grouped_quantiles_from_sample
 
-    sample = _day_sample(df, value_col, key_col, rate_ppm)
     win = sample.selectExpr(
         f"explode(sequence(day, day + {window_days - 1})) AS grp", "v", "hk"
     )

@@ -4536,6 +4536,45 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
         "orders", "o_totalprice", "o_orderkey"
     )
 
+    def run_strailq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.sketch import (
+            finalize_streaming_trailing_quantiles,
+            streaming_day_sample,
+        )
+
+        ensure_required_confs(spark)
+        events = ParquetTarget("t", sf_dir).read(spark, "events")
+        tmp = tempfile.mkdtemp(prefix="pgvs_strailq_")
+        (
+            events.withColumn("chunk", (F.col("event_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_day_sample(sdf, f"{tmp}/sample")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return finalize_streaming_trailing_quantiles(spark, f"{tmp}/sample")
+
+    # day-respecting for free: membership never looks at the day, so
+    # the stored per-batch day samples union into the table's per-day
+    # samples => shares the batch trailing-quantiles oracle
+    strailq_oracle = rollup.sample_trailing_quantiles_oracle_sql("events")
+
     win_us = 6 * 3_600_000_000
     windowed_oracle = (
         f"SELECT (CAST(epoch_us(ts) AS BIGINT) // {win_us}) * {win_us} AS win_start_us, "
@@ -4631,6 +4670,7 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
         "streaming_lm_scores_documents": (run_lm, lm_stream_oracle),
         "streaming_lsh_ingest_dedup_documents": (run_lsh_ingest, lsh_ingest_oracle),
         "streaming_sampled_quantiles_orders": (run_squant, squant_oracle),
+        "streaming_quantile_trailing_events": (run_strailq, strailq_oracle),
     }
 
 
@@ -4898,6 +4938,7 @@ _DRIVER_PRIORITY = (
     "bpe_roundtrip_documents",  # last green r—never
     "quantile_trailing_events",  # last green r—never
     "streaming_scd2_intervals_events",  # last green r—never
+    "streaming_quantile_trailing_events",  # last green r—never
     "rowcount_fingerprint_lineitem",  # last green r5
     "tpch_q1_pricing_summary",  # last green r5
     "full_fingerprint_orders_excl_cols",  # last green r6
@@ -4942,7 +4983,6 @@ _DRIVER_PRIORITY = (
     "ivf_topk_embeddings",  # last green r6
     "full_fingerprint_embeddings",  # last green r7
     "full_fingerprint_part",  # last green r7
-    "verify_report_lineitem_pair",  # last green r7
     "full_fingerprint_lineitem",  # last green r10
 )
 

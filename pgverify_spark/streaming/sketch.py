@@ -200,6 +200,66 @@ def finalize_streaming_quantiles(
     )
 
 
+def streaming_day_sample(
+    sdf: DataFrame, sample_path: str,
+    value_col: str = "value", key_col: str = "event_id",
+    rate_ppm: int = 50_000,
+):
+    """Streaming DAY-KEYED quantile-sample maintenance: like
+    :func:`streaming_sample_quantiles` but each survivor row carries
+    its event-time day, so the store supports the trailing-window
+    finalize (rolling p50/p99 at ingest) and arbitrary day-range
+    quantiles — the streaming feeder of the batch
+    ``rollup.sample_trailing_quantiles`` / ``sample_range_quantiles``
+    family.  Same replay-idempotent ``batch_id`` partition discipline;
+    same exactness argument (sample-of-union == union-of-samples is
+    day-respecting because membership never looks at the day).
+
+    Returns a configured ``writeStream`` (caller sets checkpoint and
+    calls ``start()``)."""
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        _write_day_sample_batch(
+            batch_df, batch_id, value_col, key_col, sample_path, rate_ppm
+        )
+
+    return sdf.writeStream.foreachBatch(append).outputMode("append")
+
+
+def _write_day_sample_batch(
+    batch_df: DataFrame, batch_id: int, value_col: str, key_col: str,
+    sample_path: str, rate_ppm: int,
+) -> None:
+    from pyspark.sql import functions as F
+
+    from pgverify_spark.operators.rollup import _day_sample
+
+    (
+        _day_sample(batch_df, value_col, key_col, rate_ppm)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(sample_path)
+    )
+
+
+def finalize_streaming_trailing_quantiles(
+    spark, sample_path: str, window_days: int = 7,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+) -> DataFrame:
+    """Rolling-window quantile report from the persisted day-sample
+    store — the same window fanout + rank selection as the batch
+    operator (shared code path via
+    ``rollup.trailing_quantiles_from_day_sample``)."""
+    from pgverify_spark.operators.rollup import trailing_quantiles_from_day_sample
+
+    return trailing_quantiles_from_day_sample(
+        spark.read.parquet(sample_path).select("day", "v", "hk"),
+        window_days,
+        probs_ppm,
+    )
+
+
 def streaming_kmv_overlap(
     sdf: DataFrame,
     store_path: str,
