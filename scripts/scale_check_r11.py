@@ -62,15 +62,29 @@ def _duck_pass(sf_dir: str, names, oracles) -> dict[str, float]:
             )
     out = {}
     for name in names:
-        out[name] = round(time_min2(lambda: con.execute(oracles[name]).fetchall()), 3)
+        try:
+            out[name] = round(
+                time_min2(lambda: con.execute(oracles[name]).fetchall()), 3
+            )
+        except Exception as ex:  # noqa: BLE001 — probe must not stop
+            print(f"DUCK FAIL {name}: {type(ex).__name__}", flush=True)
+            out[name] = float("nan")
     con.close()
     return out
 
 
 def main() -> None:
-    from pgverify_spark import registry
+    from pgverify_spark import registry, session
     from pgverify_spark.session import get_spark
 
+    # builder-side experiment heap: the default 8g local-mode JVM is
+    # sized for sf0.1 (the bench protocol) — a 100x row_diff shuffle
+    # needs real headroom, and the host has 128 GiB
+    session.TUNING_CONFS = {
+        **session.TUNING_CONFS,
+        "spark.driver.memory": "48g",
+        "spark.sql.shuffle.partitions": "64",
+    }
     build_replicated()
     build_replicated_100()
     spark = get_spark("pgverify-spark-scale-r11")
@@ -81,12 +95,22 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     for label, sf_dir in (("1x", SRC), ("10x", DST), ("100x", DST100)):
         for name in QUERIES_100:
-            t = time_min2(lambda: queries[name](spark, sf_dir).collect())
+            try:
+                t = time_min2(lambda: queries[name](spark, sf_dir).collect())
+            except Exception as ex:  # noqa: BLE001 — probe must not stop
+                print(f"SPARK FAIL {label} {name}: {type(ex).__name__}", flush=True)
+                t = float("nan")
             results.setdefault(name, {})[f"spark_{label}"] = round(t, 3)
+            print(f"spark {label} {name}: {t:.3f}", flush=True)
             spark.catalog.clearCache()
-        duck = _duck_pass(sf_dir, QUERIES_100, oracles)
+        try:
+            duck = _duck_pass(sf_dir, QUERIES_100, oracles)
+        except Exception as ex:  # noqa: BLE001
+            print(f"DUCK FAIL {label}: {type(ex).__name__}", flush=True)
+            duck = {n: float("nan") for n in QUERIES_100}
         for name in QUERIES_100:
             results[name][f"duck_{label}"] = duck[name]
+            print(f"duck {label} {name}: {duck[name]:.3f}", flush=True)
 
     # k-core at 100x edges: replicate the 1x LSH pair graph with
     # shifted ids (disjoint components), then time the peel alone
