@@ -14,9 +14,10 @@ Round-11 final state: the end-of-round full-registry run — after the
 r10-advice fixes, the manifest protocol, the incident caching +
 attribution A/B, k_core k=2, BPE round-trip, streaming SCD2, the
 quantile IVM family, generation_diff and the bounded incremental
-verify — printed **244 exact, 0 inexact, 0 err** at sf0.01.  (An
-earlier mid-round full run was 241/241 before the last three entries
-registered.)
+verify — printed **244 exact, 0 inexact, 0 err** at sf0.01; the two
+trailing-quantile entries registered after it each swept 1/1 EXACT
+separately — 246/246 total.  (An earlier mid-round full run was
+241/241 before the round's last five entries registered.)
 """
 from __future__ import annotations
 
