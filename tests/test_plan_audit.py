@@ -35,15 +35,10 @@ WINDOW_SINGLE_OK = {
     # sum(n) OVER () runs over the per-bucket counts relation:
     # ≤ buckets+1 rows by construction, never the corpus.
     "distribution_drift_orders": "window over ≤buckets-row aggregate",
-    # rank window runs over the rate_ppm hash-threshold sample, never
-    # the corpus (membership is a pure row predicate pushed to the scan).
-    "sampled_quantiles_orders": "window over rate-bounded deterministic sample",
-    # same rank window, reading the persisted rate-bounded sample store
-    "streaming_sampled_quantiles_orders": "window over rate-bounded sample store",
-    # same rank window over the persisted per-day sample STATE (rate ×
-    # touched-days rows), never the events
-    "quantile_ivm_events": "window over rate-bounded per-day sample state",
-    "quantile_range_rollup_events": "window over rate-bounded per-day sample state",
+    # (the four quantile-sample entries came OFF this list in r12:
+    # quantiles_from_sample now ranks via the equidepth distributed-rank
+    # machinery — range repartition + O(#partitions) offsets + a
+    # pid-partitioned row_number — no single-reducer Window remains.)
 }
 
 
