@@ -665,7 +665,11 @@ def _file_day_bounds(df) -> dict[str, tuple[int, int]]:
     """Per-input-file (day_min, day_max) of the event-time column — one
     aggregate over the files' own bytes, keyed by ``input_file_name``
     (normalized to the catalog's path spelling).  Empty when the table
-    has no ``ts`` column."""
+    has no ``ts`` column.  A file with any NULL-``ts`` row has no
+    derivable bound (those rows' day is unknowable from metadata) and
+    is OMITTED from the result rather than crashing on ``int(None)``
+    (r11 ADVICE) — callers treat a missing file as "no bound" and fall
+    back to the full scan."""
     from pgverify_spark.functions import timecol
     from pgverify_spark.sources.maintain import _hadoop
 
@@ -677,11 +681,17 @@ def _file_day_bounds(df) -> dict[str, tuple[int, int]]:
     rows = (
         df.selectExpr("input_file_name() AS f", f"{day} AS d")
         .groupBy("f")
-        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .agg(
+            F.min("d").alias("lo"),
+            F.max("d").alias("hi"),
+            F.sum(F.col("d").isNull().cast("bigint")).alias("n_null"),
+        )
         .collect()
     )
     out = {}
     for r in rows:
+        if r["lo"] is None or r["hi"] is None or (r["n_null"] or 0) > 0:
+            continue
         p = jvm.org.apache.hadoop.fs.Path(r["f"]).toUri().getPath()
         out[p] = (int(r["lo"]), int(r["hi"]))
     return out
@@ -836,16 +846,87 @@ def snapshot_affected_day_bounds(
     existing_new = [p for p in new_files if p in current]
     if existing_new:
         sub = spark.read.parquet(*existing_new)
+        if "ts" not in sub.columns:
+            return None
         bounds = _file_day_bounds(sub)
-        if "ts" in sub.columns and not bounds and sub.count() > 0:
+        # every scanned file must yield a bound — a file omitted from
+        # the result (all-NULL or mixed-NULL ts: its rows' days are not
+        # derivable) makes the whole range unbounded (r11 ADVICE; was a
+        # TypeError crash on int(None)).  Non-empty files with no bound
+        # and genuinely empty files both land here; empty-file fallback
+        # is conservative but costs only the scan we already avoided.
+        if len(bounds) < len(existing_new) and sub.count() > 0:
             return None
         for a, b in bounds.values():
             widen(a, b)
-        if "ts" not in sub.columns:
-            return None
     if lo is None:  # metadata moved but no rows anywhere? treat as full
         return None
     return lo, hi
+
+
+def _catalog_delta_within_parts(
+    spark, df: DataFrame, prev_catalog: list[list] | None, parts: tuple,
+    partition_sql: str | None,
+) -> bool:
+    """Is every file that changed/appeared/vanished since the stored
+    catalog provably confined to the day partitions named in ``parts``?
+
+    The guard for the splice's catalog re-baseline (r11 ADVICE,
+    medium): ``update_fingerprint_snapshot`` re-fingerprints only the
+    named partitions but used to re-baseline the catalog to ALL current
+    files unconditionally — a ``--snapshot-refresh`` naming fewer
+    partitions than actually changed would then arm the
+    ``snapshot_catalog_unchanged`` fast path and permanently certify
+    zero drift for the un-named stale partitions, where a plain verify
+    would have full-scanned and caught the caller's mistake.  Returns
+    False (caller skips the catalog write; later verifies fall back to
+    the real scan) whenever containment cannot be PROVEN: custom
+    ``partition_sql`` (parts are not day numbers), no stored catalog or
+    bounds, a changed file without a stored bound, an added file
+    without a derivable bound, or any delta day outside ``parts``.
+    """
+    if partition_sql is not None:
+        return False  # parts are caller-typed, not day numbers
+    if prev_catalog is None or any(len(row) < 5 for row in prev_catalog):
+        return False
+    try:
+        part_days = {int(p) for p in parts}
+    except (TypeError, ValueError):
+        return False
+
+    def covered(lo: int, hi: int) -> bool:
+        return hi - lo < len(part_days) + 1 and all(
+            d in part_days for d in range(lo, hi + 1)
+        )
+
+    by_path = {row[0]: row for row in prev_catalog}
+    current = {
+        row[0]: row
+        for row in _target_file_catalog(spark, sorted(df.inputFiles()))
+    }
+    changed_stored = [
+        row for p, row in by_path.items()
+        if p not in current or tuple(current[p][:3]) != tuple(row[:3])
+    ]
+    for row in changed_stored:
+        if row[3] is None or row[4] is None:
+            return False
+        if not covered(int(row[3]), int(row[4])):
+            return False
+    added = [
+        p for p, row in current.items()
+        if p not in by_path or tuple(by_path[p][:3]) != tuple(row)
+    ]
+    if added:
+        if "ts" not in df.columns:
+            return False
+        bounds = _file_day_bounds(spark.read.parquet(*added))
+        if len(bounds) < len(added):
+            return False  # some added file has no derivable day bound
+        for lo, hi in bounds.values():
+            if not covered(lo, hi):
+                return False
+    return True
 
 
 def verify_against_snapshot(
@@ -962,8 +1043,16 @@ def update_fingerprint_snapshot(
     kept.unionByName(fresh).write.parquet(f"{path}/{gen}")
     # refresh the target file catalog: the splice re-baselines the
     # incremental-verify fast path to the table's current files;
-    # unchanged files keep their stored day bounds (O(delta) refresh)
-    _write_file_catalog(df, f"{path}/{gen}", _read_file_catalog(spark, path))
+    # unchanged files keep their stored day bounds (O(delta) refresh).
+    # ONLY when the file delta is provably confined to ``parts`` (r11
+    # ADVICE, medium): re-baselining past an under-named refresh would
+    # arm the metadata fast path to certify zero drift for partitions
+    # this splice never recomputed.  When containment can't be proven
+    # the catalog is simply dropped — later verifies full-scan, which
+    # is the behavior a mistaken caller needs to see their drift.
+    prev_cat = _read_file_catalog(spark, path)
+    if _catalog_delta_within_parts(spark, df, prev_cat, parts, partition_sql):
+        _write_file_catalog(df, f"{path}/{gen}", prev_cat)
     manifest.commit(spark, path, [gen])
     return manifest.read_state(spark, path)
 

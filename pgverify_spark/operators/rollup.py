@@ -829,6 +829,7 @@ def write_sample_snapshot(
     value_col: str = "value",
     key_col: str = "event_id",
     rate_ppm: int = 50_000,
+    cap_per_day: int | None = None,
 ) -> None:
     """Materialize the per-day deterministic hash-threshold sample
     (day, v, hk) — the QUANTILE analog of :func:`write_hll_snapshot`:
@@ -838,13 +839,28 @@ def write_sample_snapshot(
     (``md5(key) < rate``) — the union of day samples IS the sample of
     the day union, no re-read, no re-weighting.  Laid out partitioned
     by day; generation-dir write + manifest commit (same
-    atomic-to-readers contract as the other snapshot writers)."""
+    atomic-to-readers contract as the other snapshot writers).
+
+    ``cap_per_day`` bounds the STATE independent of table size (r11
+    VERDICT item 2): each day keeps only its ``cap_per_day`` smallest
+    rows by (hk, v) — a KMV bottom-k, which is itself a uniform sample
+    and merge-compatible (``sketch.sample_trim``), so the splice and
+    range-query contracts survive verbatim; readers of capped state
+    re-trim the union at query time.  Rate-vs-cap guidance: ``rate_ppm``
+    sets the STATISTICAL resolution (a 5% sample answers p99 of a
+    window to ~±1/sqrt(0.05·n) relative rank error) and scales state
+    linearly with data; ``cap_per_day`` turns that into a hard per-day
+    budget — pick the cap at the precision you need for a SINGLE day
+    (e.g. 10k rows resolves p99 to ~±0.1% rank) and the rate high
+    enough that a small day still fills a usable sample; at 100 TB the
+    capped state is days × cap rows forever while the uncapped form is
+    5% of the table."""
     from pgverify_spark.sources import manifest
 
     spark = df.sparkSession
     gen = manifest.new_generation()
     (
-        _day_sample(df, value_col, key_col, rate_ppm)
+        _day_sample(df, value_col, key_col, rate_ppm, cap_per_day)
         .write.partitionBy("day")
         .mode("overwrite")
         .parquet(f"{path}/{gen}")
@@ -853,19 +869,35 @@ def write_sample_snapshot(
 
 
 def _day_sample(
-    df: DataFrame, value_col: str, key_col: str, rate_ppm: int
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    rate_ppm: int,
+    cap_per_day: int | None = None,
 ) -> DataFrame:
     """(day, v, hk) hash-threshold sample — ``sketch.sample_select``'s
     predicate with the day key carried through for the partition
-    layout."""
+    layout.  ``cap_per_day`` applies the per-day KMV bottom-k trim (a
+    day-PARTITIONED rank window over sample-rate-bounded rows — never a
+    single reducer)."""
     from pgverify_spark.operators.sketch import _ht_hash
 
     thresh = rate_ppm * (1 << 60) // 1_000_000
     day = bucket_sql(df, US_PER_DAY)
     h = _ht_hash(key_col, "spark")
-    return df.selectExpr(
+    s = df.selectExpr(
         f"CAST({day} AS BIGINT) AS day", f"{value_col} AS v", f"{h} AS hk"
     ).filter(F.col("hk") < thresh)
+    if cap_per_day is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("day").orderBy("hk", "v")
+        s = (
+            s.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cap_per_day)
+            .drop("rn")
+        )
+    return s
 
 
 def read_sample_snapshot(spark, path: str) -> DataFrame:
@@ -886,6 +918,7 @@ def update_sample_snapshot(
     key_col: str = "event_id",
     rate_ppm: int = 50_000,
     probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+    cap_per_day: int | None = None,
 ) -> DataFrame:
     """Splice-update the per-day sample state for ONLY the named days
     (pruned delta scan, manifest-pinned generation swap — same contract
@@ -898,15 +931,24 @@ def update_sample_snapshot(
     support (per-day exact percentiles don't merge): the state holds
     O(rate × rows) sample rows per day, the splice touches only the
     named days' directories, and any later range/whole query ranks the
-    state, never the events."""
-    from pgverify_spark.operators.sketch import quantiles_from_sample
+    state, never the events.
+
+    With ``cap_per_day`` (pass the SAME value used at
+    :func:`write_sample_snapshot`): fresh days are trimmed to the cap
+    at write (days are rewritten wholesale, so capped splice == capped
+    from-scratch by construction) and the returned quantiles re-trim
+    the whole-state union to ``cap_per_day`` rows first — by the KMV
+    identity that equals the straight bottom-k of the current table's
+    sample, which is what the oracle twin computes."""
+    from pgverify_spark.operators.sketch import quantiles_from_sample, sample_trim
     from pgverify_spark.sources import manifest
 
     if days:
         day = bucket_sql(df, US_PER_DAY)
         in_list = ", ".join(str(int(d)) for d in days)
         fresh = _day_sample(
-            df.filter(f"({day}) IN ({in_list})"), value_col, key_col, rate_ppm
+            df.filter(f"({day}) IN ({in_list})"),
+            value_col, key_col, rate_ppm, cap_per_day,
         )
         prev = manifest.current_entries(spark, path)
         if prev is None:
@@ -920,9 +962,10 @@ def update_sample_snapshot(
         dropped = {f"day={int(d)}" for d in days}
         kept = [e for e in prev if e.rsplit("/", 1)[-1] not in dropped]
         manifest.commit(spark, path, kept + _gen_day_entries(spark, path, gen))
-    return quantiles_from_sample(
-        read_sample_snapshot(spark, path).select("v", "hk"), probs_ppm
-    )
+    s = read_sample_snapshot(spark, path).select("v", "hk")
+    if cap_per_day is not None:
+        s = sample_trim(s, cap_per_day)
+    return quantiles_from_sample(s, probs_ppm)
 
 
 def sample_range_quantiles(
@@ -931,21 +974,27 @@ def sample_range_quantiles(
     day_lo: int,
     day_hi: int,
     probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+    cap_per_day: int | None = None,
 ) -> DataFrame:
     """Quantiles over an arbitrary day RANGE from stored sample state:
     the range's day samples union into the range's sample (pure
     predicate membership — the property exact percentiles lack), rank,
     select.  The day filter prunes to the range's partition
     directories; events are never re-read.  Output matches
-    :func:`~pgverify_spark.operators.sketch.sampled_quantiles`."""
-    from pgverify_spark.operators.sketch import quantiles_from_sample
+    :func:`~pgverify_spark.operators.sketch.sampled_quantiles`.  For
+    capped state pass the writer's ``cap_per_day``: the range union
+    re-trims to the cap (KMV: equals the bottom-k of the range's raw
+    sample)."""
+    from pgverify_spark.operators.sketch import quantiles_from_sample, sample_trim
 
-    return quantiles_from_sample(
+    s = (
         read_sample_snapshot(spark, path)
         .filter(f"day BETWEEN {day_lo} AND {day_hi}")
-        .select("v", "hk"),
-        probs_ppm,
+        .select("v", "hk")
     )
+    if cap_per_day is not None:
+        s = sample_trim(s, cap_per_day)
+    return quantiles_from_sample(s, probs_ppm)
 
 
 def sample_trailing_quantiles(

@@ -361,6 +361,50 @@ def quantiles_from_sample(
     return tag_cached_deps(out, ranged)
 
 
+def sample_trim(s: DataFrame, k: int) -> DataFrame:
+    """KMV-style bottom-k trim of a (v, hk) hash-threshold sample: keep
+    the ``k`` smallest rows by (hk, v).  The hash is uniform, so the
+    kept rows are a uniform random size-k sample — and the operation is
+    MERGE-COMPATIBLE: ``trim(A ∪ B) == trim(trim(A) ∪ trim(B))`` (the
+    classic KMV identity), which is what lets per-day sample STATE be
+    capped at k rows per day (flat state regardless of day volume,
+    r11 VERDICT item 2) while any day-range query re-trims the union
+    and still holds a faithful bottom-k sample of the whole range.
+    Physical shape: a global sort-limit = ``TakeOrderedAndProject`` —
+    per-partition top-k then a k-row driver merge, never a
+    single-reducer sort."""
+    return s.orderBy("hk", "v").limit(k).select("v", "hk")
+
+
+def capped_sampled_quantiles_oracle_sql(
+    table: str,
+    value_col: str,
+    key_col: str,
+    cap: int,
+    probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+    rate_ppm: int = 50_000,
+) -> str:
+    """DuckDB twin of rank-select quantiles over the CAPPED sample:
+    deliberately computed as the straight bottom-``cap`` of the whole
+    table's hash-threshold sample — NOT via per-day capped state — so a
+    matching result proves the KMV trim identity (union-then-trim ==
+    trim-of-unions of per-day trims) cross-engine, not just that two
+    engines ran the same steps."""
+    thresh = rate_ppm * (1 << 60) // 1_000_000
+    h = _ht_hash(key_col, DIALECT_DUCKDB)
+    probs_arr = ", ".join(str(p) for p in probs_ppm)
+    return (
+        f"WITH s AS (SELECT {value_col} AS v, {h} AS hk FROM {table} WHERE {h} < {thresh}), "
+        f"t AS (SELECT v, hk FROM s ORDER BY hk, v LIMIT {cap}), "
+        "n AS (SELECT count(*) AS n_sample FROM t), "
+        "rk AS (SELECT v, row_number() OVER (ORDER BY v, hk) AS rn FROM t), "
+        f"p AS (SELECT unnest([{probs_arr}]) AS prob_ppm), "
+        "pr AS (SELECT prob_ppm, n_sample, "
+        "CAST((prob_ppm * n_sample + 999999) // 1000000 AS BIGINT) AS r FROM p, n) "
+        "SELECT prob_ppm, n_sample, v AS est_value FROM rk JOIN pr ON rk.rn = pr.r"
+    )
+
+
 def sampled_quantiles_oracle_sql(
     table: str,
     value_col: str,

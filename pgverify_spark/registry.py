@@ -765,6 +765,47 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
             "event_id",
         ),
     )
+
+    # CAPPED quantile IVM (r11 VERDICT item 2): per-day state bounded at
+    # cap rows forever — days×cap at 100 TB, vs 5% of the table uncapped.
+    # Same splice fault as quantile_ivm_events; rate is raised so the cap
+    # BINDS at every test SF (sf0.01: ~100 sampled rows/day, trimmed to
+    # 50).  The oracle computes the straight bottom-cap of the mutated
+    # table's sample — matching it proves the KMV trim identity
+    # (trim-of-union == trim-of-union-of-per-day-trims) cross-engine.
+    _QCAP_RATE, _QCAP = 300_000, 50
+
+    def run_qsample_ivm_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        ensure_required_confs(spark)
+        left = ParquetTarget("t", sf_dir).read(spark, "events")
+        day = timecol.bucket_sql(left, timecol.US_PER_DAY)
+        changed = left.filter(f"{day} <> 19724").selectExpr(
+            "event_id", "ts", "user_id", "event_type",
+            f"CASE WHEN {day} = 19723 AND event_id % 7 = 0 "
+            "THEN value + 50 ELSE value END AS value",
+            "props",
+        )
+        state = _QSAMPLE_CAP_STORE.get(sf_dir)
+        if state is None:
+            state = tempfile.mkdtemp(prefix="pgvs_qscap_") + "/state"
+            rollup.write_sample_snapshot(
+                left, state, rate_ppm=_QCAP_RATE, cap_per_day=_QCAP
+            )
+            _QSAMPLE_CAP_STORE[sf_dir] = state
+        return rollup.update_sample_snapshot(
+            spark, changed, state, (19723, 19724),
+            rate_ppm=_QCAP_RATE, cap_per_day=_QCAP,
+        )
+
+    out["quantile_ivm_capped_events"] = (
+        run_qsample_ivm_capped,
+        sketch.capped_sampled_quantiles_oracle_sql(
+            f"{qs_right_sql} r", "value", "event_id",
+            cap=_QCAP, rate_ppm=_QCAP_RATE,
+        ),
+    )
     return out
 
 
@@ -1211,6 +1252,10 @@ _HLL_IVM_STORE: dict[str, str] = {}
 #: sf_dir -> persisted per-day quantile-sample state (quantile_ivm /
 #: quantile_range_rollup share it, either order).
 _QSAMPLE_IVM_STORE: dict[str, str] = {}
+
+#: sf_dir -> CAPPED per-day quantile-sample state (KMV bottom-k per
+#: day; its own store because rate/cap differ from the uncapped twin).
+_QSAMPLE_CAP_STORE: dict[str, str] = {}
 
 #: sf_dir -> parquet path of the stored bigram LM model (trained once
 #: per sf_dir; scoring joins against it — the "built offline once"

@@ -13,10 +13,15 @@ shared commit protocol instead of deferring to "deploy Delta":
 - ``base/_manifest-<N>`` (N monotonically increasing, zero-padded) is a
   one-line JSON file listing the entries that ARE the current state.
   Writers stage a full new generation first, then publish by CREATING
-  the next manifest — file creation is atomic on every Hadoop
-  filesystem (and O_EXCL-like on object stores), and readers take the
-  highest N present, so there is never an instant with no committed
-  manifest and never a reader that sees half a commit.
+  the next manifest with ``create(overwrite=false)``.  On HDFS and
+  local filesystems that create is atomic-exclusive, so even a zombie
+  writer racing the same N loses cleanly; on S3A-style object stores
+  create is NOT exclusive (no O_EXCL) — there the protocol's safety
+  rests entirely on the single-writer discipline below, and a deployment
+  with genuinely concurrent writers needs a store with conditional
+  puts or an external lock.  Readers take the highest N present, so
+  there is never an instant with no committed manifest and never a
+  reader that sees half a commit.
 - GC runs inside :func:`commit` with a ONE-COMMIT GRACE WINDOW: only
   entries (and manifest files) last referenced two or more commits ago
   are deleted, so a reader that resolved manifest N keeps every file it
@@ -42,6 +47,19 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST_PREFIX = "_manifest-"
 
 
+def _norm(base: str) -> str:
+    """Canonical base spelling: no trailing slash (r11 ADVICE — a
+    trailing-slash caller used to produce ``//file`` absolute paths in
+    :func:`data_files`, whose base-relative slice in
+    ``maintain._commit_rewrite`` then yielded ``/file`` entries that no
+    longer string-matched earlier commits' ``file`` entries, so a later
+    commit's GC keep-set missed them and deleted still-referenced
+    files).  Every public function normalizes on entry so entry strings
+    are canonical regardless of caller spelling."""
+    stripped = base.rstrip("/")
+    return stripped if stripped else base
+
+
 def _jfs(spark: SparkSession, base: str):
     from pgverify_spark.sources.maintain import _hadoop
 
@@ -58,6 +76,7 @@ def _list_names(fs, P, base: str) -> list[str]:
 
 def manifest_numbers(spark: SparkSession, base: str) -> list[int]:
     """All committed manifest numbers under ``base``, ascending."""
+    base = _norm(base)
     _, fs, P = _jfs(spark, base)
     out = []
     for name in _list_names(fs, P, base):
@@ -69,7 +88,7 @@ def manifest_numbers(spark: SparkSession, base: str) -> list[int]:
     return sorted(out)
 
 
-def _read_entries(spark: SparkSession, base: str, n: int) -> list[str]:
+def _read_manifest(spark: SparkSession, base: str, n: int) -> dict:
     jvm, fs, P = _jfs(spark, base)
     path = P(f"{base}/{MANIFEST_PREFIX}{n:020d}")
     stream = fs.open(path)
@@ -79,12 +98,17 @@ def _read_entries(spark: SparkSession, base: str, n: int) -> list[str]:
         ).decode("utf-8")
     finally:
         stream.close()
-    return list(json.loads(raw)["entries"])
+    return json.loads(raw)
+
+
+def _read_entries(spark: SparkSession, base: str, n: int) -> list[str]:
+    return list(_read_manifest(spark, base, n)["entries"])
 
 
 def current_entries(spark: SparkSession, base: str) -> list[str] | None:
     """The committed state's base-relative entries, or None when ``base``
     has no manifest (legacy layout — read ``base`` directly)."""
+    base = _norm(base)
     nums = manifest_numbers(spark, base)
     if not nums:
         return None
@@ -114,14 +138,22 @@ def read_state(
     generation of time travel is exactly what
     :func:`~pgverify_spark.sources.maintain.generation_diff` needs to
     audit the last maintenance write.
+
+    A legitimately committed EMPTY state (a maintenance pass dropped
+    every remaining day, or a targeted delete emptied the table) reads
+    back as an EMPTY DataFrame with the schema the commit recorded
+    (r11 ADVICE — this used to raise and crash the writer's own
+    trailing read-back); only a schema-less empty commit (possible for
+    pre-r12 manifests) still raises.
     """
-    entries = (
-        _read_entries(spark, base, manifest_no)
-        if manifest_no is not None
-        else current_entries(spark, base)
-    )
-    if entries is None:
-        return spark.read.parquet(base)
+    base = _norm(base)
+    if manifest_no is None:
+        nums = manifest_numbers(spark, base)
+        if not nums:
+            return spark.read.parquet(base)
+        manifest_no = nums[-1]
+    m = _read_manifest(spark, base, manifest_no)
+    entries = list(m["entries"])
     part_groups: dict[str, list[str]] = {}
     flat: list[str] = []
     for e in entries:
@@ -139,7 +171,16 @@ def read_state(
             spark.read.option("basePath", base_path).parquet(*paths)
         )
     if not parts:  # a committed EMPTY state (everything deleted)
-        raise ValueError(f"manifest at {base!r} commits an empty state")
+        if m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
+        raise ValueError(
+            f"manifest at {base!r} commits an empty state with no "
+            "recorded schema (pre-r12 manifest)"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -150,6 +191,7 @@ def data_files(spark: SparkSession, base: str) -> list[tuple[str, int]] | None:
     """(absolute file path, size) for every data file the committed
     state references, or None for legacy layouts (callers list ``base``
     directly).  Directory entries expand recursively."""
+    base = _norm(base)
     entries = current_entries(spark, base)
     if entries is None:
         return None
@@ -180,11 +222,28 @@ def commit(spark: SparkSession, base: str, entries: list[str]) -> int:
     manifests and entries whose last reference is manifest N-1 or older
     — the one-commit grace window documented in the module docstring.
     Returns the new manifest number.
+
+    An EMPTY ``entries`` list additionally records the outgoing state's
+    schema (one footer read of the previous commit, or the previous
+    commit's own recorded schema when it too was empty) so
+    :func:`read_state` can hand back an empty DataFrame instead of
+    raising (r11 ADVICE).
     """
+    base = _norm(base)
     jvm, fs, P = _jfs(spark, base)
     nums = manifest_numbers(spark, base)
     n = (nums[-1] if nums else 0) + 1
-    body = json.dumps({"entries": sorted(entries)}).encode("utf-8")
+    payload: dict = {"entries": sorted(entries)}
+    if not entries and nums:
+        prev = _read_manifest(spark, base, nums[-1])
+        if prev.get("entries"):
+            try:
+                payload["schema"] = read_state(spark, base, nums[-1]).schema.json()
+            except Exception:  # noqa: BLE001 — schema capture is best-effort
+                pass
+        elif prev.get("schema"):
+            payload["schema"] = prev["schema"]
+    body = json.dumps(payload).encode("utf-8")
     stream = fs.create(P(f"{base}/{MANIFEST_PREFIX}{n:020d}"), False)
     try:
         stream.write(body)
@@ -227,6 +286,7 @@ def bootstrap_entries(spark: SparkSession, base: str) -> list[str]:
     unreferenced one is by definition the debris of a write that
     crashed before its commit — sweeping it into the bootstrap would
     resurrect its staged rows as duplicates."""
+    base = _norm(base)
     _, fs, P = _jfs(spark, base)
     out = []
     for name in _list_names(fs, P, base):

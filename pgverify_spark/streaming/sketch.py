@@ -243,6 +243,36 @@ def _write_day_sample_batch(
     )
 
 
+def compact_sample_store(
+    spark, sample_path: str, upto_exclusive: int,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Sealed-batch compaction for the streaming sample stores (both
+    the flat ``streaming_sample_quantiles`` store and the day-keyed
+    ``streaming_day_sample`` store): without it each micro-batch leaves
+    its own ``batch_id=N`` directory forever — small-file growth
+    unbounded in stream lifetime (r11 VERDICT item 3).
+
+    Delegates to :func:`pgverify_spark.streaming.ingest.seal_and_compact`
+    — the stores share the ingest store's exact layout and replay
+    discipline, so the same crash-safe protocol applies verbatim: pass
+    the newest CHECKPOINT-COMMITTED batch id as ``upto_exclusive``
+    (those batches can never replay; the in-flight batch keeps its own
+    directory for the dynamic-overwrite replay contract), sealed
+    directories merge into one ``batch_id=-G`` generation via staging +
+    rename with a ``_covers_upto`` marker, and recovery deletes
+    resurrected duplicates before ever compacting further.  Content is
+    untouched — ``finalize_streaming_quantiles`` /
+    ``finalize_streaming_trailing_quantiles`` read the store through
+    partition discovery and drop ``batch_id``, so their output is
+    IDENTICAL before and after (asserted in tests); only the file count
+    drops.  Run it as the same side-car maintenance job that compacts
+    the ingest store."""
+    from pgverify_spark.streaming.ingest import seal_and_compact
+
+    return seal_and_compact(spark, sample_path, upto_exclusive, target_bytes)
+
+
 def finalize_streaming_trailing_quantiles(
     spark, sample_path: str, window_days: int = 7,
     probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),

@@ -680,3 +680,125 @@ def test_cardinality_mode_in_verify_report(spark, sf_dir):
     fps = {r["target"]: r["cardinality"] for r in rows}
     assert set(fps) == {"a", "b"} and fps["a"] == fps["b"]
     assert ":" in fps["a"] and "," in fps["a"]  # readable per-column segments
+
+
+def _ts_clustered_table(spark, sf_dir, tmp_path):
+    """events copied into a ts-clustered 8-file layout + its snapshot."""
+    from pgverify_spark.operators.fingerprint import write_fingerprint_snapshot
+
+    src = ParquetTarget("t", sf_dir)
+    events = src.read(spark, "events")
+    schema = src.table_schema(spark, "events")
+    table = str(tmp_path / "events.parquet")
+    events.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.parquet(table)
+    state = str(tmp_path / "snap")
+    write_fingerprint_snapshot(spark.read.parquet(table), schema, state)
+    return table, state, schema
+
+
+def _replace_victim_file(spark, table, tmp_path, idx=3):
+    """Mutate one file in place (value+1 rewrite); returns its stored
+    day range."""
+    import glob
+    import os
+    import shutil
+
+    files = sorted(
+        f for f in glob.glob(f"{table}/part-*") if not f.endswith(".crc")
+    )
+    victim = files[idx]
+    vic_rows = spark.read.parquet(victim)
+    day = bucket_sql(vic_rows, US_PER_DAY)
+    lo, hi = vic_rows.selectExpr(f"min({day})", f"max({day})").first()
+    staging = str(tmp_path / f"stg{idx}")
+    vic_rows.selectExpr(
+        "event_id", "ts", "user_id", "event_type", "value + 1 AS value", "props"
+    ).coalesce(1).write.parquet(staging)
+    (newfile,) = [
+        f for f in glob.glob(f"{staging}/part-*") if not f.endswith(".crc")
+    ]
+    os.remove(victim)
+    crc = os.path.join(os.path.dirname(victim), f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    shutil.copy(newfile, victim)
+    return int(lo), int(hi)
+
+
+def test_under_named_refresh_drops_catalog(spark, sf_dir, tmp_path):
+    """--snapshot-refresh naming FEWER partitions than actually changed
+    must NOT re-baseline the file catalog (r11 ADVICE, medium): the
+    next verify must fall back to the real scan and surface the
+    un-named partitions' drift instead of certifying zero drift from
+    metadata."""
+    from pgverify_spark.operators.fingerprint import (
+        snapshot_catalog_unchanged,
+        update_fingerprint_snapshot,
+        verify_against_snapshot,
+    )
+
+    table, state, schema = _ts_clustered_table(spark, sf_dir, tmp_path)
+    lo, hi = _replace_victim_file(spark, table, tmp_path)
+    assert hi > lo, "victim file must span >=2 days for an under-named refresh"
+    cur = spark.read.parquet(table)
+    # refresh names ONLY the first changed day — days lo+1..hi stay stale
+    update_fingerprint_snapshot(spark, cur, schema, state, (lo,))
+    # the catalog was dropped, so the metadata fast path DISARMS ...
+    assert snapshot_catalog_unchanged(spark, table, state) is None
+    # ... and the real scan names the un-refreshed days' drift
+    stale = verify_against_snapshot(spark, cur, schema, state).collect()
+    assert stale, "under-named refresh must leave visible drift"
+    assert all(lo < r["part"] <= hi for r in stale)
+
+
+def test_well_named_refresh_keeps_catalog(spark, sf_dir, tmp_path):
+    """A refresh naming EVERY changed day keeps the fast path armed:
+    the delta is provably confined to ``parts``, the catalog re-baselines,
+    and the next verify is metadata-only again."""
+    from pgverify_spark.operators.fingerprint import (
+        snapshot_catalog_unchanged,
+        update_fingerprint_snapshot,
+        verify_against_snapshot,
+    )
+
+    table, state, schema = _ts_clustered_table(spark, sf_dir, tmp_path)
+    lo, hi = _replace_victim_file(spark, table, tmp_path)
+    cur = spark.read.parquet(table)
+    update_fingerprint_snapshot(
+        spark, cur, schema, state, tuple(range(lo, hi + 1))
+    )
+    assert snapshot_catalog_unchanged(spark, table, state) is True
+    assert verify_against_snapshot(spark, cur, schema, state).count() == 0
+
+
+def test_null_ts_file_bounds_fall_back_to_full_scan(spark, sf_dir, tmp_path):
+    """An added file whose rows all have NULL ts has no derivable day
+    bound: snapshot_affected_day_bounds returns None (full-scan
+    fallback) instead of crashing on int(None) (r11 ADVICE)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pgverify_spark.operators.fingerprint import (
+        snapshot_affected_day_bounds,
+        snapshot_catalog_unchanged,
+    )
+
+    table, state, _schema = _ts_clustered_table(spark, sf_dir, tmp_path)
+    base = spark.read.parquet(table)
+    null_ts = F.lit(None).cast(base.schema["ts"].dataType)
+    staging = str(tmp_path / "nullstg")
+    (
+        base.limit(3)
+        .withColumn("event_id", F.col("event_id") + 1_000_000_000)
+        .withColumn("ts", null_ts)
+        .coalesce(1)
+        .write.parquet(staging)
+    )
+    (newfile,) = [
+        f for f in glob.glob(f"{staging}/part-*") if not f.endswith(".crc")
+    ]
+    shutil.copy(newfile, f"{table}/part-nullts.parquet")
+    assert snapshot_catalog_unchanged(spark, table, state) is False
+    assert snapshot_affected_day_bounds(spark, table, state) is None

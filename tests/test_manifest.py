@@ -174,3 +174,46 @@ def test_concurrent_reader_never_sees_partial_splice(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, rollup.read_rollup_snapshot(spark, state).collect()))
     # only the touched day's values moved; untouched days carry bump=0
     assert len(got) == len(want)
+
+
+def test_empty_state_commit_reads_back_empty(spark, tmp_path):
+    """A legitimately committed EMPTY state (maintenance dropped every
+    entry) reads back as an empty DataFrame with the outgoing schema
+    instead of raising (r11 ADVICE) — and a CHAINED empty commit
+    propagates the recorded schema."""
+    base = str(tmp_path / "state")
+    g = manifest.new_generation()
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.parquet(f"{base}/{g}")
+    manifest.commit(spark, base, [g])
+    manifest.commit(spark, base, [])
+    out = manifest.read_state(spark, base)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "v"}
+    manifest.commit(spark, base, [])
+    out = manifest.read_state(spark, base)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "v"}
+
+
+def test_trailing_slash_base_never_loses_files(spark, sf_dir, tmp_path):
+    """Entry strings are canonical regardless of the caller's base
+    spelling (r11 ADVICE): a trailing-slash path used to make
+    ``maintain._commit_rewrite`` emit '/file' entries that no longer
+    string-matched earlier commits' 'file' entries, so a later commit's
+    GC keep-set missed them and deleted still-referenced files."""
+    from pgverify_spark.sources.maintain import targeted_delete
+
+    path = str(tmp_path / "orders.parquet")
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src.repartition(4).write.parquet(path)
+    n0 = spark.read.parquet(path).count()
+    keys = [r[0] for r in src.select("o_orderkey").orderBy("o_orderkey").limit(6).collect()]
+    # two successive maintenance commits through the SLASHED spelling
+    targeted_delete(spark, path + "/", keys[:3], "o_orderkey")
+    targeted_delete(spark, path + "/", keys[3:], "o_orderkey")
+    # no entry carries a leading slash, and the state reads back whole
+    entries = manifest.current_entries(spark, path)
+    assert entries and all(not e.startswith("/") for e in entries)
+    assert manifest.read_state(spark, path).count() == n0 - len(keys)
+    # the slashed and unslashed spellings resolve identically
+    assert manifest.current_entries(spark, path + "/") == entries

@@ -4412,3 +4412,57 @@ def test_hll_overlap_ppm_floor_matches_duckdb(spark, duck):
     expect = math.floor(max(sp["est_intersection"], 0.0) / sp["est_distinct_u"] * 1e6)
     assert abs(sp["jaccard_ppm"] - expect) <= 1
     duck.execute("DROP TABLE _hov")
+
+
+def test_capped_sample_snapshot_splice(spark, sf_dir, tmp_path):
+    """Capped (KMV bottom-k per day) sample state: splice == capped
+    from-scratch, state is FLAT at cap x days regardless of day volume,
+    and the whole-state trim equals the straight bottom-k of the
+    mutated table's sample (the trim identity the oracle twin checks)."""
+    from pgverify_spark.functions import timecol
+    from pgverify_spark.operators import rollup
+    from pgverify_spark.operators.sketch import (
+        quantiles_from_sample,
+        sample_select,
+        sample_trim,
+    )
+
+    rate, cap = 300_000, 50
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = timecol.bucket_sql(events, timecol.US_PER_DAY)
+    state = str(tmp_path / "qs_cap")
+    rollup.write_sample_snapshot(
+        events, state, rate_ppm=rate, cap_per_day=cap
+    )
+    # flat state: every day holds at most cap rows
+    per_day = rollup.read_sample_snapshot(spark, state).groupBy("day").count()
+    assert per_day.filter(f"count > {cap}").count() == 0
+
+    mutated = events.filter(f"{day} <> 19724").selectExpr(
+        "event_id", "ts", "user_id", "event_type",
+        f"CASE WHEN {day} = 19723 AND event_id % 7 = 0 "
+        "THEN value + 50 ELSE value END AS value",
+        "props",
+    )
+    spliced = sorted(map(tuple, rollup.update_sample_snapshot(
+        spark, mutated, state, (19723, 19724),
+        rate_ppm=rate, cap_per_day=cap,
+    ).collect()))
+    # capped splice == capped from-scratch state
+    scratch_state = str(tmp_path / "qs_cap_scratch")
+    rollup.write_sample_snapshot(
+        mutated, scratch_state, rate_ppm=rate, cap_per_day=cap
+    )
+    scratch = sorted(map(tuple, rollup.update_sample_snapshot(
+        spark, mutated, scratch_state, (),
+        rate_ppm=rate, cap_per_day=cap,
+    ).collect()))
+    assert spliced == scratch
+    # ... == straight bottom-cap of the mutated table's sample (KMV)
+    direct = sorted(map(tuple, quantiles_from_sample(
+        sample_trim(sample_select(mutated, "value", "event_id", rate), cap)
+    ).collect()))
+    assert spliced == direct
+    # and the cap actually BINDS at this SF (the test is not vacuous)
+    n_uncapped = sample_select(mutated, "value", "event_id", rate).count()
+    assert n_uncapped > cap

@@ -1119,3 +1119,59 @@ def test_seal_and_compact_crash_recovery(spark, tmp_path):
         "recovered_dirs"
     ] == 0  # batch 9 > absorbed horizon: recovery must not delete it
     assert sorted(r.v for r in read_ingested(spark, store).collect()) == after + [999]
+
+
+def test_compact_day_sample_store_output_identical(spark, sf_dir, tmp_path):
+    """The streaming day-sample store compactor (r11 VERDICT item 3):
+    merging sealed batch_id directories leaves the trailing-quantile
+    and whole-store finalize outputs IDENTICAL while the data-file
+    count drops; an unsealed (replayable) batch keeps its own
+    directory."""
+    import glob
+
+    from pgverify_spark.streaming.sketch import (
+        _write_day_sample_batch,
+        compact_sample_store,
+        finalize_streaming_quantiles,
+        finalize_streaming_trailing_quantiles,
+    )
+
+    events = ParquetTarget("t", sf_dir).read(spark, "events")
+    store = str(tmp_path / "daysample")
+    # six micro-batches, arbitrary chunking on event_id
+    for b in range(6):
+        _write_day_sample_batch(
+            events.filter(f"event_id % 6 = {b}"), b,
+            "value", "event_id", store, 500_000,
+        )
+    before_trail = sorted(map(tuple, finalize_streaming_trailing_quantiles(
+        spark, store, window_days=7
+    ).collect()))
+    before_whole = sorted(map(tuple, finalize_streaming_quantiles(
+        spark, store
+    ).collect()))
+    files_before = len([
+        f for f in glob.glob(f"{store}/batch_id=*/*")
+        if not f.endswith(".crc") and "/_" not in f[len(store):]
+    ])
+    # seal batches 0..4 (checkpoint-committed); batch 5 stays replayable
+    stats = compact_sample_store(spark, store, upto_exclusive=5)
+    assert stats["batches_sealed"] == 5
+    import os
+
+    dirs = sorted(os.listdir(store))
+    assert "batch_id=5" in dirs  # unsealed survives untouched
+    assert not any(d.startswith("batch_id=0") for d in dirs)
+    files_after = len([
+        f for f in glob.glob(f"{store}/batch_id=*/*")
+        if not f.endswith(".crc") and "/_" not in f[len(store):]
+    ])
+    assert files_after < files_before
+    after_trail = sorted(map(tuple, finalize_streaming_trailing_quantiles(
+        spark, store, window_days=7
+    ).collect()))
+    after_whole = sorted(map(tuple, finalize_streaming_quantiles(
+        spark, store
+    ).collect()))
+    assert after_trail == before_trail
+    assert after_whole == before_whole
