@@ -378,6 +378,7 @@ def _credit_pairs(
     conversion: str,
     lookback_us: int,
     ranks: bool = False,
+    salt: int = 1,
 ) -> DataFrame:
     """The (conversion × in-window touch) credit relation both
     multi-touch models share: conversions and touches are two slices of
@@ -386,7 +387,21 @@ def _credit_pairs(
     with ``n_touches`` (and, when ``ranks``, the ascending/descending
     time ranks ``ra``/``rd`` the U-shaped model needs) via windows over
     the SAME conv-partitioned relation — no extra exchange beyond the
-    pair join's own."""
+    pair join's own.
+
+    ``salt > 1`` spreads a HOT USER's quadratic pair build across
+    ``salt`` tasks (r11 VERDICT item 5 — at 100× events-per-user the
+    single-key join task dominated the 291 s wall): touch rows take a
+    deterministic ``xxhash64(touch_event_id) mod salt``, the (smaller)
+    conversion side replicates ``salt`` ways, and the join key becomes
+    (user_id, salt) — every (conv, touch) pair still matches exactly
+    once, so output is bit-identical to the unsalted plan.  The touch
+    side is the one salted (not replicated) because touches outnumber
+    conversions: shuffle grows by |convs|·salt, the cheaper side.
+    AQE's skew-join split can subdivide a skewed SMJ partition too, but
+    it subdivides ONE key's sorted run only coarsely; the salt is
+    deterministic, engine-independent, and works under broadcast plans.
+    """
     from pyspark.sql import Window
 
     touch_in = ", ".join(f"'{t}'" for t in touches)
@@ -402,12 +417,28 @@ def _credit_pairs(
         "us AS touch_us",
         "event_type AS touch_type",
     )
-    pairs = conv.join(
-        touch,
-        (conv.user_id == touch.t_user_id)
-        & (touch.touch_us <= conv.conv_us)
-        & (conv.conv_us - touch.touch_us <= lookback_us),
-    )
+    if salt > 1:
+        touch = touch.withColumn(
+            "_tsalt",
+            F.pmod(F.xxhash64("touch_event_id"), F.lit(salt)).cast("int"),
+        )
+        conv = conv.withColumn(
+            "_csalt", F.explode(F.expr(f"sequence(0, {salt - 1})"))
+        )
+        pairs = conv.join(
+            touch,
+            (conv.user_id == touch.t_user_id)
+            & (conv._csalt == touch._tsalt)
+            & (touch.touch_us <= conv.conv_us)
+            & (conv.conv_us - touch.touch_us <= lookback_us),
+        ).drop("_csalt", "_tsalt")
+    else:
+        pairs = conv.join(
+            touch,
+            (conv.user_id == touch.t_user_id)
+            & (touch.touch_us <= conv.conv_us)
+            & (conv.conv_us - touch.touch_us <= lookback_us),
+        )
     w = Window.partitionBy("conv_event_id")
     out = pairs.withColumn("n_touches", F.count(F.lit(1)).over(w))
     if ranks:
@@ -438,6 +469,7 @@ def attribute_multi_touch(
     touches: tuple[str, ...] = DEFAULT_TOUCHES,
     conversion: str = "purchase",
     lookback_us: int = DEFAULT_LOOKBACK_US,
+    salt: int = 1,
 ) -> DataFrame:
     """Linear multi-touch attribution: every in-window touch preceding
     a conversion shares the credit equally — the report marketers put
@@ -458,7 +490,7 @@ def attribute_multi_touch(
     relation (same partitioning as the join output, no extra
     exchange).
     """
-    return _credit_pairs(df, touches, conversion, lookback_us).selectExpr(
+    return _credit_pairs(df, touches, conversion, lookback_us, salt=salt).selectExpr(
         "conv_event_id",
         "user_id",
         "conv_us",
@@ -575,6 +607,7 @@ def attribution_report(
     touches: tuple[str, ...] = DEFAULT_TOUCHES,
     conversion: str = "purchase",
     lookback_us: int = DEFAULT_LOOKBACK_US,
+    salt: int = 1,
 ) -> DataFrame:
     """The channel dashboard all three credit models feed: one row per
     touch type (plus the 'direct' bucket) — conversions won under
@@ -609,13 +642,15 @@ def attribution_report(
         F.expr("CAST(sum(latency_us) div nullif(count(latency_us), 0) AS BIGINT)")
         .alias("mean_latency_us"),
     )
-    mt = _credit_pairs(df, touches, conversion, lookback_us).groupBy(
+    mt = _credit_pairs(df, touches, conversion, lookback_us, salt=salt).groupBy(
         "touch_type"
     ).agg(
         F.expr("CAST(sum(CAST(1000000 div n_touches AS BIGINT)) AS BIGINT)")
         .alias("credit_linear_ppm")
     )
-    pt = _credit_pairs(df, touches, conversion, lookback_us, ranks=True).groupBy(
+    pt = _credit_pairs(
+        df, touches, conversion, lookback_us, ranks=True, salt=salt
+    ).groupBy(
         "touch_type"
     ).agg(
         F.expr(f"CAST(sum(CAST({_POSITION_WEIGHT} AS BIGINT)) AS BIGINT)")

@@ -851,18 +851,57 @@ def hll_overlap(
     deployment is already storing per day/segment for
     :func:`~pgverify_spark.operators.rollup.hll_range_distinct`-style
     rollups, so ANY pair of stored segments can be intersected after
-    the fact without planning for it.  Scale shape: one (grp, bucket)
-    shuffle with map-side pre-max; everything after is register-sized.
+    the fact without planning for it.
+
+    Scale shape (r11 VERDICT item 4 — the constant-shave rewrite): ONE
+    scan of the input feeds the (grp, bucket) register shuffle with
+    map-side pre-max; a second register-sized shuffle widens to one row
+    per bucket (r_a, r_b, r_u = greatest), and a single global
+    aggregate computes all three sketches' (n_filled, register_sum) at
+    once.  The previous form union'd the per-side registers with a
+    re-grouped union sketch, which planned the register subtree — and
+    the EVENTS SCAN under it — twice; this form touches the events
+    once and everything after is m-row arithmetic.  Outputs are
+    bit-identical (same integer register identity, same estimate
+    expression text); the oracle twin keeps its original three-CTE
+    formulation, so the equality also re-proves the merge identity
+    union-register == max(side registers) cross-engine.
     """
+    m, wp1 = _hll_parts(p)
+    scale = 1 << wp1
     regs = hll_registers(df, value_col, side_col, p)
-    union = (
+    wide = (
         regs.groupBy("bucket")
-        .agg(F.max("r").alias("r"))
-        .selectExpr("'u' AS grp", "bucket", "r")
+        .agg(
+            F.expr("max(CASE WHEN grp = 'a' THEN r END)").alias("r_a"),
+            F.expr("max(CASE WHEN grp = 'b' THEN r END)").alias("r_b"),
+        )
+        .withColumn("r_u", F.greatest("r_a", "r_b"))
     )
-    summ = hll_summary(regs.unionByName(union), p)
-    pivots, outer = _hll_overlap_exprs(p)
-    return summ.groupBy().agg(*[F.expr(e) for e in pivots]).selectExpr(*outer)
+    _, est = _hll_summary_exprs(p)
+    aggs, est_exprs = [], []
+    for g in ("a", "b", "u"):
+        # empty side -> NULL row stats, matching the old pivot-over-
+        # missing-group behavior (and the oracle's)
+        aggs.append(
+            F.expr(f"CASE WHEN count(r_{g}) > 0 THEN count(r_{g}) END")
+            .alias(f"n_filled_{g}")
+        )
+        aggs.append(
+            F.expr(
+                f"CASE WHEN count(r_{g}) > 0 THEN CAST("
+                f"sum(shiftleft(CAST(1 AS BIGINT), {wp1} - r_{g})) "
+                f"+ ({m} - count(r_{g})) * {scale} AS BIGINT) END"
+            ).alias(f"register_sum_{g}")
+        )
+        est_exprs.append(
+            est.replace("register_sum", f"register_sum_{g}")
+            .replace("n_filled", f"n_filled_{g}")
+            + f" AS est_distinct_{g}"
+        )
+    piv = wide.groupBy().agg(*aggs).selectExpr("*", *est_exprs)
+    _, outer = _hll_overlap_exprs(p)
+    return piv.selectExpr(*outer)
 
 
 def hll_overlap_oracle_sql(

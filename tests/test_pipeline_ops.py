@@ -4466,3 +4466,16 @@ def test_capped_sample_snapshot_splice(spark, sf_dir, tmp_path):
     # and the cap actually BINDS at this SF (the test is not vacuous)
     n_uncapped = sample_select(mutated, "value", "event_id", rate).count()
     assert n_uncapped > cap
+
+
+def test_salted_credit_pairs_bit_identical(spark, sf_dir):
+    """salt > 1 spreads the hot-user pair build across tasks but every
+    (conv, touch) pair still matches exactly once — outputs are
+    bit-identical to the unsalted plan for every credit model."""
+    from pgverify_spark.operators import funnel as fm
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sorted(map(tuple, fm.attribute_multi_touch(events, salt=8).collect())) == \
+        sorted(map(tuple, fm.attribute_multi_touch(events).collect()))
+    assert sorted(map(tuple, fm.attribution_report(events, salt=8).collect())) == \
+        sorted(map(tuple, fm.attribution_report(events).collect()))
