@@ -806,6 +806,41 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
             cap=_QCAP, rate_ppm=_QCAP_RATE,
         ),
     )
+
+    # the IVM maintenance family is SOURCE-AGNOSTIC (r11 VERDICT item
+    # 8): the DELTA for this splice arrives over LIVE JDBC — an embedded
+    # Derby copy of events read through the partitioned JDBC path — then
+    # day-splices into the parquet-resident sample state via the same
+    # manifest commit.  The oracle is the same from-scratch quantile SQL
+    # as quantile_ivm_events, so a green row proves the JDBC round trip
+    # (BIGINT keys, DOUBLE values, TIMESTAMP day bucketing) feeds the
+    # sample hash bit-identically to the parquet scan.
+    def run_qsample_ivm_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        ensure_required_confs(spark)
+        state = _QSAMPLE_JDBC_STORE.get(sf_dir)
+        if state is None:
+            left = ParquetTarget("t", sf_dir).read(spark, "events")
+            state = tempfile.mkdtemp(prefix="pgvs_qsjdbc_") + "/state"
+            rollup.write_sample_snapshot(left, state)
+            _QSAMPLE_JDBC_STORE[sf_dir] = state
+        remote = derby_target(spark, sf_dir, "events").read(spark, "events")
+        rday = timecol.bucket_sql(remote, timecol.US_PER_DAY)
+        changed = remote.filter(f"{rday} <> 19724").selectExpr(
+            "event_id", "ts", "user_id", "event_type",
+            f"CASE WHEN {rday} = 19723 AND event_id % 7 = 0 "
+            "THEN value + 50 ELSE value END AS value",
+            "props",
+        )
+        return rollup.update_sample_snapshot(
+            spark, changed, state, (19723, 19724)
+        )
+
+    out["quantile_ivm_jdbc_events"] = (
+        run_qsample_ivm_jdbc,
+        sketch.sampled_quantiles_oracle_sql(f"{qs_right_sql} r", "value", "event_id"),
+    )
     return out
 
 
@@ -1256,6 +1291,9 @@ _QSAMPLE_IVM_STORE: dict[str, str] = {}
 #: sf_dir -> CAPPED per-day quantile-sample state (KMV bottom-k per
 #: day; its own store because rate/cap differ from the uncapped twin).
 _QSAMPLE_CAP_STORE: dict[str, str] = {}
+
+#: sf_dir -> sample state whose splice delta arrives over live JDBC.
+_QSAMPLE_JDBC_STORE: dict[str, str] = {}
 
 #: sf_dir -> parquet path of the stored bigram LM model (trained once
 #: per sf_dir; scoring joins against it — the "built offline once"
@@ -4971,64 +5009,64 @@ def _derived_view_orc_entry() -> dict[str, tuple[Callable, str]]:
 #: driver landing CORRECTNESS_r{N} mid-round cannot fail the suite
 #: retroactively — but a rotation left one full round stale (files
 #: newer than N present) does fail.  Bump when rotating.
-_DRIVER_PRIORITY_ROUND = 11
+_DRIVER_PRIORITY_ROUND = 12
 
 _DRIVER_PRIORITY = (
     # Derived rotation (see module docstring): regenerate with
     # `python -m pgverify_spark.rotation --write` after a new
     # CORRECTNESS file lands or a new entry is registered.
-    "quantile_ivm_events",  # last green r—never
-    "quantile_range_rollup_events",  # last green r—never
-    "generation_diff_orders",  # last green r—never
-    "bpe_roundtrip_documents",  # last green r—never
-    "quantile_trailing_events",  # last green r—never
-    "streaming_scd2_intervals_events",  # last green r—never
-    "streaming_quantile_trailing_events",  # last green r—never
-    "rowcount_fingerprint_lineitem",  # last green r5
-    "tpch_q1_pricing_summary",  # last green r5
-    "full_fingerprint_orders_excl_cols",  # last green r6
-    "full_fingerprint_orders_secs_precision",  # last green r6
-    "full_fingerprint_events_hours_precision",  # last green r6
-    "full_fingerprint_events_json_props",  # last green r6
-    "partitioned_fingerprint_events",  # last green r6
-    "full_fingerprint_nation_csv_roundtrip",  # last green r6
-    "full_fingerprint_nation_json_roundtrip",  # last green r6
-    "full_fingerprint_orders_orc_roundtrip",  # last green r6
-    "full_fingerprint_type_matrix",  # last green r6
-    "row_diff_orders",  # last green r6
-    "partition_diff_events",  # last green r6
-    "drilldown_row_diff_events",  # last green r6
-    "verify_report_two_targets",  # last green r6
-    "verify_report_parquet_vs_csv",  # last green r6
-    "text_stats_documents",  # last green r6
-    "language_id_documents",  # last green r6
-    "token_counts_documents",  # last green r6
-    "rolling_fingerprint_documents",  # last green r6
-    "doc_fingerprints_documents",  # last green r6
-    "exact_dup_groups_documents",  # last green r6
-    "minhash_lsh_pairs_documents",  # last green r6
-    "ngram_jaccard_pairs_documents",  # last green r6
-    "repetition_stats_documents",  # last green r6
-    "contamination_pairs_documents",  # last green r6
-    "bloom_decontaminate_documents",  # last green r6
-    "dup_clusters_documents",  # last green r6
-    "profile_orders",  # last green r6
-    "winnowing_pairs_documents",  # last green r6
-    "semantic_dup_pairs_documents",  # last green r6
-    "incremental_dedup_documents",  # last green r6
-    "near_dedup_filter_documents",  # last green r6
-    "exact_dedup_filter_documents",  # last green r6
-    "simhash_near_pairs_documents",  # last green r6
-    "embedding_near_dups",  # last green r6
-    "embedding_near_dups_lsh",  # last green r6
-    "cosine_topk_embeddings",  # last green r6
-    "hyperplane_buckets_embeddings",  # last green r6
-    "ann_lsh_topk_embeddings",  # last green r6
-    "ivf_assign_embeddings",  # last green r6
-    "ivf_topk_embeddings",  # last green r6
-    "full_fingerprint_embeddings",  # last green r7
+    "quantile_ivm_capped_events",  # last green r—never
+    "quantile_ivm_jdbc_events",  # last green r—never
     "full_fingerprint_part",  # last green r7
+    "verify_report_lineitem_pair",  # last green r7
+    "kmeans_assign_embeddings",  # last green r7
+    "quality_filter_documents",  # last green r7
+    "stratified_sample_documents",  # last green r7
+    "topk_ngrams_documents",  # last green r7
+    "event_transitions_events",  # last green r7
+    "chunk_documents",  # last green r7
+    "pack_sequences_documents",  # last green r7
+    "hash_split_documents",  # last green r7
+    "assign_shards_documents",  # last green r7
+    "mixture_sample_documents",  # last green r7
+    "equidepth_histogram_orders",  # last green r7
+    "salted_join_revenue",  # last green r7
+    "cohort_retention_events",  # last green r7
+    "moving_average_events",  # last green r7
+    "daily_anomalies_events",  # last green r7
+    "daily_trend_slope_events",  # last green r7
+    "funnel_events",  # last green r7
+    "asof_join_events",  # last green r7
+    "length_percentiles_documents",  # last green r7
+    "corpus_mix_report_documents",  # last green r7
+    "tfidf_top_terms_documents",  # last green r7
+    "vocab_coverage_documents",  # last green r7
+    "bpe_apply_documents",  # last green r7
+    "bpe_token_counts_documents",  # last green r7
+    "bpe_pack_sequences_documents",  # last green r7
+    "bigram_lm_scores_documents",  # last green r7
+    "scrub_pii_documents",  # last green r7
+    "curate_corpus_documents",  # last green r7
+    "length_histogram_documents",  # last green r7
+    "random_project_embeddings",  # last green r7
+    "label_outliers_embeddings",  # last green r7
+    "gramian_embeddings",  # last green r7
+    "quantize_int8_embeddings",  # last green r7
+    "quantized_topk_embeddings",  # last green r7
+    "fuzzy_join_pairs_part",  # last green r7
+    "kmv_distinct_documents",  # last green r7
+    "kmv_distinct_events",  # last green r7
+    "key_distribution_lineitem",  # last green r7
+    "heavy_hitters_lineitem",  # last green r7
+    "fk_integrity_report",  # last green r7
+    "streaming_dedup_documents",  # last green r7
+    "streaming_funnel_events",  # last green r7
+    "streaming_kmv_distinct_documents",  # last green r7
+    "streaming_bloom_decontaminate_documents",  # last green r7
+    "streaming_lm_scores_documents",  # last green r7
     "full_fingerprint_lineitem",  # last green r10
+    "rowcount_fingerprint_lineitem",  # last green r11
+    "tpch_q1_pricing_summary",  # last green r11
 )
 
 
@@ -5298,6 +5336,11 @@ HEADLINE_QUERIES = (
     "quantile_range_rollup_events",
     "generation_diff_orders",
     "quantile_trailing_events",
+    # round-12 additions: the KMV-capped IVM (flat per-day state) and
+    # the live-JDBC-delta splice (memoized Derby load, so min-of-N
+    # times the JDBC read + splice, not the one-time DB build)
+    "quantile_ivm_capped_events",
+    "quantile_ivm_jdbc_events",
 )
 
 

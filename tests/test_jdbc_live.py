@@ -227,3 +227,31 @@ def test_live_jdbc_derived_view_verify(spark, sf_dir, derby_url):
     assert set(by_target) == {"pq", "db"}
     for mode in modes:
         assert by_target["pq"][mode] == by_target["db"][mode] != "(err)", mode
+
+
+def test_live_jdbc_quantile_ivm_splice(spark, sf_dir):
+    """The quantile-IVM day-splice with its DELTA read over LIVE JDBC
+    (embedded Derby, partitioned read) equals from-scratch sampled
+    quantiles of the same mutated relation computed from parquet — the
+    snapshot maintenance family is source-agnostic, and the JDBC round
+    trip (BIGINT keys, DOUBLE values, TIMESTAMP day bucketing) feeds
+    the deterministic sample hash bit-identically."""
+    from pgverify_spark import registry
+    from pgverify_spark.functions import timecol
+    from pgverify_spark.operators.sketch import sampled_quantiles
+
+    got = sorted(map(tuple, registry.spark_queries()[
+        "quantile_ivm_jdbc_events"
+    ](spark, sf_dir).collect()))
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = timecol.bucket_sql(events, timecol.US_PER_DAY)
+    mutated = events.filter(f"{day} <> 19724").selectExpr(
+        "event_id", "ts", "user_id", "event_type",
+        f"CASE WHEN {day} = 19723 AND event_id % 7 = 0 "
+        "THEN value + 50 ELSE value END AS value",
+        "props",
+    )
+    want = sorted(map(tuple, sampled_quantiles(
+        mutated, "value", "event_id"
+    ).collect()))
+    assert got == want and len(got) == 5
