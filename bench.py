@@ -19,6 +19,11 @@ parquet at the same SF (threads = SPARK_GRAFT_CPUS) and reported as
 self-contained in each round's BENCH output.  Set
 ``SPARK_GRAFT_SKIP_ORACLE=1`` to skip the oracle pass.
 
+AMENDMENT (round 12, r11 VERDICT item 7): default replicates 2 -> 3
+(``SPARK_GRAFT_BENCH_REPS``).  Headline numbers stay the per-query MIN
+across replicates, so r4-onward comparability is preserved; only the
+recorded ratio band tightens.
+
 AMENDMENT (round 6, r5 ADVICE item 1): the stored-index ANN entries
 (registry.bench_oracle_setup()) memoize their index build Spark-side,
 so their min-of-two times a pure probe; their DuckDB twins are now

@@ -607,7 +607,7 @@ def attribution_report(
     touches: tuple[str, ...] = DEFAULT_TOUCHES,
     conversion: str = "purchase",
     lookback_us: int = DEFAULT_LOOKBACK_US,
-    salt: int = 1,
+    salt: int | str = "auto",
 ) -> DataFrame:
     """The channel dashboard all three credit models feed: one row per
     touch type (plus the 'direct' bucket) — conversions won under
@@ -634,7 +634,30 @@ def attribution_report(
     improves from there.  Contrast ``diff.incident_report``, where the
     shared relation is table-sized to COMPUTE but diff-sized to STORE
     — there the persist wins the same A/B.
+
+    ``salt="auto"`` (default) picks the credit-join salt from measured
+    regimes (SCALE_CHECK r12 A/B, min-of-2 each): at bench-scale
+    density (sf0.1: ~67 funnel events/user; 10×: ~667) salt=1 wins
+    (2.17 s vs 3.21/6.88 at 10× — replicating the small conversion
+    side costs more than the skew it cures), while at 100×
+    hot-user density (~6.7k events/user) salt=32 cut the wall
+    289.7 → 162.8 s and salt=8 was NOT enough spread (404 s: it
+    defeats AQE's own skew split without replacing it).  The heuristic
+    is one count aggregate over the pre-filtered scan: salt=32 when
+    funnel-events-per-user exceeds 2000 (between the measured
+    regimes), else 1.  Deterministic given the input; pass an int to
+    override.
     """
+    if salt == "auto":
+        touch_in = ", ".join(f"'{t}'" for t in touches)
+        stats = (
+            df.filter(f"event_type IN ({touch_in}, '{conversion}')")
+            .selectExpr(
+                "count(*) AS n", "count(DISTINCT user_id) AS u"
+            )
+            .first()
+        )
+        salt = 32 if stats["n"] / max(stats["u"] or 0, 1) > 2000 else 1
     lt = attribute_conversions(df, touches, conversion, lookback_us).selectExpr(
         "coalesce(touch_type, 'direct') AS touch_type", "latency_us"
     ).groupBy("touch_type").agg(
