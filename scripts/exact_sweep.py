@@ -10,14 +10,14 @@ EXACT equality (None-safe ordering for CUBE/rollup NULL keys).
 
     python scripts/exact_sweep.py [sf_dir] [key_filter...]
 
-Round-11 final state: the end-of-round full-registry run — after the
-r10-advice fixes, the manifest protocol, the incident caching +
-attribution A/B, k_core k=2, BPE round-trip, streaming SCD2, the
-quantile IVM family, generation_diff and the bounded incremental
-verify — printed **244 exact, 0 inexact, 0 err** at sf0.01; the two
-trailing-quantile entries registered after it each swept 1/1 EXACT
-separately — 246/246 total.  (An earlier mid-round full run was
-241/241 before the round's last five entries registered.)
+Round-12 final state: the end-of-round full-registry run — after the
+distributed-rank quantile rewrite, the five r11-advice fixes, the
+KMV-capped state, the one-scan HLL overlap, the salted/adaptive
+attribution join, and the two new entries (capped IVM, live-JDBC-delta
+splice) — printed **248 exact, 0 inexact, 0 err** at sf0.01.
+
+Round-11 final state: **246/246** (244 in the end-of-round full run
+plus the two late trailing-quantile entries swept 1/1 separately).
 """
 from __future__ import annotations
 
