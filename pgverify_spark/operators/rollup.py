@@ -1004,6 +1004,7 @@ def sample_trailing_quantiles(
     key_col: str = "event_id",
     rate_ppm: int = 50_000,
     probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+    cap_per_day: int | None = None,
 ) -> DataFrame:
     """Rolling-window quantiles per day — the p50/p99 sibling of
     :func:`hll_trailing_distinct`'s W/MAU: for every day present in the
@@ -1018,9 +1019,19 @@ def sample_trailing_quantiles(
     Output: (grp = day, prob_ppm, n_sample, est_value), rows only for
     days with at least one event of their own (matching the WAU
     convention).
+
+    ``cap_per_day`` bounds BOTH stages at k rows: each day's sample is
+    KMV-trimmed before the fan-out (so the explode touches at most
+    days x cap rows regardless of day volume) and each window's union
+    re-trims to the same k after it.  By the per-group KMV identity the
+    result equals trimming each window's RAW sample directly — the
+    oracle computes exactly that, proving the composition cross-engine.
     """
     return trailing_quantiles_from_day_sample(
-        _day_sample(df, value_col, key_col, rate_ppm), window_days, probs_ppm
+        _day_sample(df, value_col, key_col, rate_ppm, cap_per_day),
+        window_days,
+        probs_ppm,
+        cap_per_day,
     )
 
 
@@ -1028,12 +1039,21 @@ def trailing_quantiles_from_day_sample(
     sample: DataFrame,
     window_days: int,
     probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+    cap_per_day: int | None = None,
 ) -> DataFrame:
     """The window-fanout + rank half of :func:`sample_trailing_quantiles`
     over any (day, v, hk) sample relation — shared by the batch operator
     and the streaming day-sample store, so the two paths cannot drift
-    (the ``trailing_merge_registers`` pattern)."""
-    from pgverify_spark.operators.sketch import grouped_quantiles_from_sample
+    (the ``trailing_merge_registers`` pattern).  With ``cap_per_day``
+    each window's union re-trims to the cap after the fan-out (callers
+    should also day-trim the input — ``_day_sample(cap_per_day=...)``
+    or ``grouped_sample_trim`` on stored state — so the explode itself
+    stays cap-bounded; the re-trim makes the result independent of how
+    coarsely the input was pre-trimmed, the KMV identity again)."""
+    from pgverify_spark.operators.sketch import (
+        grouped_quantiles_from_sample,
+        grouped_sample_trim,
+    )
 
     win = sample.selectExpr(
         f"explode(sequence(day, day + {window_days - 1})) AS grp", "v", "hk"
@@ -1042,9 +1062,10 @@ def trailing_quantiles_from_day_sample(
     # |days|-row relation: broadcast, so the exploded sample joins
     # without an exchange of its own (same shave as
     # trailing_merge_registers)
-    return grouped_quantiles_from_sample(
-        win.join(F.broadcast(days), "grp"), probs_ppm
-    )
+    ws = win.join(F.broadcast(days), "grp")
+    if cap_per_day is not None:
+        ws = grouped_sample_trim(ws, cap_per_day)
+    return grouped_quantiles_from_sample(ws, probs_ppm)
 
 
 def sample_trailing_quantiles_oracle_sql(
@@ -1054,6 +1075,7 @@ def sample_trailing_quantiles_oracle_sql(
     key_col: str = "event_id",
     rate_ppm: int = 50_000,
     probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+    cap_per_day: int | None = None,
 ) -> str:
     from pgverify_spark.operators.sketch import _ht_hash
 
@@ -1061,12 +1083,27 @@ def sample_trailing_quantiles_oracle_sql(
     h = _ht_hash(key_col, "duckdb")
     day = duck_bucket_sql(US_PER_DAY)
     probs_arr = ", ".join(str(p) for p in probs_ppm)
+    # capped form: bottom-cap of each window's RAW sample, deliberately
+    # NOT via per-day trims — matching it proves the per-group KMV trim
+    # composition (day-trim then window-trim == window-trim) cross-engine
+    capped = (
+        ""
+        if cap_per_day is None
+        else (
+            "ws AS (SELECT grp, v, hk FROM ("
+            "SELECT grp, v, hk, row_number() OVER "
+            "(PARTITION BY grp ORDER BY hk, v) AS trn FROM ws0) "
+            f"WHERE trn <= {cap_per_day}), "
+        )
+    )
+    ws0_name = "ws" if cap_per_day is None else "ws0"
     return (
         f"WITH s AS (SELECT {day} AS day, {value_col} AS v, {h} AS hk "
         f"FROM {table} WHERE {h} < {thresh}), "
         f"w AS (SELECT unnest(range(day, day + {window_days})) AS grp, v, hk FROM s), "
         "d AS (SELECT DISTINCT day AS grp FROM s), "
-        "ws AS (SELECT w.grp, v, hk FROM w JOIN d USING (grp)), "
+        f"{ws0_name} AS (SELECT w.grp, v, hk FROM w JOIN d USING (grp)), "
+        f"{capped}"
         "rk AS (SELECT grp, v, row_number() OVER "
         "(PARTITION BY grp ORDER BY v, hk) AS rn FROM ws), "
         "n AS (SELECT grp, count(*) AS n_sample FROM ws GROUP BY grp), "

@@ -376,6 +376,24 @@ def sample_trim(s: DataFrame, k: int) -> DataFrame:
     return s.orderBy("hk", "v").limit(k).select("v", "hk")
 
 
+def grouped_sample_trim(s: DataFrame, k: int) -> DataFrame:
+    """Per-group KMV bottom-k trim of a (grp, v, hk) sample relation —
+    :func:`sample_trim`'s partitioned sibling: each group keeps its
+    ``k`` smallest rows by (hk, v) via a grp-PARTITIONED rank window
+    (never a single reducer).  Same KMV identity per group, so it
+    composes with the window fan-out: trimming each trailing window's
+    union of (already day-trimmed) samples equals trimming the window's
+    raw sample directly — which is what the oracle computes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("hk", "v")
+    return (
+        s.withColumn("_trn", F.row_number().over(w))
+        .filter(F.col("_trn") <= k)
+        .drop("_trn")
+    )
+
+
 def capped_sampled_quantiles_oracle_sql(
     table: str,
     value_col: str,

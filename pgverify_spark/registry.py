@@ -3370,6 +3370,23 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("events", rollup.sample_trailing_quantiles),
             rollup.sample_trailing_quantiles_oracle_sql("events"),
         ),
+        # the capped form: day samples KMV-trim to 50 rows before the
+        # window fan-out and each window re-trims to the same 50 — the
+        # explode touches at most days x cap rows however large a day
+        # is.  The oracle trims each window's RAW sample directly, so
+        # a green row proves the per-group trim composition
+        # (day-trim then window-trim == window-trim) cross-engine.
+        "quantile_trailing_capped_events": (
+            _table_query(
+                "events",
+                lambda df: rollup.sample_trailing_quantiles(
+                    df, rate_ppm=300_000, cap_per_day=50
+                ),
+            ),
+            rollup.sample_trailing_quantiles_oracle_sql(
+                "events", rate_ppm=300_000, cap_per_day=50
+            ),
+        ),
         # KMV set operations: 3-gram shingle overlap between the two
         # corpus halves (union/intersection/Jaccard estimated from
         # three k-minimum-value sketches, never a join of the corpora).
@@ -4653,6 +4670,56 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
             q.stop()
         return finalize_streaming_trailing_quantiles(spark, f"{tmp}/sample")
 
+    def run_strailq_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pgverify_spark.streaming.sketch import (
+            compact_sample_store,
+            finalize_streaming_trailing_quantiles,
+            streaming_day_sample,
+        )
+
+        ensure_required_confs(spark)
+        events = ParquetTarget("t", sf_dir).read(spark, "events")
+        tmp = tempfile.mkdtemp(prefix="pgvs_strailqc_")
+        (
+            events.withColumn("chunk", (F.col("event_id") % 4).cast("int"))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        sdf = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            streaming_day_sample(
+                sdf, f"{tmp}/sample", rate_ppm=300_000, cap_per_day=50
+            )
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # capped compaction of the sealed batches runs IN the certified
+        # path: it may only drop rows provably outside every future
+        # bottom-k, so the finalize after it must still hash-match the
+        # batch oracle
+        compact_sample_store(
+            spark, f"{tmp}/sample", upto_exclusive=3, cap_per_day=50
+        )
+        return finalize_streaming_trailing_quantiles(
+            spark, f"{tmp}/sample", cap_per_day=50
+        )
+
+    strailq_capped_oracle = rollup.sample_trailing_quantiles_oracle_sql(
+        "events", rate_ppm=300_000, cap_per_day=50
+    )
+
     # day-respecting for free: membership never looks at the day, so
     # the stored per-batch day samples union into the table's per-day
     # samples => shares the batch trailing-quantiles oracle
@@ -4754,6 +4821,13 @@ def _streaming_entry() -> dict[str, tuple[Callable, str | None]]:
         "streaming_lsh_ingest_dedup_documents": (run_lsh_ingest, lsh_ingest_oracle),
         "streaming_sampled_quantiles_orders": (run_squant, squant_oracle),
         "streaming_quantile_trailing_events": (run_strailq, strailq_oracle),
+        # capped twin: per-(batch, day) trims at ingest, capped sealed-
+        # batch compaction mid-path, day re-trim + window re-trim at
+        # finalize — every stage rides the same KMV identity, certified
+        # against the batch capped oracle
+        "streaming_quantile_trailing_capped_events": (
+            run_strailq_capped, strailq_capped_oracle
+        ),
     }
 
 
@@ -5017,6 +5091,8 @@ _DRIVER_PRIORITY = (
     # CORRECTNESS file lands or a new entry is registered.
     "quantile_ivm_capped_events",  # last green r—never
     "quantile_ivm_jdbc_events",  # last green r—never
+    "quantile_trailing_capped_events",  # last green r—never
+    "streaming_quantile_trailing_capped_events",  # last green r—never
     "full_fingerprint_part",  # last green r7
     "verify_report_lineitem_pair",  # last green r7
     "kmeans_assign_embeddings",  # last green r7
@@ -5062,8 +5138,6 @@ _DRIVER_PRIORITY = (
     "streaming_dedup_documents",  # last green r7
     "streaming_funnel_events",  # last green r7
     "streaming_kmv_distinct_documents",  # last green r7
-    "streaming_bloom_decontaminate_documents",  # last green r7
-    "streaming_lm_scores_documents",  # last green r7
     "full_fingerprint_lineitem",  # last green r10
     "rowcount_fingerprint_lineitem",  # last green r11
     "tpch_q1_pricing_summary",  # last green r11
@@ -5336,11 +5410,14 @@ HEADLINE_QUERIES = (
     "quantile_range_rollup_events",
     "generation_diff_orders",
     "quantile_trailing_events",
-    # round-12 additions: the KMV-capped IVM (flat per-day state) and
-    # the live-JDBC-delta splice (memoized Derby load, so min-of-N
-    # times the JDBC read + splice, not the one-time DB build)
+    # round-12 additions: the KMV-capped IVM (flat per-day state), the
+    # live-JDBC-delta splice (memoized Derby load, so min-of-N times
+    # the JDBC read + splice, not the one-time DB build), and the
+    # capped trailing window (streaming capped twin stays out like its
+    # streaming-machinery siblings)
     "quantile_ivm_capped_events",
     "quantile_ivm_jdbc_events",
+    "quantile_trailing_capped_events",
 )
 
 

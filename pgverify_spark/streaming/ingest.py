@@ -118,6 +118,7 @@ def seal_and_compact(
     store_path: str,
     upto_exclusive: int,
     target_bytes: int = 128 * 1024 * 1024,
+    transform=None,
 ) -> dict:
     """Merge every SEALED batch directory (``0 <= batch_id <
     upto_exclusive`` — pass the newest checkpoint-committed id; those
@@ -143,6 +144,13 @@ def seal_and_compact(
     Returns ``{"batches_sealed", "files_before", "files_after",
     "recovered_dirs"}``; a no-op when fewer than two sealed
     directories exist.
+
+    ``transform`` (optional) maps the merged DataFrame before it is
+    written — for compactions that are allowed to DROP rows provably
+    dead to every future read (e.g. the capped sample store's per-day
+    KMV trim, where a row outside its day's bottom-k over the sealed
+    set can never re-enter any bottom-k of a superset).  The caller
+    owns that proof; content-preserving compaction passes None.
     """
     from pgverify_spark.sources.maintain import _hadoop
 
@@ -161,6 +169,8 @@ def seal_and_compact(
     )
     n_out = max(1, -(-total_bytes // target_bytes))
     merged = spark.read.parquet(*sealed.values())
+    if transform is not None:
+        merged = transform(merged)
     staging = store_path.rstrip("/") + f".compact-{gen}"
     merged.coalesce(n_out).write.mode("overwrite").parquet(staging)
     jvm, fs = _hadoop(spark, store_path)

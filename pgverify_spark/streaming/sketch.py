@@ -203,7 +203,7 @@ def finalize_streaming_quantiles(
 def streaming_day_sample(
     sdf: DataFrame, sample_path: str,
     value_col: str = "value", key_col: str = "event_id",
-    rate_ppm: int = 50_000,
+    rate_ppm: int = 50_000, cap_per_day: int | None = None,
 ):
     """Streaming DAY-KEYED quantile-sample maintenance: like
     :func:`streaming_sample_quantiles` but each survivor row carries
@@ -215,11 +215,21 @@ def streaming_day_sample(
     same exactness argument (sample-of-union == union-of-samples is
     day-respecting because membership never looks at the day).
 
+    ``cap_per_day`` trims each micro-batch's per-day sample to the cap
+    BEFORE writing (per-(batch, day) KMV bottom-k — every batch writes
+    at most days-in-batch x cap rows), and the capped finalize re-trims
+    each day across batches: trim(union of per-batch trims) ==
+    trim(union), so the result equals the batch operator with the same
+    cap exactly.  Per-day state is bounded per batch at write and
+    restored to a hard days x cap bound by capped compaction
+    (:func:`compact_sample_store` with the same cap).
+
     Returns a configured ``writeStream`` (caller sets checkpoint and
     calls ``start()``)."""
     def append(batch_df: DataFrame, batch_id: int) -> None:
         _write_day_sample_batch(
-            batch_df, batch_id, value_col, key_col, sample_path, rate_ppm
+            batch_df, batch_id, value_col, key_col, sample_path, rate_ppm,
+            cap_per_day,
         )
 
     return sdf.writeStream.foreachBatch(append).outputMode("append")
@@ -227,14 +237,14 @@ def streaming_day_sample(
 
 def _write_day_sample_batch(
     batch_df: DataFrame, batch_id: int, value_col: str, key_col: str,
-    sample_path: str, rate_ppm: int,
+    sample_path: str, rate_ppm: int, cap_per_day: int | None = None,
 ) -> None:
     from pyspark.sql import functions as F
 
     from pgverify_spark.operators.rollup import _day_sample
 
     (
-        _day_sample(batch_df, value_col, key_col, rate_ppm)
+        _day_sample(batch_df, value_col, key_col, rate_ppm, cap_per_day)
         .withColumn("batch_id", F.lit(batch_id))
         .write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
@@ -246,6 +256,7 @@ def _write_day_sample_batch(
 def compact_sample_store(
     spark, sample_path: str, upto_exclusive: int,
     target_bytes: int = 128 * 1024 * 1024,
+    cap_per_day: int | None = None,
 ) -> dict:
     """Sealed-batch compaction for the streaming sample stores (both
     the flat ``streaming_sample_quantiles`` store and the day-keyed
@@ -267,26 +278,61 @@ def compact_sample_store(
     partition discovery and drop ``batch_id``, so their output is
     IDENTICAL before and after (asserted in tests); only the file count
     drops.  Run it as the same side-car maintenance job that compacts
-    the ingest store."""
+    the ingest store.
+
+    For a CAPPED day-keyed store pass the writer's ``cap_per_day``: the
+    merged generation keeps only each day's bottom-cap over the sealed
+    set — rows beyond it can never re-enter any future bottom-k (a
+    superset only pushes them further out), so every CAPPED finalize is
+    byte-identical before and after while both file AND row counts
+    drop.  The per-day trim restores the hard days x cap state bound a
+    long stream erodes (each batch writes its own per-day trim, so
+    un-compacted state grows with batch count).  An UNCAPPED finalize
+    over a cap-compacted store would see fewer rows — cap the store or
+    don't; the parameter belongs to the store, not the query."""
     from pgverify_spark.streaming.ingest import seal_and_compact
 
-    return seal_and_compact(spark, sample_path, upto_exclusive, target_bytes)
+    transform = None
+    if cap_per_day is not None:
+        from pgverify_spark.operators.sketch import grouped_sample_trim
+
+        def transform(df):  # noqa: ANN001 — merged (day, v, hk) relation
+            return (
+                grouped_sample_trim(
+                    df.withColumnRenamed("day", "grp"), cap_per_day
+                ).withColumnRenamed("grp", "day")
+            )
+
+    return seal_and_compact(
+        spark, sample_path, upto_exclusive, target_bytes, transform
+    )
 
 
 def finalize_streaming_trailing_quantiles(
     spark, sample_path: str, window_days: int = 7,
     probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+    cap_per_day: int | None = None,
 ) -> DataFrame:
     """Rolling-window quantile report from the persisted day-sample
     store — the same window fanout + rank selection as the batch
     operator (shared code path via
-    ``rollup.trailing_quantiles_from_day_sample``)."""
+    ``rollup.trailing_quantiles_from_day_sample``).  For a capped store
+    pass the writer's ``cap_per_day``: each day re-trims ACROSS batches
+    first (trim-of-union == union-of-per-batch-trims), then the shared
+    capped trailing path runs — output equals the batch operator with
+    the same cap, and the entry shares its oracle."""
     from pgverify_spark.operators.rollup import trailing_quantiles_from_day_sample
 
+    s = spark.read.parquet(sample_path).select("day", "v", "hk")
+    if cap_per_day is not None:
+        from pgverify_spark.operators.sketch import grouped_sample_trim
+
+        s = (
+            grouped_sample_trim(s.withColumnRenamed("day", "grp"), cap_per_day)
+            .withColumnRenamed("grp", "day")
+        )
     return trailing_quantiles_from_day_sample(
-        spark.read.parquet(sample_path).select("day", "v", "hk"),
-        window_days,
-        probs_ppm,
+        s, window_days, probs_ppm, cap_per_day
     )
 
 

@@ -1175,3 +1175,43 @@ def test_compact_day_sample_store_output_identical(spark, sf_dir, tmp_path):
     ).collect()))
     assert after_trail == before_trail
     assert after_whole == before_whole
+
+
+def test_capped_compaction_drops_rows_preserves_capped_finalize(
+    spark, sf_dir, tmp_path
+):
+    """Capped sealed-batch compaction: per-day KMV trim over the sealed
+    set drops rows provably outside every future bottom-k — the capped
+    finalize is IDENTICAL before/after while both file and row counts
+    drop, restoring the hard days x cap state bound a long stream
+    erodes."""
+    from pgverify_spark.streaming.sketch import (
+        _write_day_sample_batch,
+        compact_sample_store,
+        finalize_streaming_trailing_quantiles,
+    )
+
+    cap = 5
+    events = ParquetTarget("t", sf_dir).read(spark, "events")
+    store = str(tmp_path / "capstore")
+    for b in range(6):
+        _write_day_sample_batch(
+            events.filter(f"event_id % 6 = {b}"), b,
+            "value", "event_id", store, 500_000, cap,
+        )
+    before = sorted(map(tuple, finalize_streaming_trailing_quantiles(
+        spark, store, window_days=7, cap_per_day=cap
+    ).collect()))
+    rows_before = spark.read.parquet(store).count()
+    stats = compact_sample_store(
+        spark, store, upto_exclusive=5, cap_per_day=cap
+    )
+    assert stats["batches_sealed"] == 5
+    rows_after = spark.read.parquet(store).count()
+    # per-(batch, day) trims union to > cap rows per day before
+    # compaction; the capped merge restores <= cap per sealed day
+    assert rows_after < rows_before
+    after = sorted(map(tuple, finalize_streaming_trailing_quantiles(
+        spark, store, window_days=7, cap_per_day=cap
+    ).collect()))
+    assert after == before
