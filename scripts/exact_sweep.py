@@ -12,9 +12,11 @@ EXACT equality (None-safe ordering for CUBE/rollup NULL keys).
 
 Round-12 final state: the end-of-round full-registry run — after the
 distributed-rank quantile rewrite, the five r11-advice fixes, the
-KMV-capped state, the one-scan HLL overlap, the salted/adaptive
-attribution join, and the two new entries (capped IVM, live-JDBC-delta
-splice) — printed **248 exact, 0 inexact, 0 err** at sf0.01.
+KMV-capped state (IVM + trailing + streaming store with row-dropping
+capped compaction), the one-scan HLL overlap, the salted/adaptive
+attribution join, and the live-JDBC-delta splice — printed
+**250 exact, 0 inexact, 0 err** at sf0.01.  (A mid-round full run was
+248/248 before the two capped-trailing entries registered.)
 
 Round-11 final state: **246/246** (244 in the end-of-round full run
 plus the two late trailing-quantile entries swept 1/1 separately).
