@@ -1420,3 +1420,147 @@ def dedup_savings_report_oracle_sql(table: str) -> str:
         f"THEN 1 ELSE 0 END AS kept FROM {table}) t "
         "GROUP BY source, lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-internal exact-substring mining (repeated spans)
+# ---------------------------------------------------------------------------
+
+#: Repeated-span shingle width (tokens).  5 matches contamination's
+#: CONTAM_N: a shared 5-gram is copied text, not shared vocabulary.
+REPEAT_N = 5
+
+#: A gram counts as "repeated" when at least this many DISTINCT
+#: documents contain it.  2 is the Lee et al. setting — any substring
+#: that occurs in a second document is training-set duplication.
+REPEAT_MIN_DOCS = 2
+
+#: Minimum run length (in n-grams) for a span to be reported.  2
+#: consecutive repeated n-grams span n+1 tokens of verbatim overlap.
+REPEAT_MIN_RUN = 2
+
+
+def repeated_spans(
+    df: DataFrame,
+    n: int = REPEAT_N,
+    min_docs: int = REPEAT_MIN_DOCS,
+    min_run: int = REPEAT_MIN_RUN,
+) -> DataFrame:
+    """Corpus-INTERNAL exact-substring mining: for every document, the
+    maximal runs of consecutive n-grams each shared with >= ``min_docs``
+    distinct documents — the spans "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2022) cuts before LLM training.
+
+    :func:`~pgverify_spark.operators.contamination.contamination_spans`
+    aligns the corpus against a broadcast-sized EVAL split; this op has
+    no small side — the whole corpus is compared against itself.  The
+    single-machine tool (one suffix array over the concatenated corpus)
+    does not distribute; the reformulation here does, with only
+    key-partitioned exchanges:
+
+    1. positional n-gram hashes (doc_id, pos, s) — one corpus scan;
+    2. document frequency per gram: two-phase distinct aggregate keyed
+       on s (map-side partial, no skew collapse — a hot gram still
+       splits across partial aggregators);
+    3. repeated-position marking: an ids-only key join of (doc_id, pos,
+       s) against the repeated-gram set on s — a shuffled hash/merge
+       join of two id relations, NEVER a pair fan-out: positions are
+       marked, documents are not paired, so a gram in a million
+       documents adds a million marked rows, not 10^12 pairs;
+    4. per-document gaps-and-islands (``pos - row_number`` over a
+       window partitioned by doc_id — document-sized partitions, never
+       a single-reducer sort) merges consecutive marks into maximal
+       spans.
+
+    The dominant cost is the gram-keyed exchange of step 2/3 —
+    O(corpus tokens) with ~16-byte rows, the inherent lower bound for
+    corpus-wide substring comparison (a suffix array writes the same
+    order of data single-node).  The positional-gram relation feeds
+    both the aggregate and the join, so it persists for exactly those
+    two consumers (serialized int triples, far smaller than the text it
+    came from); at cache pressure Spark recomputes the scan instead —
+    a throughput, not correctness, concern.
+
+    Output: (doc_id, span_start, span_ngrams, span_tokens), one row per
+    maximal span with >= ``min_run`` consecutive repeated grams;
+    ``span_start`` is the 1-based token position of the span's first
+    gram and ``span_tokens = span_ngrams + n - 1`` its verbatim length
+    in tokens.  Hashes are the engine's canonical md5 48-bit prefix, so
+    the DuckDB twin computes the identical spans, collisions included.
+    """
+    from pyspark.sql import Window
+
+    from pgverify_spark.functions.canonical import hex_prefix_int_sql
+
+    toks = _barrier(
+        df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens")
+    )
+    pos = (
+        toks.filter(f"size(tokens) >= {n}")
+        .selectExpr(
+            "doc_id", f"posexplode({ngrams_sql('tokens', n, DIALECT_SPARK)}) AS (p, g)"
+        )
+        .selectExpr(
+            "doc_id",
+            "p + 1 AS pos",  # 1-based, matching the oracle's range(1, ...)
+            f"{hex_prefix_int_sql('md5(g)', DIALECT_SPARK)} AS s",
+        )
+        .persist()
+    )
+    rep = (
+        pos.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("df_docs"))
+        .filter(F.col("df_docs") >= min_docs)
+        .select("s")
+    )
+    hits = pos.join(rep, "s").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        hits.withColumn("isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.count(F.lit(1)).alias("span_ngrams"),
+        )
+        .filter(F.col("span_ngrams") >= min_run)
+    )
+    return _tag_cached_deps(
+        runs.selectExpr(
+            "doc_id",
+            "CAST(span_start AS BIGINT) AS span_start",
+            "CAST(span_ngrams AS BIGINT) AS span_ngrams",
+            f"CAST(span_ngrams + {n - 1} AS BIGINT) AS span_tokens",
+        ),
+        pos,
+    )
+
+
+def repeated_spans_oracle_sql(
+    table: str,
+    n: int = REPEAT_N,
+    min_docs: int = REPEAT_MIN_DOCS,
+    min_run: int = REPEAT_MIN_RUN,
+) -> str:
+    from pgverify_spark.functions.canonical import hex_prefix_int_sql
+
+    d = DIALECT_DUCKDB
+    g = hex_prefix_int_sql("md5(grams[i])", d)
+    return (
+        f"WITH tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
+        f"tokn AS (SELECT * FROM tok WHERE len(tokens) >= {n}), "
+        f"gr AS (SELECT doc_id, {ngrams_sql('tokens', n, d)} AS grams FROM tokn), "
+        "pos AS MATERIALIZED (SELECT doc_id, i AS pos, "
+        f"{g} AS s FROM (SELECT doc_id, grams, "
+        "unnest(range(1, len(grams) + 1)) AS i FROM gr) t), "
+        "rep AS (SELECT s FROM pos GROUP BY s "
+        f"HAVING count(DISTINCT doc_id) >= {min_docs}), "
+        "hits AS (SELECT doc_id, pos FROM pos JOIN rep USING (s)), "
+        "isl AS (SELECT doc_id, pos, pos - row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY pos) AS k FROM hits), "
+        "runs AS (SELECT doc_id, min(pos) AS span_start, "
+        "count(*) AS span_ngrams FROM isl GROUP BY doc_id, k) "
+        "SELECT doc_id, CAST(span_start AS BIGINT) AS span_start, "
+        "CAST(span_ngrams AS BIGINT) AS span_ngrams, "
+        f"CAST(span_ngrams + {n - 1} AS BIGINT) AS span_tokens "
+        f"FROM runs WHERE span_ngrams >= {min_run}"
+    )

@@ -1377,6 +1377,49 @@ def _generation_diff_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generation_diff(spark, path, schema)
 
 
+def _timetravel_read_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read through the manifest grace window: run the same
+    key-block takedown as targeted_delete_orders on its own copy, then
+    read the table AS OF the previous committed manifest — the result
+    must be the PRISTINE table, byte-for-byte, even though the current
+    committed state no longer contains the deleted rows.  This is the
+    snapshot-isolation contract a lakehouse reader relies on (query a
+    pinned snapshot while maintenance rewrites underneath): the grace
+    window keeps every file of manifest N readable until commit N+2, so
+    ``read_state(manifest_no=N)`` is exact, not best-effort."""
+    from pgverify_spark.sources.maintain import targeted_delete
+    from pgverify_spark.sources.manifest import manifest_numbers, read_state
+
+    ensure_required_confs(spark)
+    path = _MAINTAIN_STORE.get((sf_dir, "asof"))
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="pgvs_asof_") + "/orders"
+        src = ParquetTarget("t", sf_dir).read(spark, "orders")
+        (
+            src.repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.parquet(path)
+        )
+        _MAINTAIN_STORE[(sf_dir, "asof")] = path
+    ids = [
+        r[0]
+        for r in read_state(spark, path)
+        .filter("o_orderkey % 1000 = 7")
+        .select("o_orderkey")
+        .collect()
+    ]
+    if ids:  # first call: bootstrap commit + delete commit; later no-op
+        targeted_delete(spark, path, ids, "o_orderkey")
+    nums = manifest_numbers(spark, path)
+    # the delete's commit is nums[-1]; its predecessor is the pre-delete
+    # state (the bootstrap commit of the pristine table)
+    return read_state(spark, path, manifest_no=nums[-2]).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
 _INGEST_COMPACT_ORACLE = (
     "SELECT event_id, user_id, event_type, value FROM events"
 )
@@ -2168,6 +2211,15 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", contamination.contamination_spans),
             contamination.contamination_spans_oracle_sql("documents"),
         ),
+        # corpus-INTERNAL exact-substring mining (Lee et al. 2022): per
+        # document, the maximal runs of consecutive 5-grams shared with
+        # another document — no broadcast-able small side, positions
+        # marked by a gram-keyed ids join (never doc pairs), spans via
+        # per-doc gaps-and-islands
+        "repeated_spans_documents": (
+            _table_query("documents", dedup.repeated_spans),
+            dedup.repeated_spans_oracle_sql("documents"),
+        ),
         # integer-exact PageRank over the document-term bipartite graph
         # (TextRank-family salience).  The dup-PAIR graph was measured
         # and rejected as the input: near-dup components in any corpus
@@ -2745,6 +2797,15 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "(SELECT * FROM orders WHERE o_orderkey % 1000 <> 7) gd",
                 TESTDATA_TABLES["orders"],
             ),
+        ),
+        # time-travel read AS OF the pre-delete manifest: after the
+        # takedown commits, the previous generation must still read
+        # back as the PRISTINE table (grace-window snapshot isolation —
+        # the reader-vs-vacuum contract of snapshot-isolated formats)
+        "timetravel_read_orders": (
+            _timetravel_read_run,
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+            "FROM orders",
         ),
         # small-file compaction: 32 ingest-sized files -> right-sized
         # ones, content-identical; files already big are never read
@@ -5091,6 +5152,8 @@ _DRIVER_PRIORITY = (
     # CORRECTNESS file lands or a new entry is registered.
     "quantile_ivm_capped_events",  # last green r—never
     "quantile_ivm_jdbc_events",  # last green r—never
+    "repeated_spans_documents",  # last green r—never
+    "timetravel_read_orders",  # last green r—never
     "quantile_trailing_capped_events",  # last green r—never
     "streaming_quantile_trailing_capped_events",  # last green r—never
     "full_fingerprint_part",  # last green r7
@@ -5136,8 +5199,6 @@ _DRIVER_PRIORITY = (
     "heavy_hitters_lineitem",  # last green r7
     "fk_integrity_report",  # last green r7
     "streaming_dedup_documents",  # last green r7
-    "streaming_funnel_events",  # last green r7
-    "streaming_kmv_distinct_documents",  # last green r7
     "full_fingerprint_lineitem",  # last green r10
     "rowcount_fingerprint_lineitem",  # last green r11
     "tpch_q1_pricing_summary",  # last green r11
@@ -5418,6 +5479,12 @@ HEADLINE_QUERIES = (
     "quantile_ivm_capped_events",
     "quantile_ivm_jdbc_events",
     "quantile_trailing_capped_events",
+    # round-12b additions: corpus-internal exact-substring mining (the
+    # whole-corpus self-comparison — no broadcast-able side, the
+    # heaviest dedup shape) and the grace-window time-travel read
+    # (memoized store after the first call, like generation_diff)
+    "repeated_spans_documents",
+    "timetravel_read_orders",
 )
 
 

@@ -217,3 +217,29 @@ def test_trailing_slash_base_never_loses_files(spark, sf_dir, tmp_path):
     assert manifest.read_state(spark, path).count() == n0 - len(keys)
     # the slashed and unslashed spellings resolve identically
     assert manifest.current_entries(spark, path + "/") == entries
+
+
+def test_timetravel_read_previous_manifest_is_pristine(spark, sf_dir, tmp_path):
+    """Grace-window time travel: after a maintenance commit, reading AS
+    OF the previous manifest returns the PRE-write state exactly — the
+    snapshot a reader pinned before the write stays fully readable
+    until the commit after next (the registry's timetravel_read_orders
+    certifies the same contract cross-engine at sf0.01)."""
+    from pgverify_spark.sources.maintain import targeted_delete
+
+    path = str(tmp_path / "orders.parquet")
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src.repartition(4).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    keys = [r[0] for r in src.select("o_orderkey").limit(5).collect()]
+    targeted_delete(spark, path, keys, "o_orderkey")
+    nums = manifest.manifest_numbers(spark, path)
+    assert len(nums) >= 2
+    # current state: the delete applied
+    cur = manifest.read_state(spark, path)
+    assert cur.count() == len(before) - len(keys)
+    # previous manifest: the pristine table, byte-for-byte
+    prev = sorted(
+        map(tuple, manifest.read_state(spark, path, manifest_no=nums[-2]).collect())
+    )
+    assert prev == before

@@ -77,6 +77,42 @@ def test_exact_dup_detects_injected_duplicates(docs):
     assert all(g.n_docs >= 2 for g in groups)
 
 
+def test_repeated_spans(docs, duck):
+    rows = _cmp(
+        dedup.repeated_spans(docs), duck, dedup.repeated_spans_oracle_sql("documents")
+    )
+    # span_tokens is derived: run length + n - 1
+    assert all(r[3] == r[2] + dedup.REPEAT_N - 1 for r in rows)
+
+
+def test_repeated_spans_finds_injected_copy(spark, docs):
+    """A verbatim passage pasted into two fresh documents must surface
+    as a span in BOTH (and in any original doc sharing it), with the
+    run covering the whole pasted region: L tokens shared -> L - n + 1
+    consecutive repeated n-grams -> span_tokens == L."""
+    passage = " ".join(f"uniqtok{i}" for i in range(20))  # 20 unseen tokens
+    extra = spark.createDataFrame(
+        [
+            (9_000_001, f"alpha beta {passage} gamma"),
+            (9_000_002, f"{passage} delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'inj' AS source", "length(text) AS n_chars"
+    )
+    spans = {
+        r.doc_id: r
+        for r in dedup.repeated_spans(docs.unionByName(extra)).collect()
+        if r.doc_id >= 9_000_000
+    }
+    assert set(spans) == {9_000_001, 9_000_002}
+    # doc 1: passage starts at token 3; doc 2: at token 1
+    assert spans[9_000_001].span_start == 3
+    assert spans[9_000_002].span_start == 1
+    assert spans[9_000_001].span_tokens == 20
+    assert spans[9_000_002].span_tokens == 20
+
+
 def test_minhash_lsh_pairs(docs, duck):
     rows = _cmp(
         dedup.minhash_lsh_pairs(docs, 0.3),
