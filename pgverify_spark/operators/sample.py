@@ -278,3 +278,81 @@ def token_mixture_sample_oracle_sql(
         f"c AS (SELECT source, {threshold} AS keep_threshold FROM c0) "
         f"SELECT t.* FROM {table} t JOIN c ON t.{source_col} = c.source WHERE {keep}"
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_expr: str,
+    target_rows: int,
+) -> DataFrame:
+    """Importance-weighted Bernoulli sample: keep each row with
+    probability proportional to ``weight_expr`` (clipped at 1),
+    calibrated so the expected kept count is ~``target_rows`` — the
+    quality-/length-proportional subsampling step of corpus curation
+    ("keep ~1M docs, preferring the long/high-quality ones"), with the
+    inclusion probability emitted per row so downstream statistics can
+    reweight unbiasedly (Horvitz-Thompson: sum(1e6 / incl_ppm) over the
+    kept rows estimates the population count; sum(x * 1e6 / incl_ppm)
+    any population total).
+
+    Selection stays the engine's deterministic content-hash predicate —
+    NOT an RNG — and the per-row threshold is pure BIGINT arithmetic:
+    ``min(2^20, (target_rows * w * 2^20) div sum(w))`` out of 2^20 hash
+    buckets, so two engines (and two runs) keep byte-identical row sets
+    and there is no float comparison at any keep/drop boundary.  Rows
+    whose weight would imply probability > 1 are kept outright (their
+    ``incl_ppm`` reads 1e6); re-calibrate upstream if many clip.
+
+    Scale shape: one map-side-combinable 1-row sum aggregate, broadcast
+    back over a cross join (a single scalar), then a JVM-codegen filter
+    — no wide shuffle of the corpus at any point, the same cheapest
+    shape as the other samplers.  BIGINT headroom: target_rows * w *
+    2^20 must stay under 2^63 — fine through target 10^6 x weight 10^9.
+
+    Output: all original columns plus ``incl_ppm`` (inclusion
+    probability in parts-per-million, BIGINT).
+    """
+    tot = df.selectExpr(f"CAST({weight_expr} AS BIGINT) AS __w").agg(
+        F.expr("sum(__w)").alias("__w_total")
+    )
+    thr = (
+        f"LEAST(CAST({_BUCKETS} AS BIGINT), "
+        f"(CAST({target_rows} AS BIGINT) * CAST({weight_expr} AS BIGINT) "
+        f"* {_BUCKETS}) DIV __w_total)"
+    )
+    keep = _keep_sql(key_col, "__ws_threshold", DIALECT_SPARK)
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .withColumn("__ws_threshold", F.expr(thr))
+        .filter(keep)
+        .select(
+            *[df[c] for c in df.columns],
+            F.expr(
+                f"CAST((__ws_threshold * {_PPM}) DIV {_BUCKETS} AS BIGINT)"
+            ).alias("incl_ppm"),
+        )
+    )
+
+
+def weighted_sample_oracle_sql(
+    table: str,
+    key_col: str,
+    weight_expr: str,
+    target_rows: int,
+    cols: tuple[str, ...],
+) -> str:
+    thr = (
+        f"LEAST(CAST({_BUCKETS} AS BIGINT), "
+        f"(CAST({target_rows} AS BIGINT) * CAST({weight_expr} AS BIGINT) "
+        f"* {_BUCKETS}) // __w_total)"
+    )
+    keep = _keep_sql(key_col, "__ws_threshold", DIALECT_DUCKDB)
+    return (
+        f"WITH w AS (SELECT sum(CAST({weight_expr} AS BIGINT)) AS __w_total "
+        f"FROM {table}), "
+        f"s AS (SELECT t.*, {thr} AS __ws_threshold FROM {table} t CROSS JOIN w) "
+        f"SELECT {', '.join(cols)}, "
+        f"CAST((__ws_threshold * {_PPM}) // {_BUCKETS} AS BIGINT) AS incl_ppm "
+        f"FROM s WHERE {keep}"
+    )

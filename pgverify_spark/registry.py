@@ -2719,6 +2719,19 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                 "documents", "doc_id", "lang", {"en": 0.5, "de": 1.0, "fr": 0.25}, 0.1
             ),
         ),
+        # importance-weighted Bernoulli sample (length-proportional
+        # inclusion, integer-exact thresholds, Horvitz-Thompson
+        # incl_ppm emitted per kept row for unbiased reweighting)
+        "weighted_sample_documents": (
+            _table_query(
+                "documents",
+                lambda df: sample.weighted_sample(df, "doc_id", "n_chars", 150),
+            ),
+            sample.weighted_sample_oracle_sql(
+                "documents", "doc_id", "n_chars", 150,
+                ("doc_id", "text", "lang", "source", "n_chars"),
+            ),
+        ),
         # fixed-size per-group panel (k per event_type, content-hash rank)
         "reservoir_sample_events": (
             _table_query(
@@ -5153,6 +5166,7 @@ _DRIVER_PRIORITY = (
     "quantile_ivm_capped_events",  # last green r—never
     "quantile_ivm_jdbc_events",  # last green r—never
     "repeated_spans_documents",  # last green r—never
+    "weighted_sample_documents",  # last green r—never
     "timetravel_read_orders",  # last green r—never
     "quantile_trailing_capped_events",  # last green r—never
     "streaming_quantile_trailing_capped_events",  # last green r—never
@@ -5198,7 +5212,6 @@ _DRIVER_PRIORITY = (
     "key_distribution_lineitem",  # last green r7
     "heavy_hitters_lineitem",  # last green r7
     "fk_integrity_report",  # last green r7
-    "streaming_dedup_documents",  # last green r7
     "full_fingerprint_lineitem",  # last green r10
     "rowcount_fingerprint_lineitem",  # last green r11
     "tpch_q1_pricing_summary",  # last green r11

@@ -793,6 +793,31 @@ def test_hourly_rollup_distinct_user_modes(spark, sf_dir):
         rollup.hourly_rollup(events, distinct_users="bogus")
 
 
+def test_weighted_sample(docs, duck):
+    from pgverify_spark.operators import sample
+
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    rows = _cmp(
+        sample.weighted_sample(docs, "doc_id", "n_chars", 150),
+        duck,
+        sample.weighted_sample_oracle_sql("documents", "doc_id", "n_chars", 150, cols),
+    )
+    n_total = docs.count()
+    # calibration: expected kept count ~150 (binomial noise band)
+    assert 100 <= len(rows) <= 200, len(rows)
+    # every inclusion probability is positive and <= 1e6 ppm
+    assert all(0 < r[-1] <= 1_000_000 for r in rows)
+    # Horvitz-Thompson: sum of inverse inclusion probabilities over the
+    # kept rows estimates the population count unbiasedly
+    n_hat = sum(1_000_000 / r[-1] for r in rows)
+    assert abs(n_hat - n_total) / n_total < 0.35, (n_hat, n_total)
+    # weight-proportional: the kept set's mean n_chars exceeds the
+    # population's (longer docs are preferentially included)
+    mean_kept = sum(r[4] for r in rows) / len(rows)
+    mean_all = sum(r.n_chars for r in docs.collect()) / n_total
+    assert mean_kept > mean_all
+
+
 def test_stratified_sample(docs, duck):
     from pgverify_spark.operators import sample
 
