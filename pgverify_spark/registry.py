@@ -1420,6 +1420,55 @@ def _timetravel_read_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _schema_drift_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-only schema audit over a table two pipeline versions
+    wrote: generation A carries the original 5-column orders schema,
+    generation B drops ``o_orderpriority``, adds ``ingest_src`` and
+    narrows ``o_custkey`` to INT32 — the three drift classes (dropped,
+    added, type-conflict) a mergeSchema read silently papers over.
+    The report derives entirely from file footers (the unit test
+    splices garbage into data pages and the report is unchanged);
+    the oracle is the injected drift stated as a constant relation —
+    deterministic because the store is written by this entry itself."""
+    from pgverify_spark.sources.schema_audit import schema_drift_report
+
+    ensure_required_confs(spark)
+    path = _MAINTAIN_STORE.get((sf_dir, "sdrift"))
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="pgvs_sdrift_") + "/orders"
+        src = ParquetTarget("t", sf_dir).read(spark, "orders")
+        a = src.selectExpr(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority",
+        )
+        a.repartition(4).write.parquet(path)
+        b = src.selectExpr(
+            "o_orderkey",
+            "CAST(o_custkey AS INT) AS o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "'crawl-2' AS ingest_src",
+        )
+        b.repartition(4).write.mode("append").parquet(path)
+        _MAINTAIN_STORE[(sf_dir, "sdrift")] = path
+    return schema_drift_report(spark, path)
+
+
+_SCHEMA_DRIFT_ORACLE = (
+    'SELECT * FROM (VALUES '
+    "('o_orderkey', 'int64', CAST(8 AS BIGINT), CAST(8 AS BIGINT), 'ok'), "
+    "('o_custkey', 'int64', CAST(4 AS BIGINT), CAST(8 AS BIGINT), 'conflicting'), "
+    "('o_custkey', 'int32', CAST(4 AS BIGINT), CAST(8 AS BIGINT), 'conflicting'), "
+    "('o_orderstatus', 'string', CAST(8 AS BIGINT), CAST(8 AS BIGINT), 'ok'), "
+    "('o_totalprice', 'double', CAST(8 AS BIGINT), CAST(8 AS BIGINT), 'ok'), "
+    "('o_orderpriority', 'string', CAST(4 AS BIGINT), CAST(8 AS BIGINT), 'partial'), "
+    "('ingest_src', 'string', CAST(4 AS BIGINT), CAST(8 AS BIGINT), 'partial')"
+    ') AS t("column", dtype, n_files, n_files_total, status)'
+)
+
+
 _INGEST_COMPACT_ORACLE = (
     "SELECT event_id, user_id, event_type, value FROM events"
 )
@@ -2819,6 +2868,13 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _timetravel_read_run,
             "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
             "FROM orders",
+        ),
+        # footer-only schema-drift audit: per column x type, how many
+        # files carry it (dropped/added/type-conflict classes) — zero
+        # data pages read, distributed over the file list
+        "schema_drift_orders": (
+            _schema_drift_run,
+            _SCHEMA_DRIFT_ORACLE,
         ),
         # small-file compaction: 32 ingest-sized files -> right-sized
         # ones, content-identical; files already big are never read
@@ -5168,6 +5224,7 @@ _DRIVER_PRIORITY = (
     "repeated_spans_documents",  # last green r—never
     "weighted_sample_documents",  # last green r—never
     "timetravel_read_orders",  # last green r—never
+    "schema_drift_orders",  # last green r—never
     "quantile_trailing_capped_events",  # last green r—never
     "streaming_quantile_trailing_capped_events",  # last green r—never
     "full_fingerprint_part",  # last green r7
@@ -5211,7 +5268,6 @@ _DRIVER_PRIORITY = (
     "kmv_distinct_events",  # last green r7
     "key_distribution_lineitem",  # last green r7
     "heavy_hitters_lineitem",  # last green r7
-    "fk_integrity_report",  # last green r7
     "full_fingerprint_lineitem",  # last green r10
     "rowcount_fingerprint_lineitem",  # last green r11
     "tpch_q1_pricing_summary",  # last green r11
