@@ -675,3 +675,88 @@ def test_hll_matches_reference_model(spark, rows, p):
             est = round(raw, 6)
         ref.append((g, len(regs), s, est))
     assert got == ref
+
+
+# --- repeated spans ---------------------------------------------------------
+
+_span_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _ref_repeated_spans(docs, n, min_docs, min_run):
+    gram_docs: dict[str, set] = {}
+    per_doc: dict[int, list] = {}
+    for d, toks in docs:
+        gs = (
+            [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if len(toks) >= n
+            else []
+        )
+        per_doc[d] = gs
+        for g in set(gs):
+            gram_docs.setdefault(g, set()).add(d)
+    out = []
+    for d, gs in per_doc.items():
+        i = 0
+        while i < len(gs):
+            if len(gram_docs[gs[i]]) >= min_docs:
+                j = i
+                while j < len(gs) and len(gram_docs[gs[j]]) >= min_docs:
+                    j += 1
+                run = j - i
+                if run >= min_run:
+                    out.append((d, i + 1, run, run + n - 1))
+                i = j
+            else:
+                i += 1
+    return sorted(out)
+
+
+@SETTINGS
+@given(_span_docs)
+def test_repeated_spans_matches_reference(spark, docs):
+    from pgverify_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        map(tuple, dedup.repeated_spans(df, n=2, min_docs=2, min_run=1).collect())
+    )
+    expect = _ref_repeated_spans(list(enumerate(docs)), 2, 2, 1)
+    assert got == expect
+
+
+# --- weighted sample --------------------------------------------------------
+
+_wrows = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(1, 50)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[0],
+)
+
+
+@SETTINGS
+@given(_wrows, st.integers(1, 8), st.integers(9, 40))
+def test_weighted_sample_monotone_in_target(spark, rows, t_small, t_big):
+    """Raising target_rows only ever ADDS rows (per-row thresholds are
+    monotone in the target), and each row's inclusion probability is
+    non-decreasing — the property that makes staged curation safe
+    (a 10% pilot sample is a subset of the eventual 30% one)."""
+    from pgverify_spark.operators import sample
+
+    df = spark.createDataFrame(rows, "k bigint, w bigint")
+    small = {
+        r.k: r.incl_ppm for r in sample.weighted_sample(df, "k", "w", t_small).collect()
+    }
+    big = {
+        r.k: r.incl_ppm for r in sample.weighted_sample(df, "k", "w", t_big).collect()
+    }
+    assert set(small) <= set(big)
+    for k, p in small.items():
+        assert big[k] >= p
