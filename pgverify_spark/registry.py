@@ -1403,16 +1403,20 @@ def _timetravel_read_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.parquet(path)
         )
         _MAINTAIN_STORE[(sf_dir, "asof")] = path
-    ids = [
-        r[0]
-        for r in read_state(spark, path)
-        .filter("o_orderkey % 1000 = 7")
-        .select("o_orderkey")
-        .collect()
-    ]
-    if ids:  # first call: bootstrap commit + delete commit; later no-op
-        targeted_delete(spark, path, ids, "o_orderkey")
     nums = manifest_numbers(spark, path)
+    if len(nums) < 2:  # first call: bootstrap + delete commits; the
+        # manifest count answers idempotency, so warm calls skip the
+        # surviving-ids scan entirely
+        ids = [
+            r[0]
+            for r in read_state(spark, path)
+            .filter("o_orderkey % 1000 = 7")
+            .select("o_orderkey")
+            .collect()
+        ]
+        if ids:
+            targeted_delete(spark, path, ids, "o_orderkey")
+        nums = manifest_numbers(spark, path)
     # the delete's commit is nums[-1]; its predecessor is the pre-delete
     # state (the bootstrap commit of the pristine table)
     return read_state(spark, path, manifest_no=nums[-2]).select(
