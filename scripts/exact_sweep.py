@@ -14,9 +14,10 @@ Round-12 final state: the end-of-round full-registry run — after the
 distributed-rank quantile rewrite, the five r11-advice fixes, the
 KMV-capped state (IVM + trailing + streaming store with row-dropping
 capped compaction), the one-scan HLL overlap, the salted/adaptive
-attribution join, and the live-JDBC-delta splice — printed
-**250 exact, 0 inexact, 0 err** at sf0.01.  (A mid-round full run was
-248/248 before the two capped-trailing entries registered.)
+attribution join, the live-JDBC-delta splice, and the four late-round
+entries (repeated-span mining, weighted sampling, time-travel read,
+schema-drift audit) — printed **254 exact, 0 inexact, 0 err** at
+sf0.01.  (Earlier full runs this round: 248/248, then 250/250.)
 
 Round-11 final state: **246/246** (244 in the end-of-round full run
 plus the two late trailing-quantile entries swept 1/1 separately).
