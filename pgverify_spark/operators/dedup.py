@@ -1564,3 +1564,123 @@ def repeated_spans_oracle_sql(
         f"CAST(span_ngrams + {n - 1} AS BIGINT) AS span_tokens "
         f"FROM runs WHERE span_ngrams >= {min_run}"
     )
+
+
+def cut_repeated_spans(df: DataFrame, n: int = REPEAT_N) -> DataFrame:
+    """The TRANSFORM half of exact-substring dedup: rewrite each
+    document with its duplicated passages removed, keeping exactly the
+    globally-first occurrence of every repeated n-gram — what Lee et
+    al. 2022's ExactSubstr tool does to the corpus after
+    :func:`repeated_spans` has measured it.
+
+    Rules (deterministic, engine-independent):
+
+    - a gram occurrence is DUPLICATE when its n-token gram occurs more
+      than once in the corpus (any doc, the same doc included) and this
+      occurrence is not the globally smallest ``(doc_id, pos)`` — the
+      owner occurrence always survives, so every distinct passage keeps
+      exactly one home;
+    - token ``t`` of a document is CUT when every gram occurrence
+      covering it is duplicate (tokens under a unique or owned gram are
+      protected — cutting them would damage non-duplicated text);
+    - documents shorter than ``n`` tokens have no grams and pass
+      through verbatim.
+
+    Scale shape: two gram-keyed exchanges (occurrence count + owner —
+    same key, one shuffle reused by AQE where possible), an ids-only
+    join back, an n-fold linear explode mapping gram flags onto the
+    tokens they cover (never a pair fan-out), and ONE doc-keyed
+    exchange to reassemble text — the output being the rewritten corpus
+    makes that last O(corpus) exchange the floor, not overhead.  The
+    owner key packs ``(doc_id, pos)`` into one BIGINT (pos < 2^20 —
+    million-token documents; chunk longer ones upstream).
+
+    Output: (doc_id, n_tokens, n_cut, text_kept) — token counts BIGINT,
+    ``text_kept`` the space-joined surviving tokens ('' when everything
+    was cut).
+    """
+    from pgverify_spark.functions.canonical import hex_prefix_int_sql
+
+    toks_arr = _barrier(
+        df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens")
+    ).persist()
+    grams = toks_arr.filter(f"size(tokens) >= {n}").selectExpr(
+        "doc_id", f"posexplode({ngrams_sql('tokens', n, DIALECT_SPARK)}) AS (p0, g)"
+    ).selectExpr(
+        "doc_id",
+        "p0 + 1 AS pos",
+        f"{hex_prefix_int_sql('md5(g)', DIALECT_SPARK)} AS s",
+    )
+    ag = grams.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.expr("doc_id * 1048576 + pos")).alias("own"),
+    )
+    flagged = grams.join(ag, "s").selectExpr(
+        "doc_id",
+        "pos",
+        "CAST(cnt >= 2 AND doc_id * 1048576 + pos <> own AS INT) AS dup",
+    )
+    cover = (
+        flagged.selectExpr(
+            "doc_id", f"explode(sequence(pos, pos + {n - 1})) AS t", "dup"
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.min("dup").alias("all_dup"))
+    )
+    toks = toks_arr.selectExpr("doc_id", "posexplode(tokens) AS (t0, tok)").selectExpr(
+        "doc_id", "t0 + 1 AS t", "tok"
+    )
+    marked = toks.join(cover, ["doc_id", "t"], "left").selectExpr(
+        "doc_id", "t", "tok", "coalesce(all_dup, 0) AS cut"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cut").alias("n_cut"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "CASE WHEN cut = 0 THEN named_struct('t', t, 'tok', tok) END"
+                ")), x -> x.tok), ' ')"
+            ).alias("text_kept"),
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "CAST(n_cut AS BIGINT) AS n_cut",
+            "text_kept",
+        )
+    )
+
+
+def cut_repeated_spans_oracle_sql(table: str, n: int = REPEAT_N) -> str:
+    from pgverify_spark.functions.canonical import hex_prefix_int_sql
+
+    d = DIALECT_DUCKDB
+    g = hex_prefix_int_sql("md5(grams[i])", d)
+    return (
+        f"WITH tokarr AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens FROM {table}), "
+        f"gr AS (SELECT doc_id, {ngrams_sql('tokens', n, d)} AS grams FROM tokarr "
+        f"WHERE len(tokens) >= {n}), "
+        "grams AS MATERIALIZED (SELECT doc_id, i AS pos, "
+        f"{g} AS s FROM (SELECT doc_id, grams, "
+        "unnest(range(1, len(grams) + 1)) AS i FROM gr) t), "
+        "ag AS (SELECT s, count(*) AS cnt, min(doc_id * 1048576 + pos) AS own "
+        "FROM grams GROUP BY s), "
+        "flagged AS (SELECT doc_id, pos, "
+        "CAST(cnt >= 2 AND doc_id * 1048576 + pos <> own AS INT) AS dup "
+        "FROM grams JOIN ag USING (s)), "
+        "cover AS (SELECT doc_id, t, min(dup) AS all_dup FROM ("
+        f"SELECT doc_id, unnest(range(pos, pos + {n})) AS t, dup FROM flagged) c "
+        "GROUP BY doc_id, t), "
+        "toks AS (SELECT doc_id, i AS t, tokens[i] AS tok FROM "
+        "(SELECT doc_id, tokens, unnest(range(1, len(tokens) + 1)) AS i "
+        "FROM tokarr) x), "
+        "marked AS (SELECT toks.doc_id, toks.t, toks.tok, "
+        "coalesce(cover.all_dup, 0) AS cut FROM toks "
+        "LEFT JOIN cover ON toks.doc_id = cover.doc_id AND toks.t = cover.t) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(cut) AS BIGINT) AS n_cut, "
+        "coalesce(string_agg(CASE WHEN cut = 0 THEN tok END, ' ' ORDER BY t), '') "
+        "AS text_kept FROM marked GROUP BY doc_id"
+    )

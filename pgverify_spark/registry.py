@@ -2273,6 +2273,14 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query("documents", dedup.repeated_spans),
             dedup.repeated_spans_oracle_sql("documents"),
         ),
+        # the transform half of exact-substring dedup: rewrite each doc
+        # with duplicated passages removed, keeping the globally-first
+        # occurrence of every repeated gram (tokens under a unique or
+        # owned gram are protected)
+        "cut_repeated_spans_documents": (
+            _table_query("documents", dedup.cut_repeated_spans),
+            dedup.cut_repeated_spans_oracle_sql("documents"),
+        ),
         # integer-exact PageRank over the document-term bipartite graph
         # (TextRank-family salience).  The dup-PAIR graph was measured
         # and rejected as the input: near-dup components in any corpus
@@ -5226,6 +5234,7 @@ _DRIVER_PRIORITY = (
     "quantile_ivm_capped_events",  # last green r—never
     "quantile_ivm_jdbc_events",  # last green r—never
     "repeated_spans_documents",  # last green r—never
+    "cut_repeated_spans_documents",  # last green r—never
     "weighted_sample_documents",  # last green r—never
     "timetravel_read_orders",  # last green r—never
     "schema_drift_orders",  # last green r—never
@@ -5271,7 +5280,6 @@ _DRIVER_PRIORITY = (
     "kmv_distinct_documents",  # last green r7
     "kmv_distinct_events",  # last green r7
     "key_distribution_lineitem",  # last green r7
-    "heavy_hitters_lineitem",  # last green r7
     "full_fingerprint_lineitem",  # last green r10
     "rowcount_fingerprint_lineitem",  # last green r11
     "tpch_q1_pricing_summary",  # last green r11
@@ -5557,6 +5565,7 @@ HEADLINE_QUERIES = (
     # heaviest dedup shape) and the grace-window time-travel read
     # (memoized store after the first call, like generation_diff)
     "repeated_spans_documents",
+    "cut_repeated_spans_documents",
     "timetravel_read_orders",
 )
 

@@ -113,6 +113,36 @@ def test_repeated_spans_finds_injected_copy(spark, docs):
     assert spans[9_000_002].span_tokens == 20
 
 
+def test_cut_repeated_spans(docs, duck):
+    rows = _cmp(
+        dedup.cut_repeated_spans(docs),
+        duck,
+        dedup.cut_repeated_spans_oracle_sql("documents"),
+    )
+    assert all(0 <= r[2] <= r[1] for r in rows)  # 0 <= n_cut <= n_tokens
+
+
+def test_cut_repeated_spans_keeps_owner_occurrence(spark):
+    """A passage copied into a second document is cut from the COPY
+    (except the boundary tokens protected by grams straddling into its
+    unique tail) and kept verbatim in the owner — every distinct
+    passage keeps exactly one home."""
+    passage = " ".join(f"p{i}" for i in range(1, 11))  # 10 tokens
+    rows = [
+        (1, f"{passage} owner tail here"),
+        (2, f"{passage} other words entirely five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.cut_repeated_spans(df, n=3).collect()}
+    # owner doc: nothing cut (its occurrences own every repeated gram)
+    assert out[1].n_cut == 0
+    assert out[1].text_kept == rows[0][1]
+    # copy: passage tokens 1..8 are covered only by duplicate grams and
+    # get cut; tokens 9..10 sit under grams straddling the unique tail
+    assert out[2].n_cut == 8
+    assert out[2].text_kept == "p9 p10 other words entirely five"
+
+
 def test_minhash_lsh_pairs(docs, duck):
     rows = _cmp(
         dedup.minhash_lsh_pairs(docs, 0.3),

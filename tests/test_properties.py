@@ -760,3 +760,46 @@ def test_weighted_sample_monotone_in_target(spark, rows, t_small, t_big):
     assert set(small) <= set(big)
     for k, p in small.items():
         assert big[k] >= p
+
+
+def _ref_cut_repeated_spans(docs, n):
+    occ: dict[tuple, list] = {}
+    for d, toks in docs:
+        for i in range(len(toks) - n + 1):
+            occ.setdefault(tuple(toks[i : i + n]), []).append((d, i + 1))
+    dup = {}
+    for lst in occ.values():
+        owner = min(lst)
+        for o in lst:
+            dup[o] = len(lst) >= 2 and o != owner
+    out = []
+    for d, toks in docs:
+        T = len(toks)
+        if T == 0:
+            continue  # zero-token docs have no rows to reassemble
+        P = T - n + 1
+        cut = []
+        for t in range(1, T + 1):
+            cover = (
+                [dup[(d, p)] for p in range(max(1, t - n + 1), min(t, P) + 1)]
+                if P >= 1
+                else []
+            )
+            cut.append(1 if cover and all(cover) else 0)
+        kept = " ".join(tok for tok, c in zip(toks, cut) if not c)
+        out.append((d, T, sum(cut), kept))
+    return sorted(out)
+
+
+@SETTINGS
+@given(_span_docs)
+def test_cut_repeated_spans_matches_reference(spark, docs):
+    from pgverify_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    got = sorted(map(tuple, dedup.cut_repeated_spans(df, n=2).collect()))
+    expect = _ref_cut_repeated_spans(list(enumerate(docs)), 2)
+    assert got == expect
