@@ -1633,7 +1633,7 @@ def cut_repeated_spans(df: DataFrame, n: int = REPEAT_N) -> DataFrame:
     marked = toks.join(cover, ["doc_id", "t"], "left").selectExpr(
         "doc_id", "t", "tok", "coalesce(all_dup, 0) AS cut"
     )
-    return (
+    out = (
         marked.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -1651,6 +1651,7 @@ def cut_repeated_spans(df: DataFrame, n: int = REPEAT_N) -> DataFrame:
             "text_kept",
         )
     )
+    return _tag_cached_deps(out, toks_arr)
 
 
 def cut_repeated_spans_oracle_sql(table: str, n: int = REPEAT_N) -> str:
