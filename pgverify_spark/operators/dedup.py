@@ -1685,3 +1685,132 @@ def cut_repeated_spans_oracle_sql(table: str, n: int = REPEAT_N) -> str:
         "coalesce(string_agg(CASE WHEN cut = 0 THEN tok END, ' ' ORDER BY t), '') "
         "AS text_kept FROM marked GROUP BY doc_id"
     )
+
+
+def repeated_spans_vs_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = REPEAT_N,
+    min_docs: int = 1,
+    min_run: int = REPEAT_MIN_RUN,
+) -> DataFrame:
+    """Ingest-gate form of :func:`repeated_spans`: for each NEW document
+    in ``batch``, the maximal runs of consecutive n-grams already
+    present in >= ``min_docs`` documents of the STANDING ``corpus`` —
+    "how much of this incoming document is text the corpus already
+    has", the admission decision an ingest pipeline makes per batch
+    (the exact-substring sibling of the MinHash ingest gate
+    :func:`cross_corpus_lsh_pairs`).
+
+    Differences from the corpus-internal op: the gram index derives
+    from the corpus side ONLY (batch docs never make each other
+    "repeated" — two copies arriving in one batch both pass this gate
+    and are caught by the intra-batch pass), and ``min_docs`` defaults
+    to 1 — any standing occurrence counts.
+
+    Scale shape: O(batch) each ingest once the corpus gram set is
+    maintained incrementally — here it derives from the corpus relation
+    (distinct gram hashes, map-side-combined), the batch probes it with
+    an ids-only key join (no pair fan-out: positions are marked, docs
+    are not paired), and islands merge per batch doc.  The corpus text
+    is never shuffled; its gram relation is, once — amortized to zero
+    when the distinct-gram set is persisted and appended per ingest,
+    the same deploy note as the LSH ingest index.
+
+    Output: (doc_id, span_start, span_ngrams, span_tokens) over batch
+    documents, same shape and conventions as :func:`repeated_spans`.
+    """
+    from pyspark.sql import Window
+
+    from pgverify_spark.functions.canonical import hex_prefix_int_sql
+
+    def _pos(df: DataFrame) -> DataFrame:
+        toks = _barrier(
+            df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens")
+        )
+        return (
+            toks.filter(f"size(tokens) >= {n}")
+            .selectExpr(
+                "doc_id",
+                f"posexplode({ngrams_sql('tokens', n, DIALECT_SPARK)}) AS (p, g)",
+            )
+            .selectExpr(
+                "doc_id",
+                "p + 1 AS pos",
+                f"{hex_prefix_int_sql('md5(g)', DIALECT_SPARK)} AS s",
+            )
+        )
+
+    if min_docs <= 1:
+        known = _pos(corpus).select("s").distinct()
+    else:
+        known = (
+            _pos(corpus)
+            .groupBy("s")
+            .agg(F.countDistinct("doc_id").alias("df_docs"))
+            .filter(F.col("df_docs") >= min_docs)
+            .select("s")
+        )
+    hits = _pos(batch).join(known, "s").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        hits.withColumn("isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.count(F.lit(1)).alias("span_ngrams"),
+        )
+        .filter(F.col("span_ngrams") >= min_run)
+    )
+    return runs.selectExpr(
+        "doc_id",
+        "CAST(span_start AS BIGINT) AS span_start",
+        "CAST(span_ngrams AS BIGINT) AS span_ngrams",
+        f"CAST(span_ngrams + {n - 1} AS BIGINT) AS span_tokens",
+    )
+
+
+def repeated_spans_vs_corpus_oracle_sql(
+    batch_sql: str,
+    corpus_sql: str,
+    n: int = REPEAT_N,
+    min_docs: int = 1,
+    min_run: int = REPEAT_MIN_RUN,
+) -> str:
+    from pgverify_spark.functions.canonical import hex_prefix_int_sql
+
+    d = DIALECT_DUCKDB
+    g = hex_prefix_int_sql("md5(grams[i])", d)
+
+    def pos_cte(src: str, name: str) -> str:
+        return (
+            f"{name}_tok AS (SELECT doc_id, {tokens_sql('text', d)} AS tokens "
+            f"FROM ({src}) {name}_src), "
+            f"{name}_gr AS (SELECT doc_id, {ngrams_sql('tokens', n, d)} AS grams "
+            f"FROM {name}_tok WHERE len(tokens) >= {n}), "
+            f"{name}_pos AS (SELECT doc_id, i AS pos, {g} AS s "
+            f"FROM (SELECT doc_id, grams, unnest(range(1, len(grams) + 1)) AS i "
+            f"FROM {name}_gr) t)"
+        )
+
+    known = (
+        "known AS (SELECT DISTINCT s FROM c_pos)"
+        if min_docs <= 1
+        else (
+            "known AS (SELECT s FROM c_pos GROUP BY s "
+            f"HAVING count(DISTINCT doc_id) >= {min_docs})"
+        )
+    )
+    return (
+        f"WITH {pos_cte(batch_sql, 'b')}, {pos_cte(corpus_sql, 'c')}, "
+        f"{known}, "
+        "hits AS (SELECT doc_id, pos FROM b_pos JOIN known USING (s)), "
+        "isl AS (SELECT doc_id, pos, pos - row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY pos) AS k FROM hits), "
+        "runs AS (SELECT doc_id, min(pos) AS span_start, "
+        "count(*) AS span_ngrams FROM isl GROUP BY doc_id, k) "
+        "SELECT doc_id, CAST(span_start AS BIGINT) AS span_start, "
+        "CAST(span_ngrams AS BIGINT) AS span_ngrams, "
+        f"CAST(span_ngrams + {n - 1} AS BIGINT) AS span_tokens "
+        f"FROM runs WHERE span_ngrams >= {min_run}"
+    )

@@ -2572,6 +2572,21 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             ),
             dedup.semantic_dedup_filter_oracle_sql("documents", "embeddings", 0.3, 0.4),
         ),
+        # ingest-gate exact-substring probe: spans of the NEW batch
+        # (doc_id%10=7) already present anywhere in the standing corpus
+        # — the admission decision at ingest, corpus text never shuffled
+        "incremental_repeated_spans_documents": (
+            _table_query(
+                "documents",
+                lambda df: dedup.repeated_spans_vs_corpus(
+                    df.filter("doc_id % 10 = 7"), df.filter("doc_id % 10 <> 7")
+                ),
+            ),
+            dedup.repeated_spans_vs_corpus_oracle_sql(
+                "SELECT * FROM documents WHERE doc_id % 10 = 7",
+                "SELECT * FROM documents WHERE doc_id % 10 <> 7",
+            ),
+        ),
         # ingestion-time dedup: new batch (doc_id%10=7) vs standing corpus
         "incremental_dedup_documents": (
             _table_query(
@@ -5235,6 +5250,7 @@ _DRIVER_PRIORITY = (
     "quantile_ivm_jdbc_events",  # last green r—never
     "repeated_spans_documents",  # last green r—never
     "cut_repeated_spans_documents",  # last green r—never
+    "incremental_repeated_spans_documents",  # last green r—never
     "weighted_sample_documents",  # last green r—never
     "timetravel_read_orders",  # last green r—never
     "schema_drift_orders",  # last green r—never
@@ -5279,7 +5295,6 @@ _DRIVER_PRIORITY = (
     "fuzzy_join_pairs_part",  # last green r7
     "kmv_distinct_documents",  # last green r7
     "kmv_distinct_events",  # last green r7
-    "key_distribution_lineitem",  # last green r7
     "full_fingerprint_lineitem",  # last green r10
     "rowcount_fingerprint_lineitem",  # last green r11
     "tpch_q1_pricing_summary",  # last green r11

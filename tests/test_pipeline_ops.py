@@ -113,6 +113,33 @@ def test_repeated_spans_finds_injected_copy(spark, docs):
     assert spans[9_000_002].span_tokens == 20
 
 
+def test_repeated_spans_vs_corpus_gate(spark):
+    """The ingest gate flags batch text already in the STANDING corpus
+    and ignores duplication that exists only within the batch (that is
+    the intra-batch pass's job)."""
+    corpus_passage = " ".join(f"c{i}" for i in range(12))
+    batch_passage = " ".join(f"b{i}" for i in range(12))  # batch-only dup
+    corpus = spark.createDataFrame(
+        [(100, f"standing text {corpus_passage} more words")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (7, f"fresh {corpus_passage} tail"),      # copies the corpus
+            (17, f"alpha {batch_passage} beta"),      # dup only vs 27
+            (27, f"gamma {batch_passage} delta"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.repeated_spans_vs_corpus(batch, corpus, n=5).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {7}  # batch-internal duplication never flags
+    (s,) = by_doc[7]
+    assert s.span_start == 2 and s.span_tokens == 12
+
+
 def test_cut_repeated_spans(docs, duck):
     rows = _cmp(
         dedup.cut_repeated_spans(docs),
