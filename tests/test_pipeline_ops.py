@@ -5,6 +5,7 @@ import pytest
 
 from pgverify_spark.functions.timecol import US_PER_DAY, bucket_sql, epoch_us_sql
 from pgverify_spark.operators import dedup, multimodal, similarity, text
+from pgverify_spark.operators.util import release_cached_deps
 
 QIDS = (0, 1, 2, 3, 4)
 
@@ -78,9 +79,12 @@ def test_exact_dup_detects_injected_duplicates(docs):
 
 
 def test_repeated_spans(docs, duck):
-    rows = _cmp(
-        dedup.repeated_spans(docs), duck, dedup.repeated_spans_oracle_sql("documents")
-    )
+    res = dedup.repeated_spans(docs)
+    rows = _cmp(res, duck, dedup.repeated_spans_oracle_sql("documents"))
+    # release the tagged persisted intermediates: a leaked cache entry
+    # rewrites OTHER tests' physical plans via cache substitution (the
+    # plan-shape assertions downstream count exchanges)
+    release_cached_deps(res)
     # span_tokens is derived: run length + n - 1
     assert all(r[3] == r[2] + dedup.REPEAT_N - 1 for r in rows)
 
@@ -100,11 +104,9 @@ def test_repeated_spans_finds_injected_copy(spark, docs):
     ).selectExpr(
         "doc_id", "text", "'en' AS lang", "'inj' AS source", "length(text) AS n_chars"
     )
-    spans = {
-        r.doc_id: r
-        for r in dedup.repeated_spans(docs.unionByName(extra)).collect()
-        if r.doc_id >= 9_000_000
-    }
+    res = dedup.repeated_spans(docs.unionByName(extra))
+    spans = {r.doc_id: r for r in res.collect() if r.doc_id >= 9_000_000}
+    release_cached_deps(res)
     assert set(spans) == {9_000_001, 9_000_002}
     # doc 1: passage starts at token 3; doc 2: at token 1
     assert spans[9_000_001].span_start == 3
@@ -141,11 +143,9 @@ def test_repeated_spans_vs_corpus_gate(spark):
 
 
 def test_cut_repeated_spans(docs, duck):
-    rows = _cmp(
-        dedup.cut_repeated_spans(docs),
-        duck,
-        dedup.cut_repeated_spans_oracle_sql("documents"),
-    )
+    res = dedup.cut_repeated_spans(docs)
+    rows = _cmp(res, duck, dedup.cut_repeated_spans_oracle_sql("documents"))
+    release_cached_deps(res)
     assert all(0 <= r[2] <= r[1] for r in rows)  # 0 <= n_cut <= n_tokens
 
 
@@ -160,7 +160,9 @@ def test_cut_repeated_spans_keeps_owner_occurrence(spark):
         (2, f"{passage} other words entirely five"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r.doc_id: r for r in dedup.cut_repeated_spans(df, n=3).collect()}
+    res = dedup.cut_repeated_spans(df, n=3)
+    out = {r.doc_id: r for r in res.collect()}
+    release_cached_deps(res)
     # owner doc: nothing cut (its occurrences own every repeated gram)
     assert out[1].n_cut == 0
     assert out[1].text_kept == rows[0][1]

@@ -724,9 +724,11 @@ def test_repeated_spans_matches_reference(spark, docs):
         [(i, " ".join(toks)) for i, toks in enumerate(docs)],
         "doc_id bigint, text string",
     )
-    got = sorted(
-        map(tuple, dedup.repeated_spans(df, n=2, min_docs=2, min_run=1).collect())
-    )
+    res = dedup.repeated_spans(df, n=2, min_docs=2, min_run=1)
+    got = sorted(map(tuple, res.collect()))
+    from pgverify_spark.operators.util import release_cached_deps
+
+    release_cached_deps(res)
     expect = _ref_repeated_spans(list(enumerate(docs)), 2, 2, 1)
     assert got == expect
 
@@ -800,6 +802,10 @@ def test_cut_repeated_spans_matches_reference(spark, docs):
         [(i, " ".join(toks)) for i, toks in enumerate(docs)],
         "doc_id bigint, text string",
     )
-    got = sorted(map(tuple, dedup.cut_repeated_spans(df, n=2).collect()))
+    res = dedup.cut_repeated_spans(df, n=2)
+    got = sorted(map(tuple, res.collect()))
+    from pgverify_spark.operators.util import release_cached_deps
+
+    release_cached_deps(res)
     expect = _ref_cut_repeated_spans(list(enumerate(docs)), 2)
     assert got == expect
