@@ -15,10 +15,10 @@ distributed-rank quantile rewrite, the five r11-advice fixes, the
 KMV-capped state (IVM + trailing + streaming store with row-dropping
 capped compaction), the one-scan HLL overlap, the salted/adaptive
 attribution join, the live-JDBC-delta splice, and the four late-round
-entries (repeated-span mining + cut transform, weighted sampling,
-time-travel read, schema-drift audit) — printed **255 exact,
-0 inexact, 0 err** at sf0.01.  (Earlier full runs this round:
-248/248, 250/250, 254/254.)
+entries (repeated-span mining + cut transform + ingest-gate probe,
+weighted sampling, time-travel read, schema-drift audit) — printed
+**256 exact, 0 inexact, 0 err** at sf0.01.  (Earlier full runs this
+round: 248/248, 250/250, 254/254, 255/255.)
 
 Round-11 final state: **246/246** (244 in the end-of-round full run
 plus the two late trailing-quantile entries swept 1/1 separately).
