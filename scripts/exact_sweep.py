@@ -14,7 +14,7 @@ Round-12 final state: the end-of-round full-registry run — after the
 distributed-rank quantile rewrite, the five r11-advice fixes, the
 KMV-capped state (IVM + trailing + streaming store with row-dropping
 capped compaction), the one-scan HLL overlap, the salted/adaptive
-attribution join, the live-JDBC-delta splice, and the four late-round
+attribution join, the live-JDBC-delta splice, and the six late-round
 entries (repeated-span mining + cut transform + ingest-gate probe,
 weighted sampling, time-travel read, schema-drift audit) — printed
 **256 exact, 0 inexact, 0 err** at sf0.01.  (Earlier full runs this
