@@ -58,7 +58,7 @@ from pgverify_spark.functions.canonical import (
 )
 from pgverify_spark.functions.timecol import US_PER_DAY, bucket_sql
 from pgverify_spark.operators.util import parallelize as _parallelize
-from pgverify_spark.operators.util import plan_size_bytes
+from pgverify_spark.operators.util import plan_size_bytes, scaled_partitions
 from pgverify_spark.sources.schemas import TableSchema
 
 #: Ordered fingerprint over (k, h) pairs as a single aggregate expression.
@@ -357,9 +357,13 @@ def bucketed_fingerprint(
     )
     # One shuffle on bucket + Tungsten sort within partitions; each
     # bucket's rows are then contiguous and ordered, so the grouped
-    # collect_list concat sees them in (k, h) order.
+    # collect_list concat sees them in (k, h) order.  Explicit
+    # size-derived width (util.scaled_partitions): the ordered-concat
+    # aggregate is CPU-heavy per row and AQE byte-coalescing would
+    # serialize it onto one task at small scale (measured 2.1 s ->
+    # 3.2 s under parallelismFirst=false before the pin).
     per_bucket = (
-        kh.repartition("bucket")
+        kh.repartition(scaled_partitions(df), "bucket")
         .sortWithinPartitions("bucket", "k", "h")
         .groupBy("bucket")
         .agg(F.md5(F.concat_ws("", F.collect_list("h"))).alias("bh"))
@@ -436,7 +440,10 @@ def partitioned_fingerprint(
     small = _small(df, config)
     base = df if small else _parallelize(df)
     kh = base.selectExpr(f"{partition_sql} AS part", f"{k} AS k", f"{h} AS h")
-    sorted_kh = kh.repartition("part").sortWithinPartitions("part", "k", "h")
+    # explicit size-derived width, same rationale as bucketed_fingerprint
+    sorted_kh = kh.repartition(
+        scaled_partitions(df), "part"
+    ).sortWithinPartitions("part", "k", "h")
     if not small and _stream_hash(df, config):
         # Same heap wall as the exact full fingerprint, per PARTITION:
         # collect_list buffers one whole calendar partition per group

@@ -50,6 +50,22 @@ _TELEPORT_PPM = (1000 - DAMPING_PM) * 1000
 #: Initial rank: 1.0 in ppm.
 _INIT_PPM = 1_000_000
 
+#: Ids-only edge rows per partition of the one edge-build exchange
+#: (~24 B/row -> ~48 MB partitions, guide §2.2's sizing).
+_EDGE_ROWS_PER_PART = 2_000_000
+
+
+def _edge_partitions(src: DataFrame) -> int:
+    """Width of the edge-build exchange, derived from the materialized
+    pair count (``src`` is an eager localCheckpoint, so ``count()`` is
+    a block-stats read, not a scan) — never a constant (r12; was
+    ``defaultParallelism``).  No core floor: every consumer stage is
+    shuffle-light id hashing where idle cores cost nothing and per-task
+    scheduling dominates at small scale (measured: the 4-round walk at
+    sf0.1 drops ~0.9 s with 1-partition edges); at 100 TB this yields
+    rows/2M well-sized partitions."""
+    return max(1, min(src.count() // _EDGE_ROWS_PER_PART + 1, 1 << 20))
+
 
 def pagerank(
     pairs: DataFrame, iterations: int = 4, checkpoint_every: int = 8
@@ -96,23 +112,31 @@ def pagerank(
     # any persisted intermediates tagged on it (doc_term_edges' shingle
     # table) are no longer needed by anything downstream
     release_cached_deps(pairs)
-    edges = (
-        src.selectExpr("doc_a AS s", "doc_b AS t")
-        .unionByName(src.selectExpr("doc_b AS s", "doc_a AS t"))
-        .distinct()
+    # ONE size-derived exchange builds the whole cached relation (r12):
+    # the raw symmetrized pairs are hash-partitioned on `s` up front, so
+    # the dedup (grouping keys ⊇ {s}), the degree aggregate (key = s)
+    # and the edges⋈degrees join (key = s) all consume that partitioning
+    # with ZERO further exchanges — previously distinct, deg and the
+    # final repartition each planned their own E-sized exchange.
+    sym = src.selectExpr("doc_a AS s", "doc_b AS t").unionByName(
+        src.selectExpr("doc_b AS s", "doc_a AS t")
     )
+    n_part = _edge_partitions(src)
+    edges = sym.repartition(n_part, "s").distinct()
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     # persist (not checkpoint) the source-partitioned edge relation: an
     # InMemoryRelation PRESERVES outputPartitioning (a checkpoint's RDD
     # leaf loses it), so a round's join on `s` can consume the cache
     # co-partitioned whenever the ranks side is too big to broadcast —
     # the 100 TB regime, where this saves one E-sized exchange PER
-    # ROUND.  At sf0.1 the planner broadcasts the nodes-sized ranks
-    # instead (plan-checked), so the measured local gain is just the
-    # build-side exchange: 2.97s -> 2.71s warm.
+    # ROUND.
+    # trailing repartition = the cache's TOP operator: an AQE-wrapped
+    # cached plan reports UnknownPartitioning unless its final node is
+    # an exchange, and losing it would re-exchange the cache EVERY
+    # round (plan-checked).  Same key and width as the build exchange.
     ed = (
-        edges.join(deg, "s")
-        .repartition(pairs.sparkSession.sparkContext.defaultParallelism, "s")
+        edges.join(deg.hint("shuffle_hash"), "s")
+        .repartition(n_part, "s")
         .persist()
     )
     if not ed.take(1):  # empty graph: zero-row output, skip the loop
@@ -188,16 +212,21 @@ def pagerank_weighted(
 
     src = pairs.selectExpr("doc_a", "doc_b", "w").localCheckpoint(eager=True)
     release_cached_deps(pairs)
+    # one size-derived exchange for the whole edge build (see pagerank)
+    sym = src.selectExpr("doc_a AS s", "doc_b AS t", "w").unionByName(
+        src.selectExpr("doc_b AS s", "doc_a AS t", "w")
+    )
+    n_part = _edge_partitions(src)
     edges = (
-        src.selectExpr("doc_a AS s", "doc_b AS t", "w")
-        .unionByName(src.selectExpr("doc_b AS s", "doc_a AS t", "w"))
+        sym.repartition(n_part, "s")
         .groupBy("s", "t")
         .agg(F.expr("sum(w)").alias("w"))
     )
     strength = edges.groupBy("s").agg(F.expr("sum(w)").alias("d"))
+    # trailing repartition: see pagerank (cache partitioning visibility)
     ed = (
-        edges.join(strength, "s")
-        .repartition(pairs.sparkSession.sparkContext.defaultParallelism, "s")
+        edges.join(strength.hint("shuffle_hash"), "s")
+        .repartition(n_part, "s")
         .persist()
     )
     if not ed.take(1):
@@ -412,15 +441,20 @@ def pagerank_personalized(
 
     src = pairs.selectExpr("doc_a", "doc_b").localCheckpoint(eager=True)
     release_cached_deps(pairs)
-    edges = (
-        src.selectExpr("doc_a AS s", "doc_b AS t")
-        .unionByName(src.selectExpr("doc_b AS s", "doc_a AS t"))
-        .distinct()
+    # one size-derived exchange for the whole edge build (see pagerank)
+    sym = src.selectExpr("doc_a AS s", "doc_b AS t").unionByName(
+        src.selectExpr("doc_b AS s", "doc_a AS t")
     )
+    n_part = _edge_partitions(src)
+    edges = sym.repartition(n_part, "s").distinct()
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    # trailing repartition = the cache's TOP operator: an AQE-wrapped
+    # cached plan reports UnknownPartitioning unless its final node is
+    # an exchange, and losing it would re-exchange the cache EVERY
+    # round (plan-checked).  Same key and width as the build exchange.
     ed = (
-        edges.join(deg, "s")
-        .repartition(pairs.sparkSession.sparkContext.defaultParallelism, "s")
+        edges.join(deg.hint("shuffle_hash"), "s")
+        .repartition(n_part, "s")
         .persist()
     )
     if not ed.take(1):

@@ -35,14 +35,20 @@ def grouped_topk_revenue(df: DataFrame, k: int = 3) -> DataFrame:
     # per-(s, p) multiplicity is small (lineitem: ~1-2 rows per pair;
     # measured 1.5 s -> 1.0 s at sf0.1).  For a high-multiplicity key,
     # keep the plain groupBy and let the partial aggregate earn its
-    # second exchange.
+    # second exchange.  Width is EXPLICIT and size-derived
+    # (util.scaled_partitions): the downstream window rank is CPU-heavy
+    # per row, and AQE byte-coalescing would run it on one task at
+    # small scale (measured 1.0 s -> 3.3 s under parallelismFirst=false
+    # before the pin).
+    from pgverify_spark.operators.util import scaled_partitions
+
     rev = (
         df.selectExpr(
             "l_suppkey",
             "l_partkey",
             "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS r",
         )
-        .repartition("l_suppkey")
+        .repartition(scaled_partitions(df), "l_suppkey")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("r").cast("decimal(38,4)").alias("revenue"))
     )

@@ -32,6 +32,38 @@ def parallelize(df: DataFrame) -> DataFrame:
     return df
 
 
+def scaled_partitions(
+    df: DataFrame, target_bytes: int = 64 << 20, floor: int | None = None
+) -> int:
+    """Width for an EXPLICIT exchange, derived from input size — never a
+    constant (guide §2.2: size partitions by bytes, 100 MB-1 GB each).
+
+    Explicit because the caller's next stage is CPU-heavy per row
+    (ordered md5 concat, window rank over a table-sized relation): AQE's
+    byte-based coalescing (``parallelismFirst=false``, session.py) would
+    merge a small input to ONE task and serialize that stage — measured
+    +1.2 s (bucketed_fingerprint) / +2.2 s (grouped_topk) at sf0.1.  So:
+
+    - small inputs take the session's core count (CPU-bound work wants
+      cores; pre-r12 behavior, bench-comparable at any local core count);
+    - large inputs take ``est_bytes / target_bytes`` partitions, so a
+      100 TB relation gets ~1.6 M well-sized partitions, not #cores;
+    - statless sources (JDBC: estimate is effectively infinite) fall
+      back to the admin-tuned ``spark.sql.shuffle.partitions``.
+
+    ``floor`` overrides the core-count minimum: pass ``floor=1`` for
+    exchanges whose downstream work is shuffle-light (hash joins /
+    aggregates over id-sized rows) where idle-core cost is zero and
+    per-task scheduling is the dominant constant.
+    """
+    spark = df.sparkSession
+    est = plan_size_bytes(df)
+    lo = spark.sparkContext.defaultParallelism if floor is None else floor
+    if est >= (1 << 50):  # defaultSizeInBytes sentinel: size unknown
+        return max(lo, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    return max(lo, min(est // target_bytes, 1 << 20))
+
+
 def plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for the plan's output (file bytes for
     parquet scans; ``spark.sql.defaultSizeInBytes`` — effectively infinite

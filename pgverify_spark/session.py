@@ -27,6 +27,15 @@ REQUIRED_CONFS = {
 TUNING_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce shuffle partitions to the advisory BYTE size (64 MB
+    # default) instead of stopping at defaultParallelism.  Scale-correct
+    # by construction: a 100 TB shuffle's partitions sit far above the
+    # advisory size and keep full parallelism, while the many node-sized
+    # aggregate/join exchanges (rank updates, report pivots, sketch
+    # merges) coalesce to a handful of tasks — measured r12: -10..-30%
+    # on iterative/aggregate-heavy entries at sf0.1 with no per-query
+    # regression after the sort paths pinned their own partitioning.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local-mode friendly; on a real cluster leave to AQE + defaults.

@@ -56,13 +56,14 @@ def main() -> None:
     for name in headline:
         sc.setJobGroup(f"q:{name}", name)
         best = float("inf")
+        reps = int(os.environ.get("SPARK_GRAFT_PROFILE_REPS", "2"))
         jobs0 = sc.statusTracker().getJobIdsForGroup(f"q:{name}")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         jobs = sc.statusTracker().getJobIdsForGroup(f"q:{name}")
-        n_jobs = (len(jobs) - len(jobs0)) / 2.0
+        n_jobs = (len(jobs) - len(jobs0)) / float(reps)
         # plan capture AFTER execution so memoized stores exist; this is
         # the plan of a fresh build of the same query
         df = queries[name](spark, sf_dir)
