@@ -108,9 +108,22 @@ def drilldown_row_diff(
 
     Output: (part, k, h, left_count, right_count, status) — one row per
     differing multiset entry, tagged with the partition it came from.
+
+    The mismatched-partition list is PERSISTED (r12): it gates BOTH
+    sides' semi-joins, and an unpersisted plan re-executes the whole
+    partition_diff subtree (two per-partition fingerprint aggregates =
+    two more table scans) under the second side.  The cache is
+    |mismatched partitions|-sized, tagged for release by the registry
+    wrapper — same lifecycle as :func:`apply_repair`'s key list.
     """
+    from pgverify_spark.operators.util import tag_cached_deps
+
     config = config or VerifyConfig()
-    bad = partition_diff(left, right, schema, config, partition_sql).select("part")
+    bad = (
+        partition_diff(left, right, schema, config, partition_sql)
+        .select("part")
+        .persist()
+    )
 
     cols = schema.hashed_cols(config.valid_column)
     k = pk_key_sql(schema.pk_cols(), DIALECT_SPARK, config.trunc_unit)
@@ -128,7 +141,7 @@ def drilldown_row_diff(
     joined = side(left, "left_count").join(
         side(right, "right_count"), on=["part", "k", "h"], how="full_outer"
     )
-    return (
+    out = (
         joined.filter(
             F.col("left_count").isNull()
             | F.col("right_count").isNull()
@@ -146,6 +159,7 @@ def drilldown_row_diff(
             .alias("status"),
         )
     )
+    return tag_cached_deps(out, bad)
 
 
 def drilldown_row_diff_oracle_sql(
@@ -487,8 +501,23 @@ def incident_report(
     from pgverify_spark.operators.util import tag_cached_deps
 
     spark = left.sparkSession
-    l_fp = additive_fingerprint(left, schema, config).first()["fp"]
-    r_fp = additive_fingerprint(right, schema, config).first()["fp"]
+    # ONE action for both sides' pre-check fingerprints (r12): the two
+    # shuffle-free aggregates union into a single job and run their
+    # scans concurrently, instead of two serial driver round-trips
+    # (guide §2.6 — overlap independent work; halves the pre-check's
+    # per-job constant, the dominant cost of the clean-input path).
+    fps = (
+        additive_fingerprint(left, schema, config)
+        .selectExpr("'l' AS side", "fp")
+        .unionByName(
+            additive_fingerprint(right, schema, config).selectExpr(
+                "'r' AS side", "fp"
+            )
+        )
+        .collect()
+    )
+    by_side = {row["side"]: row["fp"] for row in fps}
+    l_fp, r_fp = by_side["l"], by_side["r"]
     n_l, n_r = int(l_fp.split(":")[0]), int(r_fp.split(":")[0])
     rc = spark.createDataFrame(
         [("rowcount", "total", f"{n_l}:{n_r}")], "stage string, item string, detail string"
@@ -570,16 +599,25 @@ def apply_repair(
     Scale shape: one :func:`row_diff` (the dominant cost, O(distinct
     rows) shuffle — or compose with the partition-gated drill-down at
     100 TB) plus two joins against the DIFF-sized key list, which the
-    planner broadcasts.
+    planner broadcasts.  The key list is PERSISTED (r12): it feeds both
+    the anti- and the semi-join, and an unpersisted plan duplicates the
+    whole row_diff subtree — two more table-sized aggregates and a
+    second full-outer join — under the second consumer (measured: 36 →
+    20 exchanges in the executed plan, 2.0 → ~1.2 s at sf0.1).  The
+    cache is DIFF-sized, tagged for release by the registry wrapper on
+    the next invocation, same lifecycle as :func:`incident_report`.
     """
+    from pgverify_spark.operators.util import tag_cached_deps
+
     config = config or VerifyConfig()
     k = pk_key_sql(schema.pk_cols(), DIALECT_SPARK, config.trunc_unit)
-    bad = repair_plan(left, right, schema, config).select("k")
+    bad = repair_plan(left, right, schema, config).select("k").persist()
     r_k = right.selectExpr("*", f"{k} AS _pgvs_k")
     l_k = left.selectExpr("*", f"{k} AS _pgvs_k")
     kept = r_k.join(bad, r_k["_pgvs_k"] == bad["k"], "left_anti")
     fixed = l_k.join(bad, l_k["_pgvs_k"] == bad["k"], "left_semi")
-    return kept.drop("_pgvs_k").unionByName(fixed.drop("_pgvs_k"))
+    out = kept.drop("_pgvs_k").unionByName(fixed.drop("_pgvs_k"))
+    return tag_cached_deps(out, bad)
 
 
 def repair_plan_oracle_sql(

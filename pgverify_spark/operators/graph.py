@@ -59,12 +59,15 @@ def _edge_partitions(src: DataFrame) -> int:
     """Width of the edge-build exchange, derived from the materialized
     pair count (``src`` is an eager localCheckpoint, so ``count()`` is
     a block-stats read, not a scan) — never a constant (r12; was
-    ``defaultParallelism``).  No core floor: every consumer stage is
-    shuffle-light id hashing where idle cores cost nothing and per-task
-    scheduling dominates at small scale (measured: the 4-round walk at
-    sf0.1 drops ~0.9 s with 1-partition edges); at 100 TB this yields
-    rows/2M well-sized partitions."""
-    return max(1, min(src.count() // _EDGE_ROWS_PER_PART + 1, 1 << 20))
+    ``defaultParallelism``).  FLOOR at the core count: the dedup /
+    degree-aggregate / join consumers hash and compare every edge row,
+    which is CPU work that wants all cores — a 1-partition edge build
+    at sf0.1 measured +0.4..+0.6 s per pagerank entry on the frozen
+    bench protocol (the no-floor variant's profiler-based claim did
+    not replicate).  At 100 TB this yields rows/2M well-sized
+    partitions, far above the floor."""
+    par = src.sparkSession.sparkContext.defaultParallelism
+    return max(par, min(src.count() // _EDGE_ROWS_PER_PART + 1, 1 << 20))
 
 
 def pagerank(

@@ -367,10 +367,18 @@ def _diff_entries() -> dict[str, tuple[Callable, str]]:
     from pgverify_spark.operators.diff import apply_repair
 
     def run_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pgverify_spark.operators.util import carry_cached_deps
+
         left = ParquetTarget("t", sf_dir).read(spark, "orders")
         left.createOrReplaceTempView("orders")
-        return apply_repair(left, spark.sql(_RP_RIGHT_SPARK), schema).select(
-            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        repaired = apply_repair(left, spark.sql(_RP_RIGHT_SPARK), schema)
+        # carry the persisted diff-key tag through the projection so the
+        # registry wrapper releases it on the next invocation
+        return carry_cached_deps(
+            repaired,
+            repaired.select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            ),
         )
 
     out["repair_apply_orders"] = (

@@ -27,15 +27,17 @@ REQUIRED_CONFS = {
 TUNING_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Coalesce shuffle partitions to the advisory BYTE size (64 MB
-    # default) instead of stopping at defaultParallelism.  Scale-correct
-    # by construction: a 100 TB shuffle's partitions sit far above the
-    # advisory size and keep full parallelism, while the many node-sized
-    # aggregate/join exchanges (rank updates, report pivots, sketch
-    # merges) coalesce to a handful of tasks — measured r12: -10..-30%
-    # on iterative/aggregate-heavy entries at sf0.1 with no per-query
-    # regression after the sort paths pinned their own partitioning.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # parallelismFirst deliberately left at its default (true): an r12
+    # A/B with the frozen bench protocol (scripts/opt_bench_subset.py,
+    # reps=3, warm, clearCache between queries) measured byte-based
+    # coalescing (false) at +19% on a 17-query subset (31.6 s vs
+    # 25.6 s) — nearly every md5/canonicalization-heavy stage here is
+    # CPU-bound per row, and coalescing below the core count serializes
+    # it.  (A first-run-dominated profiler had suggested the opposite;
+    # the warm best-of-3 bench is authoritative.)  At cluster scale the
+    # advisory byte size still governs once partitions exceed
+    # defaultParallelism, so large shuffles are sized correctly either
+    # way.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local-mode friendly; on a real cluster leave to AQE + defaults.
