@@ -1604,12 +1604,24 @@ def cut_repeated_spans(df: DataFrame, n: int = REPEAT_N) -> DataFrame:
     toks_arr = _barrier(
         df.selectExpr("doc_id", f"{tokens_sql('text', DIALECT_SPARK)} AS tokens")
     ).persist()
-    grams = toks_arr.filter(f"size(tokens) >= {n}").selectExpr(
-        "doc_id", f"posexplode({ngrams_sql('tokens', n, DIALECT_SPARK)}) AS (p0, g)"
-    ).selectExpr(
-        "doc_id",
-        "p0 + 1 AS pos",
-        f"{hex_prefix_int_sql('md5(g)', DIALECT_SPARK)} AS s",
+    # persisted for the same reason as repeated_spans' positional-gram
+    # relation (r12): it feeds BOTH the occurrence/owner aggregate and
+    # the flag join-back, and an unpersisted plan re-runs the explode +
+    # per-gram md5 chain (the CPU-dominant projection) under each
+    # consumer; the cached rows are serialized int triples, far smaller
+    # than the text they came from
+    grams = (
+        toks_arr.filter(f"size(tokens) >= {n}")
+        .selectExpr(
+            "doc_id",
+            f"posexplode({ngrams_sql('tokens', n, DIALECT_SPARK)}) AS (p0, g)",
+        )
+        .selectExpr(
+            "doc_id",
+            "p0 + 1 AS pos",
+            f"{hex_prefix_int_sql('md5(g)', DIALECT_SPARK)} AS s",
+        )
+        .persist()
     )
     ag = grams.groupBy("s").agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -1651,7 +1663,7 @@ def cut_repeated_spans(df: DataFrame, n: int = REPEAT_N) -> DataFrame:
             "text_kept",
         )
     )
-    return _tag_cached_deps(out, toks_arr)
+    return _tag_cached_deps(out, toks_arr, grams)
 
 
 def cut_repeated_spans_oracle_sql(table: str, n: int = REPEAT_N) -> str:

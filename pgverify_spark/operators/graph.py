@@ -115,31 +115,32 @@ def pagerank(
     # any persisted intermediates tagged on it (doc_term_edges' shingle
     # table) are no longer needed by anything downstream
     release_cached_deps(pairs)
-    # ONE size-derived exchange builds the whole cached relation (r12):
-    # the raw symmetrized pairs are hash-partitioned on `s` up front, so
-    # the dedup (grouping keys ⊇ {s}), the degree aggregate (key = s)
-    # and the edges⋈degrees join (key = s) all consume that partitioning
-    # with ZERO further exchanges — previously distinct, deg and the
-    # final repartition each planned their own E-sized exchange.
-    sym = src.selectExpr("doc_a AS s", "doc_b AS t").unionByName(
-        src.selectExpr("doc_b AS s", "doc_a AS t")
+    # Edge build kept in its BALANCED pre-r12 shape (r12 decision,
+    # measured): the distinct dedups on the uniform (s, t) hash, so a
+    # hot node (doc-term graphs are degree-irregular by nature) never
+    # concentrates the pre-dedup pair multiset on one task.  An
+    # alternative single-exchange build (hash the raw symmetrized pairs
+    # on `s` once, let dedup/degree/join consume it) was tried and
+    # REVERTED: it trades two cheap ids-only exchanges for a skew
+    # hazard in the dedup stage (guide §2.5) and measured +0.15..0.28 s
+    # per entry at sf0.1 on the frozen bench (forcing the degree join
+    # off the planner's broadcast choice was part of the cost).
+    edges = (
+        src.selectExpr("doc_a AS s", "doc_b AS t")
+        .unionByName(src.selectExpr("doc_b AS s", "doc_a AS t"))
+        .distinct()
     )
-    n_part = _edge_partitions(src)
-    edges = sym.repartition(n_part, "s").distinct()
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     # persist (not checkpoint) the source-partitioned edge relation: an
     # InMemoryRelation PRESERVES outputPartitioning (a checkpoint's RDD
     # leaf loses it), so a round's join on `s` can consume the cache
     # co-partitioned whenever the ranks side is too big to broadcast —
     # the 100 TB regime, where this saves one E-sized exchange PER
-    # ROUND.
-    # trailing repartition = the cache's TOP operator: an AQE-wrapped
-    # cached plan reports UnknownPartitioning unless its final node is
-    # an exchange, and losing it would re-exchange the cache EVERY
-    # round (plan-checked).  Same key and width as the build exchange.
+    # ROUND.  Width is size-derived with a core floor
+    # (_edge_partitions) — scale-adaptive, never a constant (r12).
     ed = (
-        edges.join(deg.hint("shuffle_hash"), "s")
-        .repartition(n_part, "s")
+        edges.join(deg, "s")
+        .repartition(_edge_partitions(src), "s")
         .persist()
     )
     if not ed.take(1):  # empty graph: zero-row output, skip the loop
@@ -215,21 +216,18 @@ def pagerank_weighted(
 
     src = pairs.selectExpr("doc_a", "doc_b", "w").localCheckpoint(eager=True)
     release_cached_deps(pairs)
-    # one size-derived exchange for the whole edge build (see pagerank)
-    sym = src.selectExpr("doc_a AS s", "doc_b AS t", "w").unionByName(
-        src.selectExpr("doc_b AS s", "doc_a AS t", "w")
-    )
-    n_part = _edge_partitions(src)
+    # balanced (s, t)-keyed edge build — see pagerank's r12 note on the
+    # reverted single-exchange variant (skew hazard on hot nodes)
     edges = (
-        sym.repartition(n_part, "s")
+        src.selectExpr("doc_a AS s", "doc_b AS t", "w")
+        .unionByName(src.selectExpr("doc_b AS s", "doc_a AS t", "w"))
         .groupBy("s", "t")
         .agg(F.expr("sum(w)").alias("w"))
     )
     strength = edges.groupBy("s").agg(F.expr("sum(w)").alias("d"))
-    # trailing repartition: see pagerank (cache partitioning visibility)
     ed = (
-        edges.join(strength.hint("shuffle_hash"), "s")
-        .repartition(n_part, "s")
+        edges.join(strength, "s")
+        .repartition(_edge_partitions(src), "s")
         .persist()
     )
     if not ed.take(1):
@@ -444,20 +442,17 @@ def pagerank_personalized(
 
     src = pairs.selectExpr("doc_a", "doc_b").localCheckpoint(eager=True)
     release_cached_deps(pairs)
-    # one size-derived exchange for the whole edge build (see pagerank)
-    sym = src.selectExpr("doc_a AS s", "doc_b AS t").unionByName(
-        src.selectExpr("doc_b AS s", "doc_a AS t")
+    # balanced (s, t)-keyed edge build — see pagerank's r12 note on the
+    # reverted single-exchange variant (skew hazard on hot nodes)
+    edges = (
+        src.selectExpr("doc_a AS s", "doc_b AS t")
+        .unionByName(src.selectExpr("doc_b AS s", "doc_a AS t"))
+        .distinct()
     )
-    n_part = _edge_partitions(src)
-    edges = sym.repartition(n_part, "s").distinct()
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    # trailing repartition = the cache's TOP operator: an AQE-wrapped
-    # cached plan reports UnknownPartitioning unless its final node is
-    # an exchange, and losing it would re-exchange the cache EVERY
-    # round (plan-checked).  Same key and width as the build exchange.
     ed = (
-        edges.join(deg.hint("shuffle_hash"), "s")
-        .repartition(n_part, "s")
+        edges.join(deg, "s")
+        .repartition(_edge_partitions(src), "s")
         .persist()
     )
     if not ed.take(1):
