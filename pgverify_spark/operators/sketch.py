@@ -287,6 +287,7 @@ def sample_select(
 def quantiles_from_sample(
     s: DataFrame,
     probs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 900_000, 990_000),
+    width: int | None = None,
 ) -> DataFrame:
     """Rank-select quantiles from a materialized (v, hk) sample relation —
     the shared back half of :func:`sampled_quantiles` and the streaming
@@ -295,39 +296,56 @@ def quantiles_from_sample(
     The global rank is DISTRIBUTED (the r11 VERDICT's one ``weak``):
     the same machinery proven in ``topk.equidepth_histogram`` —
 
-    1. range-repartition the sample on (v, hk) + in-partition sort;
+    1. range-repartition the sample on (v, hk) + in-partition sort,
+       width SIZE-DERIVED (``util.scaled_partitions``, floor 1: a
+       sample the size estimate puts under one target block sorts on
+       one well-fed task — the coalescing AQE would apply anyway — and
+       a 1-partition range exchange needs no boundary-sampling pass,
+       while a multi-TB sample gets bytes/64 MB sorted partitions);
     2. per-partition counts → cumulative offsets, an O(#partitions)
        driver step independent of sample size (and n_sample falls out
        of the same counts — no second scan);
-    3. global rank = partition offset + a row_number PARTITIONED by
-       spark_partition_id — never a single-reducer Window, so a
-       multi-TB sample (5% of 100 TB at the default rate) ranks on
-       every executor instead of one.
+    3. global rank = partition offset + the IN-PARTITION row number,
+       both read off ``monotonically_increasing_id()`` computed
+       NARROWLY on the sorted relation (pid = id >> 33, row number =
+       (id & (2^33-1)) + 1 — the function's documented layout, valid
+       while a partition holds < 2^33 rows, far above any byte-sized
+       partition) — never a single-reducer Window, and (r12) never a
+       Window at all: the previous ``row_number() OVER (PARTITION BY
+       spark_partition_id())`` forced an ENSURE_REQUIREMENTS hash
+       exchange on pid — a full re-shuffle of the just-range-sorted
+       sample (5 TB moved twice at 100 TB) that the id arithmetic
+       eliminates (plan: Exchange+Sort+Window over the cache → a
+       pure projection; guide §2.1).
 
     (v, hk) is a total order with hk unique per sampled key, so range
-    partitioning admits no cross-partition ties and offset+row_number
-    reproduces the old global row_number exactly; the selected ranks
-    are computed driver-side from the same counts.  The range-sorted
+    partitioning admits no cross-partition ties and offset + row number
+    reproduces a global row_number exactly; the selected ranks are
+    computed driver-side from the same counts.  The range-sorted
     relation is persisted (the offsets pass and the rank pass must see
-    the SAME sampled partitioning) and tagged for
-    ``util.release_cached_deps``.
+    the SAME sampled partitioning and in-partition order) and tagged
+    for ``util.release_cached_deps``.
     """
-    from pyspark.sql import Window
-
-    from pgverify_spark.operators.util import tag_cached_deps
+    from pgverify_spark.operators.util import scaled_partitions, tag_cached_deps
 
     spark = s.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    # `width` pins the exchange width (tests exercise the multi-partition
+    # offset math with it); None derives it from the size estimate
+    if width is None:
+        width = scaled_partitions(s, floor=1)
     ranged = (
         s.select("v", "hk")
-        .repartitionByRange(par, F.asc("v"), F.asc("hk"))
+        .repartitionByRange(width, F.asc("v"), F.asc("hk"))
         .sortWithinPartitions(F.asc("v"), F.asc("hk"))
-        .withColumn("pid", F.spark_partition_id())
+        .withColumn("mid", F.monotonically_increasing_id())
         .persist()
     )
     counts = {
         r["pid"]: r["cnt"]
-        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in ranged.selectExpr("mid >> 33 AS pid")
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     }
     n_sample = sum(counts.values())
     if n_sample == 0:
@@ -341,7 +359,7 @@ def quantiles_from_sample(
     for i in sorted(counts):
         offs.append((i, acc))
         acc += counts[i]
-    off_df = spark.createDataFrame(offs, "pid INT, off BIGINT")
+    off_df = spark.createDataFrame(offs, "pid BIGINT, off BIGINT")
     pr = spark.createDataFrame(
         [
             (int(p), n_sample, (int(p) * n_sample + 999_999) // 1_000_000)
@@ -349,9 +367,10 @@ def quantiles_from_sample(
         ],
         "prob_ppm INT, n_sample BIGINT, r BIGINT",
     )
-    w = Window.partitionBy("pid").orderBy(F.asc("v"), F.asc("hk"))
     ranked = (
-        ranged.withColumn("rn", F.row_number().over(w))
+        ranged.selectExpr(
+            "v", "mid >> 33 AS pid", "(mid & 8589934591) + 1 AS rn"
+        )
         .join(F.broadcast(off_df), "pid")
         .selectExpr("v", "off + rn AS rank")
     )

@@ -75,7 +75,9 @@ def grouped_topk_revenue_oracle_sql(table: str, k: int = 3) -> str:
     )
 
 
-def equidepth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame:
+def equidepth_histogram(
+    df: DataFrame, col: str, buckets: int = 10, width: int | None = None
+) -> DataFrame:
     """Equi-depth (equal-count) histogram of ``col``:
     (bucket, n, lo, hi) — the bucket boundaries a range-partitioner or
     a BI tool's quantile axis would use.
@@ -84,11 +86,19 @@ def equidepth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame
     window (r9 VERDICT item 4) — the classic distributed ranking:
 
     1. range-repartition on ``col`` + in-partition sort (boundaries
-       from Spark's range sampler, balanced under skew);
+       from Spark's range sampler, balanced under skew; width
+       size-derived — ``util.scaled_partitions``, floor 1 — so a small
+       column sorts on one well-fed task with no boundary-sampling
+       pass while a 100 TB column gets bytes/64 MB partitions);
     2. per-partition row counts → cumulative offsets — an
        O(#partitions) driver step, independent of data size;
-    3. global rank = partition offset + in-partition ``row_number``
-       (a window PARTITIONED by spark_partition_id, never global);
+    3. global rank = partition offset + the in-partition row number,
+       both decoded from ``monotonically_increasing_id()`` computed
+       narrowly on the sorted relation (pid = id >> 33, row number =
+       low 33 bits + 1) — never a global window, and (r12) never a
+       Window at all: the previous pid-partitioned ``row_number``
+       forced an ENSURE_REQUIREMENTS re-shuffle of the whole
+       range-sorted column on pid, which the id arithmetic removes;
     4. ntile's bucket from the rank in closed form: with
        ``N = q·buckets + rem``, the first ``rem`` buckets take ``q+1``
        rows — pure integer arithmetic, so the result is exactly what
@@ -106,20 +116,26 @@ def equidepth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame
     rank pass must see the SAME sampled partitioning) and tagged on the
     result for ``util.release_cached_deps``.
     """
-    from pgverify_spark.operators.util import tag_cached_deps
+    from pgverify_spark.operators.util import scaled_partitions, tag_cached_deps
 
     spark = df.sparkSession
     vals = df.select(col)
-    p = spark.sparkContext.defaultParallelism
+    # `width` pins the exchange width (tests exercise the multi-partition
+    # offset math with it); None derives it from the size estimate
+    if width is None:
+        width = scaled_partitions(vals, floor=1)
     ranged = (
-        vals.repartitionByRange(p, F.asc(col))
+        vals.repartitionByRange(width, F.asc(col))
         .sortWithinPartitions(F.asc(col))
-        .withColumn("pid", F.spark_partition_id())
+        .withColumn("mid", F.monotonically_increasing_id())
         .persist()
     )
     counts = {
         r["pid"]: r["cnt"]
-        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in ranged.selectExpr("mid >> 33 AS pid")
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     }
     # n_total from the per-pid counts — no separate full scan
     n_total = sum(counts.values())
@@ -135,8 +151,7 @@ def equidepth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame
     for i in sorted(counts):
         offs.append((i, acc))
         acc += counts[i]
-    off_df = spark.createDataFrame(offs, "pid INT, off BIGINT")
-    w = Window.partitionBy("pid").orderBy(F.asc(col))
+    off_df = spark.createDataFrame(offs, "pid BIGINT, off BIGINT")
     q, rem = divmod(n_total, buckets)
     cut = rem * (q + 1)
     # q == 0 ⇒ cut == N and the ELSE branch is unreachable (divisor
@@ -146,7 +161,9 @@ def equidepth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame
         f"ELSE {rem} + CAST((rank - {cut} - 1) div {max(q, 1)} AS INT) + 1 END"
     )
     binned = (
-        ranged.withColumn("rn", F.row_number().over(w))
+        ranged.selectExpr(
+            col, "mid >> 33 AS pid", "(mid & 8589934591) + 1 AS rn"
+        )
         .join(F.broadcast(off_df), "pid")
         .selectExpr(col, "off + rn AS rank")
         .selectExpr(col, f"{bucket} AS bucket")

@@ -1757,6 +1757,40 @@ def test_equidepth_histogram_closed_form_matches_ntile(spark, sf_dir, duck):
     assert empty.count() == 0
 
 
+def test_distributed_rank_id_arithmetic(spark, sf_dir, duck):
+    """The r12 monotonically_increasing_id rank (pid = id >> 33, row
+    number = low 33 bits + 1) must (a) reproduce the oracle EXACTLY
+    when the range exchange spans MULTIPLE partitions — the offset
+    math's only hard case, which the size-derived local width (1)
+    never exercises — and (b) plan with NO Window and NO
+    ENSURE_REQUIREMENTS exchange over the sorted relation (the pid
+    re-shuffle the id arithmetic exists to remove)."""
+    from pgverify_spark.operators import topk
+    from pgverify_spark.operators.sketch import (
+        quantiles_from_sample,
+        sample_select,
+        sampled_quantiles_oracle_sql,
+    )
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # (a) multi-partition offsets, both operators, vs the exact oracle
+    _cmp(
+        topk.equidepth_histogram(od, "o_totalprice", 7, width=5),
+        duck,
+        topk.equidepth_histogram_oracle_sql("orders", "o_totalprice", 7),
+    )
+    q = quantiles_from_sample(
+        sample_select(od, "o_totalprice", "o_orderkey"), width=5
+    )
+    _cmp(q, duck, sampled_quantiles_oracle_sql("orders", "o_totalprice", "o_orderkey"))
+    # (b) plan shape: the rank is a projection over the cached sort —
+    # no Window node, no planner-inserted re-shuffle anywhere
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "ENSURE_REQUIREMENTS" not in plan
+    spark.catalog.clearCache()
+
+
 def test_prep_operators(docs, duck):
     from pgverify_spark.operators import prep
 
