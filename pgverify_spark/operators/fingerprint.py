@@ -614,7 +614,10 @@ def write_fingerprint_snapshot(
     gen = manifest.new_generation()
     out.write.parquet(f"{path}/{gen}")
     _write_file_catalog(df, f"{path}/{gen}")
-    manifest.commit(df.sparkSession, path, [gen])
+    manifest.commit(
+        df.sparkSession, path, [gen],
+        schema_json=manifest.read_back_schema(out),
+    )
 
 
 #: Catalog sidecar name — underscore prefix keeps it invisible to
@@ -1047,7 +1050,8 @@ def update_fingerprint_snapshot(
         ~F.col("part").isin(list(parts))
     )
     gen = manifest.new_generation()
-    kept.unionByName(fresh).write.parquet(f"{path}/{gen}")
+    staged = kept.unionByName(fresh)
+    staged.write.parquet(f"{path}/{gen}")
     # refresh the target file catalog: the splice re-baselines the
     # incremental-verify fast path to the table's current files;
     # unchanged files keep their stored day bounds (O(delta) refresh).
@@ -1060,7 +1064,9 @@ def update_fingerprint_snapshot(
     prev_cat = _read_file_catalog(spark, path)
     if _catalog_delta_within_parts(spark, df, prev_cat, parts, partition_sql):
         _write_file_catalog(df, f"{path}/{gen}", prev_cat)
-    manifest.commit(spark, path, [gen])
+    manifest.commit(
+        spark, path, [gen], schema_json=manifest.read_back_schema(staged)
+    )
     return manifest.read_state(spark, path)
 
 

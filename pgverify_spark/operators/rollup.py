@@ -539,15 +539,14 @@ def write_rollup_snapshot(df: DataFrame, path: str) -> None:
 
     spark = df.sparkSession
     gen = manifest.new_generation()
-    (
-        hourly_rollup(df, distinct_users=None)
-        .withColumn("day", F.expr("hour_bucket div 24"))
-        .write.partitionBy("day")
-        .mode("overwrite")
-        .parquet(f"{path}/{gen}")
+    fresh = hourly_rollup(df, distinct_users=None).withColumn(
+        "day", F.expr("hour_bucket div 24")
     )
+    fresh.write.partitionBy("day").mode("overwrite").parquet(f"{path}/{gen}")
     days = _gen_day_entries(spark, path, gen)
-    manifest.commit(spark, path, days)
+    manifest.commit(
+        spark, path, days, schema_json=manifest.read_back_schema(fresh, ("day",))
+    )
 
 
 def _gen_day_entries(spark, base: str, gen: str) -> list[str]:
@@ -625,7 +624,12 @@ def update_rollup_snapshot(spark, df: DataFrame, path: str, days: tuple) -> Data
     fresh.write.partitionBy("day").parquet(f"{path}/{gen}")
     dropped = {f"day={int(d)}" for d in days}
     kept = [e for e in prev if e.rsplit("/", 1)[-1] not in dropped]
-    manifest.commit(spark, path, kept + _gen_day_entries(spark, path, gen))
+    manifest.commit(
+        spark,
+        path,
+        kept + _gen_day_entries(spark, path, gen),
+        schema_json=manifest.read_back_schema(fresh, ("day",)),
+    )
     return read_rollup_snapshot(spark, path)
 
 
@@ -748,14 +752,16 @@ def write_hll_snapshot(
     spark = df.sparkSession
     day = bucket_sql(df, US_PER_DAY)
     gen = manifest.new_generation()
-    (
-        hll_registers(df, value_col, day)
-        .selectExpr("grp AS day", "bucket", "r")
-        .write.partitionBy("day")
-        .mode("overwrite")
-        .parquet(f"{path}/{gen}")
+    fresh = hll_registers(df, value_col, day).selectExpr(
+        "grp AS day", "bucket", "r"
     )
-    manifest.commit(spark, path, _gen_day_entries(spark, path, gen))
+    fresh.write.partitionBy("day").mode("overwrite").parquet(f"{path}/{gen}")
+    manifest.commit(
+        spark,
+        path,
+        _gen_day_entries(spark, path, gen),
+        schema_json=manifest.read_back_schema(fresh, ("day",)),
+    )
 
 
 def read_hll_snapshot(spark, path: str) -> DataFrame:
@@ -799,7 +805,12 @@ def update_hll_snapshot(
         fresh.write.partitionBy("day").parquet(f"{path}/{gen}")
         dropped = {f"day={int(d)}" for d in days}
         kept = [e for e in prev if e.rsplit("/", 1)[-1] not in dropped]
-        manifest.commit(spark, path, kept + _gen_day_entries(spark, path, gen))
+        manifest.commit(
+            spark,
+            path,
+            kept + _gen_day_entries(spark, path, gen),
+            schema_json=manifest.read_back_schema(fresh, ("day",)),
+        )
     return hll_summary(
         read_hll_snapshot(spark, path).selectExpr("day AS grp", "bucket", "r")
     )
@@ -859,13 +870,14 @@ def write_sample_snapshot(
 
     spark = df.sparkSession
     gen = manifest.new_generation()
-    (
-        _day_sample(df, value_col, key_col, rate_ppm, cap_per_day)
-        .write.partitionBy("day")
-        .mode("overwrite")
-        .parquet(f"{path}/{gen}")
+    fresh = _day_sample(df, value_col, key_col, rate_ppm, cap_per_day)
+    fresh.write.partitionBy("day").mode("overwrite").parquet(f"{path}/{gen}")
+    manifest.commit(
+        spark,
+        path,
+        _gen_day_entries(spark, path, gen),
+        schema_json=manifest.read_back_schema(fresh, ("day",)),
     )
-    manifest.commit(spark, path, _gen_day_entries(spark, path, gen))
 
 
 def _day_sample(
@@ -961,7 +973,12 @@ def update_sample_snapshot(
         fresh.write.partitionBy("day").parquet(f"{path}/{gen}")
         dropped = {f"day={int(d)}" for d in days}
         kept = [e for e in prev if e.rsplit("/", 1)[-1] not in dropped]
-        manifest.commit(spark, path, kept + _gen_day_entries(spark, path, gen))
+        manifest.commit(
+            spark,
+            path,
+            kept + _gen_day_entries(spark, path, gen),
+            schema_json=manifest.read_back_schema(fresh, ("day",)),
+        )
     s = read_sample_snapshot(spark, path).select("v", "hk")
     if cap_per_day is not None:
         s = sample_trim(s, cap_per_day)

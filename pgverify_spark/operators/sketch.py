@@ -355,27 +355,38 @@ def quantiles_from_sample(
             "CAST(NULL AS BIGINT) AS n_sample",
             "v AS est_value",
         ).limit(0)
-    offs, acc = [], 0
+    # The counts pass put offsets AND the selected ranks on the driver,
+    # so the selection needs NO joins at all (the previous shape built
+    # and broadcast two driver-local relations — one broadcast-build
+    # job each, ~100 ms apiece at any scale, pure constant): resolve
+    # each target rank to its (pid, in-partition row) driver-side and
+    # select with a literal predicate + CASE over the cached sort — a
+    # #probs-sized filter, never a shuffle.  Two probs can land on the
+    # SAME rank (tiny n_sample), hence the array + explode.
+    offs, acc = {}, 0
     for i in sorted(counts):
-        offs.append((i, acc))
+        offs[i] = acc
         acc += counts[i]
-    off_df = spark.createDataFrame(offs, "pid BIGINT, off BIGINT")
-    pr = spark.createDataFrame(
-        [
-            (int(p), n_sample, (int(p) * n_sample + 999_999) // 1_000_000)
-            for p in probs_ppm
-        ],
-        "prob_ppm INT, n_sample BIGINT, r BIGINT",
+    targets: dict[tuple[int, int], list[int]] = {}
+    for p in probs_ppm:
+        r = (int(p) * n_sample + 999_999) // 1_000_000
+        pid = max(i for i in offs if offs[i] < r)
+        targets.setdefault((pid, r - offs[pid]), []).append(int(p))
+    # shiftright() rather than the >> operator: Spark 4's parser
+    # rejects >> inside a non-first CASE WHEN branch
+    cond = " OR ".join(
+        f"(shiftright(mid, 33) = {pid} AND (mid & 8589934591) + 1 = {rn})"
+        for pid, rn in targets
     )
-    ranked = (
-        ranged.selectExpr(
-            "v", "mid >> 33 AS pid", "(mid & 8589934591) + 1 AS rn"
-        )
-        .join(F.broadcast(off_df), "pid")
-        .selectExpr("v", "off + rn AS rank")
+    case = " ".join(
+        f"WHEN shiftright(mid, 33) = {pid} AND (mid & 8589934591) + 1 = {rn} "
+        f"THEN array({', '.join(str(p) for p in ps)})"
+        for (pid, rn), ps in targets.items()
     )
-    out = ranked.join(F.broadcast(pr), ranked["rank"] == pr["r"]).select(
-        "prob_ppm", "n_sample", F.col("v").alias("est_value")
+    out = ranged.filter(cond).selectExpr(
+        f"explode(CASE {case} END) AS prob_ppm",
+        f"CAST({n_sample} AS BIGINT) AS n_sample",
+        "v AS est_value",
     )
     return tag_cached_deps(out, ranged)
 

@@ -151,7 +151,6 @@ def equidepth_histogram(
     for i in sorted(counts):
         offs.append((i, acc))
         acc += counts[i]
-    off_df = spark.createDataFrame(offs, "pid BIGINT, off BIGINT")
     q, rem = divmod(n_total, buckets)
     cut = rem * (q + 1)
     # q == 0 ⇒ cut == N and the ELSE branch is unreachable (divisor
@@ -160,14 +159,27 @@ def equidepth_histogram(
         f"CASE WHEN rank <= {cut} THEN CAST((rank - 1) div {q + 1} AS INT) + 1 "
         f"ELSE {rem} + CAST((rank - {cut} - 1) div {max(q, 1)} AS INT) + 1 END"
     )
-    binned = (
-        ranged.selectExpr(
-            col, "mid >> 33 AS pid", "(mid & 8589934591) + 1 AS rn"
-        )
-        .join(F.broadcast(off_df), "pid")
-        .selectExpr(col, "off + rn AS rank")
-        .selectExpr(col, f"{bucket} AS bucket")
+    rows = ranged.selectExpr(
+        col, "mid >> 33 AS pid", "(mid & 8589934591) + 1 AS rn"
     )
+    if len(offs) <= 64:
+        # offsets as a literal CASE: a per-pid constant needs no join —
+        # the broadcast build of the offsets relation is a whole Spark
+        # job (~100 ms constant at any scale); above 64 partitions the
+        # expression would bloat codegen, so fall back to the join
+        off_case = "CASE " + " ".join(
+            f"WHEN pid = {pid} THEN {off}L" for pid, off in offs
+        ) + " END"
+        binned = rows.selectExpr(col, f"{off_case} + rn AS rank").selectExpr(
+            col, f"{bucket} AS bucket"
+        )
+    else:
+        off_df = spark.createDataFrame(offs, "pid BIGINT, off BIGINT")
+        binned = (
+            rows.join(F.broadcast(off_df), "pid")
+            .selectExpr(col, "off + rn AS rank")
+            .selectExpr(col, f"{bucket} AS bucket")
+        )
     out = binned.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.min(col).alias("lo"),

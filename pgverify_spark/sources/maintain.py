@@ -118,7 +118,11 @@ def files_possibly_containing(
 
 
 def _commit_rewrite(
-    spark: SparkSession, path: str, gen: str, replaced: list[str]
+    spark: SparkSession,
+    path: str,
+    gen: str,
+    replaced: list[str],
+    schema_json: str | None = None,
 ) -> None:
     """Publish a maintenance rewrite: the current committed file set
     minus ``replaced`` (absolute paths) plus the staged generation's
@@ -146,7 +150,7 @@ def _commit_rewrite(
         if f.rstrip("/") not in dropped
     ]
     staged = [f"{gen}/{os.path.basename(f)}" for f, _ in list_data_files(f"{base}/{gen}")]
-    manifest.commit(spark, path, kept + staged)
+    manifest.commit(spark, path, kept + staged, schema_json=schema_json)
 
 
 def targeted_delete(
@@ -179,7 +183,10 @@ def targeted_delete(
     staging = f"{path.rstrip('/')}/{gen}"
     kept.write.parquet(staging)
     n_after = spark.read.parquet(staging).count()
-    _commit_rewrite(spark, path, gen, cands)
+    _commit_rewrite(
+        spark, path, gen, cands,
+        schema_json=manifest.read_back_schema(kept),
+    )
     return {
         "files_total": total,
         "files_rewritten": len(cands),
@@ -241,13 +248,13 @@ def compact_small_files(
     n_out = max(1, -(-sum(sz for _, sz in small) // target_bytes))
     gen = manifest.new_generation()
     staging = f"{path.rstrip('/')}/{gen}"
-    (
-        spark.read.parquet(*[f for f, _ in small])
-        .coalesce(n_out)
-        .write.parquet(staging)
-    )
+    staged_df = spark.read.parquet(*[f for f, _ in small]).coalesce(n_out)
+    staged_df.write.parquet(staging)
     written = len(list_data_files(staging))
-    _commit_rewrite(spark, path, gen, [f for f, _ in small])
+    _commit_rewrite(
+        spark, path, gen, [f for f, _ in small],
+        schema_json=manifest.read_back_schema(staged_df),
+    )
     return {
         "files_total": len(files),
         "files_compacted": len(small),

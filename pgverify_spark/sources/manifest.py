@@ -121,6 +121,44 @@ def new_generation() -> str:
     return f"gen-{uuid.uuid4().hex[:12]}"
 
 
+def read_back_schema(df: DataFrame, part_cols: tuple[str, ...] = ()) -> str | None:
+    """The schema :func:`read_state` would INFER for state written as
+    ``df.write.partitionBy(*part_cols).parquet(...)`` — data columns in
+    written order (partition columns removed from their position), then
+    the partition columns appended as the nullable INT partition
+    discovery yields for integral ``key=value`` directory names.
+
+    Writers pass the result to :func:`commit` so every later
+    :func:`read_state` plans WITHOUT the parquet footer-inference job
+    (~100–180 ms + 1 Spark job per committed relation, measured r12) —
+    the schema-in-metadata design of every manifest-based table format.
+    Returns None (record nothing, readers infer as before) when a
+    partition column is not integral, where directory-name inference
+    could diverge from this reconstruction."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    fields = []
+    by_name = {f.name: f for f in df.schema.fields}
+    for f in df.schema.fields:
+        if f.name not in part_cols:
+            fields.append(StructField(f.name, f.dataType, True))
+    for c in part_cols:
+        f = by_name.get(c)
+        if f is None or not isinstance(
+            f.dataType, (ByteType, ShortType, IntegerType, LongType)
+        ):
+            return None
+        fields.append(StructField(c, IntegerType(), True))
+    return StructType(fields).json()
+
+
 def read_state(
     spark: SparkSession, base: str, manifest_no: int | None = None
 ) -> DataFrame:
@@ -154,6 +192,17 @@ def read_state(
         manifest_no = nums[-1]
     m = _read_manifest(spark, base, manifest_no)
     entries = list(m["entries"])
+    pinned = None
+    if entries and m.get("schema"):
+        from pyspark.sql.types import StructType
+
+        # schema recorded at commit (:func:`read_back_schema`): plan
+        # every relation from metadata — no footer-inference jobs
+        pinned = StructType.fromJson(json.loads(m["schema"]))
+
+    def reader():
+        return spark.read.schema(pinned) if pinned is not None else spark.read
+
     part_groups: dict[str, list[str]] = {}
     flat: list[str] = []
     for e in entries:
@@ -164,11 +213,11 @@ def read_state(
             flat.append(f"{base}/{e}")
     parts: list[DataFrame] = []
     if flat:
-        parts.append(spark.read.parquet(*flat))
+        parts.append(reader().parquet(*flat))
     for root, paths in part_groups.items():
         base_path = f"{base}/{root}" if root else base
         parts.append(
-            spark.read.option("basePath", base_path).parquet(*paths)
+            reader().option("basePath", base_path).parquet(*paths)
         )
     if not parts:  # a committed EMPTY state (everything deleted)
         if m.get("schema"):
@@ -215,13 +264,25 @@ def data_files(spark: SparkSession, base: str) -> list[tuple[str, int]] | None:
     return out
 
 
-def commit(spark: SparkSession, base: str, entries: list[str]) -> int:
+def commit(
+    spark: SparkSession,
+    base: str,
+    entries: list[str],
+    schema_json: str | None = None,
+) -> int:
     """Publish ``entries`` as the new committed state and GC.
 
     Creates ``_manifest-<N+1>`` (the atomic publish), then deletes
     manifests and entries whose last reference is manifest N-1 or older
     — the one-commit grace window documented in the module docstring.
     Returns the new manifest number.
+
+    ``schema_json`` (from :func:`read_back_schema`) records the state's
+    read-back schema in the manifest so :func:`read_state` plans from
+    metadata instead of running footer-inference jobs.  The single
+    writer guarantees it describes EVERY entry (kept entries are prior
+    generations of the same state); omit it and readers infer as
+    before.
 
     An EMPTY ``entries`` list additionally records the outgoing state's
     schema (one footer read of the previous commit, or the previous
@@ -234,6 +295,8 @@ def commit(spark: SparkSession, base: str, entries: list[str]) -> int:
     nums = manifest_numbers(spark, base)
     n = (nums[-1] if nums else 0) + 1
     payload: dict = {"entries": sorted(entries)}
+    if entries and schema_json:
+        payload["schema"] = schema_json
     if not entries and nums:
         prev = _read_manifest(spark, base, nums[-1])
         if prev.get("entries"):

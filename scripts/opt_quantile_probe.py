@@ -88,7 +88,8 @@ def main() -> None:
             dropped = {"day=19723", "day=19724"}
             kept = [e for e in prev if e.rsplit("/", 1)[-1] not in dropped]
             manifest.commit(
-                spark, state, kept + rollup._gen_day_entries(spark, state, gen)
+                spark, state, kept + rollup._gen_day_entries(spark, state, gen),
+                schema_json=manifest.read_back_schema(fresh, ("day",)),
             )
 
         phase("splice-write+commit", splice)

@@ -243,3 +243,61 @@ def test_timetravel_read_previous_manifest_is_pristine(spark, sf_dir, tmp_path):
         map(tuple, manifest.read_state(spark, path, manifest_no=nums[-2]).collect())
     )
     assert prev == before
+
+
+def test_recorded_schema_pins_read_and_matches_inference(spark, tmp_path):
+    """A commit carrying read_back_schema() must (a) read back with the
+    EXACT schema and rows footer inference would produce — partitioned,
+    flat, and mixed-generation splices alike — and (b) plan the read
+    with ZERO Spark jobs (the footer-inference job is the cost the
+    recorded schema exists to remove)."""
+    sc = spark.sparkContext
+
+    def jobs(fn):
+        g = "t:pinned"
+        sc.setJobGroup(g, g)
+        before = len(sc.statusTracker().getJobIdsForGroup(g))
+        out = fn()
+        n = len(sc.statusTracker().getJobIdsForGroup(g)) - before
+        sc.setJobGroup(None, None)
+        return out, n
+
+    # day-partitioned state across TWO generations (the splice shape)
+    base = str(tmp_path / "state")
+    df = spark.range(30).selectExpr(
+        "CAST(id AS DOUBLE) AS v", "id AS hk", "CAST(id % 3 AS BIGINT) AS day"
+    )
+    g1, g2 = manifest.new_generation(), manifest.new_generation()
+    df.filter("day < 2").write.partitionBy("day").parquet(f"{base}/{g1}")
+    df.filter("day = 2").write.partitionBy("day").parquet(f"{base}/{g2}")
+    entries = [f"{g1}/day=0", f"{g1}/day=1", f"{g2}/day=2"]
+    rec = manifest.read_back_schema(df, ("day",))
+    manifest.commit(spark, base, entries)  # 1: no schema -> infers
+    inferred = manifest.read_state(spark, base, 1)
+    manifest.commit(spark, base, entries, schema_json=rec)  # 2: pinned
+    pinned, n_jobs = jobs(lambda: manifest.read_state(spark, base, 2))
+    assert n_jobs == 0, f"pinned read planned {n_jobs} jobs"
+    assert pinned.schema == inferred.schema
+    assert sorted(map(tuple, pinned.collect())) == sorted(
+        map(tuple, inferred.collect())
+    )
+
+    # flat state (file-granularity maintenance layout)
+    fbase = str(tmp_path / "flat")
+    fdf = spark.range(9).selectExpr("id", "md5(CAST(id AS STRING)) AS fp")
+    gen = manifest.new_generation()
+    fdf.write.parquet(f"{fbase}/{gen}")
+    manifest.commit(spark, fbase, [gen])
+    finferred = manifest.read_state(spark, fbase, 1)
+    manifest.commit(spark, fbase, [gen], schema_json=manifest.read_back_schema(fdf))
+    fpinned, fn_jobs = jobs(lambda: manifest.read_state(spark, fbase, 2))
+    assert fn_jobs == 0
+    assert fpinned.schema == finferred.schema
+    assert sorted(map(tuple, fpinned.collect())) == sorted(
+        map(tuple, finferred.collect())
+    )
+
+    # a non-integral partition column refuses to record (inference
+    # could diverge) — readers keep inferring
+    sdf = spark.range(3).selectExpr("id", "CAST(id AS STRING) AS day")
+    assert manifest.read_back_schema(sdf, ("day",)) is None
