@@ -58,6 +58,14 @@ def row_diff(
     config = config or VerifyConfig()
     l = _kh_counts(left, schema, config).withColumnRenamed("count", "left_count")
     r = _kh_counts(right, schema, config).withColumnRenamed("count", "right_count")
+    return _diff_from_counts(l, r)
+
+
+def _diff_from_counts(l: DataFrame, r: DataFrame) -> DataFrame:
+    """The compare half of :func:`row_diff`: full-outer join of two
+    (k, h, {left,right}_count) relations, mismatches only — split out so
+    :func:`incident_report` can feed counts aggregated from its shared
+    per-side projection (r12 batch 7)."""
     joined = l.join(r, on=["k", "h"], how="full_outer")
     return (
         joined.filter(
@@ -495,6 +503,18 @@ def incident_report(
     DIFF-sized output is persisted per call (released by the registry
     wrapper on the next invocation), so the two table-sized hash
     aggregates behind it run once instead of once per stage.
+
+    NOT shared (r12 batch 7, measured and rejected): a persisted
+    (part, k, h) projection per side feeding both the partition stage
+    and the row/repair aggregates — it cuts the mismatch path's
+    hash-passes 6 → 4, and the outputs are identical, but the
+    interleaved frozen-protocol A/B read old 1.85 s vs shared 2.24 s
+    at sf0.1: the independent stage subtrees of the union run as
+    CONCURRENT stages inside the one collect job, and funnelling them
+    through a shared cache serializes that concurrency (plus block-lock
+    contention when two stages materialize the same cache).  At 100 TB
+    the same concurrency argument holds whenever the cluster is not
+    CPU-saturated, so the parallel-subtree shape is kept.
     """
     config = config or VerifyConfig()
     from pgverify_spark.operators.fingerprint import additive_fingerprint

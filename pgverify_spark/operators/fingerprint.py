@@ -440,11 +440,24 @@ def partitioned_fingerprint(
     small = _small(df, config)
     base = df if small else _parallelize(df)
     kh = base.selectExpr(f"{partition_sql} AS part", f"{k} AS k", f"{h} AS h")
+    return _partitioned_fp_from_kh(kh, df, config, small)
+
+
+def _partitioned_fp_from_kh(
+    kh: DataFrame, width_src: DataFrame, config: VerifyConfig, small: bool
+) -> DataFrame:
+    """(part, fp) from an already-projected (part, k, h) relation — the
+    tail of :func:`partitioned_fingerprint`, split out so
+    :func:`~pgverify_spark.operators.diff.incident_report` can feed the
+    SAME persisted projection to this and to the row-level diff instead
+    of re-scanning + re-hashing the table per stage (r12 batch 7).
+    ``width_src`` is the original source relation, used only for the
+    size-derived exchange width and the streamed-reduce auto-select."""
     # explicit size-derived width, same rationale as bucketed_fingerprint
     sorted_kh = kh.repartition(
-        scaled_partitions(df), "part"
+        scaled_partitions(width_src), "part"
     ).sortWithinPartitions("part", "k", "h")
-    if not small and _stream_hash(df, config):
+    if not small and _stream_hash(width_src, config):
         # Same heap wall as the exact full fingerprint, per PARTITION:
         # collect_list buffers one whole calendar partition per group
         # (measured OOM at 10^6 rows/day x 2 sides on an 8g JVM, 100x

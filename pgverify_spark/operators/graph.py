@@ -66,12 +66,59 @@ def _edge_partitions(src: DataFrame) -> int:
     bench protocol (the no-floor variant's profiler-based claim did
     not replicate).  At 100 TB this yields rows/2M well-sized
     partitions, far above the floor."""
-    par = src.sparkSession.sparkContext.defaultParallelism
-    return max(par, min(src.count() // _EDGE_ROWS_PER_PART + 1, 1 << 20))
+    return _edge_partitions_from_count(src.sparkSession, src.count())
+
+
+def _edge_partitions_from_count(spark, n_pairs: int) -> int:
+    """:func:`_edge_partitions` from an already-known pair count, so
+    callers that need the count anyway (the empty-graph check) read the
+    checkpoint's block stats ONCE instead of twice (r12 batch 7)."""
+    par = spark.sparkContext.defaultParallelism
+    return max(par, min(n_pairs // _EDGE_ROWS_PER_PART + 1, 1 << 20))
+
+
+def _edge_cache_deduped(sym: DataFrame, nparts: int, weighted: bool) -> DataFrame:
+    """Single-exchange (edges ⋈ degrees)-equivalent cache for callers
+    that GUARANTEE the symmetrized pair stream is duplicate-free
+    (``deduped_pairs=True`` — see :func:`pagerank`): one hash exchange
+    on ``s`` at the size-derived width, then everything else runs
+    in-partition (guide §2.4, r12 batch 7):
+
+    - unweighted: the degree is a ``count`` window over ``partition by
+      s`` — no dedup aggregate (input is duplicate-free by contract),
+      no degree exchange (the window's required distribution is the
+      partitioning just established), no join;
+    - weighted: parallel edges (possible even for deduped inputs via
+      48-bit term-hash collisions) merge through ``groupBy(s, t)``,
+      which ALSO plans without an exchange — HashPartitioning(s)
+      satisfies ClusteredDistribution(s, t) — then the out-strength is
+      a ``sum(w)`` window over the same partitioning.
+
+    vs the balanced build: 4 Exchanges + 1 join → 1 Exchange + 1
+    in-partition Window (plan-asserted in tests/test_graph.py).  This
+    is NOT the reverted batch-1 shape: that one hash-partitioned a
+    possibly-duplicate-heavy raw multiset (skew hazard on hot nodes)
+    and forced the degree join off the planner's broadcast choice;
+    here the input is duplicate-free by contract, so per-task rows
+    equal the FINAL cache's rows — the exact distribution the trailing
+    repartition produced before — and there is no join left to force.
+    Output columns: s, t, d (+ w when weighted), hash-partitioned on
+    ``s`` at ``nparts`` — identical to the balanced build's cache."""
+    from pyspark.sql import Window
+
+    part = sym.repartition(nparts, "s")
+    win = Window.partitionBy("s")
+    if weighted:
+        merged = part.groupBy("s", "t").agg(F.expr("sum(w)").alias("w"))
+        return merged.withColumn("d", F.sum("w").over(win)).persist()
+    return part.withColumn("d", F.count(F.lit(1)).over(win)).persist()
 
 
 def pagerank(
-    pairs: DataFrame, iterations: int = 4, checkpoint_every: int = 8
+    pairs: DataFrame,
+    iterations: int = 4,
+    checkpoint_every: int = 8,
+    deduped_pairs: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over an undirected pair graph.
 
@@ -79,6 +126,16 @@ def pagerank(
     shingle-term nodes, URLs...); extra columns are ignored; edges are
     symmetrized and deduplicated, so every endpoint has degree >= 1 and
     there are no dangling nodes by construction.
+
+    ``deduped_pairs=True`` is the caller's guarantee that the
+    SYMMETRIZED pair stream is already duplicate-free — true for any
+    bipartite edge relation whose forward direction is distinct (the
+    registry's doc-term graphs: ``_shingled`` dedupes shingle ints per
+    doc, and doc ids < TERM_NODE_OFFSET <= term ids means the reversed
+    direction can never collide with the forward one).  It switches the
+    edge build to :func:`_edge_cache_deduped` (4 Exchanges + 1 join →
+    1 Exchange); the output is identical because the skipped
+    ``distinct`` is a no-op on duplicate-free input.
 
     Output: (node_id, rank_ppm BIGINT) for every node in a pair, after
     exactly ``iterations`` synchronous update rounds of
@@ -115,35 +172,31 @@ def pagerank(
     # any persisted intermediates tagged on it (doc_term_edges' shingle
     # table) are no longer needed by anything downstream
     release_cached_deps(pairs)
-    # Edge build kept in its BALANCED pre-r12 shape (r12 decision,
-    # measured): the distinct dedups on the uniform (s, t) hash, so a
-    # hot node (doc-term graphs are degree-irregular by nature) never
-    # concentrates the pre-dedup pair multiset on one task.  An
-    # alternative single-exchange build (hash the raw symmetrized pairs
-    # on `s` once, let dedup/degree/join consume it) was tried and
-    # REVERTED: it trades two cheap ids-only exchanges for a skew
-    # hazard in the dedup stage (guide §2.5) and measured +0.15..0.28 s
-    # per entry at sf0.1 on the frozen bench (forcing the degree join
-    # off the planner's broadcast choice was part of the cost).
-    edges = (
-        src.selectExpr("doc_a AS s", "doc_b AS t")
-        .unionByName(src.selectExpr("doc_b AS s", "doc_a AS t"))
-        .distinct()
+    # One block-stats count serves the exchange width AND the
+    # empty-graph check (was a separate ed.take(1) job — r12 batch 7).
+    n_pairs = src.count()
+    nparts = _edge_partitions_from_count(src.sparkSession, n_pairs)
+    sym = src.selectExpr("doc_a AS s", "doc_b AS t").unionByName(
+        src.selectExpr("doc_b AS s", "doc_a AS t")
     )
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    # persist (not checkpoint) the source-partitioned edge relation: an
-    # InMemoryRelation PRESERVES outputPartitioning (a checkpoint's RDD
-    # leaf loses it), so a round's join on `s` can consume the cache
-    # co-partitioned whenever the ranks side is too big to broadcast —
-    # the 100 TB regime, where this saves one E-sized exchange PER
-    # ROUND.  Width is size-derived with a core floor
-    # (_edge_partitions) — scale-adaptive, never a constant (r12).
-    ed = (
-        edges.join(deg, "s")
-        .repartition(_edge_partitions(src), "s")
-        .persist()
-    )
-    if not ed.take(1):  # empty graph: zero-row output, skip the loop
+    if deduped_pairs:
+        # single-exchange build; skew-equivalent to the balanced cache
+        # because per-task rows == final cache rows (docstring above)
+        ed = _edge_cache_deduped(sym, nparts, weighted=False)
+    else:
+        # Generic inputs keep the BALANCED build (r12 decision,
+        # measured): the distinct dedups on the uniform (s, t) hash, so
+        # a hot node's pre-dedup pair multiset (arbitrary multiplicity
+        # for unknown callers) never concentrates on one task (guide
+        # §2.5: skew beats exchange count).  persist (not checkpoint):
+        # an InMemoryRelation PRESERVES outputPartitioning, so a
+        # round's join on `s` consumes the cache co-partitioned — at
+        # 100 TB that saves one E-sized exchange PER ROUND.  Width is
+        # size-derived with a core floor — never a constant (r12).
+        edges = sym.distinct()
+        deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        ed = edges.join(deg, "s").repartition(nparts, "s").persist()
+    if n_pairs == 0:  # empty graph: zero-row output, skip the loop
         ed.unpersist()
         return ed.selectExpr("s AS node_id", "CAST(s AS BIGINT) AS rank_ppm")
     ranks = (
@@ -181,7 +234,10 @@ def pagerank(
 
 
 def pagerank_weighted(
-    pairs: DataFrame, iterations: int = 4, checkpoint_every: int = 8
+    pairs: DataFrame,
+    iterations: int = 4,
+    checkpoint_every: int = 8,
+    deduped_pairs: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over a WEIGHTED undirected pair graph —
     the salience-weighted twin of :func:`pagerank` (r9 VERDICT item 5):
@@ -216,21 +272,24 @@ def pagerank_weighted(
 
     src = pairs.selectExpr("doc_a", "doc_b", "w").localCheckpoint(eager=True)
     release_cached_deps(pairs)
-    # balanced (s, t)-keyed edge build — see pagerank's r12 note on the
-    # reverted single-exchange variant (skew hazard on hot nodes)
-    edges = (
-        src.selectExpr("doc_a AS s", "doc_b AS t", "w")
-        .unionByName(src.selectExpr("doc_b AS s", "doc_a AS t", "w"))
-        .groupBy("s", "t")
-        .agg(F.expr("sum(w)").alias("w"))
+    n_pairs = src.count()
+    nparts = _edge_partitions_from_count(src.sparkSession, n_pairs)
+    sym = src.selectExpr("doc_a AS s", "doc_b AS t", "w").unionByName(
+        src.selectExpr("doc_b AS s", "doc_a AS t", "w")
     )
-    strength = edges.groupBy("s").agg(F.expr("sum(w)").alias("d"))
-    ed = (
-        edges.join(strength, "s")
-        .repartition(_edge_partitions(src), "s")
-        .persist()
-    )
-    if not ed.take(1):
+    if deduped_pairs:
+        # single-exchange build: parallel-edge merge (groupBy(s, t)) and
+        # out-strength window both run in-partition on the one exchange
+        # — deduped_pairs guarantees per-(s, t) multiplicity stays at
+        # the hash-collision level, so no pre-merge skew (see pagerank)
+        ed = _edge_cache_deduped(sym, nparts, weighted=True)
+    else:
+        # balanced (s, t)-keyed edge build for generic inputs — see
+        # pagerank's note on the reverted raw-multiset variant
+        edges = sym.groupBy("s", "t").agg(F.expr("sum(w)").alias("w"))
+        strength = edges.groupBy("s").agg(F.expr("sum(w)").alias("d"))
+        ed = edges.join(strength, "s").repartition(nparts, "s").persist()
+    if n_pairs == 0:
         ed.unpersist()
         return ed.selectExpr("s AS node_id", "CAST(s AS BIGINT) AS rank_ppm")
     ranks = (
@@ -410,6 +469,7 @@ def pagerank_personalized(
     seed_sql: str,
     iterations: int = 4,
     checkpoint_every: int = 8,
+    deduped_pairs: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: teleport mass lands ONLY on the seed set
     — rank becomes "importance *as seen from* the seeds" instead of
@@ -432,72 +492,77 @@ def pagerank_personalized(
     mass per round — deterministic, identical in both engines.
 
     Physical shape: :func:`pagerank`'s per-round ranks-side
-    shuffle-hash join + map-side-combined aggregate, plus ONE extra
-    node-sized join per round to add the teleport column (the ``tele``
-    relation is persisted once; the planner broadcasts it while nodes
-    fit, shuffle-hash co-partitions past that).  Raises on an empty
-    seed set — a personalized walk with no seeds has no definition.
+    shuffle-hash join + map-side-combined aggregate, EXACTLY — the
+    teleport is not a relation at all (r12 batch 7).  ``nv`` and ``ns``
+    are two scalars, collected once (an O(1) driver transfer, the same
+    class as the verify scalars), so ``tele(v)`` becomes a literal CASE
+    over the seed predicate inlined into each round's post-aggregate
+    projection and into the rank init.  That removes, vs the previous
+    shape: the persisted node-sized ``tele`` relation, its
+    materializing seed-check job, the broadcast of the count row, and
+    ONE node-sized join per round.  The mass arithmetic is unchanged
+    (same integers: Python's ``//`` equals SQL ``div`` for the
+    non-negative operands here).  Raises on an empty seed set — a
+    personalized walk with no seeds has no definition.
     """
     from pgverify_spark.operators.util import release_cached_deps, tag_cached_deps
 
     src = pairs.selectExpr("doc_a", "doc_b").localCheckpoint(eager=True)
     release_cached_deps(pairs)
-    # balanced (s, t)-keyed edge build — see pagerank's r12 note on the
-    # reverted single-exchange variant (skew hazard on hot nodes)
-    edges = (
-        src.selectExpr("doc_a AS s", "doc_b AS t")
-        .unionByName(src.selectExpr("doc_b AS s", "doc_a AS t"))
-        .distinct()
+    n_pairs = src.count()
+    nparts = _edge_partitions_from_count(src.sparkSession, n_pairs)
+    sym = src.selectExpr("doc_a AS s", "doc_b AS t").unionByName(
+        src.selectExpr("doc_b AS s", "doc_a AS t")
     )
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    ed = (
-        edges.join(deg, "s")
-        .repartition(_edge_partitions(src), "s")
-        .persist()
-    )
-    if not ed.take(1):
+    if deduped_pairs:
+        ed = _edge_cache_deduped(sym, nparts, weighted=False)
+    else:
+        # balanced (s, t)-keyed edge build for generic inputs — see
+        # pagerank's note on the reverted raw-multiset variant
+        edges = sym.distinct()
+        deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        ed = edges.join(deg, "s").repartition(nparts, "s").persist()
+    if n_pairs == 0:
         ed.unpersist()
         return ed.selectExpr("s AS node_id", "CAST(s AS BIGINT) AS rank_ppm")
     nodes = ed.selectExpr("s AS node").distinct()
-    cnt = nodes.selectExpr(
+    counts = nodes.selectExpr(
         "CAST(count(1) AS BIGINT) AS nv",
         f"CAST(sum(CASE WHEN {seed_sql} THEN 1 ELSE 0 END) AS BIGINT) AS ns",
-    )
-    tele = (
-        nodes.crossJoin(F.broadcast(cnt))
-        .selectExpr(
-            "node",
-            f"CASE WHEN {seed_sql} THEN ({_TELEPORT_PPM} * nv) div ns "
-            "ELSE CAST(0 AS BIGINT) END AS tele_ppm",
-            f"CASE WHEN {seed_sql} THEN ({_INIT_PPM} * nv) div ns "
-            "ELSE CAST(0 AS BIGINT) END AS rank_ppm",
-        )
-        .persist()
-    )
-    if not tele.filter("tele_ppm > 0").take(1):
+    ).first()
+    nv, ns = int(counts["nv"]), int(counts["ns"] or 0)
+    if ns == 0:
         ed.unpersist()
-        tele.unpersist()
         raise ValueError(
             f"personalized PageRank needs a non-empty seed set: "
             f"{seed_sql!r} matched no node"
         )
-    ranks = tele.select("node", "rank_ppm")
+    tele_lit = (_TELEPORT_PPM * nv) // ns
+    init_lit = (_INIT_PPM * nv) // ns
+    tele_of = (
+        f"CASE WHEN {seed_sql} THEN CAST({{lit}} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    ranks = nodes.selectExpr(
+        "node", f"{tele_of.format(lit=init_lit)} AS rank_ppm"
+    )
     contrib = f"(rank_ppm * {DAMPING_PM}) div (1000 * d)"
     for rnd in range(iterations):
         r = ranks.hint("shuffle_hash")
-        contribs = (
+        ranks = (
             ed.join(r, ed["s"] == r["node"])
             .groupBy("t")
             .agg(F.expr(f"sum({contrib})").alias("c"))
-        )
-        ranks = (
-            contribs.join(tele.select("node", "tele_ppm"), contribs["t"] == tele["node"])
-            .selectExpr("t AS node", "CAST(tele_ppm + c AS BIGINT) AS rank_ppm")
+            .selectExpr("t AS node", "c")
+            .selectExpr(
+                "node",
+                f"CAST({tele_of.format(lit=tele_lit)} + c AS BIGINT) AS rank_ppm",
+            )
         )
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0 and rnd + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return tag_cached_deps(
-        ranks.selectExpr("node AS node_id", "rank_ppm"), ed, tele
+        ranks.selectExpr("node AS node_id", "rank_ppm"), ed
     )
 
 

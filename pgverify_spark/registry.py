@@ -2304,7 +2304,13 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
         "pagerank_term_graph_documents": (
             _table_query(
                 "documents",
-                lambda df: graph.pagerank(graph.doc_term_edges(df), 4),
+                # deduped_pairs: doc_term_edges emits distinct
+                # (doc, term) pairs and the bipartite id spaces are
+                # disjoint, so the symmetrized stream is duplicate-free
+                # (single-exchange edge cache — graph._edge_cache_deduped)
+                lambda df: graph.pagerank(
+                    graph.doc_term_edges(df), 4, deduped_pairs=True
+                ),
             ),
             graph.pagerank_oracle_sql(
                 graph.doc_term_edges_oracle_sql("documents"), 4
@@ -2318,7 +2324,7 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
             _table_query(
                 "documents",
                 lambda df: graph.pagerank_weighted(
-                    graph.doc_term_edges_weighted(df), 4
+                    graph.doc_term_edges_weighted(df), 4, deduped_pairs=True
                 ),
             ),
             graph.pagerank_weighted_oracle_sql(
@@ -2337,6 +2343,7 @@ def _pipeline_entries() -> dict[str, tuple[Callable, str]]:
                     graph.doc_term_edges(df),
                     f"node < {graph.TERM_NODE_OFFSET}",
                     3,
+                    deduped_pairs=True,
                 ),
             ),
             graph.pagerank_personalized_oracle_sql(

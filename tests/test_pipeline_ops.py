@@ -3598,6 +3598,47 @@ def test_pagerank_shapes(spark):
     assert graph.pagerank(empty, 4).collect() == []
 
 
+def test_pagerank_deduped_build_equivalence_and_plan(docs):
+    """r12 batch 7: ``deduped_pairs=True`` (the registry's doc-term
+    call) must return bit-identical ranks to the balanced default for
+    all three walks, and its edge cache must plan exactly ONE Exchange
+    with no Join (the 4-exchange balanced build collapsed)."""
+    from pgverify_spark.operators import graph
+    from pgverify_spark.operators.util import release_cached_deps
+
+    def ranks(out):
+        got = {r["node_id"]: r["rank_ppm"] for r in out.collect()}
+        release_cached_deps(out)
+        return got
+
+    pairs = lambda: graph.doc_term_edges(docs)  # noqa: E731
+    assert ranks(graph.pagerank(pairs(), 4, deduped_pairs=True)) == ranks(
+        graph.pagerank(pairs(), 4)
+    )
+    wpairs = lambda: graph.doc_term_edges_weighted(docs)  # noqa: E731
+    assert ranks(
+        graph.pagerank_weighted(wpairs(), 3, deduped_pairs=True)
+    ) == ranks(graph.pagerank_weighted(wpairs(), 3))
+    seed = f"node < {graph.TERM_NODE_OFFSET}"
+    assert ranks(
+        graph.pagerank_personalized(pairs(), seed, 3, deduped_pairs=True)
+    ) == ranks(graph.pagerank_personalized(pairs(), seed, 3))
+
+    # plan shape of the single-exchange cache (unweighted + weighted)
+    src = pairs().selectExpr("doc_a", "doc_b").localCheckpoint(eager=True)
+    sym = src.selectExpr("doc_a AS s", "doc_b AS t").unionByName(
+        src.selectExpr("doc_b AS s", "doc_a AS t")
+    )
+    for weighted, rel in (
+        (False, sym),
+        (True, sym.selectExpr("s", "t", "CAST(1 AS BIGINT) AS w")),
+    ):
+        ed = graph._edge_cache_deduped(rel, 8, weighted)
+        plan = ed._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1 and "Join" not in plan
+        ed.unpersist()
+
+
 def test_pagerank_weighted_matches_oracle(docs, duck):
     from pgverify_spark.operators import graph
 
