@@ -95,7 +95,8 @@ def _edge_cache_deduped(sym: DataFrame, nparts: int, weighted: bool) -> DataFram
       a ``sum(w)`` window over the same partitioning.
 
     vs the balanced build: 4 Exchanges + 1 join → 1 Exchange + 1
-    in-partition Window (plan-asserted in tests/test_graph.py).  This
+    in-partition Window (plan-asserted in tests/test_pipeline_ops.py::
+    test_pagerank_deduped_build_equivalence_and_plan).  This
     is NOT the reverted batch-1 shape: that one hash-partitioned a
     possibly-duplicate-heavy raw multiset (skew hazard on hot nodes)
     and forced the degree join off the planner's broadcast choice;
@@ -340,18 +341,29 @@ def _per_node_triangles(e: DataFrame) -> DataFrame:
     e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two equi-joins, never the naive 3-way
     self-join with its 6x duplication.  Fan-out is bounded by the
     classic sum-of-deg² and, on near-dup graphs, by clique sizes the
-    LSH band cap upstream already bounds."""
+    LSH band cap upstream already bounds.
+
+    The enumerated (a, b, c) triple list is PERSISTED (r12 batch 7):
+    the per-role union references it three times, and unpersisted the
+    whole two-join enumeration re-executes per branch — 3x the join
+    work at any scale (static plan: 14 SortMergeJoins / 40 Exchanges →
+    7 / 24 for triangle_counts).  The cache is id-triples only, bounded
+    by the same sum-of-deg² as the enumeration itself, and is tagged on
+    the result for the caller's release chain."""
     ab = e.selectExpr("lo AS a", "hi AS b")
     bc = e.selectExpr("lo AS b", "hi AS c")
     ac = e.selectExpr("lo AS a", "hi AS c")
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    return (
+    tri = ab.join(bc, "b").join(ac, ["a", "c"]).persist()
+    out = (
         tri.selectExpr("a AS node_id")
         .unionAll(tri.selectExpr("b AS node_id"))
         .unionAll(tri.selectExpr("c AS node_id"))
         .groupBy("node_id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+    from pgverify_spark.operators.util import tag_cached_deps
+
+    return tag_cached_deps(out, tri)
 
 
 def triangle_counts(pairs: DataFrame) -> DataFrame:
@@ -380,7 +392,9 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     out = nodes.join(per_node, "node_id", "left").selectExpr(
         "node_id", "CAST(coalesce(triangles, 0) AS BIGINT) AS triangles"
     )
-    return tag_cached_deps(out, e)
+    return tag_cached_deps(
+        out, e, *getattr(per_node, "_pgvs_cached_deps", ())
+    )
 
 
 def clustering_coefficient(pairs: DataFrame) -> DataFrame:
@@ -418,7 +432,9 @@ def clustering_coefficient(pairs: DataFrame) -> DataFrame:
         "div (degree * (degree - 1)) "
         "ELSE CAST(0 AS BIGINT) END AS coeff_ppm",
     )
-    return tag_cached_deps(out, e)
+    return tag_cached_deps(
+        out, e, *getattr(per_node, "_pgvs_cached_deps", ())
+    )
 
 
 def _tri_ctes_sql(pairs_sql: str) -> str:
