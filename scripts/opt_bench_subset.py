@@ -44,7 +44,10 @@ DEFAULT_SUBSET = [
 
 #: conf name -> {conf: value}; every conf here must be runtime-settable.
 DEFAULT_CONFS = {
-    "bytes64m": {},  # session default as shipped (parallelismFirst=false)
+    # NOTE: batch 2 reverted parallelismFirst=false, so {} is now the
+    # stock AQE default; the "parfirst" variant is a no-op kept for the
+    # recorded A/B's reproducibility.
+    "bytes64m": {},
     "parfirst": {
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
     },
