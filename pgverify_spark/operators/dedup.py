@@ -469,8 +469,11 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 
     Algorithm: iterative min-label propagation — each round every node
     takes the min of its own label and its neighbors' labels (one
-    edges-to-labels equi-join + one min-groupBy per round, both hash
-    shuffles on ids only, with map-side combine).  Rounds needed = graph
+    edges-to-labels equi-join + one min-groupBy per round, ids only,
+    with map-side combine; the round-invariant edge relation is
+    persisted hash-partitioned on the join key once, so the per-round
+    join consumes it co-partitioned and only NODE-sized relations ever
+    shuffle — see the inline note).  Rounds needed = graph
     diameter; near-dup components are clique-like (a duplicated doc
     matches most of its copies directly), so this converges in 2-3
     rounds in practice, checked by an exact changed-label count each
@@ -494,13 +497,40 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     # Checkpoint the ids-only pair list BEFORE symmetrizing: the union
     # puts `pairs` in BOTH branches, so building edges directly off the
     # caller's plan executes the (often expensive — LSH joins, exact
-    # verification) pair pipeline twice in the first job.  After the
-    # checkpoint both branches read one tiny RDD leaf, and every
-    # propagation round joins against in-memory blocks (no persist /
-    # unpersist lifecycle needed).
+    # verification) pair pipeline twice in the first job.
     src = pairs.localCheckpoint(eager=True)
-    edges = src.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
-        src.selectExpr("doc_b AS src", "doc_a AS dst")
+    # Empty graph: skip the edge cache and the loop outright (the count
+    # doubles as the cache-width input below, so the check is free) —
+    # a real constant for compositions whose pair stream is empty by
+    # construction (e.g. pairs restricted to an already-deduped corpus).
+    n_pairs = src.count()
+    if n_pairs == 0:
+        return src.selectExpr("doc_a AS doc_id", "doc_a AS cluster_id")
+    # The edge relation is ROUND-INVARIANT, so it is persisted
+    # hash-partitioned on the join key ONCE (r13): an InMemoryRelation
+    # preserves outputPartitioning (localCheckpoint does not), so every
+    # round's edges ⋈ labels join consumes the cache co-partitioned and
+    # the per-round plan has ZERO edge-sized exchange — only node-sized
+    # labels/aggregate shuffles move.  Before r13 each round's join
+    # re-planned against the unpartitioned checkpoint: the planner
+    # broadcast the labels side at small scale (a driver collect + ship
+    # per round) and would shuffle the E-SIZED edge relation per round
+    # once labels outgrow the broadcast threshold — the exact per-round
+    # pathology the pagerank edge cache already eliminates (guide
+    # §2.4).  Width is size-derived (≈48 MB id-pair partitions), floor
+    # 2: the per-round consumers are shuffle-light id aggregates, so
+    # idle-core cost is zero and per-task scheduling dominates small
+    # inputs (util.scaled_partitions' floor=1 class) — but
+    # ``repartition(1, key)`` normalizes to SinglePartition, which
+    # DROPS the hash partitioning and re-exchanges the cache under
+    # every round's join (plan-verified), so 2 is the smallest width
+    # the co-partition contract works at.
+    W = max(2, min((2 * n_pairs) // 2_000_000 + 1, 1 << 20))
+    edges = (
+        src.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(src.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .repartition(W, "dst")
+        .persist()
     )
     labels = (
         edges.selectExpr("src AS doc_id")
@@ -508,16 +538,20 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .selectExpr("doc_id", "doc_id AS cluster_id")
         .localCheckpoint(eager=True)
     )
-    # Empty graph: skip the propagation loop outright.  The labels
-    # relation is already materialized (eager checkpoint), so take(1)
-    # is a block lookup, and the saved first round is 2 scheduled jobs
-    # — a real constant for compositions whose pair stream is empty by
-    # construction (e.g. pairs restricted to an already-deduped corpus).
-    if not labels.take(1):
-        return labels
     for rnd in range(max_iterations):
+        # shuffle_hash on the labels/nbr_min sides, not broadcast: a
+        # per-round broadcast re-collects and re-ships a node-sized
+        # relation every iteration (2 driver round-trips per round),
+        # and past broadcast size SHJ is the only strategy that keeps
+        # the cached edge side unshuffled — same rationale as the
+        # pagerank rank join.
         nbr_min = (
-            edges.join(labels.selectExpr("doc_id AS dst", "cluster_id AS nl"), "dst")
+            edges.join(
+                labels.selectExpr("doc_id AS dst", "cluster_id AS nl").hint(
+                    "shuffle_hash"
+                ),
+                "dst",
+            )
             .groupBy("src")
             .agg(F.min("nl").alias("nbr_min"))
             .selectExpr("src AS doc_id", "nbr_min")
@@ -526,7 +560,7 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         # whether it moved (labels only ever decrease, so "changed" is
         # nbr_min < cluster_id) — no second old-vs-new join per round.
         joined = (
-            labels.join(nbr_min, "doc_id", "left")
+            labels.join(nbr_min.hint("shuffle_hash"), "doc_id", "left")
             .selectExpr(
                 "doc_id",
                 "least(cluster_id, coalesce(nbr_min, cluster_id)) AS cluster_id",
@@ -549,6 +583,9 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             break
         # superseded round RDDs are unreferenced here; the context
         # cleaner GCs their blocks (tiny: ids + labels only)
+    # the final labels are an eager checkpoint leaf — nothing downstream
+    # re-reads the edge cache, so its blocks can go now
+    edges.unpersist()
     return labels
 
 

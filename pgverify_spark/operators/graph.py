@@ -136,7 +136,12 @@ def pagerank(
     direction can never collide with the forward one).  It switches the
     edge build to :func:`_edge_cache_deduped` (4 Exchanges + 1 join →
     1 Exchange); the output is identical because the skipped
-    ``distinct`` is a no-op on duplicate-free input.
+    ``distinct`` is a no-op on duplicate-free input.  **The contract is
+    not runtime-checked** (a distinct-count probe would cost the very
+    exchange the flag removes): passing a stream with duplicate
+    symmetrized pairs silently inflates degrees and double-counts the
+    duplicate edges' contributions — WRONG RANKS, no error.  When in
+    doubt, leave the default (False): the balanced build dedups.
 
     Output: (node_id, rank_ppm BIGINT) for every node in a pair, after
     exactly ``iterations`` synchronous update rounds of
@@ -555,13 +560,17 @@ def pagerank_personalized(
         )
     tele_lit = (_TELEPORT_PPM * nv) // ns
     init_lit = (_INIT_PPM * nv) // ns
-    tele_of = (
-        f"CASE WHEN {seed_sql} THEN CAST({{lit}} AS BIGINT) "
-        "ELSE CAST(0 AS BIGINT) END"
-    )
-    ranks = nodes.selectExpr(
-        "node", f"{tele_of.format(lit=init_lit)} AS rank_ppm"
-    )
+
+    def tele_of(lit: int) -> str:
+        # plain concatenation, never str.format on a template holding
+        # user SQL: a brace character inside seed_sql (a string literal
+        # like '{"k":1}') would raise at plan-build time (r12 ADVICE)
+        return (
+            f"CASE WHEN {seed_sql} THEN CAST({lit} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+
+    ranks = nodes.selectExpr("node", f"{tele_of(init_lit)} AS rank_ppm")
     contrib = f"(rank_ppm * {DAMPING_PM}) div (1000 * d)"
     for rnd in range(iterations):
         r = ranks.hint("shuffle_hash")
@@ -572,7 +581,7 @@ def pagerank_personalized(
             .selectExpr("t AS node", "c")
             .selectExpr(
                 "node",
-                f"CAST({tele_of.format(lit=tele_lit)} + c AS BIGINT) AS rank_ppm",
+                f"CAST({tele_of(tele_lit)} + c AS BIGINT) AS rank_ppm",
             )
         )
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0 and rnd + 1 < iterations:

@@ -13,6 +13,12 @@ entry cost decomposes into:
      beyond A-C)
   E. the entry end-to-end as the bench runs it (fresh, min of N)
 
+NOTE (r12 ADVICE): phases C/D hand-inline the BALANCED
+(deduped_pairs=False) edge build, while the registry entries phase E
+times run the deduped single-exchange build since r12 batch 7 — so the
+A-D decomposition explains the balanced path's cost structure and no
+longer sums to E for the headline entries.
+
 Run AFTER the tree is green, idle host:
     python scripts/opt_pagerank_probe.py [reps]
 """

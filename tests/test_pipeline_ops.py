@@ -4674,3 +4674,61 @@ def test_salted_credit_pairs_bit_identical(spark, sf_dir):
         sorted(map(tuple, fm.attribute_multi_touch(events).collect()))
     assert sorted(map(tuple, fm.attribution_report(events, salt=8).collect())) == \
         sorted(map(tuple, fm.attribution_report(events).collect()))
+
+
+def test_dup_clusters_copartitioned_round_plan(spark):
+    """r13: the propagation round must consume the persisted edge cache
+    co-partitioned — ShuffledHashJoin with NO Exchange between the join
+    and the InMemoryTableScan (the pre-r13 shape broadcast labels per
+    round locally and would shuffle the E-sized edge relation per round
+    past broadcast scale) — and the rewrite must not change labels."""
+    import pyspark.sql.dataframe as _m  # noqa: F401
+
+    from pgverify_spark.operators import dedup
+
+    # a chain + a clique + an isolated pair: needs >1 round to converge
+    rows = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    cls = type(pairs)
+    captured = []
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(
+            self._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        return orig(self, eager)
+
+    cls.localCheckpoint = spy
+    try:
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(pairs).collect()
+        }
+    finally:
+        cls.localCheckpoint = orig
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    round_plans = [p for p in captured if "least(cluster_id" in p]
+    assert round_plans, "no propagation round captured"
+    plan = round_plans[0]
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    for i, ln in enumerate(lines):
+        if "InMemoryTableScan" in ln and "InMemoryRelation" not in ln:
+            above = " ".join(lines[max(0, i - 2):i])
+            assert "Exchange" not in above, (
+                "edge cache re-exchanged inside a round:\n" + above
+            )
+            break
+    else:
+        raise AssertionError("round plan has no InMemoryTableScan (edge cache)")
+
+    # empty pair stream: fast path returns an empty labels relation
+    empty = pairs.filter("doc_a < 0")
+    assert dedup.dup_clusters(empty).collect() == []
