@@ -69,11 +69,28 @@ def _edge_partitions(src: DataFrame) -> int:
     return _edge_partitions_from_count(src.sparkSession, src.count())
 
 
-def _edge_partitions_from_count(spark, n_pairs: int) -> int:
+def _edge_partitions_from_count(spark, n_pairs: int, floor: int | None = None) -> int:
     """:func:`_edge_partitions` from an already-known pair count, so
     callers that need the count anyway (the empty-graph check) read the
-    checkpoint's block stats ONCE instead of twice (r12 batch 7)."""
-    par = spark.sparkContext.defaultParallelism
+    checkpoint's block stats ONCE instead of twice (r12 batch 7).
+
+    ``floor`` defaults to the core count — right for the BALANCED
+    build, whose consumers (distinct dedup, degree aggregate, join)
+    hash and compare every edge row: CPU work that wants cores (the
+    no-floor variant measured +0.4..0.6 s per entry in r12).  The
+    DEDUPED build passes ``floor=2``: its only build consumer is an
+    in-partition count/sum window, and the per-round rank
+    join/aggregate it pins the width of are shuffle-light id
+    relations — a small graph wants few well-fed tasks, not core-count
+    stage scheduling four rounds deep (r13 interleaved A/B, min of 3
+    alternating reps at sf0.1: plain 3.75→2.93 s, weighted 5.13→3.07,
+    personalized 3.82→2.58; every replicate ordered the same way).
+    Floor 2, not 1: ``repartition(1, key)`` normalizes to
+    SinglePartition, which DROPS the hash partitioning the per-round
+    join and the weighted build's in-partition groupBy(s, t) consume
+    (see dedup.dup_clusters).  At scale rows/2M dominates either
+    floor."""
+    par = spark.sparkContext.defaultParallelism if floor is None else floor
     return max(par, min(n_pairs // _EDGE_ROWS_PER_PART + 1, 1 << 20))
 
 
@@ -181,7 +198,9 @@ def pagerank(
     # One block-stats count serves the exchange width AND the
     # empty-graph check (was a separate ed.take(1) job — r12 batch 7).
     n_pairs = src.count()
-    nparts = _edge_partitions_from_count(src.sparkSession, n_pairs)
+    nparts = _edge_partitions_from_count(
+        src.sparkSession, n_pairs, floor=2 if deduped_pairs else None
+    )
     sym = src.selectExpr("doc_a AS s", "doc_b AS t").unionByName(
         src.selectExpr("doc_b AS s", "doc_a AS t")
     )
@@ -279,7 +298,9 @@ def pagerank_weighted(
     src = pairs.selectExpr("doc_a", "doc_b", "w").localCheckpoint(eager=True)
     release_cached_deps(pairs)
     n_pairs = src.count()
-    nparts = _edge_partitions_from_count(src.sparkSession, n_pairs)
+    nparts = _edge_partitions_from_count(
+        src.sparkSession, n_pairs, floor=2 if deduped_pairs else None
+    )
     sym = src.selectExpr("doc_a AS s", "doc_b AS t", "w").unionByName(
         src.selectExpr("doc_b AS s", "doc_a AS t", "w")
     )
@@ -531,7 +552,9 @@ def pagerank_personalized(
     src = pairs.selectExpr("doc_a", "doc_b").localCheckpoint(eager=True)
     release_cached_deps(pairs)
     n_pairs = src.count()
-    nparts = _edge_partitions_from_count(src.sparkSession, n_pairs)
+    nparts = _edge_partitions_from_count(
+        src.sparkSession, n_pairs, floor=2 if deduped_pairs else None
+    )
     sym = src.selectExpr("doc_a AS s", "doc_b AS t").unionByName(
         src.selectExpr("doc_b AS s", "doc_a AS t")
     )
