@@ -751,6 +751,14 @@ def doc_term_edges_weighted(df: DataFrame) -> DataFrame:
     ``explode`` re-evaluates its input chain per OUTPUT element (the
     measured 13s-vs-0.3s pathology ``_shingled`` records) — and tagged
     for ``util.release_cached_deps``.
+
+    A document's grams all live in ONE array cell, so the per-(doc,
+    gram) occurrence count is row-local: sort the array and emit
+    run-lengths with higher-order functions instead of
+    ``explode → groupBy(doc_id, g)`` — the string grams never shuffle
+    at any scale (one Exchange removed from the plan; lambda bindings
+    double as let-bindings, so CollapseProject cannot re-evaluate the
+    sorted array per output element).
     """
     from pgverify_spark.functions.canonical import DIALECT_SPARK
     from pgverify_spark.functions.text_exprs import (
@@ -768,10 +776,25 @@ def doc_term_edges_weighted(df: DataFrame) -> DataFrame:
         .selectExpr("doc_id", f"{ngrams_sql('tokens', NGRAM_N, d)} AS grams")
         .persist()
     )
+    # array<struct<g,w>> of per-distinct-gram run lengths over the
+    # sorted gram array; `sg` (sorted grams) and `st` (run starts) are
+    # bound once per row via single-element transform shells.
+    starts = (
+        "filter(sequence(1, size(sg)), "
+        "i -> i = 1 OR element_at(sg, i) <> element_at(sg, i - 1))"
+    )
+    run = (
+        "named_struct('g', element_at(sg, s), 'w', CAST("
+        "(CASE WHEN j = size(st) - 1 THEN size(sg) + 1 "
+        "ELSE element_at(st, j + 2) END) - s AS BIGINT))"
+    )
+    gram_counts = (
+        f"flatten(transform(array(array_sort(grams)), sg -> "
+        f"flatten(transform(array({starts}), st -> "
+        f"transform(st, (s, j) -> {run})))))"
+    )
     out = (
-        grams.selectExpr("doc_id", "explode(grams) AS g")
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("w"))
+        grams.selectExpr("doc_id", f"inline({gram_counts})")
         .selectExpr(
             "doc_id AS doc_a",
             f"{TERM_NODE_OFFSET} + {hex_prefix_int_sql('md5(g)', d)} AS doc_b",
