@@ -172,6 +172,43 @@ def test_cut_repeated_spans_keeps_owner_occurrence(spark):
     assert out[2].text_kept == "p9 p10 other words entirely five"
 
 
+def test_cut_repeated_spans_single_text_exchange_plan(spark):
+    """r13: the cut transform must reassemble text IN-ROW — no n-fold
+    cover explode (``explode(sequence(pos, ...))``) and no post-join
+    regroup of token strings; the sliding-window min over the per-doc
+    dup-flag array (``array_min(slice(dupf, ...))``) is the cut
+    decision, so token strings cross exactly one exchange (the
+    doc-keyed flag join)."""
+    passage = " ".join(f"p{i}" for i in range(1, 11))  # 10 tokens, no repeats
+    rows = [
+        (1, f"{passage} owner tail here"),
+        (2, f"{passage} other words entirely five"),
+        (3, "x"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = dedup.cut_repeated_spans(df, n=3)
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "explode(sequence(pos" not in plan  # cover fanout retired
+    assert "array_min(slice(" in plan  # in-row window-min present
+    # exactly one collect_list: the P dup flags per doc (ints), never
+    # the token strings the old shape re-aggregated
+    assert plan.count("partial_collect_list") == 1
+    assert "collect_list(named_struct(pos" in plan
+    out = {r.doc_id: r for r in res.collect()}
+    release_cached_deps(res)
+    # empty docs are dropped (posexplode semantics of the old shape)
+    assert set(out) == {1, 2, 3}
+    assert out[3].text_kept == "x" and out[3].n_cut == 0
+    # doc 1 owns every gram of the shared passage; doc 2 is the copy
+    # (same expectations as test_cut_repeated_spans_keeps_owner_occurrence)
+    assert out[1].n_cut == 0 and out[1].text_kept == rows[0][1]
+    assert out[2].n_cut == 8
+    assert out[2].text_kept == "p9 p10 other words entirely five"
+
+
 def test_minhash_lsh_pairs(docs, duck):
     rows = _cmp(
         dedup.minhash_lsh_pairs(docs, 0.3),
